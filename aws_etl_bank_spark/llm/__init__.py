@@ -1,0 +1,25 @@
+from aws_etl_bank_spark.llm.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    minhash_dedup_keep,
+    simhash_signatures,
+    simhash_lsh_pairs,
+    embedding_dup_pairs,
+)
+from aws_etl_bank_spark.llm.similarity import (  # noqa: F401
+    cosine_sim,
+    brute_force_topk,
+    ivf_topk,
+)
+from aws_etl_bank_spark.llm.text import (  # noqa: F401
+    text_stats,
+    quality_score,
+    language_id,
+    fingerprint,
+)
+from aws_etl_bank_spark.llm.multimodal import (  # noqa: F401
+    attach_binary_payload,
+    decode_image_features,
+    sample_frames,
+)

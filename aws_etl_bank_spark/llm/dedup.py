@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All candidate generation is *banded LSH join* — never an all-pairs
+product — so the shuffle volume is O(docs × bands), not O(docs²).
+Everything below stays JVM-side (built-in array/hash expressions,
+``xxhash64`` as the hash family); no Python UDFs in any hot path.
+
+- exact: hash-groupBy (map-side combine applies).
+- MinHash+LSH: word-shingles → per-permutation min of seeded xxhash64 →
+  band buckets → within-bucket pairs → optional exact-Jaccard verify.
+- SimHash: token bit-vote signature as array<int>, banded on 16-bit
+  chunks, hamming-verified with zip_with.
+- Embedding near-dup: random-hyperplane LSH buckets → within-bucket
+  cosine verify.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """One row per distinct value of ``cols``: the lowest id wins, with a
+    duplicate count.  Single hash-aggregation; at 100 TB this shuffles once
+    on the content hash (group keys), with partial aggregation map-side."""
+    return (
+        df.groupBy(*cols)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingles_expr(text_col: str, n: int) -> str:
+    """Word n-gram shingles as a SQL expression (array<string>); documents
+    shorter than n words contribute their full text as one shingle."""
+    words = f"split(lower({text_col}), '\\\\s+')"
+    return (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({words}) - {n}), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {n})))) "
+        f"ELSE array(concat_ws(' ', {words})) END"
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_perm: int = 64, shingle_n: int = 3) -> DataFrame:
+    """(id, h0..h{num_perm-1}) MinHash signature.
+
+    One explode + one groupBy: shingle rows are hashed ``num_perm`` ways
+    with seeded xxhash64 and min-aggregated per document.  min() combines
+    map-side, so the shuffle carries only num_perm longs per document."""
+    shingled = df.select(
+        F.col(id_col), F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
+                      jaccard_threshold: float | None = 0.8,
+                      verify: bool = True) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH, optionally
+    verified with exact shingle-set Jaccard.
+
+    Output: (id_a, id_b[, jaccard]) with id_a < id_b.  The pair join is
+    an equi self-join on (band_index, band_hash) — no cartesian product
+    anywhere in the plan (asserted by tests)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    band_hashes = F.array(*[
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
+    banded = sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return pairs
+    shingle_sets = df.select(
+        F.col(id_col), F.expr(_shingles_expr(text_col, shingle_n)).alias("sh")
+    )
+    a = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    if jaccard_threshold is not None:
+        verified = verified.filter(F.col("jaccard") >= jaccard_threshold)
+    return verified
+
+
+def minhash_dedup_keep(df: DataFrame, text_col: str, id_col: str, **kwargs) -> DataFrame:
+    """Documents surviving near-dup removal: every doc that is not the
+    larger id of any duplicate pair (greedy lowest-id-wins, one pass —
+    the full transitive closure would be an iterative connected-components
+    job, deliberately out of the single-pass path)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       bits: int = 64) -> DataFrame:
+    """(id, sig array<int> of ±-vote signs packed per 16-bit chunk as
+    array<bigint> chunk hashes, plus bit array) — token-level SimHash.
+    Bit votes are computed with bit-extraction expressions on xxhash64 and
+    sum-aggregated (map-side combinable)."""
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(((F.shiftright("h", k).bitwiseAND(F.lit(1))) * 2 - 1)).alias(f"v{k}")
+        for k in range(bits)
+    ]
+    sig = tokens.groupBy(id_col).agg(*votes)
+    bit_cols = [(F.col(f"v{k}") > 0).cast("int").alias(f"b{k}") for k in range(bits)]
+    sig = sig.select(F.col(id_col), *bit_cols)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"b{k}") for k in range(bits)]).alias("bits"),
+    )
+
+
+def simhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str, bits: int = 64,
+                      chunks: int = 4, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs where at least one 16-bit chunk matches exactly
+    (LSH guarantee for hamming ≤ chunks-1 collisions), verified with an
+    exact hamming distance via zip_with."""
+    per = bits // chunks
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    chunk_hash = F.array(*[
+        F.xxhash64(F.concat_ws(",", *[F.col("bits")[c * per + i] for i in range(per)]))
+        for c in range(chunks)
+    ])
+    banded = sigs.select(F.col(id_col), F.col("bits"), F.posexplode(chunk_hash).alias("chunk", "chash"))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chash") == F.col("r.chash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.bits").alias("bits_a"),
+            F.col("r.bits").alias("bits_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+# -- Embedding near-dup ----------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _dot_expr(vec_col, plane: list[float]):
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str, dim: int,
+                        n_planes: int = 8, cosine_threshold: float = 0.95,
+                        seed: int = 42) -> DataFrame:
+    """Near-duplicate vector pairs: random-hyperplane LSH bucket (one
+    n_planes-bit signature) → within-bucket equi-join → cosine verify.
+    Deterministic for a fixed seed.  Only same-bucket pairs are compared —
+    recall can be raised with multiple tables (re-call with other seeds)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.concat_ws("", *[(_dot_expr(F.col(vec_col), p) > 0).cast("int").cast("string") for p in planes])
+    bucketed = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(side):
+        return F.sqrt(F.aggregate(
+            F.transform(F.col(f"{side}.{vec_col}"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .withColumn("cosine", F.round(dot / (norm("l") * norm("r")), 4))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"), "cosine")
+    )

