@@ -68,9 +68,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     length_score = F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
     stop_score = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
+    # The weighted sum of 2/4-decimal inputs terminates at exactly 5
+    # decimals, so round-half at the 4th digit is a systematic tie; the
+    # 1e-9 nudge makes Spark and any SQL oracle round the same way.
     return stats.withColumn(
         "quality",
-        F.round((length_score * 0.5 + stop_score * 0.3) * punct_penalty + F.lit(0.2) * punct_penalty, 4),
+        F.round(
+            (length_score * 0.5 + stop_score * 0.3) * punct_penalty
+            + F.lit(0.2) * punct_penalty + F.lit(1e-9),
+            4,
+        ),
     )
 
 

@@ -1,0 +1,266 @@
+"""Registry part 2: LLM-data-pipeline operators (dedup, similarity, text,
+multimodal) and streaming — each a first-class `queries()` entry.  Oracles
+are provided where DuckDB can express the same computation; hash-family
+ops (MinHash/SimHash/fingerprints) are rows-only by design.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from aws_etl_bank_spark.plans.registry import q
+from aws_etl_bank_spark.sources.testdata import load_table
+
+_EN = "('the','a','of','and','to','in','is','it','that','for')"
+
+
+@q("dedup_exact", """
+SELECT text, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY text""")
+def dedup_exact(spark, sf_dir):
+    from aws_etl_bank_spark.llm import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id")
+
+
+@q("dedup_minhash_pairs")  # hash-family op: rows-only check
+def dedup_minhash_pairs(spark, sf_dir):
+    from aws_etl_bank_spark.llm import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=16,
+                             jaccard_threshold=0.5)
+
+
+@q("dedup_minhash_keep")  # rows-only
+def dedup_minhash_keep(spark, sf_dir):
+    from aws_etl_bank_spark.llm import minhash_dedup_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_keep(docs, "text", "doc_id", num_perm=64, bands=16,
+                              jaccard_threshold=0.5)
+
+
+@q("dedup_simhash_pairs")  # rows-only
+def dedup_simhash_pairs(spark, sf_dir):
+    from aws_etl_bank_spark.llm import simhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_lsh_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+@q("dedup_embedding_pairs")  # rows-only
+def dedup_embedding_pairs(spark, sf_dir):
+    from aws_etl_bank_spark.llm import embedding_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, "embedding", "vec_id", dim=64,
+                               n_planes=8, cosine_threshold=0.8)
+
+
+@q("ann_bruteforce_topk", """
+WITH qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 5),
+cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT qv.query_id, cv.neighbor_id,
+             round(list_cosine_similarity(qv.v, cv.v), 6) AS sim
+      FROM qv, cv WHERE cv.neighbor_id != qv.query_id)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10""")
+def ann_bruteforce_topk(spark, sf_dir):
+    from aws_etl_bank_spark.llm import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter("vec_id < 5"), 10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@q("ann_ivf_topk")  # approximate by construction: rows-only
+def ann_ivf_topk(spark, sf_dir):
+    from aws_etl_bank_spark.llm import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter("vec_id < 5"), 10, n_cells=16, nprobe=4)
+
+
+@q("text_stats_quality", f"""
+WITH w AS (
+    SELECT doc_id, text,
+           string_split_regex(lower(text), '\\s+') AS words,
+           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST(len(words) AS BIGINT) AS n_tokens,
+           round(length(text) / CAST(len(words) AS DOUBLE), 4) AS avg_token_len,
+           round(n_punct / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+           round(len(list_filter(words, x -> x IN {_EN})) / CAST(len(words) AS DOUBLE), 4)
+               AS stopword_ratio
+    FROM w
+)
+SELECT doc_id, n_chars_computed, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+       round((least(n_tokens / 100.0, 1.0) * 0.5 + least(stopword_ratio * 5.0, 1.0) * 0.3)
+             * greatest(0.0, 1.0 - punct_ratio * 5.0)
+             + 0.2 * greatest(0.0, 1.0 - punct_ratio * 5.0) + 0.000000001, 4) AS quality
+FROM s""")
+def text_stats_quality(spark, sf_dir):
+    from aws_etl_bank_spark.llm import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_chars_computed", "n_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio", "quality",
+    )
+
+
+@q("text_token_counts", """
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(string_split_regex(text, '[\\s[:punct:]]+')),
+                     CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_ish_tokens
+FROM documents""")
+def text_token_counts(spark, sf_dir):
+    from aws_etl_bank_spark.llm.text import bpe_ish_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@q("text_langid")  # heuristic classifier: rows-only
+def text_langid(spark, sf_dir):
+    from aws_etl_bank_spark.llm import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "predicted_lang", "lang_score")
+
+
+@q("text_fingerprint")  # hash-family: rows-only
+def text_fingerprint(spark, sf_dir):
+    from aws_etl_bank_spark.llm import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+@q("multimodal_meta", """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 256 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) * 7) % 256 AS INTEGER) AS height
+FROM documents""")
+def multimodal_meta(spark, sf_dir):
+    """Binary-payload plumbing: attach payload + decode features through the
+    Arrow-batched stub decoder (mean_byte excluded from the oracle-checked
+    projection; it is exercised in tests)."""
+    from aws_etl_bank_spark.llm import attach_binary_payload, decode_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_image_features(attach_binary_payload(docs), fake=True)
+    return feats.select("doc_id", "n_bytes", "width", "height")
+
+
+@q("multimodal_frames")  # byte-slice layout is engine-defined: rows-only
+def multimodal_frames(spark, sf_dir):
+    from aws_etl_bank_spark.llm import attach_binary_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs), n_frames=4)
+
+
+# ===========================================================================
+# Streaming (SURVEY.md §2.11)
+# ===========================================================================
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source needs a directory; expose events.parquet
+    through a scratch dir symlink."""
+    import os
+
+    from aws_etl_bank_spark.plans.registry import _scratch
+
+    d = _scratch(sf_dir, "events_stream/ignored").rsplit("/", 1)[0]
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+@q("stream_window_counts", """
+SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP) AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2""")
+def stream_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation executed as a real
+    Structured Streaming query (availableNow → memory sink), so the
+    streaming path itself is under the correctness gate."""
+    import time as _time
+
+    from aws_etl_bank_spark.streaming import windowed_event_counts
+
+    stream_dir = _events_stream_dir(sf_dir)
+    raw_schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = windowed_event_counts(stream, "6 hours", watermark="12 hours")
+    name = f"stream_win_{int(_time.time() * 1000) % 10_000_000}"
+    query = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    result = spark.table(name).collect()
+    return spark.createDataFrame(result, spark.table(name).schema)
+
+
+@q("stream_foreach_batch")  # driver-policy runner: rows-only
+def stream_foreach_batch(spark, sf_dir):
+    """forEachBatch micro-batch driver with persist/skip/retry policy
+    (context.py:602-664), collecting per-batch aggregates into a result
+    table."""
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    from aws_etl_bank_spark.plans.registry import _scratch
+    from aws_etl_bank_spark.streaming import for_each_batch
+
+    stream_dir = _events_stream_dir(sf_dir)
+    raw_schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    collected: list = []
+
+    def handle(batch_df, batch_id):
+        rows = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
+        ).collect()
+        collected.extend([(batch_id, r["event_type"], r["n"], r["sv"]) for r in rows])
+
+    for_each_batch(stream, handle, {
+        "windowSize": "1 seconds",
+        # fresh checkpoint per run — a reused checkpoint would mark the
+        # input files processed and yield an empty second run
+        "checkpointLocation": _scratch(sf_dir, f"feb_ckpt_{int(_time.time() * 1000)}"),
+        "availableNow": True,
+    })
+    schema = T.StructType([
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sv", T.DoubleType()),
+    ])
+    return spark.createDataFrame(collected, schema)
