@@ -1,0 +1,59 @@
+"""Benchmark harness: times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced to full materialization with a noop-format write
+(no driver collect, no column pruning of the final project).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: name → registry key; the headline set covers the flagship plus the
+#: heaviest shapes (multiway join+agg, window, count-distinct, LSH dedup,
+#: ANN, streaming window).
+HEADLINE = [
+    "fact_snapshot",
+    "agg_count_distinct",
+    "join_multiway_sql",
+    "win_running_sum_cust",
+    "dedup_minhash_pairs",
+    "ann_bruteforce_topk",
+    "stream_window_counts",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    from aws_etl_bank_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        start = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - start, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()
