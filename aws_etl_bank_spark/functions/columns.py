@@ -40,6 +40,21 @@ def explodeWithIndex(col: Column) -> list[Column]:
     return F.posexplode(col).alias("index", "val")
 
 
+def add_scd2_columns(df: DataFrame) -> DataFrame:
+    """SCD2 stamp columns for dim syncs (reference r2g_account.py:85-88):
+    is_active=true, record_created_time=current_timestamp(), and
+    record_updated_time as the open-ended sentinel — a DATE despite the
+    timestamp-looking literal (to_date semantics, SURVEY.md §8.6)."""
+    return (
+        df.withColumn("is_active", F.lit(True))
+        .withColumn("record_created_time", F.current_timestamp())
+        .withColumn(
+            "record_updated_time",
+            F.to_date(F.lit("3000-01-01 00:00:00"), "yyyy-MM-dd HH:mm:ss"),
+        )
+    )
+
+
 _GRANULARITY_ORDER = ["year", "month", "day", "hour", "minute"]
 
 _GRANULARITY_FN = {

@@ -77,7 +77,9 @@ def getResolvedOptions(args: list[str], options: list[str]) -> dict[str, str]:
             else:
                 val = ""
             if key in want or key.replace("-", "_") in want:
-                out[key.replace("-", "_") if key not in want else key] = val
+                # argparse-style normalization: option keys always land
+                # with underscores, like the reference's resolved args.
+                out[key.replace("-", "_")] = val
         i += 1
     # legacy continuation-option → job-bookmark-option translation
     cont = out.pop("continuation_option", None)

@@ -35,6 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_etl_bank_spark.functions.columns import add_scd2_columns
 from aws_etl_bank_spark.functions.datedim import build_date_dim
 
 #: payment-code → payment-type-name dim for the testdata mapping
@@ -176,12 +177,7 @@ def run_banking_etl(spark: SparkSession, raw_dir: str, golden_dir: str,
         if is_scd2:
             # SCD2 stamp-only, as in the reference (r2g_account.py:85-88;
             # record_updated_time is a DATE despite the literal — §8.6).
-            df = (
-                df.withColumn("is_active", F.lit(True))
-                .withColumn("record_created_time", F.current_timestamp())
-                .withColumn("record_updated_time",
-                            F.to_date(F.lit("3000-01-01 00:00:00"), "yyyy-MM-dd HH:mm:ss"))
-            )
+            df = add_scd2_columns(df)
         if write:
             df.write.mode("overwrite").parquet(f"{golden_dir}/dim_{table}")
         df.createOrReplaceTempView(f"raw_{table}")

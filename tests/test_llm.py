@@ -1,0 +1,175 @@
+"""LLM-pipeline operator tests: dedup, similarity search, text analysis.
+
+Key scale invariant asserted here: candidate generation is always a
+banded equi-join — no CartesianProduct / BroadcastNestedLoopJoin over
+corpus×corpus appears in any dedup plan.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_etl_bank_spark.llm import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate of 1
+        (3, base.replace("today", "tonight")),  # near-dup of 1
+        (4, "completely different content about spark engines and parquet files"),
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_lowest_id_wins(docs):
+    out = dedup.exact_dedup(docs, ["text"], "doc_id")
+    rows = {r["keep_id"]: r["dup_count"] for r in out.collect()}
+    assert rows[1] == 2  # docs 1 and 2 collapse
+    assert rows[4] == 1 and rows[5] == 1
+
+
+def test_minhash_finds_near_dups_not_distinct(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_exact_duplicate_jaccard_is_one(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.5)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert j[(1, 2)] == 1.0
+
+
+def test_minhash_keep_removes_losers(docs):
+    kept = dedup.minhash_dedup_keep(docs, "text", "doc_id", jaccard_threshold=0.5)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 4, 5]
+
+
+def _assert_no_cartesian(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_plans_have_no_cartesian(docs):
+    _assert_no_cartesian(dedup.minhash_lsh_pairs(docs, "text", "doc_id"))
+    _assert_no_cartesian(dedup.simhash_lsh_pairs(docs, "text", "doc_id"))
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_lsh_pairs(docs, "text", "doc_id", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(r["hamming"] == 0 for r in pairs.collect() if (r["id_a"], r["id_b"]) == (1, 2))
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_dup_pairs(df, "embedding", "vec_id", dim=4,
+                                      cosine_threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+    _assert_no_cartesian(pairs)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (i, [math.cos(i / 7.0 + d) for d in range(8)]) for i in range(1, 31)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    import numpy as np
+
+    k = 3
+    queries = vectors.filter(F.col("vec_id") <= 2)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(vectors, queries, k).collect()
+    }
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    for qid in (1, 2):
+        sims = sorted(
+            (
+                (round(float(rows[qid] @ v / (np.linalg.norm(rows[qid]) * np.linalg.norm(v))), 6), -nid)
+                for nid, v in rows.items()
+                if nid != qid
+            ),
+            reverse=True,
+        )
+        for rank in range(1, k + 1):
+            assert got[(qid, rank)] == -sims[rank - 1][1]
+
+
+def test_ivf_topk_recall_against_exact(vectors):
+    k = 3
+    queries = vectors.filter(F.col("vec_id") <= 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(vectors, queries, k).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(vectors, queries, k, n_cells=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # nprobe=4 of 8 cells on smooth data
+
+
+def test_text_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat.")], "doc_id long, text string"
+    )
+    out = text.quality_score(df).collect()[0]
+    assert out["n_tokens"] == 6
+    assert 0.0 <= out["quality"] <= 1.0
+    assert out["stopword_ratio"] > 0  # 'the' twice
+
+
+def test_language_id_en_vs_fr(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "le chat est dans la maison et les oiseaux"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "fr"}
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello   world"), (2, "hello world")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: (r["content_hash"], r["min_gram_hash"])
+           for r in text.fingerprint(df).collect()}
+    # whitespace-normalized: both rows fingerprint identically
+    assert out[1] == out[2]
+
+
+def test_multimodal_plumbing(spark):
+    from aws_etl_bank_spark.llm import multimodal
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with_payload = multimodal.attach_binary_payload(df)
+    assert dict(with_payload.dtypes)["payload"] == "binary"
+    feats = multimodal.decode_image_features(with_payload, fake=True)
+    assert feats.count() == 1
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_features(with_payload, fake=False)
+    frames = multimodal.sample_frames(with_payload, n_frames=3)
+    assert frames.count() == 3

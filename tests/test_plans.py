@@ -1,0 +1,99 @@
+"""Flagship query + plan-quality tests (SURVEY.md §3.1, 100 TB posture).
+
+Beyond row-level correctness (covered by the DuckDB oracle harness in
+scripts/verify_entry.py), these assert the *physical plan* is the one
+you'd want on a 1000-executor cluster: dims broadcast, filters pushed to
+the parquet scan, no Python UDFs in the fact path.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def fact(spark):
+    from aws_etl_bank_spark.plans.flagship import build_fact_snapshot
+
+    return build_fact_snapshot(spark, SF_SMOKE, fidelity=False)
+
+
+def test_flagship_smoke_rows_and_schema(fact):
+    assert fact.count() > 0
+    expected = {
+        "date_key", "transaction_date", "cust_id", "acc_id", "account_type_name",
+        "account_no_transactions_daily", "account_daily_spending",
+        "account_accum_spending", "cust_no_transaction_daily",
+        "cust_daily_spending", "cust_daily_payment_type", "cust_accum_spending",
+        "avg_monthly_spending", "day_type", "is_holiday",
+    }
+    assert expected <= set(fact.columns)
+
+
+def test_flagship_broadcasts_small_dims(fact):
+    plan = _plan(fact)
+    assert "BroadcastHashJoin" in plan  # payment-type / month-avg dims broadcast
+
+
+def test_flagship_no_python_udf_in_plan(fact):
+    plan = _plan(fact)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_flagship_fidelity_multiplies_rows(spark):
+    from aws_etl_bank_spark.plans.flagship import build_fact_snapshot
+
+    base = build_fact_snapshot(spark, SF_SMOKE, fidelity=False).count()
+    fid = build_fact_snapshot(spark, SF_SMOKE, fidelity=True).count()
+    # §8.1: the reference's cust-only join duplicates rows per distinct
+    # transaction date of the customer.
+    assert fid > base
+
+
+def test_scan_prunes_columns(spark):
+    from aws_etl_bank_spark.sources.testdata import load_table
+
+    df = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in scan_line  # projection reached the scan
+
+
+def test_scan_pushes_filters(spark):
+    from aws_etl_bank_spark.sources.testdata import load_table
+
+    df = load_table(spark, SF_SMOKE, "lineitem").filter(F.col("l_quantity") > 40) \
+        .select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_date_dim_has_no_python_udfs(spark):
+    from aws_etl_bank_spark.functions.datedim import build_date_dim
+
+    dim = build_date_dim(spark, "2024-01-01", "2024-12-31")
+    assert dim.count() == 366
+    plan = _plan(dim)
+    assert "BatchEvalPython" not in plan
+    row = dim.filter(F.col("date_key") == "20240430").collect()[0]
+    assert row["is_holiday"] is True
+    assert row["week_of_month"] == "5" and isinstance(row["week_of_month"], str)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 60
+    assert set(oracles) <= set(qs)
+    # every non-oracle entry is a documented hash-family/approx op
+    assert len(set(qs) - set(oracles)) <= 12
