@@ -3,6 +3,7 @@ from aws_etl_bank_spark.llm.dedup import (  # noqa: F401
     minhash_signatures,
     minhash_lsh_pairs,
     minhash_dedup_keep,
+    ngram_jaccard_pairs,
     simhash_signatures,
     simhash_lsh_pairs,
     embedding_dup_pairs,

@@ -125,6 +125,52 @@ def minhash_dedup_keep(df: DataFrame, text_col: str, id_col: str, **kwargs) -> D
     return df.join(losers, id_col, "left_anti")
 
 
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """EXACT word-n-gram Jaccard similarity join via an inverted index —
+    no LSH approximation and no cartesian product.
+
+    Plan shape: explode distinct shingles → self equi-join on the shingle
+    (only documents sharing at least one shingle ever meet) → count common
+    shingles per pair → jaccard = common / (|A| + |B| - common).
+
+    At 100 TB the hazard is hub shingles (a shingle present in millions of
+    documents makes the equi-join quadratic in its posting list).
+    ``max_shingle_df`` drops shingles with document frequency above the cut
+    before the join — the standard prefix-filter trade-off: pairs whose
+    overlap is *only* hub shingles are missed, everything else is exact.
+    Leave it None for exact semantics at test scale."""
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("sh"),
+    )
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_df is not None:
+        keep = (
+            shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df).select("sh")
+        )
+        shingled = shingled.join(keep, "sh")
+    a, b = shingled.alias("a"), shingled.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # -- SimHash ---------------------------------------------------------------
 
 

@@ -737,6 +737,50 @@ def scalar_strings(spark, sf_dir):
     )
 
 
+@q("udf_surface", """
+SELECT c_custkey,
+       CAST(c_custkey * 2 AS VARCHAR) AS doubled_str,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       ROUND(c_acctbal * 2, 2) AS bal_x2
+FROM customer""")
+def udf_surface(spark, sf_dir):
+    """Python UDF surface (§2 row 78): an untyped Glue-style UDF (returns
+    STRING by default — the reference's quirk), a typed row-at-a-time UDF,
+    and an Arrow-batched pandas UDF, side by side on the same frame."""
+    from aws_etl_bank_spark.functions.udf import pandas_scalar_udf, typed_udf, udf
+
+    doubled = udf(lambda k: k * 2)  # untyped → StringType
+
+    @typed_udf(T.IntegerType())
+    def name_len(s):
+        return len(s) if s is not None else None
+
+    @pandas_scalar_udf(T.DoubleType())
+    def bal_x2(s):
+        return (s * 2).round(2)
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        doubled(F.col("c_custkey")).alias("doubled_str"),
+        name_len(F.col("c_name")).alias("name_len"),
+        bal_x2(F.col("c_acctbal")).alias("bal_x2"),
+    )
+
+
+@q("filter_sql_expr", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""")
+def filter_sql_expr(spark, sf_dir):
+    """String-expression filter — ``df.filter("<sql>")`` (§2 row 25), the
+    DataFrame-native predicate form the reference uses alongside the
+    Python-callable Filter transform."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter("l_quantity > 45 AND l_returnflag = 'R'").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
 @q("explode_split", """
 SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part""")
 def explode_split(spark, sf_dir):

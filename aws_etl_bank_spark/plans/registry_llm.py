@@ -51,13 +51,60 @@ def dedup_simhash_pairs(spark, sf_dir):
     return simhash_lsh_pairs(docs, "text", "doc_id", max_hamming=8)
 
 
-@q("dedup_embedding_pairs")  # rows-only
+@q("dedup_ngram_jaccard", r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents
+),
+s AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct([array_to_string(words[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                     for i in range(1, len(words) - 1)])
+    ELSE [array_to_string(words, ' ')] END) AS sh
+  FROM w
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 4) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 4) >= 0.5""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT n-gram Jaccard join (inverted index, no LSH) — fully
+    oracle-checkable, unlike the hash-family dedups."""
+    from aws_etl_bank_spark.llm import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+
+
+@q("dedup_embedding_pairs", """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+all_v AS (SELECT vec_id, v FROM base
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, v FROM base),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+          FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95""")
 def dedup_embedding_pairs(spark, sf_dir):
+    """The sf embeddings have no organic near-dups (max off-diagonal cosine
+    ≈ 0.51), so the operator is exercised on a planted-duplicate set: the
+    table unioned with an id-shifted copy of itself.  Because every other
+    pair is far below the 0.95 threshold, hyperplane-LSH recall is exactly
+    1.0 here and the output is oracle-checkable against an all-pairs
+    DuckDB cosine scan."""
     from aws_etl_bank_spark.llm import embedding_dup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, "embedding", "vec_id", dim=64,
-                               n_planes=8, cosine_threshold=0.8)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.unionAll(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    return embedding_dup_pairs(planted, "embedding", "vec_id", dim=64,
+                               n_planes=8, cosine_threshold=0.95)
 
 
 @q("ann_bruteforce_topk", """

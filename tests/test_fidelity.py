@@ -69,3 +69,36 @@ def test_record_updated_time_is_date(spark):
     df = add_scd2_columns(spark.range(1))
     assert dict(df.dtypes)["record_updated_time"] == "date"
     assert df.collect()[0]["record_updated_time"] == datetime.date(3000, 1, 1)
+
+
+def test_udf_module_default_string_and_typed(spark):
+    """The engine's own UDF surface keeps the Glue default-string quirk
+    and offers typed + Arrow-batched forms."""
+    import pyspark.sql.types as T
+
+    from aws_etl_bank_spark.functions.udf import (
+        pandas_scalar_udf, typed_udf, udf, week_of_month_udf)
+
+    df = spark.createDataFrame([(3,), (10,)], "x int")
+    untyped = udf(lambda x: x + 1)
+
+    @typed_udf(T.LongType())
+    def plus_two(x):
+        return x + 2
+
+    @pandas_scalar_udf(T.LongType())
+    def plus_three(s):
+        return s + 3
+
+    out = df.select(
+        untyped(F.col("x")).alias("a"),
+        plus_two(F.col("x")).alias("b"),
+        plus_three(F.col("x")).alias("c"),
+    )
+    assert dict(out.dtypes) == {"a": "string", "b": "bigint", "c": "bigint"}
+    row = out.orderBy("b").collect()[0]
+    assert (row["a"], row["b"], row["c"]) == ("4", 5, 6)
+
+    wom = spark.createDataFrame([("2024-01-15",)], "d string").select(
+        week_of_month_udf()(F.to_date("d")).alias("wom"))
+    assert wom.collect()[0]["wom"] == 3

@@ -173,3 +173,28 @@ def test_multimodal_plumbing(spark):
         multimodal.decode_image_features(with_payload, fake=False)
     frames = multimodal.sample_frames(with_payload, n_frames=3)
     assert frames.count() == 3
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact duplicates: jaccard exactly 1
+    assert 0.5 <= got[(1, 3)] < 1.0  # one-word edit
+    assert not any(4 in p or 5 in p for p in got)
+    _assert_no_cartesian(pairs)
+
+
+def test_ngram_jaccard_hub_shingle_cut(spark):
+    # 3 docs share only the hub shingle "the quick brown"; with the
+    # df-cut at 2 the hub is dropped and no pair survives.
+    rows = [
+        (1, "the quick brown aardvark sleeps"),
+        (2, "the quick brown beetle flies"),
+        (3, "the quick brown cheetah runs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.1)
+    cut = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.1,
+                                    max_shingle_df=2)
+    assert full.count() == 3  # all three pairs share one shingle
+    assert cut.count() == 0
