@@ -258,7 +258,7 @@ def stream_window_counts(spark, sf_dir):
     raw_schema = spark.read.parquet(stream_dir).schema
     stream = (
         spark.readStream.schema(raw_schema).parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     agg = windowed_event_counts(stream, "6 hours", watermark="12 hours")
     name = f"stream_win_{int(_time.time() * 1000) % 10_000_000}"
@@ -269,6 +269,69 @@ def stream_window_counts(spark, sf_dir):
     query.awaitTermination()
     result = spark.table(name).collect()
     return spark.createDataFrame(result, spark.table(name).schema)
+
+
+@q("stream_sessionize", """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) + INTERVAL '6 hours' AS TIMESTAMP) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM g GROUP BY user_id, sid""")
+def stream_sessionize(spark, sf_dir):
+    """Gap-based sessionization via the built-in ``session_window``
+    (batch mode here — deterministic and oracle-checkable as a
+    gaps-and-islands query; the streaming path of the same operator is
+    exercised in tests with a watermark)."""
+    from aws_etl_bank_spark.streaming import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, gap="6 hours")
+
+
+@q("stream_stateful_counts", """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id""")
+def stream_stateful_counts(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) run as a REAL
+    streaming query: per-user running counts carried in GroupState across
+    micro-batches, update-mode memory sink.  The cumulative count is
+    batch-partitioning-invariant — max per user == total — so the result
+    is oracle-checkable despite the streaming execution."""
+    import time as _time
+
+    from aws_etl_bank_spark.streaming import stateful_user_counts
+
+    stream_dir = _events_stream_dir(sf_dir)
+    raw_schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    counts = stateful_user_counts(stream)
+    name = f"stateful_counts_{int(_time.time() * 1000) % 10_000_000}"
+    query = (
+        counts.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
 
 
 @q("stream_foreach_batch")  # driver-policy runner: rows-only
@@ -287,7 +350,7 @@ def stream_foreach_batch(spark, sf_dir):
     raw_schema = spark.read.parquet(stream_dir).schema
     stream = (
         spark.readStream.schema(raw_schema).parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     collected: list = []
 

@@ -27,5 +27,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+            # integer DIV, not `/`: the nano value (~1.7e18) exceeds
+            # double's 53-bit exact range, so float division is off by
+            # up to a microsecond after the cast
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
     return df

@@ -3,3 +3,7 @@ from aws_etl_bank_spark.streaming.runner import (  # noqa: F401
     sample_streaming_frame,
     windowed_event_counts,
 )
+from aws_etl_bank_spark.streaming.sessionize import (  # noqa: F401
+    session_stats,
+    stateful_user_counts,
+)

@@ -3,7 +3,7 @@
 import pyspark.sql.functions as F
 import pytest
 
-from aws_etl_bank_spark.streaming import runner
+from aws_etl_bank_spark.streaming import runner, sessionize
 
 
 @pytest.fixture()
@@ -94,3 +94,66 @@ def test_sample_streaming_frame(spark, stream_source):
         {"windowSize": "1 seconds", "pollingTimeInMs": 15000, "recordPollingLimit": 2},
     )
     assert out.count() == 2
+
+
+def test_session_stats_batch_gap_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=10), 2.0),   # same session
+        (1, t0 + dt.timedelta(hours=2), 4.0),      # new session (> 1h gap)
+        (2, t0, 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+           for r in sessionize.session_stats(ev, gap="1 hour").collect()}
+    assert out[(1, t0)] == (2, 3.0)
+    assert out[(1, t0 + dt.timedelta(hours=2))] == (1, 4.0)
+    assert out[(2, t0)] == (1, 8.0)
+
+
+def test_session_stats_streaming_append(spark, scratch):
+    """The same operator on a watermarked stream: availableNow + append —
+    windows whose close precedes the final watermark are emitted."""
+    import datetime as dt
+    import uuid
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(1, t0 + dt.timedelta(hours=h), 1.0) for h in range(6)]
+    src = f"{scratch}/sess_src_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double") \
+        .write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src).withWatermark("ts", "0 seconds")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (sessionize.session_stats(stream, gap="30 minutes")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table(name).collect()
+    # 6 events 1h apart with a 30-min gap → 6 singleton sessions; all but
+    # the last close before the final watermark (max ts)
+    assert len(got) == 5
+    assert all(r["n_events"] == 1 for r in got)
+
+
+def test_stateful_user_counts_stream(spark, scratch):
+    import uuid
+
+    src = f"{scratch}/state_src_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "user_id long, x string"
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = f"cnt_{uuid.uuid4().hex[:8]}"
+    q = (sessionize.stateful_user_counts(stream)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["user_id"]: r["n_events"]
+           for r in spark.table(name).groupBy("user_id")
+                         .agg(F.max("n_events").alias("n_events")).collect()}
+    assert got == {1: 2, 2: 1}
