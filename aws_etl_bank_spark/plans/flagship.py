@@ -48,11 +48,87 @@ RETURNFLAG_PAYMENT_TYPES = [
 
 
 def fact_snapshot_sql(fidelity: bool = False) -> str:
-    """The five-CTE fact query over views ``transactions`` and
-    ``date_dim``.  ``fidelity=True`` reproduces the reference's
-    cust-accum join on cust_id only (row multiplication, SURVEY.md §8.1)."""
-    cust_join_extra = "" if fidelity else "AND c2.transaction_date = a1.transaction_date"
-    return f"""
+    """The fact query over views ``transactions`` and ``date_dim``.
+
+    Default (``fidelity=False``): single-pass window form.  Spark inlines a
+    CTE at every reference site (no materialization), so the reference's
+    5-CTE shape executes the fact scan+join+aggregate THREE times — and
+    column pruning makes the three subplans differ, defeating
+    ReuseExchange.  Instead, everything above the base aggregate is a
+    window function over it: the customer-daily totals are sums OVER
+    (date, cust), both running sums are RANGE windows, and the monthly
+    average is a sum/count OVER (month).  One fact pass, zero self-joins;
+    the only join left is the broadcast date dim.  Output is row-for-row
+    identical (the c2 join in the reference form is on (cust_id, date),
+    which preserves the account grain).
+
+    ``fidelity=True`` reproduces the reference's exact CTE/join shape,
+    including the cust-accum join on cust_id ONLY — the row-multiplication
+    quirk of SURVEY.md §8.1 — which is only expressible as a join."""
+    if fidelity:
+        return _FIDELITY_SQL
+    return """
+WITH cte_acc_daily AS (
+    -- the ONLY pass over the fact; finest grain the query needs.
+    -- trans_id is NOT unique in the data, so the distinct and plain
+    -- counts differ and both are kept.
+    SELECT transaction_date, cust_id, acc_id, account_type_name,
+           COUNT(DISTINCT trans_id)              AS account_no_transactions_daily,
+           COUNT(trans_id)                       AS n_trans_rows,
+           COUNT(amount)                         AS n_amount_rows,
+           SUM(amount)                           AS account_daily_spending,
+           collect_set(payment_type_nm)          AS acc_payment_types
+    FROM transactions
+    GROUP BY transaction_date, cust_id, acc_id, account_type_name
+),
+windowed AS (
+    SELECT transaction_date, cust_id, acc_id, account_type_name,
+           account_no_transactions_daily, account_daily_spending,
+           -- running sum per (cust, acc); RANGE default frame, §8.2
+           SUM(account_daily_spending) OVER (
+               PARTITION BY cust_id, acc_id ORDER BY transaction_date
+           ) AS account_accum_spending,
+           -- customer-daily totals: windows over (date, cust) replace the
+           -- cte_cust_daily GROUP BY + join-back
+           SUM(n_trans_rows) OVER w_cd           AS cust_no_transaction_daily,
+           SUM(account_daily_spending) OVER w_cd AS cust_daily_spending,
+           array_join(sort_array(array_distinct(flatten(
+               collect_list(acc_payment_types) OVER w_cd))), ',')
+                                                 AS cust_daily_payment_type,
+           -- running customer total: RANGE frame sums every account row
+           -- with transaction_date <= current, which IS cust_accum
+           SUM(account_daily_spending) OVER (
+               PARTITION BY cust_id ORDER BY transaction_date
+           ) AS cust_accum_spending,
+           -- monthly average of the raw amounts, from the kept sums/counts
+           SUM(account_daily_spending) OVER w_m / SUM(n_amount_rows) OVER w_m
+                                                 AS avg_monthly_spending
+    FROM cte_acc_daily
+    WINDOW w_cd AS (PARTITION BY transaction_date, cust_id),
+           w_m  AS (PARTITION BY month(transaction_date))
+)
+SELECT /*+ BROADCAST(d) */
+       d.date_key,
+       a1.transaction_date, a1.cust_id, a1.acc_id, a1.account_type_name,
+       a1.account_no_transactions_daily,
+       ROUND(a1.account_daily_spending, 2)  AS account_daily_spending,
+       ROUND(a1.account_accum_spending, 2)  AS account_accum_spending,
+       a1.cust_no_transaction_daily,
+       ROUND(a1.cust_daily_spending, 2)     AS cust_daily_spending,
+       a1.cust_daily_payment_type,
+       ROUND(a1.cust_accum_spending, 2)     AS cust_accum_spending,
+       ROUND(a1.avg_monthly_spending, 2)    AS avg_monthly_spending,
+       d.day_type, d.is_holiday
+FROM windowed a1
+JOIN date_dim d
+  ON d.full_date = a1.transaction_date
+ORDER BY a1.cust_id, a1.transaction_date, a1.acc_id
+"""
+
+
+#: reference-parity SQL: the exact 5-CTE shape of r2g_account.py:160-208,
+#: with the cust-accum join on cust_id only (row multiplication, §8.1)
+_FIDELITY_SQL = """
 WITH cte_cust_daily AS (
     SELECT transaction_date, cust_id,
            COUNT(trans_id)                       AS cust_no_transaction_daily,
@@ -105,7 +181,7 @@ SELECT /*+ BROADCAST(d) */
        d.day_type, d.is_holiday
 FROM cte_acc_accum a1
 JOIN cte_cust_accum c2
-  ON c2.cust_id = a1.cust_id {cust_join_extra}
+  ON c2.cust_id = a1.cust_id
 JOIN cte_month_avg c3
   ON c3.month_key = month(a1.transaction_date)   -- expression join, §2.3
 JOIN date_dim d
