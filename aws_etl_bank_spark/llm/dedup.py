@@ -54,7 +54,10 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
     One explode + one groupBy: shingle rows are hashed ``num_perm`` ways
     with seeded xxhash64 and min-aggregated per document.  min() combines
-    map-side, so the shuffle carries only num_perm longs per document."""
+    map-side, so the shuffle carries only num_perm longs per document.
+    (A map-only variant — array_min over 64 transform() calls per row —
+    was measured 2x SLOWER: it allocates 64 arrays per row, while this
+    shape stays inside whole-stage-codegen hash aggregation.)"""
     shingled = df.select(
         F.col(id_col), F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("shingle")
     )
