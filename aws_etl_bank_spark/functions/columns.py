@@ -55,6 +55,22 @@ def add_scd2_columns(df: DataFrame) -> DataFrame:
     )
 
 
+def clean_csv_value(col: Column) -> Column:
+    """Ingest-side CSV value cleanup (reference db_utils.py:46-49):
+    NULL → the ``\\N`` sentinel, embedded newlines escaped to ``\\n``.
+    Vectorized regexp_replace — the reference does this per-value in
+    Python while building CSV bytes."""
+    return F.when(col.isNull(), F.lit(r"\N")).otherwise(
+        F.regexp_replace(col.cast("string"), "\n", r"\\n")
+    )
+
+
+def strip_quotes(col: Column) -> Column:
+    """Single-quote stripping as in the reference's crawler ingest
+    (crawler_utils.py:27-32)."""
+    return F.regexp_replace(col.cast("string"), "'", "")
+
+
 _GRANULARITY_ORDER = ["year", "month", "day", "hour", "minute"]
 
 _GRANULARITY_FN = {

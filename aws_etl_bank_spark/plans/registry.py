@@ -781,6 +781,40 @@ def filter_sql_expr(spark, sf_dir):
     )
 
 
+@q("string_cleanup", r"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN '\N'
+            ELSE replace(o_orderstatus, chr(10), '\n') END AS status_clean,
+       replace(o_orderpriority, '''', '') AS priority_noquote
+FROM orders""")
+def string_cleanup(spark, sf_dir):
+    """Ingest string cleanup (§2 row 64): null sentinel + newline escape +
+    quote strip, vectorized.  Nulls are synthesized deterministically
+    (every 7th key) since the testdata has none."""
+    from aws_etl_bank_spark.functions.columns import clean_csv_value, strip_quotes
+
+    o = load_table(spark, sf_dir, "orders")
+    nullable = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_orderstatus"))
+    return o.select(
+        "o_orderkey",
+        clean_csv_value(nullable).alias("status_clean"),
+        strip_quotes(F.col("o_orderpriority")).alias("priority_noquote"),
+    )
+
+
+@q("repartition_coalesce", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+def repartition_coalesce(spark, sf_dir):
+    """repartition(8) → coalesce(2) content preservation (§2 rows 50-52);
+    partition counts themselves are asserted in tests."""
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    n = DynamicFrame.fromDF(load_table(spark, sf_dir, "nation"), None, "n")
+    out = n.repartition(8).coalesce(2)
+    assert out.getNumPartitions() == 2
+    return out.toDF().select("n_nationkey", "n_name", "n_regionkey")
+
+
 @q("explode_split", """
 SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part""")
 def explode_split(spark, sf_dir):
