@@ -182,7 +182,37 @@ def text_token_counts(spark, sf_dir):
     )
 
 
-@q("text_langid")  # heuristic classifier: rows-only
+def _langid_oracle() -> str:
+    """DuckDB mirror of ``language_id``: same profiles, same scoring, same
+    argmax tie-break (struct comparison orders by score then lang)."""
+    from aws_etl_bank_spark.llm.text import STOPWORD_PROFILES
+
+    entries = []
+    for lang, profile in sorted(STOPWORD_PROFILES.items()):
+        in_list = ", ".join(f"'{w}'" for w in profile)
+        entries.append(
+            "{'score': round(len(list_filter(words, x -> x IN (" + in_list
+            + "))) / CAST(len(words) AS DOUBLE), 6), 'lang': '" + lang + "'}"
+        )
+    structs = ",\n      ".join(entries)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    list_max([
+      {structs}
+    ]) AS best
+  FROM w
+)
+SELECT doc_id, lang, best.lang AS predicted_lang,
+       round(best.score, 4) AS lang_score
+FROM s"""
+
+
+@q("text_langid", _langid_oracle())
 def text_langid(spark, sf_dir):
     from aws_etl_bank_spark.llm import language_id
 
