@@ -244,7 +244,15 @@ def multimodal_meta(spark, sf_dir):
     return feats.select("doc_id", "n_bytes", "width", "height")
 
 
-@q("multimodal_frames")  # byte-slice layout is engine-defined: rows-only
+@q("multimodal_frames", """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS total FROM documents),
+s AS (SELECT doc_id, total,
+             greatest(CAST(floor(total / 4.0) AS INT), 1) AS step FROM b),
+f AS (SELECT doc_id, unnest(range(0, 4)) AS frame_index, total, step FROM s)
+SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+       CAST(greatest(least(step, total - frame_index * step), 0) AS BIGINT)
+           AS frame_n_bytes
+FROM f""")
 def multimodal_frames(spark, sf_dir):
     from aws_etl_bank_spark.llm import attach_binary_payload, sample_frames
 
