@@ -60,11 +60,16 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     shape stays inside whole-stage-codegen hash aggregation.)"""
     shingled = df.select(
         F.col(id_col), F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("shingle")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
+    ).withColumn("h", F.xxhash64("shingle"))
+    # universal-hash permutation family over ONE string hash: h_i = a_i*h + b_i
+    # (mod 2^64 via bigint overflow wrap).  64 multiply-adds per shingle
+    # instead of 64 full string hashes — the standard MinHash trick.
+    rng = random.Random(7)
+    aggs = []
+    for i in range(num_perm):
+        a = rng.randrange(1, 1 << 61) | 1  # odd multiplier
+        b = rng.randrange(0, 1 << 61)
+        aggs.append(F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"h{i}"))
     return shingled.groupBy(id_col).agg(*aggs)
 
 
