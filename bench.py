@@ -24,8 +24,10 @@ HEADLINE = [
     "join_multiway_sql",
     "win_running_sum_cust",
     "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
     "ann_bruteforce_topk",
     "stream_window_counts",
+    "stream_sessionize",
 ]
 
 

@@ -97,3 +97,13 @@ def test_entry_contract(spark):
     assert set(oracles) <= set(qs)
     # every non-oracle entry is a documented hash-family/approx op
     assert len(set(qs) - set(oracles)) <= 12
+
+
+def test_flagship_single_fact_pass(fact):
+    """The 100 TB property of the window rewrite: the fact table is
+    scanned exactly once and no fact-sized self-join remains."""
+    plan = _plan(fact)
+    assert plan.count("lineitem") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
