@@ -915,6 +915,26 @@ def unbox_json(spark, sf_dir):
     return unboxed.toDF().select("event_id", F.col("props.k").alias("k"))
 
 
+@q("unbox_csv", """
+SELECT c_custkey, c_name AS name_part,
+       CAST(c_nationkey AS VARCHAR) AS nation_part
+FROM customer""")
+def unbox_csv(spark, sf_dir):
+    """unbox format='csv' with a custom separator (§2 row 66, csv branch):
+    a packed string column is parsed back into typed parts."""
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "packed", F.concat_ws("|", F.col("c_name"), F.col("c_nationkey"))
+    )
+    dyf = DynamicFrame.fromDF(c, None, "c").unbox("packed", "csv", separator="|")
+    return dyf.toDF().select(
+        "c_custkey",
+        F.col("packed.col0").alias("name_part"),
+        F.col("packed.col1").alias("nation_part"),
+    )
+
+
 @q("unnest_struct", """
 SELECT c_custkey, c_name AS "info.c_name", c_acctbal AS "info.c_acctbal" FROM customer""")
 def unnest_struct(spark, sf_dir):
