@@ -1,0 +1,82 @@
+"""Explicit scale tools: key salting and bucketed co-located joins.
+
+AQE's skew-join splitting (on by default in `session.py`) handles most
+skew at runtime; these helpers are for the cases where you know the skew
+or the join pattern ahead of time and want it structural:
+
+- **Salting** — a hot grouping/join key (one customer with 1% of a
+  100 TB fact) caps at `n_salts`-way parallelism instead of one straggler
+  task: aggregate in two phases (salted partial → final), or explode the
+  small side of a join across every salt.
+- **Bucketing** — both sides of a recurring fact⋈fact join written
+  bucketed by the join key join WITHOUT a shuffle on every query; the
+  shuffle is paid once at write time.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt",
+              deterministic_by: str | Column | None = None) -> DataFrame:
+    """Add a salt column in [0, n_salts).  By default the salt is a
+    uniform hash of the whole row via monotonically-increasing id — pass
+    ``deterministic_by`` (a column) to derive it stably from data, which
+    keeps retries/replays idempotent."""
+    if deterministic_by is not None:
+        col = F.col(deterministic_by) if isinstance(deterministic_by, str) else deterministic_by
+        salt = F.pmod(F.xxhash64(col), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    return df.withColumn(salt_col, salt.cast("int"))
+
+
+def salted_agg(df: DataFrame, keys: list[str], aggs: list[Column],
+               partials: list[Column], n_salts: int = 16,
+               salt_by: str | None = None) -> DataFrame:
+    """Two-phase aggregation for skewed grouping keys.
+
+    ``partials`` aggregate within (keys, salt) — at most ``n_salts`` rows
+    per hot key survive the first shuffle; ``aggs`` combine the partials
+    (they see the partial columns by name).  Example::
+
+        salted_agg(fact, ["cust_id"],
+                   partials=[F.sum("amount").alias("amt"),
+                             F.count(F.lit(1)).alias("cnt")],
+                   aggs=[F.sum("amt").alias("total"),
+                         F.sum("cnt").alias("n")])
+    """
+    salted = with_salt(df, n_salts, deterministic_by=salt_by)
+    partial = salted.groupBy(*keys, "_salt").agg(*partials)
+    return partial.groupBy(*keys).agg(*aggs)
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 16) -> DataFrame:
+    """Skew-proof equi-join: the big side gets a random salt per row; the
+    small side is exploded across ALL salts, so each (key, salt) shard of
+    a hot key lands in its own task.  Small side grows n_salts× — use for
+    dimension-sized right sides when a hot key defeats even AQE (e.g. one
+    null-like sentinel key holding 10% of the fact)."""
+    b = with_salt(big, n_salts, deterministic_by=None)
+    s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = b.join(s, [key, "_salt"])
+    return out.drop("_salt")
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 32,
+                   sort_col: str | None = None, mode: str = "overwrite") -> None:
+    """Persist bucketed (and optionally sorted) by the join key: every
+    later equi-join or aggregation on ``bucket_col`` between tables with
+    the same bucket count is shuffle-free (and sort-free when sorted).
+    The shuffle is paid once here instead of on every downstream query."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -1,0 +1,62 @@
+"""Scale tools: salting correctness and bucketed shuffle-free joins."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_etl_bank_spark.functions import scale
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    df = spark.range(0, 10_000).withColumn("k", F.pmod("id", F.lit(3))) \
+        .withColumn("v", F.col("id") * 2)
+    plain = {(r["k"], r["total"], r["n"])
+             for r in df.groupBy("k").agg(F.sum("v").alias("total"),
+                                          F.count(F.lit(1)).alias("n")).collect()}
+    salted = {(r["k"], r["total"], r["n"])
+              for r in scale.salted_agg(
+                  df, ["k"],
+                  partials=[F.sum("v").alias("pv"), F.count(F.lit(1)).alias("pc")],
+                  aggs=[F.sum("pv").alias("total"), F.sum("pc").alias("n")],
+                  n_salts=8).collect()}
+    assert salted == plain
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(0, 5_000).withColumn("k", F.pmod("id", F.lit(4)))
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, tag string")
+    plain = {(r["id"], r["tag"]) for r in big.join(small, "k").collect()}
+    salted = {(r["id"], r["tag"]) for r in scale.salted_join(big, small, "k", n_salts=4).collect()}
+    assert salted == plain
+
+
+def test_salt_deterministic_by_column(spark):
+    df = spark.createDataFrame([(1,), (2,), (1,)], "k long")
+    out = scale.with_salt(df, n_salts=64, deterministic_by="k").collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r["k"], set()).add(r["_salt"])
+    assert all(len(s) == 1 for s in by_k.values())  # same key → same salt
+
+
+def test_bucketed_join_has_no_shuffle(spark, scratch):
+    # saveAsTable writes to the default warehouse dir (gitignored)
+    a = spark.range(0, 1_000).withColumn("k", F.pmod("id", F.lit(50))) \
+        .withColumn("va", F.col("id") + 1)
+    b = spark.range(0, 1_000).withColumn("k", F.pmod("id", F.lit(50))) \
+        .withColumn("vb", F.col("id") + 2)
+    scale.write_bucketed(a.select("k", "va"), "bkt_a", "k", n_buckets=8)
+    scale.write_bucketed(b.select("k", "vb"), "bkt_b", "k", n_buckets=8)
+    # bucketed scans only report bucketing when AQE doesn't coalesce them
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    joined = scale.read_bucketed(spark, "bkt_a").join(
+        scale.read_bucketed(spark, "bkt_b"), "k")
+    plan = _plan(joined)
+    assert joined.count() > 0
+    # the join itself needs no Exchange: both sides pre-partitioned on k
+    assert "Exchange hashpartitioning(k" not in plan
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
