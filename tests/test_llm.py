@@ -198,3 +198,13 @@ def test_ngram_jaccard_hub_shingle_cut(spark):
                                     max_shingle_df=2)
     assert full.count() == 3  # all three pairs share one shingle
     assert cut.count() == 0
+
+
+def test_ngram_jaccard_prefix_strategy_matches_inverted(docs):
+    inv = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                              threshold=0.5).collect()}
+    pref = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5,
+                                               strategy="prefix").collect()}
+    assert pref == inv and len(inv) > 0
