@@ -168,7 +168,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             F.col(id_col).alias("doc"),
             F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("sh"),
         )
-        sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+        # set size == array length: map-only, no explode and no groupBy
+        sizes = df.select(
+            F.col(id_col).alias("doc"),
+            F.size(F.expr(_shingles_expr(text_col, shingle_n))).alias("sz"),
+        )
         if max_shingle_df is not None:
             keep = (
                 shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
