@@ -372,11 +372,15 @@ def stream_stateful_counts(spark, sf_dir):
     )
 
 
-@q("stream_foreach_batch")  # driver-policy runner: rows-only
+@q("stream_foreach_batch", """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+FROM events GROUP BY event_type""")
 def stream_foreach_batch(spark, sf_dir):
     """forEachBatch micro-batch driver with persist/skip/retry policy
-    (context.py:602-664), collecting per-batch aggregates into a result
-    table."""
+    (context.py:602-664).  Per-batch aggregates (kept UN-rounded per
+    batch) roll up to batch-split-invariant per-type totals, so the result
+    is oracle-checkable even though execution is micro-batched; the
+    per-batch behavior itself is asserted in tests/test_streaming.py."""
     import time as _time
 
     import pyspark.sql.types as T
@@ -394,7 +398,7 @@ def stream_foreach_batch(spark, sf_dir):
 
     def handle(batch_df, batch_id):
         rows = batch_df.groupBy("event_type").agg(
-            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
+            F.count("*").alias("n"), F.sum("value").alias("sv")
         ).collect()
         collected.extend([(batch_id, r["event_type"], r["n"], r["sv"]) for r in rows])
 
@@ -411,4 +415,7 @@ def stream_foreach_batch(spark, sf_dir):
         T.StructField("n", T.LongType()),
         T.StructField("sv", T.DoubleType()),
     ])
-    return spark.createDataFrame(collected, schema)
+    per_batch = spark.createDataFrame(collected, schema)
+    return per_batch.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("sv")
+    )
