@@ -915,6 +915,39 @@ def unbox_json(spark, sf_dir):
     return unboxed.toDF().select("event_id", F.col("props.k").alias("k"))
 
 
+@q("scd2_merge_dim", """
+WITH cur AS (SELECT c_custkey, c_name FROM customer),
+unchanged AS (
+  SELECT c_custkey, c_name, true AS is_active,
+         TIMESTAMP '2020-01-01' AS record_created_time,
+         DATE '3000-01-01' AS record_updated_time
+  FROM cur WHERE c_custkey % 10 != 0),
+closed AS (
+  SELECT c_custkey, c_name, false AS is_active,
+         TIMESTAMP '2020-01-01' AS record_created_time,
+         DATE '2024-01-01' AS record_updated_time
+  FROM cur WHERE c_custkey % 10 = 0),
+ins AS (
+  SELECT c_custkey, upper(c_name) AS c_name, true AS is_active,
+         TIMESTAMP '2024-01-01' AS record_created_time,
+         DATE '3000-01-01' AS record_updated_time
+  FROM cur WHERE c_custkey % 10 = 0)
+SELECT * FROM unchanged UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM ins""")
+def scd2_merge_dim(spark, sf_dir):
+    """Real SCD2 merge (close-out + insert; the reference only stamps —
+    SURVEY.md §8.8): every 10th customer's name changes, closing the old
+    version at the as_of date and inserting a new active one."""
+    from aws_etl_bank_spark.scd import scd2_merge, scd2_stamp
+
+    snap = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    current = scd2_stamp(snap, "2020-01-01")
+    updates = snap.withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") % 10 == 0, F.upper("c_name")).otherwise(F.col("c_name")),
+    )
+    return scd2_merge(current, updates, ["c_custkey"], as_of="2024-01-01")
+
+
 @q("unbox_csv", """
 SELECT c_custkey, c_name AS name_part,
        CAST(c_nationkey AS VARCHAR) AS nation_part

@@ -1,0 +1,92 @@
+"""Real SCD2 merge — the extension the reference never implements.
+
+The reference only STAMPS dims (is_active / record_created_time /
+record_updated_time, glue-jobs/jobs/lekietvn/r2g_account.py:85-88) and
+overwrites them wholesale each run; history is lost.  SURVEY.md §8.8
+flags proper merging as an extension.  This operator closes out changed
+rows and inserts new versions, preserving history:
+
+- unchanged active rows pass through;
+- rows whose tracked attributes changed are CLOSED (``is_active=false``,
+  ``record_updated_time = as_of``) and a new active version is inserted;
+- natural keys absent from the current dim are inserted as new actives;
+- previously inactive (historical) rows pass through untouched.
+
+``as_of`` is injectable event time, not wall clock — merges are
+deterministic and replayable (same inputs + same as_of → same output),
+which is what makes the operator oracle-checkable and retry-safe.
+
+Plan shape: one full-outer join current⋈updates on the natural key plus
+unions — no window, no driver loop.  At 100 TB both sides shuffle once on
+the key; dims that fit broadcast get a broadcast join from AQE for free.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: open-ended end-date sentinel (reference semantics: a DATE, §8.6)
+OPEN_END_DATE = "3000-01-01"
+
+
+def scd2_stamp(df: DataFrame, as_of: str) -> DataFrame:
+    """Stamp a snapshot as all-active SCD2 rows effective ``as_of``."""
+    return (
+        df.withColumn("is_active", F.lit(True))
+        .withColumn("record_created_time", F.to_timestamp(F.lit(as_of)))
+        .withColumn("record_updated_time", F.to_date(F.lit(OPEN_END_DATE)))
+    )
+
+
+def scd2_merge(current: DataFrame, updates: DataFrame, keys: list[str],
+               as_of: str, tracked: list[str] | None = None) -> DataFrame:
+    """Merge an update snapshot into an SCD2 dim (see module docstring).
+
+    ``current`` carries the three SCD2 columns; ``updates`` carries only
+    the business columns.  ``tracked`` defaults to every non-key business
+    column; a change in any of them (null-safe comparison) closes the old
+    version.
+    """
+    scd_cols = ["is_active", "record_created_time", "record_updated_time"]
+    business = [c for c in updates.columns if c not in keys]
+    tracked = tracked if tracked is not None else business
+
+    active = current.filter(F.col("is_active"))
+    history = current.filter(~F.col("is_active"))
+
+    cur, upd = active.alias("cur"), updates.alias("upd")
+    joined = cur.join(upd, keys, "full_outer")
+
+    has_cur = F.col(f"cur.{scd_cols[0]}").isNotNull()
+    has_upd = F.col(f"upd.{business[0]}").isNotNull() if business else F.lit(True)
+    differs = F.lit(False)
+    for c in tracked:
+        differs = differs | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+
+    cur_cols = [F.col(f"cur.{c}").alias(c) for c in keys + business + scd_cols]
+
+    # active rows with no change (or no matching update): pass through
+    unchanged = joined.filter(has_cur & (~has_upd | ~differs)).select(*cur_cols)
+
+    # changed rows: close the current version at as_of
+    closed = (
+        joined.filter(has_cur & has_upd & differs).select(*cur_cols)
+        .withColumn("is_active", F.lit(False))
+        .withColumn("record_updated_time", F.to_date(F.lit(as_of)))
+    )
+
+    # changed or brand-new keys: insert the update as the new active version
+    inserts_src = joined.filter(has_upd & (~has_cur | differs)).select(
+        *[F.coalesce(F.col(f"upd.{c}"), F.col(f"cur.{c}")).alias(c) if c in keys
+          else F.col(f"upd.{c}").alias(c) for c in keys + business]
+    )
+    inserts = scd2_stamp(inserts_src, as_of)
+
+    out_cols = keys + business + scd_cols
+    return (
+        unchanged.select(*out_cols)
+        .unionByName(closed.select(*out_cols))
+        .unionByName(inserts.select(*out_cols))
+        .unionByName(history.select(*out_cols))
+    )

@@ -1,0 +1,60 @@
+"""SCD2 merge: close-out + insert semantics, determinism under as_of."""
+
+import pyspark.sql.functions as F
+
+from aws_etl_bank_spark import scd
+
+
+def _dim(spark):
+    rows = [(1, "ann", "hanoi"), (2, "bob", "hue"), (3, "cam", "danang")]
+    snap = spark.createDataFrame(rows, "cust_id long, name string, city string")
+    return scd.scd2_stamp(snap, "2020-01-01")
+
+
+def test_merge_closes_changed_and_inserts_new(spark):
+    current = _dim(spark)
+    updates = spark.createDataFrame(
+        [(1, "ann", "saigon"),   # changed city → close + insert
+         (2, "bob", "hue"),      # unchanged → passthrough
+         (9, "dee", "hcmc")],    # new key → insert
+        "cust_id long, name string, city string")
+    out = scd.scd2_merge(current, updates, ["cust_id"], as_of="2024-06-01")
+    rows = {(r["cust_id"], r["is_active"], str(r["record_updated_time"])): r
+            for r in out.collect()}
+    # closed old version of 1
+    closed = rows[(1, False, "2024-06-01")]
+    assert closed["city"] == "hanoi"
+    # new active version of 1
+    new1 = rows[(1, True, "3000-01-01")]
+    assert new1["city"] == "saigon"
+    # unchanged 2 and absent-from-updates 3 pass through active
+    assert (2, True, "3000-01-01") in rows
+    assert (3, True, "3000-01-01") in rows
+    # brand-new 9 inserted active
+    assert (9, True, "3000-01-01") in rows
+    assert out.count() == 5
+
+
+def test_merge_is_idempotent_for_same_snapshot(spark):
+    current = _dim(spark)
+    same = current.select("cust_id", "name", "city")
+    out = scd.scd2_merge(current, same, ["cust_id"], as_of="2024-06-01")
+    assert out.filter(~F.col("is_active")).count() == 0
+    assert out.count() == current.count()
+
+
+def test_history_rows_untouched(spark):
+    current = _dim(spark)
+    first = scd.scd2_merge(
+        current,
+        spark.createDataFrame([(1, "ann", "saigon")], "cust_id long, name string, city string"),
+        ["cust_id"], as_of="2022-01-01")
+    # second merge changes 1 again; the 2022 closed row must survive as-is
+    second = scd.scd2_merge(
+        first,
+        spark.createDataFrame([(1, "ann", "hue")], "cust_id long, name string, city string"),
+        ["cust_id"], as_of="2024-01-01")
+    closed_dates = sorted(str(r["record_updated_time"])
+                          for r in second.filter(~F.col("is_active")).collect())
+    assert closed_dates == ["2022-01-01", "2024-01-01"]
+    assert second.filter(F.col("is_active") & (F.col("cust_id") == 1)).collect()[0]["city"] == "hue"
