@@ -283,5 +283,11 @@ def run_banking_etl(spark: SparkSession, raw_dir: str, golden_dir: str,
     build_date_dim(spark, "2015-01-01", "2024-12-31").createOrReplaceTempView("date_dim")
     fact = spark.sql(fact_snapshot_sql(fidelity))
     if write:
-        fact.write.mode("overwrite").parquet(f"{golden_dir}/fact_snapshot_daily_transaction")
+        # partitioned golden zone (SURVEY.md §7 M6): year granularity keeps
+        # partition counts bounded (decades, not the 3.6k dirs date_key
+        # would create) while giving every time-bounded read partition
+        # pruning for free
+        (fact.withColumn("p_year", F.year("transaction_date"))
+             .write.mode("overwrite").partitionBy("p_year")
+             .parquet(f"{golden_dir}/fact_snapshot_daily_transaction"))
     return fact

@@ -100,3 +100,20 @@ def test_banking_pipeline_end_to_end(spark, scratch):
     dim = ctx.create_data_frame_from_catalog("golden", "customer")
     # SCD2 stamp applied to the scd2 dims
     assert {"is_active", "record_created_time", "record_updated_time"} <= set(dim.columns)
+
+
+def test_golden_fact_is_year_partitioned(spark, scratch):
+    import os
+
+    raw = f"{scratch}/raw_zone_p"
+    golden = f"{scratch}/golden_zone_p"
+    _write_raw_zone(spark, raw)
+    from aws_etl_bank_spark.plans.flagship import run_banking_etl
+
+    run_banking_etl(spark, raw, golden, write=True)
+    fact_dir = f"{golden}/fact_snapshot_daily_transaction"
+    parts = [d for d in os.listdir(fact_dir) if d.startswith("p_year=")]
+    assert parts  # hive-style partition dirs exist
+    # partition pruning: a year-bounded read scans only that partition
+    pruned = spark.read.parquet(fact_dir).filter("p_year = 2021")
+    assert pruned.count() > 0
