@@ -27,5 +27,7 @@ from aws_etl_bank_spark.operators.dynamicframe import (  # noqa: F401
     DynamicFrameCollection,
     ResolveOption,
 )
+from aws_etl_bank_spark.scd import scd2_merge, scd2_stamp  # noqa: F401
+from aws_etl_bank_spark.pipeline import Pipeline, Stage, banking_pipeline  # noqa: F401
 
 __version__ = "0.2.0"
