@@ -21,6 +21,78 @@ from aws_etl_bank_spark.sources.catalog import Catalog
 from aws_etl_bank_spark.sources.datasource import DataSink, DataSource
 
 
+class _FrameReader:
+    """``ctx.create_dynamic_frame.from_catalog(...)`` attribute façade —
+    the call shape every Glue script uses (reference dynamicframe.py:594-629).
+    ``name_space`` is accepted as the legacy alias for ``database``."""
+
+    def __init__(self, ctx: "EngineContext", dynamic: bool):
+        self._ctx, self._dynamic = ctx, dynamic
+
+    @staticmethod
+    def _db(database, kwargs):
+        if database is not None and "name_space" in kwargs:
+            raise Exception("Parameter name_space and database are both specified, choose one.")
+        if database is None and "name_space" not in kwargs:
+            raise Exception("Parameter name_space or database is missing.")
+        return kwargs.pop("name_space", database)
+
+    def from_catalog(self, database=None, table_name=None, redshift_tmp_dir="",
+                     transformation_ctx="", push_down_predicate="",
+                     additional_options=None, catalog_id=None, **kwargs):
+        db = self._db(database, kwargs)
+        if table_name is None:
+            raise Exception("Parameter table_name is missing.")
+        if self._dynamic:
+            return self._ctx.create_dynamic_frame_from_catalog(
+                db, table_name, transformation_ctx=transformation_ctx,
+                push_down_predicate=push_down_predicate,
+                additional_options=additional_options or {})
+        return self._ctx.create_data_frame_from_catalog(
+            db, table_name, transformation_ctx=transformation_ctx,
+            additional_options=additional_options or {})
+
+    def from_options(self, connection_type, connection_options=None, format=None,
+                     format_options=None, transformation_ctx="", **kwargs):
+        fn = (self._ctx.create_dynamic_frame_from_options if self._dynamic
+              else self._ctx.create_data_frame_from_options)
+        return fn(connection_type, connection_options or {}, format,
+                  format_options or {}, transformation_ctx)
+
+    def from_rdd(self, data, name, schema=None, sample_ratio=None):
+        return self._ctx.create_dynamic_frame_from_rdd(data, name, schema, sample_ratio)
+
+
+class _FrameWriter:
+    """``ctx.write_dynamic_frame.from_options(...)`` attribute façade
+    (reference dynamicframe.py:632-670)."""
+
+    def __init__(self, ctx: "EngineContext"):
+        self._ctx = ctx
+
+    def from_options(self, frame, connection_type, connection_options=None,
+                     format=None, format_options=None, transformation_ctx=""):
+        return self._ctx.write_dynamic_frame_from_options(
+            frame, connection_type, connection_options or {}, format,
+            format_options or {}, transformation_ctx)
+
+    def from_catalog(self, frame, database=None, table_name=None, redshift_tmp_dir="",
+                     transformation_ctx="", additional_options=None,
+                     catalog_id=None, **kwargs):
+        db = _FrameReader._db(database, kwargs)
+        if table_name is None:
+            raise Exception("Parameter table_name is missing.")
+        return self._ctx.write_dynamic_frame_from_catalog(
+            frame, db, table_name, redshift_tmp_dir, transformation_ctx,
+            additional_options or {})
+
+    def from_jdbc_conf(self, frame, catalog_connection, connection_options=None,
+                       redshift_tmp_dir="", transformation_ctx=""):
+        return self._ctx.write_dynamic_frame_from_jdbc_conf(
+            frame, catalog_connection, connection_options or {},
+            redshift_tmp_dir, transformation_ctx)
+
+
 class EngineContext:
     def __init__(self, spark: SparkSession, catalog: Catalog | None = None,
                  min_partitions: int | None = None, target_partitions: int | None = None):
@@ -29,6 +101,10 @@ class EngineContext:
         self.catalog = catalog or Catalog()
         self.min_partitions = min_partitions
         self.target_partitions = target_partitions
+        # Glue-script call shapes: ctx.create_dynamic_frame.from_catalog(...)
+        self.create_dynamic_frame = _FrameReader(self, dynamic=True)
+        self.create_data_frame = _FrameReader(self, dynamic=False)
+        self.write_dynamic_frame = _FrameWriter(self)
 
     # -- generic source/sink dispatch (context.py:86-120,295-311) ----------
 

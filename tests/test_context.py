@@ -140,3 +140,33 @@ def test_job_init_commit(spark, scratch):
     job.init("test_job", {"JOB_NAME": "test_job"})
     assert job.isInitialized()
     job.commit()
+
+
+def test_glue_script_call_shapes(ctx, scratch):
+    """The attribute facades every Glue script uses:
+    ctx.create_dynamic_frame.from_catalog / .from_options,
+    ctx.write_dynamic_frame.from_options, name_space legacy alias."""
+    import pytest as _pytest
+
+    path = f"{scratch}/shape_src"
+    ctx.spark.range(0, 7).toDF("v").write.mode("overwrite").parquet(path)
+    ctx.catalog.crawl(ctx.spark, "dbs", "ts", path)
+
+    dyf = ctx.create_dynamic_frame.from_catalog(database="dbs", table_name="ts")
+    assert dyf.count() == 7
+    # legacy name_space alias
+    dyf2 = ctx.create_dynamic_frame.from_catalog(name_space="dbs", table_name="ts")
+    assert dyf2.count() == 7
+    with _pytest.raises(Exception, match="choose one"):
+        ctx.create_dynamic_frame.from_catalog(database="dbs", name_space="dbs",
+                                              table_name="ts")
+    with _pytest.raises(Exception, match="table_name"):
+        ctx.create_dynamic_frame.from_catalog(database="dbs")
+
+    dyf3 = ctx.create_dynamic_frame.from_options(
+        "file", {"path": path}, format="parquet")
+    assert dyf3.count() == 7
+
+    out = f"{scratch}/shape_out"
+    ctx.write_dynamic_frame.from_options(dyf3, "file", {"path": out}, format="parquet")
+    assert ctx.spark.read.parquet(out).count() == 7
