@@ -107,3 +107,21 @@ def test_flagship_single_fact_pass(fact):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_demo_job_parity(spark, scratch):
+    """Reference demo.py: all-strings CSV -> golden parquet; coalesce(1)
+    only behind the single_file flag."""
+    import os
+
+    from aws_etl_bank_spark.plans.demo import run_demo_job
+
+    src = f"{scratch}/landing.csv"
+    with open(src, "w") as f:
+        f.write("id,name\n1,ann\n2,bob\n")
+    golden = f"{scratch}/demo_table"
+    df = run_demo_job(spark, src, golden, single_file=True)
+    assert dict(df.dtypes) == {"id": "string", "name": "string"}  # no inferSchema
+    back = spark.read.parquet(golden)
+    assert back.count() == 2
+    assert len([p for p in os.listdir(golden) if p.endswith(".parquet")]) == 1  # coalesce(1)
