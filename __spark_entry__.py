@@ -20,11 +20,32 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# Entries the round-2 driver never reached (it evaluated only the first 50
+# registry entries). These register first so every operator family — nested
+# restructuring, streaming, SCD2, catalog pushdown, and the LLM-pipeline ops —
+# gets a driver-recorded correctness row each round. The long-green relational
+# entries rotate after them.
+_PRIORITY = [
+    "csv_allstrings_cast", "unbox_json", "scd2_merge_dim", "unbox_csv",
+    "unnest_struct", "unnest_ddb", "relationalize_root", "relationalize_child",
+    "spigot_passthrough", "catalog_pushdown", "dedup_exact",
+    "dedup_minhash_pairs", "dedup_minhash_keep", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_embedding_pairs", "ann_bruteforce_topk",
+    "ann_ivf_topk", "text_stats_quality", "text_token_counts", "text_langid",
+    "text_fingerprint", "multimodal_meta", "multimodal_frames",
+    "stream_window_counts", "stream_sessionize", "stream_stateful_counts",
+    "stream_foreach_batch",
+]
+
+
 def _registry():
     import aws_etl_bank_spark.plans.registry as reg
     import aws_etl_bank_spark.plans.registry_llm  # noqa: F401  (populates REGISTRY)
 
-    return reg.REGISTRY
+    full = reg.REGISTRY
+    ordered = {name: full[name] for name in _PRIORITY if name in full}
+    ordered.update(full)
+    return ordered
 
 
 def entry(spark: SparkSession) -> DataFrame:
