@@ -921,30 +921,48 @@ unchanged AS (
   SELECT c_custkey, c_name, true AS is_active,
          TIMESTAMP '2020-01-01' AS record_created_time,
          DATE '3000-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 != 0),
+  FROM cur WHERE c_custkey % 10 NOT IN (0, 3)),
 closed AS (
   SELECT c_custkey, c_name, false AS is_active,
          TIMESTAMP '2020-01-01' AS record_created_time,
          DATE '2024-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 = 0),
+  FROM cur WHERE c_custkey % 10 IN (0, 3)),
 ins AS (
-  SELECT c_custkey, upper(c_name) AS c_name, true AS is_active,
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN upper(c_name) ELSE NULL END AS c_name,
+         true AS is_active,
          TIMESTAMP '2024-01-01' AS record_created_time,
          DATE '3000-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 = 0)
-SELECT * FROM unchanged UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM ins""")
+  FROM cur WHERE c_custkey % 10 IN (0, 3)),
+newk AS (
+  SELECT c_custkey + 10000000 AS c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+         true AS is_active,
+         TIMESTAMP '2024-01-01' AS record_created_time,
+         DATE '3000-01-01' AS record_updated_time
+  FROM cur WHERE c_custkey % 10 = 7)
+SELECT * FROM unchanged UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM newk""")
 def scd2_merge_dim(spark, sf_dir):
     """Real SCD2 merge (close-out + insert; the reference only stamps —
-    SURVEY.md §8.8): every 10th customer's name changes, closing the old
-    version at the as_of date and inserting a new active one."""
+    SURVEY.md §8.8).  Three update shapes: every 10th customer's name
+    changes (close + insert), every (10n+3)th changes to NULL — the first
+    business column, exercising presence detection with legitimate NULLs —
+    and brand-new keys arrive carrying a NULL name (insert-only)."""
     from aws_etl_bank_spark.scd import scd2_merge, scd2_stamp
 
     snap = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     current = scd2_stamp(snap, "2020-01-01")
-    updates = snap.withColumn(
+    changed = snap.withColumn(
         "c_name",
-        F.when(F.col("c_custkey") % 10 == 0, F.upper("c_name")).otherwise(F.col("c_name")),
+        F.when(F.col("c_custkey") % 10 == 0, F.upper("c_name"))
+        .when(F.col("c_custkey") % 10 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name")),
     )
+    new_keys = snap.filter(F.col("c_custkey") % 10 == 7).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+    )
+    updates = changed.unionByName(new_keys)
     return scd2_merge(current, updates, ["c_custkey"], as_of="2024-01-01")
 
 

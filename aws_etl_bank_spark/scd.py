@@ -55,11 +55,15 @@ def scd2_merge(current: DataFrame, updates: DataFrame, keys: list[str],
     active = current.filter(F.col("is_active"))
     history = current.filter(~F.col("is_active"))
 
-    cur, upd = active.alias("cur"), updates.alias("upd")
+    # Presence after the full-outer join is probed via literal markers, not
+    # business columns — a legitimate NULL in any business column must not
+    # make the row look absent.
+    cur = active.withColumn("_cur_present", F.lit(True)).alias("cur")
+    upd = updates.withColumn("_upd_present", F.lit(True)).alias("upd")
     joined = cur.join(upd, keys, "full_outer")
 
-    has_cur = F.col(f"cur.{scd_cols[0]}").isNotNull()
-    has_upd = F.col(f"upd.{business[0]}").isNotNull() if business else F.lit(True)
+    has_cur = F.col("cur._cur_present").isNotNull()
+    has_upd = F.col("upd._upd_present").isNotNull()
     differs = F.lit(False)
     for c in tracked:
         differs = differs | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))

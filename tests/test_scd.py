@@ -35,6 +35,27 @@ def test_merge_closes_changed_and_inserts_new(spark):
     assert out.count() == 5
 
 
+def test_merge_handles_null_first_business_column(spark):
+    # presence must come from a literal marker, not business[0] IS NOT NULL:
+    # an update with NULL in the first business column is still an update
+    current = _dim(spark)
+    updates = spark.createDataFrame(
+        [(1, None, "saigon"),    # changed, name NULL → close + insert
+         (9, None, "hcmc")],     # new key with NULL name → insert
+        "cust_id long, name string, city string")
+    out = scd.scd2_merge(current, updates, ["cust_id"], as_of="2024-06-01")
+    rows = {(r["cust_id"], r["is_active"], str(r["record_updated_time"])): r
+            for r in out.collect()}
+    assert rows[(1, False, "2024-06-01")]["city"] == "hanoi"
+    new1 = rows[(1, True, "3000-01-01")]
+    assert new1["city"] == "saigon" and new1["name"] is None
+    new9 = rows[(9, True, "3000-01-01")]
+    assert new9["city"] == "hcmc" and new9["name"] is None
+    # untouched keys pass through active
+    assert (2, True, "3000-01-01") in rows and (3, True, "3000-01-01") in rows
+    assert out.count() == 5
+
+
 def test_merge_is_idempotent_for_same_snapshot(spark):
     current = _dim(spark)
     same = current.select("cust_id", "name", "city")
