@@ -105,6 +105,8 @@ class EngineContext:
         self.create_dynamic_frame = _FrameReader(self, dynamic=True)
         self.create_data_frame = _FrameReader(self, dynamic=False)
         self.write_dynamic_frame = _FrameWriter(self)
+        # per-context: registered credentials must not leak across contexts
+        self._jdbc_connections: dict[str, dict] = {}
 
     # -- generic source/sink dispatch (context.py:86-120,295-311) ----------
 
@@ -230,8 +232,6 @@ class EngineContext:
         opts = {**conf, **(connection_options or {})}
         sink = DataSink(self.spark, "jdbc", opts, "jdbc", None, transformation_ctx)
         return sink.write(frame)
-
-    _jdbc_connections: dict[str, dict] = {}
 
     def register_jdbc_connection(self, name: str, conf: dict):
         self._jdbc_connections[name] = dict(conf)

@@ -61,15 +61,15 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     shingled = df.select(
         F.col(id_col), F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("shingle")
     ).withColumn("h", F.xxhash64("shingle"))
-    # universal-hash permutation family over ONE string hash: h_i = a_i*h + b_i
-    # (mod 2^64 via bigint overflow wrap).  64 multiply-adds per shingle
-    # instead of 64 full string hashes — the standard MinHash trick.
-    rng = random.Random(7)
-    aggs = []
-    for i in range(num_perm):
-        a = rng.randrange(1, 1 << 61) | 1  # odd multiplier
-        b = rng.randrange(0, 1 << 61)
-        aggs.append(F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"h{i}"))
+    # permutation family over ONE string hash: h_i = xxhash64(h, i).  The
+    # per-permutation hash re-mixes a fixed-width long (a few multiplies,
+    # JVM-side), not the string — and unlike the classic a*h+b trick it
+    # never relies on silent bigint overflow wrap, so it is correct under
+    # both ANSI postures.
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
     return shingled.groupBy(id_col).agg(*aggs)
 
 

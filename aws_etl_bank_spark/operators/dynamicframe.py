@@ -401,7 +401,13 @@ class DynamicFrame:
             return self._with_df(self._df.withColumnRenamed(oldName, newName))
         top, rest = oldName.split(".", 1)
         new_leaf = newName.split(".")[-1]
-        df = self._df.withColumn(top, F.col(top).withField(new_leaf, F.col(oldName)).dropFields(rest))
+        # the renamed field must land beside the old one, at the same nesting
+        # depth — withField takes a dotted path relative to `top`
+        if "." in rest:
+            new_path = f"{rest.rsplit('.', 1)[0]}.{new_leaf}"
+        else:
+            new_path = new_leaf
+        df = self._df.withColumn(top, F.col(top).withField(new_path, F.col(oldName)).dropFields(rest))
         return self._with_df(df)
 
     def apply_mapping(
@@ -463,6 +469,9 @@ class DynamicFrame:
         for path, comps in comparison_dict.items():
             for op, val in comps.items():
                 pred = pred & ops[op](F.col(path), val)
+        # a NULL comparison must route the row to `rest`, not drop it from
+        # both frames — coalesce the three-valued predicate to False
+        pred = F.coalesce(pred, F.lit(False))
         match = self._with_df(self._df.filter(pred), name=name1)
         rest = self._with_df(self._df.filter(~pred), name=name2)
         return DynamicFrameCollection({name1: match, name2: rest}, self.glue_ctx)

@@ -83,6 +83,16 @@ def test_jdbc_conf_registry(ctx):
         ctx.extract_jdbc_conf("missing")
 
 
+def test_jdbc_conf_registry_is_per_context(ctx):
+    from aws_etl_bank_spark.context import EngineContext
+
+    ctx.register_jdbc_connection("mine", {"url": "jdbc:postgresql://h/db"})
+    other = EngineContext(ctx.spark)
+    # credentials registered on one context must not leak into another
+    with pytest.raises(KeyError):
+        other.extract_jdbc_conf("mine")
+
+
 def test_ingestion_time_columns(ctx):
     df = ctx.add_ingestion_time_columns(ctx.spark.range(1), "minute")
     assert {"ingest_year", "ingest_month", "ingest_day", "ingest_hour",

@@ -60,11 +60,37 @@ def test_rename_field_top_and_nested(people):
     assert set(nested.toDF().schema["addr"].dataType.fieldNames()) == {"country", "town"}
 
 
+def test_rename_field_depth_three_stays_in_parent(spark):
+    df = spark.createDataFrame(
+        [(1, ((1.0, "hn"),))],
+        "id long, a struct<b:struct<lat:double, city:string>>",
+    )
+    out = DynamicFrame.fromDF(df, name="deep").rename_field("a.b.city", "a.b.town")
+    schema = out.toDF().schema
+    b_fields = set(schema["a"].dataType["b"].dataType.fieldNames())
+    assert b_fields == {"lat", "town"}
+    assert set(schema["a"].dataType.fieldNames()) == {"b"}
+    assert out.toDF().collect()[0]["a"]["b"]["town"] == "hn"
+
+
 def test_split_rows(people):
     coll = people.split_rows({"age": {">": 10, "<": 20}}, "young", "rest")
     assert isinstance(coll, DynamicFrameCollection)
     assert [r["id"] for r in coll["young"].toDF().collect()] == [3]
     assert coll["rest"].count() == 2
+
+
+def test_split_rows_null_goes_to_rest(spark):
+    df = spark.createDataFrame(
+        [(1, 15), (2, None), (3, 50)], "id long, age long"
+    )
+    coll = DynamicFrame.fromDF(df, name="n").split_rows(
+        {"age": {">": 10, "<": 20}}, "young", "rest"
+    )
+    # NULL comparison must not lose the row: it belongs to rest
+    assert [r["id"] for r in coll["young"].toDF().collect()] == [1]
+    assert sorted(r["id"] for r in coll["rest"].toDF().collect()) == [2, 3]
+    assert coll["young"].count() + coll["rest"].count() == 3
 
 
 def test_split_fields(people):

@@ -52,6 +52,18 @@ def test_minhash_keep_removes_losers(docs):
     assert ids == [1, 4, 5]
 
 
+def test_minhash_correct_under_ansi_mode(docs, spark):
+    # the permutation family is seeded xxhash64, not a*h+b with overflow
+    # wrap — results must be identical with ANSI on (Spark 4 default)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.5)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 3) in got
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def _assert_no_cartesian(df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
