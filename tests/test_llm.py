@@ -212,6 +212,18 @@ def test_ngram_jaccard_hub_shingle_cut(spark):
     assert cut.count() == 0
 
 
+def test_ngram_jaccard_default_plan_has_df_cut(docs):
+    # scale-safe by default: the hub-shingle df-cut must appear in the
+    # plan you get WITHOUT passing max_shingle_df; None opts out of it
+    default_plan = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id")._jdf.queryExecution().optimizedPlan().toString()
+    exact_plan = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id",
+        max_shingle_df=None)._jdf.queryExecution().optimizedPlan().toString()
+    assert "df_" in default_plan
+    assert "df_" not in exact_plan
+
+
 def test_ngram_jaccard_prefix_strategy_matches_inverted(docs):
     inv = {(r["id_a"], r["id_b"], r["jaccard"])
            for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
