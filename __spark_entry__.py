@@ -30,6 +30,7 @@ _PRIORITY = [
     "unnest_struct", "unnest_ddb", "relationalize_root", "relationalize_child",
     "spigot_passthrough", "catalog_pushdown", "dedup_exact",
     "dedup_minhash_pairs", "dedup_minhash_keep", "dedup_simhash_pairs",
+    "graph_connected_components", "dedup_ngram_keep_transitive",
     "dedup_ngram_jaccard", "dedup_embedding_pairs", "ann_bruteforce_topk",
     "ann_ivf_topk", "text_stats_quality", "text_token_counts", "text_langid",
     "text_fingerprint", "multimodal_meta", "multimodal_frames",

@@ -1,4 +1,6 @@
 from aws_etl_bank_spark.llm.dedup import (  # noqa: F401
+    connected_components,
+    dedup_keep_transitive,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,

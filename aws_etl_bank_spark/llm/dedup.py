@@ -126,12 +126,70 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return verified
 
 
-def minhash_dedup_keep(df: DataFrame, text_col: str, id_col: str, **kwargs) -> DataFrame:
-    """Documents surviving near-dup removal: every doc that is not the
-    larger id of any duplicate pair (greedy lowest-id-wins, one pass —
-    the full transitive closure would be an iterative connected-components
-    job, deliberately out of the single-pass path)."""
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """(id, component) for every node of the pair graph; ``component`` is
+    the smallest id reachable through pair edges (full transitive closure).
+
+    Min-label propagation: each round every node takes the min label among
+    itself and its neighbors — converging in O(graph diameter) rounds.
+    Duplicate chains are short in practice, so the loop usually stops after
+    2-4 rounds; ``max_iterations`` bounds pathological graphs.  Each round
+    is one equi-join + min-aggregate (both shuffle on node id and combine
+    map-side), ``localCheckpoint`` truncates the growing lineage, and the
+    convergence probe is a count of changed labels.  This is the standard
+    iterative-CC-over-edge-list shape that scales to 100 TB pair lists;
+    the driver holds only loop control, never data."""
+    e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    edges = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    edges = edges.persist()
+    labels = edges.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
+    labels = labels.localCheckpoint()
+    for it in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.select(F.col("id").alias("d"), "comp"), "d")
+            .groupBy("s").agg(F.min("comp").alias("ncomp"))
+            .withColumnRenamed("s", "id")
+        )
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp")
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("comp", "ncomp").join(labels, "id")
+            .filter(F.col("ncomp") != F.col("comp")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            log.info("connected_components: converged after %d rounds", it + 1)
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def dedup_keep_transitive(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Rows of ``df`` surviving transitive dedup: exactly one survivor —
+    the smallest id — per connected component of the pair graph, plus
+    every row in no pair at all."""
+    comp = connected_components(pairs)
+    losers = (
+        comp.filter(F.col("component") != F.col("id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def minhash_dedup_keep(df: DataFrame, text_col: str, id_col: str,
+                       transitive: bool = False, **kwargs) -> DataFrame:
+    """Documents surviving near-dup removal.
+
+    Greedy (default): drop every doc that is the larger id of any pair —
+    one pass, no iteration, but a chain B~C, A~C (no A~B pair) keeps both
+    A and B.  ``transitive=True`` runs iterative connected components so
+    exactly one doc — the smallest id — survives per duplicate chain."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    if transitive:
+        return dedup_keep_transitive(df, pairs, id_col)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

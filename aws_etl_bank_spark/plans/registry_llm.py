@@ -43,6 +43,75 @@ def dedup_minhash_keep(spark, sf_dir):
                               jaccard_threshold=0.5)
 
 
+@q("graph_connected_components", """
+WITH src AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 IN (0, 1, 2)),
+nodes AS (SELECT k AS id FROM src UNION SELECT k + 1 FROM src)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST((id // 10) * 10 AS BIGINT) AS component
+FROM nodes""")
+def graph_connected_components(spark, sf_dir):
+    """Iterative connected components over an edge list — the transitive
+    closure primitive behind chain-complete dedup.  Edges (k, k+1) for
+    every customer key with k%10 in {0,1,2} build 4-node chains
+    10n–10n+1–10n+2–10n+3, so the min label needs three propagation hops
+    to reach the chain tail: a genuine multi-round fixpoint, checked
+    against a closed-form oracle."""
+    from aws_etl_bank_spark.llm import connected_components
+
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("long").alias("k"))
+        .filter(F.col("k") % 10 <= 2)
+    )
+    pairs = src.select(F.col("k").alias("id_a"), (F.col("k") + 1).alias("id_b"))
+    return connected_components(pairs)
+
+
+@q("dedup_ngram_keep_transitive", r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents
+),
+s AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct([array_to_string(words[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                     for i in range(1, len(words) - 1)])
+    ELSE [array_to_string(words, ' ')] END) AS sh
+  FROM w
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup_pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 4) >= 0.5
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)""")
+def dedup_ngram_keep_transitive(spark, sf_dir):
+    """Transitive-closure dedup keep over EXACT n-gram Jaccard pairs:
+    exactly one survivor (the smallest doc_id) per duplicate chain, even
+    when the chain never produced a direct pair between its endpoints.
+    Oracle: recursive-CTE reachability in DuckDB."""
+    from aws_etl_bank_spark.llm import dedup_keep_transitive, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+    return dedup_keep_transitive(docs, pairs, "doc_id").select("doc_id")
+
+
 @q("dedup_simhash_pairs")  # rows-only
 def dedup_simhash_pairs(spark, sf_dir):
     from aws_etl_bank_spark.llm import simhash_lsh_pairs

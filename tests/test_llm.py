@@ -212,6 +212,34 @@ def test_ngram_jaccard_hub_shingle_cut(spark):
     assert cut.count() == 0
 
 
+def test_connected_components_multi_hop_chain(spark):
+    # chain 1-2-3-4 plus isolated pair (10, 11): component = min reachable id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_transitive_keep_beats_greedy_on_min_only_as_smaller(spark):
+    # pairs (2,3) and (1,3): node 2 never appears as the larger id, so the
+    # greedy pass keeps it — the transitive closure must not
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (7, "x")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 3), (1, 3)], "id_a long, id_b long")
+    kept = dedup.dedup_keep_transitive(docs, pairs, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 7]
+
+
+def test_minhash_keep_transitive_one_survivor(docs):
+    kept = dedup.minhash_dedup_keep(docs, "text", "doc_id",
+                                    transitive=True, jaccard_threshold=0.5)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 4, 5]
+
+
 def test_ngram_jaccard_default_plan_has_df_cut(docs):
     # scale-safe by default: the hub-shingle df-cut must appear in the
     # plan you get WITHOUT passing max_shingle_df; None opts out of it
