@@ -21,15 +21,20 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt",
               deterministic_by: str | Column | None = None) -> DataFrame:
-    """Add a salt column in [0, n_salts).  By default the salt is a
-    uniform hash of the whole row via monotonically-increasing id — pass
-    ``deterministic_by`` (a column) to derive it stably from data, which
-    keeps retries/replays idempotent."""
+    """Add a salt column in [0, n_salts), derived deterministically.
+
+    By default the salt hashes EVERY column, so it is a pure function of
+    row content: a task retry or stage replay re-derives the same salt
+    and rows never misroute mid-join (monotonically_increasing_id-style
+    salts change across retries and can silently drop/duplicate rows in
+    a salted join).  Identical rows share a salt — acceptable, since only
+    full-row duplicates re-concentrate.  Pass ``deterministic_by`` to
+    hash a chosen column instead (e.g. a row id)."""
     if deterministic_by is not None:
         col = F.col(deterministic_by) if isinstance(deterministic_by, str) else deterministic_by
         salt = F.pmod(F.xxhash64(col), F.lit(n_salts))
     else:
-        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     return df.withColumn(salt_col, salt.cast("int"))
 
 

@@ -42,6 +42,22 @@ def test_salt_deterministic_by_column(spark):
     assert all(len(s) == 1 for s in by_k.values())  # same key → same salt
 
 
+def test_default_salt_is_deterministic_across_runs(spark):
+    # the default salt is a pure function of row content — two separate
+    # evaluations (as on a task retry) must assign identical salts
+    df = spark.range(0, 2_000).withColumn("k", F.pmod("id", F.lit(7)))
+    one = {r["id"]: r["_salt"] for r in scale.with_salt(df, n_salts=16).collect()}
+    two = {r["id"]: r["_salt"] for r in scale.with_salt(df, n_salts=16).collect()}
+    assert one == two
+    assert len(set(one.values())) > 1  # and it still spreads rows
+
+
+def test_default_salt_plan_has_no_nondeterministic_expr(spark):
+    df = spark.range(0, 10).withColumn("k", F.pmod("id", F.lit(3)))
+    plan = _plan(scale.with_salt(df, n_salts=8))
+    assert "monotonically_increasing_id" not in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, scratch):
     # saveAsTable writes to the default warehouse dir (gitignored)
     a = spark.range(0, 1_000).withColumn("k", F.pmod("id", F.lit(50))) \
