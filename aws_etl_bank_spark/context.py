@@ -327,7 +327,28 @@ class EngineContext:
                                        format_options: dict | None = None,
                                        transformation_ctx: str = "") -> DataFrame:
         """Streaming read → streaming DataFrame (reference
-        context.py:284-293, streaming_data_source.py:16-28)."""
+        context.py:284-293, streaming_data_source.py:16-28).
+
+        Broker connection_types (kafka) dispatch to the matching
+        Structured Streaming source with Glue-style options mapped onto
+        the connector's names; file-backed types read a file stream.
+        Executing a broker source needs its connector on the classpath
+        (see streaming/connectors.py)."""
+        from aws_etl_bank_spark.streaming.connectors import (
+            BROKER_TYPES,
+            UNSUPPORTED_BROKER_TYPES,
+            resolve_stream_source,
+        )
+
+        ctype = (connection_type or "").lower()
+        if ctype in BROKER_TYPES or ctype in UNSUPPORTED_BROKER_TYPES:
+            fmt, mapped = resolve_stream_source(ctype, dict(connection_options or {}))
+            reader = self.spark.readStream.format(fmt)
+            for k, v in mapped.items():
+                reader = reader.option(k, v)
+            for k, v in (format_options or {}).items():
+                reader = reader.option(k, v)
+            return reader.load()
         reader = self.spark.readStream.format(format or "parquet")
         for k, v in (format_options or {}).items():
             reader = reader.option(k, v)

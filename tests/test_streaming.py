@@ -3,7 +3,64 @@
 import pyspark.sql.functions as F
 import pytest
 
-from aws_etl_bank_spark.streaming import runner, sessionize
+from aws_etl_bank_spark.streaming import connectors, runner, sessionize
+
+
+class TestBrokerDispatch:
+    """Connection-type dispatch matrix for getStreamingSource facades."""
+
+    def test_kafka_glue_style_options_mapped(self):
+        fmt, opts = connectors.resolve_stream_source("kafka", {
+            "bootstrap.servers": "b1:9092,b2:9092",
+            "topicName": "events",
+            "startingOffsets": "earliest",
+            "security.protocol": "SSL",
+            "classification": "json",   # format concern: dropped
+        })
+        assert fmt == "kafka"
+        assert opts == {
+            "kafka.bootstrap.servers": "b1:9092,b2:9092",
+            "subscribe": "events",
+            "startingOffsets": "earliest",
+            "kafka.security.protocol": "SSL",
+        }
+
+    def test_kafka_spark_native_options_pass_through(self):
+        fmt, opts = connectors.resolve_stream_source("kafka", {
+            "kafka.bootstrap.servers": "b:9092",
+            "subscribePattern": "ev-.*",
+            "maxOffsetsPerTrigger": "10000",
+            "kafka.sasl.mechanism": "PLAIN",
+        })
+        assert opts["subscribePattern"] == "ev-.*"
+        assert opts["maxOffsetsPerTrigger"] == "10000"
+        assert opts["kafka.sasl.mechanism"] == "PLAIN"
+
+    def test_kafka_missing_topic_or_servers_rejected(self):
+        with pytest.raises(ValueError, match="topicName"):
+            connectors.map_kafka_options({"bootstrap.servers": "b:9092"})
+        with pytest.raises(ValueError, match="bootstrap.servers"):
+            connectors.map_kafka_options({"topicName": "t"})
+
+    def test_kinesis_raises_clear_unsupported_error(self):
+        with pytest.raises(NotImplementedError, match="kinesis"):
+            connectors.resolve_stream_source("kinesis", {"streamName": "s"})
+
+    def test_non_broker_type_rejected_by_resolver(self):
+        with pytest.raises(ValueError, match="not a broker"):
+            connectors.resolve_stream_source("s3", {"path": "/x"})
+
+    def test_context_file_backed_dispatch_still_streams(self, spark, scratch):
+        from aws_etl_bank_spark.context import EngineContext
+
+        src = f"{scratch}/broker_dispatch_file"
+        spark.createDataFrame([(1, "a")], "id long, v string") \
+            .write.mode("overwrite").parquet(src)
+        ctx = EngineContext(spark)
+        schema = spark.read.parquet(src).schema
+        df = ctx.create_data_frame_from_options(
+            "s3", {"path": src, "schema": schema}, format="parquet")
+        assert df.isStreaming
 
 
 @pytest.fixture()
