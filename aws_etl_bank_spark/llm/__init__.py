@@ -14,6 +14,7 @@ from aws_etl_bank_spark.llm.similarity import (  # noqa: F401
     cosine_sim,
     brute_force_topk,
     ivf_topk,
+    train_centroids,
 )
 from aws_etl_bank_spark.llm.text import (  # noqa: F401
     text_stats,

@@ -142,6 +142,24 @@ def test_ivf_topk_recall_against_exact(vectors):
     assert recall >= 0.6  # nprobe=4 of 8 cells on smooth data
 
 
+def test_ivf_topk_with_trained_centroids(vectors):
+    k = 3
+    queries = vectors.filter(F.col("vec_id") <= 5)
+    cents = similarity.train_centroids(vectors, n_cells=6)
+    assert cents.count() == 6
+    assert dict(cents.dtypes)["centroid"] == "array<double>"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(vectors, queries, k).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(vectors, queries, k, n_cells=6, nprobe=3,
+                                     centroids=cents).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
 def test_text_stats_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "The cat sat on the mat.")], "doc_id long, text string"
