@@ -36,6 +36,12 @@ _PRIORITY = [
     "text_fingerprint", "multimodal_meta", "multimodal_frames",
     "stream_window_counts", "stream_sessionize", "stream_stateful_counts",
     "stream_foreach_batch",
+    # round-3 additions: previously tests-only API surfaces, now oracle-checked
+    "src_getsource_csv_getframe", "src_parquet_sink_catalog_roundtrip",
+    "src_sample_frame_full", "todf_resolve_option_cast",
+    "errors_as_dynamic_frame", "job_bookmark_increment",
+    "collection_select_map", "partitions_after_repartition",
+    "catalog_schema_fetch",
 ]
 
 

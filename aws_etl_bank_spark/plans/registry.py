@@ -1071,3 +1071,184 @@ def catalog_pushdown(spark, sf_dir):
     frame = ctx.create_dynamic_frame_from_catalog(
         "golden", "orders_p", push_down_predicate="o_orderstatus = 'O'")
     return frame.toDF().select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+# ===========================================================================
+# API-surface operators promoted to oracle checks (SURVEY.md §2.1, §2.4,
+# §2.6, §2.9-§2.13 rows previously tests-only)
+# ===========================================================================
+
+
+@q("src_getsource_csv_getframe", """
+SELECT c_custkey, c_name, c_acctbal FROM customer""")
+def src_getsource_csv_getframe(spark, sf_dir):
+    """getSource('file', csv) → DataSource.getFrame (§2 rows 3-4): the
+    generic source dispatch + all-strings CSV read, cast back to typed
+    columns for the compare."""
+    from aws_etl_bank_spark.context import EngineContext
+
+    path = _scratch(sf_dir, "cust_csv_src")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    ctx = EngineContext(spark)
+    src = ctx.getSource("file", format="csv", paths=[path])
+    raw = src.getFrame(glue_ctx=ctx, name="cust_csv").toDF()
+    assert dict(raw.dtypes)["c_acctbal"] == "string"
+    return raw.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+
+
+@q("src_parquet_sink_catalog_roundtrip", """
+SELECT * FROM nation""")
+def src_parquet_sink_catalog_roundtrip(spark, sf_dir):
+    """getSink + DataSink.write + setCatalogInfo (§2 rows 2, 10, 11): the
+    sink writes parquet AND registers the table in the catalog; the read
+    back goes through create_dynamic_frame_from_catalog."""
+    from aws_etl_bank_spark.context import EngineContext
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+    from aws_etl_bank_spark.sources.catalog import Catalog
+
+    path = _scratch(sf_dir, "nation_sink")
+    ctx = EngineContext(spark, Catalog())
+    sink = ctx.getSink("file", format="parquet", path=path)
+    sink.setCatalogInfo("golden", "nation_sink")
+    sink.write(DynamicFrame.fromDF(load_table(spark, sf_dir, "nation"), ctx, "n"))
+    return ctx.create_dynamic_frame_from_catalog("golden", "nation_sink").toDF()
+
+
+@q("src_sample_frame_full", """
+SELECT * FROM nation""")
+def src_sample_frame_full(spark, sf_dir):
+    """getSampleFrame (§2 row 5) with num above the table size, so the
+    sample is the whole table and stays oracle-comparable."""
+    from aws_etl_bank_spark.context import EngineContext
+
+    ctx = EngineContext(spark)
+    src = ctx.getSource("file", format="parquet",
+                        paths=[os.path.join(sf_dir, "nation.parquet")])
+    return src.getSampleFrame(100_000, glue_ctx=ctx, name="nation_sample").toDF()
+
+
+@q("todf_resolve_option_cast", """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS v FROM customer""")
+def todf_resolve_option_cast(spark, sf_dir):
+    """toDF(ResolveOption) (§2 row 71): a drift union makes ``v`` a real
+    choice(long, string) column; the DataFrame conversion then applies the
+    per-path cast resolution."""
+    from aws_etl_bank_spark import gluetypes as gt
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame, ResolveOption
+
+    c = load_table(spark, sf_dir, "customer")
+    evens = DynamicFrame.fromDF(
+        c.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", F.col("c_nationkey").cast("long").alias("v")), None, "evens")
+    odds = DynamicFrame.fromDF(
+        c.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", F.col("c_nationkey").cast("string").alias("v")), None, "odds")
+    u = evens.union(odds)
+    assert "v" in u._choices  # drift produced a genuine choice column
+    return u.toDF([ResolveOption("v", "cast", gt.LongType())])
+
+
+@q("errors_as_dynamic_frame", """
+SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0""")
+def errors_as_dynamic_frame(spark, sf_dir):
+    """errorsAsDynamicFrame (§2 row 75): rows whose map callable raised
+    land in the error channel with the original record as JSON; the query
+    returns the failed keys parsed back out of the error records."""
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    def fn(rec):
+        if rec["c_custkey"] % 5 == 0:
+            raise ValueError("planted failure")
+        return rec
+
+    dyf = DynamicFrame.fromDF(cust, None, "c")
+    out = dyf.map(fn, schema=T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+    ]))
+    errs = out.errorsAsDynamicFrame().toDF()
+    return errs.select(
+        F.get_json_object("record", "$.c_custkey").cast("long").alias("c_custkey")
+    )
+
+
+@q("job_bookmark_increment", """
+SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1""")
+def job_bookmark_increment(spark, sf_dir):
+    """Job bookmarks (§2 row 81): run 1 processes batch1 and commits; the
+    second filter_new_files call sees only batch2 — the query returns
+    exactly the increment."""
+    import shutil
+
+    from aws_etl_bank_spark.jobstate import Job
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    base = _scratch(sf_dir, "bookmark_src")
+    state_dir = _scratch(sf_dir, "bookmark_state")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    cust.filter(F.col("c_custkey") % 2 == 0).write.parquet(os.path.join(base, "batch1"))
+
+    job = Job(state_dir=state_dir)
+    job.init("bkjob", {"job_bookmark_option": "job-bookmark-enable"})
+    pattern = os.path.join(base, "*", "*.parquet")
+    first = job.bookmarks.filter_new_files("src", pattern)
+    assert spark.read.parquet(*first).count() > 0  # "process" run 1
+    job.commit()
+
+    cust.filter(F.col("c_custkey") % 2 == 1).write.parquet(os.path.join(base, "batch2"))
+    second = job.bookmarks.filter_new_files("src", pattern)
+    return spark.read.parquet(*second).select("c_custkey", "c_name")
+
+
+@q("collection_select_map", """
+SELECT c_custkey, c_name FROM customer""")
+def collection_select_map(spark, sf_dir):
+    """DynamicFrameCollection select/map (§2 row 74): split_fields yields a
+    collection, map applies a per-frame transform, select picks one frame."""
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    coll = DynamicFrame.fromDF(cust, None, "c").split_fields(
+        ["c_custkey", "c_name"], "keys", "vals")
+    mapped = coll.map(lambda fr, ctx: fr.repartition(4))
+    return mapped.select("keys").toDF()
+
+
+@q("partitions_after_repartition", """
+SELECT CAST(8 AS BIGINT) AS num_partitions""")
+def partitions_after_repartition(spark, sf_dir):
+    """repartition + getNumPartitions actions (§2 rows 50, 52): the
+    partition count after an explicit repartition is exact."""
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    dyf = DynamicFrame.fromDF(load_table(spark, sf_dir, "nation"), None, "n")
+    n = dyf.repartition(8).getNumPartitions()
+    return spark.createDataFrame([(n,)], "num_partitions long")
+
+
+@q("catalog_schema_fetch", """
+SELECT * FROM (VALUES
+  ('c_custkey', 'bigint'), ('c_name', 'string'), ('c_nationkey', 'int'),
+  ('c_acctbal', 'double'), ('c_mktsegment', 'string'))
+AS t(col_name, col_type)""")
+def catalog_schema_fetch(spark, sf_dir):
+    """Catalog schema fetch (§2 row 7): crawl registers the table with its
+    inferred schema; get_catalog_schema_as_spark_schema returns it as a
+    Spark StructType."""
+    from aws_etl_bank_spark.context import EngineContext
+    from aws_etl_bank_spark.sources.catalog import Catalog
+
+    ctx = EngineContext(spark, Catalog())
+    ctx.catalog.crawl(spark, "golden", "customer_c",
+                      os.path.join(sf_dir, "customer.parquet"))
+    schema = ctx.get_catalog_schema_as_spark_schema("golden", "customer_c")
+    rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    return spark.createDataFrame(rows, "col_name string, col_type string")
