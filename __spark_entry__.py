@@ -41,7 +41,8 @@ _PRIORITY = [
     "src_sample_frame_full", "todf_resolve_option_cast",
     "errors_as_dynamic_frame", "job_bookmark_increment",
     "collection_select_map", "partitions_after_repartition",
-    "catalog_schema_fetch",
+    "catalog_schema_fetch", "jdbc_conf_roundtrip", "jdbc_extract_csv_ingest",
+    "rdd_source_frame", "count_actions", "stream_sample_poll",
 ]
 
 

@@ -1252,3 +1252,106 @@ def catalog_schema_fetch(spark, sf_dir):
     schema = ctx.get_catalog_schema_as_spark_schema("golden", "customer_c")
     rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
     return spark.createDataFrame(rows, "col_name string, col_type string")
+
+
+# ===========================================================================
+# JDBC over embedded Derby (the driver ships in Spark's own jars dir), RDD
+# source, and count-action promotions (SURVEY.md §2.1 rows 8/9/13/14/46,
+# §2.4 row 38)
+# ===========================================================================
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@q("jdbc_conf_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+def jdbc_conf_roundtrip(spark, sf_dir):
+    """from_jdbc_conf write + partitioned fetchsize read (§2 rows 9, 46)
+    against embedded Derby: the connection config is resolved from the
+    registered-connection store (reference context.py:407-436,451-459),
+    and the read uses a full 4-way partition spec so no single cursor
+    carries the table."""
+    from aws_etl_bank_spark.context import EngineContext
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+    from aws_etl_bank_spark.sources.jdbc import jdbc_read
+
+    url = f"jdbc:derby:{_scratch(sf_dir, 'derby_rt')};create=true"
+    ctx = EngineContext(spark)
+    ctx.register_jdbc_connection("derby", {"url": url, "driver": _DERBY_DRIVER})
+    nation = load_table(spark, sf_dir, "nation")
+    ctx.write_dynamic_frame_from_jdbc_conf(
+        DynamicFrame.fromDF(nation, ctx, "n"), "derby",
+        {"dbtable": "nation_rt", "mode": "overwrite", "numPartitions": "1"})
+    return jdbc_read(spark, url, "nation_rt", driver=_DERBY_DRIVER,
+                     fetchsize=1000, partition_column="n_nationkey",
+                     lower_bound=0, upper_bound=30, num_partitions=4)
+
+
+@q("jdbc_extract_csv_ingest", """
+SELECT c_custkey, c_name, c_acctbal FROM customer""")
+def jdbc_extract_csv_ingest(spark, sf_dir):
+    """jdbc_bulk_write (batched COPY-equivalent, §2 row 14) then
+    jdbc_extract_to_csv (table→CSV ingest, §2 row 13), read back through
+    the engine's all-strings CSV scan and cast to typed columns."""
+    from aws_etl_bank_spark.context import EngineContext
+    from aws_etl_bank_spark.sources.jdbc import jdbc_bulk_write, jdbc_extract_to_csv
+
+    url = f"jdbc:derby:{_scratch(sf_dir, 'derby_ext')};create=true"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    jdbc_bulk_write(cust, url, "cust_src", mode="overwrite",
+                    driver=_DERBY_DRIVER, batchsize=500, num_partitions=1)
+    hi = cust.agg(F.max("c_custkey")).first()[0]
+    out = _scratch(sf_dir, "derby_ext_csv")
+    jdbc_extract_to_csv(spark, url, "cust_src", out, driver=_DERBY_DRIVER,
+                        partition_column="c_custkey", lower_bound=1,
+                        upper_bound=int(hi) + 1, num_partitions=4)
+    ctx = EngineContext(spark)
+    raw = ctx.getSource("file", format="csv", paths=[out]).getFrame(
+        glue_ctx=ctx, name="cust_csv").toDF()
+    return raw.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+
+
+@q("rdd_source_frame", """
+SELECT n_nationkey, n_name FROM nation""")
+def rdd_source_frame(spark, sf_dir):
+    """create_dynamic_frame.from_rdd (§2 row 8): rows arrive as a plain
+    Python RDD and become a DynamicFrame (reference context.py:152-156).
+    nation is 25 rows at every SF, so the driver-side list is bounded."""
+    from aws_etl_bank_spark.context import EngineContext
+
+    rows = [(int(r.n_nationkey), r.n_name)
+            for r in load_table(spark, sf_dir, "nation").collect()]
+    rdd = spark.sparkContext.parallelize(rows, 4)
+    ctx = EngineContext(spark)
+    dyf = ctx.create_dynamic_frame.from_rdd(
+        rdd, "nations", schema="n_nationkey long, n_name string")
+    return dyf.toDF()
+
+
+@q("count_actions", """
+SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 <> 0) AS ok_count,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 = 0)  AS errors_count,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 = 0)  AS stage_errors_count""")
+def count_actions(spark, sf_dir):
+    """count / errorsCount / stageErrorsCount actions (§2 row 38) after a
+    map with planted per-record failures: failed records leave the frame
+    and land in the error channel."""
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def fn(rec):
+        if rec["c_custkey"] % 7 == 0:
+            raise ValueError("planted failure")
+        return rec
+
+    out = DynamicFrame.fromDF(cust, None, "c").map(
+        fn, schema=T.StructType([T.StructField("c_custkey", T.LongType())]))
+    return spark.createDataFrame(
+        [(out.count(), out.errorsCount(), out.stageErrorsCount())],
+        "ok_count long, errors_count long, stage_errors_count long")

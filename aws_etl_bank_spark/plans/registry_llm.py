@@ -488,3 +488,24 @@ def stream_foreach_batch(spark, sf_dir):
     return per_batch.groupBy("event_type").agg(
         F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("sv")
     )
+
+
+@q("stream_sample_poll", """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""")
+def stream_sample_poll(spark, sf_dir):
+    """Streaming sample (§2 row 77): sample_streaming_frame runs the
+    events file stream into a memory sink and polls until
+    recordPollingLimit rows arrive (reference context.py:553-599); the
+    poll limit is set to the full table count so the sampled batch frame
+    is deterministic and oracle-comparable after aggregation."""
+    from aws_etl_bank_spark.streaming.runner import sample_streaming_frame
+
+    stream_dir = _events_stream_dir(sf_dir)
+    total = spark.read.parquet(stream_dir).count()
+    raw_schema = spark.read.parquet(stream_dir).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    sampled = sample_streaming_frame(
+        spark, stream,
+        {"windowSize": "1 seconds", "pollingTimeInMs": 60000,
+         "recordPollingLimit": total})
+    return sampled.groupBy("event_type").agg(F.count("*").alias("n"))

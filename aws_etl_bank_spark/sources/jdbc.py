@@ -23,8 +23,10 @@ At 100 TB the decisive option is partitioned reads: without
 executor holding ONE cursor.  ``build_read_options`` therefore refuses a
 partial partition spec rather than silently degrading to a single stream.
 
-No JDBC driver ships in the test container, so tests cover the pure
-option-building and the reader/writer plumbing up to the driver boundary.
+Spark's own jars dir ships the embedded Derby driver, so the registry
+exercises a real write→read→extract round-trip against a Derby database
+(``jdbc_conf_roundtrip`` / ``jdbc_extract_csv_ingest``); tests additionally
+cover the pure option-building.
 """
 
 from __future__ import annotations

@@ -28,6 +28,10 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "stream_window_counts",
     "stream_sessionize",
+    # r03 additions (appended — the 9 above stay frozen for r02→r03
+    # comparability): SCD2 merge and nested relationalize child.
+    "scd2_merge_dim",
+    "relationalize_child",
 ]
 
 
