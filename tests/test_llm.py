@@ -266,15 +266,22 @@ def test_ngram_jaccard_default_plan_has_df_cut(docs):
     exact_plan = dedup.ngram_jaccard_pairs(
         docs, "text", "doc_id",
         max_shingle_df=None)._jdf.queryExecution().optimizedPlan().toString()
-    assert "df_" in default_plan
-    assert "df_" not in exact_plan
+    # the optimizer inlines the df_ alias into the filter, so probe for
+    # the cut VALUE: a size(...) <= DEFAULT_MAX_SHINGLE_DF comparison
+    assert str(dedup.DEFAULT_MAX_SHINGLE_DF) in default_plan
+    assert str(dedup.DEFAULT_MAX_SHINGLE_DF) not in exact_plan
 
 
-def test_ngram_jaccard_prefix_strategy_matches_inverted(docs):
+def test_ngram_jaccard_strategies_agree(docs):
+    # all three exact strategies — postings (default), inverted self-join,
+    # PPJoin prefix filter — must produce identical pair sets
+    post = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                               threshold=0.5).collect()}
     inv = {(r["id_a"], r["id_b"], r["jaccard"])
-           for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                              threshold=0.5).collect()}
+           for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5,
+                                              strategy="inverted").collect()}
     pref = {(r["id_a"], r["id_b"], r["jaccard"])
             for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5,
                                                strategy="prefix").collect()}
-    assert pref == inv and len(inv) > 0
+    assert post == inv == pref and len(post) > 0
