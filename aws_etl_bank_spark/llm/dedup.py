@@ -41,13 +41,45 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 def _shingles_expr(text_col: str, n: int) -> str:
     """Word n-gram shingles as a SQL expression (array<string>); documents
-    shorter than n words contribute their full text as one shingle."""
+    shorter than n words contribute their full text as one shingle.
+
+    NOTE: inlines the word split at every reference — including INSIDE the
+    transform lambda, where common-subexpression elimination does not
+    reach, so the split re-runs per shingle.  Prefer :func:`_shingle_frame`
+    (measured ~7x faster at sf0.1); this form is kept for expression-only
+    contexts."""
     words = f"split(lower({text_col}), '\\\\s+')"
     return (
         f"CASE WHEN size({words}) >= {n} THEN "
         f"array_distinct(transform(sequence(0, size({words}) - {n}), "
         f"i -> concat_ws(' ', slice({words}, i + 1, {n})))) "
         f"ELSE array(concat_ws(' ', {words})) END"
+    )
+
+
+def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int,
+                   alias: str = "sh_arr") -> DataFrame:
+    """(id, shingle array<string>) with the word split evaluated ONCE per
+    row.  A plain ``withColumn`` alias is not enough: CollapseProject +
+    ColumnPruning inline the alias into every reference site — including
+    INSIDE the transform lambda, where codegen CSE cannot reach, so the
+    regex split re-runs per shingle (measured 2.9-7 s vs 0.4 s for the
+    bare parse of the sf0.1 corpus).  ``explode(array(split(...)))`` is a
+    one-row-per-row Generate whose output attribute the optimizer cannot
+    inline — a deliberate, cheap materialization barrier.  Shingles are
+    then built with ``element_at`` + ``concat`` (no per-shingle sub-array
+    allocation)."""
+    parts = ", ' ', ".join(f"element_at(__words, i + {k})" for k in range(n))
+    shingles = (
+        f"CASE WHEN size(__words) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(__words) - {n} + 1), "
+        f"i -> concat({parts}))) "
+        f"ELSE array(concat_ws(' ', __words)) END"
+    )
+    words = F.explode(F.array(F.expr(f"split(lower({text_col}), '\\\\s+')")))
+    return (
+        df.select(F.col(id_col), words.alias("__words"))
+        .select(F.col(id_col), F.expr(shingles).alias(alias))
     )
 
 
@@ -61,8 +93,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     (A map-only variant — array_min over 64 transform() calls per row —
     was measured 2x SLOWER: it allocates 64 arrays per row, while this
     shape stays inside whole-stage-codegen hash aggregation.)"""
-    shingled = df.select(
-        F.col(id_col), F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("shingle")
+    shingled = _shingle_frame(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
     ).withColumn("h", F.xxhash64("shingle"))
     # permutation family over ONE string hash: h_i = xxhash64(h, i).  The
     # per-permutation hash re-mixes a fixed-width long (a few multiplies,
@@ -107,9 +139,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     )
     if not verify:
         return pairs
-    shingle_sets = df.select(
-        F.col(id_col), F.expr(_shingles_expr(text_col, shingle_n)).alias("sh")
-    )
+    shingle_sets = _shingle_frame(df, text_col, id_col, shingle_n, alias="sh")
     a = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -253,9 +283,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # Wins on long documents where even posting-list collection is too
     # wide and only prefixes should enter the index.
     if strategy == "postings":
-        shingled = df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("sh"),
+        shingled = _shingle_frame(df, text_col, id_col, shingle_n).select(
+            F.col(id_col).alias("doc"), F.explode("sh_arr").alias("sh")
         )
         postings = (
             shingled.groupBy("sh")
@@ -281,9 +310,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        sizes = df.select(
-            F.col(id_col).alias("doc"),
-            F.size(F.expr(_shingles_expr(text_col, shingle_n))).alias("sz"),
+        sizes = _shingle_frame(df, text_col, id_col, shingle_n).select(
+            F.col(id_col).alias("doc"), F.size("sh_arr").alias("sz")
         )
         sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
         sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
@@ -297,14 +325,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .select("id_a", "id_b", "jaccard")
         )
     if strategy == "inverted":
-        shingled = df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.expr(_shingles_expr(text_col, shingle_n))).alias("sh"),
+        shingled = _shingle_frame(df, text_col, id_col, shingle_n).select(
+            F.col(id_col).alias("doc"), F.explode("sh_arr").alias("sh")
         )
         # set size == array length: map-only, no explode and no groupBy
-        sizes = df.select(
-            F.col(id_col).alias("doc"),
-            F.size(F.expr(_shingles_expr(text_col, shingle_n))).alias("sz"),
+        sizes = _shingle_frame(df, text_col, id_col, shingle_n).select(
+            F.col(id_col).alias("doc"), F.size("sh_arr").alias("sz")
         )
         if max_shingle_df is not None:
             dfreq = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
@@ -333,9 +359,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         )
     if strategy != "prefix":
         raise ValueError(f"ngram_jaccard_pairs: unknown strategy {strategy!r}")
-    arrays = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_sort(F.expr(_shingles_expr(text_col, shingle_n))).alias("sh"),
+    arrays = _shingle_frame(df, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("doc"), F.array_sort("sh_arr").alias("sh")
     )
     prefix_len = F.greatest(
         F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")).cast("int") + 1,
