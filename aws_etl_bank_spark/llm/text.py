@@ -23,6 +23,20 @@ STOPWORD_PROFILES = {
 _WORDS = lambda c: F.split(F.lower(c), r"\s+")  # noqa: E731
 
 
+def _barrier(df: DataFrame, expr: Column, alias: str) -> DataFrame:
+    """Append ``expr`` evaluated ONCE per row.  A plain ``withColumn``
+    alias is not enough: CollapseProject + ColumnPruning inline the alias
+    into every reference site — including inside higher-order-function
+    lambdas, where codegen subexpression elimination cannot reach — so an
+    expensive expression (regex split, argmax-over-structs) re-runs per
+    reference or per array element.  ``explode(array(expr))`` is a
+    one-row-per-row Generate whose output attribute the optimizer cannot
+    inline: a deliberate, cheap materialization barrier (same pattern as
+    ``dedup._shingle_frame``; ``array(x)`` is never empty, so no rows are
+    dropped)."""
+    return df.select("*", F.explode(F.array(expr)).alias(alias))
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (bigint)."""
     return F.size(_WORDS(text)).cast("long")
@@ -41,12 +55,14 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats: chars, tokens, avg word length, punctuation
     ratio, stopword ratio (English profile), uppercase ratio."""
     t = F.col(text_col)
-    words = _WORDS(t)
+    cols = df.columns
+    base = _barrier(df, _WORDS(t), "__words")  # split evaluated once/row
+    words = F.col("__words")
     en = F.array(*[F.lit(w) for w in STOPWORD_PROFILES["en"]])
-    return df.select(
-        "*",
+    return base.select(
+        *cols,
         F.length(t).cast("long").alias("n_chars_computed"),
-        token_count(t).alias("n_tokens"),
+        F.size(words).cast("long").alias("n_tokens"),
         F.round(F.length(t) / F.size(words), 4).alias("avg_token_len"),
         F.round(
             (F.length(t) - F.length(F.regexp_replace(t, r"[\p{Punct}]", ""))) / F.length(t), 4
@@ -86,15 +102,23 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     per language, predict the argmax (ties → lexicographically last code,
     via struct ordering).  Pure array expressions — the profile set is a
     literal (broadcast-equivalent)."""
-    words = _WORDS(F.col(text_col))
+    cols = df.columns
+    base = _barrier(df, _WORDS(F.col(text_col)), "__words")  # one split/row
+    words = F.col("__words")
     scored = []
     for lang, profile in sorted(STOPWORD_PROFILES.items()):
         arr = F.array(*[F.lit(w) for w in profile])
         score = F.size(F.filter(words, lambda w: F.array_contains(arr, w))) / F.size(words)
         scored.append(F.struct(F.round(score, 6).alias("score"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*scored))
-    return df.withColumn("predicted_lang", best["lang"]).withColumn(
-        "lang_score", F.round(best["score"], 4)
+    # second barrier: `best` is referenced twice below; without it the
+    # whole 5-language filter/argmax stack would be inlined (and run) once
+    # per reference.
+    best_df = _barrier(base, F.array_max(F.array(*scored)), "__best")
+    best = F.col("__best")
+    return best_df.select(
+        *cols,
+        best["lang"].alias("predicted_lang"),
+        F.round(best["score"], 4).alias("lang_score"),
     )
 
 
@@ -104,12 +128,15 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     plus a winnowing-style min-hash over character n-grams (rolling-window
     proxy, computed with sequence/transform — no UDF)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(regexp_replace(lower({text_col}), '\\\\s+', ' ')) - {ngram} + 1, 1)), "
-        f"i -> substring(regexp_replace(lower({text_col}), '\\\\s+', ' '), i, {ngram}))"
+    # Barrier: without it the normalization regex would be inlined INSIDE
+    # the transform lambda and re-run per n-gram — O(len^2) regex work.
+    base = _barrier(df, norm, "__norm")
+    gram_hashes = F.expr(
+        f"transform(sequence(1, greatest(length(__norm) - {ngram} + 1, 1)), "
+        f"i -> xxhash64(substring(__norm, i, {ngram})))"
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
-        F.xxhash64(norm).alias("content_hash"),
-        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("min_gram_hash"),
+        F.xxhash64(F.col("__norm")).alias("content_hash"),
+        F.array_min(gram_hashes).alias("min_gram_hash"),
     )
