@@ -43,6 +43,7 @@ _PRIORITY = [
     "collection_select_map", "partitions_after_repartition",
     "catalog_schema_fetch", "jdbc_conf_roundtrip", "jdbc_extract_csv_ingest",
     "rdd_source_frame", "count_actions", "stream_sample_poll",
+    "sink_collection_write", "catalog_purge_partitions", "governed_txn_write",
 ]
 
 

@@ -1355,3 +1355,87 @@ def count_actions(spark, sf_dir):
     return spark.createDataFrame(
         [(out.count(), out.errorsCount(), out.stageErrorsCount())],
         "ok_count long, errors_count long, stage_errors_count long")
+
+
+@q("sink_collection_write", """
+SELECT c_custkey, c_acctbal,
+       CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bucket
+FROM customer""")
+def sink_collection_write(spark, sf_dir):
+    """DataSink.write on a DynamicFrameCollection (§2 row 10): split_rows
+    routes customers into two frames, the sink writes each frame under its
+    name as a leaf dir (useFrameName, reference data_sink.py:38-49), and
+    the query reads both leaves back and tags them by leaf."""
+    from aws_etl_bank_spark.context import EngineContext
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    base = _scratch(sf_dir, "coll_sink")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    coll = DynamicFrame.fromDF(cust, None, "c").split_rows(
+        {"c_acctbal": {">=": 0}}, "pos", "neg")
+    ctx = EngineContext(spark)
+    sink = ctx.getSink("file", format="parquet", path=base, mode="overwrite")
+    sink.write(coll)
+    pos = spark.read.parquet(os.path.join(base, "pos")).withColumn("bucket", F.lit("pos"))
+    neg = spark.read.parquet(os.path.join(base, "neg")).withColumn("bucket", F.lit("neg"))
+    return pos.unionByName(neg)
+
+
+@q("catalog_purge_partitions", """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY o_orderstatus""")
+def catalog_purge_partitions(spark, sf_dir):
+    """purge_table with partitionPredicate (§2 row 15): orders written
+    partitioned by status and registered in the catalog; the purge drops
+    the 'F' partition directories via metadata-scale partition-value
+    evaluation (reference context.py:461-516), and the query aggregates
+    what survives."""
+    import shutil
+
+    from aws_etl_bank_spark.context import EngineContext
+    from aws_etl_bank_spark.sources.catalog import Catalog
+
+    path = _scratch(sf_dir, "orders_purge")
+    shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    ctx = EngineContext(spark, Catalog())
+    ctx.catalog.create_table("golden", "orders_purge", path, "parquet",
+                             partition_keys=["o_orderstatus"])
+    removed = ctx.purge_table("golden", "orders_purge",
+                              {"partitionPredicate": "o_orderstatus = 'F'"})
+    assert removed, "purge must drop the F partition"
+    survived = ctx.create_dynamic_frame_from_catalog("golden", "orders_purge").toDF()
+    return survived.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@q("governed_txn_write", """
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY n_regionkey""")
+def governed_txn_write(spark, sf_dir):
+    """Governed-table transaction surface (§2 row 16): begin → write via
+    the catalog sink → commit → read back (reference context.py:676-683;
+    locally the tokens are no-ops that a Delta/Iceberg deployment would
+    bind to real table transactions).  A second, cancelled transaction
+    must leave the committed data untouched."""
+    from aws_etl_bank_spark.context import EngineContext
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+    from aws_etl_bank_spark.sources.catalog import Catalog
+
+    path = _scratch(sf_dir, "nation_txn")
+    ctx = EngineContext(spark, Catalog())
+    txn = ctx.start_transaction()
+    sink = ctx.getSink("file", format="parquet", path=path,
+                       additional_options={"transactionId": txn})
+    sink.setCatalogInfo("golden", "nation_txn")
+    sink.write(DynamicFrame.fromDF(load_table(spark, sf_dir, "nation"), ctx, "n"))
+    assert ctx.commit_transaction(txn)
+    txn2 = ctx.start_transaction(read_only=True)
+    assert ctx.cancel_transaction(txn2)
+    back = ctx.create_dynamic_frame_from_catalog("golden", "nation_txn").toDF()
+    return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
