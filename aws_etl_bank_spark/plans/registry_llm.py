@@ -509,3 +509,73 @@ def stream_sample_poll(spark, sf_dir):
         {"windowSize": "1 seconds", "pollingTimeInMs": 60000,
          "recordPollingLimit": total})
     return sampled.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def _curation_oracle() -> str:
+    """DuckDB mirror of the end-to-end curation pipeline: language-ID →
+    quality score → filter → exact dedup, matching each stage's existing
+    single-op oracle exactly."""
+    from aws_etl_bank_spark.llm.text import STOPWORD_PROFILES
+
+    entries = []
+    for lang, profile in sorted(STOPWORD_PROFILES.items()):
+        in_list = ", ".join(f"'{w}'" for w in profile)
+        entries.append(
+            "{'score': round(len(list_filter(words, x -> x IN (" + in_list
+            + "))) / CAST(len(words) AS DOUBLE), 6), 'lang': '" + lang + "'}"
+        )
+    structs = ",\n      ".join(entries)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS words,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+  FROM documents
+),
+lang AS (
+  SELECT doc_id, text, words, n_punct,
+         list_max([
+      {structs}
+    ]) AS best
+  FROM w
+),
+s AS (
+  SELECT doc_id, text, best.lang AS predicted_lang,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         round(n_punct / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+         round(len(list_filter(words, x -> x IN {_EN})) / CAST(len(words) AS DOUBLE), 4)
+             AS stopword_ratio
+  FROM lang
+),
+qual AS (
+  SELECT doc_id, text, predicted_lang, n_tokens,
+         round((least(n_tokens / 100.0, 1.0) * 0.5 + least(stopword_ratio * 5.0, 1.0) * 0.3)
+               * greatest(0.0, 1.0 - punct_ratio * 5.0)
+               + 0.2 * greatest(0.0, 1.0 - punct_ratio * 5.0) + 0.000000001, 4) AS quality
+  FROM s
+)
+SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count,
+       MAX(quality) AS quality, MAX(n_tokens) AS n_tokens
+FROM qual
+WHERE predicted_lang = 'en' AND quality >= 0.5
+GROUP BY text"""
+
+
+@q("llm_curation_pipeline", _curation_oracle())
+def llm_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation: language-ID → quality score →
+    keep high-quality English → exact dedup (lowest doc_id survives, with
+    duplicate counts).  One declarative flow: the language/quality stages
+    are map-only column expressions over a single documents scan, and the
+    dedup is one hash aggregation on the content — at 100 TB this is one
+    shuffle total."""
+    from aws_etl_bank_spark.llm import language_id, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(language_id(docs))
+    kept = scored.filter((F.col("predicted_lang") == "en") & (F.col("quality") >= 0.5))
+    return kept.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+        F.max("quality").alias("quality"),
+        F.max("n_tokens").alias("n_tokens"),
+    ).drop("text")
