@@ -85,3 +85,24 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def widen_if_underscanned(df: DataFrame, *keys: str | Column) -> DataFrame:
+    """Pre-partition ``df`` on ``keys`` ONLY when the source provides
+    fewer splits than cores.
+
+    Parquet cannot split below row-group grain, so a compact file caps
+    scan parallelism (3 row groups → 3 tasks) and any heavy map-side
+    work stacked on the scan — partial aggregation with
+    COUNT(DISTINCT) expand, collect_set buffers — runs on a handful of
+    fat tasks.  Partitioning on the downstream GROUP BY keys lets the
+    aggregate reuse the exchange (no second shuffle).  When the scan
+    already has splits >= cores (any realistic multi-file table, and
+    everything at 100 TB), this returns ``df`` unchanged: an
+    unconditional raw-row shuffle would defeat map-side partial
+    aggregation and regress at scale."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores, *keys)

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_etl_bank_spark.functions.columns import add_scd2_columns
 from aws_etl_bank_spark.functions.datedim import build_date_dim
+from aws_etl_bank_spark.functions.scale import widen_if_underscanned
 
 #: payment-code → payment-type-name dim for the testdata mapping
 #: (plays the role of the reference's payment_type table, §1.3).
@@ -217,19 +218,13 @@ def prepare_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_fact_snapshot(spark: SparkSession, sf_dir: str, fidelity: bool = False) -> DataFrame:
     trans = prepare_transactions(spark, sf_dir)
-    # Small-input remedy: a compact fact file yields fewer splits than
-    # cores (parquet can't split below row-group grain), so the heavy
+    # Small-input remedy (see widen_if_underscanned): the compact fact
+    # file caps scan parallelism at its row-group count, so the heavy
     # base aggregate — COUNT(DISTINCT) expand + collect_set — would run
-    # on a handful of fat tasks.  Pre-partitioning on the GROUP BY keys
-    # parallelizes it, and the aggregate reuses the exchange (no second
-    # shuffle); measured 3.4 -> 1.5 s on the sf0.1 base agg (3 row
-    # groups, 32 cores).  At scale the scan has splits >= cores and this
-    # branch is dead: an explicit raw-row shuffle would be a regression
-    # there, since map-side partial aggregation cuts shuffle volume.
-    cores = spark.sparkContext.defaultParallelism
-    if trans.rdd.getNumPartitions() < cores:
-        trans = trans.repartition(
-            cores, "transaction_date", "cust_id", "acc_id", "account_type_name")
+    # on a handful of fat tasks.  Measured: base agg 3.4 -> 1.5 s at
+    # sf0.1 (3 row groups, 32 cores); dead branch at scale.
+    trans = widen_if_underscanned(
+        trans, "transaction_date", "cust_id", "acc_id", "account_type_name")
     trans.createOrReplaceTempView("transactions")
     # lineitem ship dates span 1995..2001 in the testdata
     build_date_dim(spark, "1995-01-01", "2002-12-31").createOrReplaceTempView("date_dim")

@@ -184,6 +184,9 @@ SELECT l_returnflag, l_linestatus, l_suppkey, CAST(l_shipdate AS DATE) AS ship_d
        COUNT(DISTINCT l_orderkey) AS n_orders
 FROM lineitem GROUP BY 1, 2, 3, 4""")
 def agg_count_distinct(spark, sf_dir):
+    # widen_if_underscanned A/B'd here: 1.20 vs 1.15 s — noise.  The
+    # (keys + orderkey) distinct pre-aggregation already reduces enough
+    # that 3-way scan parallelism isn't the bottleneck.  Kept plain.
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus", "l_suppkey",

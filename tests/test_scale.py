@@ -76,3 +76,19 @@ def test_bucketed_join_has_no_shuffle(spark, scratch):
     assert "Exchange hashpartitioning(k" not in plan
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_widen_if_underscanned_only_fires_below_cores(spark):
+    cores = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1_000).coalesce(1).withColumn("k", F.pmod("id", F.lit(7)))
+    widened = scale.widen_if_underscanned(narrow, "k")
+    assert widened.rdd.getNumPartitions() == cores
+    # grouped result unchanged
+    base = {(r["k"], r["n"]) for r in
+            narrow.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    out = {(r["k"], r["n"]) for r in
+           widened.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert out == base
+    # at-or-above cores: unchanged plan (no-op)
+    wide = spark.range(0, 1_000).repartition(cores + 4)
+    assert scale.widen_if_underscanned(wide, "id") is wide
