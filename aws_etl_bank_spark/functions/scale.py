@@ -87,7 +87,8 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def widen_if_underscanned(df: DataFrame, *keys: str | Column) -> DataFrame:
+def widen_if_underscanned(df: DataFrame, *keys: str | Column,
+                          probe: DataFrame | None = None) -> DataFrame:
     """Pre-partition ``df`` on ``keys`` ONLY when the source provides
     fewer splits than cores.
 
@@ -100,9 +101,29 @@ def widen_if_underscanned(df: DataFrame, *keys: str | Column) -> DataFrame:
     already has splits >= cores (any realistic multi-file table, and
     everything at 100 TB), this returns ``df`` unchanged: an
     unconditional raw-row shuffle would defeat map-side partial
-    aggregation and regress at scale."""
+    aggregation and regress at scale.
+
+    ``probe`` (default ``df``) is the frame whose scan width is
+    inspected.  Pass the bare scan when ``df`` carries joins: the probe
+    reads only file metadata (``inputFiles`` + sizes), never runs a job.
+    The estimate ``sum(ceil(size / maxPartitionBytes))`` is an UPPER
+    bound on scan tasks (Spark packs small files and row-group grain
+    caps splits further), so ``estimate < cores`` proves under-scan;
+    non-file sources fall back to ``rdd.getNumPartitions()``."""
+    import math
+    import os
+
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
+    src = probe if probe is not None else df
+    try:
+        files = [f.replace("file://", "").replace("file:", "") for f in src.inputFiles()]
+        if not files:  # in-memory/non-file frame: no metadata to reason from
+            raise ValueError("no input files")
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        est = sum(math.ceil(os.path.getsize(f) / mpb) for f in files)
+    except Exception:
+        est = src.rdd.getNumPartitions()
+    if est >= cores:
         return df
     return df.repartition(cores, *keys)

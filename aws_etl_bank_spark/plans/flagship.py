@@ -222,9 +222,12 @@ def build_fact_snapshot(spark: SparkSession, sf_dir: str, fidelity: bool = False
     # file caps scan parallelism at its row-group count, so the heavy
     # base aggregate — COUNT(DISTINCT) expand + collect_set — would run
     # on a handful of fat tasks.  Measured: base agg 3.4 -> 1.5 s at
-    # sf0.1 (3 row groups, 32 cores); dead branch at scale.
+    # sf0.1 (3 row groups, 32 cores); dead branch at scale.  The probe
+    # is the bare fact scan: broadcast joins preserve its partitioning
+    # and probing the joined frame would materialize the broadcasts.
     trans = widen_if_underscanned(
-        trans, "transaction_date", "cust_id", "acc_id", "account_type_name")
+        trans, "transaction_date", "cust_id", "acc_id", "account_type_name",
+        probe=spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     trans.createOrReplaceTempView("transactions")
     # lineitem ship dates span 1995..2001 in the testdata
     build_date_dim(spark, "1995-01-01", "2002-12-31").createOrReplaceTempView("date_dim")
