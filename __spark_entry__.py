@@ -44,7 +44,7 @@ _PRIORITY = [
     "catalog_schema_fetch", "jdbc_conf_roundtrip", "jdbc_extract_csv_ingest",
     "rdd_source_frame", "count_actions", "stream_sample_poll",
     "sink_collection_write", "catalog_purge_partitions", "governed_txn_write",
-    "llm_curation_pipeline",
+    "llm_curation_pipeline", "ann_ivf_trained_topk",
 ]
 
 

@@ -579,3 +579,19 @@ def llm_curation_pipeline(spark, sf_dir):
         F.max("quality").alias("quality"),
         F.max("n_tokens").alias("n_tokens"),
     ).drop("text")
+
+
+@q("ann_ivf_trained_topk")  # approximate by construction: rows-only
+def ann_ivf_trained_topk(spark, sf_dir):
+    """IVF top-k with k-means|| trained centroids (the scale path's real
+    configuration): distributed training returns only n_cells centers to
+    the driver; the corpus shuffles once on cell id.  Approximate →
+    rows-only, but the training job itself runs under the driver gate.
+    Recall vs brute force measured in PERF.md."""
+    from aws_etl_bank_spark.llm import ivf_topk
+    from aws_etl_bank_spark.llm.similarity import train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_cells=16, seed=7)
+    return ivf_topk(emb, emb.filter("vec_id < 5"), 10, n_cells=16, nprobe=4,
+                    centroids=cents)
