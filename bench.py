@@ -29,9 +29,11 @@ HEADLINE = [
     "stream_window_counts",
     "stream_sessionize",
     # r03 additions (appended — the 9 above stay frozen for r02→r03
-    # comparability): SCD2 merge and nested relationalize child.
+    # comparability): SCD2 merge, nested relationalize child, and the
+    # end-to-end curation pipeline (langid → quality → dedup).
     "scd2_merge_dim",
     "relationalize_child",
+    "llm_curation_pipeline",
 ]
 
 

@@ -285,3 +285,15 @@ def test_ngram_jaccard_strategies_agree(docs):
             for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5,
                                                strategy="prefix").collect()}
     assert post == inv == pref and len(post) > 0
+
+
+def test_text_ops_preserve_rows_with_null_text(spark):
+    # the explode(array(...)) barrier must never drop rows: array(x) is
+    # 1-element even when x is NULL
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, None)], "doc_id long, text string")
+    assert text.text_stats(df).count() == 2
+    assert text.language_id(df).count() == 2
+    assert text.fingerprint(df).count() == 2
+    null_row = text.text_stats(df).filter("doc_id = 2").first()
+    assert null_row["n_chars_computed"] is None
