@@ -44,7 +44,9 @@ _PRIORITY = [
     "catalog_schema_fetch", "jdbc_conf_roundtrip", "jdbc_extract_csv_ingest",
     "rdd_source_frame", "count_actions", "stream_sample_poll",
     "sink_collection_write", "catalog_purge_partitions", "governed_txn_write",
-    "llm_curation_pipeline", "ann_ivf_trained_topk",
+    "llm_curation_pipeline", "text_chunking", "stratified_sample_lang",
+    # rows-only, so least harmed if a driver evaluation cap lands mid-list
+    "ann_ivf_trained_topk",
 ]
 
 

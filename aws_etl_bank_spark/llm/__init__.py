@@ -17,10 +17,12 @@ from aws_etl_bank_spark.llm.similarity import (  # noqa: F401
     train_centroids,
 )
 from aws_etl_bank_spark.llm.text import (  # noqa: F401
-    text_stats,
-    quality_score,
-    language_id,
+    chunk_documents,
     fingerprint,
+    language_id,
+    quality_score,
+    stratified_sample,
+    text_stats,
 )
 from aws_etl_bank_spark.llm.multimodal import (  # noqa: F401
     attach_binary_payload,

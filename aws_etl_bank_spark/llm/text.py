@@ -140,3 +140,58 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.xxhash64(F.col("__norm")).alias("content_hash"),
         F.array_min(gram_hashes).alias("min_gram_hash"),
     )
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_words: int = 64, overlap_words: int = 8) -> DataFrame:
+    """Split each document into word-bounded chunks of ``chunk_words``
+    tokens with ``overlap_words`` carried between consecutive chunks —
+    the sequence-packing precursor of a training pipeline.
+
+    Output: (id, chunk_index, chunk_text, chunk_tokens).  Pure
+    sequence/transform expressions: the word split happens once per row
+    (Generate barrier), chunks are slices of the word array, and the
+    explode distributes chunks across tasks — no UDF, no driver loop, so
+    a 100 TB corpus chunks in one map-side pass."""
+    if overlap_words >= chunk_words:
+        raise ValueError("overlap_words must be < chunk_words")
+    step = chunk_words - overlap_words
+    base = _barrier(df, _WORDS(F.col(text_col)), "__words")
+    n = F.size(F.col("__words"))
+    # chunk start offsets: 1, 1+step, 1+2*step, ... while start <= n
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(overlap_words), F.lit(1)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(F.col("__words"), s, chunk_words), " ").alias("chunk_text"),
+            F.least(n - s + 1, F.lit(chunk_words)).cast("long").alias("chunk_tokens"),
+        ),
+    )
+    exploded = base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_index", "c")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+    )
+
+
+def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
+                      order_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum quota sample: the first
+    ``n_per_stratum`` rows of each stratum by ``order_col`` — the
+    language/domain-balancing step of a corpus pipeline.  For an
+    unbiased random-but-reproducible sample, order by a hash of the id
+    (``F.xxhash64``) instead of the id itself; the window shape is the
+    same.  One shuffle on the stratum key; rank + filter never
+    materializes more than the quota per stratum downstream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.col(order_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -595,3 +595,42 @@ def ann_ivf_trained_topk(spark, sf_dir):
     cents = train_centroids(emb, n_cells=16, seed=7)
     return ivf_topk(emb, emb.filter("vec_id < 5"), 10, n_cells=16, nprobe=4,
                     centroids=cents)
+
+
+@q("text_chunking", r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents
+),
+c AS (
+  SELECT doc_id, len(words) AS n, words,
+         unnest(range(1, greatest(len(words) - 8, 1) + 1, 56)) AS s
+  FROM w
+)
+SELECT doc_id,
+       CAST((s - 1) // 56 AS BIGINT) AS chunk_index,
+       array_to_string(words[CAST(s AS INT):CAST(least(s + 63, n) AS INT)], ' ') AS chunk_text,
+       CAST(least(n - s + 1, 64) AS BIGINT) AS chunk_tokens
+FROM c""")
+def text_chunking(spark, sf_dir):
+    """Token-budget document chunking with overlap (64-word chunks,
+    8-word overlap): the sequence-packing precursor of a training
+    pipeline, as pure sequence/slice expressions."""
+    from aws_etl_bank_spark.llm.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_words=64, overlap_words=8)
+
+
+@q("stratified_sample_lang", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+  FROM documents) t WHERE rk <= 20""")
+def stratified_sample_lang(spark, sf_dir):
+    """Deterministic per-language quota sample (first 20 doc_ids per
+    language): the corpus-balancing step of a data pipeline, one window
+    shuffle on the stratum key."""
+    from aws_etl_bank_spark.llm.text import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", 20, order_col="doc_id")

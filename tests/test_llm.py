@@ -297,3 +297,37 @@ def test_text_ops_preserve_rows_with_null_text(spark):
     assert text.fingerprint(df).count() == 2
     null_row = text.text_stats(df).filter("doc_id = 2").first()
     assert null_row["n_chars_computed"] is None
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    words = " ".join(f"w{i}" for i in range(1, 131))  # 130 words
+    df = spark.createDataFrame([(1, words), (2, "short doc")], "doc_id long, text string")
+    out = text.chunk_documents(df, chunk_words=64, overlap_words=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    # starts at 1, 57, 113 -> 3 chunks; last has 130-113+1 = 18 words
+    assert [r["chunk_tokens"] for r in c1] == [64, 64, 18]
+    # overlap: chunk k+1 starts with the last 8 words of chunk k
+    tail = c1[0]["chunk_text"].split()[-8:]
+    head = c1[1]["chunk_text"].split()[:8]
+    assert tail == head
+    # every word is covered, in order
+    reconstructed = c1[0]["chunk_text"].split()
+    for r in c1[1:]:
+        reconstructed += r["chunk_text"].split()[8:]
+    assert reconstructed == words.split()
+    # short doc: one whole-text chunk
+    assert [ (r["chunk_tokens"], r["chunk_text"]) for r in by_doc[2] ] == [(2, "short doc")]
+
+
+def test_stratified_sample_quota(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = text.stratified_sample(df, "lang", 5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert sorted(by_lang["en"]) == [0, 2, 4, 6, 8]
+    assert sorted(by_lang["fr"]) == [1, 3, 5, 7, 9]
