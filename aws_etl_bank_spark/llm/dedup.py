@@ -68,7 +68,16 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int,
     one-row-per-row Generate whose output attribute the optimizer cannot
     inline — a deliberate, cheap materialization barrier.  Shingles are
     then built with ``element_at`` + ``concat`` (no per-shingle sub-array
-    allocation)."""
+    allocation).
+
+    A compact documents file under-splits the scan (1 task at sf0.1), so
+    the parse + downstream explode/hash would run serially;
+    ``widen_if_underscanned`` spreads it across cores when — and only
+    when — the source provides fewer splits than cores (measured:
+    minhash signatures 1.6 -> 1.0 s at sf0.1; dead branch at scale)."""
+    from aws_etl_bank_spark.functions.scale import widen_if_underscanned
+
+    df = widen_if_underscanned(df, id_col)
     parts = ", ' ', ".join(f"element_at(__words, i + {k})" for k in range(n))
     shingles = (
         f"CASE WHEN size(__words) >= {n} THEN "
