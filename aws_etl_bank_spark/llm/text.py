@@ -23,7 +23,8 @@ STOPWORD_PROFILES = {
 _WORDS = lambda c: F.split(F.lower(c), r"\s+")  # noqa: E731
 
 
-def _barrier(df: DataFrame, expr: Column, alias: str) -> DataFrame:
+def _barrier(df: DataFrame, expr: Column, alias: str,
+             widen: bool = True) -> DataFrame:
     """Append ``expr`` evaluated ONCE per row.  A plain ``withColumn``
     alias is not enough: CollapseProject + ColumnPruning inline the alias
     into every reference site — including inside higher-order-function
@@ -33,7 +34,17 @@ def _barrier(df: DataFrame, expr: Column, alias: str) -> DataFrame:
     one-row-per-row Generate whose output attribute the optimizer cannot
     inline: a deliberate, cheap materialization barrier (same pattern as
     ``dedup._shingle_frame``; ``array(x)`` is never empty, so no rows are
-    dropped)."""
+    dropped).
+
+    ``widen=True`` (first barrier in an operator) also spreads an
+    under-split scan across cores — a compact documents file is 1 scan
+    task, serializing everything above it; dead branch at scale.  Pass
+    ``widen=False`` for a second barrier over an already-widened frame
+    to avoid re-shuffling."""
+    if widen:
+        from aws_etl_bank_spark.functions.scale import widen_if_underscanned
+
+        df = widen_if_underscanned(df)
     return df.select("*", F.explode(F.array(expr)).alias(alias))
 
 
@@ -113,7 +124,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # second barrier: `best` is referenced twice below; without it the
     # whole 5-language filter/argmax stack would be inlined (and run) once
     # per reference.
-    best_df = _barrier(base, F.array_max(F.array(*scored)), "__best")
+    best_df = _barrier(base, F.array_max(F.array(*scored)), "__best", widen=False)
     best = F.col("__best")
     return best_df.select(
         *cols,
