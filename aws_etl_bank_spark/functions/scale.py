@@ -28,14 +28,38 @@ def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt",
     and rows never misroute mid-join (monotonically_increasing_id-style
     salts change across retries and can silently drop/duplicate rows in
     a salted join).  Identical rows share a salt — acceptable, since only
-    full-row duplicates re-concentrate.  Pass ``deterministic_by`` to
-    hash a chosen column instead (e.g. a row id)."""
+    full-row duplicates re-concentrate; if the hot key's rows ARE
+    identical (e.g. a narrow projection of a sentinel key), pass
+    ``deterministic_by`` with a genuinely distinguishing column — a
+    content-derived salt cannot spread rows it cannot tell apart.
+    MapType columns are excluded from the default hash (xxhash64 rejects
+    maps); if every column is a map, ``deterministic_by`` is required."""
     if deterministic_by is not None:
         col = F.col(deterministic_by) if isinstance(deterministic_by, str) else deterministic_by
         salt = F.pmod(F.xxhash64(col), F.lit(n_salts))
     else:
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        hashable = [f.name for f in df.schema.fields
+                    if not _contains_map(f.dataType)]
+        if not hashable:
+            raise ValueError(
+                "with_salt: every column contains MapType (unhashable); "
+                "pass deterministic_by=<column> instead")
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
     return df.withColumn(salt_col, salt.cast("int"))
+
+
+def _contains_map(dt) -> bool:
+    """True if the type tree contains a MapType anywhere (xxhash64 cannot
+    hash maps)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def salted_agg(df: DataFrame, keys: list[str], aggs: list[Column],
@@ -109,21 +133,57 @@ def widen_if_underscanned(df: DataFrame, *keys: str | Column,
     The estimate ``sum(ceil(size / maxPartitionBytes))`` is an UPPER
     bound on scan tasks (Spark packs small files and row-group grain
     caps splits further), so ``estimate < cores`` proves under-scan;
-    non-file sources fall back to ``rdd.getNumPartitions()``."""
+    non-file sources fall back to ``rdd.getNumPartitions()``.
+
+    Idempotent under composition: if ``df``'s plan already carries a
+    RepartitionByExpression (ours from an inner widened operator, or the
+    caller's own keyed repartition), the frame is returned unchanged —
+    no stacked re-shuffles when widened operators compose (e.g.
+    quality_score over language_id).  A plain ``coalesce`` does NOT
+    suppress the widen: its Repartition(shuffle=false) node is exactly
+    the narrow-scan shape this helper exists to fix."""
     import math
     import os
 
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
+    if "RepartitionByExpression" in df._jdf.queryExecution().analyzed().toString():
+        return df
     src = probe if probe is not None else df
     try:
-        files = [f.replace("file://", "").replace("file:", "") for f in src.inputFiles()]
+        files = [_strip_file_scheme(f) for f in src.inputFiles()]
         if not files:  # in-memory/non-file frame: no metadata to reason from
             raise ValueError("no input files")
-        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        mpb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
         est = sum(math.ceil(os.path.getsize(f) / mpb) for f in files)
     except Exception:
         est = src.rdd.getNumPartitions()
     if est >= cores:
         return df
     return df.repartition(cores, *keys)
+
+
+def _strip_file_scheme(path: str) -> str:
+    """Remove a leading file: URI scheme only (never mid-path text)."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
+_BYTE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+                  "p": 1 << 50, "b": 1}
+
+
+def _parse_bytes(s: str) -> int:
+    """Parse a Spark byte-string conf value ('134217728', '134217728b',
+    '128m', '1g', '128MB', ...)."""
+    v = s.strip().lower()
+    mult = 1
+    if v.endswith("b") and not v[:-1].isdigit():
+        v = v[:-1]  # strip the 'b' of kb/mb/gb
+    if v and v[-1] in _BYTE_SUFFIXES:
+        mult = _BYTE_SUFFIXES[v[-1]]
+        v = v[:-1]
+    return int(v) * mult

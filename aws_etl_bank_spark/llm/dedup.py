@@ -176,14 +176,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     2-4 rounds; ``max_iterations`` bounds pathological graphs.  Each round
     is one equi-join + min-aggregate (both shuffle on node id and combine
     map-side), ``localCheckpoint`` truncates the growing lineage, and the
-    convergence probe is a count of changed labels.  This is the standard
-    iterative-CC-over-edge-list shape that scales to 100 TB pair lists;
-    the driver holds only loop control, never data."""
+    convergence probe is a flag counted on the SAME pass (no extra join
+    job).  This is the standard iterative-CC-over-edge-list shape that
+    scales to 100 TB pair lists; the driver holds only loop control,
+    never data.  If ``max_iterations`` is exhausted before the fixpoint
+    (graph diameter > max_iterations) a loud warning is emitted — labels
+    are then an under-merged over-approximation (some components appear
+    split), never wrongly merged."""
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     edges = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     edges = edges.persist()
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
     labels = labels.localCheckpoint()
+    converged = False
     for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels.select(F.col("id").alias("d"), "comp"), "d")
@@ -191,18 +196,25 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             .withColumnRenamed("s", "id")
         )
         new_labels = labels.join(neighbor_min, "id", "left").select(
-            "id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp")
+            "id",
+            F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            (F.coalesce("ncomp", "comp") < F.col("comp")).alias("_changed"),
         )
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("comp", "ncomp").join(labels, "id")
-            .filter(F.col("ncomp") != F.col("comp")).count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             log.info("connected_components: converged after %d rounds", it + 1)
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        log.warning(
+            "connected_components: max_iterations=%d exhausted before the "
+            "fixpoint — components with diameter > %d are still split; "
+            "raise max_iterations for chain-heavy graphs",
+            max_iterations, max_iterations,
+        )
     return labels.select("id", F.col("comp").alias("component"))
 
 
@@ -292,12 +304,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # Wins on long documents where even posting-list collection is too
     # wide and only prefixes should enter the index.
     if strategy == "postings":
+        # (doc, set size) ride the posting list as a struct, so the
+        # corpus really is parsed ONCE and no size join-back is needed:
+        # pair rows come out of the explode already carrying both sizes.
         shingled = _shingle_frame(df, text_col, id_col, shingle_n).select(
-            F.col(id_col).alias("doc"), F.explode("sh_arr").alias("sh")
+            F.col(id_col).alias("doc"), F.size("sh_arr").alias("sz"),
+            F.explode("sh_arr").alias("sh"),
         )
         postings = (
             shingled.groupBy("sh")
-            .agg(F.sort_array(F.collect_set("doc")).alias("ps"))
+            .agg(F.sort_array(F.collect_set(F.struct("doc", "sz"))).alias("ps"))
             .filter(F.size("ps") >= 2)  # singleton shingles pair nothing
         )
         if max_shingle_df is not None:
@@ -307,25 +323,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                 log.info("ngram_jaccard_pairs: dropped %d hub shingles (df > %d)",
                          n_drop, max_shingle_df)
             postings = postings.filter(F.col("df_") <= max_shingle_df)
-        # each pair once: ps is sorted, element i pairs with every later
-        # element — two pipelined explodes, no self-join, no second parse
-        common = (
+        # each pair once: ps is sorted by doc, element i pairs with every
+        # later element — two pipelined explodes, no self-join; sz_a/sz_b
+        # are functionally dependent on the ids, so grouping by all four
+        # keys keeps the same pair cardinality.
+        return (
             postings
             .select(F.explode(F.expr("sequence(0, size(ps) - 2)")).alias("i"), "ps")
             .select(
-                F.expr("element_at(ps, i + 1)").alias("id_a"),
-                F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("id_b"),
+                F.expr("element_at(ps, i + 1)").alias("a"),
+                F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("b"),
             )
-            .groupBy("id_a", "id_b")
+            .groupBy(
+                F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+                F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"),
+            )
             .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        sizes = _shingle_frame(df, text_col, id_col, shingle_n).select(
-            F.col(id_col).alias("doc"), F.size("sh_arr").alias("sz")
-        )
-        sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
-        sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
-        return (
-            common.join(sa, "id_a").join(sb, "id_b")
             .withColumn(
                 "jaccard",
                 F.round(F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4),

@@ -163,7 +163,9 @@ def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     sequence/transform expressions: the word split happens once per row
     (Generate barrier), chunks are slices of the word array, and the
     explode distributes chunks across tasks — no UDF, no driver loop, so
-    a 100 TB corpus chunks in one map-side pass."""
+    a 100 TB corpus chunks in one map-side pass.  NULL text yields zero
+    chunks (with legacy sizeOfNull=-1 an unguarded size() would
+    otherwise fabricate a chunk with chunk_tokens=-1)."""
     if overlap_words >= chunk_words:
         raise ValueError("overlap_words must be < chunk_words")
     step = chunk_words - overlap_words
@@ -171,12 +173,14 @@ def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     n = F.size(F.col("__words"))
     # chunk start offsets: 1, 1+step, 1+2*step, ... while start <= n
     starts = F.sequence(F.lit(1), F.greatest(n - F.lit(overlap_words), F.lit(1)), F.lit(step))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            F.array_join(F.slice(F.col("__words"), s, chunk_words), " ").alias("chunk_text"),
-            F.least(n - s + 1, F.lit(chunk_words)).cast("long").alias("chunk_tokens"),
-        ),
+    chunks = F.when(F.col("__words").isNull(), F.array()).otherwise(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                F.array_join(F.slice(F.col("__words"), s, chunk_words), " ").alias("chunk_text"),
+                F.least(n - s + 1, F.lit(chunk_words)).cast("long").alias("chunk_tokens"),
+            ),
+        )
     )
     exploded = base.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_index", "c")

@@ -938,7 +938,9 @@ ins AS (
          DATE '3000-01-01' AS record_updated_time
   FROM cur WHERE c_custkey % 10 IN (0, 3)),
 newk AS (
-  SELECT c_custkey + 10000000 AS c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+  -- offset by the table max so synthetic keys never collide at any SF
+  SELECT c_custkey + (SELECT max(c_custkey) FROM customer) AS c_custkey,
+         CAST(NULL AS VARCHAR) AS c_name,
          true AS is_active,
          TIMESTAMP '2024-01-01' AS record_created_time,
          DATE '3000-01-01' AS record_updated_time
@@ -961,8 +963,11 @@ def scd2_merge_dim(spark, sf_dir):
         .when(F.col("c_custkey") % 10 == 3, F.lit(None).cast("string"))
         .otherwise(F.col("c_name")),
     )
+    # offset by the table max so synthetic new keys never collide with
+    # real keys at any scale factor (fixed 10M collided from SF >= 67)
+    max_key = snap.agg(F.max("c_custkey")).first()[0]
     new_keys = snap.filter(F.col("c_custkey") % 10 == 7).select(
-        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        (F.col("c_custkey") + F.lit(max_key)).alias("c_custkey"),
         F.lit(None).cast("string").alias("c_name"),
     )
     updates = changed.unionByName(new_keys)

@@ -331,3 +331,10 @@ def test_stratified_sample_quota(spark):
         by_lang.setdefault(r["lang"], []).append(r["doc_id"])
     assert sorted(by_lang["en"]) == [0, 2, 4, 6, 8]
     assert sorted(by_lang["fr"]) == [1, 3, 5, 7, 9]
+
+
+def test_chunk_documents_null_text_yields_no_chunks(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, None)], "doc_id long, text string")
+    out = text.chunk_documents(df, chunk_words=4, overlap_words=1).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert all(r["chunk_tokens"] >= 0 for r in out)
