@@ -193,6 +193,80 @@ def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+#: PII patterns — the RE2 ∩ Java-regex common subset (no lookaround), so
+#: the exact same pattern strings run under Spark (Java) and any RE2-based
+#: oracle (DuckDB).  Scrub order matters: emails first (their dotted
+#: domains would otherwise be chewed by the IP pattern), then IPs, then
+#: phones (dotted-quad IPs and dotted phones are disjoint — a quad is at
+#: most 3 digits, a phone's last group is exactly 4).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers, the minimum-viable PII pass
+    of a training-data pipeline.  Adds ``text_scrubbed`` plus per-category
+    match counts (``n_emails``, ``n_ips``, ``n_phones``), all counted on
+    the ORIGINAL text so the counts are independent of scrub order.
+
+    Pure ``regexp_replace``/``regexp_count`` — map-only, whole-stage
+    codegen, no shuffle: at 100 TB this is a scan-speed pass.  Real
+    deployments swap in their own pattern table; the operator shape
+    (ordered replace chain + pre-replace counts) is the deliverable."""
+    t = F.col(text_col)
+    scrubbed = t
+    for cat, token in (("email", "<EMAIL>"), ("ip", "<IP>"), ("phone", "<PHONE>")):
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[cat], token)
+    return df.select(
+        "*",
+        scrubbed.alias("text_scrubbed"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["email"])).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["ip"])).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["phone"])).cast("long").alias("n_phones"),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals: ``n_lines``,
+    ``dup_line_frac`` (fraction of lines that are repeats of an earlier
+    line), ``dup_line_char_frac`` (fraction of line characters sitting in
+    any line that occurs more than once), ``dup_word_frac`` (same idea
+    over whitespace words).  Boilerplate-heavy and template-spam documents
+    score high and get filtered upstream of training.
+
+    Pure array expressions over one split per row (Generate barrier) —
+    map-only, no shuffle.  The per-line occurrence count is O(lines²) per
+    document, bounded by document size, never by corpus size.  NULL text
+    yields NULL signals (row preserved)."""
+    cols = df.columns
+    base = _barrier(df, F.split(F.col(text_col), "\n"), "__lines")
+    base = _barrier(base, _WORDS(F.col(text_col)), "__words", widen=False)
+    lines, words = F.col("__lines"), F.col("__words")
+    n_lines = F.size(lines)
+    dup_chars = F.expr(
+        "aggregate(__lines, 0L, (acc, x) -> acc + "
+        "IF(size(filter(__lines, y -> y = x)) > 1, length(x), 0L))"
+    )
+    total_chars = F.expr("aggregate(__lines, 0L, (acc, x) -> acc + length(x))")
+    null_guard = F.col(text_col).isNull()
+
+    def _sig(c: Column) -> Column:
+        # 1e-9 nudge: same systematic-tie rationale as quality_score —
+        # makes Spark and a SQL oracle round half-way values identically
+        return F.when(null_guard, F.lit(None)).otherwise(F.round(c + F.lit(1e-9), 4))
+
+    return base.select(
+        *cols,
+        F.when(null_guard, F.lit(None)).otherwise(n_lines).cast("long").alias("n_lines"),
+        _sig(F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines).alias("dup_line_frac"),
+        _sig(dup_chars / F.nullif(total_chars, F.lit(0))).alias("dup_line_char_frac"),
+        _sig(F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words)).alias("dup_word_frac"),
+    )
+
+
 def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
                       order_col: str = "doc_id") -> DataFrame:
     """Deterministic per-stratum quota sample: the first

@@ -621,6 +621,76 @@ def text_chunking(spark, sf_dir):
     return chunk_documents(docs, chunk_words=64, overlap_words=8)
 
 
+@q("text_pii_scrub", r"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' contact bob@example.com'
+              WHEN doc_id % 7 = 1 THEN text || ' call 555-123-4567'
+              WHEN doc_id % 7 = 2 THEN text || ' from 192.168.10.42'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text_scrubbed,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones
+FROM a""")
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4s / phones) with per-category counts.
+    The testdata corpus carries no PII, so deterministic cases are
+    planted by doc_id — identically in Spark and the oracle — before the
+    scrub runs.  Map-only regexp chain; scan-speed at any scale."""
+    from aws_etl_bank_spark.llm.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" contact bob@example.com")))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" call 555-123-4567")))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" from 192.168.10.42")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return pii_scrub(docs).select(
+        "doc_id", "text_scrubbed", "n_emails", "n_ips", "n_phones")
+
+
+@q("text_repetition", r"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text
+              WHEN doc_id % 3 = 1 THEN text || chr(10) || 'tail ' || doc_id
+              ELSE text END AS text
+  FROM documents),
+w AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+             string_split_regex(lower(text), '\s+') AS words FROM a)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE) + 0.000000001, 4) AS dup_line_frac,
+  round(list_sum(list_transform(lines, x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1 THEN length(x) ELSE 0 END))
+        / CAST(nullif(list_sum(list_transform(lines, x -> length(x))), 0) AS DOUBLE) + 0.000000001, 4) AS dup_line_char_frac,
+  round(1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE) + 0.000000001, 4) AS dup_word_frac
+FROM w""")
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-line and duplicate-word
+    fractions).  The corpus is single-line, so multi-line shapes are
+    planted by doc_id — a fully duplicated line for one third, a unique
+    tail line for another — identically in Spark and the oracle."""
+    from aws_etl_bank_spark.llm.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit("\n"), F.col("text")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit("\ntail "), F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return repetition_signals(docs).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac", "dup_word_frac")
+
+
 @q("stratified_sample_lang", """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,

@@ -338,3 +338,27 @@ def test_chunk_documents_null_text_yields_no_chunks(spark):
     out = text.chunk_documents(df, chunk_words=4, overlap_words=1).collect()
     assert {r["doc_id"] for r in out} == {1}
     assert all(r["chunk_tokens"] >= 0 for r in out)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or 555-123-4567 from 192.168.10.42"),
+         (2, "clean"), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert out[1]["text_scrubbed"] == "mail <EMAIL> or <PHONE> from <IP>"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[2]["text_scrubbed"] == "clean" and out[2]["n_emails"] == 0
+    assert out[3]["text_scrubbed"] is None and out[3]["n_emails"] is None
+
+
+def test_repetition_signals_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "line a\nline b\nline a\nline c"), (2, "w w w unique"), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == 0.25        # 1 of 4 lines is a repeat
+    assert out[1]["dup_line_char_frac"] == 0.5    # both 'line a' copies count
+    assert out[2]["dup_word_frac"] == 0.5         # w w w unique -> 2 distinct / 4
+    assert out[3]["n_lines"] is None and out[3]["dup_word_frac"] is None
