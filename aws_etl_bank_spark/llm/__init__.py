@@ -20,7 +20,9 @@ from aws_etl_bank_spark.llm.text import (  # noqa: F401
     chunk_documents,
     fingerprint,
     language_id,
+    pii_scrub,
     quality_score,
+    repetition_signals,
     stratified_sample,
     text_stats,
 )
