@@ -136,18 +136,21 @@ def widen_if_underscanned(df: DataFrame, *keys: str | Column,
     non-file sources fall back to ``rdd.getNumPartitions()``.
 
     Idempotent under composition: if ``df``'s plan already carries a
-    RepartitionByExpression (ours from an inner widened operator, or the
-    caller's own keyed repartition), the frame is returned unchanged —
-    no stacked re-shuffles when widened operators compose (e.g.
-    quality_score over language_id).  A plain ``coalesce`` does NOT
-    suppress the widen: its Repartition(shuffle=false) node is exactly
-    the narrow-scan shape this helper exists to fix."""
+    shuffle repartition — keyed (``RepartitionByExpression``) or
+    round-robin (``Repartition n, true``; ours from an inner widened
+    operator, or the caller's own choice) — the frame is returned
+    unchanged: no stacked re-shuffles when widened operators compose
+    (e.g. quality_score over language_id).  A plain ``coalesce``
+    (``Repartition n, false``) does NOT suppress the widen: a collapsed
+    narrow scan is exactly the shape this helper exists to fix."""
     import math
     import os
+    import re
 
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if "RepartitionByExpression" in df._jdf.queryExecution().analyzed().toString():
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if re.search(r"RepartitionByExpression|Repartition \d+, true", plan):
         return df
     src = probe if probe is not None else df
     try:

@@ -92,3 +92,16 @@ def test_widen_if_underscanned_only_fires_below_cores(spark):
     # at-or-above cores: unchanged plan (no-op)
     wide = spark.range(0, 1_000).repartition(cores + 4)
     assert scale.widen_if_underscanned(wide, "id") is wide
+
+
+def test_widen_is_idempotent_under_composition(spark, tmp_path):
+    # a compact single-file parquet source under-splits the scan
+    p = str(tmp_path / "narrow.parquet")
+    spark.range(0, 1_000).withColumn("k", F.pmod("id", F.lit(7))) \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    src = spark.read.parquet(p)
+    once = scale.widen_if_underscanned(src)           # round-robin widen
+    assert once is not src
+    # composing a second widened operator must NOT stack another shuffle
+    assert scale.widen_if_underscanned(once) is once
+    assert scale.widen_if_underscanned(once, "k") is once
