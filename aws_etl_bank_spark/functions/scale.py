@@ -15,6 +15,8 @@ or the join pattern ahead of time and want it structural:
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -142,16 +144,16 @@ def widen_if_underscanned(df: DataFrame, *keys: str | Column,
     unchanged: no stacked re-shuffles when widened operators compose
     (e.g. quality_score over language_id).  A plain ``coalesce``
     (``Repartition n, false``) does NOT suppress the widen: a collapsed
-    narrow scan is exactly the shape this helper exists to fix."""
+    narrow scan is exactly the shape this helper exists to fix.  The
+    decision looks at the TOPMOST repartition-family node (a coalesce
+    stacked over a repartition re-narrows the frame, so the widen must
+    still fire), and only when the file-based estimate already proved
+    under-scan — the at-scale fast path never renders the plan."""
     import math
     import os
-    import re
 
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if re.search(r"RepartitionByExpression|Repartition \d+, true", plan):
-        return df
     src = probe if probe is not None else df
     try:
         files = [_strip_file_scheme(f) for f in src.inputFiles()]
@@ -163,7 +165,29 @@ def widen_if_underscanned(df: DataFrame, *keys: str | Column,
         est = src.rdd.getNumPartitions()
     if est >= cores:
         return df
+    if _plan_already_widened(df._jdf.queryExecution().analyzed().toString()):
+        return df
     return df.repartition(cores, *keys)
+
+
+#: Matches a repartition-family node at the START of an analyzed-plan tree
+#: line (after the ``:  +-`` tree-drawing prefix) — never a string literal
+#: rendered mid-line inside a Filter or similar.
+_REPART_NODE = re.compile(
+    r"^[\s:+-]*(?:RepartitionByExpression|Repartition \d+, (true|false))")
+
+
+def _plan_already_widened(plan: str) -> bool:
+    """True if the topmost repartition-family node in the analyzed plan is
+    a shuffle (keyed or round-robin); False when there is none or the
+    topmost is a coalesce (shuffle=false), which re-narrows whatever sits
+    below it.  Top-down first-match is a heuristic for multi-branch
+    plans, exact for the linear operator chains this guards."""
+    for line in plan.splitlines():
+        m = _REPART_NODE.match(line)
+        if m:
+            return m.group(1) != "false"  # None (keyed) or 'true' → shuffle
+    return False
 
 
 def _strip_file_scheme(path: str) -> str:

@@ -179,10 +179,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     convergence probe is a flag counted on the SAME pass (no extra join
     job).  This is the standard iterative-CC-over-edge-list shape that
     scales to 100 TB pair lists; the driver holds only loop control,
-    never data.  If ``max_iterations`` is exhausted before the fixpoint
-    (graph diameter > max_iterations) a loud warning is emitted — labels
-    are then an under-merged over-approximation (some components appear
-    split), never wrongly merged."""
+    never data.  If ``max_iterations`` rounds pass without a zero-change
+    round a loud warning is emitted: convergence is unverified — labels
+    MAY be an under-merged over-approximation (some components appear
+    split; they are complete only if the last round happened to apply the
+    final updates), never wrongly merged."""
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     edges = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     edges = edges.persist()
@@ -210,9 +211,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     edges.unpersist()
     if not converged:
         log.warning(
-            "connected_components: max_iterations=%d exhausted before the "
-            "fixpoint — components with diameter > %d are still split; "
-            "raise max_iterations for chain-heavy graphs",
+            "connected_components: no zero-change round within "
+            "max_iterations=%d — convergence unverified; components with "
+            "diameter > %d may still be split (labels are complete only "
+            "if the final round applied the last updates). Raise "
+            "max_iterations for chain-heavy graphs.",
             max_iterations, max_iterations,
         )
     return labels.select("id", F.col("comp").alias("component"))

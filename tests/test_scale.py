@@ -105,3 +105,17 @@ def test_widen_is_idempotent_under_composition(spark, tmp_path):
     # composing a second widened operator must NOT stack another shuffle
     assert scale.widen_if_underscanned(once) is once
     assert scale.widen_if_underscanned(once, "k") is once
+
+
+def test_widen_fires_on_coalesce_over_repartition(spark, tmp_path):
+    p = str(tmp_path / "renarrow.parquet")
+    spark.range(0, 1_000).coalesce(1).write.mode("overwrite").parquet(p)
+    cores = spark.sparkContext.defaultParallelism
+    # a coalesce stacked over a repartition re-narrows the frame: the
+    # topmost repartition-family node is the coalesce, so widen must fire
+    renarrowed = spark.read.parquet(p).repartition(cores).coalesce(1)
+    widened = scale.widen_if_underscanned(renarrowed)
+    assert widened.rdd.getNumPartitions() == cores
+    # a plan-string LITERAL mentioning a repartition node must not suppress
+    lit = spark.read.parquet(p).filter(F.lit("Repartition 5, true") != "x")
+    assert scale.widen_if_underscanned(lit) is not lit
