@@ -1,5 +1,6 @@
 from aws_etl_bank_spark.llm.dedup import (  # noqa: F401
     connected_components,
+    decontaminate,
     dedup_keep_transitive,
     exact_dedup,
     minhash_signatures,
@@ -25,6 +26,7 @@ from aws_etl_bank_spark.llm.text import (  # noqa: F401
     repetition_signals,
     stratified_sample,
     text_stats,
+    token_budget_sample,
 )
 from aws_etl_bank_spark.llm.multimodal import (  # noqa: F401
     attach_binary_payload,

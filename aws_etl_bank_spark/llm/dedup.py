@@ -248,6 +248,75 @@ def minhash_dedup_keep(df: DataFrame, text_col: str, id_col: str,
     return df.join(losers, id_col, "left_anti")
 
 
+def decontaminate(df: DataFrame, benchmark: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bench_text_col: str = "text",
+                  shingle_n: int = 3, frac_threshold: float = 0.5,
+                  mode: str = "flag") -> DataFrame:
+    """Benchmark decontamination: score every corpus document by its
+    distinct word-``shingle_n``-gram overlap with an evaluation benchmark
+    and flag documents whose matched shingle fraction reaches
+    ``frac_threshold`` — the standard guard against eval-set leakage into
+    training data (real pipelines use long n-grams, e.g. 13, where any
+    collision is decisive; the fraction form also works for the short
+    n-grams tests use).
+
+    Output: all ``df`` columns plus ``n_matched_ngrams`` (distinct
+    shingles shared with the benchmark, bigint), ``matched_frac``
+    (share of the document's distinct shingles that are matched, rounded
+    to 4), and ``contaminated`` (boolean).  ``mode="drop"`` instead
+    returns only the clean rows, signal columns omitted.
+
+    100 TB design: an eval benchmark is tiny (thousands of items), so its
+    distinct-shingle set is broadcast — the corpus side is one scan +
+    shingle explode + broadcast inner join + one hash aggregation on doc
+    id, then an id-keyed join back to the corpus rows (AQE-planned;
+    broadcast when the matched set is small).  Nothing corpus×corpus.
+    The per-doc shingle parse is the same single-parse Generate barrier
+    as every other dedup op (:func:`_shingle_frame`)."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    doc_sh = _shingle_frame(df, text_col, id_col, shingle_n)
+    doc_sh = doc_sh.select(
+        F.col(id_col),
+        F.size("sh_arr").alias("__sz"),
+        F.explode("sh_arr").alias("__sh"),
+    )
+    # the benchmark "id" is its own text: _shingle_frame only needs a
+    # pass-through column, and a well-distributed key keeps its widen
+    # path (if taken) balanced — a constant would hash to one partition
+    bench_sh = (
+        _shingle_frame(
+            benchmark.select(F.col(bench_text_col).alias("__bid"),
+                             F.col(bench_text_col)),
+            bench_text_col, "__bid", shingle_n)
+        .select(F.explode("sh_arr").alias("__sh"))
+        .distinct()
+    )
+    matched = (
+        doc_sh.join(F.broadcast(bench_sh), "__sh")
+        .groupBy(id_col, "__sz")
+        .agg(F.count("*").alias("__n"))  # shingles are distinct per doc
+    )
+    # 1e-9 nudge: matched_frac is a small-denominator rational, so the
+    # 5th decimal can be a systematic half-tie; the nudge makes Spark and
+    # a SQL oracle round identically (same rationale as quality_score).
+    signals = matched.select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_matched_ngrams"),
+        F.round(F.col("__n") / F.col("__sz") + F.lit(1e-9), 4).alias("matched_frac"),
+    )
+    out = (
+        df.join(signals, id_col, "left")
+        .withColumn("n_matched_ngrams", F.coalesce("n_matched_ngrams", F.lit(0).cast("long")))
+        .withColumn("matched_frac", F.coalesce("matched_frac", F.lit(0.0)))
+        .withColumn("contaminated", F.col("matched_frac") >= frac_threshold)
+    )
+    if mode == "drop":
+        return out.filter(~F.col("contaminated")).drop(
+            "n_matched_ngrams", "matched_frac", "contaminated")
+    return out
+
+
 #: Default hub-shingle document-frequency cut.  A shingle occurring in
 #: df documents contributes ~df²/2 join rows, so an unbounded hub makes
 #: the self-join quadratic; 10k caps any single shingle's contribution

@@ -267,6 +267,36 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_budget_sample(df: DataFrame, strata_col: str, budget_tokens: int,
+                        text_col: str = "text",
+                        order_col: str = "doc_id") -> DataFrame:
+    """Corpus mixing by token budget: keep, per stratum (source/domain/
+    language), the first documents by ``order_col`` until ``budget_tokens``
+    whitespace tokens are reached — the "N billion tokens per source"
+    step of assembling a training mix.  A document is kept when it STARTS
+    before the budget is exhausted (cumulative tokens of strictly earlier
+    docs < budget), so each stratum slightly overshoots rather than
+    undershoots, matching how packing pipelines cut corpora.
+
+    Adds ``doc_tokens`` and the running ``cum_tokens`` (inclusive) for
+    auditability.  One shuffle on the stratum key; the running sum is a
+    single window sort that AQE can skew-split, and nothing is collected
+    to the driver.  For a random-but-reproducible mix, pass
+    ``order_col=<hash column>`` built via ``F.xxhash64``."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.withColumn("doc_tokens", token_count(F.col(text_col)))
+    return (
+        base.withColumn("cum_tokens", F.sum("doc_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("doc_tokens") < budget_tokens)
+    )
+
+
 def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
                       order_col: str = "doc_id") -> DataFrame:
     """Deterministic per-stratum quota sample: the first

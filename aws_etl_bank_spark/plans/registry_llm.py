@@ -704,3 +704,63 @@ def stratified_sample_lang(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_sample(docs, "lang", 20, order_col="doc_id")
+
+
+@q("text_decontaminate", r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents
+),
+s AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct([array_to_string(words[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                     for i in range(1, len(words) - 1)])
+    ELSE [array_to_string(words, ' ')] END) AS sh
+  FROM w
+),
+bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+m AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+      FROM s JOIN bench USING (sh) GROUP BY s.doc_id)
+SELECT d.doc_id,
+       COALESCE(n_matched, 0) AS n_matched_ngrams,
+       COALESCE(round(n_matched / CAST(sz AS DOUBLE) + 0.000000001, 4), 0.0) AS matched_frac,
+       COALESCE(round(n_matched / CAST(sz AS DOUBLE) + 0.000000001, 4), 0.0) >= 0.5 AS contaminated
+FROM documents d
+JOIN sizes USING (doc_id)
+LEFT JOIN m USING (doc_id)""")
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every corpus document scored by its
+    distinct-3-gram overlap against a planted 6-doc "benchmark" (doc_id %
+    97 = 0 — the benchmark docs themselves plus their near-dups cross the
+    0.5 matched-fraction flag; unrelated docs keep incidental low
+    fractions).  Broadcast benchmark-shingle semi-join + one hash agg."""
+    from aws_etl_bank_spark.llm import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, shingle_n=3, frac_threshold=0.5).select(
+        "doc_id", "n_matched_ngrams", "matched_frac", "contaminated")
+
+
+@q("token_budget_mix", r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS doc_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, doc_tokens,
+         CAST(sum(doc_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM t)
+SELECT doc_id, source, doc_tokens, cum_tokens
+FROM c WHERE cum_tokens - doc_tokens < 600""")
+def token_budget_mix(spark, sf_dir):
+    """Token-budget corpus mixing: per source, keep documents (by doc_id)
+    until a 600-token budget is reached — the per-source quota step of a
+    training-mix assembly.  One window shuffle on the stratum key."""
+    from aws_etl_bank_spark.llm import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return token_budget_sample(docs, "source", 600).select(
+        "doc_id", "source", "doc_tokens", "cum_tokens")

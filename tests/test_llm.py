@@ -362,3 +362,37 @@ def test_repetition_signals_planted_dups(spark):
     assert out[1]["dup_line_char_frac"] == 0.5    # both 'line a' copies count
     assert out[2]["dup_word_frac"] == 0.5         # w w w unique -> 2 distinct / 4
     assert out[3]["n_lines"] is None and out[3]["dup_word_frac"] is None
+
+
+def test_decontaminate_flags_benchmark_overlap(docs, spark):
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog near the river bank today",)],
+        "text string")
+    out = {r["doc_id"]: r for r in dedup.decontaminate(docs, bench).collect()}
+    # docs 1 and 2 ARE the benchmark text; doc 3 is a near-dup of it
+    assert out[1]["contaminated"] and out[2]["contaminated"] and out[3]["contaminated"]
+    assert not out[4]["contaminated"] and not out[5]["contaminated"]
+    assert out[1]["matched_frac"] == 1.0
+    assert out[4]["n_matched_ngrams"] == 0 and out[4]["matched_frac"] == 0.0
+    # drop mode removes flagged rows and the signal columns
+    clean = dedup.decontaminate(docs, bench, mode="drop")
+    assert {r["doc_id"] for r in clean.collect()} == {4, 5}
+    assert "contaminated" not in clean.columns
+
+
+def test_decontaminate_plan_broadcasts_benchmark(docs, spark):
+    bench = spark.createDataFrame([("some benchmark text here",)], "text string")
+    plan = dedup.decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_budget_sample_per_stratum_cut(spark):
+    rows = [(i, "s%d" % (i % 2), "w " * 10) for i in range(1, 9)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = text.token_budget_sample(df, "source", 25)
+    got = sorted((r["doc_id"], r["cum_tokens"]) for r in out.collect())
+    # per stratum: docs start at cum 0,10,20 -> 3 kept each (30 tokens overshoot)
+    assert [d for d, _ in got] == [1, 2, 3, 4, 5, 6]
+    assert all(c - 10 < 25 for _, c in got)
+    assert "doc_tokens" in out.columns
