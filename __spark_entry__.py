@@ -29,11 +29,10 @@ _PRIORITY = [
     "csv_allstrings_cast", "unbox_json", "scd2_merge_dim", "unbox_csv",
     "unnest_struct", "unnest_ddb", "relationalize_root", "relationalize_child",
     "spigot_passthrough", "catalog_pushdown", "dedup_exact",
-    "dedup_minhash_pairs", "dedup_minhash_keep", "dedup_simhash_pairs",
     "graph_connected_components", "dedup_ngram_keep_transitive",
     "dedup_ngram_jaccard", "dedup_embedding_pairs", "ann_bruteforce_topk",
-    "ann_ivf_topk", "text_stats_quality", "text_token_counts", "text_langid",
-    "text_fingerprint", "multimodal_meta", "multimodal_frames",
+    "text_stats_quality", "text_token_counts", "text_langid",
+    "multimodal_meta", "multimodal_frames",
     "stream_window_counts", "stream_sessionize", "stream_stateful_counts",
     "stream_foreach_batch",
     # round-3 additions: previously tests-only API surfaces, now oracle-checked
@@ -45,8 +44,12 @@ _PRIORITY = [
     "rdd_source_frame", "count_actions", "stream_sample_poll",
     "sink_collection_write", "catalog_purge_partitions", "governed_txn_write",
     "llm_curation_pipeline", "text_chunking", "stratified_sample_lang",
-    # rows-only, so least harmed if a driver evaluation cap lands mid-list
-    "ann_ivf_trained_topk",
+    "text_pii_scrub", "text_repetition", "text_decontaminate",
+    "token_budget_mix",
+    # rows-only (hash-family / approximate by design): weaker driver check,
+    # so least harmed if a driver evaluation cap lands mid-list
+    "dedup_minhash_pairs", "dedup_minhash_keep", "dedup_simhash_pairs",
+    "text_fingerprint", "ann_ivf_topk", "ann_ivf_trained_topk",
 ]
 
 
