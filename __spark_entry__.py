@@ -46,6 +46,7 @@ _PRIORITY = [
     "llm_curation_pipeline", "text_chunking", "stratified_sample_lang",
     "text_pii_scrub", "text_repetition", "text_decontaminate",
     "token_budget_mix",
+    "join_asof_purchase", "join_range_bands", "dedup_lines_c4",
     # rows-only (hash-family / approximate by design): weaker driver check,
     # so least harmed if a driver evaluation cap lands mid-list
     "dedup_minhash_pairs", "dedup_minhash_keep", "dedup_simhash_pairs",

@@ -3,6 +3,7 @@ from aws_etl_bank_spark.llm.dedup import (  # noqa: F401
     decontaminate,
     dedup_keep_transitive,
     exact_dedup,
+    line_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
     minhash_dedup_keep,

@@ -605,3 +605,57 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str, dim: int,
         .filter(F.col("cosine") >= cosine_threshold)
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"), "cosine")
     )
+
+
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               min_chars: int = 1) -> DataFrame:
+    """Corpus-wide exact line deduplication (C4/CCNet-style): every
+    distinct line is kept at its first occurrence — smallest
+    ``(id, position)`` — and removed from every other document; each
+    document is then reassembled from its surviving lines in order.
+
+    Returns ``(id, text, n_lines, n_kept)`` for every input row —
+    documents whose lines were all claimed elsewhere come back with an
+    empty string, so the caller decides the drop policy.  Lines shorter
+    than ``min_chars`` (blank lines by default) bypass dedup: a web
+    corpus has billions of identical blank/short lines, and removing all
+    but one would be noise, not dedup.
+
+    Plan shape (no window over the line key, on purpose): the winner per
+    line is ``min(struct(id, pos))`` — a hash aggregation with map-side
+    partial combine, so a hub line (boilerplate headers, "Home") reduces
+    to one struct per map task instead of serializing a billion-row
+    window sort.  The winner rows ARE the kept long lines — no join back
+    to the exploded frame.  Cost: explode + two hash aggs + one
+    broadcast-or-shuffle join to re-attach empty documents.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    long_kept = (
+        lines.filter(F.length("line") >= min_chars)
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"),
+                "line")
+    )
+    kept = long_kept.unionByName(lines.filter(F.length("line") < min_chars))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"]),
+        ).alias("__text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+    )

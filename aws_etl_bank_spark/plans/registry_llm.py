@@ -764,3 +764,105 @@ def token_budget_mix(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return token_budget_sample(docs, "source", 600).select(
         "doc_id", "source", "doc_tokens", "cum_tokens")
+
+
+@q("join_asof_purchase", """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS purchase_ts, r.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts""")
+def join_asof_purchase(spark, sf_dir):
+    """As-of join (operators/joins.py): each click picks up the latest
+    purchase at-or-before it per user — attribution, the canonical
+    event-stream enrichment.  Beyond-reference (the reference has only
+    equi-joins); checked against DuckDB's native ASOF JOIN.  Union +
+    keyed window: ONE exchange, no join node (asserted in
+    tests/test_joins.py)."""
+    from aws_etl_bank_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    return asof_join(clicks, purchases, on="user_id", left_ts="ts").select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
+@q("join_range_bands", """
+SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM customer c JOIN orders o
+  ON o.o_totalprice BETWEEN c.c_acctbal * 50 - 500 AND c.c_acctbal * 50 + 500
+GROUP BY c_custkey""")
+def join_range_bands(spark, sf_dir):
+    """Range join (operators/joins.py): order prices matched into
+    per-customer price bands — a point-in-interval join with NO equi
+    key, which raw Spark plans as BroadcastNestedLoop (quadratic at
+    scale).  The operator bucketizes both sides (width 1000 ~ the band
+    width) and equi-joins on the bucket id; DuckDB's IEJoin is the
+    oracle.  No-nested-loop plan asserted in tests/test_joins.py."""
+    from aws_etl_bank_spark.operators.joins import range_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") * 50 - 500).alias("lo"),
+        (F.col("c_acctbal") * 50 + 500).alias("hi"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    return (
+        range_join(orders, cust, "o_totalprice", "lo", "hi",
+                   bucket_width=1000.0)
+        .groupBy("c_custkey")
+        .agg(F.count("*").cast("long").alias("n_orders"),
+             F.min("o_totalprice").alias("min_price"),
+             F.max("o_totalprice").alias("max_price"))
+    )
+
+
+@q("dedup_lines_c4", r"""
+WITH a AS (
+  SELECT doc_id,
+         'COMMON HEADER' || chr(10) || text || chr(10) || 'footer ' || (doc_id % 5) AS text
+  FROM documents),
+s AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM a),
+l AS (SELECT doc_id, unnest([{'pos': i, 'line': arr[i]}
+                             for i in range(1, len(arr) + 1)]) AS pl FROM s),
+f AS (SELECT doc_id, pl.pos AS pos, pl.line AS line FROM l),
+k AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM f WHERE length(line) >= 1),
+kept AS (SELECT doc_id, pos, line FROM k WHERE rn = 1
+         UNION ALL
+         SELECT doc_id, pos, line FROM f WHERE length(line) < 1),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT a.doc_id, coalesce(reb.text2, '') AS text,
+       CAST(len(string_split(a.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+FROM a LEFT JOIN reb USING (doc_id)""")
+def dedup_lines_c4(spark, sf_dir):
+    """C4/CCNet-style corpus-wide line dedup: every distinct line
+    survives only at its first (doc_id, pos) occurrence; documents are
+    reassembled from their surviving lines.  The corpus is single-line,
+    so cross-document duplicates are planted identically in Spark and
+    the oracle: a header shared by every document and one of five
+    rotating footers.  Winner-per-line is min(struct(id, pos)) — hash
+    agg with map-side combine, hub-line safe (no per-line window sort;
+    asserted in tests/test_llm.py)."""
+    from aws_etl_bank_spark.llm import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("COMMON HEADER\n"), F.col("text"),
+                 F.lit("\nfooter "),
+                 (F.col("doc_id") % 5).cast("string")).alias("text"),
+    )
+    return line_dedup(docs)

@@ -396,3 +396,34 @@ def test_token_budget_sample_per_stratum_cut(spark):
     assert [d for d, _ in got] == [1, 2, 3, 4, 5, 6]
     assert all(c - 10 < 25 for _, c in got)
     assert "doc_tokens" in out.columns
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "shared header\nunique one\n\nshort"),
+            (2, "shared header\nunique two\n\nshort"),
+            (3, "shared header"),          # nothing survives
+            (4, "unique four\nunique one"),  # 'unique one' claimed by doc 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs).collect()}
+    # doc 1 is first (min doc_id) for every one of its long lines
+    assert out[1]["text"] == "shared header\nunique one\n\nshort"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (4, 4)
+    # doc 2 loses 'shared header' and 'short' but keeps its blank line
+    # (len < min_chars bypasses dedup) and its unique line, in order
+    assert out[2]["text"] == "unique two\n\nshort" or out[2]["text"] == "unique two\n"
+    assert out[2]["n_kept"] == out[2]["text"].count("\n") + 1
+    # doc 3: all lines claimed -> empty text, still present
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text"] == "unique four"
+
+
+def test_line_dedup_no_window_over_line_key(spark):
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = dedup.line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    # hub-line safety: winner per line must be a hash aggregate (map-side
+    # combine), never a per-line window sort
+    assert "Window" not in plan
