@@ -81,6 +81,10 @@ def asof_join(
             ).schema["s"].dataType
         ).alias("__rpay"),
     )
+    # a NULL right timestamp can never win an ASOF comparison (l.ts >= NULL
+    # is NULL) — but unfiltered it would sort nulls-first and its payload
+    # would leak into every left row via last(ignorenulls)
+    right = right.filter(F.col(right_ts).isNotNull())
     r2 = right.select(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns
           if c not in keys],

@@ -1447,3 +1447,101 @@ def governed_txn_write(spark, sf_dir):
     assert ctx.cancel_transaction(txn2)
     back = ctx.create_dynamic_frame_from_catalog("golden", "nation_txn").toDF()
     return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q("ts_bucket_rollup", """
+SELECT event_type,
+       to_timestamp(floor(epoch(ts) / 21600) * 21600) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2""")
+def ts_bucket_rollup(spark, sf_dir):
+    """Hypertable-style rollup (functions/timeseries.py): events into
+    6-hour epoch-aligned buckets per type — one shuffle, map-side
+    partial agg.  The oracle uses the same epoch arithmetic, so bucket
+    alignment is pinned rather than delegated to an engine builtin."""
+    from aws_etl_bank_spark.functions.timeseries import rollup_time_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_time_bucket(
+        ev, "ts", 6 * 3600, ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"),
+         F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+
+
+@q("ts_gapfill_hourly", """
+WITH rolled AS (
+  SELECT event_type,
+         to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE event_type IN ('signup', 'error') GROUP BY 1, 2),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM rolled),
+spine AS (
+  SELECT k.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT DISTINCT event_type FROM rolled) k, bounds b)
+SELECT s.event_type, s.bucket,
+       CAST(coalesce(r.n_events, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN rolled r USING (event_type, bucket)""")
+def ts_gapfill_hourly(spark, sf_dir):
+    """Gap-filled hourly rollup (functions/timeseries.py): every
+    (event_type, hour) over the global span gets a row, absent hours
+    filled with 0 — the continuous-aggregate densify step.  Spine =
+    distinct keys x sequence(min, max) — exactly the output size; the
+    bounds row broadcasts."""
+    from aws_etl_bank_spark.functions.timeseries import (
+        gap_fill, rollup_time_bucket)
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "error"))
+    rolled = rollup_time_bucket(
+        ev, "ts", 3600, ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")])
+    return gap_fill(rolled, "bucket", 3600, ["event_type"],
+                    {"n_events": F.lit(0).cast("long")})
+
+
+@q("agg_cube_grouping", """
+SELECT CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(d) AS INT) AS g_day,
+       event_type, d AS event_day,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM (SELECT event_type, CAST(day(ts) AS INT) AS d, value FROM events)
+GROUP BY CUBE (event_type, d)""")
+def agg_cube_grouping(spark, sf_dir):
+    """CUBE aggregation with grouping flags: all 2^2 subtotal layers in
+    one pass (Spark expands grouping sets inside a single hash-agg +
+    one exchange, not one scan per layer)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").cast("int").alias("event_day"), "value")
+    return (
+        ev.cube("event_type", "event_day")
+        .agg(F.grouping("event_type").cast("int").alias("g_type"),
+             F.grouping("event_day").cast("int").alias("g_day"),
+             F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("g_type", "g_day", "event_type", "event_day", "n",
+                "sum_value")
+    )
+
+
+@q("pivot_event_counts", """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY user_id""")
+def pivot_event_counts(spark, sf_dir):
+    """Pivot: per-user event counts, one column per event type.  The
+    pivot values are passed explicitly — with an explicit list Spark
+    skips the extra distinct-values job and plans a single aggregation;
+    missing combinations coalesce to 0 to match the oracle's FILTER
+    counts."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", types).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types])

@@ -34,6 +34,10 @@ HEADLINE = [
     "scd2_merge_dim",
     "relationalize_child",
     "llm_curation_pipeline",
+    # late-r03 additions: as-of join (union+window, no join node) and
+    # corpus-wide line dedup (hash-agg winner per line)
+    "join_asof_purchase",
+    "dedup_lines_c4",
 ]
 
 

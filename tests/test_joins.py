@@ -139,3 +139,10 @@ def test_range_join_matches_naive(spark):
         got = sorted((r.pid, r.iid) for r in range_join(
             points, ivs, "v", "lo", "hi", bucket_width=width).collect())
         assert got == naive, f"width={width}"
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, None, "leak")], "k int, t int, a string")
+    row = asof_join(left, right, on="k", left_ts="t").collect()[0]
+    assert (row.a, row.t_r) == (None, None)

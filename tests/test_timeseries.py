@@ -1,0 +1,64 @@
+"""functions/timeseries.py — time_bucket / rollup / gap_fill semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_etl_bank_spark.functions.timeseries import (
+    gap_fill, rollup_time_bucket, time_bucket)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_time_bucket_epoch_alignment(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 14:30:00"),), (_ts("2024-01-01 00:00:00"),),
+         (_ts("2024-01-01 17:59:59"),)],
+        "ts timestamp",
+    )
+    got = [r.b for r in df.select(time_bucket("ts", 6 * 3600).alias("b"))
+           .collect()]
+    assert got == [_ts("2024-01-01 12:00:00"), _ts("2024-01-01 00:00:00"),
+                   _ts("2024-01-01 12:00:00")]
+    with pytest.raises(ValueError):
+        time_bucket("ts", 0)
+
+
+def test_rollup_and_gap_fill(spark):
+    df = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:10:00"), 1.0),
+         ("a", _ts("2024-01-01 00:50:00"), 2.0),
+         # hour 01 empty for both keys
+         ("a", _ts("2024-01-01 02:05:00"), 3.0),
+         ("b", _ts("2024-01-01 00:30:00"), 4.0)],
+        "k string, ts timestamp, v double",
+    )
+    rolled = rollup_time_bucket(
+        df, "ts", 3600, ["k"],
+        [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")])
+    assert rolled.count() == 3
+    filled = gap_fill(rolled, "bucket", 3600, ["k"],
+                      {"n": F.lit(0).cast("long")})
+    rows = {(r.k, r.bucket.hour): (r.n, r.s) for r in filled.collect()}
+    # dense: 2 keys x 3 hours over the global [min, max] span
+    assert len(rows) == 6
+    assert rows[("a", 0)] == (2, 3.0)
+    assert rows[("a", 1)] == (0, None)   # n filled, s left NULL
+    assert rows[("b", 2)] == (0, None)
+    assert rows[("b", 0)] == (1, 4.0)
+
+
+def test_gap_fill_bounds_join_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:10:00"), 1.0)], "k string, ts timestamp, v double")
+    rolled = rollup_time_bucket(df, "ts", 3600, ["k"],
+                                [F.count(F.lit(1)).alias("n")])
+    plan = gap_fill(rolled, "bucket", 3600, ["k"], {"n": F.lit(0)}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the 1-row bounds frame must broadcast, never shuffle-cartesian
+    assert "CartesianProduct" not in plan
