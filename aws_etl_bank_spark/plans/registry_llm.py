@@ -866,3 +866,87 @@ def dedup_lines_c4(spark, sf_dir):
                  (F.col("doc_id") % 5).cast("string")).alias("text"),
     )
     return line_dedup(docs)
+
+
+@q("stream_stream_join", """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts, p.value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts - INTERVAL 12 HOURS AND p.ts <= c.ts""")
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join run as a REAL streaming
+    query (two file-stream sources, append-mode memory sink,
+    availableNow): purchases in the 12 h before each click, per user.
+    The 45-day watermark exceeds the corpus span so no match is
+    dropped and the append-mode result equals the batch inequality
+    join DuckDB computes.  At scale the watermark horizon — not stream
+    length — bounds the join state (streaming/joins.py)."""
+    import time as _time
+
+    from aws_etl_bank_spark.streaming.joins import stream_interval_join
+
+    stream_dir = _events_stream_dir(sf_dir)
+    raw_schema = spark.read.parquet(stream_dir).schema
+
+    def mkstream():
+        return (
+            spark.readStream.schema(raw_schema).parquet(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+
+    clicks = mkstream().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts")
+    purchases = mkstream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value")
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        bound_before="12 HOURS", watermark="45 days",
+    ).select(
+        "click_id", "user_id", F.col("ts").alias("click_ts"),
+        "purchase_id", F.col("ts_r").alias("purchase_ts"), "value")
+
+    name = f"stream_ssj_{int(_time.time() * 1000) % 10_000_000}"
+    query = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    result = spark.table(name).collect()
+    return spark.createDataFrame(result, spark.table(name).schema)
+
+
+@q("stream_dedup_ids", """
+SELECT event_id, event_type, user_id, ts, value FROM events""")
+def stream_dedup_ids(spark, sf_dir):
+    """Streaming first-arrival dedup run as a REAL streaming query: the
+    event stream unioned with a second read of itself (every row
+    duplicated) then dropDuplicates on event_id across micro-batches —
+    the exactly-once ingestion pattern.  Exact-mode here (bounded
+    replay); the watermarked horizon variant
+    (dropDuplicatesWithinWatermark) is unit-tested."""
+    import time as _time
+
+    from aws_etl_bank_spark.streaming.joins import stream_dedup
+
+    stream_dir = _events_stream_dir(sf_dir)
+    raw_schema = spark.read.parquet(stream_dir).schema
+
+    def mkstream():
+        return (
+            spark.readStream.schema(raw_schema).parquet(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .select("event_id", "event_type", "user_id", "ts", "value")
+        )
+
+    doubled = mkstream().unionByName(mkstream())
+    deduped = stream_dedup(doubled, ["event_id"])
+    name = f"stream_dd_{int(_time.time() * 1000) % 10_000_000}"
+    query = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    result = spark.table(name).collect()
+    return spark.createDataFrame(result, spark.table(name).schema)

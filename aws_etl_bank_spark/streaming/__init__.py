@@ -7,3 +7,7 @@ from aws_etl_bank_spark.streaming.sessionize import (  # noqa: F401
     session_stats,
     stateful_user_counts,
 )
+from aws_etl_bank_spark.streaming.joins import (  # noqa: F401
+    stream_dedup,
+    stream_interval_join,
+)

@@ -214,3 +214,63 @@ def test_stateful_user_counts_stream(spark, scratch):
            for r in spark.table(name).groupBy("user_id")
                          .agg(F.max("n_events").alias("n_events")).collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_stream_interval_join_batch_equivalence(spark):
+    """The same builder runs in batch mode; bounds are inclusive and
+    only right rows in [left_ts - bound, left_ts] match."""
+    import datetime as dt
+
+    from aws_etl_bank_spark.streaming.joins import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, "u", t0)], "click_id int, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, "u", t0 - dt.timedelta(hours=13), 1.0),   # too old
+         (11, "u", t0 - dt.timedelta(hours=12), 2.0),   # boundary: in
+         (12, "u", t0, 3.0),                             # tie: in
+         (13, "u", t0 + dt.timedelta(seconds=1), 4.0),  # after: out
+         (14, "v", t0, 5.0)],                            # other key
+        "purchase_id int, user_id string, ts timestamp, value double")
+    got = sorted(
+        r.purchase_id for r in stream_interval_join(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            bound_before="12 HOURS").collect())
+    assert got == [11, 12]
+
+
+def test_stream_dedup_watermark_variant(spark):
+    """dropDuplicatesWithinWatermark path: duplicates inside the horizon
+    collapse; the exact path dedups globally."""
+    import datetime as dt
+
+    from aws_etl_bank_spark.streaming.joins import stream_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=5)), (2, t0)],
+        "k int, ts timestamp")
+    assert stream_dedup(df, ["k"]).count() == 2
+    # batch frames cannot run dropDuplicatesWithinWatermark: the horizon
+    # arguments degrade to exact dedup
+    assert stream_dedup(df, ["k"], ts_col="ts", watermark="1 hour").count() == 2
+
+
+def test_stream_dedup_watermark_streaming_path(spark, tmp_path):
+    """The dropDuplicatesWithinWatermark path on a real file stream."""
+    import datetime as dt
+
+    from aws_etl_bank_spark.streaming.joins import stream_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=5)), (2, t0)],
+        "k int, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("k int, ts timestamp").parquet(src)
+    out = stream_dedup(stream, ["k"], ts_col="ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dd_wm_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("dd_wm_test").count() == 2
