@@ -49,6 +49,7 @@ _PRIORITY = [
     "join_asof_purchase", "join_range_bands", "dedup_lines_c4",
     "ts_bucket_rollup", "ts_gapfill_hourly", "agg_cube_grouping",
     "pivot_event_counts", "stream_stream_join", "stream_dedup_ids",
+    "agg_percentiles", "scd2_as_of_read",
     # rows-only (hash-family / approximate by design): weaker driver check,
     # so least harmed if a driver evaluation cap lands mid-list
     "dedup_minhash_pairs", "dedup_minhash_keep", "dedup_simhash_pairs",

@@ -214,3 +214,23 @@ def _parse_bytes(s: str) -> int:
         mult = _BYTE_SUFFIXES[v[-1]]
         v = v[:-1]
     return int(v) * mult
+
+
+def write_range_clustered(df: DataFrame, path: str, cluster_cols: list[str],
+                          n_files: int | None = None) -> None:
+    """Write parquet laid out for data skipping on ``cluster_cols``:
+    repartitionByRange + sortWithinPartitions, so each output file covers
+    a narrow, non-overlapping key range and its parquet min/max footer
+    stats prune whole files for range predicates — the poor man's
+    Z-order for single-dimension (or prefix-ordered) access patterns.
+
+    At 100 TB this is the difference between a range scan touching a few
+    files and touching all of them; the range exchange samples the key
+    distribution, so skew produces uneven file sizes rather than wrong
+    pruning.  ``n_files`` defaults to the current parallelism."""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite").parquet(path)
+    )

@@ -1545,3 +1545,83 @@ def pivot_event_counts(spark, sf_dir):
     return piv.select(
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types])
+
+
+@q("agg_percentiles", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(median(value), 4) AS med
+FROM events GROUP BY event_type""")
+def agg_percentiles(spark, sf_dir):
+    """EXACT interpolated percentiles (Spark's percentile / median
+    aggregate = DuckDB quantile_cont): the distribution-stats building
+    block.  Exact percentile sorts per group in the agg buffer — at
+    100 TB swap in approx_percentile (t-digest, mergeable partial aggs)
+    when 1e-3 relative error is acceptable; the exact form stays the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.median("value"), 4).alias("med"),
+    )
+
+
+@q("scd2_as_of_read", """
+WITH cur AS (SELECT c_custkey, c_name FROM customer),
+unchanged AS (
+  SELECT c_custkey, c_name, true AS is_active,
+         TIMESTAMP '2020-01-01' AS record_created_time,
+         DATE '3000-01-01' AS record_updated_time
+  FROM cur WHERE c_custkey % 10 NOT IN (0, 3)),
+closed AS (
+  SELECT c_custkey, c_name, false AS is_active,
+         TIMESTAMP '2020-01-01' AS record_created_time,
+         DATE '2024-01-01' AS record_updated_time
+  FROM cur WHERE c_custkey % 10 IN (0, 3)),
+ins AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN upper(c_name) ELSE NULL END AS c_name,
+         true AS is_active,
+         TIMESTAMP '2024-01-01' AS record_created_time,
+         DATE '3000-01-01' AS record_updated_time
+  FROM cur WHERE c_custkey % 10 IN (0, 3)),
+newk AS (
+  SELECT c_custkey + (SELECT max(c_custkey) FROM customer) AS c_custkey,
+         CAST(NULL AS VARCHAR) AS c_name,
+         true AS is_active,
+         TIMESTAMP '2024-01-01' AS record_created_time,
+         DATE '3000-01-01' AS record_updated_time
+  FROM cur WHERE c_custkey % 10 = 7),
+merged AS (
+  SELECT * FROM unchanged UNION ALL SELECT * FROM closed
+  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM newk)
+SELECT c_custkey, c_name, is_active FROM merged
+WHERE record_created_time <= TIMESTAMP '2022-06-15'
+  AND record_updated_time > DATE '2022-06-15'""")
+def scd2_as_of_read(spark, sf_dir):
+    """Point-in-time dim read (scd.py scd2_as_of): the same merged SCD2
+    dim as scd2_merge_dim, viewed as of a date BETWEEN the original load
+    and the merge — so the query must surface the since-closed 2020
+    versions and exclude every 2024 insert.  Time travel over plain
+    parquet via effective-dating, no table format required."""
+    from aws_etl_bank_spark.scd import scd2_as_of, scd2_merge, scd2_stamp
+
+    snap = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    current = scd2_stamp(snap, "2020-01-01")
+    changed = snap.withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") % 10 == 0, F.upper("c_name"))
+        .when(F.col("c_custkey") % 10 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name")),
+    )
+    max_key = snap.agg(F.max("c_custkey")).first()[0]
+    new_keys = snap.filter(F.col("c_custkey") % 10 == 7).select(
+        (F.col("c_custkey") + F.lit(max_key)).alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+    )
+    merged = scd2_merge(current, changed.unionByName(new_keys),
+                        ["c_custkey"], as_of="2024-01-01")
+    return scd2_as_of(merged, "2022-06-15").select(
+        "c_custkey", "c_name", "is_active")

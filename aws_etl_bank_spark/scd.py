@@ -94,3 +94,15 @@ def scd2_merge(current: DataFrame, updates: DataFrame, keys: list[str],
         .unionByName(inserts.select(*out_cols))
         .unionByName(history.select(*out_cols))
     )
+
+
+def scd2_as_of(dim: DataFrame, as_of: str) -> DataFrame:
+    """Point-in-time view of an SCD2 dim: the version of each key that
+    was current on ``as_of`` — created at or before it, not yet closed
+    (``record_updated_time`` is the close date; the year-3000 sentinel
+    keeps active rows).  A map-only filter: partition pruning applies
+    when the dim is written partitioned on the close date."""
+    return dim.filter(
+        (F.col("record_created_time") <= F.to_timestamp(F.lit(as_of)))
+        & (F.col("record_updated_time") > F.to_date(F.lit(as_of)))
+    )

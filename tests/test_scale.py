@@ -119,3 +119,35 @@ def test_widen_fires_on_coalesce_over_repartition(spark, tmp_path):
     # a plan-string LITERAL mentioning a repartition node must not suppress
     lit = spark.read.parquet(p).filter(F.lit("Repartition 5, true") != "x")
     assert scale.widen_if_underscanned(lit) is not lit
+
+
+def test_write_range_clustered_files_prune(spark, tmp_path):
+    """Files written range-clustered must cover non-overlapping key
+    ranges (parquet min/max footer stats = whole-file pruning) and be
+    sorted within each file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aws_etl_bank_spark.functions.scale import write_range_clustered
+
+    df = spark.range(0, 10_000).selectExpr(
+        "cast(id * 7919 % 10000 as long) as k", "id as v")
+    path = str(tmp_path / "clustered")
+    write_range_clustered(df, path, ["k"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"

@@ -79,3 +79,19 @@ def test_history_rows_untouched(spark):
                           for r in second.filter(~F.col("is_active")).collect())
     assert closed_dates == ["2022-01-01", "2024-01-01"]
     assert second.filter(F.col("is_active") & (F.col("cust_id") == 1)).collect()[0]["city"] == "hue"
+
+
+def test_scd2_as_of_picks_the_version_current_on_the_date(spark):
+    from aws_etl_bank_spark.scd import scd2_as_of, scd2_merge, scd2_stamp
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    dim = scd2_stamp(snap, "2020-01-01")
+    upd = spark.createDataFrame([(1, "a2"), (3, "c")], "k long, name string")
+    merged = scd2_merge(dim, upd, ["k"], as_of="2024-01-01")
+
+    before = {r.k: (r.name, r.is_active)
+              for r in scd2_as_of(merged, "2022-06-15").collect()}
+    assert before == {1: ("a", False), 2: ("b", True)}
+    after = {r.k: (r.name, r.is_active)
+             for r in scd2_as_of(merged, "2024-06-15").collect()}
+    assert after == {1: ("a2", True), 2: ("b", True), 3: ("c", True)}
