@@ -35,6 +35,17 @@ _PRIORITY = [
     "multimodal_meta", "multimodal_frames",
     "stream_window_counts", "stream_sessionize", "stream_stateful_counts",
     "stream_foreach_batch",
+    # round-3 first-class operators (curation, temporal/interval joins,
+    # time-series, streaming joins, analytics) — ahead of the thinner
+    # API-surface promotions so a driver evaluation cap lands on the
+    # least-informative entries first
+    "llm_curation_pipeline", "text_chunking", "stratified_sample_lang",
+    "text_pii_scrub", "text_repetition", "text_decontaminate",
+    "token_budget_mix",
+    "join_asof_purchase", "join_range_bands", "dedup_lines_c4",
+    "ts_bucket_rollup", "ts_gapfill_hourly", "agg_cube_grouping",
+    "pivot_event_counts", "stream_stream_join", "stream_dedup_ids",
+    "agg_percentiles", "scd2_as_of_read", "unpivot_melt", "win_rank_family",
     # round-3 additions: previously tests-only API surfaces, now oracle-checked
     "src_getsource_csv_getframe", "src_parquet_sink_catalog_roundtrip",
     "src_sample_frame_full", "todf_resolve_option_cast",
@@ -43,13 +54,6 @@ _PRIORITY = [
     "catalog_schema_fetch", "jdbc_conf_roundtrip", "jdbc_extract_csv_ingest",
     "rdd_source_frame", "count_actions", "stream_sample_poll",
     "sink_collection_write", "catalog_purge_partitions", "governed_txn_write",
-    "llm_curation_pipeline", "text_chunking", "stratified_sample_lang",
-    "text_pii_scrub", "text_repetition", "text_decontaminate",
-    "token_budget_mix",
-    "join_asof_purchase", "join_range_bands", "dedup_lines_c4",
-    "ts_bucket_rollup", "ts_gapfill_hourly", "agg_cube_grouping",
-    "pivot_event_counts", "stream_stream_join", "stream_dedup_ids",
-    "agg_percentiles", "scd2_as_of_read",
     # rows-only (hash-family / approximate by design): weaker driver check,
     # so least harmed if a driver evaluation cap lands mid-list
     "dedup_minhash_pairs", "dedup_minhash_keep", "dedup_simhash_pairs",

@@ -1625,3 +1625,46 @@ def scd2_as_of_read(spark, sf_dir):
                         ["c_custkey"], as_of="2024-01-01")
     return scd2_as_of(merged, "2022-06-15").select(
         "c_custkey", "c_name", "is_active")
+
+
+@q("unpivot_melt", """
+SELECT c_custkey, kind, val FROM
+  (SELECT c_custkey, c_acctbal AS balance,
+          CAST(c_nationkey AS DOUBLE) AS nation FROM customer)
+UNPIVOT (val FOR kind IN (balance, nation))""")
+def unpivot_melt(spark, sf_dir):
+    """Unpivot/melt — wide-to-long, the inverse of pivot: a map-only
+    Expand node (each input row fans out to one row per value column),
+    no shuffle at any scale."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("balance"),
+        F.col("c_nationkey").cast("double").alias("nation"))
+    return cust.unpivot("c_custkey", ["balance", "nation"], "kind", "val")
+
+
+@q("win_rank_family", """
+SELECT event_id, event_type,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist()    OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")
+def win_rank_family(spark, sf_dir):
+    """The full ranking-window family in one sorted pass: rank,
+    dense_rank, ntile, percent_rank, cume_dist all share a single
+    (event_type, value) sort — one exchange, five functions.  The
+    event_id tiebreak makes every rank deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
