@@ -1451,7 +1451,7 @@ def governed_txn_write(spark, sf_dir):
 
 @q("ts_bucket_rollup", """
 SELECT event_type,
-       to_timestamp(floor(epoch(ts) / 21600) * 21600) AS bucket,
+       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1, 2""")
@@ -1473,7 +1473,7 @@ def ts_bucket_rollup(spark, sf_dir):
 @q("ts_gapfill_hourly", """
 WITH rolled AS (
   SELECT event_type,
-         to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket,
+         CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events WHERE event_type IN ('signup', 'error') GROUP BY 1, 2),
 bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM rolled),

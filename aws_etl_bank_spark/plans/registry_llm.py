@@ -10,7 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from aws_etl_bank_spark.plans.registry import q
-from aws_etl_bank_spark.sources.testdata import load_table
+from aws_etl_bank_spark.sources.testdata import events_stream, load_table
 
 _EN = "('the','a','of','and','to','in','is','it','that','for')"
 
@@ -361,12 +361,7 @@ def stream_window_counts(spark, sf_dir):
 
     from aws_etl_bank_spark.streaming import windowed_event_counts
 
-    stream_dir = _events_stream_dir(sf_dir)
-    raw_schema = spark.read.parquet(stream_dir).schema
-    stream = (
-        spark.readStream.schema(raw_schema).parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
     agg = windowed_event_counts(stream, "6 hours", watermark="12 hours")
     name = f"stream_win_{int(_time.time() * 1000) % 10_000_000}"
     query = (
@@ -421,12 +416,7 @@ def stream_stateful_counts(spark, sf_dir):
 
     from aws_etl_bank_spark.streaming import stateful_user_counts
 
-    stream_dir = _events_stream_dir(sf_dir)
-    raw_schema = spark.read.parquet(stream_dir).schema
-    stream = (
-        spark.readStream.schema(raw_schema).parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
     counts = stateful_user_counts(stream)
     name = f"stateful_counts_{int(_time.time() * 1000) % 10_000_000}"
     query = (
@@ -457,12 +447,7 @@ def stream_foreach_batch(spark, sf_dir):
     from aws_etl_bank_spark.plans.registry import _scratch
     from aws_etl_bank_spark.streaming import for_each_batch
 
-    stream_dir = _events_stream_dir(sf_dir)
-    raw_schema = spark.read.parquet(stream_dir).schema
-    stream = (
-        spark.readStream.schema(raw_schema).parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
     collected: list = []
 
     def handle(batch_df, batch_id):
@@ -502,8 +487,7 @@ def stream_sample_poll(spark, sf_dir):
 
     stream_dir = _events_stream_dir(sf_dir)
     total = spark.read.parquet(stream_dir).count()
-    raw_schema = spark.read.parquet(stream_dir).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    stream = events_stream(spark, stream_dir)
     sampled = sample_streaming_frame(
         spark, stream,
         {"windowSize": "1 seconds", "pollingTimeInMs": 60000,
@@ -888,13 +872,9 @@ def stream_stream_join(spark, sf_dir):
     from aws_etl_bank_spark.streaming.joins import stream_interval_join
 
     stream_dir = _events_stream_dir(sf_dir)
-    raw_schema = spark.read.parquet(stream_dir).schema
 
     def mkstream():
-        return (
-            spark.readStream.schema(raw_schema).parquet(stream_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+        return events_stream(spark, stream_dir)
 
     clicks = mkstream().filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", "ts")
@@ -931,14 +911,10 @@ def stream_dedup_ids(spark, sf_dir):
     from aws_etl_bank_spark.streaming.joins import stream_dedup
 
     stream_dir = _events_stream_dir(sf_dir)
-    raw_schema = spark.read.parquet(stream_dir).schema
 
     def mkstream():
-        return (
-            spark.readStream.schema(raw_schema).parquet(stream_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-            .select("event_id", "event_type", "user_id", "ts", "value")
-        )
+        return events_stream(spark, stream_dir).select(
+            "event_id", "event_type", "user_id", "ts", "value")
 
     doubled = mkstream().unionByName(mkstream())
     deduped = stream_dedup(doubled, ["event_id"])

@@ -32,3 +32,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # up to a microsecond after the cast
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
     return df
+
+
+def events_stream(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """File-stream read of the events table with the SAME dtype-guarded
+    ``ts`` normalization as :func:`load_table`, shared by every streaming
+    registry entry so a testdata regeneration can never diverge the two
+    paths again (the round-3 drift: ``ts`` flipped TIMESTAMP(NANOS) →
+    timestamp[us] and five copy-pasted unconditional conversions crashed).
+
+    Robust to ``ts`` arriving as:
+
+    - ``bigint`` nano-epoch (TIMESTAMP(NANOS) parquet under
+      ``nanosAsLong``) → integer-DIV to micros, then ``timestamp_micros``;
+    - ``timestamp_ntz`` (plain ``timestamp[us]`` parquet) → cast to
+      session-tz TIMESTAMP (UTC session ⇒ value-identical), because
+      watermarks/windows are exercised against TimestampType everywhere;
+    - ``timestamp`` → passthrough.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    dtypes = dict(batch.dtypes)
+    for col in _NANO_TS_COLS["events"]:
+        if dtypes.get(col) == "bigint":
+            stream = stream.withColumn(
+                col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        elif dtypes.get(col) == "timestamp_ntz":
+            stream = stream.withColumn(col, F.col(col).cast("timestamp"))
+    return stream

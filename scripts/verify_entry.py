@@ -1,9 +1,17 @@
 """Local replica of the driver's correctness gate.
 
 Runs every ``queries()`` entry at the given sf_dir, compares against its
-``oracle_sql()`` in DuckDB: row count, column-name set, and an
-order-insensitive value comparison (rows sorted, columns sorted by name,
-values normalized).  Exit code 1 if anything mismatches.
+``oracle_sql()`` in DuckDB: row count, column-name set, column TYPES
+(normalized vocabulary, tz-awareness preserved — Spark TIMESTAMP/
+TIMESTAMP_NTZ both render naive and match DuckDB TIMESTAMP, but DuckDB
+TIMESTAMPTZ only matches a tz-aware result), and an order-insensitive
+value comparison (rows sorted, columns sorted by name, values normalized
+WITHOUT discarding tzinfo).  Exit code 1 if anything mismatches.
+
+History: the round-3 gate stripped ``tzinfo`` and compared column names
+only, which passed locally while the driver (type-aware hash) failed
+``ts_bucket_rollup``/``ts_gapfill_hourly`` — this version reproduces
+those driver failures on the pre-fix oracles.
 
 Usage: python scripts/verify_entry.py [sf_dir] [name_filter ...]
 """
@@ -35,7 +43,12 @@ def norm_value(v):
             return "NaN"
         return round(v, 6)
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # tz-awareness is part of the value: aware normalizes to UTC and
+        # keeps its offset in the rendering; naive stays naive.  A naive
+        # Spark result vs a TIMESTAMPTZ oracle must NOT compare equal.
+        if v.tzinfo is not None:
+            return v.astimezone(dt.timezone.utc).isoformat()
+        return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -43,6 +56,57 @@ def norm_value(v):
     if isinstance(v, dict):
         return tuple(sorted((k, norm_value(x)) for k, x in v.items()))
     return v
+
+
+#: Spark simple-dtype string → normalized type token.  TIMESTAMP (session
+#: tz) and TIMESTAMP_NTZ both surface as naive datetimes in a collected
+#: result, so both normalize to "ts_naive" — mirroring how the driver's
+#: type-aware hash sees them.
+_SPARK_TYPES = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "string": "str", "boolean": "bool", "date": "date",
+    "timestamp": "ts_naive", "timestamp_ntz": "ts_naive",
+    "binary": "bytes",
+}
+
+#: DuckDB description type-code string → normalized type token.
+_DUCK_TYPES = {
+    "TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+    "BIGINT": "int64", "HUGEINT": "int64", "FLOAT": "float32",
+    "DOUBLE": "float64", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "ts_naive", "TIMESTAMP_NS": "ts_naive",
+    "TIMESTAMP_MS": "ts_naive", "TIMESTAMP_S": "ts_naive",
+    "TIMESTAMP WITH TIME ZONE": "ts_tz",
+    "BLOB": "bytes",
+}
+
+
+def _norm_spark_type(dtype: str) -> str:
+    d = dtype.lower()
+    if d.startswith("decimal"):
+        return "decimal"
+    if d.startswith("array"):
+        return "list"
+    if d.startswith("struct"):
+        return "struct"
+    if d.startswith("map"):
+        return "map"
+    return _SPARK_TYPES.get(d, d)
+
+
+def _norm_duck_type(code) -> str:
+    c = str(code).upper()
+    if c.startswith("DECIMAL"):
+        return "decimal"
+    if c.endswith("[]") or c.startswith("LIST"):
+        return "list"
+    if c.startswith("STRUCT"):
+        return "struct"
+    if c.startswith("MAP"):
+        return "map"
+    return _DUCK_TYPES.get(c, c.lower())
 
 
 def rows_to_multiset(cols, rows):
@@ -81,9 +145,13 @@ def main():
             print(f"rows  {name}: {len(rows)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # relation API, not DB-API execute(): description type codes
+            # are coarse ('NUMBER', 'datetime') and erase tz-awareness;
+            # rel.types carries the real DuckDB type names
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypecodes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name}: oracle error {e}")
@@ -91,6 +159,14 @@ def main():
         if sorted(cols) != sorted(ocols):
             failures.append((name, f"columns {sorted(cols)} vs {sorted(ocols)}"))
             print(f"FAIL  {name}: column mismatch {sorted(cols)} vs {sorted(ocols)}")
+            continue
+        stypes = {c: _norm_spark_type(t) for c, t in df.dtypes}
+        otypes = {c: _norm_duck_type(t) for c, t in zip(ocols, otypecodes)}
+        badtypes = {c: (stypes[c], otypes[c]) for c in stypes
+                    if stypes[c] != otypes[c]}
+        if badtypes:
+            failures.append((name, f"dtypes {badtypes}"))
+            print(f"FAIL  {name}: dtype mismatch (spark, oracle) = {badtypes}")
             continue
         if len(rows) != len(orows):
             failures.append((name, f"rowcount {len(rows)} vs {len(orows)}"))

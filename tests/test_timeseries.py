@@ -29,6 +29,41 @@ def test_time_bucket_epoch_alignment(spark):
         time_bucket("ts", 0)
 
 
+def test_time_bucket_ntz_input(spark):
+    """The testdata's events.ts can arrive as TIMESTAMP_NTZ (plain
+    timestamp[us] parquet, the round-3 regeneration) — time_bucket must
+    produce the same UTC-epoch-aligned buckets as for TIMESTAMP input."""
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 14:30:00"),), (_ts("2024-01-01 17:59:59"),)],
+        "ts timestamp_ntz",
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = [r.b for r in df.select(time_bucket("ts", 6 * 3600).alias("b"))
+           .collect()]
+    assert got == [_ts("2024-01-01 12:00:00"), _ts("2024-01-01 12:00:00")]
+
+
+def test_events_stream_helper_normalizes_ts(spark, tmp_path):
+    """sources.testdata.events_stream: ts normalizes to TimestampType
+    whether the parquet holds a timestamp (NTZ) or bigint nanos."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from aws_etl_bank_spark.sources.testdata import events_stream
+
+    ntz_dir = str(tmp_path / "ntz")
+    spark.createDataFrame(
+        [(1, _ts("2024-01-01 14:30:00"))], "event_id bigint, ts timestamp_ntz"
+    ).write.parquet(ntz_dir)
+    assert dict(events_stream(spark, ntz_dir).dtypes)["ts"] == "timestamp"
+
+    nano_dir = str(tmp_path / "nano")
+    spark.createDataFrame(
+        [(1, 1_704_119_400_000_000_000)], "event_id bigint, ts bigint"
+    ).write.parquet(nano_dir)
+    stream = events_stream(spark, nano_dir)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
 def test_rollup_and_gap_fill(spark):
     df = spark.createDataFrame(
         [("a", _ts("2024-01-01 00:10:00"), 1.0),
