@@ -1325,7 +1325,7 @@ def jdbc_extract_csv_ingest(spark, sf_dir):
 
 
 @q("rdd_source_frame", """
-SELECT n_nationkey, n_name FROM nation""")
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation""")
 def rdd_source_frame(spark, sf_dir):
     """create_dynamic_frame.from_rdd (§2 row 8): rows arrive as a plain
     Python RDD and become a DynamicFrame (reference context.py:152-156).
@@ -1662,9 +1662,73 @@ def win_rank_family(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id", "event_type",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+_EXPECTED_SCHEMA = [
+    ("region", "r_regionkey", "int"), ("region", "r_name", "string"),
+    ("nation", "n_nationkey", "int"), ("nation", "n_name", "string"),
+    ("nation", "n_regionkey", "int"),
+    ("customer", "c_custkey", "bigint"), ("customer", "c_name", "string"),
+    ("customer", "c_nationkey", "int"), ("customer", "c_acctbal", "double"),
+    ("customer", "c_mktsegment", "string"),
+    ("supplier", "s_suppkey", "bigint"), ("supplier", "s_name", "string"),
+    ("supplier", "s_nationkey", "int"), ("supplier", "s_acctbal", "double"),
+    ("part", "p_partkey", "bigint"), ("part", "p_name", "string"),
+    ("part", "p_brand", "string"), ("part", "p_type", "string"),
+    ("part", "p_size", "int"), ("part", "p_retailprice", "double"),
+    ("orders", "o_orderkey", "bigint"), ("orders", "o_custkey", "bigint"),
+    ("orders", "o_orderstatus", "string"), ("orders", "o_totalprice", "double"),
+    ("orders", "o_orderdate", "timestamp"),
+    ("orders", "o_orderpriority", "string"),
+    ("lineitem", "l_orderkey", "bigint"), ("lineitem", "l_partkey", "bigint"),
+    ("lineitem", "l_suppkey", "bigint"), ("lineitem", "l_linenumber", "int"),
+    ("lineitem", "l_quantity", "double"),
+    ("lineitem", "l_extendedprice", "double"),
+    ("lineitem", "l_discount", "double"), ("lineitem", "l_tax", "double"),
+    ("lineitem", "l_returnflag", "string"),
+    ("lineitem", "l_linestatus", "string"),
+    ("lineitem", "l_shipdate", "timestamp"),
+    ("events", "event_id", "bigint"), ("events", "ts", "timestamp"),
+    ("events", "user_id", "bigint"), ("events", "event_type", "string"),
+    ("events", "value", "double"), ("events", "props", "string"),
+    ("documents", "doc_id", "bigint"), ("documents", "text", "string"),
+    ("documents", "lang", "string"), ("documents", "source", "string"),
+    ("documents", "n_chars", "bigint"),
+    ("embeddings", "vec_id", "bigint"),
+    ("embeddings", "embedding", "array<float>"),
+    ("embeddings", "label", "int"),
+]
+
+_SCHEMA_SMOKE_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{t}', '{c}', '{d}')" for t, c, d in _EXPECTED_SCHEMA
+) + ") AS v(table_name, column_name, dtype)"
+
+
+@q("testdata_schema_smoke", _SCHEMA_SMOKE_ORACLE)
+def testdata_schema_smoke(spark, sf_dir):
+    """Environment-drift tripwire (run FIRST in _PRIORITY): the observed
+    post-``load_table`` schema of every testdata table, compared against
+    a PINNED literal oracle.  A driver testdata regeneration that the
+    dtype-guarded accessors cannot absorb (new/removed column, a type
+    outside the naive-timestamp family) fails loudly in this ONE row
+    instead of surfacing as N confusing downstream failures — the
+    round-3 drift (events.ts TIMESTAMP(NANOS) → timestamp[us]) crashed
+    five streaming entries before this existed.  Naive-timestamp flavors
+    (TIMESTAMP vs TIMESTAMP_NTZ) collapse to 'timestamp' because the
+    accessors normalize them.  Schema-only parquet footer reads — no
+    data scan."""
+    from aws_etl_bank_spark.sources.testdata import TABLES, load_table
+
+    rows = []
+    for t in TABLES:
+        for c, dt in load_table(spark, sf_dir, t).dtypes:
+            norm = "timestamp" if dt in ("timestamp", "timestamp_ntz") else dt
+            rows.append((t, c, norm))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, dtype string")

@@ -486,7 +486,7 @@ def stream_sample_poll(spark, sf_dir):
     from aws_etl_bank_spark.streaming.runner import sample_streaming_frame
 
     stream_dir = _events_stream_dir(sf_dir)
-    total = spark.read.parquet(stream_dir).count()
+    total = load_table(spark, sf_dir, "events").count()
     stream = events_stream(spark, stream_dir)
     sampled = sample_streaming_frame(
         spark, stream,

@@ -1,10 +1,11 @@
 """Loaders for the driver-generated testdata tables (TESTDATA.md).
 
-``events.parquet`` is written with TIMESTAMP(NANOS) physical type, which
-Spark rejects by default; with ``spark.sql.legacy.parquet.nanosAsLong``
-the column arrives as a nano-epoch bigint and is converted back to a
-(microsecond) timestamp here — lossless for this data, which is generated
-at microsecond precision.
+``events.parquet``'s ``ts`` physical type has drifted between driver
+testdata regenerations: TIMESTAMP(NANOS) (arrives as a nano-epoch bigint
+under ``spark.sql.legacy.parquet.nanosAsLong``) through round 2, plain
+``timestamp[us]`` (arrives as TIMESTAMP_NTZ) since round 3.  Both
+loaders here dtype-guard the conversion, so ALL engine code must read
+events through them — never a raw ``spark.read.parquet``.
 """
 
 from __future__ import annotations
