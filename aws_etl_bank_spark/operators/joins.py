@@ -35,6 +35,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: float | None = None,
     suffix: str = "_r",
+    coarse_bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, attach the payload of the
     single right row with the greatest ``right_ts <= left_ts`` (direction
@@ -48,9 +49,16 @@ def asof_join(
     struct, so a legitimately-NULL payload column can never be filled
     from an older right row.  Cost: one Exchange on ``on`` + one sort —
     the same as a sort-merge join — and per-key time is linear.  Heavy
-    keys serialize within the window sort (AQE cannot split a window);
-    at 100 TB pre-partition by ``on`` + a coarse time bucket if one key
-    dominates, or coarsen the key upstream.
+    keys serialize within the window sort (AQE cannot split a window):
+    pass ``coarse_bucket_seconds`` to repartition the window by
+    (key, time-bucket) — each hot key splits across its buckets, and
+    bucket-boundary correctness is restored by carrying each bucket's
+    final right payload forward (backward direction; mirrored for
+    forward) through a window over the tiny per-(key, bucket) aggregate.
+    Results are identical to the unbucketed plan; the price is one extra
+    shuffle (the boundary aggregate + its join back).  Pick a width near
+    the match horizon — e.g. ``tolerance_seconds``, or the right
+    stream's typical spacing × 1e3.
 
     ``tolerance_seconds`` voids matches farther than the given horizon
     (timestamp columns; for numeric "timestamps" it is a plain numeric
@@ -95,7 +103,51 @@ def asof_join(
     ).select(*l2.columns)
 
     unioned = l2.unionByName(r2)
-    w = Window.partitionBy(*keys).orderBy("__ats", "__side")
+
+    if coarse_bucket_seconds is not None:
+        if coarse_bucket_seconds <= 0:
+            raise ValueError("coarse_bucket_seconds must be positive")
+        ts_type = dict(left.dtypes)[left_ts]
+        if ts_type.startswith("timestamp"):
+            # cast covers TIMESTAMP_NTZ input (unix_micros requires TIMESTAMP)
+            bkt = F.floor(F.unix_micros(F.col("__ats").cast("timestamp"))
+                          / F.lit(int(coarse_bucket_seconds * 1_000_000)))
+        else:
+            bkt = F.floor(F.col("__ats") / F.lit(float(coarse_bucket_seconds)))
+        unioned = unioned.withColumn("__bkt", bkt)
+
+        # Boundary carry: per (key, bucket), the payload a neighboring
+        # bucket would need — the bucket's LAST right payload (backward)
+        # or FIRST (forward).  One row per touched (key, bucket), so the
+        # key-only window below runs over the aggregate, not the data.
+        rights = unioned.filter(F.col("__side") == r_tag)
+        if direction == "backward":
+            bpay = F.max_by("__rpay", F.col("__ats"))
+        else:
+            bpay = F.min_by("__rpay", F.col("__ats"))
+        finals = rights.groupBy(*keys, "__bkt").agg(bpay.alias("__bpay"))
+        spine = unioned.select(*keys, "__bkt").distinct()
+        cw = Window.partitionBy(*keys).orderBy("__bkt")
+        if direction == "backward":
+            carry = F.last("__bpay", ignorenulls=True).over(
+                cw.rowsBetween(Window.unboundedPreceding, -1))
+        else:
+            carry = F.first("__bpay", ignorenulls=True).over(
+                cw.rowsBetween(1, Window.unboundedFollowing))
+        carries = (
+            spine.join(finals, on=[*keys, "__bkt"], how="left")
+            .withColumn("__carry", carry)
+            .select(*keys, "__bkt", F.col("__carry"))
+        )
+        # equi-join on the window's own partition keys — the exchange is
+        # shared with the window sort; AQE broadcasts carries when small
+        unioned = unioned.join(carries, on=[*keys, "__bkt"], how="left")
+        w = Window.partitionBy(*keys, "__bkt").orderBy("__ats", "__side")
+    else:
+        unioned = unioned.withColumn("__carry", F.lit(None).cast(
+            unioned.schema["__rpay"].dataType))
+        w = Window.partitionBy(*keys).orderBy("__ats", "__side")
+
     if direction == "backward":
         pay = F.last("__rpay", ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -104,14 +156,15 @@ def asof_join(
             w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
     matched = (
-        unioned.withColumn("__pay", pay)
+        unioned.withColumn("__pay", F.coalesce(pay, F.col("__carry")))
         .filter(F.col("__side") == l_tag)
     )
     if tolerance_seconds is not None:
         ts_type = dict(left.dtypes)[left_ts]
         if ts_type.startswith("timestamp"):
             dist = F.abs(
-                F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__pay.__rts"))
+                F.unix_micros(F.col(left_ts).cast("timestamp"))
+                - F.unix_micros(F.col("__pay.__rts").cast("timestamp"))
             ) / 1e6
         else:
             dist = F.abs(F.col(left_ts) - F.col("__pay.__rts"))

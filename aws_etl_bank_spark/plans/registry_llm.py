@@ -778,6 +778,35 @@ def join_asof_purchase(spark, sf_dir):
     )
 
 
+@q("join_asof_bucketed", """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS purchase_ts, r.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts""")
+def join_asof_bucketed(spark, sf_dir):
+    """The hot-key-splitting as-of variant: same attribution query as
+    join_asof_purchase but with ``coarse_bucket_seconds`` set, so the
+    window partitions by (user, day-bucket) and carries each bucket's
+    final purchase forward — identical results (same DuckDB ASOF
+    oracle), parallel within a hot user.  The 100 TB answer to "one
+    user is 10% of the stream" (operators/joins.py)."""
+    from aws_etl_bank_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    return asof_join(clicks, purchases, on="user_id", left_ts="ts",
+                     coarse_bucket_seconds=86400.0).select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
 @q("join_range_bands", """
 SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
        MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price

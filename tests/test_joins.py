@@ -146,3 +146,58 @@ def test_asof_null_right_ts_never_matches(spark):
     right = spark.createDataFrame([(1, None, "leak")], "k int, t int, a string")
     row = asof_join(left, right, on="k", left_ts="t").collect()[0]
     assert (row.a, row.t_r) == (None, None)
+
+
+def test_asof_coarse_bucket_identical_results(quotes_trades):
+    """coarse_bucket_seconds must not change ANY result — including
+    cross-bucket matches (a trade whose quote lives in an earlier
+    bucket) and the tie/tolerance/forward paths."""
+    quotes, trades = quotes_trades
+    base = asof_join(trades, quotes, on="sym", left_ts="ts")
+    for kwargs in (
+        {},                       # 2 s buckets: quote 10:00:05 and trade
+        {"direction": "forward"}, # 10:00:07 land in different buckets
+        {"tolerance_seconds": 1.0},
+    ):
+        a = asof_join(trades, quotes, on="sym", left_ts="ts", **kwargs)
+        b = asof_join(trades, quotes, on="sym", left_ts="ts",
+                      coarse_bucket_seconds=2.0, **kwargs)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="sym", left_ts="ts",
+                  coarse_bucket_seconds=0)
+
+
+def test_asof_coarse_bucket_splits_hot_key(spark):
+    """One hot key serializes the plain window into a single task; the
+    bucketed variant must spread the same key over >1 task and still
+    return identical rows."""
+    n = 4000
+    left = spark.createDataFrame(
+        [("hot", float(i)) for i in range(n)], "k string, t double")
+    right = spark.createDataFrame(
+        [("hot", float(i) + 0.5, i) for i in range(0, n, 2)],
+        "k string, t double, payload int")
+
+    plain = asof_join(left, right, on="k", left_ts="t")
+    split = asof_join(left, right, on="k", left_ts="t",
+                      coarse_bucket_seconds=100.0)
+
+    # the collected result must consume a window-derived column
+    # ("payload") — a count() on top lets Catalyst prune the whole
+    # window and pid then reflects the raw scan's 32 partitions
+    npart = (lambda df: len(df.groupBy(F.spark_partition_id().alias("p"))
+                            .agg(F.sum("payload")).collect()))
+    # AQE coalescing folds this tiny shuffle to 1 partition either way;
+    # what's under test is the hash-partitioning key space
+    spark = left.sparkSession
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        assert npart(plain) == 1      # one hot key -> one window task
+        assert npart(split) > 1       # bucket splits the hot key
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert sorted(map(tuple, plain.collect())) \
+        == sorted(map(tuple, split.collect()))
+    # window partition spec must carry the bucket column
+    assert "__bkt" in split._jdf.queryExecution().executedPlan().toString()
