@@ -297,6 +297,98 @@ def text_fingerprint(spark, sf_dir):
     return fingerprint(docs)
 
 
+def _planted_corpus(spark, sf_dir):
+    """documents ∪ exact copies of every 20th doc (new ids +1_000_000):
+    a deterministic fixture both Spark and DuckDB rebuild identically,
+    giving the hash-family ops a provable ground truth — identical texts
+    MUST collide in every hash scheme, so the exact-duplicate projection
+    of their candidate sets is oracle-checkable even though the full
+    near-dup sets are not SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (docs.filter(F.col("doc_id") % 20 == 0)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    return docs.unionByName(copies)
+
+
+_PLANTED_PAIRS_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id"""
+
+
+def _exact_text_pairs(corpus, pairs):
+    """Restrict candidate pairs to identical-text pairs — the provable
+    subset (full-recall guarantee: identical text ⇒ identical
+    signature ⇒ same LSH bucket ⇒ candidate)."""
+    a = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    b = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("__ta") == F.col("__tb"))
+        .select("id_a", "id_b")
+    )
+
+
+@q("dedup_minhash_planted_pairs", _PLANTED_PAIRS_ORACLE)
+def dedup_minhash_planted_pairs(spark, sf_dir):
+    """Oracle-checked projection of banded MinHash-LSH (llm/dedup.py):
+    on the planted corpus, the identical-text subset of the LSH candidate
+    pairs must be EXACTLY the text-equality self-join DuckDB computes —
+    a missing row means the banding lost an exact duplicate (recall
+    bug), an extra row is impossible by construction.  The general
+    near-dup set stays rows-only (dedup_minhash_pairs)."""
+    from aws_etl_bank_spark.llm import minhash_lsh_pairs
+
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, "text", "doc_id", num_perm=64,
+                              bands=16, jaccard_threshold=0.5)
+    return _exact_text_pairs(corpus, pairs)
+
+
+@q("dedup_simhash_planted_pairs", _PLANTED_PAIRS_ORACLE)
+def dedup_simhash_planted_pairs(spark, sf_dir):
+    """Oracle-checked projection of chunked SimHash (llm/dedup.py), same
+    planted-corpus contract as dedup_minhash_planted_pairs: identical
+    text ⇒ hamming 0 ⇒ every 16-bit chunk collides ⇒ pair found."""
+    from aws_etl_bank_spark.llm import simhash_lsh_pairs
+
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = simhash_lsh_pairs(corpus, "text", "doc_id")
+    return _exact_text_pairs(corpus, pairs)
+
+
+@q("text_fingerprint_planted", """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+)
+SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM corpus GROUP BY text HAVING COUNT(*) > 1""")
+def text_fingerprint_planted(spark, sf_dir):
+    """Oracle-checked projection of document fingerprinting (llm/text.py):
+    grouping the planted corpus by (content_hash, min_gram_hash) and
+    keeping groups >1 must reproduce DuckDB's group-by-text — identical
+    text hashes identically (pure function), and distinct texts
+    colliding on a 64-bit xxhash at this corpus size would be a real
+    fingerprint defect."""
+    from aws_etl_bank_spark.llm import fingerprint
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return (
+        fingerprint(corpus)
+        .groupBy("content_hash", "min_gram_hash")
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+        .select("keep_id", "dup_count")
+    )
+
+
 @q("multimodal_meta", """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(octet_length(encode(text)) % 256 AS INTEGER) AS width,

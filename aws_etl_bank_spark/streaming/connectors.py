@@ -4,7 +4,8 @@ The reference's ``getStreamingSource`` abstracts broker sources behind a
 connection_type + options dict (reference glue-jobs/awsglue/context.py:122-147,
 streaming_data_source.py:16-28).  This module maps those option dicts onto
 Structured Streaming's source options so the same call shape drives
-``readStream.format("kafka")`` on a real cluster.
+``readStream.format("kafka")`` or the public aws-kinesis connector's
+``format("aws-kinesis")`` on a real cluster.
 
 Sandbox note: the Kafka connector jar (spark-sql-kafka) is not present in
 this container, so only file-backed sources are *executable* here; the
@@ -15,11 +16,11 @@ connector package is on the classpath.
 
 from __future__ import annotations
 
-#: connection_types routed to readStream.format(<type>) with mapped options
-BROKER_TYPES = ("kafka",)
+#: connection_types routed to readStream.format(...) with mapped options
+BROKER_TYPES = ("kafka", "kinesis")
 
 #: connection_types that would need a third-party connector we do not ship
-UNSUPPORTED_BROKER_TYPES = ("kinesis",)
+UNSUPPORTED_BROKER_TYPES = ()
 
 #: Glue-style option name → Spark kafka-source option name.  Options already
 #: carrying their Spark name pass through unchanged.
@@ -75,15 +76,70 @@ def map_kafka_options(options: dict) -> dict:
     return mapped
 
 
+#: Glue-style option name → aws-kinesis connector option name (the public
+#: spark-streaming-sql-kinesis-connector registers format "aws-kinesis"
+#: and takes "kinesis."-prefixed reader options).  None → no analogue.
+_KINESIS_OPTION_MAP = {
+    "streamName": "kinesis.streamName",
+    "endpointUrl": "kinesis.endpointUrl",
+    "startingPosition": "kinesis.startingPosition",
+    "awsSTSRoleARN": "kinesis.stsRoleArn",
+    "awsSTSSessionName": "kinesis.stsSessionName",
+    "maxFetchTimeInMs": "kinesis.maxFetchTimePerShardSec",
+    "maxFetchRecordsPerShard": "kinesis.maxFetchRecordsPerShard",
+    # format concerns handled downstream of the source, not by the reader
+    "classification": None,
+    "delimiter": None,
+}
+
+
+def map_kinesis_options(options: dict) -> dict:
+    """Glue-style kinesis connection options → aws-kinesis source options.
+
+    ``streamARN`` (the reference's preferred addressing,
+    ``arn:aws:kinesis:<region>:<acct>:stream/<name>``) resolves to the
+    stream name and region; explicit ``streamName`` wins if both given.
+    """
+    mapped: dict = {}
+    arn = options.get("streamARN")
+    if arn:
+        mapped["kinesis.streamName"] = str(arn).rsplit("/", 1)[-1]
+        parts = str(arn).split(":")
+        if len(parts) >= 4 and parts[3]:
+            mapped["kinesis.region"] = parts[3]
+    for k, v in options.items():
+        if k == "streamARN":
+            continue
+        if k in _KINESIS_OPTION_MAP:
+            spark_key = _KINESIS_OPTION_MAP[k]
+            if spark_key is not None:
+                mapped[spark_key] = v
+        elif k.startswith("kinesis."):
+            mapped[k] = v
+        # unknown keys are dropped rather than passed to the connector,
+        # which rejects unrecognized options at stream start
+    if "kinesis.startingPosition" in mapped:
+        mapped["kinesis.startingPosition"] = str(
+            mapped["kinesis.startingPosition"]).upper()
+    if "kinesis.streamName" not in mapped:
+        raise ValueError(
+            "kinesis streaming source needs streamName or streamARN in "
+            "connection_options"
+        )
+    return mapped
+
+
 def resolve_stream_source(connection_type: str, options: dict) -> tuple[str, dict]:
-    """(spark format, reader options) for a broker connection_type."""
+    """(spark format, reader options) for a broker connection_type.
+
+    Both broker formats dispatch; executing them needs the matching
+    connector jar on the classpath (spark-sql-kafka / the public
+    aws-kinesis connector), absent in this sandbox — ``.load()`` raises
+    Spark's missing-data-source error until it is installed.
+    """
     ctype = (connection_type or "").lower()
     if ctype == "kafka":
         return "kafka", map_kafka_options(options)
-    if ctype in UNSUPPORTED_BROKER_TYPES:
-        raise NotImplementedError(
-            f"streaming connection_type {ctype!r} needs a third-party Spark "
-            "connector that is not bundled; kafka and file-backed sources "
-            "are supported"
-        )
+    if ctype == "kinesis":
+        return "aws-kinesis", map_kinesis_options(options)
     raise ValueError(f"not a broker connection_type: {connection_type!r}")

@@ -42,9 +42,32 @@ class TestBrokerDispatch:
         with pytest.raises(ValueError, match="bootstrap.servers"):
             connectors.map_kafka_options({"topicName": "t"})
 
-    def test_kinesis_raises_clear_unsupported_error(self):
-        with pytest.raises(NotImplementedError, match="kinesis"):
-            connectors.resolve_stream_source("kinesis", {"streamName": "s"})
+    def test_kinesis_glue_style_options_mapped(self):
+        fmt, opts = connectors.resolve_stream_source("kinesis", {
+            "streamARN": "arn:aws:kinesis:us-east-1:123456789012:stream/events",
+            "startingPosition": "trim_horizon",
+            "classification": "json",   # format concern: dropped
+        })
+        assert fmt == "aws-kinesis"
+        assert opts == {
+            "kinesis.streamName": "events",
+            "kinesis.region": "us-east-1",
+            "kinesis.startingPosition": "TRIM_HORIZON",
+        }
+
+    def test_kinesis_explicit_name_and_passthrough(self):
+        fmt, opts = connectors.resolve_stream_source("kinesis", {
+            "streamName": "s1",
+            "endpointUrl": "https://kinesis.eu-west-1.amazonaws.com",
+            "kinesis.consumerName": "app",   # connector-native passthrough
+        })
+        assert opts["kinesis.streamName"] == "s1"
+        assert opts["kinesis.endpointUrl"].startswith("https://kinesis")
+        assert opts["kinesis.consumerName"] == "app"
+
+    def test_kinesis_missing_stream_rejected(self):
+        with pytest.raises(ValueError, match="streamName or streamARN"):
+            connectors.map_kinesis_options({"startingPosition": "latest"})
 
     def test_non_broker_type_rejected_by_resolver(self):
         with pytest.raises(ValueError, match="not a broker"):
