@@ -47,6 +47,8 @@ _PRIORITY = [
     # of the hash family (planted-duplicate fixtures)
     "join_asof_bucketed", "dedup_minhash_planted_pairs",
     "dedup_simhash_planted_pairs", "text_fingerprint_planted",
+    "funnel_view_click_purchase", "ts_rolling_zscore",
+    "mix_upsample_by_weight",
     # remaining slots up to the driver's 50-cap fill from the registry's
     # definition order below (long-green relational entries, rotating
     # back in for re-confirmation)

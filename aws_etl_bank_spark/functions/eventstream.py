@@ -1,0 +1,71 @@
+"""Event-stream analytics primitives: ordered multi-stage funnels and
+rolling z-score anomaly detection (beyond-reference; the reference's
+event handling stops at calendar-field extraction).
+
+Both are single-purpose compositions of built-in ops — no UDFs, no
+driver-side loops — so Catalyst owns the physical plan end to end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def funnel_stages(df: DataFrame, stages: list[str],
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Ordered-funnel timestamps per user: stage k's timestamp is the
+    EARLIEST event of type ``stages[k]`` at-or-after the user's stage
+    k-1 timestamp (classic view → click → purchase attribution).  Output:
+    one row per user who reached stage 0, with a nullable ``<stage>_ts``
+    column per stage; a NULL means the funnel broke there.
+
+    Each stage is a filtered aggregate joined on ``user_col`` — N-1
+    shuffles on the same key for an N-stage funnel, so at 100 TB every
+    exchange after the first reuses the partitioning, and per-stage
+    state is one timestamp per user (bounded by users, not events).
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    if len(set(stages)) != len(stages):
+        raise ValueError("stages must be distinct event types")
+    first = stages[0]
+    cur = (
+        df.filter(F.col(type_col) == first)
+        .groupBy(user_col).agg(F.min(ts_col).alias(f"{first}_ts"))
+    )
+    prev = f"{first}_ts"
+    for s in stages[1:]:
+        nxt = (
+            df.filter(F.col(type_col) == s)
+            .join(cur.select(user_col, prev), user_col)
+            .filter(F.col(ts_col) >= F.col(prev))
+            .groupBy(user_col).agg(F.min(ts_col).alias(f"{s}_ts"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+        prev = f"{s}_ts"
+    return cur
+
+
+def rolling_zscore(df: DataFrame, value_col: str, keys: list[str],
+                   order_cols: list[str], window_rows: int = 100,
+                   out_col: str = "zscore") -> DataFrame:
+    """Rolling z-score of ``value_col`` against the trailing
+    ``window_rows`` rows per key (the row itself excluded, so an outlier
+    cannot mask itself) — streaming-style anomaly scoring as one sorted
+    window pass.  NULL until a key has 2 trailing rows (sample stddev
+    needs 2) and NULL when the trailing window is constant (sd = 0):
+    IEEE double division would otherwise yield engine-dependent
+    NaN/±Inf.  One exchange on ``keys``; a hot key serializes like any
+    window — coarse-bucket the key upstream if one key dominates
+    (see asof_join's coarse_bucket_seconds for the pattern).
+    """
+    if window_rows < 2:
+        raise ValueError("window_rows must be >= 2")
+    w = (Window.partitionBy(*keys).orderBy(*order_cols)
+         .rowsBetween(-window_rows, -1))
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    return df.withColumn(
+        out_col, F.when(sd != 0, (F.col(value_col) - mu) / sd))

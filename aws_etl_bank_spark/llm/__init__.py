@@ -28,6 +28,7 @@ from aws_etl_bank_spark.llm.text import (  # noqa: F401
     stratified_sample,
     text_stats,
     token_budget_sample,
+    upsample_by_weight,
 )
 from aws_etl_bank_spark.llm.multimodal import (  # noqa: F401
     attach_binary_payload,

@@ -297,6 +297,45 @@ def token_budget_sample(df: DataFrame, strata_col: str, budget_tokens: int,
     )
 
 
+def upsample_by_weight(df: DataFrame, strata_col: str,
+                       weights: dict[str, float], id_col: str = "doc_id",
+                       default_weight: float = 1.0,
+                       frac_denom: int = 10) -> DataFrame:
+    """Deterministic fractional upsampling per stratum — the
+    "epochs-per-source" step of a training mix (e.g. wiki ×3.5,
+    web ×1).  Every row is replicated ``floor(w)`` times, plus one more
+    for the deterministic ``frac(w)`` share of rows selected by
+    ``id_col % frac_denom < round(frac(w) * frac_denom)`` — reproducible
+    across runs/retries with NO randomness, unlike ``df.sample`` whose
+    output shifts with partitioning.  Weights are quantized to
+    ``1/frac_denom`` steps.  Output: input columns + ``copy`` index
+    (0-based).  Map-side ``explode(sequence(...))`` — zero shuffles; the
+    fan-out multiplies bytes, which is the point.
+    """
+    if frac_denom <= 0:
+        raise ValueError("frac_denom must be positive")
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}")
+    n_copies = F.lit(None).cast("int")
+    whole = F.floor(F.lit(float(default_weight))).cast("int")
+    fracs = F.round(F.lit(float(default_weight) % 1.0) * frac_denom).cast("int")
+    n_copies = whole + (F.col(id_col) % frac_denom < fracs).cast("int")
+    for s, wt in weights.items():
+        sw = F.floor(F.lit(float(wt))).cast("int")
+        sf_ = F.round(F.lit(float(wt) % 1.0) * frac_denom).cast("int")
+        n_copies = F.when(
+            F.col(strata_col) == s,
+            sw + (F.col(id_col) % frac_denom < sf_).cast("int"),
+        ).otherwise(n_copies)
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
 def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
                       order_col: str = "doc_id") -> DataFrame:
     """Deterministic per-stratum quota sample: the first

@@ -1732,3 +1732,44 @@ def testdata_schema_smoke(spark, sf_dir):
             rows.append((t, c, norm))
     return spark.createDataFrame(
         rows, "table_name string, column_name string, dtype string")
+
+
+@q("funnel_view_click_purchase", """
+WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY e.user_id)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered 3-stage funnel (functions/eventstream.py): per user the
+    earliest view, the earliest click at-or-after it, the earliest
+    purchase at-or-after that — conversion attribution as N-1 same-key
+    shuffles with per-user state bounded by one timestamp per stage."""
+    from aws_etl_bank_spark.functions.eventstream import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+@q("ts_rolling_zscore", """
+SELECT event_id, event_type, ts, value,
+       ROUND((value - AVG(value) OVER w)
+             / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)""")
+def ts_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly scoring (functions/eventstream.py): each
+    event's value against the trailing-100 window of its type, the row
+    itself excluded so an outlier cannot mask itself.  One sorted window
+    pass; NULL until a type has 2 trailing rows."""
+    from aws_etl_bank_spark.functions.eventstream import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_zscore(
+        ev.select("event_id", "event_type", "ts", "value"),
+        "value", ["event_type"], ["ts", "event_id"], window_rows=100,
+    ).withColumn("zscore", F.round("zscore", 4))

@@ -1047,3 +1047,28 @@ def stream_dedup_ids(spark, sf_dir):
     query.awaitTermination()
     result = spark.table(name).collect()
     return spark.createDataFrame(result, spark.table(name).schema)
+
+
+@q("mix_upsample_by_weight", """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN source = 'src0'
+                THEN 2 + CASE WHEN doc_id % 10 < 5 THEN 1 ELSE 0 END
+              WHEN source = 'src1'
+                THEN CASE WHEN doc_id % 10 < 3 THEN 1 ELSE 0 END
+              WHEN source = 'src2' THEN 0
+              ELSE 1 END AS n
+  FROM documents)
+SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS copy
+FROM d WHERE n > 0""")
+def mix_upsample_by_weight(spark, sf_dir):
+    """Deterministic fractional upsampling (llm/text.py
+    upsample_by_weight): src0 ×2.5, src1 ×0.3, src2 dropped, everything
+    else ×1 — the epochs-per-source step of assembling a training mix,
+    reproducible with no randomness (the fractional share picks rows by
+    doc_id modulus).  Map-side explode, zero shuffles."""
+    from aws_etl_bank_spark.llm import upsample_by_weight
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return upsample_by_weight(
+        docs, "source", {"src0": 2.5, "src1": 0.3, "src2": 0.0})

@@ -1,0 +1,106 @@
+"""functions/eventstream.py funnel/z-score + llm upsample_by_weight."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from aws_etl_bank_spark.functions.eventstream import funnel_stages, rolling_zscore
+from aws_etl_bank_spark.llm import upsample_by_weight
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        [
+            # u1: full funnel in order
+            (1, "view", _ts("2024-01-01 10:00:00")),
+            (1, "click", _ts("2024-01-01 10:01:00")),
+            (1, "purchase", _ts("2024-01-01 10:02:00")),
+            # u2: purchase BEFORE view/click — funnel must not count it
+            (2, "purchase", _ts("2024-01-01 09:00:00")),
+            (2, "view", _ts("2024-01-01 10:00:00")),
+            (2, "click", _ts("2024-01-01 10:30:00")),
+            # u3: click only, never viewed — not in the funnel at all
+            (3, "click", _ts("2024-01-01 10:00:00")),
+        ],
+        "user_id int, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_order_enforced(events):
+    out = {r.user_id: r for r in
+           funnel_stages(events, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2}            # u3 never reached stage 0
+    assert out[1].purchase_ts == _ts("2024-01-01 10:02:00")
+    assert out[2].click_ts == _ts("2024-01-01 10:30:00")
+    assert out[2].purchase_ts is None    # pre-view purchase ignored
+
+
+def test_funnel_tie_counts(events):
+    # an event AT the previous stage's timestamp counts (>=, not >)
+    tie = events.union(events.sparkSession.createDataFrame(
+        [(1, "signup", _ts("2024-01-01 10:00:00"))],
+        "user_id int, event_type string, ts timestamp"))
+    out = funnel_stages(tie, ["view", "signup"]).collect()[0]
+    assert out.signup_ts == _ts("2024-01-01 10:00:00")
+
+
+def test_funnel_validation(events):
+    with pytest.raises(ValueError):
+        funnel_stages(events, [])
+    with pytest.raises(ValueError):
+        funnel_stages(events, ["view", "view"])
+
+
+def test_rolling_zscore_excludes_self(spark):
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate([10, 20, 10, 10, 100])],
+        "k string, i int, v double",
+    )
+    out = {r.i: r.zscore for r in
+           rolling_zscore(df, "v", ["k"], ["i"], window_rows=10).collect()}
+    assert out[0] is None                # no trailing rows
+    assert out[1] is None                # 1 trailing row: stddev undefined
+    # i=2: 10 vs trailing [10, 20] -> (10-15)/7.0711
+    assert out[2] == pytest.approx(-0.70710678, rel=1e-6)
+    # i=4: outlier scored against [10,20,10,10], self excluded
+    assert out[4] == pytest.approx((100 - 12.5) / 5.0, rel=1e-6)
+    with pytest.raises(ValueError):
+        rolling_zscore(df, "v", ["k"], ["i"], window_rows=1)
+
+
+def test_rolling_zscore_constant_window_is_null(spark):
+    df = spark.createDataFrame(
+        [("k", i, 10.0) for i in range(3)] + [("k", 3, 99.0)],
+        "k string, i int, v double",
+    )
+    out = {r.i: r.zscore for r in
+           rolling_zscore(df, "v", ["k"], ["i"], window_rows=10).collect()}
+    # sd = 0: NULL, never IEEE NaN/Inf (engines disagree on x/0.0)
+    assert out[2] is None and out[3] is None
+
+
+def test_upsample_by_weight_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b") for i in range(20)],
+        "doc_id bigint, source string",
+    )
+    out = upsample_by_weight(df, "source", {"a": 2.5, "b": 0.0})
+    rows = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in rows}
+    # a: ids 0..9 -> 2 copies each + 1 extra for ids 0..4 => 25; b dropped
+    assert by_src == {"a": 25}
+    # copy index is dense 0-based per row
+    copies = [r.copy for r in out.filter("doc_id = 0").collect()]
+    assert sorted(copies) == [0, 1, 2]
+    # identical on rerun (determinism is the point vs df.sample)
+    again = upsample_by_weight(df, "source", {"a": 2.5, "b": 0.0})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError):
+        upsample_by_weight(df, "source", {"a": -1.0})
