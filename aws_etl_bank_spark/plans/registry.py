@@ -1773,3 +1773,49 @@ def ts_rolling_zscore(spark, sf_dir):
         ev.select("event_id", "event_type", "ts", "value"),
         "value", ["event_type"], ["ts", "event_id"], window_rows=100,
     ).withColumn("zscore", F.round("zscore", 4))
+
+
+@q("agg_salted_event_totals", """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type""")
+def agg_salted_event_totals(spark, sf_dir):
+    """Two-phase salted aggregation (functions/scale.py salted_agg) on a
+    deliberately hot key space (5 event types across the whole table):
+    partials within (key, salt) cap per-task state at n_salts rows per
+    hot key, the combine phase re-aggregates — results must be EXACTLY
+    the plain GROUP BY the oracle runs.  Content-derived salt
+    (xxhash64 of event_id) keeps retries deterministic.  The 100 TB
+    answer to a grouping key that AQE cannot split because partial
+    aggregation already collapsed it into one fat task."""
+    from aws_etl_bank_spark.functions.scale import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev, ["event_type"],
+        partials=[F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")],
+        aggs=[F.sum("pn").alias("n_events"),
+              F.round(F.sum("pv"), 2).alias("sum_value")],
+        n_salts=16, salt_by="event_id",
+    )
+
+
+@q("agg_approx_distinct_ratio", """
+SELECT event_type, CAST(1.0 AS DOUBLE) AS accuracy_band
+FROM events GROUP BY event_type""")
+def agg_approx_distinct_ratio(spark, sf_dir):
+    """The 100 TB COUNT(DISTINCT) swap-in, accuracy-checked: per event
+    type, approx_count_distinct(user_id) (HyperLogLog++, default 5%
+    rsd) divided by the exact distinct count, rounded to one decimal —
+    a driver-checkable assertion that the sketch stays within ±5% of
+    truth (the oracle expects literally 1.0 per group).  At scale the
+    approx runs map-side with fixed sketch memory while exact distinct
+    needs a two-phase expand shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg((F.approx_count_distinct("user_id")
+              / F.count_distinct("user_id")).alias("ratio"))
+        .select("event_type",
+                F.round("ratio", 1).cast("double").alias("accuracy_band"))
+    )
