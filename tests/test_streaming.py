@@ -297,3 +297,52 @@ def test_stream_dedup_watermark_streaming_path(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     assert spark.table("dd_wm_test").count() == 2
+
+
+def test_windowed_counts_drop_late_data_across_batches(spark, tmp_path):
+    """A REAL multi-batch late-data drop: maxFilesPerTrigger=1 forces
+    each parquet file into its own micro-batch (oldest mtime first).
+    Batch 0 advances the watermark to 12:00, which EVICTS and emits the
+    [10:00,11:00) window at the end of batch 1; the 10:30 straggler in
+    batch 2 then targets an already-finalized window and must be
+    DISCARDED (a straggler into a still-live window is accepted — Spark
+    drops on eviction, not on watermark comparison alone, verified
+    empirically).  The availableNow single-batch entries can never show
+    this; here the [10:00,11:00) window must count 1, not 2."""
+    import datetime as dt
+    import glob
+    import os
+
+    def _t(s):
+        return dt.datetime.fromisoformat(s)
+
+    src = str(tmp_path / "late_src")
+    schema = "event_type string, ts timestamp, value double"
+
+    def write_file(rows, mtime):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(f, (mtime, mtime))
+
+    # batch 0: watermark after it = 13:00 - 1h = 12:00
+    write_file([("a", _t("2024-01-01 10:00:00"), 1.0),
+                ("a", _t("2024-01-01 13:00:00"), 1.0)], 1_000_000_000)
+    # batch 1: fresh event; [10:00,11:00) evicted + emitted at its end
+    write_file([("a", _t("2024-01-01 14:00:00"), 1.0)], 1_000_000_100)
+    # batch 2: straggler into the finalized window -> discarded
+    write_file([("a", _t("2024-01-01 10:30:00"), 1.0)], 1_000_000_200)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = runner.windowed_event_counts(stream, "1 hour", watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("late_drop_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r.window_start: r.n_events
+            for r in spark.table("late_drop_test").collect()}
+    # the straggler was dropped: count 1.  (If this reads 2, the
+    # watermark did not advance between batches; if the window is
+    # missing entirely, append mode never closed it.)
+    assert rows == {_t("2024-01-01 10:00:00"): 1}
