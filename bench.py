@@ -38,6 +38,12 @@ HEADLINE = [
     # corpus-wide line dedup (hash-agg winner per line)
     "join_asof_purchase",
     "dedup_lines_c4",
+    # r04 additions (appended — everything above stays frozen): the
+    # hot-key-split asof variant (boundary-carry overhead vs the plain
+    # form directly above it), the 3-stage funnel, and rolling z-score
+    "join_asof_bucketed",
+    "funnel_view_click_purchase",
+    "ts_rolling_zscore",
 ]
 
 
