@@ -1072,3 +1072,26 @@ def mix_upsample_by_weight(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return upsample_by_weight(
         docs, "source", {"src0": 2.5, "src1": 0.3, "src2": 0.0})
+
+
+@q("ann_ivf_planted_twin", """
+SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+       CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id < 5""")
+def ann_ivf_planted_twin(spark, sf_dir):
+    """Oracle-checked projection of IVF ANN (llm/similarity.py): plant an
+    exact twin (vec_id + 1e6) of each of the 5 query vectors into the
+    corpus — identical vectors land in the SAME cell, the query's own
+    cell is always its first probe, and no organic pair in this
+    embedding set exceeds cosine ~0.51, so the top-1 neighbor must be
+    the twin at cosine 1.0.  A failure here means cell assignment and
+    probing disagree — the IVF recall property that the rows-only
+    ann_ivf_topk cannot prove to the driver."""
+    from aws_etl_bank_spark.llm.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(twins)
+    return ivf_topk(corpus, queries, k=1, n_cells=16, nprobe=4)
