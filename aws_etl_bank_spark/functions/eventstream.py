@@ -48,6 +48,48 @@ def funnel_stages(df: DataFrame, stages: list[str],
     return cur
 
 
+def cohort_retention(df: DataFrame, anchor_type: str,
+                     bucket_seconds: int = 7 * 86400,
+                     user_col: str = "user_id", type_col: str = "event_type",
+                     ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix: users cohorted by the epoch-aligned
+    bucket of their first ``anchor_type`` event (e.g. signup week), then
+    counted distinct per (cohort, bucket-offset) of ANY later activity —
+    the classic week-0/week-N retention triangle.  Pre-anchor activity
+    (negative offset) is excluded.
+
+    Shape: anchor min-agg (shuffle on user) → activity join (same key,
+    exchange reused) → distinct on (cohort, offset, user) → count.  All
+    keys are low-cardinality except user, which partial aggregation
+    collapses map-side — no driver loops, no windows, safe at 100 TB.
+    Output: (cohort_bucket, bucket_offset, n_active) as bigints.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+
+    def bucket(c):
+        # cast covers TIMESTAMP_NTZ (unix_timestamp requires TIMESTAMP)
+        return F.floor(
+            F.unix_timestamp(F.col(c).cast("timestamp")) / bucket_seconds
+        ).cast("long")
+
+    cohorts = (
+        df.filter(F.col(type_col) == anchor_type)
+        .groupBy(user_col).agg(F.min(ts_col).alias("__first"))
+        .select(user_col, bucket("__first").alias("cohort_bucket"))
+    )
+    return (
+        df.select(user_col, bucket(ts_col).alias("__b"))
+        .join(cohorts, user_col)
+        .withColumn("bucket_offset",
+                    (F.col("__b") - F.col("cohort_bucket")).cast("long"))
+        .filter(F.col("bucket_offset") >= 0)
+        .select("cohort_bucket", "bucket_offset", user_col).distinct()
+        .groupBy("cohort_bucket", "bucket_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 def rolling_zscore(df: DataFrame, value_col: str, keys: list[str],
                    order_cols: list[str], window_rows: int = 100,
                    out_col: str = "zscore") -> DataFrame:

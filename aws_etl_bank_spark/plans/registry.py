@@ -1821,3 +1821,53 @@ def agg_approx_distinct_ratio(spark, sf_dir):
         .select("event_type",
                 F.round("ratio", 1).cast("double").alias("accuracy_band"))
     )
+
+
+@q("cohort_retention_weekly", """
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS first_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+cohorts AS (
+  SELECT user_id,
+         CAST(floor(epoch(first_ts) / 604800) AS BIGINT) AS cohort_bucket
+  FROM first_seen),
+activity AS (
+  SELECT DISTINCT c.cohort_bucket,
+         CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - c.cohort_bucket
+             AS bucket_offset,
+         e.user_id
+  FROM events e JOIN cohorts c USING (user_id))
+SELECT cohort_bucket, bucket_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM activity WHERE bucket_offset >= 0 GROUP BY 1, 2""")
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention triangle (functions/eventstream.py):
+    users cohorted by first-signup week, distinct-counted per (cohort,
+    week offset) of any later activity."""
+    from aws_etl_bank_spark.functions.eventstream import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "signup")
+
+
+@q("stream_sliding_counts", """
+WITH e AS (SELECT event_type, value, epoch(ts) AS t FROM events),
+x AS (
+  SELECT event_type, value,
+         unnest(range(CAST(floor(t / 7200) AS BIGINT) - 2,
+                      CAST(floor(t / 7200) AS BIGINT) + 1)) AS k
+  FROM e)
+SELECT CAST(to_timestamp(k * 7200) AS TIMESTAMP) AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM x GROUP BY 1, 2""")
+def stream_sliding_counts(spark, sf_dir):
+    """SLIDING windowed aggregation (streaming/runner.py
+    windowed_event_counts with slide): 6-hour windows every 2 hours, so
+    each event lands in 3 overlapping windows — Spark's window() Expand
+    against a DuckDB per-event covering-window unnest.  Batch mode here
+    (the operator is stream/batch-identical; the streaming path is
+    exercised by stream_window_counts and the late-data test)."""
+    from aws_etl_bank_spark.streaming import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "6 hours", slide="2 hours")

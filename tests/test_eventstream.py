@@ -104,3 +104,37 @@ def test_upsample_by_weight_deterministic(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
     with pytest.raises(ValueError):
         upsample_by_weight(df, "source", {"a": -1.0})
+
+
+def test_cohort_retention_excludes_preanchor(spark):
+    import datetime as dt
+
+    from aws_etl_bank_spark.functions.eventstream import cohort_retention
+
+    wk = 7 * 86400
+
+    def at(week, sec=0):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(seconds=week * wk + sec)
+
+    ev = spark.createDataFrame(
+        [
+            (1, "view", at(0)),       # pre-signup: negative offset, dropped
+            (1, "signup", at(1)),
+            (1, "click", at(1, 60)),  # week 0 (same bucket as anchor)
+            (1, "click", at(3)),      # week 2
+            (2, "signup", at(1)),
+            (2, "view", at(2)),       # week 1
+            (3, "view", at(2)),       # never signed up: not cohorted
+        ],
+        "user_id int, event_type string, ts timestamp",
+    )
+    out = {(r.cohort_bucket, r.bucket_offset): r.n_active
+           for r in cohort_retention(ev, "signup").collect()}
+    # week-0 row counts the anchor events themselves (both users)
+    assert out[(1, 0)] == 2
+    assert out[(1, 1)] == 1   # u2's view
+    assert out[(1, 2)] == 1   # u1's click
+    assert (1, -1) not in out and len(out) == 3
+
+    with pytest.raises(ValueError):
+        cohort_retention(ev, "signup", bucket_seconds=0)
