@@ -97,3 +97,31 @@ def test_asof_bucketed_matches_plain(spark, left_rows, right_rows):
     split = _spark_asof(spark, left_rows, right_rows,
                         coarse_bucket_seconds=7)
     assert plain == split
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    points=st.lists(st.integers(-30, 30), min_size=0, max_size=10),
+    intervals=st.lists(st.tuples(st.integers(-30, 30), st.integers(-30, 30)),
+                       min_size=0, max_size=10),
+    width=st.sampled_from([1.0, 3.5, 7.0, 100.0]),
+)
+def test_range_join_matches_naive_on_random_inputs(spark, points, intervals,
+                                                   width):
+    """Bucketized range join == naive cross-filter for every bucket
+    width, including degenerate (hi < lo) and empty inputs."""
+    from aws_etl_bank_spark.operators.joins import range_join
+
+    p = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(points)], "pid bigint, v double")
+    iv = spark.createDataFrame(
+        [(i, float(lo), float(hi)) for i, (lo, hi) in enumerate(intervals)],
+        "iid bigint, lo double, hi double")
+    got = sorted((r.pid, r.iid) for r in
+                 range_join(p, iv, "v", "lo", "hi", width).collect())
+    want = sorted(
+        (pi, ii)
+        for pi, v in enumerate(points)
+        for ii, (lo, hi) in enumerate(intervals)
+        if lo <= v <= hi)
+    assert got == want
