@@ -51,6 +51,7 @@ _PRIORITY = [
     "mix_upsample_by_weight", "agg_salted_event_totals",
     "agg_approx_distinct_ratio", "ann_ivf_planted_twin",
     "cohort_retention_weekly", "stream_sliding_counts",
+    "scale_bucketed_join", "scale_range_clustered_read",
     # remaining slots up to the driver's 50-cap fill from the registry's
     # definition order below (long-green relational entries, rotating
     # back in for re-confirmation)

@@ -1871,3 +1871,63 @@ def stream_sliding_counts(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return windowed_event_counts(ev, "6 hours", slide="2 hours")
+
+
+@q("scale_bucketed_join", """
+SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey""")
+def scale_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (functions/scale.py): both sides
+    persisted bucketBy(custkey) with the same bucket count, so the join
+    and the following same-key aggregation run with NO exchange (plan
+    asserted in tests/test_scale.py) — the pay-the-shuffle-once layout
+    for a fact repeatedly joined on one key at 100 TB.  Results must
+    equal the plain shuffle join the oracle runs."""
+    import os as _os
+
+    from aws_etl_bank_spark.functions.scale import read_bucketed, write_bucketed
+
+    sfx = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_cust = f"b_orders_{sfx}", f"b_cust_{sfx}"
+    write_bucketed(load_table(spark, sf_dir, "orders")
+                   .select("o_orderkey", "o_custkey", "o_totalprice"),
+                   t_orders, "o_custkey", n_buckets=8)
+    write_bucketed(load_table(spark, sf_dir, "customer")
+                   .select("c_custkey"), t_cust, "c_custkey", n_buckets=8)
+    o, c = read_bucketed(spark, t_orders), read_bucketed(spark, t_cust)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@q("scale_range_clustered_read", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders WHERE o_totalprice BETWEEN 1000 AND 5000""")
+def scale_range_clustered_read(spark, sf_dir):
+    """Range-clustered layout roundtrip (functions/scale.py
+    write_range_clustered): orders re-laid-out by o_totalprice
+    (repartitionByRange + sortWithinPartitions → non-overlapping
+    per-file min/max footers, asserted in tests/test_scale.py), then a
+    range predicate reads it back — parquet file-level stats prune
+    whole files, and the numbers must match the unclustered oracle
+    scan."""
+    from aws_etl_bank_spark.functions.scale import write_range_clustered
+
+    path = _scratch(sf_dir, "orders_range_clustered")
+    write_range_clustered(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        path, ["o_totalprice"], n_files=8)
+    back = spark.read.parquet(path).filter(
+        F.col("o_totalprice").between(1000, 5000))
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
