@@ -1886,11 +1886,20 @@ def scale_bucketed_join(spark, sf_dir):
     for a fact repeatedly joined on one key at 100 TB.  Results must
     equal the plain shuffle join the oracle runs."""
     import os as _os
+    import shutil as _shutil
 
-    from aws_etl_bank_spark.functions.scale import read_bucketed, write_bucketed
+    from aws_etl_bank_spark.functions.scale import (
+        _strip_file_scheme, read_bucketed, write_bucketed)
 
     sfx = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
     t_orders, t_cust = f"b_orders_{sfx}", f"b_cust_{sfx}"
+    # self-reset: a fresh session's in-memory catalog does not know the
+    # table, so saveAsTable would trip over the stale warehouse location
+    # left by a previous session's run
+    wh = _strip_file_scheme(spark.conf.get("spark.sql.warehouse.dir"))
+    for t in (t_orders, t_cust):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(_os.path.join(wh, t), ignore_errors=True)
     write_bucketed(load_table(spark, sf_dir, "orders")
                    .select("o_orderkey", "o_custkey", "o_totalprice"),
                    t_orders, "o_custkey", n_buckets=8)
