@@ -314,10 +314,11 @@ def upsample_by_weight(df: DataFrame, strata_col: str,
     """
     if frac_denom <= 0:
         raise ValueError("frac_denom must be positive")
+    if default_weight < 0:
+        raise ValueError("negative default_weight")
     for s, w in weights.items():
         if w < 0:
             raise ValueError(f"negative weight for {s!r}")
-    n_copies = F.lit(None).cast("int")
     whole = F.floor(F.lit(float(default_weight))).cast("int")
     fracs = F.round(F.lit(float(default_weight) % 1.0) * frac_denom).cast("int")
     n_copies = whole + (F.col(id_col) % frac_denom < fracs).cast("int")

@@ -25,6 +25,26 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _nullsafe_equi_join(left: DataFrame, right: DataFrame, cols: list[str],
+                        how: str = "left") -> DataFrame:
+    """Equi-join on named columns with NULL-safe equality (<=>).
+
+    ``df.join(other, on=[names])`` uses null-unsafe ``=``, so NULL keys
+    never match — but window ``partitionBy`` groups NULL keys into one
+    partition, so carry joins that feed a window must match NULLs too.
+    Keeps the left side's join columns; other names must not collide.
+    """
+    la, ra = left.alias("__nsl"), right.alias("__nsr")
+    cond = None
+    for c in cols:
+        e = F.col(f"__nsl.{c}").eqNullSafe(F.col(f"__nsr.{c}"))
+        cond = e if cond is None else (cond & e)
+    return la.join(ra, on=cond, how=how).select(
+        *[F.col(f"__nsl.{c}") for c in left.columns],
+        *[F.col(f"__nsr.{c}") for c in right.columns if c not in cols],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -135,13 +155,15 @@ def asof_join(
             carry = F.first("__bpay", ignorenulls=True).over(
                 cw.rowsBetween(1, Window.unboundedFollowing))
         carries = (
-            spine.join(finals, on=[*keys, "__bkt"], how="left")
+            _nullsafe_equi_join(spine, finals, [*keys, "__bkt"])
             .withColumn("__carry", carry)
             .select(*keys, "__bkt", F.col("__carry"))
         )
         # equi-join on the window's own partition keys — the exchange is
-        # shared with the window sort; AQE broadcasts carries when small
-        unioned = unioned.join(carries, on=[*keys, "__bkt"], how="left")
+        # shared with the window sort; AQE broadcasts carries when small.
+        # NULL-safe so NULL join keys keep their cross-bucket carry, same
+        # as the unbucketed window which groups NULL keys together.
+        unioned = _nullsafe_equi_join(unioned, carries, [*keys, "__bkt"])
         w = Window.partitionBy(*keys, "__bkt").orderBy("__ats", "__side")
     else:
         unioned = unioned.withColumn("__carry", F.lit(None).cast(

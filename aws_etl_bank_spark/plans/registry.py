@@ -679,6 +679,22 @@ def sample_limit(spark, sf_dir):
     return load_table(spark, sf_dir, "orders").limit(50)
 
 
+@q("sample_limit_contained", "SELECT CAST(50 AS BIGINT) AS n_contained")
+def sample_limit_contained(spark, sf_dir):
+    """Derived oracle for the unordered LIMIT: which 50 rows come back is
+    nondeterministic, but (a) exactly 50 must come back and (b) every one
+    must be a genuine source row.  A left-semi join of the limited set
+    against the source emits each limited row at most once, so its count
+    equals 50 iff both properties hold — a single pinned-literal oracle
+    covers count AND containment (VERDICT r4 item 4a)."""
+    o = load_table(spark, sf_dir, "orders")
+    lim = o.limit(50)
+    return (
+        lim.join(o, on=list(lim.columns), how="left_semi")
+        .agg(F.count(F.lit(1)).alias("n_contained"))
+    )
+
+
 # ===========================================================================
 # Scalar functions (SURVEY.md §2.8)
 # ===========================================================================

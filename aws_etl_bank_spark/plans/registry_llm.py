@@ -389,6 +389,50 @@ def text_fingerprint_planted(spark, sf_dir):
     )
 
 
+def _twin_token_corpus(spark, sf_dir):
+    """Controlled dedup fixture over the documents ids: every doc's text
+    is 12 tokens derived from its own doc_id (``w<id>x<i>``), so two
+    DISTINCT docs share no shingle (true jaccard 0) while each planted
+    twin (every 20th id, copied to id+1_000_000 with the SAME text) has
+    jaccard 1.  Because ``minhash_lsh_pairs`` exact-verifies candidates
+    against the jaccard threshold, the final pair set is GUARANTEED to be
+    exactly the twin pairs — which makes the whole keep composition
+    (signature → bands → candidate join → connected components →
+    anti-join) oracle-checkable, unlike the free-text corpus whose
+    near-dup set is not SQL-expressible."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn(
+            "text",
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda i: F.concat(F.lit("w"), F.col("doc_id").cast("string"),
+                                   F.lit("x"), i.cast("string")))),
+        )
+    )
+    twins = (base.filter(F.col("doc_id") % 20 == 0)
+             .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    return base.unionByName(twins)
+
+
+@q("dedup_minhash_planted_keep", """
+SELECT doc_id FROM documents""")
+def dedup_minhash_planted_keep(spark, sf_dir):
+    """Oracle-checked keep path of MinHash-LSH dedup (VERDICT r4 items
+    4b/7): on the twin-token corpus the verified pair set is exactly the
+    planted twins, so transitive keep must equal the exact-dedup keep
+    set — every original id survives (it is the min of its component),
+    every planted copy is dropped.  The oracle is simply the original
+    documents ids."""
+    from aws_etl_bank_spark.llm import minhash_dedup_keep
+
+    corpus = _twin_token_corpus(spark, sf_dir)
+    keep = minhash_dedup_keep(corpus, "text", "doc_id", transitive=True,
+                              num_perm=64, bands=16, jaccard_threshold=0.5)
+    return keep.select("doc_id")
+
+
 @q("multimodal_meta", """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(octet_length(encode(text)) % 256 AS INTEGER) AS width,

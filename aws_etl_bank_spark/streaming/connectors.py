@@ -85,6 +85,8 @@ _KINESIS_OPTION_MAP = {
     "startingPosition": "kinesis.startingPosition",
     "awsSTSRoleARN": "kinesis.stsRoleArn",
     "awsSTSSessionName": "kinesis.stsSessionName",
+    # NOTE: unit change — Glue's value is milliseconds, the connector's is
+    # seconds per shard; map_kinesis_options converts (ceil, min 1s).
     "maxFetchTimeInMs": "kinesis.maxFetchTimePerShardSec",
     "maxFetchRecordsPerShard": "kinesis.maxFetchRecordsPerShard",
     # format concerns handled downstream of the source, not by the reader
@@ -118,9 +120,26 @@ def map_kinesis_options(options: dict) -> dict:
             mapped[k] = v
         # unknown keys are dropped rather than passed to the connector,
         # which rejects unrecognized options at stream start
+    if "kinesis.maxFetchTimePerShardSec" in mapped:
+        # Glue option is milliseconds; the aws-kinesis connector wants
+        # seconds per shard.  Round up so small values stay a usable 1s.
+        ms = int(mapped["kinesis.maxFetchTimePerShardSec"])
+        mapped["kinesis.maxFetchTimePerShardSec"] = max(1, -(-ms // 1000))
     if "kinesis.startingPosition" in mapped:
-        mapped["kinesis.startingPosition"] = str(
-            mapped["kinesis.startingPosition"]).upper()
+        pos = str(mapped["kinesis.startingPosition"])
+        up = pos.upper()
+        if up in ("LATEST", "TRIM_HORIZON"):
+            # canonicalize known enum spellings only
+            mapped["kinesis.startingPosition"] = up
+        elif up == "EARLIEST":
+            # Glue accepts 'earliest'; the connector's spelling is
+            # TRIM_HORIZON (same semantics: oldest available record)
+            mapped["kinesis.startingPosition"] = "TRIM_HORIZON"
+        else:
+            # timestamp form (AT_TIMESTAMP semantics): pass through
+            # unmodified — uppercasing would corrupt tz names and any
+            # non-ISO timestamp spelling the connector accepts
+            mapped["kinesis.startingPosition"] = pos
     if "kinesis.streamName" not in mapped:
         raise ValueError(
             "kinesis streaming source needs streamName or streamARN in "

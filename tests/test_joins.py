@@ -168,6 +168,26 @@ def test_asof_coarse_bucket_identical_results(quotes_trades):
                   coarse_bucket_seconds=0)
 
 
+def test_asof_coarse_bucket_null_keys_match_unbucketed(spark):
+    """NULL join keys form one window partition in the plain plan, so the
+    bucketed plan's carry join must be NULL-safe: a NULL-key trade whose
+    quote lives in an earlier bucket still gets the carried payload."""
+    left = spark.createDataFrame(
+        [(None, 10.0), (None, 250.0), ("a", 250.0)],
+        "k string, t double")
+    right = spark.createDataFrame(
+        [(None, 5.0, "nq"), ("a", 5.0, "aq")],
+        "k string, t double, payload string")
+    plain = asof_join(left, right, on="k", left_ts="t")
+    split = asof_join(left, right, on="k", left_ts="t",
+                      coarse_bucket_seconds=100.0)
+    assert sorted(map(tuple, plain.collect()), key=lambda x: (x[0] or "", x[1])) \
+        == sorted(map(tuple, split.collect()), key=lambda x: (x[0] or "", x[1]))
+    # and the cross-bucket NULL-key row specifically carries the payload
+    got = {(r.k, r.t): r.payload for r in split.collect()}
+    assert got[(None, 250.0)] == "nq"
+
+
 def test_asof_coarse_bucket_splits_hot_key(spark):
     """One hot key serializes the plain window into a single task; the
     bucketed variant must spread the same key over >1 task and still

@@ -69,6 +69,35 @@ class TestBrokerDispatch:
         with pytest.raises(ValueError, match="streamName or streamARN"):
             connectors.map_kinesis_options({"startingPosition": "latest"})
 
+    def test_kinesis_fetch_time_ms_converted_to_seconds(self):
+        # Glue's maxFetchTimeInMs is milliseconds; the connector option is
+        # seconds per shard — 1000 ms must become 1 s, not 1000 s
+        opts = connectors.map_kinesis_options(
+            {"streamName": "s1", "maxFetchTimeInMs": 1000})
+        assert opts["kinesis.maxFetchTimePerShardSec"] == 1
+        # sub-second values round up to a usable 1 s, 2500 → 3
+        assert connectors.map_kinesis_options(
+            {"streamName": "s1", "maxFetchTimeInMs": 200}
+        )["kinesis.maxFetchTimePerShardSec"] == 1
+        assert connectors.map_kinesis_options(
+            {"streamName": "s1", "maxFetchTimeInMs": 2500}
+        )["kinesis.maxFetchTimePerShardSec"] == 3
+
+    def test_kinesis_starting_position_forms(self):
+        def pos(v):
+            return connectors.map_kinesis_options(
+                {"streamName": "s1", "startingPosition": v}
+            )["kinesis.startingPosition"]
+
+        assert pos("latest") == "LATEST"
+        assert pos("trim_horizon") == "TRIM_HORIZON"
+        # Glue accepts 'earliest'; the connector's name for it is TRIM_HORIZON
+        assert pos("earliest") == "TRIM_HORIZON"
+        # timestamp values pass through byte-for-byte (no uppercasing)
+        assert pos("2024-01-01t00:00:00z") == "2024-01-01t00:00:00z"
+        assert pos("2024-06-30 12:00:00 Europe/Paris") == \
+            "2024-06-30 12:00:00 Europe/Paris"
+
     def test_non_broker_type_rejected_by_resolver(self):
         with pytest.raises(ValueError, match="not a broker"):
             connectors.resolve_stream_source("s3", {"path": "/x"})
