@@ -20,41 +20,38 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Entries the round-2 driver never reached (it evaluated only the first 50
-# registry entries). These register first so every operator family — nested
-# restructuring, streaming, SCD2, catalog pushdown, and the LLM-pipeline ops —
-# gets a driver-recorded correctness row each round. The long-green relational
-# entries rotate after them.
+# Freshness rotation (round 5): least-recently-validated first.  The
+# driver caps each round at 50 rows; ~40 entries were last driver-checked
+# in round 2, three rounds of refactors ago (the r3 testdata drift proved
+# green rows can rot silently), so this round's slots re-prove the oldest
+# greens.  Cumulative record: CORRECTNESS_r2..r4 cover all 133 entries.
 _PRIORITY = [
     # environment-drift tripwire first: pinned-literal schema oracle makes
     # a testdata regeneration fail in ONE obvious row (TESTDATA.md)
     "testdata_schema_smoke",
-    # the 18 entries the driver has NEVER evaluated (r2+r3 both capped at
-    # 50): API surfaces + the rows-only hash family
-    "job_bookmark_increment", "collection_select_map",
-    "partitions_after_repartition", "catalog_schema_fetch",
-    "jdbc_conf_roundtrip", "jdbc_extract_csv_ingest", "rdd_source_frame",
-    "count_actions", "stream_sample_poll", "sink_collection_write",
-    "catalog_purge_partitions", "governed_txn_write",
-    "dedup_minhash_pairs", "dedup_minhash_keep", "dedup_simhash_pairs",
-    "text_fingerprint", "ann_ivf_topk", "ann_ivf_trained_topk",
-    # the 7 rows that failed in r3 (streaming ts-drift crash + ts-bucket
-    # tz mismatch), now fixed — must re-prove green on the driver record
-    "stream_window_counts", "stream_stateful_counts", "stream_foreach_batch",
-    "stream_stream_join", "stream_dedup_ids",
-    "ts_bucket_rollup", "ts_gapfill_hourly",
-    # round-4 additions: hot-key-split asof + oracle-checked projections
-    # of the hash family (planted-duplicate fixtures)
-    "join_asof_bucketed", "dedup_minhash_planted_pairs",
-    "dedup_simhash_planted_pairs", "text_fingerprint_planted",
-    "funnel_view_click_purchase", "ts_rolling_zscore",
-    "mix_upsample_by_weight", "agg_salted_event_totals",
-    "agg_approx_distinct_ratio", "ann_ivf_planted_twin",
-    "cohort_retention_weekly", "stream_sliding_counts",
-    "scale_bucketed_join", "scale_range_clustered_read",
-    # remaining slots up to the driver's 50-cap fill from the registry's
-    # definition order below (long-green relational entries, rotating
-    # back in for re-confirmation)
+    # new in round 5, never driver-evaluated: the derived LIMIT oracle,
+    # the oracle-checked minhash keep path, the hot-key-split z-score
+    "sample_limit_contained", "dedup_minhash_planted_keep",
+    "ts_rolling_zscore_bucketed",
+    # the 40 entries last validated in round 2 (projection/filter/join/
+    # nested-restructuring/scalar families), oldest evidence in the repo
+    "win_row_number_topk", "win_lag_delta", "join_dynamicframe_equi",
+    "join_multiway_sql", "join_left_semi", "join_left_anti",
+    "join_expr_month", "merge_upsert", "apply_mapping_cast",
+    "select_fields_nested", "drop_fields_op", "rename_field_op",
+    "split_rows_match", "split_rows_rest", "split_fields_op",
+    "filter_python_predicate", "filter_drop_policy", "map_python_records",
+    "map_error_policy", "drop_null_fields_op", "union_by_name_drift",
+    "union_choice_cast", "resolve_choice_make_cols", "subtract_op",
+    "intersect_op", "distinct_op", "orderby_topk", "sample_limit",
+    "scalar_dates", "scalar_when_case", "scalar_strings", "udf_surface",
+    "filter_sql_expr", "string_cleanup", "repartition_coalesce",
+    "explode_split", "posexplode_index", "replace_array_element",
+    "named_struct_op", "ingestion_time_columns",
+    # remaining slots: the oldest round-3-vintage entries
+    "csv_allstrings_cast", "unbox_json", "scd2_merge_dim", "unbox_csv",
+    "unnest_struct", "unnest_ddb",
+    # rest of the 50-cap fills from registry definition order below
 ]
 
 

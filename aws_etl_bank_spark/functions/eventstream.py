@@ -92,7 +92,9 @@ def cohort_retention(df: DataFrame, anchor_type: str,
 
 def rolling_zscore(df: DataFrame, value_col: str, keys: list[str],
                    order_cols: list[str], window_rows: int = 100,
-                   out_col: str = "zscore") -> DataFrame:
+                   out_col: str = "zscore",
+                   coarse_bucket_seconds: float | None = None,
+                   bucket_rows: int | None = None) -> DataFrame:
     """Rolling z-score of ``value_col`` against the trailing
     ``window_rows`` rows per key (the row itself excluded, so an outlier
     cannot mask itself) — streaming-style anomaly scoring as one sorted
@@ -100,11 +102,28 @@ def rolling_zscore(df: DataFrame, value_col: str, keys: list[str],
     needs 2) and NULL when the trailing window is constant (sd = 0):
     IEEE double division would otherwise yield engine-dependent
     NaN/±Inf.  One exchange on ``keys``; a hot key serializes like any
-    window — coarse-bucket the key upstream if one key dominates
-    (see asof_join's coarse_bucket_seconds for the pattern).
+    window — pass ``coarse_bucket_seconds`` (width of the time pre-split
+    of the leading order column) to split each key across
+    ``bucket_rows``-row tasks with exact results, via the shared
+    boundary-carry helper (operators/windows.py, the generalization of
+    asof_join's coarse_bucket_seconds).
     """
     if window_rows < 2:
         raise ValueError("window_rows must be >= 2")
+    if coarse_bucket_seconds is not None:
+        from aws_etl_bank_spark.operators.windows import (
+            HELPER_COLS, trailing_rows_window_split)
+
+        split, w = trailing_rows_window_split(
+            df, keys, order_cols, window_rows,
+            coarse_bucket_seconds, bucket_rows)
+        mu = F.avg(value_col).over(w)
+        sd = F.stddev_samp(value_col).over(w)
+        return (
+            split.withColumn(
+                out_col, F.when(sd != 0, (F.col(value_col) - mu) / sd))
+            .filter(F.col("__own")).drop(*HELPER_COLS)
+        )
     w = (Window.partitionBy(*keys).orderBy(*order_cols)
          .rowsBetween(-window_rows, -1))
     mu = F.avg(value_col).over(w)

@@ -1,0 +1,117 @@
+"""Hot-key splitting for trailing row windows (beyond-reference; the
+reference has no window operators at all — SURVEY.md §2.5 covers only
+running sums).
+
+A ``Window.partitionBy(key).orderBy(ts).rowsBetween(-N, -1)`` serializes
+each key into one task; AQE cannot split a window partition, so one hot
+key becomes the stage's wall clock at scale.  ``asof_join`` solved this
+for its payload-carry window with (key, time-bucket) partitioning +
+a boundary-carry aggregate (operators/joins.py); this module generalizes
+the idea to ANY trailing-N-rows aggregate (rolling mean/stddev/z-score,
+rolling sums, ...), where the boundary state is the trailing N *rows*
+rather than one payload.
+
+Shape (all built-in ops, exact result):
+
+1. pre-split each key by a coarse time bucket of the leading order
+   column — this only parallelizes the rank computation, any width works;
+2. exact per-key global rank = rank within (key, time-bucket) + the
+   running row-count of earlier buckets (a window over the tiny
+   per-bucket aggregate, never over the data);
+3. re-bucket by row count: ``R = bucket_rows`` rows per (key, row-bucket),
+   with ``R >= window_rows`` — so every bucket except a key's last is
+   EXACTLY full;
+4. copy each bucket's last ``window_rows`` rows into the next bucket as
+   non-own "carry" rows;
+5. run the trailing window inside (key, row-bucket) ordered by the global
+   rank, then keep own rows only.
+
+Exactness: for an own row at global rank g in row-bucket b (ranks
+b*R+1 ... (b+1)*R), the trailing frame [g-N, g-1] lies within buckets b
+and b-1, and its b-1 portion — ranks [g-N, b*R] — is within b-1's last N
+rows because g > b*R and N <= R.  Carried copies reconstruct precisely
+that suffix, so the frame the window sees is row-for-row the frame the
+unsplit window would see.  Ties in ``order_cols`` are broken by the
+global rank (row_number), i.e. arbitrarily-but-consistently — the same
+freedom the unsplit window has.
+
+Cost: one extra tiny aggregate + its broadcast-size join back, and a
+``window_rows / bucket_rows`` row-duplication factor (~12.5% at the
+default ``bucket_rows = 8 * window_rows``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window, WindowSpec
+
+from aws_etl_bank_spark.operators.joins import _nullsafe_equi_join
+
+#: helper columns trailing_rows_window_split adds; drop after aggregating
+HELPER_COLS = ("__grank", "__rbkt", "__own")
+
+
+def trailing_rows_window_split(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    window_rows: int,
+    coarse_bucket_seconds: float,
+    bucket_rows: int | None = None,
+) -> tuple[DataFrame, WindowSpec]:
+    """(augmented df, window spec) for an exact trailing
+    ``rowsBetween(-window_rows, -1)`` aggregate with hot keys split
+    across ``bucket_rows``-row tasks.
+
+    Apply window functions over the returned spec, then
+    ``.filter("__own").drop(*HELPER_COLS)``.  The leading order column
+    must be a timestamp or numeric; NULLs in it sort first, like the
+    plain window.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    if coarse_bucket_seconds <= 0:
+        raise ValueError("coarse_bucket_seconds must be positive")
+    R = bucket_rows if bucket_rows is not None else 8 * window_rows
+    if R < window_rows:
+        raise ValueError("bucket_rows must be >= window_rows")
+
+    lead = order_cols[0]
+    if dict(df.dtypes)[lead].startswith("timestamp"):
+        # cast covers TIMESTAMP_NTZ (unix_micros requires TIMESTAMP)
+        tb = F.floor(F.unix_micros(F.col(lead).cast("timestamp"))
+                     / F.lit(int(coarse_bucket_seconds * 1_000_000)))
+    else:
+        tb = F.floor(F.col(lead) / F.lit(float(coarse_bucket_seconds)))
+    d = df.withColumn("__tb", tb)
+
+    # exact global rank per key: rank inside the (key, time-bucket) task
+    # plus the running size of earlier buckets.  The offsets window runs
+    # over one row per touched (key, time-bucket) — an aggregate, never
+    # the data — so no key ever serializes here.
+    lw = Window.partitionBy(*keys, "__tb").orderBy(*order_cols)
+    d = d.withColumn("__lrank", F.row_number().over(lw))
+    counts = d.groupBy(*keys, "__tb").agg(F.count(F.lit(1)).alias("__cnt"))
+    ow = (Window.partitionBy(*keys).orderBy("__tb")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        *keys, "__tb",
+        F.coalesce(F.sum("__cnt").over(ow), F.lit(0)).alias("__off"),
+    )
+    # NULL-safe: NULL keys (and a NULL time bucket from a NULL leading
+    # order value) form window partitions, so they must join too
+    d = _nullsafe_equi_join(d, offsets, [*keys, "__tb"], how="inner")
+    d = (d.withColumn("__grank", F.col("__off") + F.col("__lrank"))
+         .drop("__tb", "__lrank", "__off"))
+
+    d = d.withColumn("__rbkt", F.floor((F.col("__grank") - 1) / F.lit(R)))
+    own = d.withColumn("__own", F.lit(True))
+    carry = (
+        d.filter(((F.col("__grank") - 1) % F.lit(R)) >= F.lit(R - window_rows))
+        .withColumn("__rbkt", F.col("__rbkt") + 1)
+        .withColumn("__own", F.lit(False))
+    )
+    split = own.unionByName(carry)
+    w = (Window.partitionBy(*keys, "__rbkt").orderBy("__grank")
+         .rowsBetween(-window_rows, -1))
+    return split, w

@@ -86,6 +86,56 @@ def test_rolling_zscore_constant_window_is_null(spark):
     assert out[2] is None and out[3] is None
 
 
+def test_rolling_zscore_bucketed_identical_results(spark):
+    """The hot-key split path (operators/windows.py) must return exactly
+    the plain window's rows — including frames that straddle row-bucket
+    boundaries, short frames at a key's start, NULL keys, and the
+    constant-window NULL rule."""
+    import random
+
+    rng = random.Random(7)
+    rows = [("hot", float(i), float(rng.randint(0, 50))) for i in range(900)]
+    rows += [("cold", float(i), float(i % 7)) for i in range(30)]
+    rows += [(None, float(i), float(i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+
+    plain = rolling_zscore(df, "v", ["k"], ["t"], window_rows=25)
+    for bucket_rows in (25, 64, 200):   # min allowed, non-divisor, large
+        split = rolling_zscore(df, "v", ["k"], ["t"], window_rows=25,
+                               coarse_bucket_seconds=50.0,
+                               bucket_rows=bucket_rows)
+        a = sorted(map(tuple, plain.collect()),
+                   key=lambda x: (x[0] or "", x[1]))
+        b = sorted(map(tuple, split.collect()),
+                   key=lambda x: (x[0] or "", x[1]))
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert ra[:3] == rb[:3]
+            za, zb = ra[3], rb[3]
+            assert (za is None) == (zb is None)
+            if za is not None:
+                assert za == pytest.approx(zb, rel=1e-9)
+
+
+def test_rolling_zscore_bucketed_splits_hot_key(spark):
+    """One hot key must spread across >1 window task in the split path."""
+    import pyspark.sql.functions as F
+
+    n = 4000
+    df = spark.createDataFrame(
+        [("hot", float(i), float(i % 13)) for i in range(n)],
+        "k string, t double, v double")
+    split = rolling_zscore(df, "v", ["k"], ["t"], window_rows=50,
+                           coarse_bucket_seconds=100.0, bucket_rows=500)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        nparts = (split.groupBy(F.spark_partition_id().alias("p"))
+                  .agg(F.sum("zscore")).count())
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert nparts > 1
+
+
 def test_upsample_by_weight_deterministic(spark):
     df = spark.createDataFrame(
         [(i, "a" if i < 10 else "b") for i in range(20)],
