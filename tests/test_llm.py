@@ -160,6 +160,43 @@ def test_ivf_topk_with_trained_centroids(vectors):
     assert len(exact & approx) / len(exact) >= 0.6
 
 
+def test_ivf_trained_beats_standin_on_clustered_fixture(spark):
+    """On clusterable data (8 well-separated Gaussian clusters, ids in
+    cluster blocks — the stand-in centroid rule's realistic worst case)
+    trained k-means|| centroids must match-or-beat the stand-in at every
+    nprobe and be near-perfect at nprobe=2 (scripts/ivf_recall_audit.py
+    records the full table in PERF.md)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0.0, 1.0, (8, 16))
+    rows, vid = [], 0
+    for c in range(8):                      # block ids: worst case for
+        for _ in range(12):                 # "lowest-id vectors" stand-in
+            v = centers[c] + rng.normal(0.0, 0.15, 16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    qrows = [(10_000 + i,
+              [float(x) for x in centers[i % 8] + rng.normal(0.0, 0.15, 16)])
+             for i in range(8)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(corpus, queries, 5).collect()}
+    trained = similarity.train_centroids(corpus, n_cells=8)
+    for nprobe in (1, 2):
+        stand = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(
+            corpus, queries, 5, n_cells=8, nprobe=nprobe).collect()}
+        train = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(
+            corpus, queries, 5, n_cells=8, nprobe=nprobe,
+            centroids=trained).collect()}
+        r_stand = len(exact & stand) / len(exact)
+        r_train = len(exact & train) / len(exact)
+        assert r_train >= r_stand, (nprobe, r_stand, r_train)
+    assert r_train >= 0.9                   # nprobe=2 of 8 on real clusters
+
+
 def test_text_stats_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "The cat sat on the mat.")], "doc_id long, text string"
