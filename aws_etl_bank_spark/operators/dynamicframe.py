@@ -571,13 +571,22 @@ class DynamicFrame:
                 schema = ", ".join(f"col{i} STRING" for i in range(n))
             df = self._df.withColumn(path, F.from_csv(F.col(path), schema, {"sep": sep}))
         elif fmt == "avro":
-            try:
-                from pyspark.sql.avro.functions import from_avro
-            except ImportError as e:  # pragma: no cover
-                raise NotImplementedError("avro unbox requires the spark-avro package") from e
+            # the python wrapper always imports; jar absence surfaces as
+            # AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE at expression build,
+            # so the gate must catch that, not ImportError
+            from pyspark.sql.avro.functions import from_avro
             if schema is None:
                 raise ValueError("avro unbox requires an explicit jsonFormatSchema")
-            df = self._df.withColumn(path, from_avro(F.col(path), schema))
+            try:
+                df = self._df.withColumn(path, from_avro(F.col(path), schema))
+            except Exception as e:
+                if "AVRO_NOT_LOADED" in str(e):
+                    raise NotImplementedError(
+                        "avro unbox requires the spark-avro package on the "
+                        "session classpath (pyspark's bundled distribution "
+                        "omits it; add --packages org.apache.spark:spark-avro)"
+                    ) from e
+                raise
         else:
             raise ValueError(f"unbox: unsupported format {format!r}")
         return self._with_df(df)

@@ -200,6 +200,31 @@ def test_unbox_csv_with_separator(spark):
     assert row["col0"] == "x" and row["col1"] == "7"
 
 
+def test_unbox_avro_gated_or_roundtrips(spark):
+    """Without the spark-avro jar (this sandbox), avro unbox must raise
+    the clean NotImplementedError gate, not Spark's raw analysis error;
+    with the jar present it must parse.  Schema is always required."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.avro.functions import to_avro
+
+    df = spark.createDataFrame([(1, "x")], "id long, payload string")
+    with pytest.raises(ValueError, match="jsonFormatSchema"):
+        DynamicFrame.fromDF(df).unbox("payload", "avro")
+    try:
+        binned = df.select("id", to_avro(F.col("id")).alias("payload"))
+        avro_available = True
+    except Exception:
+        avro_available = False
+    if avro_available:  # pragma: no cover - needs spark-avro on classpath
+        out = DynamicFrame.fromDF(binned).unbox(
+            "payload", "avro", schema='{"type": "long"}').toDF()
+        assert out.collect()[0]["payload"] == 1
+    else:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            DynamicFrame.fromDF(df).unbox(
+                "payload", "avro", schema='{"type": "long"}')
+
+
 def test_relationalize_deterministic_keys(spark):
     df = spark.createDataFrame(
         [(1, [10, 20]), (2, [30])], "id long, xs array<long>")
