@@ -32,7 +32,7 @@ _PRIORITY = [
     # new in round 5, never driver-evaluated: the derived LIMIT oracle,
     # the oracle-checked minhash keep path, the hot-key-split z-score
     "sample_limit_contained", "dedup_minhash_planted_keep",
-    "ts_rolling_zscore_bucketed",
+    "ts_rolling_zscore_bucketed", "win_running_sum_cust_split",
     # the 40 entries last validated in round 2 (projection/filter/join/
     # nested-restructuring/scalar families), oldest evidence in the repo
     "win_row_number_topk", "win_lag_delta", "join_dynamicframe_equi",

@@ -51,6 +51,64 @@ from aws_etl_bank_spark.operators.joins import _nullsafe_equi_join
 HELPER_COLS = ("__grank", "__rbkt", "__own")
 
 
+def _time_bucket(df: DataFrame, order_col: str, seconds: float):
+    dtype = dict(df.dtypes)[order_col]
+    if dtype.startswith("timestamp") or dtype == "date":
+        # cast covers TIMESTAMP_NTZ and DATE (unix_micros wants TIMESTAMP)
+        return F.floor(F.unix_micros(F.col(order_col).cast("timestamp"))
+                       / F.lit(int(seconds * 1_000_000)))
+    return F.floor(F.col(order_col) / F.lit(float(seconds)))
+
+
+def running_sum_split(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    coarse_bucket_seconds: float,
+) -> DataFrame:
+    """Exact hot-key-split running sum: ``SUM(value) OVER (PARTITION BY
+    keys ORDER BY order_col)`` (RANGE default frame — ties share the
+    accumulated value) with each key spread across (key, time-bucket)
+    tasks instead of serializing one window partition.
+
+    Running aggregates decompose: within-bucket running sum (RANGE
+    window inside each (key, bucket) task) + the running TOTAL of all
+    earlier buckets (a window over the tiny per-bucket aggregate, one
+    row per touched bucket).  Equal order values always share a time
+    bucket, so cross-bucket RANGE tie semantics cannot be violated.
+    Same shape works for count/min/max (any associative combine);
+    ``trailing_rows_window_split`` covers the trailing-N-rows family
+    where the carry is rows, not one value.
+
+    Column order and every input column are preserved; ``out_col`` is
+    appended, matching the plain-window ``withColumn`` shape.
+    """
+    if coarse_bucket_seconds <= 0:
+        raise ValueError("coarse_bucket_seconds must be positive")
+    d = df.withColumn("__tb", _time_bucket(df, order_col, coarse_bucket_seconds))
+    inner = Window.partitionBy(*keys, "__tb").orderBy(order_col)
+    d = d.withColumn("__in", F.sum(value_col).over(inner))
+    totals = d.groupBy(*keys, "__tb").agg(F.sum(value_col).alias("__tot"))
+    ow = (Window.partitionBy(*keys).orderBy("__tb")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        *keys, "__tb",
+        F.sum("__tot").over(ow).alias("__off"),
+    )
+    # NULL-safe: NULL keys / a NULL bucket from a NULL order value form
+    # window partitions of their own, so the join-back must match them
+    d = _nullsafe_equi_join(d, offsets, [*keys, "__tb"], how="inner")
+    # SQL sum ignores NULL inputs but returns NULL over an all-NULL set:
+    # the combined sum is NULL only when BOTH parts are
+    out = F.when(
+        F.col("__in").isNull() & F.col("__off").isNull(), F.lit(None)
+    ).otherwise(F.coalesce("__in", F.lit(0)) + F.coalesce("__off", F.lit(0)))
+    return (d.withColumn(out_col, out)
+            .drop("__tb", "__in", "__off"))
+
+
 def trailing_rows_window_split(
     df: DataFrame,
     keys: list[str],
@@ -76,14 +134,8 @@ def trailing_rows_window_split(
     if R < window_rows:
         raise ValueError("bucket_rows must be >= window_rows")
 
-    lead = order_cols[0]
-    if dict(df.dtypes)[lead].startswith("timestamp"):
-        # cast covers TIMESTAMP_NTZ (unix_micros requires TIMESTAMP)
-        tb = F.floor(F.unix_micros(F.col(lead).cast("timestamp"))
-                     / F.lit(int(coarse_bucket_seconds * 1_000_000)))
-    else:
-        tb = F.floor(F.col(lead) / F.lit(float(coarse_bucket_seconds)))
-    d = df.withColumn("__tb", tb)
+    d = df.withColumn(
+        "__tb", _time_bucket(df, order_cols[0], coarse_bucket_seconds))
 
     # exact global rank per key: rank inside the (key, time-bucket) task
     # plus the running size of earlier buckets.  The offsets window runs

@@ -258,6 +258,35 @@ def win_running_sum_cust(spark, sf_dir):
     )
 
 
+@q("win_running_sum_cust_split", """
+WITH daily AS (
+    SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS spend
+    FROM orders GROUP BY 1, 2
+)
+SELECT cust_id, d, ROUND(spend, 2) AS daily_spend,
+       ROUND(SUM(spend) OVER (PARTITION BY cust_id ORDER BY d), 2) AS accum_spend
+FROM daily""")
+def win_running_sum_cust_split(spark, sf_dir):
+    """Hot-key-split running sum (operators/windows.py running_sum_split):
+    same oracle as win_running_sum_cust — within-bucket RANGE window plus
+    the running total of earlier buckets must be value-identical to the
+    serial per-key window, while each customer's history spreads across
+    ~30-day tasks.  The running-aggregate sibling of
+    ts_rolling_zscore_bucketed's trailing-rows split."""
+    o = load_table(spark, sf_dir, "orders")
+    from aws_etl_bank_spark.operators.windows import running_sum_split
+
+    daily = o.groupBy(
+        F.col("o_custkey").alias("cust_id"), F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum("o_totalprice").alias("spend"))
+    out = running_sum_split(daily, ["cust_id"], "d", "spend", "accum_spend",
+                            coarse_bucket_seconds=30 * 86400.0)
+    return out.select(
+        "cust_id", "d", F.round("spend", 2).alias("daily_spend"),
+        F.round("accum_spend", 2).alias("accum_spend"),
+    )
+
+
 @q("win_running_sum_acct", """
 WITH daily AS (
     SELECT l_suppkey AS acc_id, l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
