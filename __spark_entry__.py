@@ -33,6 +33,7 @@ _PRIORITY = [
     # the oracle-checked minhash keep path, the hot-key-split z-score
     "sample_limit_contained", "dedup_minhash_planted_keep",
     "ts_rolling_zscore_bucketed", "win_running_sum_cust_split",
+    "dedup_semantic_pairs", "dedup_semantic_keep",
     # the 40 entries last validated in round 2 (projection/filter/join/
     # nested-restructuring/scalar families), oldest evidence in the repo
     "win_row_number_topk", "win_lag_delta", "join_dynamicframe_equi",

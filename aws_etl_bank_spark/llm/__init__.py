@@ -11,6 +11,9 @@ from aws_etl_bank_spark.llm.dedup import (  # noqa: F401
     simhash_signatures,
     simhash_lsh_pairs,
     embedding_dup_pairs,
+    assign_cells,
+    semantic_dedup_pairs,
+    semantic_dedup_keep,
 )
 from aws_etl_bank_spark.llm.similarity import (  # noqa: F401
     cosine_sim,

@@ -659,3 +659,99 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         "n_lines",
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
     )
+
+
+# -- Semantic dedup (SemDeDup-style) ---------------------------------------
+
+
+def assign_cells(df: DataFrame, vec_col: str, id_col: str,
+                 centroids: DataFrame | None = None,
+                 n_cells: int = 16) -> DataFrame:
+    """(id, vec double[], cell_id): each row assigned to its nearest
+    centroid by cosine, deterministically (ties break to the lowest
+    cell_id).
+
+    ``centroids`` is a tiny (cell_id, centroid array<double>) frame —
+    e.g. :func:`~aws_etl_bank_spark.llm.similarity.train_centroids` —
+    and is broadcast; the default stand-in (the ``n_cells`` lowest-id
+    corpus vectors) keeps the path deterministic with no training job,
+    matching ``ivf_topk``'s convention.
+
+    Plan shape: broadcast-nested-loop fan-out to N x n_cells rows, then
+    argmax as ``min(struct(-sim, cell_id))`` — a HASH aggregation with
+    map-side partial combine (one shuffle of N pre-combined rows), not a
+    per-id window sort.  At 100 TB this is one pass over the corpus plus
+    one combine-reduced exchange."""
+    from aws_etl_bank_spark.llm.similarity import _dot, _norm, _to_double
+
+    if centroids is None:
+        centroids = (
+            df.orderBy(id_col).limit(n_cells)
+            .select(F.col(id_col).alias("cell_id"),
+                    _to_double(F.col(vec_col)).alias("centroid"))
+        )
+    else:
+        centroids = centroids.select(
+            "cell_id", _to_double(F.col("centroid")).alias("centroid"))
+    v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+    sim = _dot(F.col("__v"), F.col("centroid")) / (
+        _norm(F.col("__v")) * _norm(F.col("centroid")))
+    scored = v.join(F.broadcast(centroids), F.lit(True)).select(
+        id_col, "__v",
+        F.struct((-F.round(sim, 6)).alias("neg_sim"),
+                 F.col("cell_id").alias("cell_id")).alias("__w"))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min("__w").alias("__w"), F.first("__v").alias("__v"))
+        .select(F.col(id_col), F.col("__v").alias("vec"),
+                F.col("__w.cell_id").alias("cell_id"))
+    )
+
+
+def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", n_cells: int = 16,
+                         cosine_threshold: float = 0.95,
+                         centroids: DataFrame | None = None) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings (k-means cells), compare
+    cosine only WITHIN a cell, emit pairs at/above the threshold as
+    ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+
+    Scale contract: the join is an equi-join on ``cell_id`` — never a
+    corpus x corpus product — so the comparison volume is
+    sum(cell_size^2) ~ N^2 / n_cells for balanced cells.  ``n_cells``
+    must therefore grow with the corpus (SemDeDup uses ~100k clusters at
+    web scale; rule of thumb n_cells ~ N / target_cell_rows).  Identical
+    vectors always land in the same cell (identical similarities, same
+    deterministic tie-break), so exact-duplicate recall is 1.0 by
+    construction regardless of centroid quality — that is the planted
+    oracle contract (plans/registry_llm.py: dedup_semantic_pairs)."""
+    assigned = assign_cells(df, vec_col, id_col, centroids, n_cells)
+    from aws_etl_bank_spark.llm.similarity import _dot, _norm
+
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col("vec").alias("__va"),
+                        "cell_id")
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col("vec").alias("__vb"),
+                        "cell_id")
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb")))
+    return (
+        a.join(b, ["cell_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup_keep(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", n_cells: int = 16,
+                        cosine_threshold: float = 0.95,
+                        centroids: DataFrame | None = None) -> DataFrame:
+    """Rows surviving semantic dedup: one survivor (smallest id) per
+    connected component of the semantic-pair graph — the transitive
+    closure, so a chain a~b~c keeps only ``a`` even without an a~c
+    pair."""
+    pairs = semantic_dedup_pairs(df, vec_col, id_col, n_cells,
+                                 cosine_threshold, centroids)
+    return dedup_keep_transitive(df, pairs, id_col)

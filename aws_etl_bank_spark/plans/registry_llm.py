@@ -176,6 +176,59 @@ def dedup_embedding_pairs(spark, sf_dir):
                                n_planes=8, cosine_threshold=0.95)
 
 
+def _planted_embeddings(spark, sf_dir):
+    """embeddings ∪ an id-shifted exact copy — same fixture as
+    dedup_embedding_pairs; the only pairs at cosine ≥ 0.95 are the
+    planted twins (organic max ≈ 0.51), so cell-bounded comparison has
+    provable recall 1.0 here (identical vectors co-cell always)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.unionAll(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+
+
+@q("dedup_semantic_pairs", """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+all_v AS (SELECT vec_id, v FROM base
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, v FROM base),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+          FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95""")
+def dedup_semantic_pairs(spark, sf_dir):
+    """SemDeDup-style semantic dedup (llm/dedup.py semantic_dedup_pairs):
+    nearest-centroid cells, cosine compared only within a cell.  On the
+    planted fixture the output must equal DuckDB's all-pairs cosine scan
+    at the same threshold — a missing twin means cell assignment split
+    identical vectors (impossible by the deterministic tie-break), an
+    extra pair means the threshold leaked."""
+    from aws_etl_bank_spark.llm import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(_planted_embeddings(spark, sf_dir),
+                                "embedding", "vec_id", n_cells=16,
+                                cosine_threshold=0.95)
+
+
+@q("dedup_semantic_keep", """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+all_v AS (SELECT vec_id, v FROM base
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, v FROM base),
+losers AS (SELECT DISTINCT b.vec_id
+           FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95)
+SELECT vec_id FROM all_v WHERE vec_id NOT IN (SELECT vec_id FROM losers)""")
+def dedup_semantic_keep(spark, sf_dir):
+    """Keep path of semantic dedup: one survivor (smallest id) per
+    connected component.  On the planted fixture components are disjoint
+    twin pairs, so the survivor set is exactly all ids minus each pair's
+    larger id — DuckDB-expressible."""
+    from aws_etl_bank_spark.llm import semantic_dedup_keep
+
+    return semantic_dedup_keep(_planted_embeddings(spark, sf_dir),
+                               "embedding", "vec_id", n_cells=16,
+                               cosine_threshold=0.95).select("vec_id")
+
+
 @q("ann_bruteforce_topk", """
 WITH qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings WHERE vec_id < 5),

@@ -502,3 +502,57 @@ def test_line_dedup_no_window_over_line_key(spark):
     # hub-line safety: winner per line must be a hash aggregate (map-side
     # combine), never a per-line window sort
     assert "Window" not in plan
+
+
+@pytest.fixture(scope="module")
+def twin_vectors(spark):
+    """40 base vectors on distinct directions (organic cosine well below
+    0.95) plus an exact copy of every 4th vector at id+1000 — the
+    semantic-dedup analogue of twin_corpus: the only pairs at the
+    threshold are the planted twins."""
+    import random as _random
+
+    rng = _random.Random(0)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0.0, 1.0) for _ in range(32)]
+        rows.append((i, v))
+        if i % 4 == 0:
+            rows.append((i + 1000, list(v)))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_pairs_find_exactly_planted_twins(twin_vectors):
+    pairs = dedup.semantic_dedup_pairs(twin_vectors, "embedding", "vec_id",
+                                       n_cells=8, cosine_threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 1000) for i in range(40) if i % 4 == 0}
+
+
+def test_semantic_keep_equals_exact_dedup_keep(twin_vectors):
+    kept = dedup.semantic_dedup_keep(twin_vectors, "embedding", "vec_id",
+                                     n_cells=8, cosine_threshold=0.95)
+    assert sorted(r["vec_id"] for r in kept.collect()) == list(range(40))
+
+
+def test_semantic_pairs_with_trained_centroids(twin_vectors):
+    # centroid quality must not affect exact-twin recall: identical
+    # vectors co-cell under ANY centroid set (deterministic tie-break)
+    from aws_etl_bank_spark.llm import train_centroids
+
+    cents = train_centroids(twin_vectors, n_cells=5, max_iter=5)
+    pairs = dedup.semantic_dedup_pairs(twin_vectors, "embedding", "vec_id",
+                                       cosine_threshold=0.95, centroids=cents)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 1000) for i in range(40) if i % 4 == 0}
+
+
+def test_semantic_pair_join_is_equi_not_cartesian(twin_vectors):
+    pairs = dedup.semantic_dedup_pairs(twin_vectors, "embedding", "vec_id",
+                                       n_cells=8, cosine_threshold=0.95)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the one allowed BNLJ is the N x n_cells centroid fan-out (tiny
+    # broadcast side, the IVF assignment pattern); the pair join itself
+    # must be an equi-join on cell_id
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
