@@ -34,6 +34,7 @@ _PRIORITY = [
     "sample_limit_contained", "dedup_minhash_planted_keep",
     "ts_rolling_zscore_bucketed", "win_running_sum_cust_split",
     "dedup_semantic_pairs", "dedup_semantic_keep",
+    "quality_metrics_orders", "quality_check_lineitem",
     # the 40 entries last validated in round 2 (projection/filter/join/
     # nested-restructuring/scalar families), oldest evidence in the repo
     "win_row_number_topk", "win_lag_delta", "join_dynamicframe_equi",

@@ -2009,3 +2009,76 @@ def scale_range_clustered_read(spark, sf_dir):
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@q("quality_metrics_orders", """
+WITH m AS (
+  SELECT round(CAST(count(*) AS DOUBLE), 4) AS c,
+         round(avg(CASE WHEN o_orderstatus IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS comp,
+         round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 4) AS uniq_key,
+         round(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 4) AS uniq_cust,
+         round(avg(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END), 4) AS price_pos,
+         round(CAST(min(o_totalprice) AS DOUBLE), 4) AS mn,
+         round(CAST(max(o_totalprice) AS DOUBLE), 4) AS mx,
+         round(avg(o_totalprice), 4) AS av
+  FROM orders)
+SELECT 'count(*)' AS metric, c AS value FROM m
+UNION ALL SELECT 'completeness(o_orderstatus)', comp FROM m
+UNION ALL SELECT 'uniqueness(o_orderkey)', uniq_key FROM m
+UNION ALL SELECT 'uniqueness(o_custkey)', uniq_cust FROM m
+UNION ALL SELECT 'compliance(totalprice>0)', price_pos FROM m
+UNION ALL SELECT 'min(o_totalprice)', mn FROM m
+UNION ALL SELECT 'max(o_totalprice)', mx FROM m
+UNION ALL SELECT 'mean(o_totalprice)', av FROM m""")
+def quality_metrics_orders(spark, sf_dir):
+    """Deequ-style metric suite (functions/quality.py): 8 constraint
+    metrics over orders in ONE aggregation pass (single scan + global
+    agg; the two exact distincts share the Expand).  Long-format
+    (metric, value) output; doubles rounded to 4 on both sides."""
+    from aws_etl_bank_spark.functions import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    return Q.profile(orders, [
+        Q.row_count(),
+        Q.completeness("o_orderstatus"),
+        Q.uniqueness("o_orderkey"),
+        Q.uniqueness("o_custkey"),
+        Q.compliance("totalprice>0", F.col("o_totalprice") > 0),
+        Q.minimum("o_totalprice"),
+        Q.maximum("o_totalprice"),
+        Q.mean("o_totalprice"),
+    ], round_to=4)
+
+
+@q("quality_check_lineitem", """
+WITH m AS (
+  SELECT round(avg(CASE WHEN l_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS comp,
+         round(avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END), 4) AS qty,
+         round(avg(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1.0 ELSE 0.0 END), 4) AS disc,
+         round(CAST(count(DISTINCT l_orderkey) AS DOUBLE) / count(*), 4) AS uniq
+  FROM lineitem)
+SELECT 'orderkey complete' AS "check", 'completeness(l_orderkey)' AS metric,
+       comp AS value, comp = 1.0 AS passed FROM m
+UNION ALL SELECT 'quantity in [1,50]', 'compliance(qty in [1,50])', qty, qty = 1.0 FROM m
+UNION ALL SELECT 'discount in [0,0.1]', 'compliance(disc in [0,0.1])', disc, disc >= 0.99 FROM m
+UNION ALL SELECT 'orderkey not unique', 'uniqueness(l_orderkey)', uniq, uniq < 1.0 FROM m""")
+def quality_check_lineitem(spark, sf_dir):
+    """Constraint suite with assertions (functions/quality.py check):
+    (check, metric, value, passed) rows, still one aggregation pass —
+    the pass/fail layer is map-side arithmetic over the wide agg row."""
+    from aws_etl_bank_spark.functions import quality as Q
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return Q.check(li, [
+        ("orderkey complete", Q.completeness("l_orderkey"),
+         lambda v: v == 1.0),
+        ("quantity in [1,50]",
+         Q.compliance("qty in [1,50]", F.col("l_quantity").between(1, 50)),
+         lambda v: v == 1.0),
+        ("discount in [0,0.1]",
+         Q.compliance("disc in [0,0.1]",
+                      (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)),
+         lambda v: v >= 0.99),
+        ("orderkey not unique", Q.uniqueness("l_orderkey"),
+         lambda v: v < 1.0),
+    ], round_to=4)
