@@ -33,6 +33,10 @@ from aws_etl_bank_spark.llm.text import (  # noqa: F401
     token_budget_sample,
     upsample_by_weight,
 )
+from aws_etl_bank_spark.llm.ranking import (  # noqa: F401
+    bm25_scores,
+    bm25_topk,
+)
 from aws_etl_bank_spark.llm.multimodal import (  # noqa: F401
     attach_binary_payload,
     decode_image_features,

@@ -1192,3 +1192,51 @@ def ann_ivf_planted_twin(spark, sf_dir):
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
     corpus = emb.unionByName(twins)
     return ivf_topk(corpus, queries, k=1, n_cells=16, nprobe=4)
+
+
+_BM25_ORACLE_BODY = """
+toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) WHERE t <> ''
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(doclen) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+       WHERE t IN ('spark', 'join', 'window') GROUP BY doc_id, t),
+dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / stats.avgdl))), 4) AS score,
+         CAST(count(DISTINCT tf.t) AS BIGINT) AS n_terms
+  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)"""
+
+
+@q("text_bm25_rank", "WITH " + _BM25_ORACLE_BODY + """
+SELECT doc_id, score, n_terms FROM scored""")
+def text_bm25_rank(spark, sf_dir):
+    """Okapi BM25 (llm/ranking.py) of every document against the probe
+    query ['spark','join','window'] — scores and distinct-term hits,
+    reproduced term-for-term by the DuckDB oracle (same tokenizer, same
+    Lucene-variant idf, k1=1.2 b=0.75, rounded to 4)."""
+    from aws_etl_bank_spark.llm.ranking import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["spark", "join", "window"])
+
+
+@q("text_bm25_topk", "WITH " + _BM25_ORACLE_BODY + """
+SELECT doc_id, score, n_terms FROM scored
+ORDER BY score DESC, doc_id LIMIT 20""")
+def text_bm25_topk(spark, sf_dir):
+    """Global BM25 top-20 (TakeOrdered — no full sort shuffle),
+    deterministic because ties on the rounded score break by doc_id on
+    both engines."""
+    from aws_etl_bank_spark.llm.ranking import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "window"], k=20)
