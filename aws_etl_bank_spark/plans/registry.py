@@ -2082,3 +2082,29 @@ def quality_check_lineitem(spark, sf_dir):
         ("orderkey not unique", Q.uniqueness("l_orderkey"),
          lambda v: v < 1.0),
     ], round_to=4)
+
+
+@q("agg_approx_percentile_band", """
+SELECT event_type, CAST(1.0 AS DOUBLE) AS p50_band, CAST(1.0 AS DOUBLE) AS p90_band
+FROM events GROUP BY event_type""")
+def agg_approx_percentile_band(spark, sf_dir):
+    """The 100 TB percentile swap-in, accuracy-checked like
+    agg_approx_distinct_ratio: per event type, approx_percentile
+    (Greenwald-Khanna, accuracy=10000, mergeable partial aggs — no
+    per-group sort buffer) divided by the exact interpolated percentile
+    (agg_percentiles' oracle form), rounded to one decimal.  The oracle
+    expects literally 1.0: the sketch's rank error is ≤ n/accuracy rows,
+    which stays within the ±5% band through sf10-scale group sizes (the
+    GK guarantee degrades linearly in n — raise accuracy with SF, the
+    memory cost is O(accuracy), not O(n))."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10000)
+    return (
+        ev.groupBy("event_type")
+        .agg(approx.alias("ap"),
+             F.percentile("value", 0.5).alias("x50"),
+             F.percentile("value", 0.9).alias("x90"))
+        .select("event_type",
+                F.round(F.col("ap")[0] / F.col("x50"), 1).cast("double").alias("p50_band"),
+                F.round(F.col("ap")[1] / F.col("x90"), 1).cast("double").alias("p90_band"))
+    )
