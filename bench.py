@@ -47,6 +47,10 @@ HEADLINE = [
     # r05 addition: the hot-key-split z-score (row-bucketed window +
     # boundary carry) next to its plain form, like the asof pair
     "ts_rolling_zscore_bucketed",
+    # late-r05 additions: semantic dedup (cell-bucketed cosine) and BM25
+    # ranking (explode + hash aggs + broadcast stats)
+    "dedup_semantic_pairs",
+    "text_bm25_rank",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
