@@ -729,10 +729,14 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
     assigned = assign_cells(df, vec_col, id_col, centroids, n_cells)
     from aws_etl_bank_spark.llm.similarity import _dot, _norm
 
-    a = assigned.select(F.col(id_col).alias("id_a"), F.col("vec").alias("__va"),
-                        "cell_id")
-    b = assigned.select(F.col(id_col).alias("id_b"), F.col("vec").alias("__vb"),
-                        "cell_id")
+    # pre-partition on the join key BEFORE aliasing the two sides: both
+    # join inputs then hang off the SAME exchange subplan (halves the
+    # corpus scans vs aliasing first; the join itself adds no shuffle)
+    part = assigned.repartition("cell_id")
+    a = part.select(F.col(id_col).alias("id_a"), F.col("vec").alias("__va"),
+                    "cell_id")
+    b = part.select(F.col(id_col).alias("id_b"), F.col("vec").alias("__vb"),
+                    "cell_id")
     cos = _dot(F.col("__va"), F.col("__vb")) / (
         _norm(F.col("__va")) * _norm(F.col("__vb")))
     return (
