@@ -68,3 +68,14 @@ def test_bm25_topk_order_and_plan(corpus):
     # merge), not a full sort shuffle
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_no_explode_no_doc_join(corpus):
+    # the columnar form must not explode tokens into (doc, term) rows or
+    # join per-doc frames: only the 1-row stats broadcast (BNLJ) allowed
+    plan = (ranking.bm25_scores(corpus, ["spark", "join"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Generate" not in plan           # no explode
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # no doc-keyed join
+    assert plan.count("BroadcastNestedLoopJoin") == 1
