@@ -152,7 +152,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q("dedup_embedding_pairs", """
-WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id < 100000000),
 all_v AS (SELECT vec_id, v FROM base
           UNION ALL SELECT vec_id + 1000000 AS vec_id, v FROM base),
 pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -165,10 +166,14 @@ def dedup_embedding_pairs(spark, sf_dir):
     table unioned with an id-shifted copy of itself.  Because every other
     pair is far below the 0.95 threshold, hyperplane-LSH recall is exactly
     1.0 here and the output is oracle-checkable against an all-pairs
-    DuckDB cosine scan."""
+    DuckDB cosine scan.  Pinned to copy 0 (vec_id < 100M) like
+    _planted_embeddings: the make_sf.py upscale plants ~0.997-cosine
+    cross-copy near-dups whose LSH recall is not guaranteed."""
     from aws_etl_bank_spark.llm import embedding_dup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 100_000_000)
+           .select("vec_id", "embedding"))
     planted = emb.unionAll(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
@@ -180,15 +185,26 @@ def _planted_embeddings(spark, sf_dir):
     """embeddings ∪ an id-shifted exact copy — same fixture as
     dedup_embedding_pairs; the only pairs at cosine ≥ 0.95 are the
     planted twins (organic max ≈ 0.51), so cell-bounded comparison has
-    provable recall 1.0 here (identical vectors co-cell always)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    provable recall 1.0 here (identical vectors co-cell always).
+
+    Pinned to copy 0 (``vec_id < 100M``): make_sf.py upscales by
+    stacking PERTURBED copies (+i*0.001 per component) whose cross-copy
+    cosines reach ~0.997 — genuine near-dups that can legitimately land
+    in different cells, breaking the twins-only contract at sf1+.  Copy
+    0 is byte-identical to the source table at every factor, so the
+    filter keeps the oracle scale-invariant (and is a no-op at the
+    driver's sf0.01)."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 100_000_000)
+           .select("vec_id", "embedding"))
     return emb.unionAll(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
 
 
 @q("dedup_semantic_pairs", """
-WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id < 100000000),
 all_v AS (SELECT vec_id, v FROM base
           UNION ALL SELECT vec_id + 1000000 AS vec_id, v FROM base),
 pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -210,7 +226,8 @@ def dedup_semantic_pairs(spark, sf_dir):
 
 
 @q("dedup_semantic_keep", """
-WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id < 100000000),
 all_v AS (SELECT vec_id, v FROM base
           UNION ALL SELECT vec_id + 1000000 AS vec_id, v FROM base),
 losers AS (SELECT DISTINCT b.vec_id
@@ -532,8 +549,15 @@ def _events_stream_dir(sf_dir: str) -> str:
 
     d = _scratch(sf_dir, "events_stream/ignored").rsplit("/", 1)[0]
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # absolute target: a relative sf_dir would otherwise create a link
+    # that resolves relative to the link's OWN directory (broken), and
+    # os.path.exists follows links — so the broken link looked absent
+    # and the re-create crashed with FileExistsError (sf1 audit, r5)
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(target):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     return d
 
 
