@@ -681,7 +681,13 @@ def assign_cells(df: DataFrame, vec_col: str, id_col: str,
     argmax as ``min(struct(-sim, cell_id))`` — a HASH aggregation with
     map-side partial combine (one shuffle of N pre-combined rows), not a
     per-id window sort.  At 100 TB this is one pass over the corpus plus
-    one combine-reduced exchange."""
+    one combine-reduced exchange.
+
+    The centroids are L2-normalized up front (tiny frame), which makes
+    argmax-cosine = argmax-dot for each row: the row's own norm is a
+    constant factor across its n_cells candidates, so no norm is ever
+    computed in the N x n_cells hot loop (higher-order array expressions
+    are interpreted — per-candidate work is what dominates)."""
     from aws_etl_bank_spark.llm.similarity import _dot, _norm, _to_double
 
     if centroids is None:
@@ -693,9 +699,11 @@ def assign_cells(df: DataFrame, vec_col: str, id_col: str,
     else:
         centroids = centroids.select(
             "cell_id", _to_double(F.col("centroid")).alias("centroid"))
+    centroids = centroids.withColumn("__cn", _norm(F.col("centroid"))).select(
+        "cell_id",
+        F.transform("centroid", lambda x: x / F.col("__cn")).alias("centroid"))
     v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
-    sim = _dot(F.col("__v"), F.col("centroid")) / (
-        _norm(F.col("__v")) * _norm(F.col("centroid")))
+    sim = _dot(F.col("__v"), F.col("centroid"))
     scored = v.join(F.broadcast(centroids), F.lit(True)).select(
         id_col, "__v",
         F.struct((-F.round(sim, 6)).alias("neg_sim"),
@@ -729,16 +737,21 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
     assigned = assign_cells(df, vec_col, id_col, centroids, n_cells)
     from aws_etl_bank_spark.llm.similarity import _dot, _norm
 
+    # compute each row's norm ONCE below the shuffle (the repartition
+    # exchange materializes it) so the per-PAIR work inside the cell
+    # join is a single dot product — higher-order array expressions are
+    # interpreted, not codegen'd, and dot + two norms per pair measured
+    # 3x the per-pair cost on the Σ cell² comparisons
+    normed = assigned.withColumn("__nrm", _norm(F.col("vec")))
     # pre-partition on the join key BEFORE aliasing the two sides: both
     # join inputs then hang off the SAME exchange subplan (halves the
     # corpus scans vs aliasing first; the join itself adds no shuffle)
-    part = assigned.repartition("cell_id")
+    part = normed.repartition("cell_id")
     a = part.select(F.col(id_col).alias("id_a"), F.col("vec").alias("__va"),
-                    "cell_id")
+                    F.col("__nrm").alias("__na"), "cell_id")
     b = part.select(F.col(id_col).alias("id_b"), F.col("vec").alias("__vb"),
-                    "cell_id")
-    cos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb")))
+                    F.col("__nrm").alias("__nb"), "cell_id")
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, ["cell_id"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -221,7 +221,7 @@ def dedup_semantic_pairs(spark, sf_dir):
     from aws_etl_bank_spark.llm import semantic_dedup_pairs
 
     return semantic_dedup_pairs(_planted_embeddings(spark, sf_dir),
-                                "embedding", "vec_id", n_cells=16,
+                                "embedding", "vec_id", n_cells=64,
                                 cosine_threshold=0.95)
 
 
@@ -242,7 +242,7 @@ def dedup_semantic_keep(spark, sf_dir):
     from aws_etl_bank_spark.llm import semantic_dedup_keep
 
     return semantic_dedup_keep(_planted_embeddings(spark, sf_dir),
-                               "embedding", "vec_id", n_cells=16,
+                               "embedding", "vec_id", n_cells=64,
                                cosine_threshold=0.95).select("vec_id")
 
 
