@@ -1264,3 +1264,53 @@ def text_bm25_topk(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, ["spark", "join", "window"], k=20)
+
+
+@q("stream_static_enrich", """
+SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events JOIN nation ON user_id % 25 = n_nationkey
+GROUP BY 1""")
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment (streaming/joins.py
+    enrich_with_static) run as a REAL streaming query: events stream ⋈
+    broadcast nation dim (stateless, no watermark needed) → complete-mode
+    aggregate → memory sink.  Oracle is the batch equivalent."""
+    import time as _time
+
+    from aws_etl_bank_spark.streaming.joins import enrich_with_static
+
+    stream = (events_stream(spark, _events_stream_dir(sf_dir))
+              .withColumn("__nk", F.col("user_id") % 25))
+    dim = (load_table(spark, sf_dir, "nation")
+           .select(F.col("n_nationkey").alias("__nk"), "n_name"))
+    enriched = enrich_with_static(stream, dim, "__nk")
+    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"stream_enrich_{int(_time.time() * 1000) % 10_000_000}"
+    query = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    result = spark.table(name).collect()
+    return spark.createDataFrame(result, spark.table(name).schema)
+
+
+@q("dedup_semantic_pairs_full")  # rows-only: near-dup recall is
+# cell-assignment-dependent (SemDeDup semantics); the oracle-checked
+# planted projection is dedup_semantic_pairs
+def dedup_semantic_pairs_full(spark, sf_dir):
+    """Whole-table semantic near-dup pairs (no copy-0 pin, so on
+    make_sf-upscaled data the ~0.997-cosine cross-copy near-dups are
+    real work) — the SCALING variant benched in bench.py; n_cells grows
+    with the corpus per the n_cells ≈ N / target_cell_rows rule."""
+    from aws_etl_bank_spark.llm import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    n_cells = max(16, n // 250)
+    return semantic_dedup_pairs(emb, "embedding", "vec_id",
+                                n_cells=n_cells, cosine_threshold=0.95)

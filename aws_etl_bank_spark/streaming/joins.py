@@ -81,3 +81,18 @@ def stream_dedup(
         return stream.withWatermark(ts_col, watermark) \
             .dropDuplicatesWithinWatermark(keys)
     return stream.dropDuplicates(keys)
+
+
+def enrich_with_static(stream: DataFrame, dim: DataFrame,
+                       on, broadcast_dim: bool = True) -> DataFrame:
+    """Stream-static equi-join — the canonical dimension-enrichment
+    shape (stream fact rows decorated from a slowly-changing static
+    table).  Stateless: no watermark and no state store; Spark re-plans
+    the static side each micro-batch, so a catalog-backed dim picks up
+    changes between batches.  ``broadcast_dim`` (default) hints the
+    per-batch join to broadcast the dim — at 100 TB of stream the dim
+    ships once per executor per batch instead of shuffling the stream.
+
+    ``on`` is a column name, list of names, or a join Column."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, "inner")

@@ -47,9 +47,10 @@ HEADLINE = [
     # r05 addition: the hot-key-split z-score (row-bucketed window +
     # boundary carry) next to its plain form, like the asof pair
     "ts_rolling_zscore_bucketed",
-    # late-r05 additions: semantic dedup (cell-bucketed cosine) and BM25
-    # ranking (explode + hash aggs + broadcast stats)
-    "dedup_semantic_pairs",
+    # late-r05 additions: semantic dedup (cell-bucketed cosine; the
+    # _full variant scales with SF — the oracle-pinned planted entry is
+    # constant-size by design) and columnar BM25 ranking
+    "dedup_semantic_pairs_full",
     "text_bm25_rank",
 ]
 
