@@ -37,6 +37,7 @@ _PRIORITY = [
     "quality_metrics_orders", "quality_check_lineitem",
     "text_bm25_rank", "text_bm25_topk", "agg_approx_percentile_band",
     "stream_static_enrich", "dedup_semantic_pairs_full",
+    "text_decontaminate_semantic",
     # the 40 entries last validated in round 2 (projection/filter/join/
     # nested-restructuring/scalar families), oldest evidence in the repo
     "win_row_number_topk", "win_lag_delta", "join_dynamicframe_equi",

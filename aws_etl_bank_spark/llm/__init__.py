@@ -14,6 +14,7 @@ from aws_etl_bank_spark.llm.dedup import (  # noqa: F401
     assign_cells,
     semantic_dedup_pairs,
     semantic_dedup_keep,
+    decontaminate_semantic,
 )
 from aws_etl_bank_spark.llm.similarity import (  # noqa: F401
     cosine_sim,

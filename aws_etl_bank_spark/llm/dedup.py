@@ -772,3 +772,65 @@ def semantic_dedup_keep(df: DataFrame, vec_col: str = "embedding",
     pairs = semantic_dedup_pairs(df, vec_col, id_col, n_cells,
                                  cosine_threshold, centroids)
     return dedup_keep_transitive(df, pairs, id_col)
+
+
+def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           bench_id_col: str | None = None,
+                           n_cells: int = 16,
+                           cosine_threshold: float = 0.95,
+                           centroids: DataFrame | None = None,
+                           mode: str = "flag") -> DataFrame:
+    """Embedding-space decontamination: flag corpus rows whose vector is
+    within ``cosine_threshold`` of ANY benchmark vector — catches eval
+    leakage that survives paraphrase, which n-gram :func:`decontaminate`
+    misses.
+
+    ``mode="flag"`` → ``(id, n_matches, max_cosine)`` for contaminated
+    rows; ``mode="drop"`` → the clean corpus rows.
+
+    100 TB design: the corpus is cell-assigned once (:func:`assign_cells`
+    — broadcast centroids, map-side argmax); the benchmark is tiny so
+    its cell-assigned, L2-normalized form is BROADCAST and the match is
+    a broadcast equi-join on cell_id + one dot product per same-cell
+    candidate.  Nothing corpus x benchmark-wide, no shuffle of corpus
+    rows beyond the assignment's combine-reduced exchange.  Exact
+    copies of a benchmark vector are always caught (identical vectors
+    co-cell deterministically); near-matches straddling a cell boundary
+    are subject to the same within-cell recall contract as SemDeDup —
+    raise ``n_cells`` quality via trained ``centroids`` when that
+    matters."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be flag|drop, got {mode!r}")
+    bench_id = bench_id_col or id_col
+    from aws_etl_bank_spark.llm.similarity import _dot, _norm
+
+    if centroids is None:
+        # derive the stand-in from the CORPUS and pass it explicitly:
+        # letting assign_cells default per-frame would give corpus and
+        # benchmark different centroid sets, breaking co-celling
+        centroids = (
+            corpus.orderBy(id_col).limit(n_cells)
+            .select(F.col(id_col).alias("cell_id"),
+                    F.transform(vec_col, lambda x: x.cast("double"))
+                    .alias("centroid"))
+        )
+    c = (assign_cells(corpus, vec_col, id_col, centroids, n_cells)
+         .withColumn("__cn", _norm(F.col("vec"))))
+    b = (assign_cells(benchmark, vec_col, bench_id, centroids, n_cells)
+         .withColumnRenamed(bench_id, "__bid")
+         .withColumn("__bn", _norm(F.col("vec")))
+         .select("__bid", F.col("vec").alias("__bv"), "__bn", "cell_id"))
+    cos = _dot(F.col("vec"), F.col("__bv")) / (F.col("__cn") * F.col("__bn"))
+    matches = (
+        c.join(F.broadcast(b), "cell_id")
+        .withColumn("__cos", F.round(cos, 4))
+        .filter(F.col("__cos") >= cosine_threshold)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matches"),
+             F.max("__cos").alias("max_cosine"))
+    )
+    if mode == "flag":
+        return matches
+    return corpus.join(matches.select(id_col), id_col, "left_anti")

@@ -1314,3 +1314,22 @@ def dedup_semantic_pairs_full(spark, sf_dir):
     n_cells = max(16, n // 250)
     return semantic_dedup_pairs(emb, "embedding", "vec_id",
                                 n_cells=n_cells, cosine_threshold=0.95)
+
+
+@q("text_decontaminate_semantic", """
+SELECT vec_id, CAST(1 AS BIGINT) AS n_matches, CAST(1.0 AS DOUBLE) AS max_cosine
+FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 100000000""")
+def text_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination (llm/dedup.py
+    decontaminate_semantic): benchmark = every 20th corpus vector, so
+    the contaminated set is provably exactly those rows (identical
+    vector ⇒ co-cell ⇒ cosine 1.0; organic max ≈ 0.51 is far below the
+    0.95 threshold).  Copy-0 pinned like the other embedding fixtures."""
+    from aws_etl_bank_spark.llm import decontaminate_semantic
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 100_000_000)
+           .select("vec_id", "embedding"))
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    return decontaminate_semantic(emb, bench, "embedding", "vec_id",
+                                  n_cells=16, cosine_threshold=0.95)

@@ -556,3 +556,38 @@ def test_semantic_pair_join_is_equi_not_cartesian(twin_vectors):
     # broadcast side, the IVF assignment pattern); the pair join itself
     # must be an equi-join on cell_id
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_decontaminate_semantic_flags_planted(twin_vectors):
+    # benchmark = the +1000 copies; every base with a copy must flag at
+    # cosine 1.0, nothing else reaches the threshold
+    bench = twin_vectors.filter(F.col("vec_id") >= 1000)
+    flagged = dedup.decontaminate_semantic(
+        twin_vectors.filter(F.col("vec_id") < 1000), bench,
+        "embedding", "vec_id", n_cells=8, cosine_threshold=0.95)
+    got = {r["vec_id"]: (r["n_matches"], r["max_cosine"])
+           for r in flagged.collect()}
+    assert got == {i: (1, 1.0) for i in range(40) if i % 4 == 0}
+
+
+def test_decontaminate_semantic_drop_mode(twin_vectors):
+    corpus = twin_vectors.filter(F.col("vec_id") < 1000)
+    bench = twin_vectors.filter(F.col("vec_id") >= 1000)
+    clean = dedup.decontaminate_semantic(
+        corpus, bench, "embedding", "vec_id", n_cells=8,
+        cosine_threshold=0.95, mode="drop")
+    kept = sorted(r["vec_id"] for r in clean.collect())
+    assert kept == [i for i in range(40) if i % 4 != 0]
+
+
+def test_decontaminate_semantic_benchmark_id_clash_ok(spark, twin_vectors):
+    # benchmark ids may collide with corpus ids (different tables): the
+    # output ids must be CORPUS ids
+    corpus = twin_vectors.filter(F.col("vec_id") < 1000)
+    bench = (twin_vectors.filter(F.col("vec_id") >= 1000)
+             .withColumn("vec_id", F.col("vec_id") - 1000))  # clash on purpose
+    flagged = dedup.decontaminate_semantic(
+        corpus, bench, "embedding", "vec_id", n_cells=8,
+        cosine_threshold=0.95)
+    assert {r["vec_id"] for r in flagged.collect()} == {
+        i for i in range(40) if i % 4 == 0}
