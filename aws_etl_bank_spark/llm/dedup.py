@@ -774,6 +774,34 @@ def semantic_dedup_keep(df: DataFrame, vec_col: str = "embedding",
     return dedup_keep_transitive(df, pairs, id_col)
 
 
+def _probe_cells(df: DataFrame, vec_col: str, id_col: str,
+                 centroids: DataFrame, nprobe: int) -> DataFrame:
+    """(id, vec, cell_id) with one row per (row, probed cell): the
+    ``nprobe`` nearest centroids by dot-against-normalized-centroid,
+    deterministically tie-broken.  Window-ranked — meant for the SMALL
+    side (a benchmark); the corpus side uses :func:`assign_cells`'s
+    agg form."""
+    from pyspark.sql import Window
+
+    from aws_etl_bank_spark.llm.similarity import _dot, _norm, _to_double
+
+    if nprobe <= 1:
+        return assign_cells(df, vec_col, id_col, centroids)
+    cents = centroids.withColumn("__cn", _norm(F.col("centroid"))).select(
+        "cell_id",
+        F.transform("centroid", lambda x: x / F.col("__cn")).alias("centroid"))
+    v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
+    sim = _dot(F.col("vec"), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(sim, 6).desc(), F.col("cell_id"))
+    return (
+        v.join(F.broadcast(cents), F.lit(True))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= nprobe)
+        .select(id_col, "vec", "cell_id")
+    )
+
+
 def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",
@@ -781,7 +809,8 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
                            n_cells: int = 16,
                            cosine_threshold: float = 0.95,
                            centroids: DataFrame | None = None,
-                           mode: str = "flag") -> DataFrame:
+                           mode: str = "flag",
+                           nprobe: int = 1) -> DataFrame:
     """Embedding-space decontamination: flag corpus rows whose vector is
     within ``cosine_threshold`` of ANY benchmark vector — catches eval
     leakage that survives paraphrase, which n-gram :func:`decontaminate`
@@ -798,9 +827,12 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
     rows beyond the assignment's combine-reduced exchange.  Exact
     copies of a benchmark vector are always caught (identical vectors
     co-cell deterministically); near-matches straddling a cell boundary
-    are subject to the same within-cell recall contract as SemDeDup —
-    raise ``n_cells`` quality via trained ``centroids`` when that
-    matters."""
+    are subject to the same within-cell recall contract as SemDeDup.
+    ``nprobe`` restores boundary recall: each benchmark vector is
+    replicated into its ``nprobe`` nearest cells (benchmark is tiny, so
+    the broadcast grows by nprobe, not the corpus side); at
+    ``nprobe=n_cells`` the match is exact brute force (property-tested).
+    Trained ``centroids`` raise cell quality when recall matters."""
     if mode not in ("flag", "drop"):
         raise ValueError(f"mode must be flag|drop, got {mode!r}")
     bench_id = bench_id_col or id_col
@@ -818,7 +850,7 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
         )
     c = (assign_cells(corpus, vec_col, id_col, centroids, n_cells)
          .withColumn("__cn", _norm(F.col("vec"))))
-    b = (assign_cells(benchmark, vec_col, bench_id, centroids, n_cells)
+    b = (_probe_cells(benchmark, vec_col, bench_id, centroids, nprobe)
          .withColumnRenamed(bench_id, "__bid")
          .withColumn("__bn", _norm(F.col("vec")))
          .select("__bid", F.col("vec").alias("__bv"), "__bn", "cell_id"))

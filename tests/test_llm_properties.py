@@ -89,3 +89,30 @@ def test_semantic_pairs_one_cell_equals_brute_force(spark, vecs, threshold):
                                  cosine_threshold=threshold)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == _allpairs_ref(vecs, threshold)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=_vecs)
+def test_decontaminate_full_probe_equals_brute_force(spark, vecs):
+    # nprobe=n_cells replicates every benchmark vector into every cell,
+    # so the flag set must equal the numpy all-pairs threshold check
+    from aws_etl_bank_spark.llm.dedup import decontaminate_semantic
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = df.withColumn("vec_id", df.vec_id + 1000)
+    n_cells = 3
+    flagged = decontaminate_semantic(df, bench, "embedding", "vec_id",
+                                     n_cells=n_cells, cosine_threshold=0.95,
+                                     nprobe=n_cells)
+    got = {r["vec_id"] for r in flagged.collect()}
+    import math as m
+    expect = set()
+    for i, a in enumerate(vecs):
+        for j, b in enumerate(vecs):
+            na = m.sqrt(sum(x * x for x in a)); nb = m.sqrt(sum(x * x for x in b))
+            if na == 0 or nb == 0:
+                continue
+            if round(sum(x * y for x, y in zip(a, b)) / (na * nb), 4) >= 0.95:
+                expect.add(i)
+    assert got == expect
