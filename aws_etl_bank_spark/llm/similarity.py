@@ -74,6 +74,164 @@ def train_centroids(corpus: DataFrame, n_cells: int = 16,
     return corpus.sparkSession.createDataFrame(rows, "cell_id long, centroid array<double>")
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def pq_codebooks(corpus: DataFrame, dim: int, m: int = 8, n_codes: int = 16,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 trained: bool = False, seed: int = 7, max_iter: int = 20,
+                 sample_fraction: float | None = None) -> list[list[list[float]]]:
+    """Product-quantization codebooks: ``m`` codebooks of ``n_codes``
+    centroids over the ``dim/m``-dim subspaces of ``vec_col``.
+
+    Returns a driver-side nested list (``m × n_codes × dim/m`` floats —
+    8·16·8 = 1 Ki doubles at the defaults, broadcast as a literal into the
+    encode/search expressions exactly like ``KMeans.clusterCenters()``).
+
+    ``trained=False`` (default): deterministic stand-in — the subvectors
+    of the ``n_codes`` lowest-id corpus vectors; reproducible with no
+    training job, which keeps the oracle-checked registry path stable.
+    ``trained=True``: per-subspace k-means|| (``m`` small fits, optionally
+    on a ``sample_fraction`` of the corpus — PQ training is conventionally
+    done on a bounded sample, so the fit cost does not scale with the
+    corpus)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    base = corpus
+    if not trained:
+        rows = (base.orderBy(id_col).limit(n_codes)
+                .select(_to_double(F.col(vec_col)).alias("v")).collect())
+        if len(rows) < n_codes:
+            raise ValueError(f"corpus has {len(rows)} rows < n_codes {n_codes}")
+        return [[list(r.v[j * dsub:(j + 1) * dsub]) for r in rows] for j in range(m)]
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    v = _to_double(F.col(vec_col))
+    books = []
+    for j in range(m):
+        feat = base.select(array_to_vector(F.slice(v, j * dsub + 1, dsub)).alias("features"))
+        model = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter,
+                       initMode="k-means||").fit(feat)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def _pq_literal(codebooks: list[list[list[float]]]) -> Column:
+    return F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in sub])
+        for sub in codebooks
+    ])
+
+
+def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<int>): nearest code (squared L2) per subspace.
+
+    Map-only — the codebook is a literal in the expression tree, the
+    argmin is ``array_position(dists, array_min(dists))`` (first-match ⇒
+    deterministic lowest-index tie-break), and no shuffle or UDF touches
+    the corpus: encoding 100 TB is a pure scan.  The encoded corpus is
+    ``m`` small ints per vector (8 bytes at the defaults) versus
+    ``dim·4`` for the raw floats — a 32× smaller search set."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = _to_double(F.col(vec_col))
+    codes = []
+    for j in range(m):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        dists = F.transform(_pq_literal([codebooks[j]])[0], lambda code: _l2sq(sub, code))
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
+            codebooks: list[list[list[float]]], vec_col: str = "embedding",
+            id_col: str = "vec_id", refine: int | None = None) -> DataFrame:
+    """Approximate top-k by product quantization with asymmetric distance
+    (ADC): corpus vectors are replaced by their ``m`` codebook codes;
+    each query precomputes an ``m × n_codes`` lookup table of exact
+    query-subvector→code distances, and a candidate's score is ``m``
+    array lookups summed — never a ``dim``-wide float scan.
+
+    Output: (query_id, neighbor_id, rank, adc_dist) ranked by (ADC
+    squared-L2 asc, neighbor_id asc).  For an exact twin of a query the
+    ADC distance is provably the global minimum (the twin shares the
+    query's own argmin codes), which is what the planted-twin oracle
+    checks.  Scale shape: encode is map-only; the scored join broadcasts
+    the (small) query side with its LUTs against the encoded corpus, and
+    only the final top-k window shuffles — by query_id, bounded by
+    ``n_queries × corpus_partitions`` candidate rows after the
+    per-partition window cut.
+
+    ``refine``: ADC ranking is noisy at coarse quantization, so the
+    production pattern is shortlist-then-refine — keep the top
+    ``refine`` (> k) candidates by ADC, join back their RAW vectors by
+    id (an equi-join whose small shortlist side broadcasts), and re-rank
+    the shortlist by exact squared L2.  The exact distance is computed
+    for ``n_queries × refine`` rows, never the corpus."""
+    enc = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(id_col, "neighbor_id")
+    cb = _pq_literal(codebooks)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qv = _to_double(F.col(vec_col))
+
+    def _lut_row(j: int) -> Column:
+        # bind the subspace slice OUTSIDE the lambda: a defaulted second
+        # lambda parameter (`lambda code, _j=j:`) would change the
+        # lambda's arity and make PySpark pass the ARRAY INDEX as `_j`
+        sub = F.slice(qv, j * dsub + 1, dsub)
+        return F.transform(cb[j], lambda code: _l2sq(sub, code))
+
+    lut = F.array(*[_lut_row(j) for j in range(m)])
+    q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
+    scored = (
+        enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", F.aggregate(
+            F.zip_with(F.col("codes"), F.col("lut"),
+                       lambda c, row: F.element_at(row, c + F.lit(1))),
+            F.lit(0.0), lambda acc, x: acc + x))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round("adc", 6), F.col("neighbor_id"))
+    if refine is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                    F.round("adc", 4).alias("adc_dist"))
+        )
+    if refine < k:
+        raise ValueError(f"refine {refine} < k {k}")
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    qraw = queries.select(F.col(id_col).alias("query_id"),
+                          _to_double(F.col(vec_col)).alias("qv"))
+    craw = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         _to_double(F.col(vec_col)).alias("cv"))
+    exact = (
+        F.broadcast(shortlist.join(F.broadcast(qraw), "query_id"))
+        .join(craw, "neighbor_id")
+        .withColumn("l2_dist", _l2sq(F.col("qv"), F.col("cv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.round("l2_dist", 6), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                F.round("l2_dist", 4).alias("l2_dist"))
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, n_cells: int = 16,
              nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
              centroids: DataFrame | None = None) -> DataFrame:

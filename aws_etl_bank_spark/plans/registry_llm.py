@@ -1333,3 +1333,79 @@ def text_decontaminate_semantic(spark, sf_dir):
     bench = emb.filter(F.col("vec_id") % 20 == 0)
     return decontaminate_semantic(emb, bench, "embedding", "vec_id",
                                   n_cells=16, cosine_threshold=0.95)
+
+
+@q("ann_pq_planted_twin", """
+SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+       CAST(1 AS BIGINT) AS rank, CAST(0.0 AS DOUBLE) AS adc_dist
+FROM embeddings WHERE vec_id < 5""")
+def ann_pq_planted_twin(spark, sf_dir):
+    """Oracle-checked projection of product-quantization ANN
+    (llm/similarity.py pq_topk): plant an exact twin (vec_id + 1e6) of
+    each of the 5 query vectors into the corpus.  A twin encodes to the
+    query's own argmin codes, so its ADC distance is provably the global
+    minimum — and because the stand-in codebooks are built from the
+    n_codes lowest-id vectors (which include the queries), that minimum
+    is exactly 0.0.  No organic vector shares all m codes with a query
+    on this embedding set (verified across SFs), so top-1 must be the
+    twin.  Copy-0 pinned like the other planted-embedding fixtures."""
+    from aws_etl_bank_spark.llm.similarity import pq_codebooks, pq_topk
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 100_000_000)
+           .select("vec_id", "embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(twins)
+    cb = pq_codebooks(corpus, dim=64, m=8, n_codes=16)
+    return pq_topk(corpus, queries, k=1, codebooks=cb)
+
+
+@q("ann_pq_topk")  # approximate by construction: rows-only; the
+# oracle-checked projection is ann_pq_planted_twin
+def ann_pq_topk(spark, sf_dir):
+    """PQ-ADC top-10 over the full embeddings table: corpus compressed
+    to m=8 one-byte codes per vector (32x smaller than the raw floats),
+    scored by m lookup-table reads per candidate.  The scale path when
+    even IVF's probed cells are too wide to scan as raw floats."""
+    from aws_etl_bank_spark.llm.similarity import pq_codebooks, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), 10, cb)
+
+
+@q("stream_cdc_scd2", """
+WITH r AS (SELECT user_id, event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT user_id, event_type AS last_event_type, ROUND(value, 2) AS balance
+FROM r WHERE rn = 1""")
+def stream_cdc_scd2(spark, sf_dir):
+    """Streaming CDC apply (streaming/cdc.py): the events table split
+    into 3 ts-ranged files replayed as a 1-file-per-trigger change
+    stream, each micro-batch MERGED into a versioned SCD2 dim keyed by
+    user_id.  The stale-change guard makes the final ACTIVE rows
+    batch-split- and arrival-order-invariant — exactly the
+    max-(ts, event_id) change per key, which is what the oracle checks;
+    per-batch history semantics are asserted in tests/test_streaming.py."""
+    import time as _time
+
+    from aws_etl_bank_spark.plans.registry import _scratch
+    from aws_etl_bank_spark.streaming.cdc import cdc_apply_scd2
+
+    events = load_table(spark, sf_dir, "events")
+    feed_dir = _scratch(sf_dir, "cdc_feed")
+    events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(feed_dir)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+    run_tag = int(_time.time() * 1000)
+    dim = cdc_apply_scd2(
+        stream, _scratch(sf_dir, f"cdc_state_{run_tag}"), key="user_id",
+        value_cols=["value", "event_type"],
+        checkpoint=_scratch(sf_dir, f"cdc_ckpt_{run_tag}"))
+    return (dim.filter(F.col("is_active"))
+            .select("user_id", F.col("event_type").alias("last_event_type"),
+                    F.round("value", 2).alias("balance")))

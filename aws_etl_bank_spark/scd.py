@@ -24,7 +24,7 @@ the key; dims that fit broadcast get a broadcast join from AQE for free.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 #: open-ended end-date sentinel (reference semantics: a DATE, §8.6)
 OPEN_END_DATE = "3000-01-01"
@@ -40,13 +40,24 @@ def scd2_stamp(df: DataFrame, as_of: str) -> DataFrame:
 
 
 def scd2_merge(current: DataFrame, updates: DataFrame, keys: list[str],
-               as_of: str, tracked: list[str] | None = None) -> DataFrame:
+               as_of: str, tracked: list[str] | None = None,
+               apply_condition: Column | None = None) -> DataFrame:
     """Merge an update snapshot into an SCD2 dim (see module docstring).
 
     ``current`` carries the three SCD2 columns; ``updates`` carries only
     the business columns.  ``tracked`` defaults to every non-key business
     column; a change in any of them (null-safe comparison) closes the old
     version.
+
+    ``apply_condition``: extra predicate over the merge join's ``cur.*``
+    / ``upd.*`` aliases ANDed into the change test — an update applies
+    only when it ALSO satisfies it.  Lets CDC callers drop stale changes
+    (e.g. ``upd.ts`` newer than ``cur.ts``) inside the merge's own
+    full-outer join instead of a separate join against the dim, which
+    would put the dim's attributes on both sides of the merge join and
+    trip Spark's self-join ambiguity analysis (streaming/cdc.py).
+    Evaluates only where both sides are present; brand-new keys always
+    insert.
     """
     scd_cols = ["is_active", "record_created_time", "record_updated_time"]
     business = [c for c in updates.columns if c not in keys]
@@ -67,6 +78,8 @@ def scd2_merge(current: DataFrame, updates: DataFrame, keys: list[str],
     differs = F.lit(False)
     for c in tracked:
         differs = differs | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+    if apply_condition is not None:
+        differs = differs & apply_condition
 
     cur_cols = [F.col(f"cur.{c}").alias(c) for c in keys + business + scd_cols]
 

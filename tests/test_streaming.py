@@ -375,3 +375,86 @@ def test_windowed_counts_drop_late_data_across_batches(spark, tmp_path):
     # watermark did not advance between batches; if the window is
     # missing entirely, append mode never closed it.)
     assert rows == {_t("2024-01-01 10:00:00"): 1}
+
+
+# ---------------------------------------------------------------------------
+# CDC apply into an SCD2 dim (streaming/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+class TestCdcScd2:
+    @staticmethod
+    def _batch(spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double")
+
+    def test_multi_batch_history_and_staleness(self, spark):
+        """Two ordered batches: the second change per key closes the first
+        version and inserts a new active one; a stale change (older ts
+        arriving later) is dropped entirely."""
+        from aws_etl_bank_spark.streaming.cdc import apply_cdc_batch
+
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, 1, s)
+        b1 = self._batch(spark, [(1, t(1), 100, 10.0), (2, t(2), 200, 20.0)])
+        dim1 = apply_cdc_batch(None, b1, "user_id", "ts", "event_id", ["value"])
+        dim1_rows = spark.createDataFrame(dim1.collect(), dim1.schema)
+
+        # batch 2: user 100 updates (newer), user 200 gets a STALE change
+        b2 = self._batch(spark, [(3, t(5), 100, 11.0), (4, t(0), 200, 99.0)])
+        dim2 = apply_cdc_batch(dim1_rows, b2, "user_id", "ts", "event_id", ["value"])
+        rows = {(r.user_id, r.is_active): r for r in dim2.collect()}
+
+        assert rows[(100, True)].value == 11.0        # new active version
+        assert rows[(100, False)].value == 10.0       # old version closed
+        assert rows[(200, True)].value == 20.0        # stale change dropped
+        assert (200, False) not in rows
+        assert dim2.count() == 3
+
+    def test_same_batch_latest_per_key_wins(self, spark):
+        from aws_etl_bank_spark.streaming.cdc import apply_cdc_batch
+
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, 1, s)
+        # two changes for user 100 in ONE batch; same ts -> event_id breaks tie
+        b = self._batch(spark, [(1, t(1), 100, 1.0), (2, t(1), 100, 2.0)])
+        dim = apply_cdc_batch(None, b, "user_id", "ts", "event_id", ["value"])
+        rows = dim.collect()
+        assert len(rows) == 1 and rows[0].value == 2.0
+
+    def test_stream_end_to_end_order_invariant(self, spark, scratch):
+        """Full cdc_apply_scd2 run over a 3-file feed: final active rows
+        equal the max-(ts, event_id) change per key regardless of which
+        file lands in which micro-batch."""
+        import datetime as dt
+        import uuid
+
+        from aws_etl_bank_spark.streaming.cdc import cdc_apply_scd2
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        rows = [(i, t(i), 100 + (i % 3), float(i)) for i in range(30)]
+        feed = self._batch(spark, rows)
+        tag = uuid.uuid4().hex[:8]
+        src = f"{scratch}/cdc_feed_{tag}"
+        import pyspark.sql.functions as F
+
+        for b in range(3):  # one file per append -> up to 3 micro-batches
+            (feed.filter((F.col("event_id") >= b * 10) & (F.col("event_id") < (b + 1) * 10))
+             .coalesce(1).write.mode("append").parquet(src))
+        stream = (spark.readStream.schema(feed.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        dim = cdc_apply_scd2(stream, f"{scratch}/cdc_state_{tag}",
+                             key="user_id", value_cols=["value"],
+                             checkpoint=f"{scratch}/cdc_ckpt_{tag}")
+        active = {r.user_id: r.value for r in dim.filter("is_active").collect()}
+        # latest event per key: i=29 -> user 102, i=28 -> user 101, i=27 -> user 100
+        # (order-INVARIANT, however files map to micro-batches)
+        assert active == {100: 27.0, 101: 28.0, 102: 29.0}
+        # history preserved: closed versions exist and every closed version
+        # is an older (smaller-value) change of its key than the active one
+        closed = dim.filter("NOT is_active").collect()
+        assert len(closed) >= 3
+        for r in closed:
+            assert r.value < active[r.user_id]
