@@ -21,10 +21,14 @@ from aws_etl_bank_spark.llm.similarity import (  # noqa: F401
     brute_force_topk,
     ivf_topk,
     train_centroids,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
 )
 from aws_etl_bank_spark.llm.text import (  # noqa: F401
     chunk_documents,
     fingerprint,
+    gopher_filter,
     language_id,
     pii_scrub,
     quality_score,

@@ -354,3 +354,38 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  min_tokens: int = 50, max_tokens: int = 100_000,
+                  min_avg_word_len: float = 3.0, max_avg_word_len: float = 10.0,
+                  min_stopword_ratio: float = 0.06,
+                  max_punct_ratio: float = 0.20,
+                  max_dup_line_frac: float = 0.30,
+                  max_dup_word_frac: float = 0.20) -> DataFrame:
+    """Gopher-style document-quality rule bundle (Rae et al. 2021, §A1.2,
+    thresholds adapted): length band, mean-word-length band, stopword
+    floor, symbol/punctuation cap, and the duplicate-line/word repetition
+    caps — each emitted as its own boolean plus the conjunctive ``keep``,
+    so downstream can both filter and audit per-rule rejection rates.
+
+    Composes :func:`text_stats` and :func:`repetition_signals` — all
+    map-only array expressions over two splits per row, one scan, no
+    shuffle; thresholds compare the ROUNDED (4-dp, nudged) signals so a
+    SQL oracle lands on identical booleans."""
+    out = repetition_signals(text_stats(df, text_col), text_col)
+    pass_length = F.col("n_tokens").between(min_tokens, max_tokens)
+    pass_word_len = F.col("avg_token_len").between(min_avg_word_len, max_avg_word_len)
+    pass_stopwords = F.col("stopword_ratio") >= min_stopword_ratio
+    pass_punct = F.col("punct_ratio") <= max_punct_ratio
+    pass_repetition = ((F.col("dup_line_frac") <= max_dup_line_frac)
+                       & (F.col("dup_word_frac") <= max_dup_word_frac))
+    return (
+        out.withColumn("pass_length", pass_length)
+        .withColumn("pass_word_len", pass_word_len)
+        .withColumn("pass_stopwords", pass_stopwords)
+        .withColumn("pass_punct", pass_punct)
+        .withColumn("pass_repetition", pass_repetition)
+        .withColumn("keep", pass_length & pass_word_len & pass_stopwords
+                    & pass_punct & pass_repetition)
+    )

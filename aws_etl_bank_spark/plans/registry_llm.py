@@ -1409,3 +1409,55 @@ def stream_cdc_scd2(spark, sf_dir):
     return (dim.filter(F.col("is_active"))
             .select("user_id", F.col("event_type").alias("last_event_type"),
                     F.round("value", 2).alias("balance")))
+
+
+@q("text_gopher_filter", rf"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text
+              WHEN doc_id % 3 = 1 THEN text || chr(10) || 'tail ' || doc_id
+              ELSE text END AS text
+  FROM documents),
+w AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+             string_split_regex(lower(text), '\s+') AS words FROM a),
+s AS (SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_tokens,
+        round(length(text) / CAST(len(words) AS DOUBLE), 4) AS avg_token_len,
+        round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+              / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+        round(len(list_filter(words, x -> x IN {_EN})) / CAST(len(words) AS DOUBLE), 4)
+            AS stopword_ratio,
+        round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE) + 0.000000001, 4)
+            AS dup_line_frac,
+        round(1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE) + 0.000000001, 4)
+            AS dup_word_frac
+      FROM w)
+SELECT doc_id,
+  n_tokens BETWEEN 50 AND 100000 AS pass_length,
+  avg_token_len BETWEEN 3.0 AND 10.0 AS pass_word_len,
+  stopword_ratio >= 0.06 AS pass_stopwords,
+  punct_ratio <= 0.20 AS pass_punct,
+  (dup_line_frac <= 0.30 AND dup_word_frac <= 0.20) AS pass_repetition,
+  (n_tokens BETWEEN 50 AND 100000 AND avg_token_len BETWEEN 3.0 AND 10.0
+   AND stopword_ratio >= 0.06 AND punct_ratio <= 0.20
+   AND dup_line_frac <= 0.30 AND dup_word_frac <= 0.20) AS keep
+FROM s""")
+def text_gopher_filter(spark, sf_dir):
+    """Gopher-rule document filter (llm/text.py gopher_filter): per-rule
+    booleans + conjunctive keep, reproduced rule-for-rule by the oracle
+    over the SAME planted multi-line corpus as text_repetition (the
+    organic docs are single-line, which would leave the repetition caps
+    trivially true)."""
+    from aws_etl_bank_spark.llm import gopher_filter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit("\n"), F.col("text")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit("\ntail "), F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return gopher_filter(docs).select(
+        "doc_id", "pass_length", "pass_word_len", "pass_stopwords",
+        "pass_punct", "pass_repetition", "keep")

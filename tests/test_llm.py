@@ -714,3 +714,22 @@ def test_pq_codebooks_validates_inputs(pq_corpus):
         similarity.pq_codebooks(pq_corpus, dim=16, m=5)
     with pytest.raises(ValueError, match="< n_codes"):
         similarity.pq_codebooks(pq_corpus, dim=16, m=4, n_codes=64)
+
+
+def test_gopher_filter_rules(spark):
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+    # 60 distinct tokens (10 stopwords + 50 content words): passes the
+    # length floor, stopword floor, and both repetition caps
+    good = " ".join(stop + [f"word{i}" for i in range(50)])
+    rows = [
+        (1, good),                           # passes everything
+        (2, "short text only"),              # fails length floor
+        (3, good + ("\n" + good) * 3),       # fails dup_line cap
+        (4, ("!!! ??? ;;; " * 40).strip()),  # fails punct cap + stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.gopher_filter(df).collect()}
+    assert out[1].keep
+    assert not out[2].pass_length and not out[2].keep
+    assert not out[3].pass_repetition and not out[3].keep
+    assert not out[4].pass_punct and not out[4].pass_stopwords and not out[4].keep
