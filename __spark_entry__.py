@@ -31,7 +31,8 @@ _PRIORITY = [
     "testdata_schema_smoke",
     # new in round 5, never driver-evaluated: the derived LIMIT oracle,
     # the oracle-checked minhash keep path, the hot-key-split z-score
-    "ann_pq_planted_twin", "stream_cdc_scd2", "text_gopher_filter",
+    "ann_pq_planted_twin", "ann_ivfpq_planted_twin", "stream_cdc_scd2",
+    "text_gopher_filter",
     "sample_limit_contained", "dedup_minhash_planted_keep",
     "ts_rolling_zscore_bucketed", "win_running_sum_cust_split",
     "dedup_semantic_pairs", "dedup_semantic_keep",

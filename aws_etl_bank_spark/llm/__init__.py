@@ -21,6 +21,7 @@ from aws_etl_bank_spark.llm.similarity import (  # noqa: F401
     brute_force_topk,
     ivf_topk,
     train_centroids,
+    ivf_pq_topk,
     pq_codebooks,
     pq_encode,
     pq_topk,

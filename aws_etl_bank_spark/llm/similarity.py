@@ -131,16 +131,11 @@ def _pq_literal(codebooks: list[list[list[float]]]) -> Column:
     ])
 
 
-def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
-              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """(id, codes array<int>): nearest code (squared L2) per subspace.
-
-    Map-only — the codebook is a literal in the expression tree, the
-    argmin is ``array_position(dists, array_min(dists))`` (first-match ⇒
-    deterministic lowest-index tie-break), and no shuffle or UDF touches
-    the corpus: encoding 100 TB is a pure scan.  The encoded corpus is
-    ``m`` small ints per vector (8 bytes at the defaults) versus
-    ``dim·4`` for the raw floats — a 32× smaller search set."""
+def _pq_codes_expr(codebooks: list[list[list[float]]], vec_col: str) -> Column:
+    """array<int> of per-subspace argmin codes for ``vec_col`` — a pure
+    map-side expression (codebook as literal; argmin via
+    ``array_position(dists, array_min(dists))``, first-match ⇒
+    deterministic lowest-index tie-break)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = _to_double(F.col(vec_col))
@@ -149,7 +144,19 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
         sub = F.slice(v, j * dsub + 1, dsub)
         dists = F.transform(_pq_literal([codebooks[j]])[0], lambda code: _l2sq(sub, code))
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return F.array(*codes)
+
+
+def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<int>): nearest code (squared L2) per subspace.
+
+    Map-only — no shuffle or UDF touches the corpus: encoding 100 TB is
+    a pure scan.  The encoded corpus is ``m`` small ints per vector
+    (8 bytes at the defaults) versus ``dim·4`` for the raw floats — a
+    32× smaller search set."""
+    return corpus.select(F.col(id_col),
+                         _pq_codes_expr(codebooks, vec_col).alias("codes"))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -230,6 +237,88 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
                 F.round("l2_dist", 4).alias("l2_dist"))
     )
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                codebooks: list[list[list[float]]], n_cells: int = 16,
+                nprobe: int = 4, vec_col: str = "embedding",
+                id_col: str = "vec_id", centroids: DataFrame | None = None,
+                refine: int | None = None) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFPQ layout, re-expressed as
+    DataFrame ops): IVF bounds WHICH candidates each query scans
+    (~nprobe/n_cells of the corpus via the cell equi-join), PQ bounds
+    WHAT a candidate costs (m one-byte codes + lookup-table reads
+    instead of a dim-wide float scan).  At 100 TB this is the only shape
+    where both the candidate count and the per-candidate cost are
+    sublinear in the raw corpus size.
+
+    Corpus-side work is two map-only passes fused into one scan (cell
+    assignment via broadcast-centroid argmax + PQ encode) and ONE
+    shuffle on cell_id; queries broadcast with their probe lists and ADC
+    lookup tables.  ``refine`` re-ranks the ADC top-``refine`` shortlist
+    by exact squared L2 (see :func:`pq_topk`)."""
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col).limit(n_cells)
+            .select(F.col(id_col).alias("cell_id"), _to_double(F.col(vec_col)).alias("centroid"))
+        )
+    else:
+        centroids = centroids.select(
+            F.col("cell_id"), _to_double(F.col("centroid")).alias("centroid"))
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb = _pq_literal(codebooks)
+
+    def nearest_cells(df, vcol, n):
+        scored = df.join(F.broadcast(centroids), F.lit(True)).withColumn(
+            "csim", _dot(F.col(vcol), F.col("centroid")) / (_norm(F.col(vcol)) * _norm(F.col("centroid"))))
+        w = Window.partitionBy(df.columns[0]).orderBy(F.round("csim", 6).desc(), F.col("cell_id"))
+        return (scored.withColumn("crank", F.row_number().over(w))
+                .filter(F.col("crank") <= n).drop("csim", "crank", "centroid"))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _to_double(F.col(vec_col)).alias("cv"),
+                      _pq_codes_expr(codebooks, vec_col).alias("codes"))
+    assigned = nearest_cells(c, "cv", 1).drop("cv")
+
+    qv = _to_double(F.col(vec_col))
+
+    def _lut_row(j: int) -> Column:
+        sub = F.slice(qv, j * dsub + 1, dsub)
+        return F.transform(cb[j], lambda code: _l2sq(sub, code))
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.array(*[_lut_row(j) for j in range(m)]).alias("lut"),
+                       qv.alias("qv"))
+    probed = nearest_cells(q.select("query_id", "qv", "lut"), "qv", nprobe)
+    scored = (
+        assigned.join(F.broadcast(probed.select("cell_id", "query_id", "lut")), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", F.aggregate(
+            F.zip_with(F.col("codes"), F.col("lut"),
+                       lambda code, row: F.element_at(row, code + F.lit(1))),
+            F.lit(0.0), lambda acc, x: acc + x))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round("adc", 6), F.col("neighbor_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return (ranked.filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("rank").cast("long").alias("rank"),
+                        F.round("adc", 4).alias("adc_dist")))
+    if refine < k:
+        raise ValueError(f"refine {refine} < k {k}")
+    shortlist = ranked.filter(F.col("rank") <= refine).select("query_id", "neighbor_id")
+    qraw = queries.select(F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv"))
+    craw = corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv"))
+    exact = (F.broadcast(shortlist.join(F.broadcast(qraw), "query_id"))
+             .join(craw, "neighbor_id")
+             .withColumn("l2_dist", _l2sq(F.col("qv"), F.col("cv"))))
+    w2 = Window.partitionBy("query_id").orderBy(F.round("l2_dist", 6), F.col("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                    F.round("l2_dist", 4).alias("l2_dist")))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, n_cells: int = 16,

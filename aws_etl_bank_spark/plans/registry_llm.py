@@ -1461,3 +1461,27 @@ def text_gopher_filter(spark, sf_dir):
     return gopher_filter(docs).select(
         "doc_id", "pass_length", "pass_word_len", "pass_stopwords",
         "pass_punct", "pass_repetition", "keep")
+
+
+@q("ann_ivfpq_planted_twin", """
+SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+       CAST(1 AS BIGINT) AS rank, CAST(0.0 AS DOUBLE) AS adc_dist
+FROM embeddings WHERE vec_id < 5""")
+def ann_ivfpq_planted_twin(spark, sf_dir):
+    """IVF+PQ composed (llm/similarity.py ivf_pq_topk — the FAISS IVFPQ
+    layout): identical twin vectors land in the query's own first-probed
+    cell (IVF recall property) AND share the query's argmin codes (PQ
+    minimality property), so top-1 must be the twin at ADC 0.0.  One
+    entry proves both halves of the composition agree."""
+    from aws_etl_bank_spark.llm.similarity import ivf_pq_topk, pq_codebooks
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 100_000_000)
+           .select("vec_id", "embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(twins)
+    cb = pq_codebooks(corpus, dim=64, m=8, n_codes=16)
+    return ivf_pq_topk(corpus, queries, k=1, codebooks=cb,
+                       n_cells=16, nprobe=4)

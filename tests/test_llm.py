@@ -733,3 +733,49 @@ def test_gopher_filter_rules(spark):
     assert not out[2].pass_length and not out[2].keep
     assert not out[3].pass_repetition and not out[3].keep
     assert not out[4].pass_punct and not out[4].pass_stopwords and not out[4].keep
+
+
+def test_ivfpq_recall_and_refine_on_clustered_fixture(spark):
+    """IVF+PQ composed: trained cells + trained codebooks with a 4x
+    refine shortlist must recover nearly the exact L2 head while
+    scanning only nprobe/n_cells of the corpus as 1-byte codes."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(0.0, 1.0, (8, 16))
+    rows, vid = [], 0
+    for c in range(8):
+        for _ in range(12):
+            v = centers[c] + rng.normal(0.0, 0.15, 16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    qrows = [(10_000 + i,
+              [float(x) for x in centers[i % 8] + rng.normal(0.0, 0.15, 16)])
+             for i in range(8)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    exact = set()
+    for qid, qv in qrows:
+        d = np.sum((V - np.array(qv)) ** 2, axis=1)
+        for i in np.argsort(d, kind="stable")[:5]:
+            exact.add((qid, rows[int(i)][0]))
+
+    cents = similarity.train_centroids(corpus, n_cells=8)
+    cb = similarity.pq_codebooks(corpus, dim=16, m=4, n_codes=16,
+                                 trained=True, max_iter=10)
+    got = {(r.query_id, r.neighbor_id)
+           for r in similarity.ivf_pq_topk(corpus, queries, 5, cb, n_cells=8,
+                                           nprobe=2, centroids=cents,
+                                           refine=20).collect()}
+    assert len(exact & got) / len(exact) >= 0.85
+
+
+def test_ivfpq_planted_twin_is_top1(pq_corpus):
+    queries = pq_corpus.filter("vec_id < 3")
+    twins = queries.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = pq_corpus.unionByName(twins)
+    cb = similarity.pq_codebooks(corpus, dim=16, m=4, n_codes=8)
+    out = similarity.ivf_pq_topk(corpus, queries, 1, cb, n_cells=8, nprobe=3).collect()
+    assert {(r.query_id, r.neighbor_id) for r in out} == {
+        (i, i + 1000) for i in range(3)}
