@@ -52,6 +52,12 @@ HEADLINE = [
     # constant-size by design) and columnar BM25 ranking
     "dedup_semantic_pairs_full",
     "text_bm25_rank",
+    # final-r05 additions: PQ-compressed ANN over the full embedding
+    # table, the streaming CDC→SCD2 apply (3 micro-batch merges), and
+    # the Gopher-rule filter (map-only rule bundle over two splits/row)
+    "ann_pq_topk",
+    "stream_cdc_scd2",
+    "text_gopher_filter",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
