@@ -234,3 +234,82 @@ def write_range_clustered(df: DataFrame, path: str, cluster_cols: list[str],
         .sortWithinPartitions(*cluster_cols)
         .write.mode("overwrite").parquet(path)
     )
+
+
+def bloom_bitmap(keys: DataFrame, key: str, m_bits: int = 1 << 17,
+                 n_hashes: int = 5) -> DataFrame:
+    """Build a Bloom filter over ``keys[key]`` as ONE row holding a
+    sparse bitmap ``map<long, long>`` (word index → 64-bit word).
+
+    Spark's ``bloom_filter_agg`` expression is not in the public function
+    registry, so this is the same structure from built-ins only, fully
+    JVM-side: each key sets ``n_hashes`` bit positions
+    ``pmod(xxhash64(key, seed), m_bits)``; positions are grouped by
+    64-bit word and OR-ed (`bit_or`), then collected into a single map.
+
+    Size is bounded by the BITMAP, not the key count: at most
+    ``m_bits / 64`` map entries (2048 longs ≈ 32 KiB at the default) no
+    matter how many billions of keys went in — that is the point at
+    100 TB, where the distinct-key set itself is too big to broadcast but
+    the bitmap always fits.  The build is one partial-aggregated
+    hash-agg over the key side."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos_arr = F.array(*[
+        F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits))
+        for s in range(n_hashes)
+    ])
+    return (
+        keys.select(F.explode(pos_arr).alias("__pos"))
+        .groupBy(F.floor(F.col("__pos") / 64).alias("__w"))
+        .agg(F.bit_or(F.call_function(
+            "shiftleft", F.lit(1).cast("long"),
+            (F.col("__pos") % 64).cast("int"))).alias("__bits"))
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("__w", "__bits"))).alias("__bloom"))
+    )
+
+
+def bloom_might_contain(bloom_col: Column, probe: Column, m_bits: int = 1 << 17,
+                        n_hashes: int = 5) -> Column:
+    """Membership test against a ``bloom_bitmap`` map column: true iff
+    every hash position's bit is set.  No false negatives; false-positive
+    rate ~ (1 - e^{-kn/m})^k.  Pure Catalyst (map lookup + shift)."""
+    checks = []
+    for s in range(n_hashes):
+        pos = F.pmod(F.xxhash64(probe, F.lit(s)), F.lit(m_bits))
+        word = F.element_at(bloom_col, F.floor(pos / 64))
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"),
+                               (pos % 64).cast("int"))
+        checks.append(word.isNotNull() & (word.bitwiseAND(mask) != 0))
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_prefilter_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                         dim_key: str, m_bits: int = 1 << 17,
+                         n_hashes: int = 5, how: str = "inner") -> DataFrame:
+    """Equi-join with an explicit Bloom runtime filter on the fact side:
+    build the bitmap over ``dim[dim_key]``, broadcast it (one row),
+    drop fact rows that cannot match BEFORE the join shuffle, then run
+    the exact join — so false positives cost nothing and the result is
+    identical to ``fact.join(dim, ...)``.
+
+    This is Spark's runtime row-level bloom filtering
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) made explicit
+    and available on any plan shape: at 100 TB, a selective dim prunes
+    the fact's shuffle write by the dim's selectivity — the dominant cost
+    of a large join — for one broadcast of a ≤32 KiB bitmap.  When the
+    dim is small enough to broadcast-join outright the optimizer already
+    avoids the shuffle; the bloom path wins when the dim is
+    broadcast-too-big but its BITMAP is not."""
+    bf = bloom_bitmap(dim, dim_key, m_bits, n_hashes)
+    pruned = (
+        fact.crossJoin(F.broadcast(bf))
+        .where(bloom_might_contain(F.col("__bloom"), F.col(fact_key),
+                                   m_bits, n_hashes))
+        .drop("__bloom")
+    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

@@ -2108,3 +2108,32 @@ def agg_approx_percentile_band(spark, sf_dir):
                 F.round(F.col("ap")[0] / F.col("x50"), 1).cast("double").alias("p50_band"),
                 F.round(F.col("ap")[1] / F.col("x90"), 1).cast("double").alias("p90_band"))
     )
+
+
+@q("join_bloom_prefilter", """
+SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS total,
+       c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey = 3""")
+def join_bloom_prefilter(spark, sf_dir):
+    """Explicit Bloom runtime filter ahead of a fact⋈dim join
+    (functions/scale.py bloom_prefilter_join): the dim's key set (one
+    nation's customers, ~4% of orders match) is compressed to a ≤32 KiB
+    bitmap built from xxhash64 positions, broadcast as ONE row, and
+    probed JVM-side to drop non-matching fact rows BEFORE the join — the
+    exact join then makes false positives free, so the result is
+    byte-identical to the plain join (the oracle is the plain join).
+
+    At 100 TB this prunes the fact's shuffle write by the dim's
+    selectivity even when the dim itself is broadcast-too-big: the
+    bitmap's size is fixed by m_bits regardless of key count, unlike a
+    broadcast hash table.  tests/test_scale.py proves no false
+    negatives and bounds the false-positive rate."""
+    from aws_etl_bank_spark.functions.scale import bloom_prefilter_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_nationkey") == 3)
+    joined = bloom_prefilter_join(o, c, "o_custkey", "c_custkey")
+    return joined.select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("total"), "c_name")

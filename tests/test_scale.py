@@ -151,3 +151,44 @@ def test_write_range_clustered_files_prune(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark):
+    fact = spark.range(0, 20_000).withColumn("fk", F.pmod("id", F.lit(1000)))
+    dim = (spark.range(0, 1000).where(F.pmod("id", F.lit(13)) == 0)
+           .select(F.col("id").alias("dk"), (F.col("id") * 10).alias("attr")))
+    plain = {(r["id"], r["attr"])
+             for r in fact.join(dim, fact.fk == dim.dk).select("id", "attr").collect()}
+    bloomed = {(r["id"], r["attr"])
+               for r in scale.bloom_prefilter_join(fact, dim, "fk", "dk")
+               .select("id", "attr").collect()}
+    assert bloomed == plain
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    keys = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    bf = scale.bloom_bitmap(keys, "k", m_bits=1 << 14, n_hashes=5)
+    # probe members and non-members in one pass
+    probe = spark.range(0, 5000).select(F.col("id").alias("p"))
+    hit = (probe.crossJoin(F.broadcast(bf))
+           .select("p", scale.bloom_might_contain(
+               F.col("__bloom"), F.col("p"), m_bits=1 << 14, n_hashes=5).alias("h")))
+    rows = {r["p"]: r["h"] for r in hit.collect()}
+    members = {i * 7 + 3 for i in range(500)}
+    missed = [p for p in rows if p in members and not rows[p]]
+    assert missed == []  # Bloom guarantee: zero false negatives
+    non = [p for p in rows if p not in members]
+    fp = sum(1 for p in non if rows[p]) / len(non)
+    # k=5, n=500, m=16384 → theoretical fp ≈ (1-e^{-kn/m})^k ≈ 0.0005
+    assert fp < 0.01, fp
+
+
+def test_bloom_bitmap_is_single_broadcast_row(spark):
+    fact = spark.range(0, 1000).withColumn("fk", F.pmod("id", F.lit(50)))
+    dim = spark.range(0, 10).select(F.col("id").alias("dk"))
+    out = scale.bloom_prefilter_join(fact, dim, "fk", "dk")
+    plan = _plan(out)
+    # the bitmap reaches the fact side via a broadcast, never a shuffle
+    # of the fact for the prefilter itself
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert scale.bloom_bitmap(dim, "dk").count() == 1
