@@ -866,3 +866,47 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
     if mode == "flag":
         return matches
     return corpus.join(matches.select(id_col), id_col, "left_anti")
+
+
+def fuzzy_pairs_ed1(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """All pairs within Levenshtein edit distance 1 via SymSpell-style
+    deletion-neighborhood blocking (Garbe's symmetric-delete algorithm,
+    public domain): each string expands to itself plus its ``len``
+    single-character-deletion variants; two strings with ed ≤ 1 ALWAYS
+    share a variant (delete the edited position from both sides — a
+    substitution meets in the middle, an insert/delete meets at the
+    shorter string), so the variant equi-join is a LOSSLESS candidate
+    generator.  Candidates sharing a variant at ed 2 (two deletions that
+    happen to collide) are removed by the exact ``levenshtein`` verify.
+
+    Scale: shuffle volume is O(rows × avg_len) variant rows keyed by
+    xxhash64(variant) — a banded equi-join like MinHash, never an
+    all-pairs product; the verify runs only on bucket collisions.  For
+    long documents run this on a normalized key field (title, URL,
+    licence string), not the body.
+
+    Returns (id_a, id_b, text_a, text_b, dist) with id_a < id_b.
+    """
+    s = F.col(text_col)
+    # positions 1..len: concat(prefix before i, suffix after i)
+    variants = F.concat(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(s.substr(F.lit(1), i - F.lit(1)),
+                               s.substr(i + F.lit(1), F.length(s)))))
+    sig = (df.select(F.col(id_col).alias("__id"), s.alias("__t"),
+                     F.explode(variants).alias("__v"))
+           .select("__id", "__t", F.xxhash64("__v").alias("__h"))
+           .dropDuplicates(["__id", "__h"]))
+    a = sig.select(F.col("__id").alias("id_a"), F.col("__t").alias("text_a"),
+                   F.col("__h").alias("__h"))
+    b = sig.select(F.col("__id").alias("id_b"), F.col("__t").alias("text_b"),
+                   F.col("__h").alias("__h"))
+    return (
+        a.join(b, "__h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("__h").dropDuplicates(["id_a", "id_b"])
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .where(F.col("dist") <= 1)
+    )

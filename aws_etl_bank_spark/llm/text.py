@@ -389,3 +389,46 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
         .withColumn("keep", pass_length & pass_word_len & pass_stopwords
                     & pass_punct & pass_repetition)
     )
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_count_col: Column | str,
+                   seq_len: int, n_shards: int | None = None) -> DataFrame:
+    """Contiguous concat-and-chunk sequence packing for LLM training
+    prep: documents in ``id_col`` order are laid head-to-tail into one
+    token stream; each doc reports the training sequence its FIRST token
+    lands in (``pack_id``), its offset inside that sequence
+    (``pack_offset``), and its global stream position (``start_tok``).
+
+    The global running offset is computed WITHOUT a global sort:
+    ``repartitionByRange(id)`` gives disjoint ascending id ranges per
+    partition, a window per partition computes the local cumulative sum,
+    and the per-partition totals (one tiny row each) are prefix-summed
+    and joined back by partition id — the classic two-phase parallel
+    prefix sum, so the only single-point step touches ``n_shards`` rows,
+    not the corpus.  Equivalent to (and oracle-checked against) a single
+    global cumulative-sum window."""
+    spark = df.sparkSession
+    n = n_shards or spark.sparkContext.defaultParallelism
+    tok = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    from pyspark.sql import Window
+
+    d = (df.repartitionByRange(n, F.col(id_col))
+         .withColumn("__tok", tok.cast("long"))
+         .withColumn("__pid", F.spark_partition_id()))
+    w_local = (Window.partitionBy("__pid").orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("__cum_local", F.sum("__tok").over(w_local))
+    totals = d.groupBy("__pid").agg(F.sum("__tok").alias("__ptot"))
+    w_tot = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = totals.withColumn(
+        "__poff", F.sum("__ptot").over(w_tot) - F.col("__ptot")).drop("__ptot")
+    packed = (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn("start_tok", F.col("__poff") + F.col("__cum_local") - F.col("__tok"))
+        .withColumn("pack_id", F.floor(F.col("start_tok") / seq_len))
+        .withColumn("pack_offset", F.col("start_tok") % seq_len)
+        .drop("__pid", "__cum_local", "__poff")
+        .withColumnRenamed("__tok", "n_tokens")
+    )
+    return packed

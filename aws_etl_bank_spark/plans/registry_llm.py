@@ -1485,3 +1485,96 @@ def ann_ivfpq_planted_twin(spark, sf_dir):
     cb = pq_codebooks(corpus, dim=64, m=8, n_codes=16)
     return ivf_pq_topk(corpus, queries, k=1, codebooks=cb,
                        n_cells=16, nprobe=4)
+
+
+@q("dedup_fuzzy_ed1_pairs", """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS text_a, b.c_name AS text_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1""")
+def dedup_fuzzy_ed1_pairs(spark, sf_dir):
+    """Fuzzy string self-join at edit distance ≤ 1 (llm/dedup.py
+    fuzzy_pairs_ed1): SymSpell symmetric-delete blocking — each name
+    expands to its single-deletion variants, pairs meet in a variant-hash
+    equi-join, the exact levenshtein verify removes hash-block false
+    positives.  Candidate generation is provably lossless for ed ≤ 1, so
+    the result equals the oracle's O(n²) levenshtein self-join while
+    shuffling only O(rows × len) variant keys — the difference between a
+    quadratic scan and a banded join at 100 TB key cardinalities."""
+    from aws_etl_bank_spark.llm.dedup import fuzzy_pairs_ed1
+
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs_ed1(c, "c_name", "c_custkey").select(
+        "id_a", "id_b", "text_a", "text_b", F.col("dist").cast("int").alias("dist"))
+
+
+@q("text_pack_sequences", """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(string_split(text, ' ')))
+                OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+            - len(string_split(text, ' ')) AS BIGINT) AS start_tok,
+       CAST((SUM(len(string_split(text, ' ')))
+                OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+            - len(string_split(text, ' '))) // 2048 AS BIGINT) AS pack_id,
+       CAST((SUM(len(string_split(text, ' ')))
+                OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+            - len(string_split(text, ' '))) % 2048 AS BIGINT) AS pack_offset
+FROM documents""")
+def text_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing for training prep (llm/text.py
+    pack_sequences): documents in doc_id order laid head-to-head into
+    2048-token sequences; each doc gets its sequence index and offset.
+    The oracle is one global cumulative-sum window; the engine computes
+    the identical stream positions with a TWO-PHASE prefix sum
+    (range-partitioned local cumsum + tiny per-shard offset join), so no
+    single task ever sees more than one shard — the difference between a
+    one-reducer sort and full parallelism at corpus scale."""
+    from aws_etl_bank_spark.llm.text import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("__nt", F.size(F.split(F.col("text"), " ")))
+    return pack_sequences(docs, "doc_id", "__nt", seq_len=2048).select(
+        "doc_id", "n_tokens", "start_tok", "pack_id", "pack_offset")
+
+
+@q("dedup_fuzzy_entity_ids", """
+WITH RECURSIVE nodes AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer WHERE c_custkey % 3 = 0
+),
+edges AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM nodes a JOIN nodes b ON levenshtein(a.name, b.name) <= 1
+),
+reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(lbl) AS BIGINT) AS component
+FROM reach GROUP BY id""")
+def dedup_fuzzy_entity_ids(spark, sf_dir):
+    """Entity resolution end-to-end: SymSpell ed≤1 fuzzy pairs
+    (llm/dedup.py fuzzy_pairs_ed1) fed into iterative connected
+    components, one canonical entity id (min member id) per transitive
+    similarity cluster — the record-linkage composition
+    (block → match → cluster) on real name data, where the cluster
+    structure is data-driven rather than planted.  The oracle computes
+    ground truth with a recursive min-label closure over the exact
+    O(n²) levenshtein graph; the engine never materializes n² — blocked
+    candidate pairs plus a fixpoint of bounded label-propagation
+    rounds."""
+    from aws_etl_bank_spark.llm.dedup import connected_components, fuzzy_pairs_ed1
+
+    c = (load_table(spark, sf_dir, "customer")
+         .where(F.col("c_custkey") % 3 == 0))
+    pairs = fuzzy_pairs_ed1(c, "c_name", "c_custkey").select("id_a", "id_b")
+    selfp = c.select(F.col("c_custkey").alias("id_a"),
+                     F.col("c_custkey").alias("id_b"))
+    return connected_components(pairs.unionByName(selfp)).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"))

@@ -779,3 +779,59 @@ def test_ivfpq_planted_twin_is_top1(pq_corpus):
     out = similarity.ivf_pq_topk(corpus, queries, 1, cb, n_cells=8, nprobe=3).collect()
     assert {(r.query_id, r.neighbor_id) for r in out} == {
         (i, i + 1000) for i in range(3)}
+
+
+def _ed(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_ed1_matches_brute_force(spark):
+    import itertools
+    words = ["cat", "cut", "cart", "at", "dog", "dig", "dogs", "dug",
+             "cat", "frog", "rog", "fog", "f", "", "g"]
+    rows = list(enumerate(words))
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 dedup.fuzzy_pairs_ed1(df, "t", "id").collect())
+    exp = sorted((i, j) for (i, a), (j, b) in itertools.combinations(rows, 2)
+                 if _ed(a, b) <= 1)
+    assert got == exp
+
+
+def test_fuzzy_pairs_plan_is_banded_join_not_cartesian(spark):
+    df = spark.createDataFrame([(i, f"w{i}") for i in range(50)], "id long, t string")
+    plan = dedup.fuzzy_pairs_ed1(df, "t", "id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_matches_serial_reference(spark):
+    df = spark.range(1, 301).select(
+        F.col("id").alias("doc_id"), (F.pmod("id", F.lit(11)) + 1).alias("nt"))
+    out = {r["doc_id"]: (r["start_tok"], r["pack_id"], r["pack_offset"])
+           for r in text.pack_sequences(df, "doc_id", "nt", seq_len=32,
+                                        n_shards=7).collect()}
+    cum = 0
+    for i in range(1, 301):
+        t = (i % 11) + 1
+        assert out[i] == (cum, cum // 32, cum % 32), i
+        cum += t
+
+
+def test_pack_sequences_corpus_window_is_shard_partitioned(spark):
+    # the corpus-level cumulative-sum window must be partitioned by the
+    # shard id (parallel); only the tiny per-shard-totals window may be
+    # a global (single-partition) window
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("nt"))
+    packed = text.pack_sequences(df, "doc_id", "nt", seq_len=64, n_shards=8)
+    plan = packed._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(__pid" in plan
