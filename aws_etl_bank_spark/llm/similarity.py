@@ -124,11 +124,28 @@ def pq_codebooks(corpus: DataFrame, dim: int, m: int = 8, n_codes: int = 16,
     return books
 
 
+def _arr_txt(xs) -> str:
+    return "array(" + ",".join(xs) + ")"
+
+
+def _book_txt(sub: list[list[float]]) -> str:
+    return _arr_txt(_arr_txt(repr(float(x)) + "D" for x in code) for code in sub)
+
+
+def _l2sq_txt(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a},{b},(zx,zy)->(zx-zy)*(zx-zy)),"
+            "0D,(acc,zz)->acc+zz)")
+
+
 def _pq_literal(codebooks: list[list[list[float]]]) -> Column:
-    return F.array(*[
-        F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in sub])
-        for sub in codebooks
-    ])
+    # ONE parsed SQL string instead of m × n_codes × dsub F.lit() calls:
+    # building the nested literal Column-by-Column costs a py4j round
+    # trip per leaf (~1000 at the defaults, seconds of driver time before
+    # any execution); the JVM parses the equivalent expression text in
+    # one call.  Same reasoning for _pq_codes_expr/_pq_lut_expr below —
+    # each PySpark higher-order-function lambda is several py4j calls, so
+    # the whole expression ships as text.
+    return F.expr(_arr_txt(_book_txt(sub) for sub in codebooks))
 
 
 def _pq_codes_expr(codebooks: list[list[list[float]]], vec_col: str) -> Column:
@@ -136,15 +153,26 @@ def _pq_codes_expr(codebooks: list[list[list[float]]], vec_col: str) -> Column:
     map-side expression (codebook as literal; argmin via
     ``array_position(dists, array_min(dists))``, first-match ⇒
     deterministic lowest-index tie-break)."""
-    m = len(codebooks)
     dsub = len(codebooks[0][0])
-    v = _to_double(F.col(vec_col))
+    v = f"transform(`{vec_col}`, vx -> cast(vx as double))"
     codes = []
-    for j in range(m):
-        sub = F.slice(v, j * dsub + 1, dsub)
-        dists = F.transform(_pq_literal([codebooks[j]])[0], lambda code: _l2sq(sub, code))
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return F.array(*codes)
+    for j, book in enumerate(codebooks):
+        sub = f"slice({v},{j * dsub + 1},{dsub})"
+        dists = f"transform({_book_txt(book)}, code -> {_l2sq_txt('code', sub)})"
+        codes.append(f"cast(array_position({dists}, array_min({dists})) - 1 as int)")
+    return F.expr(_arr_txt(codes))
+
+
+def _pq_lut_expr(codebooks: list[list[list[float]]], vec_col: str) -> Column:
+    """Per-query ADC lookup table as one parsed expression:
+    ``m × n_codes`` exact query-subvector→code squared-L2 distances."""
+    dsub = len(codebooks[0][0])
+    v = f"transform(`{vec_col}`, vx -> cast(vx as double))"
+    rows = []
+    for j, book in enumerate(codebooks):
+        sub = f"slice({v},{j * dsub + 1},{dsub})"
+        rows.append(f"transform({_book_txt(book)}, code -> {_l2sq_txt('code', sub)})")
+    return F.expr(_arr_txt(rows))
 
 
 def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
@@ -185,19 +213,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     the shortlist by exact squared L2.  The exact distance is computed
     for ``n_queries × refine`` rows, never the corpus."""
     enc = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(id_col, "neighbor_id")
-    cb = _pq_literal(codebooks)
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    qv = _to_double(F.col(vec_col))
-
-    def _lut_row(j: int) -> Column:
-        # bind the subspace slice OUTSIDE the lambda: a defaulted second
-        # lambda parameter (`lambda code, _j=j:`) would change the
-        # lambda's arity and make PySpark pass the ARRAY INDEX as `_j`
-        sub = F.slice(qv, j * dsub + 1, dsub)
-        return F.transform(cb[j], lambda code: _l2sq(sub, code))
-
-    lut = F.array(*[_lut_row(j) for j in range(m)])
+    lut = _pq_lut_expr(codebooks, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
     scored = (
         enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -265,10 +281,6 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     else:
         centroids = centroids.select(
             F.col("cell_id"), _to_double(F.col("centroid")).alias("centroid"))
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    cb = _pq_literal(codebooks)
-
     def nearest_cells(df, vcol, n):
         scored = df.join(F.broadcast(centroids), F.lit(True)).withColumn(
             "csim", _dot(F.col(vcol), F.col("centroid")) / (_norm(F.col(vcol)) * _norm(F.col("centroid"))))
@@ -282,13 +294,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     assigned = nearest_cells(c, "cv", 1).drop("cv")
 
     qv = _to_double(F.col(vec_col))
-
-    def _lut_row(j: int) -> Column:
-        sub = F.slice(qv, j * dsub + 1, dsub)
-        return F.transform(cb[j], lambda code: _l2sq(sub, code))
-
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.array(*[_lut_row(j) for j in range(m)]).alias("lut"),
+                       _pq_lut_expr(codebooks, vec_col).alias("lut"),
                        qv.alias("qv"))
     probed = nearest_cells(q.select("query_id", "qv", "lut"), "qv", nprobe)
     scored = (
