@@ -33,6 +33,7 @@ _PRIORITY = [
     # the oracle-checked minhash keep path, the hot-key-split z-score
     "join_bloom_prefilter", "dedup_fuzzy_ed1_pairs",
     "dedup_fuzzy_entity_ids", "text_pack_sequences",
+    "graph_pagerank", "text_unigram_logprob",
     "ann_pq_planted_twin", "ann_ivfpq_planted_twin", "stream_cdc_scd2",
     "text_gopher_filter",
     "sample_limit_contained", "dedup_minhash_planted_keep",

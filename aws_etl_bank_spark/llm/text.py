@@ -432,3 +432,30 @@ def pack_sequences(df: DataFrame, id_col: str, token_count_col: Column | str,
         .withColumnRenamed("__tok", "n_tokens")
     )
     return packed
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document average negative log-probability under a unigram
+    language model fitted on the corpus itself — the CCNet/RedPajama
+    "LM quality" proxy in its simplest self-contained form (lower =
+    more typical text; gibberish and boilerplate-heavy docs score high).
+
+    Two aggregation passes, both JVM-side: (1) corpus word frequencies
+    (hash-agg with map-side combine — the vocab is bounded by distinct
+    words, not corpus size); (2) words⋈vocab equi-join shuffled on the
+    word, re-aggregated per doc.  The corpus total crosses as a one-row
+    broadcast, never a driver scalar.  At 100 TB swap pass 1's exact
+    counts for a count-min sketch or a frequency floor if the raw vocab
+    exceeds executor memory."""
+    words = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+    vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__tot"))
+    p = (vocab.crossJoin(F.broadcast(total))
+         .select("__w", (F.col("__c") / F.col("__tot")).alias("__p")))
+    return (
+        words.join(p, "__w")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.round(F.avg(-F.log("__p")), 6).alias("avg_neg_logp"))
+    )

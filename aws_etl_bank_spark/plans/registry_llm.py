@@ -1578,3 +1578,68 @@ def dedup_fuzzy_entity_ids(spark, sf_dir):
     return connected_components(pairs.unionByName(selfp)).select(
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"))
+
+
+@q("graph_pagerank", """
+WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+ed AS (SELECT c AS src, s AS dst FROM e UNION ALL SELECT s AS src, c AS dst FROM e),
+deg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
+nn AS (SELECT COUNT(*) AS cnt FROM deg),
+p0 AS (SELECT src AS id, 1.0 / (SELECT cnt FROM nn) AS pr FROM deg),
+p1 AS (SELECT ed.dst AS id,
+              0.15 / (SELECT cnt FROM nn) + 0.85 * SUM(p0.pr / deg.d) AS pr
+       FROM ed JOIN p0 ON p0.id = ed.src JOIN deg ON deg.src = ed.src
+       GROUP BY ed.dst),
+p2 AS (SELECT ed.dst AS id,
+              0.15 / (SELECT cnt FROM nn) + 0.85 * SUM(p1.pr / deg.d) AS pr
+       FROM ed JOIN p1 ON p1.id = ed.src JOIN deg ON deg.src = ed.src
+       GROUP BY ed.dst),
+p3 AS (SELECT ed.dst AS id,
+              0.15 / (SELECT cnt FROM nn) + 0.85 * SUM(p2.pr / deg.d) AS pr
+       FROM ed JOIN p2 ON p2.id = ed.src JOIN deg ON deg.src = ed.src
+       GROUP BY ed.dst)
+SELECT CAST(id AS BIGINT) AS id, ROUND(pr, 6) AS pagerank FROM p3""")
+def graph_pagerank(spark, sf_dir):
+    """PageRank (functions/graph.py), 3 power-method rounds at d=0.85
+    over the symmetrized customer–supplier purchase graph (every node
+    then has out-degree ≥ 1, so no dangling mass).  The oracle unrolls
+    the identical recurrence as three chained SQL aggregations; scores
+    round to 6 decimals so summation order cannot flip the compare.
+    The iterative-algorithm primitive alongside connected components:
+    driver-side loop control only, one edges⋈ranks shuffle per round,
+    lineage truncated per round via localCheckpoint."""
+    from aws_etl_bank_spark.functions.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (o.join(li, li.l_orderkey == o.o_orderkey)
+             .select(F.col("o_custkey").alias("c"),
+                     (F.col("l_suppkey") + 1000000).alias("s"))
+             .distinct())
+    edges = pairs.selectExpr("c as src", "s as dst").unionAll(
+        pairs.selectExpr("s as src", "c as dst"))
+    # pairs is distinct and the two union arms have disjoint src ranges,
+    # so edges is distinct by construction; 1.6k nodes broadcast freely
+    return pagerank(edges, assume_distinct=True, broadcast_ranks=True,
+                    symmetric=True).select(
+        F.col("id").cast("long").alias("id"),
+        F.round("pagerank", 6).alias("pagerank"))
+
+
+@q("text_unigram_logprob", """
+WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+v AS (SELECT w, COUNT(*) AS c FROM wd GROUP BY w),
+t AS (SELECT SUM(c) AS tot FROM v)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       ROUND(AVG(-ln(v.c / (SELECT tot FROM t))), 6) AS avg_neg_logp
+FROM wd JOIN v USING (w) GROUP BY doc_id""")
+def text_unigram_logprob(spark, sf_dir):
+    """Self-fitted unigram LM scoring (llm/text.py unigram_logprob):
+    the corpus-frequency quality proxy used by CCNet-style filters —
+    two hash-aggs plus one words⋈vocab equi-join, no Python in the
+    path.  Oracle repeats the identical model in SQL."""
+    from aws_etl_bank_spark.llm.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)

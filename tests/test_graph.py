@@ -1,0 +1,38 @@
+"""functions/graph.py: fixed-iteration PageRank."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_etl_bank_spark.functions.graph import pagerank
+
+
+def _sym(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_pagerank_one_round_hand_computed(spark):
+    # symmetric chain 1-2-3: after one round pr(2)=0.05+0.85*(1/3+1/3)
+    ranks = {r["id"]: r["pagerank"]
+             for r in pagerank(_sym(spark, [(1, 2), (2, 3)]), iterations=1).collect()}
+    assert ranks[2] == pytest.approx(0.05 + 0.85 * (2 / 3) * (1 / 3) * 2 * 1.5)
+    assert ranks[1] == pytest.approx(0.05 + 0.85 * ((1 / 3) / 2))
+    assert ranks[1] == ranks[3]
+
+
+def test_pagerank_mass_conserved_and_hub_wins(spark):
+    # star: hub 0 linked to 1..5 — hub must outrank leaves, total mass 1
+    edges = _sym(spark, [(0, i) for i in range(1, 6)])
+    ranks = {r["id"]: r["pagerank"] for r in pagerank(edges, iterations=5).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0)
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))
+
+
+def test_pagerank_no_inedge_node_gets_floor(spark):
+    # directed 1->2 only (2 has out-edge 2->1 to avoid dangling? no:
+    # keep both out-degrees >= 1 per contract but give 3 no in-edges
+    df = _sym(spark, [(1, 2)])
+    extra = df.sparkSession.createDataFrame([(3, 1)], "src long, dst long")
+    ranks = {r["id"]: r["pagerank"]
+             for r in pagerank(df.union(extra), iterations=2).collect()}
+    assert ranks[3] == pytest.approx((1 - 0.85) / 3)

@@ -835,3 +835,17 @@ def test_pack_sequences_corpus_window_is_shard_partitioned(spark):
     packed = text.pack_sequences(df, "doc_id", "nt", seq_len=64, n_shards=8)
     plan = packed._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(__pid" in plan
+
+
+def test_unigram_logprob_reference(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_words"], r["avg_neg_logp"])
+           for r in text.unigram_logprob(df).collect()}
+    # corpus: a=2, b=2, c=1, total=5
+    p = {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+    exp1 = -(math.log(p["a"]) * 2 + math.log(p["b"])) / 3
+    exp2 = -(math.log(p["b"]) + math.log(p["c"])) / 2
+    assert out[1] == (3, round(exp1, 6))
+    assert out[2] == (2, round(exp2, 6))
