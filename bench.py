@@ -58,6 +58,12 @@ HEADLINE = [
     "ann_pq_topk",
     "stream_cdc_scd2",
     "text_gopher_filter",
+    # round-5 continuation: Bloom-prefiltered fact⋈dim join, SymSpell
+    # ed≤1 fuzzy self-join (deletion-neighborhood banding), and the
+    # unigram-LM quality score (two hash-aggs + one word join)
+    "join_bloom_prefilter",
+    "dedup_fuzzy_ed1_pairs",
+    "text_unigram_logprob",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
