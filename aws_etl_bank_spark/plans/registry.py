@@ -2137,3 +2137,154 @@ def join_bloom_prefilter(spark, sf_dir):
     return joined.select(
         "o_orderkey", "o_custkey",
         F.round("o_totalprice", 2).alias("total"), "c_name")
+
+
+@q("tpch_q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""")
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 (pricing summary report) — the canonical scan-heavy
+    single-pass aggregation: one lineitem scan with the shipdate
+    predicate pushed to parquet, every aggregate a mergeable partial
+    (map-side combine), grouped on a 6-value key.  The plan IS the
+    100 TB plan: no join, one exchange of 6 rows worth of partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(disc), 2).alias("sum_disc_price"),
+             F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+@q("tpch_q3_shipping_priority", """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1999-03-15'
+  AND l.l_shipdate > TIMESTAMP '1999-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10""")
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): selective dim filter (one market
+    segment) broadcast into the orders⋈lineitem chain, aggregate by
+    order, global top-10.  Both date predicates push to the scans; the
+    final sort sees only the aggregated orders, and the row_number-free
+    ORDER BY+LIMIT compiles to TakeOrderedAndProject (per-partition
+    top-10, merge on the driver — never a full sort at scale).  The
+    l_orderkey tiebreak makes the cut deterministic for the oracle."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@q("tpch_q5_local_supplier_volume", """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name""")
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the 6-table join with the
+    customer-nation = supplier-nation co-membership condition.  Every
+    dim (supplier/nation/region/filtered customer) broadcasts; the only
+    shuffle-sized join is orders⋈lineitem, and the region filter prunes
+    nation/supplier BEFORE they reach the fact — Catalyst pushes it
+    through the join chain."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@q("tpch_q18_large_volume_customer", """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice""")
+def tpch_q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): HAVING-filtered semi-join —
+    the order keys whose line quantities exceed 300 (an aggregate the
+    fact can pre-compute map-side) semi-join back into the
+    customer⋈orders⋈lineitem chain.  The aggregate shortlist is tiny, so
+    it broadcasts as a left-semi; the heavy table is scanned twice but
+    shuffled only for the final per-order group."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+           .where(F.col("q") > 300).select("l_orderkey"))
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "k")),
+                li.l_orderkey == F.col("k"), "leftsemi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+    )

@@ -64,6 +64,13 @@ HEADLINE = [
     "join_bloom_prefilter",
     "dedup_fuzzy_ed1_pairs",
     "text_unigram_logprob",
+    # the classic TPC-H shapes: scan-heavy single-pass agg (q1), dim
+    # filter + top-k (q3, TakeOrderedAndProject), 6-table broadcast
+    # chain (q5), HAVING semi-join (q18)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —

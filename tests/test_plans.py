@@ -125,3 +125,23 @@ def test_demo_job_parity(spark, scratch):
     back = spark.read.parquet(golden)
     assert back.count() == 2
     assert len([p for p in os.listdir(golden) if p.endswith(".parquet")]) == 1  # coalesce(1)
+
+
+def test_tpch_plans_have_the_right_shape(spark):
+    """q3 must compile its ORDER BY+LIMIT to TakeOrderedAndProject (a
+    per-partition top-k, never a global sort); q5's five dims must all
+    broadcast; no TPC-H entry may fall back to a sort-merge join at
+    this scale."""
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    q3 = REGISTRY["tpch_q3_shipping_priority"].fn(spark, sf)
+    p3 = q3._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p3
+    q5 = REGISTRY["tpch_q5_local_supplier_volume"].fn(spark, sf)
+    p5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert p5.count("BroadcastHashJoin") == 5
+    for name in ("tpch_q1_pricing_summary", "tpch_q18_large_volume_customer"):
+        p = REGISTRY[name].fn(spark, sf)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "SortMergeJoin" not in p, name
