@@ -459,3 +459,26 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
         .agg(F.count(F.lit(1)).alias("n_words"),
              F.round(F.avg(-F.log("__p")), 6).alias("avg_neg_logp"))
     )
+
+
+def hash_split(df: DataFrame, id_col: str, train: int = 80, val: int = 10,
+               split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment from the row id alone —
+    the property that matters in a training pipeline is that membership
+    is a PURE FUNCTION of the id: stable across reruns, partitionings,
+    cluster sizes, and engine versions, so no example ever migrates
+    between train and test.
+
+    Buckets via a Knuth multiplicative hash (``id·2654435761 mod 97``) —
+    plain bigint arithmetic that any engine reproduces bit-for-bit
+    (which is also what makes it oracle-checkable); swap in
+    ``xxhash64`` when ids are adversarial/clustered and cross-engine
+    reproducibility is not required.  Map-only: zero shuffles."""
+    if not (0 < train and 0 <= val and train + val < 97):
+        raise ValueError("need 0 < train, 0 <= val, train + val < 97")
+    b = (F.col(id_col).cast("long") * F.lit(2654435761).cast("long")) % 97
+    return df.withColumn(
+        split_col,
+        F.when(b < train, F.lit("train"))
+        .when(b < train + val, F.lit("val"))
+        .otherwise(F.lit("test")))

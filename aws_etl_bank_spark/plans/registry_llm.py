@@ -1643,3 +1643,21 @@ def text_unigram_logprob(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs)
+
+
+@q("text_hash_split", """
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 97 < 80 THEN 'train'
+            WHEN (doc_id * 2654435761) % 97 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang
+FROM documents""")
+def text_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (llm/text.py hash_split):
+    membership is a pure function of doc_id — stable across reruns,
+    partitionings and engines (the oracle recomputes the identical
+    multiplicative-hash buckets).  Map-only, zero shuffles."""
+    from aws_etl_bank_spark.llm.text import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split", "lang")

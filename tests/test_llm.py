@@ -849,3 +849,18 @@ def test_unigram_logprob_reference(spark):
     exp2 = -(math.log(p["b"]) + math.log(p["c"])) / 2
     assert out[1] == (3, round(exp1, 6))
     assert out[2] == (2, round(exp2, 6))
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(0, 10_000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"]: r["split"]
+          for r in text.hash_split(df, "doc_id").collect()}
+    s2 = {r["doc_id"]: r["split"]
+          for r in text.hash_split(df.repartition(13), "doc_id").collect()}
+    assert s1 == s2  # pure function of the id, not of partitioning
+    from collections import Counter
+    frac = Counter(s1.values())
+    assert 0.75 < frac["train"] / 10_000 < 0.85
+    assert 0.06 < frac["val"] / 10_000 < 0.14
+    with pytest.raises(ValueError):
+        text.hash_split(df, "doc_id", train=90, val=10)

@@ -116,3 +116,37 @@ def test_decontaminate_full_probe_equals_brute_force(spark, vecs):
             if round(sum(x * y for x, y in zip(a, b)) / (na * nb), 4) >= 0.95:
                 expect.add(i)
     assert got == expect
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_word = st.text(alphabet="abc", min_size=0, max_size=5)
+
+
+@settings(max_examples=10, deadline=None)
+@given(words=st.lists(_word, min_size=1, max_size=8))
+def test_fuzzy_ed1_pairs_equal_brute_force(spark, words):
+    """SymSpell deletion-neighborhood blocking must be LOSSLESS for
+    ed ≤ 1: over a tiny 3-letter alphabet (maximizing collisions,
+    empty strings, duplicates) the banded join + levenshtein verify
+    equals the O(n²) scan exactly."""
+    import itertools
+
+    from aws_etl_bank_spark.llm.dedup import fuzzy_pairs_ed1
+
+    rows = list(enumerate(words))
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = sorted((r["id_a"], r["id_b"])
+                 for r in fuzzy_pairs_ed1(df, "t", "id").collect())
+    exp = sorted((i, j) for (i, a), (j, b) in itertools.combinations(rows, 2)
+                 if _levenshtein(a, b) <= 1)
+    assert got == exp
