@@ -2288,3 +2288,48 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
     )
+
+
+@q("src_orc_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+def src_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink through the same format-dispatched DataSource /
+    DataSink path as parquet (SPARK_SQL_FORMATS includes orc —
+    sources/datasource.py:23): nation written as ORC, read back via
+    getSource("file", format="orc").  Spark's native ORC reader keeps
+    predicate pushdown and column pruning, so everything the plan audit
+    says about parquet scans holds for ORC lakes too."""
+    from aws_etl_bank_spark.context import EngineContext
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    path = _scratch(sf_dir, "nation_orc")
+    ctx = EngineContext(spark)
+    sink = ctx.getSink("file", format="orc", path=path)
+    sink.write(DynamicFrame.fromDF(
+        load_table(spark, sf_dir, "nation"), ctx, "n"))
+    src = ctx.getSource("file", format="orc", paths=[path])
+    return (src.getFrame(glue_ctx=ctx, name="nation_orc").toDF()
+            .select("n_nationkey", "n_name", "n_regionkey"))
+
+
+@q("src_jsonl_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+def src_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines source/sink through the dispatched DataSource path:
+    nation written as newline-delimited JSON, read back via
+    getSource("file", format="json") with long-vs-double numeric types
+    restored by an explicit projection cast (JSON erases int width —
+    the read infers bigint here, matching the source)."""
+    from aws_etl_bank_spark.context import EngineContext
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    path = _scratch(sf_dir, "nation_jsonl")
+    ctx = EngineContext(spark)
+    sink = ctx.getSink("file", format="json", path=path)
+    sink.write(DynamicFrame.fromDF(
+        load_table(spark, sf_dir, "nation"), ctx, "n"))
+    src = ctx.getSource("file", format="json", paths=[path])
+    return (src.getFrame(glue_ctx=ctx, name="nation_jsonl").toDF()
+            .select(F.col("n_nationkey").cast("int").alias("n_nationkey"),
+                    "n_name",
+                    F.col("n_regionkey").cast("int").alias("n_regionkey")))
