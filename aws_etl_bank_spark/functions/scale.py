@@ -305,6 +305,13 @@ def bloom_prefilter_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     dim is small enough to broadcast-join outright the optimizer already
     avoids the shuffle; the bloom path wins when the dim is
     broadcast-too-big but its BITMAP is not."""
+    if how not in ("inner", "leftsemi", "left_semi", "semi", "right"):
+        # the prefilter DROPS fact rows with no dim match, which is
+        # exactly what left/full outer joins must keep — refuse loudly
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/leftsemi/right, not {how!r}: "
+            "a fact-side prefilter discards the unmatched fact rows an outer "
+            "join preserves")
     bf = bloom_bitmap(dim, dim_key, m_bits, n_hashes)
     pruned = (
         fact.crossJoin(F.broadcast(bf))

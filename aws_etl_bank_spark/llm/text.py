@@ -473,7 +473,9 @@ def hash_split(df: DataFrame, id_col: str, train: int = 80, val: int = 10,
     plain bigint arithmetic that any engine reproduces bit-for-bit
     (which is also what makes it oracle-checkable); swap in
     ``xxhash64`` when ids are adversarial/clustered and cross-engine
-    reproducibility is not required.  Map-only: zero shuffles."""
+    reproducibility is not required.  Ids are assumed non-negative
+    (``%`` keeps the dividend's sign, so a negative id would land every
+    row in "test").  Map-only: zero shuffles."""
     if not (0 < train and 0 <= val and train + val < 97):
         raise ValueError("need 0 < train, 0 <= val, train + val < 97")
     b = (F.col(id_col).cast("long") * F.lit(2654435761).cast("long")) % 97

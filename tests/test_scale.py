@@ -192,3 +192,10 @@ def test_bloom_bitmap_is_single_broadcast_row(spark):
     # of the fact for the prefilter itself
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert scale.bloom_bitmap(dim, "dk").count() == 1
+
+
+def test_bloom_prefilter_rejects_outer_joins(spark):
+    fact = spark.range(0, 10).withColumn("fk", F.col("id"))
+    dim = spark.range(0, 5).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError, match="outer"):
+        scale.bloom_prefilter_join(fact, dim, "fk", "dk", how="left")
