@@ -910,3 +910,51 @@ def fuzzy_pairs_ed1(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .where(F.col("dist") <= 1)
     )
+
+
+def minhash_band_index(df: DataFrame, text_col: str, id_col: str,
+                       num_perm: int = 64, bands: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, band, band_hash) — the persistable LSH index rows for
+    ``df``.  Writing this once per corpus (bucketed by band_hash) is
+    what makes dedup INCREMENTAL: a new batch is indexed and joined
+    against the stored rows instead of re-hashing the whole corpus."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    band_hashes = F.array(*[
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
+    return sigs.select(F.col(id_col),
+                       F.posexplode(band_hashes).alias("band", "band_hash"))
+
+
+def minhash_incremental_matches(batch: DataFrame, index: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                num_perm: int = 64, bands: int = 16,
+                                shingle_n: int = 3) -> DataFrame:
+    """Incremental dedup: candidate (batch_id, corpus_id) collisions of a
+    NEW batch against a PREVIOUSLY BUILT ``minhash_band_index`` — the
+    daily-ingest shape where re-hashing the historical corpus would be
+    O(corpus) per batch.  Only the batch is shingled/hashed
+    (O(batch)); the join is the same banded equi-join as
+    ``minhash_lsh_pairs``, with the index side pre-bucketed on
+    (band, band_hash) if it was written with ``write_bucketed``.
+
+    Returns distinct (batch_id, corpus_id) candidates; same-id matches
+    (a re-ingested document meeting its own index rows) are kept — the
+    caller decides whether identity collisions mean "already ingested".
+    Verification against raw text requires the corpus texts and is the
+    caller's second join, exactly as in ``minhash_lsh_pairs``."""
+    b = minhash_band_index(batch, text_col, id_col, num_perm, bands,
+                           shingle_n)
+    return (
+        b.alias("b").join(
+            index.alias("i"),
+            (F.col("b.band") == F.col("i.band"))
+            & (F.col("b.band_hash") == F.col("i.band_hash")))
+        .select(F.col(f"b.{id_col}").alias("batch_id"),
+                F.col(f"i.{id_col}").alias("corpus_id"))
+        .distinct()
+    )

@@ -1661,3 +1661,33 @@ def text_hash_split(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return hash_split(docs, "doc_id").select("doc_id", "split", "lang")
+
+
+@q("dedup_minhash_incremental", """
+SELECT d.doc_id + 1000000 AS batch_id, c.doc_id AS corpus_id
+FROM documents d JOIN documents c ON d.text = c.text
+WHERE d.doc_id % 20 = 0""")
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental MinHash dedup (llm/dedup.py minhash_band_index +
+    minhash_incremental_matches): the corpus is indexed ONCE into
+    (id, band, band_hash) rows; a new batch (exact copies of every 20th
+    document under fresh ids) is hashed O(batch) and banded-joined
+    against the stored index — the daily-ingest shape that never
+    re-hashes history.  Projection to the identical-text matches must
+    equal DuckDB's batch⋈corpus text-equality join exactly: an exact
+    twin collides in EVERY band, so a missing row is a recall bug."""
+    from aws_etl_bank_spark.llm.dedup import (minhash_band_index,
+                                              minhash_incremental_matches)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = minhash_band_index(docs, "text", "doc_id")
+    batch = (docs.filter(F.col("doc_id") % 20 == 0)
+             .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    matches = minhash_incremental_matches(batch, index)
+    bt = batch.select(F.col("doc_id").alias("batch_id"),
+                      F.col("text").alias("__bt"))
+    ct = docs.select(F.col("doc_id").alias("corpus_id"),
+                     F.col("text").alias("__ct"))
+    return (matches.join(bt, "batch_id").join(ct, "corpus_id")
+            .where(F.col("__bt") == F.col("__ct"))
+            .select("batch_id", "corpus_id"))

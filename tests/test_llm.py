@@ -864,3 +864,23 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert 0.06 < frac["val"] / 10_000 < 0.14
     with pytest.raises(ValueError):
         text.hash_split(df, "doc_id", train=90, val=10)
+
+
+def test_minhash_incremental_matches_vs_full_lsh(docs, spark):
+    """Indexing the corpus once and joining a batch against the stored
+    index must find the same cross-pairs as running full LSH over
+    corpus ∪ batch (restricted to cross pairs)."""
+    corpus = docs.filter(F.col("doc_id") <= 3)
+    batch = docs.filter(F.col("doc_id") >= 2).withColumn(
+        "doc_id", F.col("doc_id") + 100)
+    idx = dedup.minhash_band_index(corpus, "text", "doc_id")
+    inc = {(r["batch_id"], r["corpus_id"]) for r in
+           dedup.minhash_incremental_matches(batch, idx).collect()}
+    both = corpus.unionByName(batch)
+    full = dedup.minhash_lsh_pairs(both, "text", "doc_id", verify=False)
+    cross = {(max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+             for r in full.collect()
+             if (r["id_a"] > 100) != (r["id_b"] > 100)}
+    assert inc == cross
+    # exact twin (doc 2's copy vs docs 1/2) must be present
+    assert (102, 2) in inc and (102, 1) in inc
