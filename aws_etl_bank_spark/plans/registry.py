@@ -755,9 +755,18 @@ def scalar_dates(spark, sf_dir):
 SELECT CASE WHEN o_totalprice > 250000 THEN 'high'
             WHEN o_totalprice > 100000 THEN 'mid'
             ELSE 'low' END AS tier,
-       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
+            AS DOUBLE) AS total
 FROM orders GROUP BY 1""")
 def scalar_when_case(spark, sf_dir):
+    """when/otherwise tiering over a money sum.  The sum runs in
+    DECIMAL(18,2), not double: a double sum at sf1 magnitude (~3e11)
+    carries ~1e-4 of summation-order noise — enough to flip ROUND(,2)
+    across engines — while decimal aggregation is exact and
+    order-independent at any scale (the first sf1 audit caught exactly
+    this: 281148760675.51 vs .50).  Cast back to double only for the
+    comparison surface."""
     o = load_table(spark, sf_dir, "orders")
     tier = (
         F.when(F.col("o_totalprice") > 250000, F.lit("high"))
@@ -765,7 +774,9 @@ def scalar_when_case(spark, sf_dir):
         .otherwise(F.lit("low"))
     )
     return o.groupBy(tier.alias("tier")).agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").cast("double").alias("total")
     )
 
 
