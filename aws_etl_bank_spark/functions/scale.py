@@ -320,3 +320,38 @@ def bloom_prefilter_join(fact: DataFrame, dim: DataFrame, fact_key: str,
         .drop("__bloom")
     )
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
+
+
+def compact_small_files(spark: SparkSession, path: str,
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        sort_within: list[str] | None = None) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    the table-maintenance pass that keeps a streaming/incremental sink's
+    small-file count from poisoning every downstream scan (each file
+    costs a task + footer read; 10k tiny files turn a 1-second scan into
+    a scheduler stall).
+
+    File count = ceil(current_bytes / target), coalesce (no shuffle)
+    unless ``sort_within`` asks for a sortWithinPartitions pass to
+    restore min/max pruning locality.  Writes to a sibling temp dir and
+    atomically renames, so a concurrent reader sees old or new files,
+    never a half-written mix.  Returns the new file count."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.coalesce(n)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

@@ -2344,3 +2344,22 @@ def src_jsonl_roundtrip(spark, sf_dir):
             .select(F.col("n_nationkey").cast("int").alias("n_nationkey"),
                     "n_name",
                     F.col("n_regionkey").cast("int").alias("n_regionkey")))
+
+
+@q("maintenance_compact_roundtrip", """
+SELECT c_custkey, c_name, c_nationkey FROM customer""")
+def maintenance_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction (functions/scale.py compact_small_files):
+    the customer table exploded into 64 tiny files, compacted back to
+    ~target-size files with an atomic directory swap, read back and
+    compared against the source — proving the maintenance pass is
+    content-preserving.  The compaction itself is coalesce (no
+    shuffle); file-count assertions live in tests/test_scale.py."""
+    from aws_etl_bank_spark.functions.scale import compact_small_files
+
+    path = _scratch(sf_dir, "cust_small_files")
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    src.repartition(64).write.mode("overwrite").parquet(path)
+    compact_small_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    return spark.read.parquet(path)

@@ -199,3 +199,16 @@ def test_bloom_prefilter_rejects_outer_joins(spark):
     dim = spark.range(0, 5).select(F.col("id").alias("dk"))
     with pytest.raises(ValueError, match="outer"):
         scale.bloom_prefilter_join(fact, dim, "fk", "dk", how="left")
+
+
+def test_compact_small_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(0, 10_000).withColumn("v", F.col("id") * 2) \
+        .repartition(32).write.parquet(path)
+    import os
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    n = scale.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert before == 32 and n == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10_000))
