@@ -355,3 +355,28 @@ def compact_small_files(spark: SparkSession, path: str,
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def skew_report(df: DataFrame, *keys: str, top: int = 10) -> DataFrame:
+    """Per-key skew diagnostics — the measurement that decides between
+    plain AQE, ``salted_agg``, and ``salted_join`` BEFORE a 100 TB job
+    burns a straggler hour: the ``top`` heaviest key values with their
+    row share, plus each key's share-of-total in one aggregated pass
+    (count per key → window rank + total; nothing rescans the input).
+
+    Output: (key_value, n, share, rank) ordered by n desc."""
+    from pyspark.sql import Window
+
+    counts = (df.groupBy(*[F.col(k) for k in keys])
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").desc(),
+                       *[F.col(k) for k in keys])  # deterministic ties
+    total = counts.agg(F.sum("n").alias("__t"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .crossJoin(F.broadcast(total))
+        .select(*keys, "n",
+                F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -2363,3 +2363,23 @@ def maintenance_compact_roundtrip(spark, sf_dir):
     src.repartition(64).write.mode("overwrite").parquet(path)
     compact_small_files(spark, path, target_file_bytes=64 * 1024 * 1024)
     return spark.read.parquet(path)
+
+
+@q("scale_skew_report", """
+WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type),
+t AS (SELECT SUM(n) AS tot FROM c)
+SELECT event_type, n, ROUND(n / (SELECT tot FROM t), 6) AS share,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, event_type) AS INT) AS rank
+FROM c ORDER BY n DESC, event_type LIMIT 5""")
+def scale_skew_report(spark, sf_dir):
+    """Skew diagnostics (functions/scale.py skew_report): the heaviest
+    key values with row share and rank from ONE aggregated pass — the
+    measurement that picks between plain AQE, salted_agg and
+    salted_join before a straggler burns an hour at 100 TB.  The
+    row_number+filter compiles to a window group limit, so the rank cut
+    happens before rows concentrate."""
+    from aws_etl_bank_spark.functions.scale import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, "event_type", top=5)

@@ -212,3 +212,13 @@ def test_compact_small_files_reduces_count_and_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10_000))
+
+
+def test_skew_report_shares_and_ranks(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 70 + ["b"] * 20 + ["c"] * 10], "k string")
+    rows = {r["k"]: (r["n"], r["share"], r["rank"])
+            for r in scale.skew_report(df, "k", top=2).collect()}
+    assert rows["a"] == (70, 0.7, 1)
+    assert rows["b"] == (20, 0.2, 2)
+    assert "c" not in rows
