@@ -38,7 +38,8 @@ _PRIORITY = [
     "tpch_q5_local_supplier_volume", "tpch_q18_large_volume_customer",
     "text_hash_split", "src_orc_roundtrip", "src_jsonl_roundtrip",
     "dedup_minhash_incremental", "maintenance_compact_roundtrip",
-    "scale_skew_report",
+    "scale_skew_report", "ts_trend_slope",
+    "tpch_q7_volume_shipping", "tpch_q10_returned_items",
     "ann_pq_planted_twin", "ann_ivfpq_planted_twin", "stream_cdc_scd2",
     "text_gopher_filter",
     "sample_limit_contained", "dedup_minhash_planted_keep",

@@ -2383,3 +2383,115 @@ def scale_skew_report(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return skew_report(ev, "event_type", top=5)
+
+
+@q("ts_trend_slope", """
+SELECT user_id,
+       ROUND(regr_slope(value, floor(epoch(ts))), 6) AS slope,
+       ROUND(corr(value, floor(epoch(ts))), 4) AS r,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id HAVING COUNT(*) >= 50""")
+def ts_trend_slope(spark, sf_dir):
+    """Per-key linear trend (least-squares slope of value over time) +
+    correlation — drift/trend detection as ONE hash aggregation: Spark's
+    regr_slope/corr aggregates are mergeable partials (sums of x, y, xy,
+    x², count), so the whole fit shuffles a constant per key no matter
+    how many points feed it.  No window, no sort, no Python.  The time
+    axis is floored to whole seconds on BOTH sides (Spark's
+    unix_timestamp truncates; DuckDB's epoch keeps fractions — without
+    the floor the regression inputs silently differ sub-second)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts").cast("double")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+             F.round(F.corr(F.col("value"), x), 4).alias("r"),
+             F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 50)
+    )
+
+
+@q("tpch_q7_volume_shipping", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+  AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l.l_shipdate)""")
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations): the
+    disjunctive cross-nation predicate (the testdata's synthetic
+    NATION_9/NATION_10 in place of the spec's FRANCE/GERMANY) over two
+    aliases of the SAME dim
+    — both nation sides broadcast, the pair filter applies after the
+    chain, and only orders⋈lineitem is shuffle-sized.  Ship-year comes
+    from the pushed-down shipdate range."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@q("tpch_q10_returned_items", """
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 20""")
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): quarter of orders ⋈ returned
+    lines ⋈ customer dim, top-20 customers by lost revenue.  The
+    returnflag and date predicates push to the two fact scans;
+    ORDER BY+LIMIT compiles to TakeOrderedAndProject.  The c_custkey
+    tiebreak makes the cut deterministic for the oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
