@@ -40,6 +40,8 @@ _PRIORITY = [
     "dedup_minhash_incremental", "maintenance_compact_roundtrip",
     "scale_skew_report", "ts_trend_slope",
     "tpch_q7_volume_shipping", "tpch_q10_returned_items",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
     "ann_pq_planted_twin", "ann_ivfpq_planted_twin", "stream_cdc_scd2",
     "text_gopher_filter",
     "sample_limit_contained", "dedup_minhash_planted_keep",

@@ -2495,3 +2495,103 @@ def tpch_q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@q("tpch_q4_order_priority", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority""")
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking): EXISTS over a correlated
+    line-level condition — expressed as a LEFT-SEMI join of the filtered
+    quarter of orders against late-shipping lines, then a 5-group
+    count.  The semi join deduplicates BEFORE the aggregate, so no
+    order is counted per matching line."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey)
+               & (li.l_shipdate > o.o_orderdate), "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q("tpch_q6_forecast_revenue", """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""")
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the purest predicate-
+    pushdown benchmark — three ANDed scan filters, one global sum, zero
+    joins; at 100 TB the whole query is whatever fraction of row groups
+    the parquet min/max stats cannot skip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                 & F.col("l_discount").between(0.05, 0.07)
+                 & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+@q("tpch_q13_customer_distribution", """
+WITH co AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count""")
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order distribution): LEFT OUTER join so
+    zero-order customers survive with count 0, then the
+    histogram-of-counts double aggregation.  COUNT(o_orderkey) — not
+    COUNT(*) — is what makes the outer join's null rows count as zero."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@q("tpch_q14_promo_revenue", """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'""")
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional-ratio aggregate over a
+    month of lines broadcast-joined to the part dim (the testdata's
+    categorical p_type = 'PROMO' in place of the spec's LIKE 'PROMO%').
+    One scan, one broadcast, one agg row."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+    )
