@@ -2595,3 +2595,114 @@ def tpch_q14_promo_revenue(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
     )
+
+
+@q("tpch_q8_market_share", """
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_9'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY EXTRACT(YEAR FROM o.o_orderdate)""")
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): the deepest TPC-H join tree
+    expressible on this schema — 8 tables, nation joined TWICE (customer
+    region gate vs supplier nationality), share computed as a
+    conditional-ratio aggregate per order year.  Every dim broadcasts;
+    lineitem⋈orders is the only shuffle pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31 00:00:00"))
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_9", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("nk1"))
+        .join(F.broadcast(r), F.col("rk1") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("nk2"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(target) / F.sum(rev), 6).alias("mkt_share"))
+    )
+
+
+@q("tpch_q15_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""")
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the revenue "view" aggregated once and
+    REUSED for both the max and the equality filter — in Spark the
+    revenue frame joins against its own 1-row max aggregate (broadcast),
+    the pattern that replaces the spec's CREATE VIEW without computing
+    revenue twice from the fact."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q("tpch_q17_small_quantity", """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
+      FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = (SELECT MIN(p_brand) FROM part)
+  AND l.l_quantity < a.qty_cut""")
+def tpch_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    AVG-subquery decorrelated into a per-part aggregate joined back to
+    the fact — the standard Catalyst rewrite, here written explicitly so
+    the per-part cut aggregates map-side before the (broadcast) join.
+    Brand chosen as MIN(p_brand) to stay fixture-agnostic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    brand = p.agg(F.min("p_brand").alias("__b"))
+    pb = (p.join(F.broadcast(brand), p.p_brand == F.col("__b"))
+          .select("p_partkey"))
+    cuts = (li.groupBy(F.col("l_partkey").alias("pk"))
+            .agg((0.2 * F.avg("l_quantity")).alias("qty_cut")))
+    return (
+        li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey)
+        .join(F.broadcast(cuts), li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
