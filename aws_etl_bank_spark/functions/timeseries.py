@@ -73,3 +73,28 @@ def gap_fill(rolled: DataFrame, bucket_col: str, width_seconds: int,
         for c in out.columns
     ]
     return out.select(*filled)
+
+
+def merge_rollup(stored: DataFrame, delta: DataFrame, keys: list[str],
+                 merge: dict[str, str]) -> DataFrame:
+    """Incrementally maintain a materialized rollup: combine an already-
+    aggregated ``stored`` rollup with a freshly-aggregated ``delta``
+    (the new day's partition) WITHOUT rescanning history — the
+    continuous-aggregate refresh pattern.
+
+    ``merge`` maps each aggregate column to its combine function
+    ("sum" | "min" | "max" — the decomposable aggregates; avg must be
+    carried as sum+count and divided at read time).  Implementation is a
+    unionByName + one re-aggregation over (keys): rows for a key present
+    on one side only pass through; keys present in both combine.
+    Equivalent to recomputing the rollup over history ∪ delta, at
+    O(|rollup| + |delta|) instead of O(|history|)."""
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    aggs = []
+    for col, how in merge.items():
+        if how not in fns:
+            raise ValueError(f"unsupported combine {how!r} for {col}: avg and "
+                             "count-distinct are not mergeable post-hoc — carry "
+                             "sum+count / a sketch instead")
+        aggs.append(fns[how](col).alias(col))
+    return stored.unionByName(delta).groupBy(*keys).agg(*aggs)

@@ -2706,3 +2706,32 @@ def tpch_q17_small_quantity(spark, sf_dir):
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+@q("ts_rollup_incremental_merge", """
+SELECT event_type,
+       CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 86400) * 86400 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 1, 2""")
+def ts_rollup_incremental_merge(spark, sf_dir):
+    """Materialized-rollup incremental refresh (functions/timeseries.py
+    merge_rollup): history and the "new" tail are aggregated separately
+    (as a stored rollup and a delta would be), then combined by their
+    decomposable aggregates — count as sum, sum as sum — and the result
+    must equal the full recompute, which is exactly what the oracle
+    runs.  O(|rollup| + |delta|) per refresh instead of O(|history|)."""
+    from aws_etl_bank_spark.functions.timeseries import (merge_rollup,
+                                                         rollup_time_bucket)
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "1997-01-01"
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")]
+    hist = rollup_time_bucket(
+        ev.where(F.col("ts") < cutoff), "ts", 86400, ["event_type"], aggs)
+    delta = rollup_time_bucket(
+        ev.where(F.col("ts") >= cutoff), "ts", 86400, ["event_type"], aggs)
+    merged = merge_rollup(hist, delta, ["event_type", "bucket"],
+                          {"n": "sum", "total": "sum"})
+    return merged.select("event_type", F.col("bucket").cast("long"),
+                         F.col("n").cast("long").alias("n"),
+                         F.round("total", 2).alias("total"))

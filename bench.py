@@ -71,6 +71,10 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
+    # deepest join tree (8 tables, nation aliased twice) and the
+    # outer-join count histogram
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —

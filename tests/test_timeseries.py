@@ -97,3 +97,32 @@ def test_gap_fill_bounds_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     # the 1-row bounds frame must broadcast, never shuffle-cartesian
     assert "CartesianProduct" not in plan
+
+
+def test_merge_rollup_equals_full_recompute(spark):
+    import pyspark.sql.functions as F
+
+    from aws_etl_bank_spark.functions.timeseries import merge_rollup
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("v"),
+        (F.col("id") < 600).alias("is_hist"))
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.max("v").alias("mx")]
+    hist = df.where("is_hist").groupBy("k").agg(*aggs)
+    delta = df.where("NOT is_hist").groupBy("k").agg(*aggs)
+    merged = {r["k"]: (r["n"], r["s"], r["mx"]) for r in merge_rollup(
+        hist, delta, ["k"], {"n": "sum", "s": "sum", "mx": "max"}).collect()}
+    full = {r["k"]: (r["n"], r["s"], r["mx"])
+            for r in df.groupBy("k").agg(*aggs).collect()}
+    assert merged == full
+
+
+def test_merge_rollup_rejects_non_decomposable(spark):
+    import pytest as pt
+
+    from aws_etl_bank_spark.functions.timeseries import merge_rollup
+
+    df = spark.range(1).select(F.col("id").alias("k"), F.col("id").alias("a"))
+    with pt.raises(ValueError, match="mergeable"):
+        merge_rollup(df, df, ["k"], {"a": "avg"})
