@@ -2735,3 +2735,34 @@ def ts_rollup_incremental_merge(spark, sf_dir):
     return merged.select("event_type", F.col("bucket").cast("long"),
                          F.col("n").cast("long").alias("n"),
                          F.round("total", 2).alias("total"))
+
+
+@q("scale_bucketed_join", """
+SELECT o.o_orderkey, o.o_custkey, c.c_name,
+       ROUND(o.o_totalprice, 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 4 = 0""")
+def scale_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (functions/scale.py write_bucketed /
+    read_bucketed): both sides persisted bucketed on the join key, so
+    the recurring join needs NO exchange on either side — the shuffle
+    is paid once at write time (tests/test_scale.py asserts the
+    exchange-free plan).  Result must equal the plain join, which is
+    what the oracle runs.  Table names carry the sf tag so concurrent
+    gates at different SFs do not collide."""
+    import re as _re
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").split("/")[-1])
+    from aws_etl_bank_spark.functions.scale import read_bucketed, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0)
+    c = load_table(spark, sf_dir, "customer")
+    write_bucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+                   f"bkt_orders_{tag}", "o_custkey", n_buckets=8)
+    write_bucketed(c.select("c_custkey", "c_name"),
+                   f"bkt_customer_{tag}", "c_custkey", n_buckets=8)
+    ob = read_bucketed(spark, f"bkt_orders_{tag}")
+    cb = read_bucketed(spark, f"bkt_customer_{tag}")
+    return (ob.join(cb, ob.o_custkey == cb.c_custkey)
+            .select("o_orderkey", "o_custkey", "c_name",
+                    F.round("o_totalprice", 2).alias("total")))
