@@ -1702,3 +1702,53 @@ def dedup_minhash_incremental(spark, sf_dir):
     return (matches.join(bt, "batch_id").join(ct, "corpus_id")
             .where(F.col("__bt") == F.col("__ct"))
             .select("batch_id", "corpus_id"))
+
+
+@q("stream_incremental_dedup", """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM corpus GROUP BY text""")
+def stream_incremental_dedup(spark, sf_dir):
+    """Streaming ingest dedup (streaming/incremental_dedup.py): the
+    PLANTED corpus (documents ∪ exact copies of every 20th doc at
+    +1M ids — the copies' id range puts them in the LAST feed file, so
+    every duplicate crosses a batch boundary) replayed as a 3-file
+    id-ordered stream; each micro-batch dedups within itself, then
+    against the kept corpus via the persisted MinHash band index
+    (candidates by banding, acceptance by exact text equality),
+    survivors extend corpus + index.  With an id-ordered feed the final
+    kept set provably equals batch-global exact dedup with
+    lowest-id-wins — the oracle, which the copies make non-trivial
+    (all 25 must be rejected by the cross-batch index join)."""
+    import time as _time
+
+    from aws_etl_bank_spark.plans.registry import _scratch
+    from aws_etl_bank_spark.streaming.incremental_dedup import (
+        stream_dedup_against_index)
+
+    docs = _planted_corpus(spark, sf_dir)
+    feed_dir = _scratch(sf_dir, "dedup_feed_planted")
+    import os as _os
+    success = _os.path.join(feed_dir, "_SUCCESS")
+    src = _os.path.realpath(_os.path.join(sf_dir, "documents.parquet"))
+    if (not _os.path.exists(success)
+            or (_os.path.exists(src)
+                and _os.path.getmtime(src) > _os.path.getmtime(success))):
+        docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(feed_dir)
+        # the file source replays files in MODIFICATION-TIME order, not
+        # path order — stamp the range files with increasing mtimes so
+        # the feed arrives in id order (what lowest-id-wins needs)
+        parts = sorted(f for f in _os.listdir(feed_dir) if f.endswith(".parquet"))
+        base = _os.path.getmtime(success)
+        for i, f in enumerate(parts):
+            _os.utime(_os.path.join(feed_dir, f), (base + i + 1, base + i + 1))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+    tag = int(_time.time() * 1000)
+    kept = stream_dedup_against_index(
+        stream, _scratch(sf_dir, f"dedup_state_{tag}"),
+        checkpoint=_scratch(sf_dir, f"dedup_ckpt_{tag}"))
+    return kept.select(F.col("doc_id").cast("long"))

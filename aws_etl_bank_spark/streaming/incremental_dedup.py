@@ -1,0 +1,97 @@
+"""Streaming ingest dedup: each micro-batch of documents is deduped
+against the ALREADY-ACCEPTED corpus via the persisted MinHash band index
+(llm/dedup.py minhash_band_index) — the composition a production ingest
+runs: new data is hashed O(batch), history is only ever JOINED, never
+re-hashed.
+
+Semantics are EXACT dedup accelerated by LSH: MinHash banding only
+generates candidates (an exact twin collides in every band, so recall on
+exact duplicates is total), and acceptance is decided by a text-equality
+verify — so the final kept set provably equals batch-global exact dedup
+with first-arrival-wins, which is what the DuckDB oracle checks when the
+feed is ordered by id.
+
+Scale shape per batch: one window over the batch (within-batch keep), a
+banded equi-join batch⋈index (both sides keyed on (band, band_hash)),
+one id-join text verify against the kept table, and append-shaped state
+growth — state is rewritten versioned here (replay-safe, inspectable,
+atomic by rename) where a transactional table format would append.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from aws_etl_bank_spark.llm.dedup import (minhash_band_index,
+                                          minhash_incremental_matches)
+
+
+def dedup_batch_against_kept(batch: DataFrame, kept: DataFrame | None,
+                             index: DataFrame | None, text_col: str,
+                             id_col: str, num_perm: int, bands: int,
+                             shingle_n: int) -> DataFrame:
+    """One ingest step: within-batch exact dedup (lowest id wins), then
+    drop rows whose text already exists in the kept corpus — candidates
+    from the band index, decided by exact text equality."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    local = (batch.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn"))
+    if kept is None or index is None:
+        return local
+    cand = minhash_incremental_matches(local, index, text_col, id_col,
+                                       num_perm, bands, shingle_n)
+    dup_ids = (
+        cand.join(local.select(F.col(id_col).alias("batch_id"),
+                               F.col(text_col).alias("__bt")), "batch_id")
+        .join(kept.select(F.col(id_col).alias("corpus_id"),
+                          F.col(text_col).alias("__kt")), "corpus_id")
+        .where(F.col("__bt") == F.col("__kt"))
+        .select(F.col("batch_id").alias(id_col)).distinct()
+    )
+    return local.join(dup_ids, id_col, "left_anti")
+
+
+def stream_dedup_against_index(stream: DataFrame, state_dir: str,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               num_perm: int = 64, bands: int = 16,
+                               shingle_n: int = 3,
+                               checkpoint: str | None = None) -> DataFrame:
+    """Run a document stream to completion (availableNow); every
+    micro-batch is deduped against the kept corpus, survivors join it,
+    and their band-index rows extend the index.  Returns the final kept
+    (id, text) corpus."""
+    spark = stream.sparkSession
+    versions: list[str] = []
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(id_col, text_col)
+        if versions:
+            kept = spark.read.parquet(os.path.join(versions[-1], "kept"))
+            index = spark.read.parquet(os.path.join(versions[-1], "index"))
+        else:
+            kept = index = None
+        survivors = dedup_batch_against_kept(
+            batch, kept, index, text_col, id_col, num_perm, bands, shingle_n)
+        new_kept = survivors if kept is None else kept.unionByName(survivors)
+        new_index_rows = minhash_band_index(survivors, text_col, id_col,
+                                            num_perm, bands, shingle_n)
+        new_index = (new_index_rows if index is None
+                     else index.unionByName(new_index_rows))
+        out = os.path.join(state_dir, f"v{len(versions)}")
+        new_kept.write.mode("overwrite").parquet(os.path.join(out, "kept"))
+        new_index.write.mode("overwrite").parquet(os.path.join(out, "index"))
+        versions.append(out)
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.trigger(availableNow=True).start()
+    query.awaitTermination()
+    if not versions:
+        raise ValueError("document stream produced no batches")
+    return spark.read.parquet(os.path.join(versions[-1], "kept"))

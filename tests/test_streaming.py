@@ -458,3 +458,29 @@ class TestCdcScd2:
         assert len(closed) >= 3
         for r in closed:
             assert r.value < active[r.user_id]
+
+
+def test_incremental_dedup_batches_equal_global_exact_dedup(spark, tmp_path):
+    """Three id-ordered batches with within-batch and cross-batch exact
+    duplicates: the streamed kept set must equal global exact dedup with
+    lowest-id-wins."""
+    import pyspark.sql.functions as F
+
+    from aws_etl_bank_spark.streaming.incremental_dedup import (
+        stream_dedup_against_index)
+
+    rows = [(1, "aa bb cc"), (2, "dd ee ff"), (3, "aa bb cc"),   # batch 1
+            (4, "gg hh ii"), (5, "dd ee ff"),                    # batch 2
+            (6, "aa bb cc"), (7, "jj kk ll"), (8, "jj kk ll")]   # batch 3
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feed = str(tmp_path / "feed")
+    df.repartitionByRange(3, "doc_id").write.parquet(feed)
+    import os
+    parts = sorted(f for f in os.listdir(feed) if f.endswith(".parquet"))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(feed, f), (1_000_000 + i, 1_000_000 + i))
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    kept = stream_dedup_against_index(stream, str(tmp_path / "state"))
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [1, 2, 4, 7]
