@@ -1752,3 +1752,25 @@ def stream_incremental_dedup(spark, sf_dir):
         stream, _scratch(sf_dir, f"dedup_state_{tag}"),
         checkpoint=_scratch(sf_dir, f"dedup_ckpt_{tag}"))
     return kept.select(F.col("doc_id").cast("long"))
+
+
+@q("infer_embed_texts", """
+SELECT doc_id, CAST(64 AS INT) AS dim, CAST(1.0 AS DOUBLE) AS norm
+FROM documents""")
+def infer_embed_texts(spark, sf_dir):
+    """Batched embedding inference plumbing (llm/inference.py
+    embed_texts): the corpus through Arrow-batched mapInPandas with the
+    deterministic stand-in encoder.  The oracle pins what IS provable
+    end-to-end: one vector per document, the declared dimensionality,
+    and unit L2 norm COMPUTED FROM the produced vectors JVM-side — so a
+    broken batch boundary, dropped row, or skipped normalization fails
+    the row/value compare.  Vector determinism (same text ⇒ same
+    vector, any partitioning) is pinned in tests/test_llm.py."""
+    from aws_etl_bank_spark.llm.inference import embed_texts
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_texts(docs, dim=64, n_workers=8)
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                              lambda a, x: a + x * x))
+    return emb.select("doc_id", F.size("embedding").alias("dim"),
+                      F.round(norm, 6).cast("double").alias("norm"))

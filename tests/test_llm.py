@@ -884,3 +884,34 @@ def test_minhash_incremental_matches_vs_full_lsh(docs, spark):
     assert inc == cross
     # exact twin (doc 2's copy vs docs 1/2) must be present
     assert (102, 2) in inc and (102, 1) in inc
+
+
+def test_embed_texts_deterministic_and_partition_invariant(spark):
+    from aws_etl_bank_spark.llm.inference import embed_texts
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i % 5}") for i in range(40)],
+        "doc_id long, text string")
+    a = {r["doc_id"]: tuple(r["embedding"])
+         for r in embed_texts(df, dim=16, n_workers=2).collect()}
+    b = {r["doc_id"]: tuple(r["embedding"])
+         for r in embed_texts(df.repartition(7), dim=16, n_workers=5).collect()}
+    assert a == b                      # pure function of text
+    assert a[0] == a[5]                # identical texts agree
+    assert a[0] != a[1]
+    import math
+    for v in a.values():
+        assert math.isclose(math.sqrt(sum(x * x for x in v)), 1.0,
+                            rel_tol=1e-9)
+
+
+def test_embed_texts_custom_encoder_hook(spark):
+    import numpy as np
+
+    from aws_etl_bank_spark.llm.inference import embed_texts
+
+    df = spark.createDataFrame([(1, "a"), (2, "bb")], "doc_id long, text string")
+    out = embed_texts(df, dim=3,
+                      encoder=lambda ts: np.array([[len(t), 0.0, 1.0] for t in ts]))
+    got = {r["doc_id"]: r["embedding"] for r in out.collect()}
+    assert got[2] == [2.0, 0.0, 1.0]
