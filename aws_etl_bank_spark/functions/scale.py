@@ -102,7 +102,23 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 
     """Persist bucketed (and optionally sorted) by the join key: every
     later equi-join or aggregation on ``bucket_col`` between tables with
     the same bucket count is shuffle-free (and sort-free when sorted).
-    The shuffle is paid once here instead of on every downstream query."""
+    The shuffle is paid once here instead of on every downstream query.
+
+    Self-healing against orphaned warehouse paths: with the in-memory
+    catalog, a managed-table DIRECTORY can outlive the session that
+    registered it — the fresh session's catalog has no such table, so
+    even ``mode=overwrite`` refuses to create over the leftover path.
+    A path with no catalog entry is garbage by definition; remove it."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(wh, table.lower())
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)
