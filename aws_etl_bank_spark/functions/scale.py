@@ -365,8 +365,14 @@ def compact_small_files(spark: SparkSession, path: str,
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     tmp = path.rstrip("/") + ".__compact_tmp__"
-    out.write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + ".__compact_old__"
+    # a crashed previous run can leave either sibling behind; both are
+    # disposable by construction (tmp was never swapped in, old was
+    # already swapped out)
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    out.write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
