@@ -2150,15 +2150,34 @@ def join_bloom_prefilter(spark, sf_dir):
         F.round("o_totalprice", 2).alias("total"), "c_name")
 
 
+def _rev_dec():
+    """Line revenue as an EXACT decimal: price and discount carry ≤ 2
+    decimals, so DECIMAL(18,2) × (1 − DECIMAL(4,2)) is exact at scale 4
+    and its SUM is exact and summation-order-independent — unlike a
+    double sum, whose ULP noise at sf1 magnitudes (~1e11) flips cent
+    rounding between engines, and unlike ROUND-ing the decimal to 2,
+    where a sum ending in .xx5 rounds HALF_UP in Spark but HALF_EVEN in
+    DuckDB (both observed in sf1 audits).  The exact scale-4 value casts
+    to the identical double on both engines."""
+    one = F.lit(1.00).cast("decimal(4,2)")
+    return (F.col("l_extendedprice").cast("decimal(18,2)")
+            * (one - F.col("l_discount").cast("decimal(4,2)")))
+
+
 @q("tpch_q1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1.00 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+            AS VARCHAR) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus""")
@@ -2167,26 +2186,41 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     single-pass aggregation: one lineitem scan with the shipdate
     predicate pushed to parquet, every aggregate a mergeable partial
     (map-side combine), grouped on a 6-value key.  The plan IS the
-    100 TB plan: no join, one exchange of 6 rows worth of partials."""
+    100 TB plan: no join, one exchange of 6 rows worth of partials.
+
+    Money aggregates run in EXACT decimals (see _rev_dec's rationale);
+    sum_charge carries scale 6, whose integer representation exceeds
+    2^53 at sf1 — the decimal→double conversion then disagrees across
+    engines in the last ULP — so it is emitted as the canonical decimal
+    STRING (identical rendering incl. trailing zeros on both engines).
+    The scale-2/4 sums stay exact as doubles through ~sf10."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    one = F.lit(1.00).cast("decimal(4,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    dsc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc = price * (one - dsc)
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-             F.round(F.sum(disc), 2).alias("sum_disc_price"),
-             F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-             F.count(F.lit(1)).alias("count_order"))
+        .agg(F.sum(qty).cast("double").alias("sum_qty"),
+             F.sum(price).cast("double").alias("sum_base_price"),
+             F.sum(disc).cast("double").alias("sum_disc_price"),
+             F.sum(disc * (one + tax)).cast("string").alias("sum_charge"),
+             F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+             F.round(F.sum(price).cast("double") / n, 4).alias("avg_price"),
+             F.round(F.sum(dsc).cast("double") / n, 4).alias("avg_disc"),
+             n.alias("count_order"))
     )
 
 
 @q("tpch_q3_shipping_priority", """
 SELECT l.l_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2215,8 +2249,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -2225,7 +2258,9 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 
 @q("tpch_q5_local_supplier_volume", """
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2259,8 +2294,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
     )
 
 
@@ -2414,7 +2448,9 @@ def ts_trend_slope(spark, sf_dir):
 @q("tpch_q7_volume_shipping", """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2453,14 +2489,15 @@ def tpch_q7_volume_shipping(spark, sf_dir):
         .where(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
     )
 
 
 @q("tpch_q10_returned_items", """
 SELECT c.c_custkey, c.c_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
        ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2488,8 +2525,7 @@ def tpch_q10_returned_items(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue",
                 F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -2525,7 +2561,8 @@ def tpch_q4_order_priority(spark, sf_dir):
 
 
 @q("tpch_q6_forecast_revenue", """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2542,8 +2579,9 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
                  & F.col("l_discount").between(0.05, 0.07)
                  & (F.col("l_quantity") < 24))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                   * F.col("l_discount").cast("decimal(4,2)"))
+             .cast("double").alias("revenue"))
     )
 
 
@@ -2573,10 +2611,15 @@ def tpch_q13_customer_distribution(spark, sf_dir):
 
 
 @q("tpch_q14_promo_revenue", """
-SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                       * (CAST(1.00 AS DECIMAL(4,2))
+                                          - CAST(l.l_discount AS DECIMAL(4,2))) END)
+                         AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1.00 AS DECIMAL(4,2))
+                           - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+             4) AS promo_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
   AND l.l_shipdate < TIMESTAMP '1996-10-01'""")
@@ -2589,20 +2632,26 @@ def tpch_q14_promo_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev = _rev_dec()
+    promo = F.when(F.col("p_type") == "PROMO", rev)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+        .agg(F.round(100.0 * F.sum(promo).cast("double")
+                     / F.sum(rev).cast("double"), 4).alias("promo_pct"))
     )
 
 
 @q("tpch_q8_market_share", """
 SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_9'
-                      THEN l.l_extendedprice * (1 - l.l_discount)
-                      ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+       ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_9'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                * (CAST(1.00 AS DECIMAL(4,2))
+                                   - CAST(l.l_discount AS DECIMAL(4,2))) END)
+                  AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1.00 AS DECIMAL(4,2))
+                           - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+             6) AS mkt_share
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2631,8 +2680,8 @@ def tpch_q8_market_share(spark, sf_dir):
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    target = F.when(F.col("supp_nation") == "NATION_9", rev).otherwise(F.lit(0.0))
+    rev = _rev_dec()
+    target = F.when(F.col("supp_nation") == "NATION_9", rev)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -2642,14 +2691,17 @@ def tpch_q8_market_share(spark, sf_dir):
         .join(F.broadcast(n2), s.s_nationkey == F.col("nk2"))
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(target) / F.sum(rev), 6).alias("mkt_share"))
+        .agg(F.round(F.sum(target).cast("double")
+                     / F.sum(rev).cast("double"), 6).alias("mkt_share"))
     )
 
 
 @q("tpch_q15_top_supplier", """
 WITH rev AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1.00 AS DECIMAL(4,2))
+                     - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -2669,8 +2721,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
     s = load_table(spark, sf_dir, "supplier")
     rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                .alias("total_revenue")))
+           .agg(F.sum(_rev_dec()).cast("double").alias("total_revenue")))
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
@@ -2680,7 +2731,8 @@ def tpch_q15_top_supplier(spark, sf_dir):
 
 
 @q("tpch_q17_small_quantity", """
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+       AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
@@ -2704,7 +2756,8 @@ def tpch_q17_small_quantity(spark, sf_dir):
         li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey)
         .join(F.broadcast(cuts), li.l_partkey == F.col("pk"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                     .cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
