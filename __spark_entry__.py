@@ -45,6 +45,7 @@ _PRIORITY = [
     "tpch_q8_market_share", "tpch_q15_top_supplier", "tpch_q17_small_quantity",
     "ts_rollup_incremental_merge", "scale_bucketed_join",
     "stream_incremental_dedup", "infer_embed_texts",
+    "win_first_last_nth", "scalar_string_suite",
     "ann_pq_planted_twin", "ann_ivfpq_planted_twin", "stream_cdc_scd2",
     "text_gopher_filter",
     "sample_limit_contained", "dedup_minhash_planted_keep",

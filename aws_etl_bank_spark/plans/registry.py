@@ -2819,3 +2819,54 @@ def scale_bucketed_join(spark, sf_dir):
     return (ob.join(cb, ob.o_custkey == cb.c_custkey)
             .select("o_orderkey", "o_custkey", "c_name",
                     F.round("o_totalprice", 2).alias("total")))
+
+
+@q("win_first_last_nth", """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_ev,
+       last_value(event_type) OVER w AS last_ev,
+       nth_value(event_type, 3) OVER w AS third_ev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")
+def win_first_last_nth(spark, sf_dir):
+    """first_value / last_value / nth_value over a whole-partition frame
+    (the default RANGE-to-current frame makes last_value useless — the
+    classic window gotcha; the explicit unbounded ROWS frame is the
+    correct form).  (ts, event_id) ordering makes the positional picks
+    deterministic; DISTINCT collapses to one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (
+        ev.select("user_id",
+                  F.first("event_type").over(w).alias("first_ev"),
+                  F.last("event_type").over(w).alias("last_ev"),
+                  F.nth_value("event_type", 3).over(w).alias("third_ev"))
+        .distinct()
+    )
+
+
+@q("scalar_string_suite", """
+SELECT c_custkey,
+       split_part(c_name, '#', 2) AS cust_num,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS seg_dist,
+       lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nat_pad,
+       repeat('*', CAST(c_nationkey AS INT) % 4) AS stars,
+       regexp_extract(c_name, '([0-9]+)$', 1) AS trailing_digits
+FROM customer""")
+def scalar_string_suite(spark, sf_dir):
+    """String-function breadth in one projection: split_part, translate,
+    levenshtein, lpad, repeat, regexp_extract — all JVM expressions with
+    exact DuckDB twins, all inside one whole-stage-codegen'd map."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("int").alias("seg_dist"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nat_pad"),
+        F.repeat(F.lit("*"), (F.col("c_nationkey") % 4).cast("int")).alias("stars"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("trailing_digits"),
+    )
