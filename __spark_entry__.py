@@ -46,6 +46,7 @@ _PRIORITY = [
     "ts_rollup_incremental_merge", "scale_bucketed_join",
     "stream_incremental_dedup", "infer_embed_texts",
     "win_first_last_nth", "scalar_string_suite",
+    "scalar_json_suite", "scalar_datetime_suite", "join_null_safe_equality",
     "ann_pq_planted_twin", "ann_ivfpq_planted_twin", "stream_cdc_scd2",
     "text_gopher_filter",
     "sample_limit_contained", "dedup_minhash_planted_keep",

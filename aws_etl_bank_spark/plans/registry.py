@@ -2870,3 +2870,92 @@ def scalar_string_suite(spark, sf_dir):
         F.repeat(F.lit("*"), (F.col("c_nationkey") % 4).cast("int")).alias("stars"),
         F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("trailing_digits"),
     )
+
+
+@q("scalar_json_suite", """
+WITH j AS (
+  SELECT o_orderkey,
+         '{"status":"' || o_orderstatus || '","price":' ||
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) ||
+         ',"tags":["a","b"]}' AS doc
+  FROM orders
+)
+SELECT o_orderkey,
+       json_extract_string(doc, '$.status') AS status,
+       CAST(json_extract(doc, '$.price') AS DOUBLE) AS price,
+       json_extract_string(doc, '$.tags[1]') AS second_tag
+FROM j""")
+def scalar_json_suite(spark, sf_dir):
+    """JSON path extraction parity: a JSON document built from columns,
+    fields pulled back out with get_json_object (string + numeric +
+    array index paths).  Prices render through DECIMAL(18,2) so the
+    document text is identical on both engines.  Stays a map-only
+    projection — at 100 TB, extracting two fields from a JSON column
+    must not deserialize the whole document into a struct first."""
+    o = load_table(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('{"status":"'), F.col("o_orderstatus"), F.lit('","price":'),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.lit(',"tags":["a","b"]}'))
+    j = o.select("o_orderkey", doc.alias("doc"))
+    return j.select(
+        "o_orderkey",
+        F.get_json_object("doc", "$.status").alias("status"),
+        F.get_json_object("doc", "$.price").cast("double").alias("price"),
+        F.get_json_object("doc", "$.tags[1]").alias("second_tag"),
+    )
+
+
+@q("scalar_datetime_suite", """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+         AS days_since_epoch_start,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow
+FROM orders""")
+def scalar_datetime_suite(spark, sf_dir):
+    """Datetime-function breadth: date_trunc, last_day, add_months,
+    datediff, dayofweek in one map-only projection.  Cross-engine
+    notes are part of the point: DuckDB's dayofweek is 0=Sunday where
+    Spark's is 1=Sunday (the oracle adds 1), and month addition is
+    add_months vs + INTERVAL — same clamping semantics on
+    month-end dates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1995-01-01").cast("date")).cast("int")
+        .alias("days_since_epoch_start"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).cast("int").alias("dow"),
+    )
+
+
+@q("join_null_safe_equality", """
+WITH l AS (SELECT c_custkey,
+                  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_nationkey END AS k
+           FROM customer),
+r AS (SELECT DISTINCT CASE WHEN n_nationkey % 7 = 0 THEN NULL
+                           ELSE n_nationkey END AS k
+      FROM nation)
+SELECT l.c_custkey, CAST(l.k AS INT) AS k
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""")
+def join_null_safe_equality(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — three-valued-logic parity
+    that plain equi-joins silently get wrong.  Still a hash join in the
+    plan (null-safe equality is a valid equi-key), not a filterless
+    nested loop."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    left = c.select("c_custkey", F.when(
+        F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("c_nationkey")).alias("k"))
+    right = n.select(F.when(F.col("n_nationkey") % 7 == 0, F.lit(None))
+                     .otherwise(F.col("n_nationkey")).alias("k")).distinct()
+    return (left.join(right, left.k.eqNullSafe(right.k))
+            .select("c_custkey", left.k.cast("int").alias("k")))
