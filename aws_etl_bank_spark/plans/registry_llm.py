@@ -1774,3 +1774,42 @@ def infer_embed_texts(spark, sf_dir):
                               lambda a, x: a + x * x))
     return emb.select("doc_id", F.size("embedding").alias("dim"),
                       F.round(norm, 6).cast("double").alias("norm"))
+
+
+@q("grouped_map_normalize", """
+SELECT event_id, user_id,
+       ROUND(CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.5
+                  ELSE (value - MIN(value) OVER w)
+                       / (MAX(value) OVER w - MIN(value) OVER w) END,
+             6) AS value_norm
+FROM events
+WINDOW w AS (PARTITION BY user_id)""")
+def grouped_map_normalize(spark, sf_dir):
+    """Grouped-map Pandas path (applyInPandas) proven against a SQL
+    oracle: per-user min-max normalization computed INSIDE an Arrow
+    batch per group, compared to the pure-window form DuckDB runs.
+    This is the template for per-group Python that built-ins genuinely
+    cannot express (model scoring, scipy fits): one shuffle on the
+    group key, whole groups as pandas frames, vectorized numpy inside.
+    For normalization itself the window form is the better plan — the
+    entry exists to pin the Arrow path's correctness, not to recommend
+    Python for this job (the docstringed rule: built-ins first)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        out = pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "value_norm": (0.5 if hi == lo
+                           else (pdf["value"] - lo) / (hi - lo)),
+        })
+        out["value_norm"] = out["value_norm"].round(6)
+        return out
+
+    return (ev.select("event_id", "user_id", "value")
+            .groupBy("user_id")
+            .applyInPandas(norm, schema="event_id long, user_id long, "
+                                        "value_norm double"))
