@@ -2959,3 +2959,25 @@ def join_null_safe_equality(spark, sf_dir):
                      .otherwise(F.col("n_nationkey")).alias("k")).distinct()
     return (left.join(right, left.k.eqNullSafe(right.k))
             .select("c_custkey", left.k.cast("int").alias("k")))
+
+
+@q("ts_moving_median", """
+SELECT event_id, user_id,
+       ROUND(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 100 PRECEDING AND CURRENT ROW), 6) AS med100
+FROM events WHERE user_id < 50""")
+def ts_moving_median(spark, sf_dir):
+    """Moving median per key (trailing 101-row window): the robust
+    rolling statistic that mean-based smoothing can't give you — one
+    sorted window pass, Spark's interpolated percentile as a window
+    aggregate = DuckDB's quantile_cont.  Exact windowed percentile
+    keeps the frame's values in the window buffer; at 100 TB prefer the
+    hot-key-split helper (operators/windows.py) for skewed keys and
+    approx_percentile for wide frames."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-100, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.percentile("value", 0.5).over(w), 6).alias("med100"))
