@@ -2981,3 +2981,41 @@ def ts_moving_median(spark, sf_dir):
     return ev.select(
         "event_id", "user_id",
         F.round(F.percentile("value", 0.5).over(w), 6).alias("med100"))
+
+
+@q("ts_ewma_smoothing", """
+WITH l AS (
+  SELECT event_id, user_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+  FROM events WHERE user_id < 50
+)
+SELECT event_id, user_id,
+       ROUND(list_dot_product(vals,
+               list_transform(range(1, len(vals) + 1),
+                              i -> pow(0.8, len(vals) - i)))
+             / list_sum(list_transform(range(1, len(vals) + 1),
+                              i -> pow(0.8, len(vals) - i))), 6) AS ewma
+FROM l""")
+def ts_ewma_smoothing(spark, sf_dir):
+    """Exponentially-weighted moving average over a trailing 20-row
+    window, per key: the infinite-history EWMA recurrence is inherently
+    sequential, but truncating at 20 rows (weight (1-α)^20 ≈ 1% at
+    α=0.2) turns it into a PARALLEL window computation — collect the
+    frame, dot it with the geometric weights, normalize.  One sorted
+    window pass; the frame list is bounded (20 doubles), so state per
+    row is constant.  The oracle computes the identical finite-window
+    dot product with DuckDB list arithmetic."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, Window.currentRow))
+    vals = F.collect_list("value").over(w)
+    m = F.size("vals")
+    weights = F.transform(F.sequence(F.lit(1), m),
+                          lambda i: F.pow(F.lit(0.8), (m - i).cast("double")))
+    num = F.aggregate(F.zip_with(F.col("vals"), weights, lambda v, wt: v * wt),
+                      F.lit(0.0), lambda a, x: a + x)
+    den = F.aggregate(weights, F.lit(0.0), lambda a, x: a + x)
+    return (ev.select("event_id", "user_id", vals.alias("vals"))
+            .select("event_id", "user_id",
+                    F.round(num / den, 6).alias("ewma")))
