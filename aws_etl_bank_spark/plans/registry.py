@@ -3019,3 +3019,69 @@ def ts_ewma_smoothing(spark, sf_dir):
     return (ev.select("event_id", "user_id", vals.alias("vals"))
             .select("event_id", "user_id",
                     F.round(num / den, 6).alias("ewma")))
+
+
+@q("fraud_benford_digits", """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM d), 6) AS observed,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+FROM d GROUP BY digit""")
+def fraud_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit screen over transaction amounts — the
+    classic fraud/fabrication tripwire (organic amounts follow
+    P(d)=log10(1+1/d); invented ones usually don't).  One hash-agg plus
+    a one-row total broadcast; amounts render through DECIMAL so the
+    leading digit is extracted from identical text on both engines."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(F.substring(F.col("o_totalprice").cast("decimal(18,2)")
+                             .cast("string"), 1, 1).cast("int").alias("digit"))
+    total = d.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    return (
+        d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select("digit", "n",
+                F.round(F.col("n") / F.col("__t"), 6).alias("observed"),
+                F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+                .alias("benford_expected"))
+    )
+
+
+@q("rfm_segmentation", """
+WITH m AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INT) AS r,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS mq
+FROM m""")
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the banking-analytics staple: one aggregation to the
+    per-customer metric row, then three ntile windows (global sorts of
+    the CUSTOMER-sized frame, never the fact; o_custkey tiebreaks make
+    every quartile assignment deterministic).  The monetary metric sums
+    in DECIMAL per the money-exactness rule."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (o.groupBy("o_custkey")
+         .agg(F.max("o_orderdate").alias("last_order"),
+              F.count(F.lit(1)).alias("frequency"),
+              F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").alias("monetary")))
+    wr = Window.orderBy(F.col("last_order").desc(), "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return m.select(
+        "o_custkey",
+        F.ntile(4).over(wr).cast("int").alias("r"),
+        F.ntile(4).over(wf).cast("int").alias("f"),
+        F.ntile(4).over(wm).cast("int").alias("mq"))
