@@ -49,6 +49,7 @@ _PRIORITY = [
     "scalar_json_suite", "scalar_datetime_suite", "join_null_safe_equality",
     "grouped_map_normalize", "ts_moving_median", "ts_ewma_smoothing",
     "fraud_benford_digits", "rfm_segmentation",
+    "loan_amortization_schedule",
     "ann_pq_planted_twin", "ann_ivfpq_planted_twin", "stream_cdc_scd2",
     "text_gopher_filter",
     "sample_limit_contained", "dedup_minhash_planted_keep",

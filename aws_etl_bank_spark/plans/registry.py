@@ -3085,3 +3085,43 @@ def rfm_segmentation(spark, sf_dir):
         F.ntile(4).over(wr).cast("int").alias("r"),
         F.ntile(4).over(wf).cast("int").alias("f"),
         F.ntile(4).over(wm).cast("int").alias("mq"))
+
+
+@q("loan_amortization_schedule", """
+WITH loans AS (
+  SELECT o_orderkey AS loan_id,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS principal
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+sched AS (
+  SELECT loan_id, principal, unnest(range(1, 13)) AS k FROM loans
+)
+SELECT loan_id, CAST(k AS INT) AS month,
+       ROUND(principal * (pow(1.005, 12) - pow(1.005, k))
+             / (pow(1.005, 12) - 1), 2) AS balance,
+       ROUND(principal * 0.005 * pow(1.005, 12)
+             / (pow(1.005, 12) - 1), 2) AS payment
+FROM sched""")
+def loan_amortization_schedule(spark, sf_dir):
+    """12-month amortization schedule per loan at 0.5%/month — the
+    banking calc done RIGHT for a cluster: the balance recurrence
+    B_k = B_{k-1}(1+r) − pmt is sequential, but its closed form
+    B_k = P·((1+r)^n − (1+r)^k)/((1+r)^n − 1) is a pure map expression,
+    so the schedule is explode(12) + arithmetic — no window, no
+    iteration, no state.  Identical pow() arithmetic on both engines;
+    amounts enter through the decimal rendering rule."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    loans = o.select(
+        F.col("o_orderkey").alias("loan_id"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("principal"))
+    r, n = 0.005, 12
+    g = (1 + r) ** n
+    sched = loans.select(
+        "loan_id", "principal",
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("k"))
+    gk = F.pow(F.lit(1 + r), F.col("k").cast("double"))
+    return sched.select(
+        "loan_id", F.col("k").cast("int").alias("month"),
+        F.round(F.col("principal") * (F.lit(g) - gk) / F.lit(g - 1), 2)
+        .alias("balance"),
+        F.round(F.col("principal") * F.lit(r * g / (g - 1)), 2).alias("payment"))
