@@ -20,11 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Freshness rotation (round 5): least-recently-validated first.  The
-# driver caps each round at 50 rows; ~40 entries were last driver-checked
-# in round 2, three rounds of refactors ago (the r3 testdata drift proved
-# green rows can rot silently), so this round's slots re-prove the oldest
-# greens.  Cumulative record: CORRECTNESS_r2..r4 cover all 133 entries.
+# Slot policy (round 5): NEVER-DRIVER-EVALUATED entries first — an entry
+# with no driver record at all outranks a stale green (the r3 testdata
+# drift proved greens can rot, but zero evidence is worse than old
+# evidence).  The ~43 operators added this round therefore take the
+# driver's 50-slot cap ahead of the r2-vintage refresh, which resumes in
+# later rounds' rotations.  Cumulative record: CORRECTNESS_r2..r4 cover
+# all 133 pre-round-5 entries; every new entry below is green under
+# scripts/verify_entry.py (the driver-strength local replica) at sf0.01,
+# and the sf0.1/sf1 audits in PERF.md.
 _PRIORITY = [
     # environment-drift tripwire first: pinned-literal schema oracle makes
     # a testdata regeneration fail in ONE obvious row (TESTDATA.md)
