@@ -1800,16 +1800,20 @@ def grouped_map_normalize(spark, sf_dir):
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         lo, hi = pdf["value"].min(), pdf["value"].max()
-        out = pd.DataFrame({
+        return pd.DataFrame({
             "event_id": pdf["event_id"],
             "user_id": pdf["user_id"],
             "value_norm": (0.5 if hi == lo
                            else (pdf["value"] - lo) / (hi - lo)),
         })
-        out["value_norm"] = out["value_norm"].round(6)
-        return out
 
+    # round SPARK-side, not in pandas: numpy's round is half-EVEN while
+    # Spark/DuckDB ROUND is half-up, and normalized values land exactly
+    # on .5 boundaries often enough to flip the compare (seen at sf1:
+    # 0.2890625 → 0.289062 vs 0.289063)
     return (ev.select("event_id", "user_id", "value")
             .groupBy("user_id")
             .applyInPandas(norm, schema="event_id long, user_id long, "
-                                        "value_norm double"))
+                                        "value_norm double")
+            .select("event_id", "user_id",
+                    F.round("value_norm", 6).alias("value_norm")))
