@@ -54,6 +54,8 @@ _PRIORITY = [
     "grouped_map_normalize", "ts_moving_median", "ts_ewma_smoothing",
     "fraud_benford_digits", "rfm_segmentation",
     "loan_amortization_schedule",
+    "tpch_q12_late_shipment_priority", "tpch_q16_supplier_counts_by_part",
+    "tpch_q22_dormant_high_balance",
     "ann_pq_planted_twin", "ann_ivfpq_planted_twin", "stream_cdc_scd2",
     "text_gopher_filter",
     "sample_limit_contained", "dedup_minhash_planted_keep",

@@ -3125,3 +3125,92 @@ def loan_amortization_schedule(spark, sf_dir):
         F.round(F.col("principal") * (F.lit(g) - gk) / F.lit(g - 1), 2)
         .alias("balance"),
         F.round(F.col("principal") * F.lit(r * g / (g - 1)), 2).alias("payment"))
+
+
+@q("tpch_q12_late_shipment_priority", """
+SELECT o.o_orderpriority,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o.o_orderpriority""")
+def tpch_q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 adapted (the schema carries no l_shipmode/receiptdate,
+    so lateness is ship > order + 90 days and the class column is the
+    order priority): the conditional-count-by-class shape — one
+    fact⋈fact join with both date predicates pushed down, CASE sums
+    inside a single hash-agg."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+@q("tpch_q16_supplier_counts_by_part", """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'BRAND_1' AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p.p_brand, p.p_type, p.p_size""")
+def tpch_q16_supplier_counts_by_part(spark, sf_dir):
+    """TPC-H Q16 adapted (no partsupp table — lineitem is the
+    part⋈supplier bridge): distinct-supplier counts per part attribute
+    triple, the count-distinct-after-join shape with a NOT-equal dim
+    filter and an IN-list pushed to the part scan."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "BRAND_1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q("tpch_q22_dormant_high_balance", """
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_nationkey""")
+def tpch_q22_dormant_high_balance(spark, sf_dir):
+    """TPC-H Q22 adapted (no c_phone — grouped by nation instead of
+    country code): above-average-balance customers with NO recent
+    orders — a scalar-subquery threshold (one-row broadcast, the
+    decorrelated form) composed with an anti-join, the
+    sales-opportunity shape.  Balance totals in decimal per the
+    money-exactness rule."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    avg_bal = (c.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("__a")))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").alias("totacctbal"))
+    )
