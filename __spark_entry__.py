@@ -35,6 +35,9 @@ _PRIORITY = [
     "testdata_schema_smoke",
     # new in round 5, never driver-evaluated: the derived LIMIT oracle,
     # the oracle-checked minhash keep path, the hot-key-split z-score
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_potential_promotion", "tpch_q21_waiting_supplier",
     "join_bloom_prefilter", "dedup_fuzzy_ed1_pairs",
     "dedup_fuzzy_entity_ids", "text_pack_sequences",
     "graph_pagerank", "text_unigram_logprob",

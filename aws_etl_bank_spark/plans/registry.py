@@ -3214,3 +3214,286 @@ def tpch_q22_dormant_high_balance(spark, sf_dir):
              F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
              .cast("double").alias("totacctbal"))
     )
+
+
+@q("tpch_q2_min_cost_supplier", """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+  SELECT c.l_partkey, c.supply_cost, s.s_acctbal, s.s_name, n.n_name
+  FROM cost c
+  JOIN supplier s ON c.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+best AS (SELECT l_partkey, MIN(supply_cost) AS min_cost FROM eligible GROUP BY 1)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, e.supply_cost
+FROM eligible e
+JOIN best b ON e.l_partkey = b.l_partkey AND e.supply_cost = b.min_cost
+JOIN part p ON p.p_partkey = e.l_partkey
+WHERE p.p_size = 15 AND p.p_type LIKE 'S%'""")
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 adapted (no partsupp table in this schema — supply cost
+    derived as each supplier's minimum observed line price per part):
+    the correlated MIN-subquery ("supplier whose cost equals the
+    regional minimum for that part") decorrelated into a per-part min
+    aggregate joined back, Catalyst's own rewrite written explicitly so
+    the min side aggregates map-side before a broadcast join.  Region /
+    size / type filters prune the dims BEFORE the fact aggregate's
+    output joins them.  Reference capability: the multi-dim lookup
+    queries in glue-jobs/src (SURVEY.md §2.3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & F.col("p_type").like("S%"))
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("supply_cost")))
+    eligible = (
+        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "supply_cost", "s_acctbal", "s_name", "n_name"))
+    best = (eligible.groupBy(F.col("l_partkey").alias("bk"))
+            .agg(F.min("supply_cost").alias("min_cost")))
+    return (
+        eligible.join(best, (eligible.l_partkey == best.bk)
+                      & (eligible.supply_cost == best.min_cost))
+        .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+    )
+
+
+@q("tpch_q9_product_type_profit", """
+SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+              - CAST(0.80 AS DECIMAL(3,2))
+                * (CAST(p.p_retailprice AS DECIMAL(12,2))
+                   * CAST(l.l_quantity AS DECIMAL(4,0)))) AS DOUBLE)
+       AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2""")
+def tpch_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 adapted (no ps_supplycost — cost modeled as 80% of
+    p_retailprice per unit): profit by supplier nation × order year
+    over a 5-table join with a substring filter on part name.  All
+    decimal arithmetic is EXACT (scale-4 revenue minus scale-4 cost;
+    see _rev_dec) so the cross-engine sum is bit-identical before the
+    final double cast — no ROUND, whose HALF_UP-vs-HALF_EVEN split on
+    .xx5 sums was observed at sf1.  part/supplier/nation broadcast;
+    the only shuffle join is lineitem⋈orders on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    profit = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.00).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        - F.lit(0.80).cast("decimal(3,2)")
+        * (F.col("p_retailprice").cast("decimal(12,2)")
+           * F.col("l_quantity").cast("decimal(4,0)")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@q("tpch_q11_important_stock", """
+WITH nat AS (SELECT n_nationkey FROM nation
+             WHERE n_name = (SELECT MIN(n_name) FROM nation)),
+val AS (
+  SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS v
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nat ON s.s_nationkey = nat.n_nationkey
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+FROM val WHERE v > (SELECT SUM(v) * 0.001 FROM val)""")
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 adapted (no partsupp — part "value" held by one
+    nation's suppliers is the decimal sum of their line prices): the
+    HAVING-against-global-scalar-subquery shape.  The per-part value
+    frame is computed ONCE and reused for both the threshold (one-row
+    aggregate, broadcast crossJoin — the decorrelated form) and the
+    filter, mirroring Q15's view-reuse pattern.  Nation chosen as
+    MIN(n_name) to stay fixture-agnostic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nat = (n.join(F.broadcast(n.agg(F.min("n_name").alias("__mn"))),
+                  F.col("n_name") == F.col("__mn"))
+           .select("n_nationkey"))
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("v")))
+    thresh = val.agg((F.sum("v") * F.lit(0.001).cast("decimal(4,3)"))
+                     .alias("__t"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .where(F.col("v") > F.col("__t"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@q("tpch_q19_disjunctive_revenue", """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+             AS DOUBLE), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11 AND p.p_type IN ('SMALL','MEDIUM'))
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20 AND p.p_type IN ('ECONOMY','STANDARD'))
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30 AND p.p_type IN ('PROMO','LARGE'))""")
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 adapted (p_type stands in for the missing
+    p_container): the OR-of-ANDs join predicate mixing build-side
+    (brand/size/type) and probe-side (quantity) conditions.  The
+    brand disjunction is pushed to the part scan as a derived
+    single-table filter (brand IN (...)) — the classic Q19
+    optimization — while the full disjunct evaluates after the
+    broadcast join; only the 3-brand slice of part ships."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
+    cond = (
+        ((p.p_brand == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11)
+         & F.col("p_type").isin("SMALL", "MEDIUM"))
+        | ((p.p_brand == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20)
+           & F.col("p_type").isin("ECONOMY", "STANDARD"))
+        | ((p.p_brand == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)
+           & F.col("p_type").isin("PROMO", "LARGE")))
+    return (
+        li.join(F.broadcast(p), (li.l_partkey == p.p_partkey) & cond)
+        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
+    )
+
+
+@q("tpch_q20_potential_promotion", """
+WITH nat AS (SELECT n_nationkey FROM nation
+             WHERE n_name = (SELECT MIN(n_name) FROM nation)),
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1),
+qual AS (
+  SELECT DISTINCT sh.l_suppkey
+  FROM shipped sh
+  JOIN tot t ON sh.l_partkey = t.l_partkey
+  JOIN part p ON p.p_partkey = sh.l_partkey AND p.p_name LIKE 'small%'
+  WHERE sh.qty > 0.5 * t.total_qty
+)
+SELECT s.s_suppkey, s.s_name FROM supplier s
+JOIN qual q ON s.s_suppkey = q.l_suppkey
+JOIN nat ON s.s_nationkey = nat.n_nationkey""")
+def tpch_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 adapted (no ps_availqty — "excess stock" becomes a
+    supplier who shipped more than half of a part's 1996 volume): the
+    nested semi-join chain (supplier IN ... part IN ... correlated
+    half-of-total subquery) flattened into two aggregates over the SAME
+    shuffle key (l_partkey) — the per-(part,supplier) rollup feeds the
+    per-part total, so the second aggregate is shuffle-free — then a
+    distinct semi-join up to suppliers of one nation."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    nat = (n.join(F.broadcast(n.agg(F.min("n_name").alias("__mn"))),
+                  F.col("n_name") == F.col("__mn"))
+           .select("n_nationkey"))
+    shipped = (li.groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum("l_quantity").alias("qty")))
+    tot = (shipped.groupBy(F.col("l_partkey").alias("tk"))
+           .agg(F.sum("qty").alias("total_qty")))
+    qual = (
+        shipped.join(tot, shipped.l_partkey == tot.tk)
+        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .where(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey").distinct())
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey,
+              "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@q("tpch_q21_waiting_supplier", """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+om AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+       FROM lo GROUP BY 1)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lo JOIN om ON lo.l_orderkey = om.l_orderkey
+JOIN supplier s ON s.s_suppkey = lo.l_suppkey
+WHERE lo.late = 1 AND om.n_supp > 1 AND om.n_late = 1
+GROUP BY 1""")
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 adapted (no commit/receipt dates — "late" means
+    shipped >90 days after the order date): suppliers who were the
+    SOLE late shipper on a multi-supplier finalized order.  The spec's
+    EXISTS / NOT-EXISTS self-join pair is rewritten as per-order
+    aggregates (supplier count, late-supplier count) — one extra
+    aggregate over the already-shuffled orderkey instead of two more
+    fact-sized joins, the form that survives 100 TB.  Oracle mirrors
+    the same rewrite, which is semantically identical to the spec's
+    correlated form."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(
+            F.when(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                   1).otherwise(0)).alias("late")))
+    om = (lo.groupBy(F.col("l_orderkey").alias("ok"))
+          .agg(F.count(F.lit(1)).alias("n_supp"),
+               F.sum("late").alias("n_late")))
+    return (
+        lo.join(om, lo.l_orderkey == F.col("ok"))
+        .where((F.col("late") == 1) & (F.col("n_supp") > 1)
+               & (F.col("n_late") == 1))
+        .join(F.broadcast(s), lo.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
