@@ -3419,10 +3419,12 @@ def tpch_q20_potential_promotion(spark, sf_dir):
     """TPC-H Q20 adapted (no ps_availqty — "excess stock" becomes a
     supplier who shipped more than half of a part's 1996 volume): the
     nested semi-join chain (supplier IN ... part IN ... correlated
-    half-of-total subquery) flattened into two aggregates over the SAME
-    shuffle key (l_partkey) — the per-(part,supplier) rollup feeds the
-    per-part total, so the second aggregate is shuffle-free — then a
-    distinct semi-join up to suppliers of one nation."""
+    half-of-total subquery) flattened into ONE aggregate plus a window
+    total over the same rows — the per-part total is a window sum over
+    the per-(part,supplier) rollup, replacing a second aggregate and a
+    part-sized sort-merge join with a single re-partition by l_partkey
+    (group sizes bounded by suppliers-per-part, so no skew at 100 TB) —
+    then a distinct semi-join up to suppliers of one nation."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
@@ -3434,15 +3436,17 @@ def tpch_q20_potential_promotion(spark, sf_dir):
            .select("n_nationkey"))
     shipped = (li.groupBy("l_partkey", "l_suppkey")
                .agg(F.sum("l_quantity").alias("qty")))
-    tot = (shipped.groupBy(F.col("l_partkey").alias("tk"))
-           .agg(F.sum("qty").alias("total_qty")))
+    total_w = F.sum("qty").over(Window.partitionBy("l_partkey"))
     qual = (
-        shipped.join(tot, shipped.l_partkey == tot.tk)
+        shipped.withColumn("total_qty", total_w)
         .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
         .where(F.col("qty") > 0.5 * F.col("total_qty"))
         .select("l_suppkey").distinct())
     return (
-        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        # qual is supplier-count bounded (distinct suppkeys), so it
+        # broadcasts at any SF even though its post-agg size is unknown
+        # to the planner.
+        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey,
               "left_semi")
         .select("s_suppkey", "s_name")
@@ -3469,11 +3473,12 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 adapted (no commit/receipt dates — "late" means
     shipped >90 days after the order date): suppliers who were the
     SOLE late shipper on a multi-supplier finalized order.  The spec's
-    EXISTS / NOT-EXISTS self-join pair is rewritten as per-order
-    aggregates (supplier count, late-supplier count) — one extra
-    aggregate over the already-shuffled orderkey instead of two more
-    fact-sized joins, the form that survives 100 TB.  Oracle mirrors
-    the same rewrite, which is semantically identical to the spec's
+    EXISTS / NOT-EXISTS self-join pair is rewritten as per-order WINDOW
+    counts (supplier count, late-supplier count) over the per-(order,
+    supplier) rollup — one re-partition by orderkey instead of two more
+    fact-sized self-joins, the form that survives 100 TB (per-order
+    groups are line-count bounded, so no skew).  Oracle mirrors the
+    same rewrite, which is semantically identical to the spec's
     correlated form."""
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F")
@@ -3486,11 +3491,10 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
             F.when(F.col("l_shipdate")
                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
                    1).otherwise(0)).alias("late")))
-    om = (lo.groupBy(F.col("l_orderkey").alias("ok"))
-          .agg(F.count(F.lit(1)).alias("n_supp"),
-               F.sum("late").alias("n_late")))
+    w = Window.partitionBy("l_orderkey")
     return (
-        lo.join(om, lo.l_orderkey == F.col("ok"))
+        lo.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
         .where((F.col("late") == 1) & (F.col("n_supp") > 1)
                & (F.col("n_late") == 1))
         .join(F.broadcast(s), lo.l_suppkey == s.s_suppkey)
