@@ -75,6 +75,11 @@ HEADLINE = [
     # outer-join count histogram
     "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
+    # TPC-H completion (the set is now 22/22): the 5-table profit rollup
+    # with exact-decimal netting (q9) and the EXISTS/NOT-EXISTS pair
+    # rewritten as one window over the order key (q21)
+    "tpch_q9_product_type_profit",
+    "tpch_q21_waiting_supplier",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
