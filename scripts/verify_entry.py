@@ -129,8 +129,14 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, passed, rows_only = [], 0, 0
+    exclude = [e for e in
+               __import__("os").environ.get("SPARK_GRAFT_VERIFY_EXCLUDE",
+                                            "").split(",") if e]
     for name, fn in qs.items():
         if name_filter and not any(f in name for f in name_filter):
+            continue
+        if any(e in name for e in exclude):
+            print(f"skip  {name} (excluded)")
             continue
         try:
             df = fn(spark, sf_dir)
