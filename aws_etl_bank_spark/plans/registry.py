@@ -3240,12 +3240,14 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 adapted (no partsupp table in this schema — supply cost
     derived as each supplier's minimum observed line price per part):
     the correlated MIN-subquery ("supplier whose cost equals the
-    regional minimum for that part") decorrelated into a per-part min
-    aggregate joined back, Catalyst's own rewrite written explicitly so
-    the min side aggregates map-side before a broadcast join.  Region /
-    size / type filters prune the dims BEFORE the fact aggregate's
-    output joins them.  Reference capability: the multi-dim lookup
-    queries in glue-jobs/src (SURVEY.md §2.3)."""
+    regional minimum for that part") evaluated as a WINDOW min over the
+    per-(part,supplier) cost rollup — the aggregate-plus-join-back form
+    re-scanned lineitem twice and sort-merge joined part-sized sides;
+    the window form does one scan, one extra exchange by l_partkey,
+    and groups bounded by suppliers-per-part.  Region / size / type
+    filters prune the dims BEFORE the fact aggregate's output joins
+    them.  Reference capability: the multi-dim lookup queries in
+    glue-jobs/src (SURVEY.md §2.3)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -3260,12 +3262,11 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "supply_cost", "s_acctbal", "s_name", "n_name"))
-    best = (eligible.groupBy(F.col("l_partkey").alias("bk"))
-            .agg(F.min("supply_cost").alias("min_cost")))
+    min_w = F.min("supply_cost").over(Window.partitionBy("l_partkey"))
     return (
-        eligible.join(best, (eligible.l_partkey == best.bk)
-                      & (eligible.supply_cost == best.min_cost))
-        .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)
+        eligible.withColumn("__min_cost", min_w)
+        .where(F.col("supply_cost") == F.col("__min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
     )
 

@@ -148,16 +148,18 @@ def test_tpch_plans_have_the_right_shape(spark):
 
 
 def test_tpch_completion_set_plan_shape(spark):
-    """The adapted Q9/Q19/Q20/Q21 set must not sort-merge join (their
-    only unbounded-side joins are windows or broadcasts after the
-    rewrites); Q2 keeps exactly one SMJ — the part-sized eligible⋈best
-    self-derived join that must NOT broadcast at scale; Q21's
+    """The adapted Q2/Q9/Q19/Q20/Q21 set must not sort-merge join —
+    after the window rewrites their only unbounded-side "joins" are
+    windows over the fact's own shuffle key or dim broadcasts; Q2 must
+    scan lineitem exactly ONCE (the aggregate-plus-join-back form
+    recomputed the whole eligible subtree on both sides); Q21's
     EXISTS/NOT-EXISTS rewrite must carry no join beyond the supplier
     broadcast (the per-order counts are windows, not self-joins)."""
     from aws_etl_bank_spark.plans.registry import REGISTRY
 
     sf = "/root/testdata/sf0.001"
-    for name in ("tpch_q9_product_type_profit", "tpch_q19_disjunctive_revenue",
+    for name in ("tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+                 "tpch_q19_disjunctive_revenue",
                  "tpch_q20_potential_promotion", "tpch_q21_waiting_supplier"):
         p = REGISTRY[name].fn(spark, sf)._jdf.queryExecution() \
             .executedPlan().toString()
@@ -165,7 +167,7 @@ def test_tpch_completion_set_plan_shape(spark):
         assert "CartesianProduct" not in p, name
     p2 = REGISTRY["tpch_q2_min_cost_supplier"].fn(spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert p2.count("SortMergeJoin") <= 1
+    assert p2.count("FileScan parquet") == 5  # lineitem once + 4 dims
     p21 = REGISTRY["tpch_q21_waiting_supplier"].fn(spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
     assert p21.count("Window") == 1  # both per-order counts share one window
