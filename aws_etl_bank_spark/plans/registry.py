@@ -2312,20 +2312,19 @@ JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
 GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice""")
 def tpch_q18_large_volume_customer(spark, sf_dir):
-    """TPC-H Q18 (large-volume customers): HAVING-filtered semi-join —
-    the order keys whose line quantities exceed 300 (an aggregate the
-    fact can pre-compute map-side) semi-join back into the
-    customer⋈orders⋈lineitem chain.  The aggregate shortlist is tiny, so
-    it broadcasts as a left-semi; the heavy table is scanned twice but
-    shuffled only for the final per-order group."""
+    """TPC-H Q18 (large-volume customers): the HAVING-filtered order
+    shortlist computed as a WINDOW sum over the fact's own orderkey —
+    the aggregate-plus-semi-join-back form scanned lineitem twice; the
+    window form scans once, and its exchange leaves the fact hash-
+    partitioned by l_orderkey, which the orders join then reuses
+    (EnsureRequirements adds no second lineitem shuffle).  Per-order
+    groups are line-count bounded, so the window carries no skew."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
-           .where(F.col("q") > 300).select("l_orderkey"))
+    order_qty = F.sum("l_quantity").over(Window.partitionBy("l_orderkey"))
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "k")),
-                li.l_orderkey == F.col("k"), "leftsemi")
+        li.withColumn("__oq", order_qty).where(F.col("__oq") > 300)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
@@ -2740,21 +2739,25 @@ JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
 WHERE p.p_brand = (SELECT MIN(p_brand) FROM part)
   AND l.l_quantity < a.qty_cut""")
 def tpch_q17_small_quantity(spark, sf_dir):
-    """TPC-H Q17 (small-quantity-order revenue): the correlated
-    AVG-subquery decorrelated into a per-part aggregate joined back to
-    the fact — the standard Catalyst rewrite, here written explicitly so
-    the per-part cut aggregates map-side before the (broadcast) join.
-    Brand chosen as MIN(p_brand) to stay fixture-agnostic."""
+    """TPC-H Q17 (small-quantity-order revenue): the brand slice is
+    broadcast-semi-filtered onto the fact FIRST, then the correlated
+    per-part AVG cut is a WINDOW over the surviving rows — every
+    lineitem of a brand part survives the filter, so the window avg
+    equals the whole-table per-part avg.  The earlier
+    aggregate-plus-join-back form scanned lineitem twice AND broadcast
+    a cuts frame keyed by ALL parts — part-count sized, which does not
+    broadcast at 100 TB; the window form scans once and shuffles only
+    the brand slice (|parts|/|brands| of the fact).  Brand chosen as
+    MIN(p_brand) to stay fixture-agnostic."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     brand = p.agg(F.min("p_brand").alias("__b"))
     pb = (p.join(F.broadcast(brand), p.p_brand == F.col("__b"))
           .select("p_partkey"))
-    cuts = (li.groupBy(F.col("l_partkey").alias("pk"))
-            .agg((0.2 * F.avg("l_quantity")).alias("qty_cut")))
+    cut_w = (0.2 * F.avg("l_quantity").over(Window.partitionBy("l_partkey")))
     return (
-        li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey)
-        .join(F.broadcast(cuts), li.l_partkey == F.col("pk"))
+        li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey, "left_semi")
+        .withColumn("qty_cut", cut_w)
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                      .cast("double") / 7.0, 2).alias("avg_yearly"))

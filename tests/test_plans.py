@@ -168,6 +168,16 @@ def test_tpch_completion_set_plan_shape(spark):
     p2 = REGISTRY["tpch_q2_min_cost_supplier"].fn(spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
     assert p2.count("FileScan parquet") == 5  # lineitem once + 4 dims
+    # Q17/Q18's correlated aggregates are windows too: lineitem must be
+    # scanned exactly once (the join-back form scanned it twice, and
+    # Q17's old all-parts cuts broadcast could not broadcast at scale)
+    import re
+    for name in ("tpch_q17_small_quantity", "tpch_q18_large_volume_customer"):
+        p = REGISTRY[name].fn(spark, sf)._jdf.queryExecution() \
+            .executedPlan().toString()
+        li_scans = [s for s in re.findall(r"FileScan parquet \[([^\]#]*)", p)
+                    if s.startswith("l_")]
+        assert len(li_scans) == 1, name
     p21 = REGISTRY["tpch_q21_waiting_supplier"].fn(spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
     assert p21.count("Window") == 1  # both per-order counts share one window
