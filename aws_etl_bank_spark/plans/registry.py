@@ -2710,11 +2710,15 @@ SELECT s.s_suppkey, s.s_name, r.total_revenue
 FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""")
 def tpch_q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 (top supplier): the revenue "view" aggregated once and
-    REUSED for both the max and the equality filter — in Spark the
-    revenue frame joins against its own 1-row max aggregate (broadcast),
-    the pattern that replaces the spec's CREATE VIEW without computing
-    revenue twice from the fact."""
+    """TPC-H Q15 (top supplier): the revenue "view" joined against its
+    own 1-row max aggregate (broadcast) — the decorrelated scalar-
+    subquery form.  Spark recomputes the shared rev subtree on both
+    sides (2 lineitem scans in the executed plan; column pruning makes
+    the subtrees differ, defeating ReuseExchange).  Kept DELIBERATELY
+    over the single-scan alternative — a global (partitionBy-less)
+    window max — because that funnels the entire supplier-grain rollup
+    through ONE task at 100 TB, whereas the second scan is pruned to 3
+    columns, date-filtered, and fully parallel."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
