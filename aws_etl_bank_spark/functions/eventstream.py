@@ -14,38 +14,70 @@ from pyspark.sql import DataFrame, Window
 
 def funnel_stages(df: DataFrame, stages: list[str],
                   user_col: str = "user_id", type_col: str = "event_type",
-                  ts_col: str = "ts") -> DataFrame:
+                  ts_col: str = "ts", strategy: str = "arrays") -> DataFrame:
     """Ordered-funnel timestamps per user: stage k's timestamp is the
     EARLIEST event of type ``stages[k]`` at-or-after the user's stage
     k-1 timestamp (classic view → click → purchase attribution).  Output:
     one row per user who reached stage 0, with a nullable ``<stage>_ts``
     column per stage; a NULL means the funnel broke there.
 
-    Each stage is a filtered aggregate joined on ``user_col`` — N-1
-    shuffles on the same key for an N-stage funnel, so at 100 TB every
-    exchange after the first reuses the partitioning, and per-stage
-    state is one timestamp per user (bounded by users, not events).
+    ``strategy="arrays"`` (default): ONE scan of the (stage-filtered)
+    events and ONE shuffle by ``user_col`` — each user's per-stage
+    timestamps are collected as sorted arrays and the iterated min
+    ("earliest ≥ previous stage's ts") evaluates as pure Catalyst array
+    expressions, no joins.  Per-row state is the user's stage-event
+    timestamps, so a pathological single user (bot) with millions of
+    same-type events inflates one row — for that shape use
+    ``strategy="joins"``, the original per-stage filtered-aggregate
+    chain whose per-user state is ONE timestamp (map-side min-reduced,
+    fully skew-tolerant) at the price of one fact scan per stage: Spark
+    recomputes the shared prefix on both sides of each stage's
+    join-back, which the arrays form exists to avoid.
     """
     if not stages:
         raise ValueError("stages must be non-empty")
     if len(set(stages)) != len(stages):
         raise ValueError("stages must be distinct event types")
     first = stages[0]
-    cur = (
-        df.filter(F.col(type_col) == first)
-        .groupBy(user_col).agg(F.min(ts_col).alias(f"{first}_ts"))
+    if strategy == "joins":
+        cur = (
+            df.filter(F.col(type_col) == first)
+            .groupBy(user_col).agg(F.min(ts_col).alias(f"{first}_ts"))
+        )
+        prev = f"{first}_ts"
+        for s in stages[1:]:
+            nxt = (
+                df.filter(F.col(type_col) == s)
+                .join(cur.select(user_col, prev), user_col)
+                .filter(F.col(ts_col) >= F.col(prev))
+                .groupBy(user_col).agg(F.min(ts_col).alias(f"{s}_ts"))
+            )
+            cur = cur.join(nxt, user_col, "left")
+            prev = f"{s}_ts"
+        return cur
+    if strategy != "arrays":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    lists = (
+        df.filter(F.col(type_col).isin(stages))
+        .groupBy(user_col)
+        .agg(*[F.sort_array(F.collect_list(
+                   F.when(F.col(type_col) == s, F.col(ts_col))))
+               .alias(f"__{s}") for s in stages])
     )
+    # stage 0: plain earliest; stage k: earliest element ≥ stage k-1's
+    # ts (a NULL prev makes the lambda NULL → filter drops everything →
+    # element_at on empty is NULL, propagating the broken funnel).
+    out = lists.withColumn(f"{first}_ts", F.element_at(f"__{first}", 1))
     prev = f"{first}_ts"
     for s in stages[1:]:
-        nxt = (
-            df.filter(F.col(type_col) == s)
-            .join(cur.select(user_col, prev), user_col)
-            .filter(F.col(ts_col) >= F.col(prev))
-            .groupBy(user_col).agg(F.min(ts_col).alias(f"{s}_ts"))
-        )
-        cur = cur.join(nxt, user_col, "left")
+        out = out.withColumn(
+            f"{s}_ts",
+            F.element_at(
+                F.filter(F.col(f"__{s}"),
+                         lambda x: x >= F.col(prev)), 1))
         prev = f"{s}_ts"
-    return cur
+    return (out.where(F.col(f"{first}_ts").isNotNull())
+            .select(user_col, *[f"{s}_ts" for s in stages]))
 
 
 def cohort_retention(df: DataFrame, anchor_type: str,

@@ -56,6 +56,25 @@ def test_funnel_validation(events):
         funnel_stages(events, [])
     with pytest.raises(ValueError):
         funnel_stages(events, ["view", "view"])
+    with pytest.raises(ValueError):
+        funnel_stages(events, ["view"], strategy="nope")
+
+
+def test_funnel_strategies_agree_and_arrays_single_scan(events, tmp_path):
+    # both strategies must return identical rows; the arrays form must
+    # plan ONE scan / ONE exchange / NO joins (the joins form recomputes
+    # the shared prefix each stage — 6 scans for 3 stages)
+    stages = ["view", "click", "purchase"]
+    key = lambda rows: sorted(map(tuple, rows))
+    a = funnel_stages(events, stages).collect()
+    j = funnel_stages(events, stages, strategy="joins").collect()
+    assert key(a) == key(j)
+    pq = str(tmp_path / "ev.parquet")
+    events.write.parquet(pq)
+    plan = funnel_stages(events.sparkSession.read.parquet(pq), stages) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
 
 
 def test_rolling_zscore_excludes_self(spark):
