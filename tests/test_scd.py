@@ -95,3 +95,23 @@ def test_scd2_as_of_picks_the_version_current_on_the_date(spark):
     after = {r.k: (r.name, r.is_active)
              for r in scd2_as_of(merged, "2024-06-15").collect()}
     assert after == {1: ("a2", True), 2: ("b", True), 3: ("c", True)}
+
+
+def test_scd2_merge_plans_one_join_and_no_recompute(spark, tmp_path):
+    # the merge must execute as ONE full-outer join with each input
+    # scanned once (active + history from the dim, once from updates) —
+    # the branched filter+union form recomputed the join per branch,
+    # 9 dim scans at 3 branches
+    import re
+    from aws_etl_bank_spark.scd import scd2_merge, scd2_stamp
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    dim_pq, upd_pq = str(tmp_path / "dim"), str(tmp_path / "upd")
+    scd2_stamp(snap, "2020-01-01").write.parquet(dim_pq)
+    spark.createDataFrame([(1, "a2"), (3, "c")],
+                          "k long, name string").write.parquet(upd_pq)
+    merged = scd2_merge(spark.read.parquet(dim_pq),
+                        spark.read.parquet(upd_pq), ["k"], as_of="2024-01-01")
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan parquet", plan)) == 3
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
