@@ -28,6 +28,7 @@ from aws_etl_bank_spark.llm.similarity import (  # noqa: F401
 )
 from aws_etl_bank_spark.llm.text import (  # noqa: F401
     chunk_documents,
+    dsir_select,
     fingerprint,
     gopher_filter,
     language_id,

@@ -484,3 +484,74 @@ def hash_split(df: DataFrame, id_col: str, train: int = 80, val: int = 10,
         F.when(b < train, F.lit("train"))
         .when(b < train + val, F.lit("val"))
         .otherwise(F.lit("test")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", k: int | None = None,
+                lam: float = 1.0, gumbel: bool = True) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely
+    it is under a bag-of-words LM fitted on a small TARGET corpus than
+    under one fitted on the raw corpus, then resample the top ``k`` by
+    Gumbel-perturbed log-weight.
+
+    log w(x) = sum_words [ log p_target(w) - log p_raw(w) ]  with add-λ
+    smoothing over the UNION vocabulary (so unseen-in-target words get a
+    finite penalty instead of -inf).  The paper hashes n-grams into a
+    fixed bucket space; this form keeps raw words — exact, engine-
+    reproducible (the DuckDB oracle runs the same SQL), and the vocab
+    agg is bounded by DISTINCT WORDS, not corpus size.  At 100 TB, swap
+    the word key for ``xxhash64(word) % B`` to cap the LM table at B
+    rows — every join below is key-agnostic.
+
+    The resampling noise is a DETERMINISTIC Gumbel: u is a Knuth
+    multiplicative hash of the doc id mapped into (0,1), g = -ln(-ln u).
+    Same trick as hash_split — a pure function of the id, so selection
+    is stable across reruns/partitionings AND oracle-checkable, while
+    still giving the paper's Gumbel-top-k sampling semantics (docs with
+    high weight are likely-but-not-certain picks).  ``gumbel=False``
+    degrades to plain top-k by weight.
+
+    Plan shape: two word-level hash-aggs (map-side combined) + one
+    full-outer vocab join + a one-row totals broadcast + one words⋈LM
+    shuffle re-aggregated per doc + TakeOrderedAndProject for the
+    top-k.  No driver scalars; nothing scales with corpus x corpus.
+    """
+    if lam <= 0:
+        raise ValueError("lam must be positive")
+    rw = raw.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+    tw = target.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+    rc = rw.groupBy("__w").agg(F.count(F.lit(1)).alias("__cr"))
+    tc = tw.groupBy("__w").agg(F.count(F.lit(1)).alias("__ct"))
+    vocab = (rc.join(tc, "__w", "full_outer")
+             .select("__w",
+                     F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                     F.coalesce("__ct", F.lit(0)).alias("__ct"))
+             # the LM table is referenced twice (totals + per-word
+             # ratio) and exchange reuse does not dedupe the full-outer
+             # subtree; materialize it ONCE, lazily — it is bounded by
+             # the distinct-word (or hashed-bucket) vocab, never corpus-
+             # sized, and is exactly the artifact a real DSIR run
+             # persists between the fit and scoring phases
+             .localCheckpoint(eager=False))
+    totals = vocab.agg(F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt"),
+                       F.count(F.lit(1)).alias("__v"))
+    lr = (vocab.crossJoin(F.broadcast(totals))
+          .select("__w",
+                  (F.log((F.col("__ct") + lam) / (F.col("__nt") + lam * F.col("__v")))
+                   - F.log((F.col("__cr") + lam) / (F.col("__nr") + lam * F.col("__v")))
+                   ).alias("__lr")))
+    scored = (rw.join(lr, "__w")
+              .groupBy(id_col)
+              .agg(F.round(F.sum("__lr"), 4).alias("log_weight"),
+                   F.count(F.lit(1)).alias("n_words")))
+    if gumbel:
+        u = (((F.col(id_col).cast("long") * F.lit(2654435761).cast("long")) % 1000003
+              ).cast("double") + 0.5) / 1000003.0
+        scored = scored.withColumn("score", F.round(F.col("log_weight") - F.log(-F.log(u)), 4))
+    else:
+        scored = scored.withColumn("score", F.col("log_weight"))
+    out = scored.select(id_col, "log_weight", "n_words", "score")
+    if k is not None:
+        out = out.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    return out

@@ -1817,3 +1817,37 @@ def grouped_map_normalize(spark, sf_dir):
                                         "value_norm double")
             .select("event_id", "user_id",
                     F.round("value_norm", 6).alias("value_norm")))
+
+
+@q("llm_dsir_select", """
+WITH rw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tw AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'zh'),
+rc AS (SELECT w, count(*) AS cr FROM rw GROUP BY w),
+tc AS (SELECT w, count(*) AS ct FROM tw GROUP BY w),
+vocab AS (SELECT coalesce(rc.w, tc.w) AS w, coalesce(cr, 0) AS cr,
+                 coalesce(ct, 0) AS ct
+          FROM rc FULL OUTER JOIN tc ON rc.w = tc.w),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM vocab),
+lr AS (SELECT w, ln((ct + 1.0) / (nt + 1.0 * v))
+              - ln((cr + 1.0) / (nr + 1.0 * v)) AS lr
+       FROM vocab, tot),
+dw AS (SELECT doc_id, round(sum(lr), 4) AS log_weight,
+              count(*) AS n_words
+       FROM rw JOIN lr USING (w) GROUP BY doc_id)
+SELECT doc_id, log_weight, n_words,
+       round(log_weight - ln(-ln(
+           (((doc_id * 2654435761) % 1000003) + 0.5) / 1000003.0)), 4) AS score
+FROM dw ORDER BY score DESC, doc_id LIMIT 50""")
+def llm_dsir_select(spark, sf_dir):
+    """DSIR data selection (llm/text.py dsir_select): pick the 50 raw
+    docs whose word distribution best matches a zh-language target
+    corpus, by Gumbel-top-k over smoothed unigram log-likelihood
+    ratios.  The Gumbel noise is a deterministic Knuth-hash function of
+    doc_id, so the DuckDB oracle reproduces the SELECTION, not just the
+    weights — an engine that mis-smooths, drops vocab on the outer
+    join, or perturbs nondeterministically fails the hash compare."""
+    from aws_etl_bank_spark.llm import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.filter(F.col("lang") == "zh"),
+                       "text", "doc_id", k=50)

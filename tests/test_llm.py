@@ -915,3 +915,42 @@ def test_embed_texts_custom_encoder_hook(spark):
                       encoder=lambda ts: np.array([[len(t), 0.0, 1.0] for t in ts]))
     got = {r["doc_id"]: r["embedding"] for r in out.collect()}
     assert got[2] == [2.0, 0.0, 1.0]
+
+
+def test_dsir_select_prefers_target_domain(spark):
+    """DSIR brief: raw corpus mixes two vocabularies; the target sample
+    comes from domain B.  Every top-k pick must be a domain-B doc, the
+    reference log-weight formula must reproduce bit-for-bit, and the
+    selection must be a pure function of the ids (rerun-stable)."""
+    import math
+    a_text = "stocks bonds yield market trade"
+    b_text = "genome protein cell enzyme dna"
+    raw = spark.createDataFrame(
+        [(i, a_text) for i in range(20)]
+        + [(i, b_text) for i in range(20, 30)],
+        "doc_id long, text string")
+    target = spark.createDataFrame([(0, b_text)], "doc_id long, text string")
+    out = text.dsir_select(raw, target, k=5).collect()
+    assert len(out) == 5
+    assert all(r["doc_id"] >= 20 for r in out)  # all domain-B
+
+    # reference formula on one domain-B doc: each of its 5 words has
+    # cr=? (a-words appear 20x, b-words 30x? no: b_text rows are 10, so
+    # each b-word count is 10; each a-word count is 20); V=10 distinct,
+    # nr=150, nt=5, ct(b-word)=1
+    lam, v, nr, nt = 1.0, 10, 20 * 5 + 10 * 5, 5
+    lw_b = 5 * (math.log((1 + lam) / (nt + lam * v))
+                - math.log((10 + lam) / (nr + lam * v)))
+    got = {r["doc_id"]: r["log_weight"] for r in out}
+    assert all(val == round(lw_b, 4) for val in got.values())
+
+    rerun = text.dsir_select(raw.repartition(7), target, k=5).collect()
+    assert {r["doc_id"] for r in rerun} == set(got)
+
+    # gumbel=False: plain top-k by weight; all weights tie here so the
+    # deterministic id tiebreak gives the 5 smallest domain-B ids
+    plain = text.dsir_select(raw, target, k=5, gumbel=False).collect()
+    assert sorted(r["doc_id"] for r in plain) == [20, 21, 22, 23, 24]
+
+    with pytest.raises(ValueError):
+        text.dsir_select(raw, target, lam=0.0)
