@@ -62,14 +62,14 @@ _PRIORITY = [
     "grouped_map_normalize",
     "fraud_benford_digits", "rfm_segmentation",
     "loan_amortization_schedule",
-    "tpch_q12_late_shipment_priority",
-    # DSIR data selection (new this session) takes q16's slot — the
-    # TPC-H family keeps 21 rows above the line; q16 rotates up in r6
-    "llm_dsir_select",
+    # DSIR data selection and the Z-order clustered layout (new this
+    # session) take q12/q16's slots — the TPC-H family keeps 20 rows
+    # above the line; q12/q16 rotate up in r6
+    "llm_dsir_select", "scale_zorder_clustered_read",
     # below the 50-slot waterline this round (r6 rotation picks these
     # up): scale_bucketed_join was already driver-green in r4;
     # datetime/EWMA are family-redundant with suites above
-    "tpch_q16_supplier_counts_by_part",
+    "tpch_q12_late_shipment_priority", "tpch_q16_supplier_counts_by_part",
     "scale_bucketed_join", "scalar_datetime_suite", "ts_ewma_smoothing",
     "ts_moving_median",
     "ann_pq_planted_twin", "ann_ivfpq_planted_twin", "stream_cdc_scd2",

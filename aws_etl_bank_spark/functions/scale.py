@@ -252,6 +252,67 @@ def write_range_clustered(df: DataFrame, path: str, cluster_cols: list[str],
     )
 
 
+def zorder_key(scaled_cols: list[Column], bits: int) -> Column:
+    """Bit-interleave ``scaled_cols`` (each already an integer in
+    ``[0, 2**bits)``) into one Z-value: bit ``b`` of column ``i`` lands
+    at position ``b * n_cols + i``.  Pure shift/and/or arithmetic — the
+    whole key stays inside whole-stage codegen (the Python loop builds a
+    constant-folded expression tree, it does not run per row)."""
+    n = len(scaled_cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(scaled_cols):
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i))
+    return z
+
+
+def write_zorder_clustered(df: DataFrame, path: str, cluster_cols: list[str],
+                           bits: int = 12, n_files: int | None = None) -> None:
+    """Write parquet laid out for MULTI-dimension data skipping on
+    ``cluster_cols`` — the Z-order analogue of ``write_range_clustered``
+    (which is optimal for one dimension but makes every non-prefix
+    column's per-file min/max span the full domain).  Each numeric
+    column is min-max scaled into ``2**bits`` cells (the min/max row
+    crosses as a one-row broadcast, never a driver scalar), the cell
+    ids are bit-interleaved into a Z-value, and the frame is range-
+    partitioned + sorted on it: files then cover small axis-aligned
+    boxes of the key space, so parquet footer stats prune files for
+    predicates on ANY clustered column, not just the first.
+
+    Two scans of the input by design (stats pass + layout pass) — the
+    same shape Delta's OPTIMIZE ZORDER pays.  Min-max scaling keeps the
+    key engine-reproducible and cheap; under heavy per-column skew the
+    production upgrade is rank-based cell boundaries (percentile_approx
+    cut points broadcast the same way), which changes only the scaling
+    expression, not the layout machinery."""
+    if not cluster_cols:
+        raise ValueError("cluster_cols must be non-empty")
+    if not 1 <= bits * len(cluster_cols) <= 63:
+        raise ValueError("bits * n_cols must fit in a signed long")
+    stats = df.agg(*[f(c).cast("double").alias(f"__{tag}_{i}")
+                     for i, c in enumerate(cluster_cols)
+                     for tag, f in (("mn", F.min), ("mx", F.max))])
+    cells = F.lit(float(2 ** bits))
+    scaled = []
+    for i, c in enumerate(cluster_cols):
+        mn, mx = F.col(f"__mn_{i}"), F.col(f"__mx_{i}")
+        frac = (F.col(c).cast("double") - mn) / F.nullif(mx - mn, F.lit(0.0))
+        cell = F.least(F.floor(F.coalesce(frac, F.lit(0.0)) * cells),
+                       cells.cast("long") - 1)
+        scaled.append(F.greatest(cell, F.lit(0)).cast("long"))
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__z", zorder_key(scaled, bits))
+        .select(*df.columns, "__z")
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    )
+
+
 def bloom_bitmap(keys: DataFrame, key: str, m_bits: int = 1 << 17,
                  n_hashes: int = 5) -> DataFrame:
     """Build a Bloom filter over ``keys[key]`` as ONE row holding a

@@ -3509,3 +3509,34 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+@q("scale_zorder_clustered_read", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 400 AND o_totalprice BETWEEN 1000 AND 5000""")
+def scale_zorder_clustered_read(spark, sf_dir):
+    """Z-order layout roundtrip (functions/scale.py
+    write_zorder_clustered): orders re-laid-out on the interleaved
+    (o_custkey, o_totalprice) key — per-file footer stats then prune on
+    EITHER column (asserted file-by-file in tests/test_scale.py::
+    test_zorder_roundtrip_and_2d_pruning, where 1-D range clustering
+    hits 32/32 files on the second dimension and Z-order ≤16/32) — and
+    a 2-D box predicate reads it back; values must match the
+    unclustered oracle scan."""
+    from aws_etl_bank_spark.functions.scale import write_zorder_clustered
+
+    path = _scratch(sf_dir, "orders_zorder_clustered")
+    write_zorder_clustered(
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        path, ["o_custkey", "o_totalprice"], bits=12, n_files=8)
+    back = spark.read.parquet(path).filter(
+        F.col("o_custkey").between(100, 400)
+        & F.col("o_totalprice").between(1000, 5000))
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )

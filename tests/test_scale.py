@@ -222,3 +222,58 @@ def test_skew_report_shares_and_ranks(spark):
     assert rows["a"] == (70, 0.7, 1)
     assert rows["b"] == (20, 0.2, 2)
     assert "c" not in rows
+
+
+def _files_overlapping(path, col, lo, hi):
+    """(n_overlapping, n_total) parquet files whose footer min/max for
+    ``col`` intersects [lo, hi] — exactly the file-skipping decision a
+    scan makes."""
+    import glob
+    import pyarrow.parquet as pq
+    total, hit = 0, 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mn = min(md.row_group(i).column(
+            [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+        ).statistics.min for i in range(md.num_row_groups))
+        mx = max(md.row_group(i).column(
+            [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+        ).statistics.max for i in range(md.num_row_groups))
+        total += 1
+        if not (mx < lo or mn > hi):
+            hit += 1
+    return hit, total
+
+
+def test_zorder_roundtrip_and_2d_pruning(spark, scratch):
+    """Z-order layout must (a) preserve the data exactly and (b) give
+    file-level skipping on the SECOND clustered column, where 1-D range
+    clustering by the first column prunes nothing."""
+    # deterministic uniform 2-D grid: x and y independent
+    df = (spark.range(20_000)
+          .select((F.col("id") % 200).alias("x"),
+                  (F.floor(F.col("id") / 200) % 100).alias("y"),
+                  F.col("id").alias("v")))
+    zpath = f"{scratch}/z2d"
+    rpath = f"{scratch}/r1d"
+    scale.write_zorder_clustered(df, zpath, ["x", "y"], bits=8, n_files=32)
+    scale.write_range_clustered(df, rpath, ["x"], n_files=32)
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(range(20_000))
+
+    # box predicate on y alone (quarter of its domain)
+    zhit, ztot = _files_overlapping(zpath, "y", 0, 24)
+    rhit, rtot = _files_overlapping(rpath, "y", 0, 24)
+    assert ztot == 32 and rtot == 32
+    assert rhit == 32          # clustered by x: y stats span everything
+    assert zhit <= 16          # z-order: most files skipped on y too
+    # and the first dimension still prunes
+    xhit, _ = _files_overlapping(zpath, "x", 0, 49)
+    assert xhit <= 16
+
+    with pytest.raises(ValueError):
+        scale.write_zorder_clustered(df, zpath, [], bits=8)
+    with pytest.raises(ValueError):
+        scale.write_zorder_clustered(df, zpath, ["x", "y"], bits=32)
