@@ -51,17 +51,29 @@ RETURNFLAG_PAYMENT_TYPES = [
 def fact_snapshot_sql(fidelity: bool = False) -> str:
     """The fact query over views ``transactions`` and ``date_dim``.
 
-    Default (``fidelity=False``): single-pass window form.  Spark inlines a
-    CTE at every reference site (no materialization), so the reference's
-    5-CTE shape executes the fact scan+join+aggregate THREE times — and
-    column pruning makes the three subplans differ, defeating
+    Default (``fidelity=False``): near-single-pass window form.  Spark
+    inlines a CTE at every reference site (no materialization), so the
+    reference's 5-CTE shape executes the fact scan+join+aggregate THREE
+    times — and column pruning makes the three subplans differ, defeating
     ReuseExchange.  Instead, everything above the base aggregate is a
     window function over it: the customer-daily totals are sums OVER
-    (date, cust), both running sums are RANGE windows, and the monthly
-    average is a sum/count OVER (month).  One fact pass, zero self-joins;
-    the only join left is the broadcast date dim.  Output is row-for-row
-    identical (the c2 join in the reference form is on (cust_id, date),
-    which preserves the account grain).
+    (date, cust) and both running sums are RANGE windows.  The monthly
+    average is deliberately NOT a window: ``month(transaction_date)`` has
+    at most 12 distinct values, so ``OVER (PARTITION BY month(...))``
+    funnels the ENTIRE post-aggregation dataset into ≤12 window tasks —
+    a straggler wall at 100 TB that AQE cannot split (skew handling does
+    not apply to window partitions).  It is instead a ``GROUP BY
+    month(...)`` straight off ``transactions`` — map-side partial
+    aggregation means exactly 12 rows cross the wire — broadcast-joined
+    back onto the windowed rows.  The cost is a second fact scan (the
+    Q15-style documented trade; the scan is pipelined into a 12-row
+    combine, no shuffle of fact-sized data), which beats re-deriving the
+    monthly sums from a second reference to ``cte_acc_daily`` (that would
+    repeat the full 4-key group-by shuffle, not just the scan).  One
+    window pass over the aggregate, zero self-joins, and the only joins
+    are two broadcasts (date dim, 12-row month dim).  Output is
+    row-for-row identical (SUM/COUNT of ``amount`` per month == the old
+    ``w_m`` window's sum-of-daily-sums / sum-of-counts).
 
     ``fidelity=True`` reproduces the reference's exact CTE/join shape,
     including the cust-accum join on cust_id ONLY — the row-multiplication
@@ -76,11 +88,21 @@ WITH cte_acc_daily AS (
     SELECT transaction_date, cust_id, acc_id, account_type_name,
            COUNT(DISTINCT trans_id)              AS account_no_transactions_daily,
            COUNT(trans_id)                       AS n_trans_rows,
-           COUNT(amount)                         AS n_amount_rows,
            SUM(amount)                           AS account_daily_spending,
            collect_set(payment_type_nm)          AS acc_payment_types
     FROM transactions
     GROUP BY transaction_date, cust_id, acc_id, account_type_name
+),
+cte_month_avg AS (
+    -- calendar-bounded key: GROUP BY, never a window.  Map-side partial
+    -- combine reduces the scan to 12 rows before the exchange; the
+    -- result broadcasts.  (A window partitioned on month(...) would
+    -- shuffle every row into <=12 unsplittable tasks at scale.)
+    SELECT month(transaction_date) AS month_key,
+           SUM(amount)             AS month_sum,
+           COUNT(amount)           AS month_cnt
+    FROM transactions
+    GROUP BY month(transaction_date)
 ),
 windowed AS (
     SELECT transaction_date, cust_id, acc_id, account_type_name,
@@ -100,15 +122,11 @@ windowed AS (
            -- with transaction_date <= current, which IS cust_accum
            SUM(account_daily_spending) OVER (
                PARTITION BY cust_id ORDER BY transaction_date
-           ) AS cust_accum_spending,
-           -- monthly average of the raw amounts, from the kept sums/counts
-           SUM(account_daily_spending) OVER w_m / SUM(n_amount_rows) OVER w_m
-                                                 AS avg_monthly_spending
+           ) AS cust_accum_spending
     FROM cte_acc_daily
-    WINDOW w_cd AS (PARTITION BY transaction_date, cust_id),
-           w_m  AS (PARTITION BY month(transaction_date))
+    WINDOW w_cd AS (PARTITION BY transaction_date, cust_id)
 )
-SELECT /*+ BROADCAST(d) */
+SELECT /*+ BROADCAST(d), BROADCAST(m) */
        d.date_key,
        a1.transaction_date, a1.cust_id, a1.acc_id, a1.account_type_name,
        a1.account_no_transactions_daily,
@@ -118,9 +136,11 @@ SELECT /*+ BROADCAST(d) */
        ROUND(a1.cust_daily_spending, 2)     AS cust_daily_spending,
        a1.cust_daily_payment_type,
        ROUND(a1.cust_accum_spending, 2)     AS cust_accum_spending,
-       ROUND(a1.avg_monthly_spending, 2)    AS avg_monthly_spending,
+       ROUND(m.month_sum / m.month_cnt, 2)  AS avg_monthly_spending,
        d.day_type, d.is_holiday
 FROM windowed a1
+JOIN cte_month_avg m
+  ON m.month_key = month(a1.transaction_date)
 JOIN date_dim d
   ON d.full_date = a1.transaction_date
 ORDER BY a1.cust_id, a1.transaction_date, a1.acc_id

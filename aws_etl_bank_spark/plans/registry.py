@@ -2420,8 +2420,8 @@ def scale_skew_report(spark, sf_dir):
 
 @q("ts_trend_slope", """
 SELECT user_id,
-       ROUND(regr_slope(value, floor(epoch(ts))), 6) AS slope,
-       ROUND(corr(value, floor(epoch(ts))), 4) AS r,
+       ROUND(regr_slope(value, floor(epoch(ts))), 6) + 0 AS slope,
+       ROUND(corr(value, floor(epoch(ts))), 4) + 0 AS r,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY user_id HAVING COUNT(*) >= 50""")
 def ts_trend_slope(spark, sf_dir):
@@ -2432,13 +2432,19 @@ def ts_trend_slope(spark, sf_dir):
     how many points feed it.  No window, no sort, no Python.  The time
     axis is floored to whole seconds on BOTH sides (Spark's
     unix_timestamp truncates; DuckDB's epoch keeps fractions — without
-    the floor the regression inputs silently differ sub-second)."""
+    the floor the regression inputs silently differ sub-second).  Both
+    rounded columns add ``+ 0`` on BOTH engines: a slope that rounds to
+    zero can carry IEEE ``-0.0`` in one engine and ``+0.0`` in the other
+    (bit patterns differ, bitwise value-hash mismatches — the r5 driver
+    failure); ``x + 0.0`` canonicalizes either zero to ``+0.0``."""
     ev = load_table(spark, sf_dir, "events")
     x = F.unix_timestamp("ts").cast("double")
     return (
         ev.groupBy("user_id")
-        .agg(F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
-             F.round(F.corr(F.col("value"), x), 4).alias("r"),
+        .agg((F.round(F.regr_slope(F.col("value"), x), 6)
+              + F.lit(0.0)).alias("slope"),
+             (F.round(F.corr(F.col("value"), x), 4)
+              + F.lit(0.0)).alias("r"),
              F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 50)
     )

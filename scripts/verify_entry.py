@@ -41,7 +41,14 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        r = round(v, 6)
+        # The driver's value hash is bitwise, so IEEE -0.0 and +0.0 are
+        # DIFFERENT values to it (the r5 ts_trend_slope failure shipped
+        # because round() here collapsed them).  Keep the sign bit in the
+        # normalized form so a -0.0-vs-+0.0 skew fails locally too.
+        if r == 0.0 and math.copysign(1.0, r) < 0:
+            return "-0.0"
+        return r
     if isinstance(v, dt.datetime):
         # tz-awareness is part of the value: aware normalizes to UTC and
         # keeps its offset in the rendering; naive stays naive.  A naive
