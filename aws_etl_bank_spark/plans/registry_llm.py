@@ -385,15 +385,20 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b
-FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id"""
+),
+cls AS (SELECT text, MIN(doc_id) AS rep FROM corpus GROUP BY text)
+SELECT c.rep AS id_a, a.doc_id AS id_b
+FROM corpus a JOIN cls c ON a.text = c.text AND a.doc_id > c.rep"""
 
 
 def _exact_text_pairs(corpus, pairs):
     """Restrict candidate pairs to identical-text pairs — the provable
-    subset (full-recall guarantee: identical text ⇒ identical
-    signature ⇒ same LSH bucket ⇒ candidate)."""
+    subset (full-recall guarantee: identical text ⇒ same exact-dup
+    class ⇒ a star edge from the class representative).  Since the r6
+    exact-duplicate pre-pass, the identical-text subset is the STAR set
+    (rep, member) per class, not the clique — the oracle mirrors that
+    (equal for the twin classes the planted fixture creates; linear, not
+    quadratic, on bigger classes)."""
     a = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
     b = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
     return (

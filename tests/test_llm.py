@@ -333,6 +333,51 @@ def test_simhash_keep_equals_exact_dedup_keep_on_planted_twins(twin_corpus):
     assert sorted(r["doc_id"] for r in kept.collect()) == expected
 
 
+@pytest.fixture(scope="module")
+def identical_class_corpus(spark):
+    """One 200-member byte-identical class + 30 mutually-disjoint
+    distinct docs: the r5 verdict's LSH blowup fixture.  Without the
+    exact-duplicate pre-pass, every band bucket of the identical class
+    yields 200²/2 candidate pairs (band width bounds NEAR-dup
+    collisions, not exact ones); with it, the class contributes one
+    signature and 199 star edges."""
+    rows = [(i, "the same exact crawl page body repeated verbatim "
+                "across mirrors " + " ".join(f"t{j}" for j in range(8)))
+            for i in range(200)]
+    for i in range(30):
+        rows.append((1000 + i, " ".join(f"u{i}x{j}" for j in range(12))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_identical_class_pairs_are_linear(identical_class_corpus):
+    pairs = dedup.minhash_lsh_pairs(
+        identical_class_corpus, "text", "doc_id", jaccard_threshold=0.5)
+    rows = pairs.collect()
+    # star edges only: 199 pairs (rep 0 → members 1..199), never the
+    # 19900-pair clique — linear in class size
+    assert len(rows) == 199
+    assert all(r["id_a"] == 0 and r["jaccard"] == 1.0 for r in rows)
+    assert sorted(r["id_b"] for r in rows) == list(range(1, 200))
+
+
+def test_simhash_identical_class_pairs_are_linear(identical_class_corpus):
+    pairs = dedup.simhash_lsh_pairs(identical_class_corpus, "text", "doc_id")
+    rows = pairs.collect()
+    assert len(rows) == 199
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in rows)
+
+
+def test_minhash_identical_class_keep_set_unchanged(identical_class_corpus):
+    # keep-set == exact dedup keep-set: doc 0 survives its class, every
+    # distinct doc survives — identical to what the clique form kept
+    for transitive in (False, True):
+        kept = dedup.minhash_dedup_keep(
+            identical_class_corpus, "text", "doc_id", transitive=transitive,
+            jaccard_threshold=0.5)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [0] + [1000 + i for i in range(30)]
+
+
 def test_ngram_jaccard_default_plan_has_df_cut(docs):
     # scale-safe by default: the hub-shingle df-cut must appear in the
     # plan you get WITHOUT passing max_shingle_df; None opts out of it
@@ -868,8 +913,12 @@ def test_hash_split_deterministic_and_proportional(spark):
 
 def test_minhash_incremental_matches_vs_full_lsh(docs, spark):
     """Indexing the corpus once and joining a batch against the stored
-    index must find the same cross-pairs as running full LSH over
-    corpus ∪ batch (restricted to cross pairs)."""
+    index must agree with full LSH over corpus ∪ batch at the COMPONENT
+    level: a batch doc has an incremental corpus match iff the full pair
+    graph connects it to a corpus doc.  (Pair-for-pair equality no
+    longer holds by design — the full path's exact-duplicate pre-pass
+    emits star edges per identical class, while the index keeps every
+    corpus member and so matches a batch doc against each of them.)"""
     corpus = docs.filter(F.col("doc_id") <= 3)
     batch = docs.filter(F.col("doc_id") >= 2).withColumn(
         "doc_id", F.col("doc_id") + 100)
@@ -878,12 +927,17 @@ def test_minhash_incremental_matches_vs_full_lsh(docs, spark):
            dedup.minhash_incremental_matches(batch, idx).collect()}
     both = corpus.unionByName(batch)
     full = dedup.minhash_lsh_pairs(both, "text", "doc_id", verify=False)
-    cross = {(max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
-             for r in full.collect()
-             if (r["id_a"] > 100) != (r["id_b"] > 100)}
-    assert inc == cross
-    # exact twin (doc 2's copy vs docs 1/2) must be present
-    assert (102, 2) in inc and (102, 1) in inc
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(full).collect()}
+    batch_with_inc_match = {b for b, _ in inc}
+    batch_connected = {
+        bid for bid in (102, 103)
+        if any(comp.get(bid) is not None and comp.get(bid) == comp.get(cid)
+               for cid in (1, 2, 3))}
+    assert batch_with_inc_match == batch_connected
+    # the index matches the identical batch doc against EVERY identical
+    # corpus member (both 1 and 2), and the near-dup 103 against 3
+    assert (102, 2) in inc and (102, 1) in inc and (103, 3) in inc
 
 
 def test_embed_texts_deterministic_and_partition_invariant(spark):
