@@ -20,68 +20,40 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 5): NEVER-DRIVER-EVALUATED entries first — an entry
-# with no driver record at all outranks a stale green (the r3 testdata
-# drift proved greens can rot, but zero evidence is worse than old
-# evidence).  The ~43 operators added this round therefore take the
-# driver's 50-slot cap ahead of the r2-vintage refresh, which resumes in
-# later rounds' rotations.  Cumulative record: CORRECTNESS_r2..r4 cover
-# all 133 pre-round-5 entries; every new entry below is green under
-# scripts/verify_entry.py (the driver-strength local replica) at sf0.01,
-# and the sf0.1/sf1 audits in PERF.md.
+# Slot policy (round 6, per the r5 verdict): evidence debt first.
+# Order: (1) the schema tripwire, (2) ts_trend_slope — r5's only red
+# row, fixed this round (-0.0 canonicalized on both engines), (3) the
+# entries whose implementation or oracle CHANGED this round (flagship
+# monthly-avg rewrite; LSH star-sparsified planted pairs/keep; the
+# now-non-empty semantic-full fixture), (4) the 19 entries that have
+# NEVER been driver-evaluated, (5) the oldest r2-vintage greens (~4
+# rounds stale).  The remaining r2/r3 refresh continues in r7.
 _PRIORITY = [
     # environment-drift tripwire first: pinned-literal schema oracle makes
     # a testdata regeneration fail in ONE obvious row (TESTDATA.md)
     "testdata_schema_smoke",
-    # new in round 5, never driver-evaluated: the derived LIMIT oracle,
-    # the oracle-checked minhash keep path, the hot-key-split z-score
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock", "tpch_q19_disjunctive_revenue",
-    "tpch_q20_potential_promotion", "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_high_balance",
-    # the VERDICT-item-3/4 proof entries: the derived LIMIT oracle, the
-    # planted minhash keep-set, the hot-key-split rolling z-score
-    "sample_limit_contained", "dedup_minhash_planted_keep",
-    "ts_rolling_zscore_bucketed",
-    "join_bloom_prefilter", "dedup_fuzzy_ed1_pairs",
-    "dedup_fuzzy_entity_ids", "text_pack_sequences",
-    "graph_pagerank", "text_unigram_logprob",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q18_large_volume_customer",
-    "text_hash_split", "src_orc_roundtrip", "src_jsonl_roundtrip",
-    "dedup_minhash_incremental", "maintenance_compact_roundtrip",
-    "scale_skew_report", "ts_trend_slope",
-    "tpch_q7_volume_shipping", "tpch_q10_returned_items",
-    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q8_market_share", "tpch_q15_top_supplier", "tpch_q17_small_quantity",
-    "ts_rollup_incremental_merge",
-    "stream_incremental_dedup", "infer_embed_texts",
-    "win_first_last_nth", "scalar_string_suite",
-    "scalar_json_suite", "join_null_safe_equality",
-    "grouped_map_normalize",
-    "fraud_benford_digits", "rfm_segmentation",
-    "loan_amortization_schedule",
-    # DSIR data selection and the Z-order clustered layout (new this
-    # session) take q12/q16's slots — the TPC-H family keeps 20 rows
-    # above the line; q12/q16 rotate up in r6
-    "llm_dsir_select", "scale_zorder_clustered_read",
-    # below the 50-slot waterline this round (r6 rotation picks these
-    # up): scale_bucketed_join was already driver-green in r4;
-    # datetime/EWMA are family-redundant with suites above
-    "tpch_q12_late_shipment_priority", "tpch_q16_supplier_counts_by_part",
-    "scale_bucketed_join", "scalar_datetime_suite", "ts_ewma_smoothing",
-    "ts_moving_median",
-    "ann_pq_planted_twin", "ann_ivfpq_planted_twin", "stream_cdc_scd2",
-    "text_gopher_filter",
-    "win_running_sum_cust_split",
+    # r5's single red row, root-caused (-0.0 vs +0.0 bitwise) and fixed
+    "ts_trend_slope",
+    # changed this round — re-prove before anything else: flagship
+    # monthly-avg GROUP-BY rewrite; LSH exact-dup pre-pass (star-form
+    # planted oracles); the semantic-full fixture now non-empty
+    "fact_snapshot", "fact_snapshot_split", "dedup_minhash_planted_pairs",
+    "dedup_simhash_planted_pairs", "dedup_minhash_planted_keep",
+    "dedup_semantic_pairs_full",
+    # the 19 entries with ZERO driver evidence (local-green only, r5
+    # verdict "What's missing" #3)
     "dedup_semantic_pairs", "dedup_semantic_keep",
-    "quality_metrics_orders", "quality_check_lineitem",
-    "text_bm25_rank", "text_bm25_topk", "agg_approx_percentile_band",
-    "stream_static_enrich", "dedup_semantic_pairs_full",
     "text_decontaminate_semantic",
-    # the 40 entries last validated in round 2 (projection/filter/join/
-    # nested-restructuring/scalar families), oldest evidence in the repo
+    "text_bm25_rank", "text_bm25_topk",
+    "ann_pq_planted_twin", "ann_ivfpq_planted_twin",
+    "stream_cdc_scd2", "text_gopher_filter",
+    "tpch_q12_late_shipment_priority", "tpch_q16_supplier_counts_by_part",
+    "scalar_datetime_suite", "ts_ewma_smoothing", "ts_moving_median",
+    "win_running_sum_cust_split",
+    "quality_metrics_orders", "quality_check_lineitem",
+    "agg_approx_percentile_band", "stream_static_enrich",
+    # oldest evidence in the repo: r2-vintage greens, 4 rounds stale
+    # (projection/filter/join/set-op families) — 24 slots
     "win_row_number_topk", "win_lag_delta", "join_dynamicframe_equi",
     "join_multiway_sql", "join_left_semi", "join_left_anti",
     "join_expr_month", "merge_upsert", "apply_mapping_cast",
@@ -89,13 +61,15 @@ _PRIORITY = [
     "split_rows_match", "split_rows_rest", "split_fields_op",
     "filter_python_predicate", "filter_drop_policy", "map_python_records",
     "map_error_policy", "drop_null_fields_op", "union_by_name_drift",
-    "union_choice_cast", "resolve_choice_make_cols", "subtract_op",
-    "intersect_op", "distinct_op", "orderby_topk", "sample_limit",
+    "union_choice_cast", "resolve_choice_make_cols",
+    # ---- 50-slot waterline (the driver caps here) ----
+    # r7 rotation continues the r2/r3 refresh from this point
+    "subtract_op", "intersect_op", "distinct_op", "orderby_topk",
+    "sample_limit",
     "scalar_dates", "scalar_when_case", "scalar_strings", "udf_surface",
     "filter_sql_expr", "string_cleanup", "repartition_coalesce",
     "explode_split", "posexplode_index", "replace_array_element",
     "named_struct_op", "ingestion_time_columns",
-    # remaining slots: the oldest round-3-vintage entries
     "csv_allstrings_cast", "unbox_json", "scd2_merge_dim", "unbox_csv",
     "unnest_struct", "unnest_ddb",
     # rest of the 50-cap fills from registry definition order below

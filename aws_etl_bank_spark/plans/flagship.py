@@ -80,9 +80,33 @@ def fact_snapshot_sql(fidelity: bool = False) -> str:
     quirk of SURVEY.md §8.1 — which is only expressible as a join."""
     if fidelity:
         return _FIDELITY_SQL
-    return """
-WITH cte_acc_daily AS (
-    -- the ONLY pass over the fact; finest grain the query needs.
+    return f"""
+WITH {_SHARED_CTES},
+windowed AS (
+    SELECT transaction_date, cust_id, acc_id, account_type_name,
+           account_no_transactions_daily, account_daily_spending,
+           -- running sum per (cust, acc); RANGE default frame, §8.2
+           SUM(account_daily_spending) OVER (
+               PARTITION BY cust_id, acc_id ORDER BY transaction_date
+           ) AS account_accum_spending,
+           {_W_CD_COLS},
+           -- running customer total: RANGE frame sums every account row
+           -- with transaction_date <= current, which IS cust_accum
+           SUM(account_daily_spending) OVER (
+               PARTITION BY cust_id ORDER BY transaction_date
+           ) AS cust_accum_spending
+    FROM cte_acc_daily
+    WINDOW w_cd AS (PARTITION BY transaction_date, cust_id)
+)
+{_FINAL_SELECT}
+ORDER BY a1.cust_id, a1.transaction_date, a1.acc_id
+"""
+
+
+#: the two fact-derived CTEs shared by the default form and the hot-key
+#: split variant
+_SHARED_CTES = """cte_acc_daily AS (
+    -- the main pass over the fact; finest grain the query needs.
     -- trans_id is NOT unique in the data, so the distinct and plain
     -- counts differ and both are kept.
     SELECT transaction_date, cust_id, acc_id, account_type_name,
@@ -103,30 +127,17 @@ cte_month_avg AS (
            COUNT(amount)           AS month_cnt
     FROM transactions
     GROUP BY month(transaction_date)
-),
-windowed AS (
-    SELECT transaction_date, cust_id, acc_id, account_type_name,
-           account_no_transactions_daily, account_daily_spending,
-           -- running sum per (cust, acc); RANGE default frame, §8.2
-           SUM(account_daily_spending) OVER (
-               PARTITION BY cust_id, acc_id ORDER BY transaction_date
-           ) AS account_accum_spending,
-           -- customer-daily totals: windows over (date, cust) replace the
-           -- cte_cust_daily GROUP BY + join-back
-           SUM(n_trans_rows) OVER w_cd           AS cust_no_transaction_daily,
+)"""
+
+#: customer-daily totals: windows over (date, cust) replace the
+#: cte_cust_daily GROUP BY + join-back
+_W_CD_COLS = """SUM(n_trans_rows) OVER w_cd           AS cust_no_transaction_daily,
            SUM(account_daily_spending) OVER w_cd AS cust_daily_spending,
            array_join(sort_array(array_distinct(flatten(
                collect_list(acc_payment_types) OVER w_cd))), ',')
-                                                 AS cust_daily_payment_type,
-           -- running customer total: RANGE frame sums every account row
-           -- with transaction_date <= current, which IS cust_accum
-           SUM(account_daily_spending) OVER (
-               PARTITION BY cust_id ORDER BY transaction_date
-           ) AS cust_accum_spending
-    FROM cte_acc_daily
-    WINDOW w_cd AS (PARTITION BY transaction_date, cust_id)
-)
-SELECT /*+ BROADCAST(d), BROADCAST(m) */
+                                                 AS cust_daily_payment_type"""
+
+_FINAL_SELECT = """SELECT /*+ BROADCAST(d), BROADCAST(m) */
        d.date_key,
        a1.transaction_date, a1.cust_id, a1.acc_id, a1.account_type_name,
        a1.account_no_transactions_daily,
@@ -142,9 +153,7 @@ FROM windowed a1
 JOIN cte_month_avg m
   ON m.month_key = month(a1.transaction_date)
 JOIN date_dim d
-  ON d.full_date = a1.transaction_date
-ORDER BY a1.cust_id, a1.transaction_date, a1.acc_id
-"""
+  ON d.full_date = a1.transaction_date"""
 
 
 #: reference-parity SQL: the exact 5-CTE shape of r2g_account.py:160-208,
@@ -236,7 +245,18 @@ def prepare_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_fact_snapshot(spark: SparkSession, sf_dir: str, fidelity: bool = False) -> DataFrame:
+def build_fact_snapshot(spark: SparkSession, sf_dir: str, fidelity: bool = False,
+                        coarse_bucket_seconds: float | None = None) -> DataFrame:
+    """``coarse_bucket_seconds`` opts the two running-sum windows into
+    hot-key splitting (operators/windows.py running_sum_split): each
+    customer's / account's history spreads across (key, time-bucket)
+    tasks instead of serializing into one window partition — the remedy
+    when a handful of whale customers dominate the fact (the zscore
+    pair's measured sf1 win, r5 PERF.md).  Value-identical to the plain
+    form (oracle-shared registry entry ``fact_snapshot_split``);
+    mutually exclusive with ``fidelity``."""
+    if coarse_bucket_seconds is not None and fidelity:
+        raise ValueError("hot-key split applies to the default form only")
     trans = prepare_transactions(spark, sf_dir)
     # Small-input remedy (see widen_if_underscanned): the compact fact
     # file caps scan parallelism at its row-group count, so the heavy
@@ -251,7 +271,65 @@ def build_fact_snapshot(spark: SparkSession, sf_dir: str, fidelity: bool = False
     trans.createOrReplaceTempView("transactions")
     # lineitem ship dates span 1995..2001 in the testdata
     build_date_dim(spark, "1995-01-01", "2002-12-31").createOrReplaceTempView("date_dim")
-    return spark.sql(fact_snapshot_sql(fidelity))
+    if coarse_bucket_seconds is None:
+        return spark.sql(fact_snapshot_sql(fidelity))
+    return _fact_snapshot_split(spark, coarse_bucket_seconds)
+
+
+def _fact_snapshot_split(spark: SparkSession,
+                         coarse_bucket_seconds: float) -> DataFrame:
+    """Default-form flagship with both running sums hot-key split.
+
+    The SQL stage computes everything EXCEPT the two running sums (same
+    shared CTEs, same w_cd windows, same broadcast month/date joins);
+    ``running_sum_split`` then appends the (cust, acc) and cust
+    accumulations as within-bucket RANGE windows plus a tiny
+    earlier-bucket offset join — no per-key serial window anywhere."""
+    from aws_etl_bank_spark.operators.windows import running_sum_split
+
+    pre = spark.sql(f"""
+WITH {_SHARED_CTES},
+windowed AS (
+    SELECT transaction_date, cust_id, acc_id, account_type_name,
+           account_no_transactions_daily, account_daily_spending,
+           {_W_CD_COLS}
+    FROM cte_acc_daily
+    WINDOW w_cd AS (PARTITION BY transaction_date, cust_id)
+)
+SELECT /*+ BROADCAST(d), BROADCAST(m) */
+       d.date_key,
+       a1.transaction_date, a1.cust_id, a1.acc_id, a1.account_type_name,
+       a1.account_no_transactions_daily,
+       a1.account_daily_spending,
+       a1.cust_no_transaction_daily,
+       a1.cust_daily_payment_type,
+       a1.cust_daily_spending,
+       ROUND(m.month_sum / m.month_cnt, 2)  AS avg_monthly_spending,
+       d.day_type, d.is_holiday
+FROM windowed a1
+JOIN cte_month_avg m
+  ON m.month_key = month(a1.transaction_date)
+JOIN date_dim d
+  ON d.full_date = a1.transaction_date""")
+    split = running_sum_split(
+        pre, ["cust_id", "acc_id"], "transaction_date",
+        "account_daily_spending", "account_accum_spending",
+        coarse_bucket_seconds)
+    split = running_sum_split(
+        split, ["cust_id"], "transaction_date",
+        "account_daily_spending", "cust_accum_spending",
+        coarse_bucket_seconds)
+    return split.select(
+        "date_key", "transaction_date", "cust_id", "acc_id",
+        "account_type_name", "account_no_transactions_daily",
+        F.round("account_daily_spending", 2).alias("account_daily_spending"),
+        F.round("account_accum_spending", 2).alias("account_accum_spending"),
+        "cust_no_transaction_daily",
+        F.round("cust_daily_spending", 2).alias("cust_daily_spending"),
+        "cust_daily_payment_type",
+        F.round("cust_accum_spending", 2).alias("cust_accum_spending"),
+        "avg_monthly_spending", "day_type", "is_holiday",
+    ).orderBy("cust_id", "transaction_date", "acc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -132,6 +132,19 @@ def fact_snapshot(spark, sf_dir):
     return build_fact_snapshot(spark, sf_dir, fidelity=False)
 
 
+@q("fact_snapshot_split", _FLAGSHIP_ORACLE_BODY.format(extra="AND c2.transaction_date = a1.transaction_date"))
+def fact_snapshot_split(spark, sf_dir):
+    """Hot-key-split flagship (VERDICT r5 item 7): both running-sum
+    windows go through operators/windows.py running_sum_split with
+    ~90-day buckets, so a whale customer's history spreads across many
+    tasks instead of serializing one window partition.  Shares
+    fact_snapshot's oracle — the split must be value-identical."""
+    from aws_etl_bank_spark.plans.flagship import build_fact_snapshot
+
+    return build_fact_snapshot(spark, sf_dir, fidelity=False,
+                               coarse_bucket_seconds=90 * 86400.0)
+
+
 @q(
     "fact_snapshot_fidelity",
     "WITH base AS ({body}) SELECT * FROM base WHERE cust_id < 100".format(

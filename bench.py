@@ -121,15 +121,33 @@ def main():
         timings[name] = round(ts[len(ts) // 2], 3)
         spread[name] = round(ts[-1] - ts[0], 3)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "samples": {n: [round(t, 3) for t in ts] for n, ts in samples.items()},
         "runs": RUNS,
         "sf": float(sf),
-    }))
+    }
+    # Full result (per-query samples + spreads) goes to a repo file: the
+    # driver's stdout tail capture is ~2000 chars and r5's line outgrew
+    # it (BENCH_r05.json parsed=null, medians clipped).  stdout carries
+    # a compact separator-free line — queries + medians only — that
+    # stays well under the capture limit and parses on its own.
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "BENCH_local.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps({
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": RUNS,
+        "sf": float(sf),
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

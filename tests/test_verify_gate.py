@@ -35,3 +35,24 @@ def test_ordinary_floats_still_round():
     assert norm_value(1.23456789) == 1.234568
     assert norm_value(float("nan")) == "NaN"
     assert norm_value(-1.5) == -1.5
+
+
+def test_bench_stdout_line_fits_driver_capture():
+    """r5's BENCH artifact was clipped (parsed=null): the stdout JSON
+    outgrew the driver's ~2000-char tail capture.  The compact line —
+    medians only, no spreads/samples — must stay under the limit even
+    with worst-case 4-digit-second timings; the full detail goes to
+    bench_out/BENCH_local.json instead."""
+    import json
+
+    import bench
+
+    line = json.dumps({
+        "metric": "headline_total_runtime",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 9999.999 for n in bench.HEADLINE},
+        "runs": 3,
+        "sf": 0.1,
+    }, separators=(",", ":"))
+    assert len(line) < 1900, len(line)
