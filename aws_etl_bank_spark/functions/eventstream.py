@@ -67,14 +67,20 @@ def funnel_stages(df: DataFrame, stages: list[str],
     # stage 0: plain earliest; stage k: earliest element ≥ stage k-1's
     # ts (a NULL prev makes the lambda NULL → filter drops everything →
     # element_at on empty is NULL, propagating the broken funnel).
-    out = lists.withColumn(f"{first}_ts", F.element_at(f"__{first}", 1))
+    # try_element_at, not element_at: the out-of-bounds-is-NULL behavior
+    # this relies on — hit on EVERY broken funnel — is non-ANSI; under
+    # Spark 4's default ansi=true plain element_at raises
+    # INVALID_ARRAY_INDEX on the empty filtered array, so the library
+    # must not depend on the session pinning ansi=false.
+    out = lists.withColumn(f"{first}_ts",
+                           F.try_element_at(F.col(f"__{first}"), F.lit(1)))
     prev = f"{first}_ts"
     for s in stages[1:]:
         out = out.withColumn(
             f"{s}_ts",
-            F.element_at(
+            F.try_element_at(
                 F.filter(F.col(f"__{s}"),
-                         lambda x: x >= F.col(prev)), 1))
+                         lambda x: x >= F.col(prev)), F.lit(1)))
         prev = f"{s}_ts"
     return (out.where(F.col(f"{first}_ts").isNotNull())
             .select(user_col, *[f"{s}_ts" for s in stages]))

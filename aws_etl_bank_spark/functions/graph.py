@@ -74,6 +74,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                  .union(ew.select(F.col("dst").alias("id")))
                  .distinct().persist())
     n = nodes.count()
+    if n == 0:
+        # empty edge frame: return an empty (id, pagerank) result with
+        # the right schema instead of ZeroDivisionError on the driver
+        return nodes.withColumn("pagerank", F.lit(0.0))
     ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     checkpoint_interval = 5

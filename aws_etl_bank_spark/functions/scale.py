@@ -108,21 +108,56 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 
     catalog, a managed-table DIRECTORY can outlive the session that
     registered it — the fresh session's catalog has no such table, so
     even ``mode=overwrite`` refuses to create over the leftover path.
-    A path with no catalog entry is garbage by definition; remove it."""
+    The leftover is renamed ASIDE (never rmtree'd in place): a
+    concurrent session that still holds the directory open — this
+    session's catalog cannot see another session's registration, so
+    "no catalog entry" does not prove "garbage" — keeps its open file
+    handles across the rename on POSIX, and the data stays recoverable
+    until the new table commits, at which point the aside is dropped.
+    The path is derived per the catalog's location rules (default-db
+    tables at ``wh/tbl``; qualified ``db.tbl`` at ``wh/db.db/tbl``), so
+    healing no longer silently no-ops on qualified names."""
     import os
     import shutil
+    import uuid
     from urllib.parse import urlparse
 
     spark = df.sparkSession
+    aside = None
     if not spark.catalog.tableExists(table):
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        stale = os.path.join(wh, table.lower())
+        stale = _managed_table_path(spark, table)
         if os.path.exists(stale):
-            shutil.rmtree(stale)
+            aside = f"{stale}.__stale__{uuid.uuid4().hex[:8]}"
+            os.rename(stale, aside)
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+    if aside is not None:
+        shutil.rmtree(aside, ignore_errors=True)
+
+
+def _managed_table_path(spark: SparkSession, table: str) -> str:
+    """Filesystem location of a managed table per the warehouse layout:
+    ``wh/<tbl>`` for the default database, ``wh/<db>.db/<tbl>`` for any
+    other — mirroring Spark's SessionCatalog.defaultTablePath.  Accepts
+    ``tbl``, ``db.tbl`` and ``catalog.db.tbl`` forms."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    parts = table.split(".")
+    if len(parts) == 3:
+        parts = parts[1:]  # strip the catalog qualifier
+    if len(parts) == 2:
+        db, tbl = parts
+    elif len(parts) == 1:
+        db, tbl = "default", parts[0]
+    else:
+        raise ValueError(f"unparseable table name: {table!r}")
+    if db.lower() == "default":
+        return os.path.join(wh, tbl.lower())
+    return os.path.join(wh, f"{db.lower()}.db", tbl.lower())
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
@@ -411,12 +446,30 @@ def compact_small_files(spark: SparkSession, path: str,
     File count = ceil(current_bytes / target), coalesce (no shuffle)
     unless ``sort_within`` asks for a sortWithinPartitions pass to
     restore min/max pruning locality.  Writes to a sibling temp dir and
-    atomically renames, so a concurrent reader sees old or new files,
-    never a half-written mix.  Returns the new file count."""
+    swaps via two renames.  Each rename is atomic, but the PAIR is not:
+    a reader that lists ``path`` in the instant between them gets
+    FileNotFound (retry-once is the reader contract on a maintained
+    dataset; a table format with a commit log removes even that window
+    — out of scope here).  Crash safety: a run that dies between the
+    renames leaves the data intact in ``.__compact_old__``, and the
+    next call RESTORES it to ``path`` before compacting (old is only
+    disposable when ``path`` itself exists — i.e. the swap completed).
+    Returns the new file count."""
     import math
     import os
     import shutil
 
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    # crash recovery BEFORE reading: a previous run that died mid-swap
+    # left path missing and the data in old — put it back.  tmp was
+    # never swapped in and is always disposable; old is disposable only
+    # once path exists again.
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
@@ -425,14 +478,6 @@ def compact_small_files(spark: SparkSession, path: str,
     out = df.coalesce(n)
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    old = path.rstrip("/") + ".__compact_old__"
-    # a crashed previous run can leave either sibling behind; both are
-    # disposable by construction (tmp was never swapped in, old was
-    # already swapped out)
-    for leftover in (tmp, old):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
     out.write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -473,12 +473,18 @@ def hash_split(df: DataFrame, id_col: str, train: int = 80, val: int = 10,
     plain bigint arithmetic that any engine reproduces bit-for-bit
     (which is also what makes it oracle-checkable); swap in
     ``xxhash64`` when ids are adversarial/clustered and cross-engine
-    reproducibility is not required.  Ids are assumed non-negative
-    (``%`` keeps the dividend's sign, so a negative id would land every
-    row in "test").  Map-only: zero shuffles."""
+    reproducibility is not required.  Computed as
+    ``pmod(pmod(id, 97) · (2654435761 mod 97), 97)`` — identical by
+    modular arithmetic, but the intermediate is bounded (< 97·96) so it
+    can never overflow int64: the raw product wraps silently in Spark
+    (ansi=false) for ids ≳ 3.5e9 while DuckDB raises, which would break
+    the cross-engine bit-for-bit claim exactly where it matters.
+    ``pmod`` also gives negative ids a well-defined bucket instead of
+    funnelling them all into "test".  Map-only: zero shuffles."""
     if not (0 < train and 0 <= val and train + val < 97):
         raise ValueError("need 0 < train, 0 <= val, train + val < 97")
-    b = (F.col(id_col).cast("long") * F.lit(2654435761).cast("long")) % 97
+    b = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(97))
+               * F.lit(2654435761 % 97), F.lit(97))
     return df.withColumn(
         split_col,
         F.when(b < train, F.lit("train"))
@@ -546,8 +552,13 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
               .agg(F.round(F.sum("__lr"), 4).alias("log_weight"),
                    F.count(F.lit(1)).alias("n_words")))
     if gumbel:
-        u = (((F.col(id_col).cast("long") * F.lit(2654435761).cast("long")) % 1000003
-              ).cast("double") + 0.5) / 1000003.0
+        # bounded-intermediate Knuth hash, same rationale as hash_split:
+        # pmod first so the product stays < 1000003·427799 (no int64
+        # wrap for huge ids, no engine divergence) and negative ids get
+        # u in (0,1) instead of u<0 whose log(-log u) is NaN
+        u = (F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(1000003))
+                    * F.lit(2654435761 % 1000003), F.lit(1000003))
+             .cast("double") + 0.5) / 1000003.0
         scored = scored.withColumn("score", F.round(F.col("log_weight") - F.log(-F.log(u)), 4))
     else:
         scored = scored.withColumn("score", F.col("log_weight"))

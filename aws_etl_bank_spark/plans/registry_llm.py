@@ -1681,8 +1681,8 @@ def text_unigram_logprob(spark, sf_dir):
 
 @q("text_hash_split", """
 SELECT doc_id,
-       CASE WHEN (doc_id * 2654435761) % 97 < 80 THEN 'train'
-            WHEN (doc_id * 2654435761) % 97 < 90 THEN 'val'
+       CASE WHEN (((doc_id % 97 + 97) % 97) * 12) % 97 < 80 THEN 'train'
+            WHEN (((doc_id % 97 + 97) % 97) * 12) % 97 < 90 THEN 'val'
             ELSE 'test' END AS split,
        lang
 FROM documents""")
@@ -1859,7 +1859,8 @@ dw AS (SELECT doc_id, round(sum(lr), 4) AS log_weight,
        FROM rw JOIN lr USING (w) GROUP BY doc_id)
 SELECT doc_id, log_weight, n_words,
        round(log_weight - ln(-ln(
-           (((doc_id * 2654435761) % 1000003) + 0.5) / 1000003.0)), 4) AS score
+           ((((doc_id % 1000003 + 1000003) % 1000003) * 427799) % 1000003
+            + 0.5) / 1000003.0)), 4) AS score
 FROM dw ORDER BY score DESC, doc_id LIMIT 50""")
 def llm_dsir_select(spark, sf_dir):
     """DSIR data selection (llm/text.py dsir_select): pick the 50 raw

@@ -207,3 +207,18 @@ def test_cohort_retention_excludes_preanchor(spark):
 
     with pytest.raises(ValueError):
         cohort_retention(ev, "signup", bucket_seconds=0)
+
+
+def test_funnel_arrays_strategy_ansi_safe(events, spark):
+    # ADVICE r5: the arrays strategy hits element_at on an EMPTY
+    # filtered array for every broken funnel — must not raise
+    # INVALID_ARRAY_INDEX under Spark 4's default ansi=true
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = {r.user_id: r for r in
+               funnel_stages(events, ["view", "click", "purchase"],
+                             strategy="arrays").collect()}
+        assert set(out) == {1, 2}
+        assert out[2].purchase_ts is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -36,3 +36,13 @@ def test_pagerank_no_inedge_node_gets_floor(spark):
     ranks = {r["id"]: r["pagerank"]
              for r in pagerank(df.union(extra), iterations=2).collect()}
     assert ranks[3] == pytest.approx((1 - 0.85) / 3)
+
+
+def test_pagerank_empty_graph_returns_empty_frame(spark):
+    # ADVICE r5: no ZeroDivisionError on an empty edge list
+    from aws_etl_bank_spark.functions.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty)
+    assert out.columns == ["id", "pagerank"]
+    assert out.count() == 0

@@ -911,6 +911,36 @@ def test_hash_split_deterministic_and_proportional(spark):
         text.hash_split(df, "doc_id", train=90, val=10)
 
 
+def test_hash_split_huge_and_negative_ids(spark):
+    """ADVICE r5: id*2654435761 wraps int64 for ids ≳ 3.5e9 (Spark
+    wraps silently, DuckDB raises).  The bounded pmod form must equal
+    the mathematical (id·K) mod 97 — computed here in Python's
+    arbitrary-precision ints — for huge ids, and give negative ids a
+    well-defined bucket (old behavior: every negative id → 'test')."""
+    ids = [0, 1, 3_500_000_000, 2**62, 2**63 - 1, -1, -97, -12345]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["split"]
+           for r in text.hash_split(df, "doc_id").collect()}
+    for i in ids:
+        b = ((i % 97) * (2654435761 % 97)) % 97  # Python % is pmod
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[i] == want, (i, b, got[i])
+
+
+def test_dsir_gumbel_u_term_defined_for_huge_and_negative_ids(spark):
+    # the deterministic Gumbel noise must stay in (0,1) — no NaN from
+    # log(-log u) — for ids beyond the old int64-overflow boundary and
+    # for negative ids
+    ids = [2**62, -5, 3_500_000_001]
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in ids], "doc_id long, text string")
+    target = spark.createDataFrame([("alpha beta",)], "text string")
+    rows = text.dsir_select(raw, target).collect()
+    assert len(rows) == 3
+    assert all(r["score"] is not None and not math.isnan(r["score"])
+               for r in rows)
+
+
 def test_minhash_incremental_matches_vs_full_lsh(docs, spark):
     """Indexing the corpus once and joining a batch against the stored
     index must agree with full LSH over corpus ∪ batch at the COMPONENT

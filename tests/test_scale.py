@@ -214,6 +214,62 @@ def test_compact_small_files_reduces_count_and_preserves_rows(spark, tmp_path):
     assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10_000))
 
 
+def test_compact_restores_crashed_swap(spark, tmp_path):
+    """ADVICE r5: a run that died between the two renames leaves the
+    data only in .__compact_old__ — the next call must restore it to
+    ``path`` instead of treating the leftover as disposable."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 1000).write.parquet(path)
+    # simulate the crash window: path swapped out, tmp never swapped in
+    os.rename(path, path + ".__compact_old__")
+    assert not os.path.exists(path)
+    n = scale.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + ".__compact_old__")
+    shutil.rmtree(path)
+
+
+def test_managed_table_path_layout(spark):
+    # ADVICE r5: qualified names previously resolved to wh/db.tbl (a
+    # path Spark never uses), silently no-op'ing the healing
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    p = scale._managed_table_path
+    assert p(spark, "t1") == os.path.join(wh, "t1")
+    assert p(spark, "default.T1") == os.path.join(wh, "t1")
+    assert p(spark, "mydb.t1") == os.path.join(wh, "mydb.db", "t1")
+    assert p(spark, "spark_catalog.mydb.t1") == os.path.join(
+        wh, "mydb.db", "t1")
+    with pytest.raises(ValueError):
+        p(spark, "a.b.c.d")
+
+
+def test_write_bucketed_heals_orphan_dir_via_rename_aside(spark, tmp_path):
+    import os
+    from urllib.parse import urlparse
+
+    table = "orphan_heal_probe"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(wh, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    scale.write_bucketed(df, table, "k", n_buckets=4)
+    assert spark.table(table).count() == 100
+    # the aside is cleaned up after a successful commit
+    assert not any(e.startswith(f"{table}.__stale__")
+                   for e in os.listdir(wh))
+    spark.sql(f"DROP TABLE {table}")
+
+
 def test_skew_report_shares_and_ranks(spark):
     df = spark.createDataFrame(
         [(k,) for k in ["a"] * 70 + ["b"] * 20 + ["c"] * 10], "k string")
