@@ -508,3 +508,107 @@ def skew_report(df: DataFrame, *keys: str, top: int = 10) -> DataFrame:
                 F.round(F.col("n") / F.col("__t"), 6).alias("share"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def top_fraction(df: DataFrame, score_col: str, fraction: float,
+                 tie_col: str, descending: bool = True,
+                 n_buckets: int = 10_000) -> DataFrame:
+    """Exactly the top ``fraction`` of rows by ``(score_col, tie_col)``
+    — the curation primitive "keep the best 20% of the corpus by
+    quality score" — WITHOUT a global sort or a corpus-wide window.
+
+    A naive ``ORDER BY score LIMIT k`` funnels every row through one
+    GlobalLimit partition, and ``percent_rank() OVER ()`` is a
+    single-task window: both are walls at 100 TB.  This is the classic
+    two-pass distributed selection instead:
+
+    1. one aggregation pass builds a ``n_buckets`` equi-width histogram
+       of the score (min/max from the same pass; tiny result);
+    2. the cumulative histogram (driver-side over <= n_buckets rows,
+       never data) locates the bucket containing the k-th row: rows in
+       strictly-better buckets are selected wholesale — no sort ever
+       touches them;
+    3. only the BOUNDARY bucket (~n/n_buckets rows) is ranked exactly
+       by ``(score, tie_col)`` to pick its remainder.  That ranking is
+       a single window over one bucket's rows — document-scale, not
+       corpus-scale; raise ``n_buckets`` if scores concentrate.
+
+    Ties on ``(score, tie_col)`` must be unique (``tie_col`` a key) for
+    "exactly k rows" to be well-defined.  Deterministic and
+    engine-reproducible when ``score_col`` is (as the quality scores
+    here are) a value both engines compute bit-identically — the
+    DuckDB oracle is a plain QUALIFY row_number() form.
+
+    Returns the selected rows with their original columns.
+    """
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError("fraction must be in (0, 1]")
+    # n counts NON-NULL scores: a NULL score joins no bucket and can
+    # never be selected, so the fraction is over the scoreable universe
+    stats = df.agg(
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi"),
+        F.count(score_col).alias("n")).collect()[0]
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if n == 0:
+        return df.limit(0)
+    k = int(n * fraction)
+    if k == 0:
+        return df.limit(0)
+    if k >= n:
+        return df
+    if lo == hi:
+        # all scores identical: the histogram cannot discriminate, so
+        # the whole frame IS the boundary bucket — one exact ranking by
+        # tie_col (the documented degenerate case; corpus-wide window)
+        bucket = F.lit(0).cast("int")
+        n_buckets = 1
+    else:
+        width = (float(hi) - float(lo)) / n_buckets
+        # bucket 0 = best scores when descending
+        raw = F.floor((F.col(score_col).cast("double") - F.lit(float(lo)))
+                      / F.lit(width))
+        idx = F.least(raw, F.lit(n_buckets - 1)).cast("int")
+        bucket = (F.lit(n_buckets - 1) - idx) if descending else idx
+    hist = {r["b"]: r["c"] for r in
+            df.filter(F.col(score_col).isNotNull())
+            .select(bucket.alias("b")).groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c")).collect()}
+    cum = 0
+    boundary = None
+    for b in range(n_buckets):
+        c = hist.get(b, 0)
+        if cum + c >= k:
+            boundary = b
+            break
+        cum += c
+    take_from_boundary = k - cum
+    # least(NULL, x) = x, so a NULL score would otherwise land in the
+    # top bucket; the selection universe is the non-null scores only
+    tagged = df.filter(F.col(score_col).isNotNull()).withColumn("__tfb", bucket)
+    whole = tagged.filter(F.col("__tfb") < boundary)
+    order = [F.col(score_col).desc() if descending else F.col(score_col).asc(),
+             F.col(tie_col).asc()]
+    from pyspark.sql import Window
+    bnd = (tagged.filter(F.col("__tfb") == boundary)
+           .withColumn("__tfr", F.row_number().over(
+               Window.partitionBy("__tfb").orderBy(*order)))
+           .filter(F.col("__tfr") <= take_from_boundary)
+           .drop("__tfr"))
+    return whole.unionByName(bnd).drop("__tfb")
+
+
+def shuffle_key(id_col: Column | str, epoch: int = 0,
+                modulus: int = 1_000_003) -> Column:
+    """Deterministic, engine-reproducible training-order shuffle key:
+    ``pmod(pmod(id + epoch·7919, M) · (2654435761 mod M), M)`` — order
+    a corpus by ``(shuffle_key, id)`` to get a reproducible pseudo-
+    random epoch ordering, and bump ``epoch`` for the next pass.  The
+    bounded-intermediate Knuth form (see llm/text.py hash_split) never
+    overflows int64 and gives negative ids a defined key; a total sort
+    on the key is range-partitioned by Spark — scale-safe, unlike
+    rank-assignment (a global row_number window).  Collisions (corpus
+    > M) are broken by the id, costing only local order randomness."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    shifted = c.cast("long") + F.lit(epoch * 7919)
+    return F.pmod(F.pmod(shifted, F.lit(modulus))
+                  * F.lit(2654435761 % modulus), F.lit(modulus))

@@ -272,8 +272,9 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, emb.filter("vec_id < 5"), 10, n_cells=16, nprobe=4)
 
 
-@q("text_stats_quality", f"""
-WITH w AS (
+#: the quality-score model as DuckDB CTEs — shared by the stats entry
+#: and the top-fraction selection oracle
+_QUALITY_CTES = f"""w AS (
     SELECT doc_id, text,
            string_split_regex(lower(text), '\\s+') AS words,
            length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
@@ -288,12 +289,21 @@ s AS (
            round(len(list_filter(words, x -> x IN {_EN})) / CAST(len(words) AS DOUBLE), 4)
                AS stopword_ratio
     FROM w
-)
+),
+q AS (
 SELECT doc_id, n_chars_computed, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
        round((least(n_tokens / 100.0, 1.0) * 0.5 + least(stopword_ratio * 5.0, 1.0) * 0.3)
              * greatest(0.0, 1.0 - punct_ratio * 5.0)
              + 0.2 * greatest(0.0, 1.0 - punct_ratio * 5.0) + 0.000000001, 4) AS quality
-FROM s""")
+FROM s
+)"""
+
+
+@q("text_stats_quality", f"""
+WITH {_QUALITY_CTES}
+SELECT doc_id, n_chars_computed, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+       quality
+FROM q""")
 def text_stats_quality(spark, sf_dir):
     from aws_etl_bank_spark.llm import quality_score
 
@@ -302,6 +312,46 @@ def text_stats_quality(spark, sf_dir):
         "doc_id", "n_chars_computed", "n_tokens", "avg_token_len",
         "punct_ratio", "stopword_ratio", "quality",
     )
+
+
+@q("text_quality_top_fraction", f"""
+WITH {_QUALITY_CTES}
+SELECT doc_id, quality FROM q
+WHERE quality IS NOT NULL
+QUALIFY row_number() OVER (ORDER BY quality DESC, doc_id)
+        <= CAST(floor(0.2 * (COUNT(*) OVER ())) AS BIGINT)""")
+def text_quality_top_fraction(spark, sf_dir):
+    """Exact top-20%-by-quality corpus selection via the distributed
+    histogram-selection operator (functions/scale.py top_fraction): rows
+    in strictly-better histogram buckets are selected wholesale and only
+    the boundary bucket (~n/n_buckets rows) is exactly ranked — no
+    global sort, no corpus-wide window, unlike the oracle's
+    row_number() OVER () form which is the single-task shape this
+    operator exists to avoid.  Exactly floor(0.2·n) rows."""
+    from aws_etl_bank_spark.functions.scale import top_fraction
+    from aws_etl_bank_spark.llm import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality")
+    return top_fraction(scored, "quality", 0.2, "doc_id")
+
+
+@q("scale_shuffle_key", """
+SELECT doc_id,
+       ((((doc_id + 7919) % 1000003 + 1000003) % 1000003) * 427799)
+           % 1000003 AS skey
+FROM documents""")
+def scale_shuffle_key(spark, sf_dir):
+    """Deterministic epoch-shuffle key (functions/scale.py shuffle_key):
+    order by (skey, id) for a reproducible pseudo-random training order;
+    epoch=1 shifts the permutation.  Engine-reproducible bounded Knuth
+    arithmetic (the hash_split/dsir family), map-only, zero shuffles —
+    the ordering itself is a range-partitioned sort when materialized,
+    never a rank-assignment window."""
+    from aws_etl_bank_spark.functions.scale import shuffle_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", shuffle_key("doc_id", epoch=1).alias("skey"))
 
 
 @q("text_token_counts", """

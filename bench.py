@@ -80,6 +80,9 @@ HEADLINE = [
     # rewritten as one window over the order key (q21)
     "tpch_q9_product_type_profit",
     "tpch_q21_waiting_supplier",
+    # r06 addition: the hot-key-split flagship next to the plain form
+    # (the running-sum sibling of the asof/zscore split pairs)
+    "fact_snapshot_split",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —

@@ -333,3 +333,60 @@ def test_zorder_roundtrip_and_2d_pruning(spark, scratch):
         scale.write_zorder_clustered(df, zpath, [], bits=8)
     with pytest.raises(ValueError):
         scale.write_zorder_clustered(df, zpath, ["x", "y"], bits=32)
+
+
+def test_top_fraction_exact_selection(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, round(rnd.uniform(0, 1), 4)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    out = scale.top_fraction(df, "score", 0.25, "id", n_buckets=50)
+    got = sorted((r["score"], r["id"]) for r in out.collect())
+    want = sorted(sorted(((s, i) for i, s in rows),
+                         key=lambda t: (-t[0], t[1]))[:500])
+    assert got == want  # exactly the top 500 by (score desc, id asc)
+
+
+def test_top_fraction_degenerate_cases(spark):
+    df = spark.createDataFrame([(i, 0.5) for i in range(100)],
+                               "id long, score double")
+    # all-equal scores: selection degrades to smallest tie ids
+    out = scale.top_fraction(df, "score", 0.1, "id")
+    assert sorted(r["id"] for r in out.collect()) == list(range(10))
+    # fraction covering everything
+    assert scale.top_fraction(df, "score", 1.0, "id").count() == 100
+    # NULL scores are never selected and don't count toward n
+    withnull = spark.createDataFrame(
+        [(1, 0.9), (2, None), (3, 0.1), (4, 0.5)], "id long, score double")
+    got = sorted(r["id"] for r in
+                 scale.top_fraction(withnull, "score", 0.67, "id").collect())
+    assert got == [1, 4]  # floor(0.67*3)=2 best non-null
+    with pytest.raises(ValueError):
+        scale.top_fraction(df, "score", 0.0, "id")
+
+
+def test_top_fraction_has_no_corpus_window(spark):
+    # the whole point: no row_number/percent_rank over the full frame —
+    # the only window is partitioned by the boundary-bucket tag
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.pmod(F.col("id") * 37, F.lit(1000)) / 1000.0).alias("score"))
+    out = scale.top_fraction(df, "score", 0.2, "id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__tfb" in spec, spec
+
+
+def test_shuffle_key_deterministic_and_epoch_varies(spark):
+    df = spark.range(0, 1000).select(F.col("id"))
+    k0 = [r[0] for r in df.select(scale.shuffle_key("id", 0)).collect()]
+    k0b = [r[0] for r in df.select(scale.shuffle_key("id", 0)).collect()]
+    k1 = [r[0] for r in df.select(scale.shuffle_key("id", 1)).collect()]
+    assert k0 == k0b                      # reproducible
+    assert k0 != k1                       # epoch changes the permutation
+    assert all(0 <= v < 1_000_003 for v in k0)
+    # huge / negative ids stay defined (bounded arithmetic)
+    big = spark.createDataFrame([(2**62,), (-5,)], "id long")
+    vals = [r[0] for r in big.select(scale.shuffle_key("id", 3)).collect()]
+    assert all(v is not None and 0 <= v < 1_000_003 for v in vals)
