@@ -612,3 +612,33 @@ def shuffle_key(id_col: Column | str, epoch: int = 0,
     shifted = c.cast("long") + F.lit(epoch * 7919)
     return F.pmod(F.pmod(shifted, F.lit(modulus))
                   * F.lit(2654435761 % modulus), F.lit(modulus))
+
+
+def top_fraction_by_group(df: DataFrame, group_cols: list[str],
+                          score_col: str, fraction: float, tie_col: str,
+                          descending: bool = True) -> DataFrame:
+    """Top ``fraction`` of rows WITHIN each group — "keep the best 30%
+    per language / per domain", the stratified sibling of
+    :func:`top_fraction`.
+
+    Here a window IS the scale-correct tool: the rank is partitioned by
+    ``group_cols``, so parallelism = number of groups and no task sees
+    more than one group (the global form is where a window collapses to
+    one task — that is what :func:`top_fraction` replaces).  If a single
+    GROUP is itself whale-sized, apply :func:`top_fraction` to that
+    group's rows instead.  NULL scores are excluded from each group's
+    universe, matching :func:`top_fraction`; exactly
+    ``floor(fraction · group_n)`` rows per group."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError("fraction must be in (0, 1]")
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).desc() if descending else F.col(score_col).asc(),
+             F.col(tie_col).asc()]
+    nn = df.filter(F.col(score_col).isNotNull())
+    w = Window.partitionBy(*group_cols)
+    ranked = (nn.withColumn("__tfr", F.row_number().over(w.orderBy(*order)))
+              .withColumn("__tfn", F.count(F.lit(1)).over(w)))
+    return (ranked
+            .filter(F.col("__tfr") <= F.floor(F.col("__tfn") * F.lit(fraction)))
+            .drop("__tfr", "__tfn"))

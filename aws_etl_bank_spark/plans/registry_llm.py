@@ -336,6 +336,27 @@ def text_quality_top_fraction(spark, sf_dir):
     return top_fraction(scored, "quality", 0.2, "doc_id")
 
 
+@q("text_quality_top_fraction_by_lang", f"""
+WITH {_QUALITY_CTES},
+ql AS (SELECT q.doc_id, d.lang, q.quality
+       FROM q JOIN documents d ON d.doc_id = q.doc_id
+       WHERE q.quality IS NOT NULL)
+SELECT doc_id, lang, quality FROM ql
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+        <= CAST(floor(0.3 * (COUNT(*) OVER (PARTITION BY lang))) AS BIGINT)""")
+def text_quality_top_fraction_by_lang(spark, sf_dir):
+    """Stratified curation: the best 30% of documents PER LANGUAGE
+    (functions/scale.py top_fraction_by_group) — a grouped window is
+    the scale-correct shape here (parallelism = #groups), unlike the
+    global selection where a window collapses to one task."""
+    from aws_etl_bank_spark.functions.scale import top_fraction_by_group
+    from aws_etl_bank_spark.llm import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "lang", "quality")
+    return top_fraction_by_group(scored, ["lang"], "quality", 0.3, "doc_id")
+
+
 @q("scale_shuffle_key", """
 SELECT doc_id,
        ((((doc_id + 7919) % 1000003 + 1000003) % 1000003) * 427799)

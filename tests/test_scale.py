@@ -390,3 +390,29 @@ def test_shuffle_key_deterministic_and_epoch_varies(spark):
     big = spark.createDataFrame([(2**62,), (-5,)], "id long")
     vals = [r[0] for r in big.select(scale.shuffle_key("id", 3)).collect()]
     assert all(v is not None and 0 <= v < 1_000_003 for v in vals)
+
+
+def test_top_fraction_by_group_exact_per_group(spark):
+    rows = []
+    for g in ("a", "b"):
+        for i in range(10):
+            rows.append((g, i, float(i if g == "a" else 9 - i)))
+    rows.append(("a", 99, None))  # NULL score: not in a's universe
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    out = scale.top_fraction_by_group(df, ["g"], "score", 0.3, "id")
+    got = {(r["g"], r["id"]) for r in out.collect()}
+    # a: top-3 scores are ids 9,8,7; b: scores 9-i → ids 0,1,2
+    assert got == {("a", 9), ("a", 8), ("a", 7),
+                   ("b", 0), ("b", 1), ("b", 2)}
+    with pytest.raises(ValueError):
+        scale.top_fraction_by_group(df, ["g"], "score", 1.5, "id")
+
+
+def test_top_fraction_by_group_window_is_group_partitioned(spark):
+    df = spark.createDataFrame(
+        [("x", i, float(i)) for i in range(50)], "g string, id long, score double")
+    out = scale.top_fraction_by_group(df, ["g"], "score", 0.5, "id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(re.search(r"\bg#\d+", s) for s in specs), specs
