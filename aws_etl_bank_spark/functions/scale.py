@@ -555,7 +555,9 @@ def top_fraction(df: DataFrame, score_col: str, fraction: float,
     if k == 0:
         return df.limit(0)
     if k >= n:
-        return df
+        # the whole (non-null-score) universe — same universe rule as
+        # the selective path, so fraction=1.0 still excludes NULL scores
+        return df.filter(F.col(score_col).isNotNull())
     if lo == hi:
         # all scores identical: the histogram cannot discriminate, so
         # the whole frame IS the boundary bucket — one exact ranking by

@@ -416,3 +416,11 @@ def test_top_fraction_by_group_window_is_group_partitioned(spark):
     import re
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all(re.search(r"\bg#\d+", s) for s in specs), specs
+
+
+def test_top_fraction_full_fraction_excludes_null_scores(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, None), (3, 0.1)], "id long, score double")
+    got = sorted(r["id"] for r in
+                 scale.top_fraction(df, "score", 1.0, "id").collect())
+    assert got == [1, 3]
