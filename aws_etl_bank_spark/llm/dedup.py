@@ -138,10 +138,17 @@ def _exact_class_split(df: DataFrame, text_col: str, id_col: str):
     texts, and the star edges reconnect members to the representative's
     component, so connected components / keep sets are unchanged (a star
     spans the same component as the clique)."""
+    # NULL keys on coalesce(text, ''): the shingle/token parsers have
+    # always treated a NULL text exactly like an empty string (split of
+    # NULL → [''] under the CASE fallback), so NULL docs ARE mutual
+    # exact duplicates of each other and of ''-text docs — the class key
+    # must agree with the downstream notion of identity or the star
+    # edges and the LSH pairs would disagree on NULL corpora.
+    norm_text = F.coalesce(F.col(text_col), F.lit(""))
     keyed = df.select(
         F.col(id_col),
-        F.xxhash64(F.col(text_col)).alias("__k1"),
-        F.xxhash64(F.col(text_col), F.lit(1)).alias("__k2"),
+        F.xxhash64(norm_text).alias("__k1"),
+        F.xxhash64(norm_text, F.lit(1)).alias("__k2"),
     )
     rep_per_class = keyed.groupBy("__k1", "__k2").agg(
         F.min(id_col).alias("__rep"))

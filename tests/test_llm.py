@@ -1038,3 +1038,23 @@ def test_dsir_select_prefers_target_domain(spark):
 
     with pytest.raises(ValueError):
         text.dsir_select(raw, target, lam=0.0)
+
+
+def test_lsh_null_texts_dedup_like_empty_strings(spark):
+    """The shingle parser has always treated NULL text as '' (CASE
+    fallback shingles to ['']), so NULL/empty docs are mutual exact
+    duplicates — the exact-class pre-pass must agree (keying on raw
+    xxhash64 would NOT: hash of a null input is the seed, but via a
+    different code path than coalesce — this pins the consistent
+    semantics): one star edge from the smallest id, keep-set keeps
+    only that survivor."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (4, ""), (3, "real content here today")],
+        "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, "text", "doc_id",
+                                    jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 4)}  # star from rep 1, never (2,4)
+    kept = dedup.minhash_dedup_keep(df, "text", "doc_id",
+                                    jaccard_threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
