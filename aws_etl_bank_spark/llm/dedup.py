@@ -976,12 +976,24 @@ def fuzzy_pairs_ed1(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def minhash_band_index(df: DataFrame, text_col: str, id_col: str,
                        num_perm: int = 64, bands: int = 16,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       collapse_exact: bool = False) -> DataFrame:
     """(id, band, band_hash) — the persistable LSH index rows for
     ``df``.  Writing this once per corpus (bucketed by band_hash) is
     what makes dedup INCREMENTAL: a new batch is indexed and joined
-    against the stored rows instead of re-hashing the whole corpus."""
+    against the stored rows instead of re-hashing the whole corpus.
+
+    ``collapse_exact=True`` stores ONE representative per byte-identical
+    text class (the :func:`_exact_class_split` pre-pass): an N-member
+    identical class otherwise contributes N copies of every band row,
+    so each colliding batch doc would fan out to N match rows — the
+    incremental sibling of the pair-generator blowup.  A batch doc
+    matching the representative still answers "is this a duplicate of
+    something ingested?"; keep the default when you need the match list
+    to name every historical copy."""
     rows_per_band = num_perm // bands
+    if collapse_exact:
+        df, _ = _exact_class_split(df, text_col, id_col)
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
     band_hashes = F.array(*[
         F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])

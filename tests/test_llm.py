@@ -1058,3 +1058,24 @@ def test_lsh_null_texts_dedup_like_empty_strings(spark):
     kept = dedup.minhash_dedup_keep(df, "text", "doc_id",
                                     jaccard_threshold=0.5)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_band_index_collapse_exact_bounds_match_fanout(spark):
+    # 50-member identical class in the corpus: a colliding batch doc
+    # must match 1 representative row, not 50
+    corpus = spark.createDataFrame(
+        [(i, "same page body mirrored fifty times t0 t1 t2 t3")
+         for i in range(50)] +
+        [(100, "something else entirely about spark plans today")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000, "same page body mirrored fifty times t0 t1 t2 t3")],
+        "doc_id long, text string")
+    full = dedup.minhash_incremental_matches(
+        batch, dedup.minhash_band_index(corpus, "text", "doc_id"))
+    assert full.count() == 50  # default: every historical copy named
+    collapsed = dedup.minhash_incremental_matches(
+        batch, dedup.minhash_band_index(corpus, "text", "doc_id",
+                                        collapse_exact=True))
+    rows = collapsed.collect()
+    assert len(rows) == 1 and rows[0]["corpus_id"] == 0
