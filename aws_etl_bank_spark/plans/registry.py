@@ -1594,6 +1594,44 @@ def agg_cube_grouping(spark, sf_dir):
     )
 
 
+@q("agg_rollup_nation_year", """
+SELECT coalesce(n.n_name, 'ALL') AS nation,
+       coalesce(CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT), -1) AS year,
+       CAST(GROUPING(n.n_name) * 2 + GROUPING(EXTRACT(YEAR FROM o.o_orderdate))
+            AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP(n.n_name, EXTRACT(YEAR FROM o.o_orderdate))""")
+def agg_rollup_nation_year(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate — (nation, year), (nation), ()
+    subtotals in ONE pass: Spark's Expand node emits each input row once
+    per grouping set BELOW the partial aggregation, so map-side combine
+    still applies and the shuffle carries pre-combined rows per set — no
+    re-scan per subtotal level, the property that matters when the fact
+    is 100 TB.  grouping_id() disambiguates a rollup NULL from a data
+    NULL on both engines (same bit order: Spark's grouping_id ==
+    GROUPING(a)*2 + GROUPING(b) in DuckDB).  Dims broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yr = F.year("o_orderdate").cast("int")
+    joined = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .select(F.col("n_name"), yr.alias("__y"), "o_totalprice"))
+    return (
+        joined.rollup("n_name", "__y")
+        .agg(F.grouping_id().alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                F.coalesce("__y", F.lit(-1)).alias("year"),
+                "gid", "n_orders", "revenue")
+    )
+
+
 @q("pivot_event_counts", """
 SELECT user_id,
        CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
