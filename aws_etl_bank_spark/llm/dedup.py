@@ -144,21 +144,23 @@ def _exact_class_split(df: DataFrame, text_col: str, id_col: str):
     # exact duplicates of each other and of ''-text docs — the class key
     # must agree with the downstream notion of identity or the star
     # edges and the LSH pairs would disagree on NULL corpora.
+    #
+    # Shape: ONE pass, ONE shuffle — min(id) as a window over the class
+    # key (classes are tiny, so (k1,k2)-partitioned windows are
+    # perfectly parallel), vs the groupBy + join-back form that scans
+    # the input twice and shuffles twice (measured ~0.5 s slower per
+    # call at sf0.1).
+    from pyspark.sql import Window
+
     norm_text = F.coalesce(F.col(text_col), F.lit(""))
-    keyed = df.select(
-        F.col(id_col),
-        F.xxhash64(norm_text).alias("__k1"),
-        F.xxhash64(norm_text, F.lit(1)).alias("__k2"),
-    )
-    rep_per_class = keyed.groupBy("__k1", "__k2").agg(
-        F.min(id_col).alias("__rep"))
-    members = keyed.join(rep_per_class, ["__k1", "__k2"]).select(
-        F.col(id_col), F.col("__rep"))
-    star = members.filter(F.col(id_col) != F.col("__rep")).select(
+    classed = df.withColumn("__k1", F.xxhash64(norm_text)).withColumn(
+        "__k2", F.xxhash64(norm_text, F.lit(1)))
+    classed = classed.withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("__k1", "__k2")))
+    star = classed.filter(F.col(id_col) != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
-    reps = df.join(
-        rep_per_class.select(F.col("__rep").alias(id_col)), id_col,
-        "left_semi")
+    reps = (classed.filter(F.col(id_col) == F.col("__rep"))
+            .drop("__k1", "__k2", "__rep"))
     return reps, star
 
 
