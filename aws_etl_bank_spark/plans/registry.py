@@ -2885,6 +2885,36 @@ def scale_bucketed_join(spark, sf_dir):
                     F.round("o_totalprice", 2).alias("total")))
 
 
+@q("win_rank_family", """
+SELECT user_id, event_id,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       ROUND(percent_rank() OVER w, 6) AS prnk,
+       ROUND(cume_dist()    OVER w, 6) AS cdist,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""")
+def win_rank_family(spark, sf_dir):
+    """The complete rank family per key — rank, dense_rank,
+    percent_rank, cume_dist, ntile — in ONE window pass (all five share
+    the same (user, value-order) windowspec, so Spark plans one sort +
+    one Window node).  Keyed partitions → fully parallel; the tie-break
+    on event_id makes every function's output deterministic, which is
+    what lets the oracle hash-match rather than rows-only."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 @q("win_first_last_nth", """
 SELECT DISTINCT user_id,
        first_value(event_type) OVER w AS first_ev,
