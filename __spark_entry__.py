@@ -45,6 +45,7 @@ _PRIORITY = [
     # epoch-shuffle key
     "text_quality_top_fraction", "text_quality_top_fraction_by_lang",
     "scale_shuffle_key", "agg_rollup_nation_year", "win_rank_family",
+    "src_xml_roundtrip",
     # the 19 entries with ZERO driver evidence (local-green only, r5
     # verdict "What's missing" #3)
     "dedup_semantic_pairs", "dedup_semantic_keep",
@@ -64,10 +65,10 @@ _PRIORITY = [
     "join_expr_month", "merge_upsert", "apply_mapping_cast",
     "select_fields_nested", "drop_fields_op", "rename_field_op",
     "split_rows_match", "split_rows_rest", "split_fields_op",
-    "filter_python_predicate", "filter_drop_policy", "map_python_records",
+    "filter_python_predicate", "filter_drop_policy",
     # ---- 50-slot waterline (the driver caps here) ----
     # r7 rotation continues the r2/r3 refresh from this point
-    "map_error_policy", "drop_null_fields_op",
+    "map_python_records", "map_error_policy", "drop_null_fields_op",
     "union_by_name_drift", "union_choice_cast", "resolve_choice_make_cols",
     "subtract_op", "intersect_op", "distinct_op", "orderby_topk",
     "sample_limit",

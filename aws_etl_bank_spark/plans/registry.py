@@ -2407,6 +2407,33 @@ def src_orc_roundtrip(spark, sf_dir):
             .select("n_nationkey", "n_name", "n_regionkey"))
 
 
+@q("src_xml_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+def src_xml_roundtrip(spark, sf_dir):
+    """XML source/sink through the format-dispatched DataSource/DataSink
+    path — Spark 4's NATIVE xml datasource (rowTag option), no external
+    jar: nation written as <nation> row elements, read back via
+    getSource("file", format="xml").  Element order within a row is not
+    positional, so columns are re-selected by name; values and schema
+    must round-trip exactly (the XML reader infers longs for the int
+    columns — cast back to the table's types)."""
+    from aws_etl_bank_spark.context import EngineContext
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    path = _scratch(sf_dir, "nation_xml")
+    ctx = EngineContext(spark)
+    sink = ctx.getSink("file", format="xml", path=path,
+                       format_options={"rowTag": "nation"})
+    sink.write(DynamicFrame.fromDF(
+        load_table(spark, sf_dir, "nation"), ctx, "n"))
+    src = ctx.getSource("file", format="xml", paths=[path],
+                        format_options={"rowTag": "nation"})
+    nat = load_table(spark, sf_dir, "nation")
+    types = dict(nat.select("n_nationkey", "n_name", "n_regionkey").dtypes)
+    return (src.getFrame(glue_ctx=ctx, name="nation_xml").toDF()
+            .select(*[F.col(c).cast(t) for c, t in types.items()]))
+
+
 @q("src_jsonl_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation""")
 def src_jsonl_roundtrip(spark, sf_dir):
