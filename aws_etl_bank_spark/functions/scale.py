@@ -611,9 +611,12 @@ def shuffle_key(id_col: Column | str, epoch: int = 0,
     rank-assignment (a global row_number window).  Collisions (corpus
     > M) are broken by the id, costing only local order randomness."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    shifted = c.cast("long") + F.lit(epoch * 7919)
-    return F.pmod(F.pmod(shifted, F.lit(modulus))
-                  * F.lit(2654435761 % modulus), F.lit(modulus))
+    # (id + s) mod M == ((id mod M) + (s mod M)) mod M: reduce BEFORE
+    # adding so an id near 2^63 can't wrap the shift (silent in Spark,
+    # an error in ANSI engines — same hazard class as hash_split)
+    shifted = F.pmod(F.pmod(c.cast("long"), F.lit(modulus))
+                     + F.lit((epoch * 7919) % modulus), F.lit(modulus))
+    return F.pmod(shifted * F.lit(2654435761 % modulus), F.lit(modulus))
 
 
 def top_fraction_by_group(df: DataFrame, group_cols: list[str],

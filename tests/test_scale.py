@@ -387,9 +387,14 @@ def test_shuffle_key_deterministic_and_epoch_varies(spark):
     assert k0 != k1                       # epoch changes the permutation
     assert all(0 <= v < 1_000_003 for v in k0)
     # huge / negative ids stay defined (bounded arithmetic)
-    big = spark.createDataFrame([(2**62,), (-5,)], "id long")
+    big = spark.createDataFrame([(2**62,), (2**63 - 1,), (-5,)], "id long")
     vals = [r[0] for r in big.select(scale.shuffle_key("id", 3)).collect()]
     assert all(v is not None and 0 <= v < 1_000_003 for v in vals)
+    # reduce-before-add: id at the int64 ceiling must equal the exact
+    # modular value, not a wrapped one
+    want = ((((2**63 - 1) % 1_000_003) + (3 * 7919) % 1_000_003)
+            % 1_000_003 * (2654435761 % 1_000_003)) % 1_000_003
+    assert vals[1] == want
 
 
 def test_top_fraction_by_group_exact_per_group(spark):
