@@ -429,3 +429,33 @@ def test_top_fraction_full_fraction_excludes_null_scores(spark):
     got = sorted(r["id"] for r in
                  scale.top_fraction(df, "score", 1.0, "id").collect())
     assert got == [1, 3]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    scores=st.lists(
+        st.one_of(st.integers(0, 30).map(lambda i: i / 7.0), st.none()),
+        min_size=1, max_size=40),
+    frac_pct=st.integers(1, 100),
+    descending=st.booleans(),
+)
+def test_top_fraction_matches_sorted_reference(spark, scores, frac_pct,
+                                               descending):
+    """Property: for any score multiset (ties, NULLs, any fraction,
+    either direction) the histogram-selection result equals the plain
+    sorted-prefix reference over the non-null universe."""
+    fraction = frac_pct / 100.0
+    rows = [(i, s) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    # tiny n_buckets forces real boundary-bucket refinement work
+    out = scale.top_fraction(df, "score", fraction, "id",
+                             descending=descending, n_buckets=4)
+    got = sorted((r["score"], r["id"]) for r in out.collect())
+    nn = [(s, i) for i, s in rows if s is not None]
+    k = int(len(nn) * fraction)
+    ordered = sorted(nn, key=lambda t: (-t[0] if descending else t[0], t[1]))
+    want = sorted(ordered[:k])
+    assert got == want
