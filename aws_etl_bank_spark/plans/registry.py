@@ -1632,6 +1632,35 @@ def agg_rollup_nation_year(spark, sf_dir):
     )
 
 
+@q("agg_cube_type_day", """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(EXTRACT(ISODOW FROM ts) AS INT), -1) AS dow,
+       CAST(GROUPING(event_type) * 2
+            + GROUPING(EXTRACT(ISODOW FROM ts)) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM events
+GROUP BY CUBE(event_type, EXTRACT(ISODOW FROM ts))""")
+def agg_cube_type_day(spark, sf_dir):
+    """CUBE — all four grouping sets of (event_type, day-of-week) from
+    one scan: the ROLLUP entry's sibling exercising the full-lattice
+    Expand (4 sets vs rollup's hierarchy).  Spark's dayofweek is
+    Sunday=1; ISO day-of-week = ((dayofweek + 5) % 7) + 1 matches
+    DuckDB's ISODOW.  Same gid bit order as agg_rollup_nation_year."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    return (
+        ev.select("event_type", dow.alias("__d"), "value")
+        .cube("event_type", "__d")
+        .agg(F.grouping_id().alias("gid"),
+             F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total"))
+        .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                F.coalesce("__d", F.lit(-1)).alias("dow"),
+                "gid", "n", "total")
+    )
+
+
 @q("pivot_event_counts", """
 SELECT user_id,
        CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
