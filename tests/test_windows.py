@@ -59,3 +59,33 @@ def test_running_sum_split_spreads_hot_key(spark):
     # and the final accumulated value is the full-key sum
     top = split.orderBy(F.col("t").desc()).first()
     assert top["acc"] == pytest.approx(sum(float(i % 9) for i in range(n)))
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3),            # key
+                  st.integers(0, 50),           # time
+                  st.integers(-5, 5)),          # value
+        min_size=1, max_size=30),
+    bucket=st.sampled_from([1.0, 3.0, 7.0, 100.0]),
+)
+def test_running_sum_split_property_matches_plain(spark, rows, bucket):
+    """Property: for any key/time/value multiset (ties included, any
+    bucket width) the split running sum equals the plain RANGE window."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(k, float(t), float(v)) for k, t, v in rows],
+        "k int, t double, v double")
+    plain = df.withColumn(
+        "acc", F.sum("v").over(Window.partitionBy("k").orderBy("t")))
+    split = running_sum_split(df, ["k"], "t", "v", "acc",
+                              coarse_bucket_seconds=bucket)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, split.collect()))
+    assert a == b
