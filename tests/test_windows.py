@@ -89,3 +89,42 @@ def test_running_sum_split_property_matches_plain(spark, rows, bucket):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, split.collect()))
     assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(-4, 4)),
+        min_size=1, max_size=25),
+    window_rows=st.integers(1, 4),
+    bucket=st.sampled_from([2.0, 9.0, 50.0]),
+)
+def test_trailing_rows_split_property_matches_plain(spark, rows, window_rows,
+                                                    bucket):
+    """Property: trailing -N..-1 sum over the split (key, row-bucket)
+    machinery equals the plain serial window for any multiset — the
+    boundary-carry reconstruction must be row-exact.  Distinct times
+    per key (the split's tie freedom differs from the plain window's
+    only on exact ties, which the zscore oracle already covers)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from aws_etl_bank_spark.operators.windows import (
+        HELPER_COLS, trailing_rows_window_split)
+
+    dedup = {}
+    for k, t, v in rows:
+        dedup[(k, t)] = v
+    data = [(k, float(t), float(v)) for (k, t), v in dedup.items()]
+    df = spark.createDataFrame(data, "k int, t double, v double")
+    pw = (Window.partitionBy("k").orderBy("t")
+          .rowsBetween(-window_rows, -1))
+    plain = df.withColumn("s", F.sum("v").over(pw))
+    aug, sw = trailing_rows_window_split(
+        df, ["k"], ["t"], window_rows, coarse_bucket_seconds=bucket,
+        bucket_rows=max(window_rows, 3))
+    split = (aug.withColumn("s", F.sum("v").over(sw))
+             .filter("__own").drop(*HELPER_COLS))
+    a = sorted(map(tuple, plain.select("k", "t", "v", "s").collect()))
+    b = sorted(map(tuple, split.select("k", "t", "v", "s").collect()))
+    assert a == b
