@@ -311,6 +311,12 @@ JOIN cte_month_avg m
   ON m.month_key = month(a1.transaction_date)
 JOIN date_dim d
   ON d.full_date = a1.transaction_date""")
+    # each running_sum_split references its input twice (per-bucket
+    # totals + the offset join-back), so without a barrier the whole
+    # fact aggregation above would recompute 4x across the two chained
+    # splits; one lazy materialization of the aggregated (daily-grain,
+    # far smaller than the fact) frame caps it at 1x
+    pre = pre.localCheckpoint(eager=False)
     split = running_sum_split(
         pre, ["cust_id", "acc_id"], "transaction_date",
         "account_daily_spending", "account_accum_spending",
