@@ -1600,7 +1600,7 @@ SELECT coalesce(n.n_name, 'ALL') AS nation,
        CAST(GROUPING(n.n_name) * 2 + GROUPING(EXTRACT(YEAR FROM o.o_orderdate))
             AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o.o_totalprice), 2) AS revenue
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -1613,7 +1613,11 @@ def agg_rollup_nation_year(spark, sf_dir):
     re-scan per subtotal level, the property that matters when the fact
     is 100 TB.  grouping_id() disambiguates a rollup NULL from a data
     NULL on both engines (same bit order: Spark's grouping_id ==
-    GROUPING(a)*2 + GROUPING(b) in DuckDB).  Dims broadcast."""
+    GROUPING(a)*2 + GROUPING(b) in DuckDB).  Dims broadcast.  Money
+    sums in DECIMAL(18,2) (the tpch_q1 exactness rule): the grand-total
+    row sums the WHOLE table, where a double's ULP noise at sf1
+    magnitudes (~1e11) flips cents between engines — caught by the r6
+    sf1 audit."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -1625,7 +1629,8 @@ def agg_rollup_nation_year(spark, sf_dir):
         joined.rollup("n_name", "__y")
         .agg(F.grouping_id().alias("gid"),
              F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("revenue"))
         .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
                 F.coalesce("__y", F.lit(-1)).alias("year"),
                 "gid", "n_orders", "revenue")
