@@ -1898,7 +1898,7 @@ def funnel_view_click_purchase(spark, sf_dir):
 @q("ts_rolling_zscore", """
 SELECT event_id, event_type, ts, value,
        ROUND((value - AVG(value) OVER w)
-             / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) AS zscore
+             / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) + 0 AS zscore
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
              ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)""")
@@ -1913,13 +1913,13 @@ def ts_rolling_zscore(spark, sf_dir):
     return rolling_zscore(
         ev.select("event_id", "event_type", "ts", "value"),
         "value", ["event_type"], ["ts", "event_id"], window_rows=100,
-    ).withColumn("zscore", F.round("zscore", 4))
+    ).withColumn("zscore", F.round("zscore", 4) + F.lit(0.0))
 
 
 @q("ts_rolling_zscore_bucketed", """
 SELECT event_id, event_type, ts, value,
        ROUND((value - AVG(value) OVER w)
-             / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) AS zscore
+             / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) + 0 AS zscore
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
              ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)""")
@@ -1937,7 +1937,7 @@ def ts_rolling_zscore_bucketed(spark, sf_dir):
         ev.select("event_id", "event_type", "ts", "value"),
         "value", ["event_type"], ["ts", "event_id"], window_rows=100,
         coarse_bucket_seconds=3600.0, bucket_rows=2000,
-    ).withColumn("zscore", F.round("zscore", 4))
+    ).withColumn("zscore", F.round("zscore", 4) + F.lit(0.0))
 
 
 @q("agg_salted_event_totals", """
