@@ -321,6 +321,10 @@ JOIN date_dim d
         pre, ["cust_id", "acc_id"], "transaction_date",
         "account_daily_spending", "account_accum_spending",
         coarse_bucket_seconds)
+    # NOT barriered between the splits: an A/B measured the second
+    # checkpoint's full-frame disk write costlier than the recompute it
+    # saves (8.8 vs 8.3 s at sf0.1) — the split window machinery is
+    # cheap relative to materializing its output
     split = running_sum_split(
         split, ["cust_id"], "transaction_date",
         "account_daily_spending", "cust_accum_spending",
