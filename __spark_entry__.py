@@ -46,7 +46,7 @@ _PRIORITY = [
     # window, and the native-XML roundtrip
     "text_quality_top_fraction", "text_quality_top_fraction_by_lang",
     "scale_shuffle_key", "agg_rollup_nation_year", "win_rank_family",
-    "src_xml_roundtrip", "agg_cube_type_day",
+    "src_xml_roundtrip", "agg_cube_type_day", "sketch_count_min_estimates",
     # the 19 entries with ZERO driver evidence (local-green only, r5
     # verdict "What's missing" #3)
     "dedup_semantic_pairs", "dedup_semantic_keep",
@@ -66,10 +66,9 @@ _PRIORITY = [
     "join_expr_month", "merge_upsert", "apply_mapping_cast",
     "select_fields_nested", "drop_fields_op", "rename_field_op",
     "split_rows_match", "split_rows_rest", "split_fields_op",
-    "filter_python_predicate",
     # ---- 50-slot waterline (the driver caps here) ----
     # r7 rotation continues the r2/r3 refresh from this point
-    "filter_drop_policy", "map_python_records", "map_error_policy", "drop_null_fields_op",
+    "filter_python_predicate", "filter_drop_policy", "map_python_records", "map_error_policy", "drop_null_fields_op",
     "union_by_name_drift", "union_choice_cast", "resolve_choice_make_cols",
     "subtract_op", "intersect_op", "distinct_op", "orderby_topk",
     "sample_limit",

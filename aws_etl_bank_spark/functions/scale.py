@@ -647,3 +647,74 @@ def top_fraction_by_group(df: DataFrame, group_cols: list[str],
     return (ranked
             .filter(F.col("__tfr") <= F.floor(F.col("__tfn") * F.lit(fraction)))
             .drop("__tfr", "__tfn"))
+
+
+#: Count-Min hash family: pairwise-independent-ish (a·k + b mod P) mod W
+#: rows over the prime P — every constant fits the bounded-intermediate
+#: rule (max product < P², far under 2^63), so any SQL engine
+#: reproduces the sketch bit-for-bit.
+_CMS_PRIME = 1_000_003
+_CMS_COEFFS = [(131, 737), (1009, 62875), (75321, 19), (42643, 80917)]
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    a, b = _CMS_COEFFS[row]
+    p = F.pmod(F.pmod(key.cast("long"), F.lit(_CMS_PRIME)) * F.lit(a)
+               + F.lit(b), F.lit(_CMS_PRIME))
+    return F.pmod(p, F.lit(width))
+
+
+def count_min_sketch(df: DataFrame, key_col: str, depth: int = 4,
+                     width: int = 1024) -> DataFrame:
+    """(row, bucket, cnt) — a Count-Min sketch of ``key_col``'s
+    frequencies (Cormode & Muthukrishnan 2005): ``depth`` hash rows of
+    ``width`` counters; estimate(k) = min over rows of the counter k
+    hashes into.  Overestimates only (collisions add, never subtract),
+    error ≤ 2N/width with prob ≥ 1 − 2^−depth.
+
+    The 100 TB shape: the sketch IS a grouped aggregation — explode
+    each row into its ``depth`` (row, bucket) cells, hash-aggregate
+    with map-side combine; the result is depth·width rows regardless of
+    input size, trivially broadcastable, and two sketches MERGE by
+    adding counters cell-wise (union the inputs or sum two results) —
+    the property that makes it a streaming/partitioned-frequency tool
+    where exact per-key counts would be another full shuffle.
+
+    Keys must be integral (the engine-reproducible bounded-arithmetic
+    hash family — see hash_split; string keys: pre-hash to a long).
+    ``depth`` ≤ 4 (the fixed coefficient family)."""
+    if not (1 <= depth <= len(_CMS_COEFFS)):
+        raise ValueError(f"depth must be in 1..{len(_CMS_COEFFS)}")
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    k = F.col(key_col)
+    cells = df.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _cms_bucket(k, r, width).alias("bucket"))
+        for r in range(depth)
+    ])).alias("c"))
+    return (cells.groupBy(F.col("c.row").alias("row"),
+                          F.col("c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """(key, estimate) for every probe key: min over the sketch rows of
+    the counter each hash points at.  The sketch is depth·width rows —
+    broadcast — so probing any number of keys is one map-side join +
+    a min-aggregate; absent cells count 0 (an unseen key may still
+    estimate > 0 through collisions, never < its true count)."""
+    k = F.col(key_col)
+    probe_cells = probes.select(
+        k.alias("__key"),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _cms_bucket(k, r, width).alias("bucket"))
+            for r in range(depth)
+        ])).alias("c"),
+    ).select("__key", F.col("c.row").alias("row"),
+             F.col("c.bucket").alias("bucket"))
+    joined = probe_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (joined.groupBy(F.col("__key").alias(key_col))
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate")))

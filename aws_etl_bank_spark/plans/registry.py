@@ -1666,6 +1666,51 @@ def agg_cube_type_day(spark, sf_dir):
     )
 
 
+_CMS_ROWS_SQL = ("(VALUES (0, 131, 737), (1, 1009, 62875), "
+                 "(2, 75321, 19), (3, 42643, 80917)) r(row, a, b)")
+_CMS_BUCKET_SQL = ("((((({k} % 1000003 + 1000003) % 1000003) * a + b) "
+                   "% 1000003) % 1024)")
+
+
+@q("sketch_count_min_estimates", f"""
+WITH cells AS (
+  SELECT r.row AS row, {_CMS_BUCKET_SQL.format(k='e.user_id')} AS bucket
+  FROM events e, {_CMS_ROWS_SQL}
+),
+sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 110),
+pc AS (SELECT p.user_id, r.row AS row,
+              {_CMS_BUCKET_SQL.format(k='p.user_id')} AS bucket
+       FROM probes p, {_CMS_ROWS_SQL}),
+est AS (SELECT user_id, MIN(coalesce(cnt, 0)) AS estimate
+        FROM pc LEFT JOIN sketch USING (row, bucket) GROUP BY user_id),
+tru AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM events WHERE user_id < 110 GROUP BY user_id)
+SELECT e.user_id, t.true_cnt, e.estimate
+FROM est e JOIN tru t USING (user_id)""")
+def sketch_count_min_estimates(spark, sf_dir):
+    """Count-Min sketch frequency estimation (functions/scale.py
+    count_min_sketch / cms_estimate): a depth-4 x 1024 sketch of the
+    events key, probed for every user below 110, next to the exact
+    counts.  The sketch is ONE hash-aggregation producing depth·width
+    rows regardless of input size (mergeable, broadcastable — the
+    heavy-hitter/streaming-frequency tool when exact per-key counts
+    would be another full shuffle); the engine-reproducible bounded
+    hash family makes the whole construction SQL-expressible, so the
+    oracle pins every counter, not just the estimate's >= true_cnt
+    property (tests pin that)."""
+    from aws_etl_bank_spark.functions.scale import (cms_estimate,
+                                                    count_min_sketch)
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_sketch(ev, "user_id", depth=4, width=1024)
+    probes = ev.filter(F.col("user_id") < 110).select("user_id").distinct()
+    est = cms_estimate(sketch, probes, "user_id", depth=4, width=1024)
+    tru = (ev.filter(F.col("user_id") < 110).groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("true_cnt")))
+    return est.join(tru, "user_id").select("user_id", "true_cnt", "estimate")
+
+
 @q("pivot_event_counts", """
 SELECT user_id,
        CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

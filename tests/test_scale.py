@@ -459,3 +459,34 @@ def test_top_fraction_matches_sorted_reference(spark, scores, frac_pct,
     ordered = sorted(nn, key=lambda t: (-t[0] if descending else t[0], t[1]))
     want = sorted(ordered[:k])
     assert got == want
+
+
+def test_count_min_sketch_never_underestimates_and_merges(spark):
+    import collections
+    import random
+
+    rnd = random.Random(11)
+    keys = [rnd.randint(0, 50) for _ in range(3000)]
+    true = collections.Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sk = scale.count_min_sketch(df, "k", depth=4, width=64)
+    probes = spark.createDataFrame([(k,) for k in true], "k long")
+    est = {r["k"]: r["estimate"] for r in
+           scale.cms_estimate(sk, probes, "k", depth=4, width=64).collect()}
+    for k, n in true.items():
+        assert est[k] >= n          # CMS overestimates, never under
+    # width=64 on 51 keys: error bounded by 2N/width in expectation —
+    # assert a loose factor so the test is noise-proof
+    assert sum(est[k] - n for k, n in true.items()) / len(true) < 2 * 3000 / 64
+    # mergeability: sketch(A ∪ B) == cellwise sum of sketch(A), sketch(B)
+    a, b = df.randomSplit([0.5, 0.5], seed=1)
+    import pyspark.sql.functions as F
+    merged = (scale.count_min_sketch(a, "k", 4, 64)
+              .unionByName(scale.count_min_sketch(b, "k", 4, 64))
+              .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+    whole = {(r["row"], r["bucket"]): r["cnt"]
+             for r in scale.count_min_sketch(df, "k", 4, 64).collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+    with pytest.raises(ValueError):
+        scale.count_min_sketch(df, "k", depth=9)
