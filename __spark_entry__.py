@@ -20,55 +20,32 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 6, per the r5 verdict): evidence debt first.
-# Order: (1) the schema tripwire, (2) ts_trend_slope — r5's only red
-# row, fixed this round (-0.0 canonicalized on both engines), (3) the
-# entries whose implementation or oracle CHANGED this round (flagship
-# monthly-avg rewrite; LSH star-sparsified planted pairs/keep; the
-# now-non-empty semantic-full fixture), (4) the 19 entries that have
-# NEVER been driver-evaluated, (5) the oldest r2-vintage greens (~4
-# rounds stale).  The remaining r2/r3 refresh continues in r7.
+# Slot policy (round 7, per the r6 verdict): clear the evidence debt.
+# The driver evaluates the first 50 registry entries per round; r6 left
+# 67 entries whose newest driver row is r3 or older, plus ann_pq_topk
+# (never driver-run).  Order: (1) the schema tripwire, (2) the entries
+# whose implementation or oracle CHANGED this round (canon-zero on the
+# signed-delta/DSIR rounds, DECIMAL cube sums, the cached top-fraction,
+# and the new SemDeDup recall-invariant companion), (3) ann_pq_topk,
+# (4) 43 of the 67 stale r2/r3 entries in ledger order.  The remaining
+# 24 stale entries complete in r8 — after which no entry's newest
+# driver evidence predates r4.
 _PRIORITY = [
     # environment-drift tripwire first: pinned-literal schema oracle makes
     # a testdata regeneration fail in ONE obvious row (TESTDATA.md)
     "testdata_schema_smoke",
-    # r5's single red row, root-caused (-0.0 vs +0.0 bitwise) and fixed
-    "ts_trend_slope",
-    # changed this round — re-prove before anything else: flagship
-    # monthly-avg GROUP-BY rewrite; LSH exact-dup pre-pass (star-form
-    # planted oracles); the semantic-full fixture now non-empty
-    "fact_snapshot", "fact_snapshot_split", "dedup_minhash_planted_pairs",
-    "dedup_simhash_planted_pairs", "dedup_minhash_planted_keep",
-    "dedup_semantic_pairs_full",
-    # new this round: exact distributed top-fraction selection (global
-    # histogram form + stratified per-group form), the deterministic
-    # epoch-shuffle key, ROLLUP/CUBE grouping sets, the rank-family
-    # window, and the native-XML roundtrip
-    "text_quality_top_fraction", "text_quality_top_fraction_by_lang",
-    "scale_shuffle_key", "agg_rollup_nation_year", "win_rank_family",
-    "src_xml_roundtrip", "agg_cube_type_day", "sketch_count_min_estimates",
-    # the 19 entries with ZERO driver evidence (local-green only, r5
-    # verdict "What's missing" #3)
-    "dedup_semantic_pairs", "dedup_semantic_keep",
-    "text_decontaminate_semantic",
-    "text_bm25_rank", "text_bm25_topk",
-    "ann_pq_planted_twin", "ann_ivfpq_planted_twin",
-    "stream_cdc_scd2", "text_gopher_filter",
-    "tpch_q12_late_shipment_priority", "tpch_q16_supplier_counts_by_part",
-    "scalar_datetime_suite", "ts_ewma_smoothing", "ts_moving_median",
-    "win_running_sum_cust_split",
-    "quality_metrics_orders", "quality_check_lineitem",
-    "agg_approx_percentile_band", "stream_static_enrich",
-    # oldest evidence in the repo: r2-vintage greens, 4 rounds stale
-    # (projection/filter/join/set-op families) — 24 slots
-    "win_row_number_topk", "win_lag_delta", "join_dynamicframe_equi",
-    "join_multiway_sql", "join_left_semi", "join_left_anti",
-    "join_expr_month", "merge_upsert", "apply_mapping_cast",
-    "select_fields_nested", "drop_fields_op", "rename_field_op",
-    "split_rows_match", "split_rows_rest", "split_fields_op",
-    # ---- 50-slot waterline (the driver caps here) ----
-    # r7 rotation continues the r2/r3 refresh from this point
-    "filter_python_predicate", "filter_drop_policy", "map_python_records", "map_error_policy", "drop_null_fields_op",
+    # changed this round — re-prove before anything else: -0.0
+    # canonicalization on the two genuinely signed rounded outputs
+    # (difference of float sums; log-likelihood ratios), exact-decimal
+    # CUBE sums, the persisted three-pass top-fraction, and the new
+    # planted found==co-cell recall oracle for semantic dedup
+    "win_lag_delta", "llm_dsir_select", "agg_cube_type_day",
+    "text_quality_top_fraction", "dedup_semantic_full_recall",
+    # the ONE entry with zero driver evidence of any kind (rows-only)
+    "ann_pq_topk",
+    # r2/r3-stale refresh, ledger order (43 slots; 24 remain for r8)
+    "filter_python_predicate", "filter_drop_policy", "map_python_records",
+    "map_error_policy", "drop_null_fields_op",
     "union_by_name_drift", "union_choice_cast", "resolve_choice_make_cols",
     "subtract_op", "intersect_op", "distinct_op", "orderby_topk",
     "sample_limit",
@@ -78,6 +55,22 @@ _PRIORITY = [
     "named_struct_op", "ingestion_time_columns",
     "csv_allstrings_cast", "unbox_json", "scd2_merge_dim", "unbox_csv",
     "unnest_struct", "unnest_ddb",
+    "relationalize_root", "relationalize_child", "spigot_passthrough",
+    "catalog_pushdown", "src_getsource_csv_getframe",
+    "src_parquet_sink_catalog_roundtrip", "src_sample_frame_full",
+    "todf_resolve_option_cast", "errors_as_dynamic_frame",
+    "agg_cube_grouping", "pivot_event_counts", "agg_percentiles",
+    # ---- 50-slot waterline (the driver caps here) ----
+    # r8 rotation finishes the stale set from this point:
+    "scd2_as_of_read", "unpivot_melt", "dedup_exact",
+    "graph_connected_components", "dedup_ngram_keep_transitive",
+    "dedup_ngram_jaccard", "dedup_embedding_pairs", "ann_bruteforce_topk",
+    "text_stats_quality", "text_token_counts", "text_langid",
+    "multimodal_meta", "multimodal_frames", "stream_sessionize",
+    "llm_curation_pipeline", "text_chunking", "text_pii_scrub",
+    "text_repetition", "stratified_sample_lang", "text_decontaminate",
+    "token_budget_mix", "join_asof_purchase", "join_range_bands",
+    "dedup_lines_c4",
     # rest of the 50-cap fills from registry definition order below
 ]
 

@@ -512,7 +512,7 @@ def skew_report(df: DataFrame, *keys: str, top: int = 10) -> DataFrame:
 
 def top_fraction(df: DataFrame, score_col: str, fraction: float,
                  tie_col: str, descending: bool = True,
-                 n_buckets: int = 10_000) -> DataFrame:
+                 n_buckets: int = 10_000, cache: bool = True) -> DataFrame:
     """Exactly the top ``fraction`` of rows by ``(score_col, tie_col)``
     — the curation primitive "keep the best 20% of the corpus by
     quality score" — WITHOUT a global sort or a corpus-wide window.
@@ -539,25 +539,45 @@ def top_fraction(df: DataFrame, score_col: str, fraction: float,
     here are) a value both engines compute bit-identically — the
     DuckDB oracle is a plain QUALIFY row_number() form.
 
+    The algorithm reads the frame THREE times (stats, histogram, final
+    selection); with ``cache=True`` (default) the non-null-score frame
+    is persisted MEMORY_AND_DISK across the passes, so (a) a
+    NONDETERMINISTIC upstream (rand()/sample) cannot make the histogram
+    and the tagged pass disagree — which would silently return the
+    wrong number of rows — and (b) an expensive upstream computes once.
+    The persisted frame stays referenced by the returned DataFrame;
+    unpersist via ``spark.catalog.clearCache()`` once the result is
+    materialized.  Pass ``cache=False`` ONLY when the upstream is
+    deterministic and cheaper to recompute than to spill (e.g. a bare
+    column-pruned scan at 100 TB).
+
     Returns the selected rows with their original columns.
     """
     if not (0.0 < fraction <= 1.0):
         raise ValueError("fraction must be in (0, 1]")
-    # n counts NON-NULL scores: a NULL score joins no bucket and can
-    # never be selected, so the fraction is over the scoreable universe
-    stats = df.agg(
+    from pyspark import StorageLevel
+
+    # the selection universe is the NON-NULL scores: a NULL score joins
+    # no bucket and can never be selected — and it is this frame, not
+    # df, that every pass below must agree on row-for-row
+    nn = df.filter(F.col(score_col).isNotNull())
+    if cache:
+        nn = nn.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = nn.agg(
         F.min(score_col).alias("lo"), F.max(score_col).alias("hi"),
-        F.count(score_col).alias("n")).collect()[0]
+        F.count(F.lit(1)).alias("n")).collect()[0]
     n, lo, hi = stats["n"], stats["lo"], stats["hi"]
     if n == 0:
+        nn.unpersist()
         return df.limit(0)
     k = int(n * fraction)
     if k == 0:
+        nn.unpersist()
         return df.limit(0)
     if k >= n:
         # the whole (non-null-score) universe — same universe rule as
         # the selective path, so fraction=1.0 still excludes NULL scores
-        return df.filter(F.col(score_col).isNotNull())
+        return nn
     if lo == hi:
         # all scores identical: the histogram cannot discriminate, so
         # the whole frame IS the boundary bucket — one exact ranking by
@@ -572,8 +592,7 @@ def top_fraction(df: DataFrame, score_col: str, fraction: float,
         idx = F.least(raw, F.lit(n_buckets - 1)).cast("int")
         bucket = (F.lit(n_buckets - 1) - idx) if descending else idx
     hist = {r["b"]: r["c"] for r in
-            df.filter(F.col(score_col).isNotNull())
-            .select(bucket.alias("b")).groupBy("b")
+            nn.select(bucket.alias("b")).groupBy("b")
             .agg(F.count(F.lit(1)).alias("c")).collect()}
     cum = 0
     boundary = None
@@ -585,8 +604,8 @@ def top_fraction(df: DataFrame, score_col: str, fraction: float,
         cum += c
     take_from_boundary = k - cum
     # least(NULL, x) = x, so a NULL score would otherwise land in the
-    # top bucket; the selection universe is the non-null scores only
-    tagged = df.filter(F.col(score_col).isNotNull()).withColumn("__tfb", bucket)
+    # top bucket; nn already restricted the universe to non-null scores
+    tagged = nn.withColumn("__tfb", bucket)
     whole = tagged.filter(F.col("__tfb") < boundary)
     order = [F.col(score_col).desc() if descending else F.col(score_col).asc(),
              F.col(tie_col).asc()]

@@ -480,7 +480,17 @@ def hash_split(df: DataFrame, id_col: str, train: int = 80, val: int = 10,
     (ansi=false) for ids ≳ 3.5e9 while DuckDB raises, which would break
     the cross-engine bit-for-bit claim exactly where it matters.
     ``pmod`` also gives negative ids a well-defined bucket instead of
-    funnelling them all into "test".  Map-only: zero shuffles."""
+    funnelling them all into "test".  Map-only: zero shuffles.
+
+    .. note:: **Assignment change (r5):** the bounded-pmod rewrite keeps
+       assignments identical for ordinary non-negative ids (< ~3.5e9)
+       but intentionally CHANGES the bucket for negative ids (previously
+       all funnelled into "test") and for ids large enough that the old
+       ``id·2654435761`` product wrapped int64.  A persisted
+       train/val/test split keyed on such ids silently re-splits under
+       this version — re-materialize persisted splits deliberately when
+       upgrading across it (same applies to ``dsir_select``'s Gumbel
+       term, which uses the identical hash)."""
     if not (0 < train and 0 <= val and train + val < 97):
         raise ValueError("need 0 < train, 0 <= val, train + val < 97")
     b = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(97))
@@ -522,6 +532,17 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
     full-outer vocab join + a one-row totals broadcast + one words⋈LM
     shuffle re-aggregated per doc + TakeOrderedAndProject for the
     top-k.  No driver scalars; nothing scales with corpus x corpus.
+
+    Both rounded outputs are SIGNED (log-likelihood ratios sum either
+    way; the Gumbel shift is unbounded below), so a score in
+    (-5e-5, 0) rounds to IEEE ``-0.0`` — canonicalized to ``+0.0`` on
+    both engines (plans/registry.py canon0 rationale).
+
+    .. note:: **Assignment change (r5):** the Gumbel term inherited
+       hash_split's bounded-pmod rewrite — selections differ from prior
+       releases for negative or int64-wrapping doc ids; re-rank
+       persisted selections deliberately when upgrading (see
+       :func:`hash_split`).
     """
     if lam <= 0:
         raise ValueError("lam must be positive")
@@ -549,7 +570,8 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
                    ).alias("__lr")))
     scored = (rw.join(lr, "__w")
               .groupBy(id_col)
-              .agg(F.round(F.sum("__lr"), 4).alias("log_weight"),
+              # + 0.0 canonicalizes a -0.0 round (signed sum of ratios)
+              .agg((F.round(F.sum("__lr"), 4) + F.lit(0.0)).alias("log_weight"),
                    F.count(F.lit(1)).alias("n_words")))
     if gumbel:
         # bounded-intermediate Knuth hash, same rationale as hash_split:
@@ -559,7 +581,9 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
         u = (F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(1000003))
                     * F.lit(2654435761 % 1000003), F.lit(1000003))
              .cast("double") + 0.5) / 1000003.0
-        scored = scored.withColumn("score", F.round(F.col("log_weight") - F.log(-F.log(u)), 4))
+        scored = scored.withColumn(
+            "score",
+            F.round(F.col("log_weight") - F.log(-F.log(u)), 4) + F.lit(0.0))
     else:
         scored = scored.withColumn("score", F.col("log_weight"))
     out = scored.select(id_col, "log_weight", "n_words", "score")

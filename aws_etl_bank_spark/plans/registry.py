@@ -51,6 +51,26 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+def canon0(c) -> "F.Column":
+    """Canonicalize IEEE ``-0.0`` → ``+0.0`` on a rounded SIGNED double.
+
+    The driver's value hash is bitwise, so ``ROUND()`` of a tiny
+    negative (a delta, slope, z-score, log-ratio — anything built from
+    subtraction) can emit ``-0.0`` on one engine and ``+0.0`` on the
+    other and mismatch even though the values compare equal (the r5
+    ``ts_trend_slope`` failure).  ``x + 0.0`` maps either zero to
+    ``+0.0``; apply it — with a matching ``+ 0`` in the oracle SQL — to
+    EVERY rounded output column whose pre-round value can be negative.
+    Audited r7: all base testdata measures are strictly positive
+    (events.value, *_price, quantities), so sums/avgs/EWMAs/medians of
+    them cannot round to -0.0; the signed-output entries are
+    ``ts_trend_slope`` (slope/corr), ``ts_rolling_zscore*`` (z),
+    ``win_lag_delta`` (difference of float sums), and
+    ``llm_dsir_select`` (log-likelihood ratios, Gumbel scores) — all
+    carry this canonicalization on both engines."""
+    return c + F.lit(0.0)
+
+
 def _scratch(sf_dir: str, leaf: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(SCRATCH, tag, leaf)
@@ -345,9 +365,15 @@ WITH daily AS (
     FROM orders GROUP BY 1, 2
 )
 SELECT cust_id, d,
-       ROUND(spend - COALESCE(LAG(spend) OVER (PARTITION BY cust_id ORDER BY d), 0), 2) AS delta
+       ROUND(spend - COALESCE(LAG(spend) OVER (PARTITION BY cust_id ORDER BY d), 0), 2) + 0 AS delta
 FROM daily""")
 def win_lag_delta(spark, sf_dir):
+    """Day-over-day spend delta per customer via LAG.  The delta is a
+    DIFFERENCE of two floating sums: two days with equal spend can net
+    to ±1e-10 depending on each engine's accumulation order, and
+    ROUND(,2) of a tiny negative is IEEE ``-0.0`` — bitwise-distinct
+    from ``+0.0`` under the driver hash.  Both sides canonicalize
+    (:func:`canon0` / ``+ 0``)."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_custkey").alias("cust_id"), F.to_date("o_orderdate").alias("d")
@@ -355,7 +381,7 @@ def win_lag_delta(spark, sf_dir):
     w = Window.partitionBy("cust_id").orderBy("d")
     return daily.select(
         "cust_id", "d",
-        F.round(F.col("spend") - F.coalesce(F.lag("spend").over(w), F.lit(0.0)), 2).alias("delta"),
+        canon0(F.round(F.col("spend") - F.coalesce(F.lag("spend").over(w), F.lit(0.0)), 2)).alias("delta"),
     )
 
 
@@ -1643,7 +1669,7 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
        CAST(GROUPING(event_type) * 2
             + GROUPING(EXTRACT(ISODOW FROM ts)) AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS total
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM events
 GROUP BY CUBE(event_type, EXTRACT(ISODOW FROM ts))""")
 def agg_cube_type_day(spark, sf_dir):
@@ -1651,7 +1677,11 @@ def agg_cube_type_day(spark, sf_dir):
     one scan: the ROLLUP entry's sibling exercising the full-lattice
     Expand (4 sets vs rollup's hierarchy).  Spark's dayofweek is
     Sunday=1; ISO day-of-week = ((dayofweek + 5) % 7) + 1 matches
-    DuckDB's ISODOW.  Same gid bit order as agg_rollup_nation_year."""
+    DuckDB's ISODOW.  Same gid bit order as agg_rollup_nation_year.
+    Money sums in DECIMAL(18,2) (the tpch_q1/rollup exactness rule, r6
+    ADVICE): the grand-total CUBE row sums the whole events table,
+    where double ULP noise at sf1 magnitudes flips cents between
+    engines — exact decimal accumulation is also the -0.0-proof form."""
     ev = load_table(spark, sf_dir, "events")
     dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
     return (
@@ -1659,7 +1689,8 @@ def agg_cube_type_day(spark, sf_dir):
         .cube("event_type", "__d")
         .agg(F.grouping_id().alias("gid"),
              F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 2).alias("total"))
+             F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("double").alias("total"))
         .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
                 F.coalesce("__d", F.lit(-1)).alias("dow"),
                 "gid", "n", "total")

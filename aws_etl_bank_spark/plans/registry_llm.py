@@ -1390,10 +1390,21 @@ def dedup_semantic_pairs_full(spark, sf_dir):
     organic ≥0.95-cosine pairs, and a 0-row driver record proves nothing
     (round-5 verdict).  The jitter keeps cosine ≈ 0.9998 — a genuine
     near-dup exercising the within-cell cosine path, not an exact twin
-    shortcut — while the perturbation is far too small to move a vector
-    across a centroid boundary at these cell counts."""
+    shortcut.  The jitter CAN move a handful of vectors across
+    near-equidistant centroid boundaries — that recall loss is SemDeDup
+    semantics, and ``dedup_semantic_full_recall`` is the oracle-checked
+    companion pinning found == co-cell for every planted pair."""
     from aws_etl_bank_spark.llm import semantic_dedup_pairs
 
+    emb = _semantic_full_fixture(spark, sf_dir)
+    n = emb.count()
+    n_cells = max(16, n // 250)
+    return semantic_dedup_pairs(emb, "embedding", "vec_id",
+                                n_cells=n_cells, cosine_threshold=0.95)
+
+
+def _semantic_full_fixture(spark, sf_dir):
+    """The dedup_semantic_pairs_full fixture: corpus ∪ jittered slice."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     jitter = (
         emb.filter(F.col("vec_id") < 200)
@@ -1403,11 +1414,63 @@ def dedup_semantic_pairs_full(spark, sf_dir):
                     lambda x, i: (x * (1.0 + 0.02 * ((i % 7) - 3) / 3.0)
                                   ).cast("float")).alias("embedding"))
     )
-    emb = emb.unionByName(jitter)
+    return emb.unionByName(jitter)
+
+
+@q("dedup_semantic_full_recall", """
+SELECT CAST(count(*) AS BIGINT) AS n_planted,
+       CAST(197 AS BIGINT) AS n_co_cell,
+       CAST(197 AS BIGINT) AS n_found,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM embeddings WHERE vec_id < 200""")
+def dedup_semantic_full_recall(spark, sf_dir):
+    """The checkable companion of ``dedup_semantic_pairs_full`` (r6
+    verdict item 1): SemDeDup's recall contract is *within-cell recall
+    = 1*, i.e. a planted pair (v, v+2e6, cosine ≈ 0.9998) appears in
+    the output IF AND ONLY IF the jitter left both vectors in the same
+    k-means cell.  Plain containment of all 200 planted pairs would be
+    WRONG — the 2% coordinate jitter legitimately moves a few vectors
+    across near-equidistant centroid boundaries (3 of 200 at sf0.01),
+    which is exactly the recall loss SemDeDup trades for never
+    comparing corpus²; found ≠ co-cell, in either direction, is the
+    bug (a dropped cell, a broken join, a cosine error).
+
+    One row: ``n_planted`` (SQL-derivable), ``n_co_cell`` / ``n_found``
+    (pinned fixture constants — the cell assignment is a deterministic
+    function of the committed testdata; ``testdata_schema_smoke``
+    tripwires regeneration), and the invariant ``n_mismatch = 0``
+    computed Spark-side from the SAME run's pairs and cell
+    assignments.  The rows-only ``_full`` sibling stays as the benched
+    scaling form."""
+    from aws_etl_bank_spark.llm import semantic_dedup_pairs
+    from aws_etl_bank_spark.llm.dedup import assign_cells
+
+    emb = _semantic_full_fixture(spark, sf_dir)
     n = emb.count()
     n_cells = max(16, n // 250)
-    return semantic_dedup_pairs(emb, "embedding", "vec_id",
-                                n_cells=n_cells, cosine_threshold=0.95)
+    pairs = semantic_dedup_pairs(emb, "embedding", "vec_id",
+                                 n_cells=n_cells, cosine_threshold=0.95)
+    cells = assign_cells(emb, "embedding", "vec_id",
+                         n_cells=n_cells).select("vec_id", "cell_id")
+    planted = (emb.filter(F.col("vec_id") < 200)
+               .select(F.col("vec_id").alias("id_a"),
+                       (F.col("vec_id") + 2_000_000).alias("id_b")))
+    ca = cells.select(F.col("vec_id").alias("id_a"),
+                      F.col("cell_id").alias("__cell_a"))
+    cb = cells.select(F.col("vec_id").alias("id_b"),
+                      F.col("cell_id").alias("__cell_b"))
+    hit = pairs.select("id_a", "id_b").withColumn("__hit", F.lit(1))
+    status = (planted.join(ca, "id_a").join(cb, "id_b")
+              .join(hit, ["id_a", "id_b"], "left")
+              .select((F.col("__cell_a") == F.col("__cell_b"))
+                      .cast("int").alias("__co"),
+                      F.coalesce("__hit", F.lit(0)).alias("__found")))
+    return status.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.sum("__co").cast("long").alias("n_co_cell"),
+        F.sum("__found").cast("long").alias("n_found"),
+        F.sum((F.col("__co") != F.col("__found")).cast("long"))
+        .alias("n_mismatch"))
 
 
 @q("text_decontaminate_semantic", """
@@ -1925,13 +1988,13 @@ tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM vocab),
 lr AS (SELECT w, ln((ct + 1.0) / (nt + 1.0 * v))
               - ln((cr + 1.0) / (nr + 1.0 * v)) AS lr
        FROM vocab, tot),
-dw AS (SELECT doc_id, round(sum(lr), 4) AS log_weight,
+dw AS (SELECT doc_id, round(sum(lr), 4) + 0 AS log_weight,
               count(*) AS n_words
        FROM rw JOIN lr USING (w) GROUP BY doc_id)
 SELECT doc_id, log_weight, n_words,
        round(log_weight - ln(-ln(
            ((((doc_id % 1000003 + 1000003) % 1000003) * 427799) % 1000003
-            + 0.5) / 1000003.0)), 4) AS score
+            + 0.5) / 1000003.0)), 4) + 0 AS score
 FROM dw ORDER BY score DESC, doc_id LIMIT 50""")
 def llm_dsir_select(spark, sf_dir):
     """DSIR data selection (llm/text.py dsir_select): pick the 50 raw

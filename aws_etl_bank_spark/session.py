@@ -79,6 +79,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # stage-progress bars share stdout with bench.py's one-line JSON
+        # contract; the driver's tail capture is ~2000 chars, so \r-drawn
+        # progress noise before the JSON line is a parse hazard (r6
+        # verdict item 7)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
     for k, v in RUNTIME_CONFS.items():
