@@ -1437,8 +1437,10 @@ def dedup_semantic_full_recall(spark, sf_dir):
 
     One row: ``n_planted`` (SQL-derivable), ``n_co_cell`` / ``n_found``
     (pinned fixture constants — the cell assignment is a deterministic
-    function of the committed testdata; ``testdata_schema_smoke``
-    tripwires regeneration), and the invariant ``n_mismatch = 0``
+    function of the committed testdata at the driver's sf0.01; like
+    ``testdata_schema_smoke``, the pins do not transfer to other SFs
+    and ``testdata_schema_smoke`` tripwires regeneration), and the
+    invariant ``n_mismatch = 0``
     computed Spark-side from the SAME run's pairs and cell
     assignments.  The rows-only ``_full`` sibling stays as the benched
     scaling form."""
