@@ -737,3 +737,113 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
     joined = probe_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
     return (joined.groupBy(F.col("__key").alias(key_col))
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate")))
+
+
+#: HyperLogLog hash family (same bounded-arithmetic contract as the CMS
+#: family above): two independent hashes over the prime P, each an
+#: affine map FOLLOWED BY a quadratic (mid-square) map — a purely
+#: affine hash keeps sequential keys in arithmetic progression, which
+#: spreads them across registers with near-ZERO collisions and wrecks
+#: the estimator (linear counting assumes binomial occupancy; measured
+#: +50% on sequential ids before the quadratic step, ±6% after).
+#: Intermediates stay bounded: h < P, so h² + c·h < P² + 76k·P ≈ 1e12,
+#: far under 2^63 — any SQL engine reproduces the sketch bit-for-bit.
+_HLL_PRIME = 1_000_003
+_HLL_REG_COEF = (4391, 9973, 76003, 51349)
+_HLL_RANK_COEF = (76003, 51349, 4391, 9973)
+#: the hash ranges over [0, P) ≈ 2^20, so trailing-zero ranks cap at
+#: 21 — registers saturate near cardinality m·2^20; swap the hash for
+#: xxhash64 (Spark-side only) when estimating beyond ~1e8 distinct.
+_HLL_RANK_CAP = 21
+
+
+def _hll_hash(key: Column, a: int, b: int, c: int, d: int) -> Column:
+    P = F.lit(_HLL_PRIME)
+    h = F.pmod(F.pmod(key.cast("long"), P) * F.lit(a) + F.lit(b), P)
+    return F.pmod(h * h + F.lit(c) * h + F.lit(d), P)
+
+
+def _hll_rank(h2: Column) -> Column:
+    """1 + trailing zero bits of ``h2`` (geometric, like HLL's leading-
+    zero rank), capped; pure integer arithmetic: ``h2 & -h2`` isolates
+    the lowest set bit, a WHEN chain maps the power of two to its index
+    — no float log, so the rank is bit-identical on every engine."""
+    low = h2.bitwiseAND(-h2)
+    expr = F.lit(_HLL_RANK_CAP)  # h2 == 0: every bit "trailing zero"
+    for t in range(_HLL_RANK_CAP - 2, -1, -1):
+        expr = F.when(low == F.lit(1 << t), F.lit(t + 1)).otherwise(expr)
+    return expr.cast("int")
+
+
+def hll_alpha(m: int) -> float:
+    """The standard HLL bias constant for m ≥ 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
+    """(register, max_rank) — a HyperLogLog cardinality sketch of
+    ``key_col`` (Flajolet et al. 2007): ``m`` registers, each holding
+    the max rank (1 + trailing zeros of a uniform hash) seen among the
+    keys routed to it.  Standard error ≈ 1.04/√m (~6.5% at m=256).
+
+    Same 100 TB shape as :func:`count_min_sketch`: the sketch IS one
+    hash aggregation with map-side combine — ≤ ``m`` rows out no matter
+    the input size, trivially broadcastable — and two sketches MERGE by
+    the cell-wise MAX (:func:`hll_merge`), so per-partition / per-day /
+    per-stream sketches roll up without ever re-touching the raw keys.
+    That merge-under-max is what an exact count-distinct can never do:
+    its two-phase Expand must reshuffle the keys themselves.
+
+    Keys must be integral, like the CMS family (string keys: pre-hash
+    to a long Spark-side).  Engine-reproducible by construction —
+    registers and ranks are bounded integer arithmetic (see
+    :func:`_hll_rank`), which is what makes the sketch itself
+    oracle-checkable counter-for-counter, not just its estimate."""
+    if m < 2:
+        raise ValueError("m must be >= 2")
+    k = F.col(key_col)
+    reg = F.pmod(_hll_hash(k, *_HLL_REG_COEF), F.lit(m))
+    rank = _hll_rank(_hll_hash(k, *_HLL_RANK_COEF))
+    return (df.select(reg.alias("register"), rank.alias("rank"))
+            .groupBy("register").agg(F.max("rank").alias("max_rank")))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union any number of sketches built with the same ``m``: the
+    cell-wise MAX.  sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    bit-for-bit — asserted in tests/test_scale_ops.py."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_estimate(sketch: DataFrame, m: int = 256) -> DataFrame:
+    """One row: ``n_set`` registers occupied, ``sum_inv`` =
+    Σ 2^−max_rank over ALL m registers (absent ⇒ 2^0 = 1), the raw
+    harmonic estimate ``est_raw`` = α·m²/sum_inv, and ``estimate`` with
+    HLL's small-range linear-counting correction (E ≤ 2.5m and empty
+    registers ⇒ m·ln(m/V₀)).
+
+    Exactness note (why the oracle can pin these): every 2^−rank term
+    has ≥ −21 exponent and the sum needs < 30 significand bits, so the
+    accumulated double is EXACT regardless of partition order — the
+    estimate is one IEEE multiply/divide on top, bit-identical across
+    engines; the corrected column rounds to 4 (ln is the one
+    libm-dependent op, same convention as the DSIR/unigram entries)."""
+    alpha = hll_alpha(m)
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("__s"))
+    est = (agg.select(
+        F.col("n_set").cast("long").alias("n_set"),
+        (F.col("__s") + (F.lit(m) - F.col("n_set"))).alias("sum_inv"))
+        .withColumn("est_raw", F.lit(alpha * m * m) / F.col("sum_inv")))
+    v0 = F.lit(m) - F.col("n_set")
+    corrected = F.when((F.col("est_raw") <= F.lit(2.5 * m)) & (v0 > 0),
+                       F.lit(float(m)) * F.log(F.lit(float(m)) / v0)
+                       ).otherwise(F.col("est_raw"))
+    return est.select(
+        "n_set", "sum_inv",
+        F.round("est_raw", 4).alias("est_raw"),
+        F.round(corrected, 4).alias("estimate"))

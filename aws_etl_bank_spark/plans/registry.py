@@ -1742,6 +1742,77 @@ def sketch_count_min_estimates(spark, sf_dir):
     return est.join(tru, "user_id").select("user_id", "true_cnt", "estimate")
 
 
+_HLL_RANK_CASE = ("CASE ({h2} & -({h2})) "
+                  + " ".join(f"WHEN {1 << t} THEN {t + 1}"
+                             for t in range(20))
+                  + " ELSE 21 END")
+#: affine pre-hash, then the quadratic (mid-square) step — mirrors
+#: functions/scale.py _hll_hash exactly; the affine columns are named
+#: h_<a> and computed once in an inner projection
+_HLL_AFFINE_SQL = ("(((({k} % 1000003 + 1000003) % 1000003) * {a} + {b}) "
+                   "% 1000003)")
+_HLL_QUAD_SQL = "((h_{a} * h_{a} + {c} * h_{a} + {d}) % 1000003)"
+_HLL_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 256) * 256 * 256)
+
+
+def _hll_oracle_scope(where: str) -> str:
+    h2 = _HLL_QUAD_SQL.format(a=76003, c=4391, d=9973)
+    reg = _HLL_QUAD_SQL.format(a=4391, c=76003, d=51349) + " % 256"
+    affines = (_HLL_AFFINE_SQL.format(k="user_id", a=4391, b=9973)
+               + " AS h_4391, "
+               + _HLL_AFFINE_SQL.format(k="user_id", a=76003, b=51349)
+               + " AS h_76003")
+    return f"""
+SELECT '{{scope}}' AS scope, t.true_distinct, a.n_set,
+       a.s + (256 - a.n_set) AS sum_inv,
+       ROUND({_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)), 4) AS est_raw,
+       ROUND(CASE WHEN {_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)) <= 640.0
+                       AND a.n_set < 256
+                  THEN 256.0 * ln(256.0 / (256 - a.n_set))
+                  ELSE {_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)) END,
+             4) AS estimate
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_set,
+             SUM(power(2.0, -max_rank)) AS s
+      FROM (SELECT register, MAX(rank) AS max_rank
+            FROM (SELECT {reg} AS register, {_HLL_RANK_CASE.format(h2=h2)} AS rank
+                  FROM (SELECT {affines} FROM events WHERE {{where}}))
+            GROUP BY register)) a,
+     (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+      FROM events WHERE {{where}}) t""".replace("{where}", where).replace(
+        "{scope}", "all" if where == "1=1" else "small")
+
+
+@q("sketch_hll_distinct",
+   _hll_oracle_scope("1=1") + "\nUNION ALL" + _hll_oracle_scope("user_id < 110"))
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality estimation (functions/scale.py
+    hll_sketch / hll_merge / hll_estimate) — the mergeable
+    DISTINCT-count sibling of the Count-Min frequency sketch directly
+    above: 256 registers, each the max trailing-zero rank routed to it;
+    merge = cell-wise MAX, so per-partition/per-day sketches roll up
+    without re-touching raw keys (an exact count-distinct must reshuffle
+    the keys every time).  Two scopes in one result: the full corpus
+    (harmonic-mean regime) and the <110-key slice (small-range
+    linear-counting regime), each next to its exact distinct count.
+    The bounded-integer hash/rank family (no float log in the rank)
+    makes every register SQL-expressible, so the oracle reproduces the
+    sketch counter-for-counter and the estimate to 4 decimals; the
+    merge-equals-union property and the 1.04/sqrt(m) error bound are
+    pinned in tests/test_scale_ops.py."""
+    from aws_etl_bank_spark.functions.scale import hll_estimate, hll_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    out = []
+    for scope, frame in [("all", ev),
+                         ("small", ev.filter(F.col("user_id") < 110))]:
+        est = hll_estimate(hll_sketch(frame, "user_id", m=256), m=256)
+        tru = frame.agg(F.count_distinct("user_id").alias("true_distinct"))
+        out.append(est.crossJoin(F.broadcast(tru))
+                   .select(F.lit(scope).alias("scope"), "true_distinct",
+                           "n_set", "sum_inv", "est_raw", "estimate"))
+    return out[0].unionByName(out[1])
+
+
 @q("pivot_event_counts", """
 SELECT user_id,
        CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

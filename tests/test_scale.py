@@ -490,3 +490,57 @@ def test_count_min_sketch_never_underestimates_and_merges(spark):
     assert got == whole
     with pytest.raises(ValueError):
         scale.count_min_sketch(df, "k", depth=9)
+
+
+# --- HyperLogLog sketch --------------------------------------------------
+
+
+def test_hll_merge_equals_union(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) bit-for-bit — the
+    property that lets per-partition/per-day sketches roll up."""
+    a = spark.range(0, 3_000).withColumn("k", F.col("id") * 7 + 3)
+    b = spark.range(2_000, 6_000).withColumn("k", F.col("id") * 7 + 3)
+    union = a.unionByName(b)
+    merged = {(r["register"], r["max_rank"])
+              for r in scale.hll_merge(scale.hll_sketch(a, "k"),
+                                       scale.hll_sketch(b, "k")).collect()}
+    direct = {(r["register"], r["max_rank"])
+              for r in scale.hll_sketch(union, "k").collect()}
+    assert merged == direct
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Relative error within 3·(1.04/√m) ≈ 19.5% at m=256 across three
+    orders of magnitude, including the linear-counting regime.  The
+    hash is deterministic, so this is a fixed-fixture check, not a
+    statistical flake."""
+    for n in (150, 1_000, 20_000):
+        df = spark.range(0, n)  # sequential ids: the adversarial case
+        est = scale.hll_estimate(scale.hll_sketch(df, "id"), m=256).collect()[0]
+        rel = abs(est["estimate"] - n) / n
+        assert rel < 0.195, (n, est["estimate"])
+        assert est["n_set"] <= 256
+
+
+def test_hll_sketch_bounded_and_mapside(spark):
+    """≤ m rows out regardless of input size; the build is one hash
+    aggregation (partial_max visible = map-side combine)."""
+    df = spark.range(0, 50_000)
+    sk = scale.hll_sketch(df, "id", m=64)
+    assert sk.count() <= 64
+    assert "partial_max" in _plan(sk)
+
+
+def test_top_fraction_nondeterministic_upstream_exact(spark):
+    """cache=True pins a nondeterministic score column across the three
+    passes: exactly k rows, every one a genuine source row (the r6
+    ADVICE hazard — histogram vs selection disagreement — silently
+    changes the row count when the upstream re-rolls per pass)."""
+    df = (spark.range(0, 4_000)
+          .withColumn("score", F.rand()))  # no seed: re-rolls on recompute
+    out = scale.top_fraction(df, "score", 0.25, "id", n_buckets=40)
+    rows = out.collect()
+    assert len(rows) == 1_000
+    assert {r["id"] for r in rows} <= set(range(4_000))
+    # second materialization of the SAME returned frame stays consistent
+    assert out.count() == 1_000
