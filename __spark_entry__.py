@@ -27,8 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # whose implementation or oracle CHANGED this round (canon-zero on the
 # signed-delta/DSIR rounds, DECIMAL cube sums, the cached top-fraction,
 # and the new SemDeDup recall-invariant companion), (3) ann_pq_topk,
-# (4) 42 of the 67 stale r2/r3 entries in ledger order.  The remaining
-# 25 stale entries complete in r8 — after which no entry's newest
+# (4) 40 of the 67 stale r2/r3 entries in ledger order.  The remaining
+# 27 stale entries complete in r8 — after which no entry's newest
 # driver evidence predates r4.
 _PRIORITY = [
     # environment-drift tripwire first: pinned-literal schema oracle makes
@@ -42,11 +42,14 @@ _PRIORITY = [
     "win_lag_delta", "llm_dsir_select", "agg_cube_type_day",
     "text_quality_top_fraction", "dedup_semantic_full_recall",
     # new this round: HyperLogLog mergeable distinct sketch (the CMS
-    # sibling), both estimator regimes in one oracle row pair
-    "sketch_hll_distinct",
+    # sibling, both estimator regimes in one oracle row pair), and the
+    # REAL image decode path (numpy P6 parser + nearest-neighbor
+    # thumbnail vectors over planted closed-form PPM payloads)
+    "sketch_hll_distinct", "multimodal_decode_ppm",
+    "multimodal_thumbnail_vec",
     # the ONE entry with zero driver evidence of any kind (rows-only)
     "ann_pq_topk",
-    # r2/r3-stale refresh, ledger order (42 slots; 25 remain for r8)
+    # r2/r3-stale refresh, ledger order (40 slots; 27 remain for r8)
     "filter_python_predicate", "filter_drop_policy", "map_python_records",
     "map_error_policy", "drop_null_fields_op",
     "union_by_name_drift", "union_choice_cast", "resolve_choice_make_cols",
@@ -62,9 +65,9 @@ _PRIORITY = [
     "catalog_pushdown", "src_getsource_csv_getframe",
     "src_parquet_sink_catalog_roundtrip", "src_sample_frame_full",
     "todf_resolve_option_cast", "errors_as_dynamic_frame",
-    "agg_cube_grouping", "pivot_event_counts",
     # ---- 50-slot waterline (the driver caps here) ----
     # r8 rotation finishes the stale set from this point:
+    "agg_cube_grouping", "pivot_event_counts",
     "agg_percentiles", "scd2_as_of_read", "unpivot_melt", "dedup_exact",
     "graph_connected_components", "dedup_ngram_keep_transitive",
     "dedup_ngram_jaccard", "dedup_embedding_pairs", "ann_bruteforce_topk",

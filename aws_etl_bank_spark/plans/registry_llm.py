@@ -611,6 +611,79 @@ def multimodal_frames(spark, sf_dir):
     return sample_frames(attach_binary_payload(docs), n_frames=4)
 
 
+_PPM_IMGS_SQL = """
+imgs AS (SELECT doc_id AS d, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+         FROM documents WHERE doc_id < 500)"""
+
+
+@q("multimodal_decode_ppm", f"""
+WITH {_PPM_IMGS_SQL},
+px AS (SELECT d, w, h, unnest(range(0, w * h * 3)) AS i FROM imgs)
+SELECT d AS doc_id,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + 3 * w * h AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       ROUND(avg((d * 31 + i * 7) % 256), 4) AS mean_byte
+FROM px GROUP BY d, w, h""")
+def multimodal_decode_ppm(spark, sf_dir):
+    """REAL image decoding (llm/multimodal.py decode_image_features,
+    fake=False): deterministic P6 PPM payloads are generated per doc id
+    (synthetic_ppm_payloads — pixel i of image d is (d·31 + i·7) mod
+    256), then decoded by the numpy P6 parser inside Arrow-batched
+    mapInPandas.  Because the fixture is closed-form, the oracle
+    recomputes width/height from the id arithmetic, n_bytes from the
+    exact header length, and mean_byte by averaging the SAME pixel
+    formula over unnest(range(w·h·3)) — a wrong header parse, offset,
+    or dropped pixel byte shifts the mean and fails the hash.  The
+    decoder itself (not the fixture) is what's under test; BMP and the
+    corrupt-payload NULL policy are pinned in tests/test_llm.py."""
+    from aws_etl_bank_spark.llm.multimodal import (decode_image_features,
+                                                   synthetic_ppm_payloads)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    imgs = synthetic_ppm_payloads(docs)
+    return decode_image_features(imgs, fake=False)
+
+
+@q("multimodal_thumbnail_vec", f"""
+WITH {_PPM_IMGS_SQL},
+pos AS (SELECT d, w, h, unnest(range(0, 16)) AS p FROM imgs),
+g AS (SELECT d, w, h, p,
+             (((p // 4) * h) // 4 * w + (p % 4) * w // 4) * 3
+                 AS base
+      FROM pos),
+v AS (SELECT d, p,
+             (CAST((d * 31 + base * 7) % 256 AS DOUBLE)
+              + (d * 31 + (base + 1) * 7) % 256
+              + (d * 31 + (base + 2) * 7) % 256) / 3.0 / 255.0 AS val
+      FROM g)
+SELECT d AS doc_id, CAST(16 AS INT) AS dim,
+       ROUND(avg(CAST(CAST(val AS FLOAT) AS DOUBLE)), 4) AS mean_val
+FROM v GROUP BY d""")
+def multimodal_thumbnail_vec(spark, sf_dir):
+    """Decode → nearest-neighbor resize (4×4) → grayscale → unit-range
+    vector (llm/multimodal.py image_grayscale_vector): the
+    image-to-embedding step that feeds the ANN / semantic-dedup
+    operators.  The oracle replays the whole gather in SQL — thumbnail
+    position p maps to source pixel ((⌊p/4⌋·h)//4, (p%4·w)//4), channel
+    mean over the closed-form pixel bytes, float32 quantization
+    matched by the FLOAT cast — and compares the per-image vector mean
+    to 4 decimals plus the declared dimensionality; a wrong gather
+    index, channel order, or normalization shifts the mean.  Map-only
+    (Arrow mapInPandas), no shuffle; the full per-element vector
+    equality is pinned in tests/test_llm.py."""
+    from aws_etl_bank_spark.llm.multimodal import (image_grayscale_vector,
+                                                   synthetic_ppm_payloads)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    vec = image_grayscale_vector(synthetic_ppm_payloads(docs),
+                                 out_w=4, out_h=4)
+    mean_val = F.aggregate("vector", F.lit(0.0),
+                           lambda a, x: a + x.cast("double")) / F.size("vector")
+    return vec.select("doc_id", F.size("vector").alias("dim"),
+                      F.round(mean_val, 4).alias("mean_val"))
+
+
 # ===========================================================================
 # Streaming (SURVEY.md §2.11)
 # ===========================================================================

@@ -236,10 +236,79 @@ def test_multimodal_plumbing(spark):
     assert dict(with_payload.dtypes)["payload"] == "binary"
     feats = multimodal.decode_image_features(with_payload, fake=True)
     assert feats.count() == 1
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_features(with_payload, fake=False)
+    # real-decode path: a utf8 text payload is not an image — NULL
+    # features, n_bytes still populated (per-row corrupt policy)
+    real = multimodal.decode_image_features(with_payload, fake=False).collect()[0]
+    assert real["n_bytes"] == 3 and real["width"] is None
     frames = multimodal.sample_frames(with_payload, n_frames=3)
     assert frames.count() == 3
+
+
+def _ppm_bytes(w, h, px):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def _bmp_bytes(w, h, rows_topdown):
+    """Minimal bottom-up 24bpp BMP from [[ (b,g,r)... ]] rows."""
+    import struct
+
+    stride = (w * 3 + 3) // 4 * 4
+    body = b""
+    for row in reversed(rows_topdown):  # bottom-up storage
+        line = b"".join(bytes(p) for p in row)
+        body += line + b"\x00" * (stride - len(line))
+    off = 54
+    header = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def test_real_ppm_and_bmp_decode(spark):
+    from aws_etl_bank_spark.llm import multimodal
+
+    # 2x1 PPM: pixels (10,20,30) (40,50,60) → mean 35.0
+    ppm = _ppm_bytes(2, 1, [10, 20, 30, 40, 50, 60])
+    # 2x2 BMP, all-100 bytes → mean 100.0 (padding excluded)
+    bmp = _bmp_bytes(2, 2, [[(100,) * 3] * 2] * 2)
+    corrupt = b"P6\n9 9\n255\nshort"  # truncated body
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp)), (3, bytearray(corrupt))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in
+           multimodal.decode_image_features(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["mean_byte"]) == (2, 1, 35.0)
+    assert (out[2]["width"], out[2]["height"], out[2]["mean_byte"]) == (2, 2, 100.0)
+    assert out[3]["width"] is None and out[3]["n_bytes"] == len(corrupt)
+
+
+def test_image_grayscale_vector_exact(spark):
+    """Nearest-neighbor gather pinned element-for-element on a 4x2
+    image downsampled to 2x2: source pixels (ys,xs) = {0,1}x{0,2}."""
+    import numpy as np
+
+    from aws_etl_bank_spark.llm import multimodal
+
+    px = np.arange(4 * 2 * 3, dtype=np.uint8)  # 0..23
+    ppm = _ppm_bytes(4, 2, px.tolist())
+    df = spark.createDataFrame([(7, bytearray(ppm))], "doc_id long, payload binary")
+    vec = multimodal.image_grayscale_vector(df, out_w=2, out_h=2).collect()[0]["vector"]
+    img = px.reshape(2, 4, 3).astype(float)
+    expect = [img[y, x].mean() / 255.0 for y in (0, 1) for x in (0, 2)]
+    assert np.allclose(vec, expect, atol=1e-7)
+
+
+def test_synthetic_ppm_fixture_roundtrip(spark):
+    """The planted-image fixture decodes to its closed-form dims."""
+    from aws_etl_bank_spark.llm import multimodal
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    imgs = multimodal.synthetic_ppm_payloads(ids)
+    out = {r["doc_id"]: r for r in
+           multimodal.decode_image_features(imgs, fake=False).collect()}
+    assert len(out) == 30
+    for d, r in out.items():
+        assert (r["width"], r["height"]) == (4 + d % 13, 3 + d % 7)
 
 
 def test_ngram_jaccard_exact_pairs(docs):
