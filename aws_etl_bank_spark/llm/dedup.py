@@ -1034,3 +1034,75 @@ def minhash_incremental_matches(batch: DataFrame, index: DataFrame,
                 F.col(f"i.{id_col}").alias("corpus_id"))
         .distinct()
     )
+
+
+def substring_span_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8,
+                         max_shingle_occurrences: int = 64) -> DataFrame:
+    """Exact duplicated-substring spans across documents — the
+    substring-level dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), which removes repeated ≥k-token
+    passages that doc-level MinHash misses (boilerplate headers, quoted
+    chunks, licence blocks).  The reference engine has no substring
+    dedup; this is the training-data extension the suffix-array method
+    maps to in pure DataFrame algebra.
+
+    Distributed shape (no suffix array, same result for word tokens):
+
+    1. every doc emits its positioned k-token shingles, hashed to 8
+       bytes (``xxhash64``) so the shuffle never carries shingle text;
+    2. hub shingles occurring more than ``max_shingle_occurrences``
+       times corpus-wide are cut (hash-agg + equi-join, skew-safe —
+       a window count would put one hub shingle in one task);
+    3. a self equi-join on the hash yields (pos_a, pos_b) matches;
+    4. runs of consecutive matches at constant offset ``pos_a - pos_b``
+       merge into maximal spans (gaps-and-islands: one window per
+       (id_a, id_b, offset) group — bounded by matches per doc PAIR,
+       never corpus-sized).
+
+    Every k-token duplicate is found (exact, not probabilistic); a
+    hash collision (~2^-64/pair) could add a false match — the oracle
+    joins on shingle text and would catch it.  Spans of ``span_tokens``
+    > k are maximal runs; overlapping spans at different offsets (self-
+    repetitive text) are reported separately, as in the paper.
+    Positions are 1-based token indices after ``split(lower(text),
+    '\\s+')``.  At 100 TB the positioned-shingle frame is ~20 bytes/
+    token — the same order as the suffix-array approach's index — and
+    every stage is a hash-partitioned agg/join with map-side combine.
+    """
+    from aws_etl_bank_spark.functions.scale import widen_if_underscanned
+
+    df = widen_if_underscanned(df, id_col)
+    parts = ", ' ', ".join(f"element_at(__words, i + {j})" for j in range(k))
+    sh = (f"transform(sequence(1, size(__words) - {k} + 1), "
+          f"i -> xxhash64(concat({parts})))")
+    # explode(array(...)) materialization barrier: see _shingle_frame
+    words = F.explode(F.array(F.expr(f"split(lower({text_col}), '\\\\s+')")))
+    pos_sh = (
+        df.select(F.col(id_col), words.alias("__words"))
+        .filter(F.expr(f"size(__words) >= {k}"))
+        .select(F.col(id_col), F.posexplode(F.expr(sh)).alias("__p0", "__h"))
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__h"))
+    ok = (pos_sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__occ"))
+          .filter(F.col("__occ") <= max_shingle_occurrences)
+          .select("__h"))
+    pos_sh = pos_sh.join(ok, "__h")
+    a = pos_sh.select(F.col(id_col).alias("id_a"),
+                      F.col("pos").alias("pos_a"), "__h")
+    b = pos_sh.select(F.col(id_col).alias("id_b"),
+                      F.col("pos").alias("pos_b"), "__h")
+    m = (a.join(b, "__h").filter(F.col("id_a") < F.col("id_b"))
+         .withColumn("__off", F.col("pos_a") - F.col("pos_b")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("id_a", "id_b", "__off").orderBy("pos_a")
+    return (
+        m.withColumn("__isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "__off", "__isl")
+        .agg(F.min("pos_a").alias("start_a"),
+             F.min("pos_b").alias("start_b"),
+             (F.max("pos_a") - F.min("pos_a") + k).alias("span_tokens"))
+        .select("id_a", "id_b",
+                F.col("start_a").cast("int").alias("start_a"),
+                F.col("start_b").cast("int").alias("start_b"),
+                F.col("span_tokens").cast("int").alias("span_tokens"))
+    )

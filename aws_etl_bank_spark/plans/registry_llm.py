@@ -2084,3 +2084,47 @@ def llm_dsir_select(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dsir_select(docs, docs.filter(F.col("lang") == "zh"),
                        "text", "doc_id", k=50)
+
+
+@q("dedup_substring_spans", r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents
+),
+ps AS (
+  SELECT doc_id, unnest(range(1, len(words) - 6)) AS pos, words
+  FROM w WHERE len(words) >= 8
+),
+pos_sh AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         array_to_string(words[CAST(pos AS INT):CAST(pos + 7 AS INT)], ' ') AS s
+  FROM ps
+),
+ok AS (SELECT s FROM pos_sh GROUP BY s HAVING count(*) <= 64),
+m AS (
+  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
+  FROM pos_sh a JOIN ok USING (s) JOIN pos_sh b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT id_a, id_b, pos_a, pos_b,
+         pos_a - row_number() OVER (
+             PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+  FROM m
+)
+SELECT id_a, id_b,
+       CAST(min(pos_a) AS INT) AS start_a,
+       CAST(min(pos_b) AS INT) AS start_b,
+       CAST(max(pos_a) - min(pos_a) + 8 AS INT) AS span_tokens
+FROM isl GROUP BY id_a, id_b, pos_a - pos_b, grp""")
+def dedup_substring_spans(spark, sf_dir):
+    """Substring-level dedup (llm/dedup.py substring_span_pairs): every
+    maximal duplicated run of >= 8 word tokens across document pairs —
+    the Lee et al. 2022 passage-dedup that doc-level MinHash misses.
+    Engine joins positioned shingles on their 64-bit hash (the shuffle
+    never carries text); the oracle joins on the shingle TEXT, so a
+    hash collision or any positioning/merge bug fails the compare."""
+    from aws_etl_bank_spark.llm import substring_span_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_span_pairs(docs, "text", "doc_id", k=8,
+                                max_shingle_occurrences=64)

@@ -1148,3 +1148,61 @@ def test_band_index_collapse_exact_bounds_match_fanout(spark):
                                         collapse_exact=True))
     rows = collapsed.collect()
     assert len(rows) == 1 and rows[0]["corpus_id"] == 0
+
+
+def test_substring_spans_finds_maximal_shared_run(spark):
+    # docs 1 and 2 share tokens 3..12 of doc 1 (a 10-token run) at
+    # different positions; k=4 shingles must merge into ONE maximal span
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    d1 = "pre1 pre2 " + shared + " tail1 tail2"            # run starts at pos 3
+    d2 = "x1 x2 x3 x4 x5 " + shared                        # run starts at pos 6
+    d3 = "nothing in common with the others at all here"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+    from aws_etl_bank_spark.llm import substring_span_pairs
+
+    out = substring_span_pairs(df, "text", "doc_id", k=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (3, 6, 10)
+
+
+def test_substring_spans_separate_runs_not_bridged(spark):
+    # two shared 4-token runs separated by differing middles must NOT
+    # merge (the gap breaks the island), and each is reported at k=4
+    a = "one two three four MIDA MIDB five six seven eight"
+    b = "one two three four DIFF1 DIFF2 five six seven eight"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    from aws_etl_bank_spark.llm import substring_span_pairs
+
+    out = substring_span_pairs(df, "text", "doc_id", k=4).collect()
+    got = {(r["start_a"], r["start_b"], r["span_tokens"]) for r in out}
+    assert got == {(1, 1, 4), (7, 7, 4)}
+
+
+def test_substring_spans_hub_cut_drops_boilerplate(spark):
+    # the same 4-token banner in every doc exceeds max_shingle_occurrences
+    banner = "copyright acme corp reserved"
+    rows = [(i, f"{banner} body{i} unique{i} tok{i} end{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from aws_etl_bank_spark.llm import substring_span_pairs
+
+    out = substring_span_pairs(df, "text", "doc_id", k=4,
+                               max_shingle_occurrences=4)
+    assert out.count() == 0
+    # raise the cap and the banner pairs reappear
+    out2 = substring_span_pairs(df, "text", "doc_id", k=4,
+                                max_shingle_occurrences=100)
+    assert out2.count() == 8 * 7 // 2
+
+
+def test_substring_spans_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} a b c d") for i in range(6)],
+        "doc_id long, text string")
+    from aws_etl_bank_spark.llm import substring_span_pairs
+
+    plan = substring_span_pairs(df, "text", "doc_id", k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
