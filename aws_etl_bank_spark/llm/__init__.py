@@ -28,6 +28,7 @@ from aws_etl_bank_spark.llm.similarity import (  # noqa: F401
     pq_topk,
 )
 from aws_etl_bank_spark.llm.text import (  # noqa: F401
+    bigram_logprob,
     chunk_documents,
     dsir_select,
     fingerprint,

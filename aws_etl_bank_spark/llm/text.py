@@ -461,6 +461,74 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lam: float = 0.7,
+                   reference: DataFrame | None = None) -> DataFrame:
+    """Per-document average negative log-probability under an
+    INTERPOLATED bigram language model — the KenLM/CCNet-style quality
+    proxy one order up from :func:`unigram_logprob`:  ``p(w2|w1) =
+    lam * c(w1 w2)/c_prefix(w1) + (1-lam) * c(w2)/total``, counts
+    fitted on ``reference`` (a trusted corpus — Wikipedia in CCNet) and
+    scored over ``df``.  ``reference=None`` fits on ``df`` itself; note
+    the self-fit artifact: a SINGLETON prefix makes its one continuation
+    perfectly predictable (p_bi = 1), so self-fit scores flag repetitive
+    text but NOT out-of-domain gibberish — pass a reference corpus for
+    quality filtering (the unit test pins this distinction).
+
+    Back-off: a bigram unseen in the reference contributes only its
+    ``(1-lam)`` unigram term; an OOV word gets the floor ``1/total``
+    (one phantom count), so every document scores finitely — no
+    discounting state, the whole model is three hash-aggs.
+
+    Shape (all JVM-side, no Python in the path):  bigrams are built
+    map-only from the token array (``transform`` over ``sequence`` —
+    no window, no self-join); counts are vocab-bounded hash-aggs with
+    map-side combine; scoring is two LEFT equi-joins shuffled on
+    (w1,w2) and w2.  The corpus total crosses as a one-row broadcast.
+    At 100 TB the bigram vocab is the memory bound — swap exact counts
+    for a count-min sketch (functions/scale.py) past executor memory.
+    Documents with fewer than two tokens have no bigrams and are
+    absent from the result (score of an empty sequence is undefined).
+    """
+    ref = df if reference is None else reference
+
+    def _bigrams(frame: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        toks = frame.select(*cols, F.split(F.col(text_col), " ").alias("__l"))
+        return (
+            toks.filter(F.expr("size(__l) >= 2"))
+            .select(*cols, F.posexplode(F.expr(
+                "transform(sequence(1, size(__l) - 1), "
+                "i -> struct(element_at(__l, i) AS w1, "
+                "element_at(__l, i + 1) AS w2))")).alias("__i", "__bg"))
+            .select(*cols, F.col("__bg.w1").alias("__w1"),
+                    F.col("__bg.w2").alias("__w2")))
+
+    bi = (_bigrams(ref, keep_id=False)
+          .groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__cb")))
+    prefix = bi.groupBy("__w1").agg(F.sum("__cb").alias("__cp"))
+    words = ref.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+    uni = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__cu"))
+    total = uni.agg(F.sum("__cu").alias("__tot"))
+    p_uni = (uni.crossJoin(F.broadcast(total))
+             .select(F.col("__w").alias("__w2"),
+                     (F.col("__cu") / F.col("__tot")).alias("__pu")))
+    p_bi = (bi.join(prefix, "__w1")
+            .select("__w1", "__w2", (F.col("__cb") / F.col("__cp")).alias("__pb")))
+    return (
+        _bigrams(df, keep_id=True)
+        .join(p_bi, ["__w1", "__w2"], "left")
+        .join(p_uni, "__w2", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__p", F.lit(lam) * F.coalesce(F.col("__pb"), F.lit(0.0))
+                    + F.lit(1.0 - lam)
+                    * F.coalesce(F.col("__pu"), F.lit(1.0) / F.col("__tot")))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(F.avg(-F.log("__p")), 6).alias("avg_neg_logp"))
+    )
+
+
 def hash_split(df: DataFrame, id_col: str, train: int = 80, val: int = 10,
                split_col: str = "split") -> DataFrame:
     """Deterministic train/val/test assignment from the row id alone —

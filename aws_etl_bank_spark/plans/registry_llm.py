@@ -2128,3 +2128,40 @@ def dedup_substring_spans(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return substring_span_pairs(docs, "text", "doc_id", k=8,
                                 max_shingle_occurrences=64)
+
+
+@q("text_bigram_logprob", """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i + 1 AS INT)] AS w2
+  FROM (SELECT doc_id, unnest(range(1, len(l))) AS i, l
+        FROM tk WHERE len(l) >= 2)
+),
+bi AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+pfx AS (SELECT w1, sum(cb) AS cp FROM bi GROUP BY w1),
+wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+uni AS (SELECT w, count(*) AS cu FROM wd GROUP BY w),
+t AS (SELECT sum(cu) AS tot FROM uni)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       -- (1 - 0.7) not literal 0.3: the engine computes 1.0-lam in IEEE
+       -- doubles (0.30000000000000004); a 0.3 literal differs in the
+       -- last ulp — invisible at ROUND(,6) but a needless hazard for
+       -- the sf1 decade audit's tighter magnitudes
+       ROUND(AVG(-ln(0.7 * (bi.cb / CAST(pfx.cp AS DOUBLE))
+                     + (1 - 0.7) * (uni.cu / CAST((SELECT tot FROM t) AS DOUBLE)))),
+             6) AS avg_neg_logp
+FROM bg JOIN bi USING (w1, w2) JOIN pfx USING (w1)
+        JOIN uni ON uni.w = bg.w2
+GROUP BY doc_id""")
+def text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM scoring (llm/text.py bigram_logprob):
+    the KenLM-style perplexity quality proxy one order above
+    text_unigram_logprob — p(w2|w1) = 0.7·c(w1w2)/c_prefix(w1) +
+    0.3·c(w2)/total, self-fitted on the corpus.  Bigrams are built
+    map-only from the token array (no window, no self-join); the
+    oracle repeats the identical model in SQL, so smoothing weights,
+    prefix normalization, and the natural-log base are all pinned."""
+    from aws_etl_bank_spark.llm.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, lam=0.7)

@@ -1206,3 +1206,59 @@ def test_substring_spans_no_cartesian(spark):
     plan = substring_span_pairs(df, "text", "doc_id", k=4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    # corpus: "a b a b" (doc 1), "a b" (doc 2)
+    # unigrams: a=3, b=3, total 6 -> p_uni(a)=p_uni(b)=0.5
+    # bigrams: (a,b)=3, (b,a)=1; prefix a=3, b=1
+    # p(b|a) = .7*1.0 + .3*.5 = .85 ; p(a|b) = .7*1.0 + .3*.5 = .85
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.bigram_logprob(df, lam=0.7).collect()}
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 1
+    expect = round(-math.log(0.85), 6)
+    assert out[1]["avg_neg_logp"] == pytest.approx(expect, abs=1e-6)
+    assert out[2]["avg_neg_logp"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_bigram_logprob_short_docs_absent_and_backoff_no_zero(spark):
+    # single-word doc has no bigrams -> absent; an unseen-bigram corpus
+    # still scores every bigram via the unigram back-off (no -inf/NaN)
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "x y"), (3, "y x")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in text.bigram_logprob(df).collect()}
+    assert 1 not in rows and set(rows) == {2, 3}
+    for r in rows.values():
+        assert r["avg_neg_logp"] is not None
+        assert not math.isnan(r["avg_neg_logp"]) and r["avg_neg_logp"] >= 0
+
+
+def test_bigram_logprob_reference_fit_flags_gibberish(spark):
+    # fitted on a trusted reference (CCNet-style), OOD gibberish must
+    # score worse than in-domain text: every gibberish bigram backs off
+    # to the OOV floor
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat on the rug")
+         for i in range(1, 9)], "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the rug"),
+         (99, "zq vx qj wk zz pf yb gx nd lm")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["avg_neg_logp"]
+            for r in text.bigram_logprob(df, reference=ref).collect()}
+    assert rows[99] > rows[1] + 5  # OOV floor is orders of magnitude off
+
+
+def test_bigram_logprob_self_fit_singleton_prefix_artifact(spark):
+    # documents the WHY of the reference param: self-fitted, a gibberish
+    # doc's singleton prefixes make its bigrams near-certain, so it does
+    # NOT score worst — the docstring's warning, pinned
+    base = [(i, "the cat sat on the mat and the dog sat on the rug")
+            for i in range(1, 9)]
+    df = spark.createDataFrame(
+        base + [(99, "zq vx qj wk zz pf yb gx nd lm")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["avg_neg_logp"]
+            for r in text.bigram_logprob(df).collect()}
+    assert rows[99] < max(v for k, v in rows.items() if k != 99)
