@@ -834,7 +834,11 @@ def hll_estimate(sketch: DataFrame, m: int = 256) -> DataFrame:
     alpha = hll_alpha(m)
     agg = sketch.agg(
         F.count(F.lit(1)).alias("n_set"),
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("__s"))
+        # Empty sketch (zero input rows): SUM is NULL — coalesce to 0.0
+        # so sum_inv = m and the linear-counting branch yields the
+        # correct estimate 0 (m·ln(m/m)), not NULL (r7 advice).
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))),
+                   F.lit(0.0)).alias("__s"))
     est = (agg.select(
         F.col("n_set").cast("long").alias("n_set"),
         (F.col("__s") + (F.lit(m) - F.col("n_set"))).alias("sum_inv"))

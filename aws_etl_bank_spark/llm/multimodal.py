@@ -112,6 +112,8 @@ def _decode_bmp(buf: bytes):
 
 
 def _decode_any(buf) -> tuple | None:
+    if buf is None:
+        return None
     b = bytes(buf)
     out = _decode_ppm(b)
     if out is None:
@@ -140,6 +142,12 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             feats = []
             for payload in pdf[payload_col]:
+                # NULL payload (missing/corrupt upstream fetch) must not
+                # kill the stage on a 100 TB crawl: emit a NULL-feature
+                # row and move on (r7 advice).
+                if payload is None:
+                    feats.append((0, None, None, None))
+                    continue
                 n = len(payload)
                 dec = _decode_any(payload)
                 if dec is None:
@@ -163,7 +171,7 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
 
         for pdf in batches:
             payloads = pdf[payload_col]
-            n_bytes = payloads.map(len)
+            n_bytes = payloads.map(lambda b: 0 if b is None else len(b))
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -171,7 +179,8 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                     "width": (n_bytes % 256).astype("int32"),
                     "height": ((n_bytes * 7) % 256).astype("int32"),
                     "mean_byte": payloads.map(
-                        lambda b: round(sum(b[:64]) / max(min(len(b), 64), 1), 4)
+                        lambda b: None if b is None else
+                        round(sum(b[:64]) / max(min(len(b), 64), 1), 4)
                     ),
                 }
             )

@@ -83,6 +83,10 @@ HEADLINE = [
     # r06 addition: the hot-key-split flagship next to the plain form
     # (the running-sum sibling of the asof/zscore split pairs)
     "fact_snapshot_split",
+    # r08 addition: passage-level substring dedup (shingle-hash inverted
+    # index + self-join — the heaviest join shape added in r7, benched so
+    # the ledger has a number for it)
+    "dedup_substring_spans",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
@@ -99,6 +103,11 @@ def main():
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench")
+    # The driver's stdout tail capture is shared between our JSON line and
+    # whatever Spark logs late in the run — streaming queries emit WARN
+    # lines (ResolveWriteToStream checkpoint notices) that eat into the
+    # ~2000-char budget.  ERROR level keeps the tail clean.
+    spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     # Warmup: one tiny-sf pass per headline query primes the JVM, codegen
     # cache, and file-source metadata so the timed numbers reflect

@@ -144,6 +144,7 @@ def main():
         if name_filter and not any(f in name for f in name_filter):
             continue
         if any(e in name for e in exclude):
+            record[name] = {"status": "excluded"}
             print(f"skip  {name} (excluded)")
             continue
         try:
@@ -207,20 +208,27 @@ def main():
         print(f"ok    {name}: {len(rows)} rows")
 
     total = len([n for n in qs if not name_filter or any(f in n for f in name_filter)])
-    print(f"\n{passed} passed, {rows_only} rows-only, {len(failures)} failed "
-          f"of {total}")
+    n_excluded = sum(1 for v in record.values() if v.get("status") == "excluded")
+    print(f"\n{passed} passed, {rows_only} rows-only, {len(failures)} failed, "
+          f"{n_excluded} excluded of {total}")
     # Parseable artifact (r6 verdict item 3): the FULL-registry run's
     # per-entry record goes to bench_out/VERIFY_full.json so the judge
-    # reads counts, not prose.  Filtered runs don't overwrite it.
+    # reads counts, not prose.  Filtered runs don't overwrite it, and
+    # excluded entries are recorded explicitly (status + count) so the
+    # artifact can never masquerade as a full run when
+    # SPARK_GRAFT_VERIFY_EXCLUDE skipped anything (r7 advice).
     if not name_filter:
         import json as _json
         import os as _os
         out_dir = _os.path.join(REPO, "bench_out")
         _os.makedirs(out_dir, exist_ok=True)
+        payload = {"sf_dir": sf_dir, "total": total, "passed": passed,
+                   "rows_only": rows_only, "failed": len(failures),
+                   "entries": record}
+        if n_excluded:
+            payload["excluded"] = n_excluded
         with open(_os.path.join(out_dir, "VERIFY_full.json"), "w") as f:
-            _json.dump({"sf_dir": sf_dir, "total": total, "passed": passed,
-                        "rows_only": rows_only, "failed": len(failures),
-                        "entries": record}, f, indent=1)
+            _json.dump(payload, f, indent=1)
     sys.exit(1 if failures else 0)
 
 

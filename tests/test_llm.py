@@ -282,6 +282,28 @@ def test_real_ppm_and_bmp_decode(spark):
     assert out[3]["width"] is None and out[3]["n_bytes"] == len(corrupt)
 
 
+def test_null_payload_survives_decode(spark):
+    """A NULL payload row (missing/corrupt upstream fetch) must not kill
+    the stage in any decode path — real features, fake features, or the
+    grayscale thumbnail — it yields NULL features for that row only
+    (r7 advice)."""
+    from aws_etl_bank_spark.llm import multimodal
+
+    ppm = _ppm_bytes(2, 1, [10, 20, 30, 40, 50, 60])
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, None)], "doc_id long, payload binary")
+    real = {r["doc_id"]: r for r in
+            multimodal.decode_image_features(df, fake=False).collect()}
+    assert real[1]["mean_byte"] == 35.0
+    assert real[2]["n_bytes"] == 0 and real[2]["width"] is None
+    fake = {r["doc_id"]: r for r in
+            multimodal.decode_image_features(df, fake=True).collect()}
+    assert fake[2]["n_bytes"] == 0 and fake[2]["mean_byte"] is None
+    gray = {r["doc_id"]: r["vector"] for r in
+            multimodal.image_grayscale_vector(df, out_w=2, out_h=1).collect()}
+    assert gray[1] is not None and gray[2] is None
+
+
 def test_image_grayscale_vector_exact(spark):
     """Nearest-neighbor gather pinned element-for-element on a 4x2
     image downsampled to 2x2: source pixels (ys,xs) = {0,1}x{0,2}."""

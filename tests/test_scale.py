@@ -522,6 +522,17 @@ def test_hll_estimate_within_error_bound(spark):
         assert est["n_set"] <= 256
 
 
+def test_hll_estimate_empty_sketch_is_zero(spark):
+    """Zero input rows ⇒ the 2^-rank SUM is NULL; the estimate must
+    coalesce to the linear-counting answer 0 (all m registers empty ⇒
+    m·ln(m/m) = 0), never NULL (r7 advice)."""
+    df = spark.range(0, 10).filter(F.col("id") < 0)  # empty
+    est = scale.hll_estimate(scale.hll_sketch(df, "id"), m=256).collect()[0]
+    assert est["n_set"] == 0
+    assert est["sum_inv"] == 256.0
+    assert est["estimate"] == 0.0
+
+
 def test_hll_sketch_bounded_and_mapside(spark):
     """≤ m rows out regardless of input size; the build is one hash
     aggregation (partial_max visible = map-side combine)."""
