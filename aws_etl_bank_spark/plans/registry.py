@@ -2185,13 +2185,15 @@ def stream_sliding_counts(spark, sf_dir):
     return windowed_event_counts(ev, "6 hours", slide="2 hours")
 
 
-@q("scale_bucketed_join", """
+@q("scale_bucketed_join_agg", """
 SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
        ROUND(SUM(o.o_totalprice), 2) AS total
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY o.o_custkey""")
-def scale_bucketed_join(spark, sf_dir):
-    """Bucketed co-located join (functions/scale.py): both sides
+def scale_bucketed_join_agg(spark, sf_dir):
+    """Bucketed co-located join + same-key AGGREGATION (the sibling of
+    ``scale_bucketed_join``, which projects; this one proves the
+    aggregate after the join also runs exchange-free): both sides
     persisted bucketBy(custkey) with the same bucket count, so the join
     and the following same-key aggregation run with NO exchange (plan
     asserted in tests/test_scale.py) — the pay-the-shuffle-once layout
@@ -3093,7 +3095,7 @@ def scale_bucketed_join(spark, sf_dir):
                     F.round("o_totalprice", 2).alias("total")))
 
 
-@q("win_rank_family", """
+@q("win_rank_family_by_user", """
 SELECT user_id, event_id,
        CAST(rank()       OVER w AS BIGINT) AS rnk,
        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
@@ -3102,7 +3104,7 @@ SELECT user_id, event_id,
        CAST(ntile(4) OVER w AS INT) AS quartile
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""")
-def win_rank_family(spark, sf_dir):
+def win_rank_family_by_user(spark, sf_dir):
     """The complete rank family per key — rank, dense_rank,
     percent_rank, cume_dist, ntile — in ONE window pass (all five share
     the same (user, value-order) windowspec, so Spark plans one sort +
