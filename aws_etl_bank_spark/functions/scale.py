@@ -811,7 +811,7 @@ def hll_sketch(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Union any number of sketches built with the same ``m``: the
     cell-wise MAX.  sketch(A ∪ B) == merge(sketch(A), sketch(B))
-    bit-for-bit — asserted in tests/test_scale_ops.py."""
+    bit-for-bit — asserted in tests/test_scale.py."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -851,3 +851,142 @@ def hll_estimate(sketch: DataFrame, m: int = 256) -> DataFrame:
         "n_set", "sum_inv",
         F.round("est_raw", 4).alias("est_raw"),
         F.round(corrected, 4).alias("estimate"))
+
+
+# --- Binned-histogram quantile sketch ------------------------------------
+
+
+def quantile_sketch(df: DataFrame, value_col: str, lo: float, hi: float,
+                    n_bins: int = 256) -> DataFrame:
+    """(bin, cnt) — a fixed-range binned-histogram quantile sketch: the
+    third member of the mergeable-sketch family (Count-Min: frequency;
+    HLL: distinct; this: rank/quantile).  ``bin = clamp(floor((x - lo)
+    / w), 0, n_bins-1)`` with ``w = (hi - lo) / n_bins`` — values
+    outside [lo, hi) land in the edge bins, NULLs are dropped.
+
+    Same 100 TB shape as the other sketches: ONE hash aggregation with
+    map-side combine, ≤ ``n_bins`` rows out regardless of input size,
+    and two sketches merge by summing counts per bin
+    (:func:`quantile_merge`) — per-partition/per-day histograms roll up
+    without re-touching raw values, which an exact percentile (a global
+    sort) never can.  Estimate error is bounded by the bin width, a
+    KNOWN deterministic bound — unlike sampling — and the whole build
+    is integer/IEEE arithmetic identical across engines, so the oracle
+    reproduces the sketch bin-for-bin and the estimates to the digit."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    w = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return (df.where(F.col(value_col).isNotNull())
+            .groupBy(b.cast("long").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def quantile_merge(*sketches: DataFrame) -> DataFrame:
+    """Union any number of same-range sketches: counts sum per bin."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_estimate(sketch: DataFrame, qs: list[float], lo: float,
+                      hi: float, n_bins: int = 256) -> DataFrame:
+    """One row per requested quantile ``q``: the 1-indexed target rank
+    ``r = floor(q·(n-1)) + 1``, the bin containing it, and the
+    within-bin linearly interpolated estimate ``lo + w·(bin +
+    (r - cum_before)/cnt_bin)``.
+
+    The sketch is ≤ ``n_bins`` rows, so the cumulative sum runs as ONE
+    deliberately single-partition window (the same bounded-input
+    exception as the per-shard totals in pack_sequences) and the
+    quantile probes join against it broadcast — nothing here scales
+    with the raw data."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / n_bins
+    win = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = (sketch
+         .withColumn("cum", F.sum("cnt").over(win))
+         .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+         .withColumn("n", F.sum("cnt").over(
+             Window.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))))
+    probes = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    j = F.broadcast(probes).crossJoin(c)
+    r = (F.floor(F.col("q") * (F.col("n") - 1)) + 1).alias("r")
+    picked = (j.select("q", "bin", "cnt", "cum", "cum_before", "n", r)
+              .where((F.col("cum") >= F.col("r"))
+                     & (F.col("cum_before") < F.col("r"))))
+    est = (F.lit(lo) + F.lit(w)
+           * (F.col("bin") + (F.col("r") - F.col("cum_before"))
+              / F.col("cnt").cast("double")))
+    return picked.select("q", F.col("r").cast("long").alias("r"),
+                         F.col("bin").cast("long").alias("bin"),
+                         F.round(est, 6).alias("est"))
+
+
+# --- K-minimum-values (KMV) distinct / Jaccard sketch --------------------
+
+#: quadratic-hash coefficients for the KMV value hash (same bounded
+#: family as the HLL register/rank hashes, distinct constants)
+_KMV_COEF = (7001, 104729, 1223, 514229)
+
+
+def kmv_hash(key: Column) -> Column:
+    """Uniform hash of an integral key into [0, P) with P = 1,000,003 —
+    the same overflow-safe quadratic form as :func:`_hll_hash` (all
+    intermediates < P² < 2^63), so DuckDB can reproduce it verbatim."""
+    return _hll_hash(key, *_KMV_COEF)
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 128) -> DataFrame:
+    """The k smallest DISTINCT hash values of ``key_col`` — a KMV
+    (bottom-k) cardinality sketch (Bar-Yossef et al. 2002).  Distinct
+    estimate: ``(k-1)·P/h_k`` when the sketch is full, EXACT otherwise.
+
+    Unlike HLL this sketch supports set INTERSECTION: the k smallest of
+    a union of sketches is the union's sketch, and Jaccard is estimated
+    by how many of those survivors appear in both sides
+    (:func:`kmv_jaccard`).  Build = distinct + bounded top-k
+    (TakeOrdered, never a global sort); ≤ k rows out; merge = union →
+    distinct → top-k, no raw keys re-read."""
+    h = kmv_hash(F.col(key_col)).alias("h")
+    return df.select(h).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 128) -> DataFrame:
+    """One row: ``n_kept`` hashes in the sketch and the cardinality
+    ``estimate`` — ``(k-1)·P/max_h`` in the full regime, the exact
+    ``n_kept`` when the input had fewer than k distinct keys."""
+    agg = sketch.agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.max("h").alias("max_h"))
+    est = F.when(
+        F.col("n_kept") < F.lit(k), F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(_HLL_PRIME))
+                / F.col("max_h").cast("double"))
+    return agg.select(F.col("n_kept").cast("long").alias("n_kept"),
+                      F.round(est, 4).alias("estimate"))
+
+
+def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame, k: int = 128) -> DataFrame:
+    """Jaccard similarity estimate of two keyed sets from their KMV
+    sketches alone: take the k smallest hashes of the union of the two
+    sketches, count how many are present in BOTH, divide by the
+    union-sketch size.  One row: ``n_union_sketch``, ``n_both``,
+    ``jaccard_est``.  Everything operates on ≤ 2k rows — the compare
+    never touches the raw sets, which is the point at 100 TB."""
+    a = sk_a.select(F.col("h").alias("h"), F.lit(1).alias("in_a"))
+    b = sk_b.select(F.col("h").alias("h"), F.lit(1).alias("in_b"))
+    u = (a.join(b, "h", "full_outer")
+         .select("h", F.coalesce("in_a", F.lit(0)).alias("in_a"),
+                 F.coalesce("in_b", F.lit(0)).alias("in_b"))
+         .orderBy("h").limit(k))
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+         .cast("long").alias("n_both"),
+        F.round(F.sum((F.col("in_a") * F.col("in_b")).cast("double"))
+                / F.count(F.lit(1)), 6).alias("jaccard_est"))

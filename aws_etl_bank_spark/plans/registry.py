@@ -1798,7 +1798,7 @@ def sketch_hll_distinct(spark, sf_dir):
     makes every register SQL-expressible, so the oracle reproduces the
     sketch counter-for-counter and the estimate to 4 decimals; the
     merge-equals-union property and the 1.04/sqrt(m) error bound are
-    pinned in tests/test_scale_ops.py."""
+    pinned in tests/test_scale.py."""
     from aws_etl_bank_spark.functions.scale import hll_estimate, hll_sketch
 
     ev = load_table(spark, sf_dir, "events")
@@ -3837,3 +3837,129 @@ def scale_zorder_clustered_read(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("total"),
         F.countDistinct("o_custkey").alias("n_cust"),
     )
+
+
+@q("sketch_quantile_binned", """
+WITH h AS (
+  SELECT CAST(least(greatest(floor((value - 0.0) / 2.0), 0), 249) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+c AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin) AS cum,
+         SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_before,
+         SUM(cnt) OVER () AS n
+  FROM h),
+qs AS (SELECT CAST(unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
+probe AS (
+  SELECT q, CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS r,
+         bin, cnt, cum, cum_before
+  FROM qs CROSS JOIN c)
+SELECT q, r, bin,
+       ROUND(0.0 + 2.0 * (bin + (r - cum_before) / CAST(cnt AS DOUBLE)), 6) AS est
+FROM probe WHERE cum >= r AND cum_before < r""")
+def sketch_quantile_binned(spark, sf_dir):
+    """Binned-histogram quantile sketch (functions/scale.py
+    quantile_sketch / quantile_estimate) — the rank member of the
+    mergeable-sketch family (CMS: frequency, HLL: distinct, KMV: set
+    overlap): 250 fixed bins over events.value, seven quantiles read
+    off the cumulative histogram with within-bin linear interpolation.
+    ONE hash aggregation with map-side combine builds it (≤ 250 rows
+    out at ANY input size); per-day/per-partition histograms merge by
+    summing bins — an exact percentile is a global sort every time.
+    Error is bounded by the bin width (deterministic, unlike sampling).
+    All arithmetic is integer + IEEE double in the same op order on
+    both engines, so the oracle pins every estimate to 6 decimals;
+    merge-equals-direct is pinned in tests/test_scale.py."""
+    from aws_etl_bank_spark.functions.scale import (quantile_estimate,
+                                                    quantile_sketch)
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = quantile_sketch(ev, "value", 0.0, 500.0, n_bins=250)
+    return quantile_estimate(
+        sk, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99], 0.0, 500.0, n_bins=250)
+
+
+_KMV_SQL_HASH = """(
+  ((event_id % 1000003) * 7001 + 104729) % 1000003 *
+   (((event_id % 1000003) * 7001 + 104729) % 1000003)
+  + 1223 * (((event_id % 1000003) * 7001 + 104729) % 1000003)
+  + 514229) % 1000003"""
+
+
+@q("sketch_kmv_jaccard", f"""
+WITH ha AS (SELECT DISTINCT {_KMV_SQL_HASH} AS h
+            FROM events WHERE value < 300 ORDER BY h LIMIT 256),
+     hb AS (SELECT DISTINCT {_KMV_SQL_HASH} AS h
+            FROM events WHERE value BETWEEN 150 AND 450 ORDER BY h LIMIT 256),
+     ea AS (SELECT COUNT(*) AS n_a_kept,
+                   CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE 255.0 * 1000003.0 / CAST(MAX(h) AS DOUBLE) END AS est_a
+            FROM ha),
+     eb AS (SELECT COUNT(*) AS n_b_kept,
+                   CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE 255.0 * 1000003.0 / CAST(MAX(h) AS DOUBLE) END AS est_b
+            FROM hb),
+     u AS (SELECT COALESCE(a.h, b.h) AS h,
+                  CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                  CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+           FROM ha a FULL OUTER JOIN hb b ON a.h = b.h
+           ORDER BY h LIMIT 256),
+     j AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+                  CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+                  ROUND(SUM(CAST(in_a * in_b AS DOUBLE)) / COUNT(*), 6) AS jaccard_est
+           FROM u)
+SELECT CAST(n_a_kept AS BIGINT) AS n_a_kept, ROUND(est_a, 4) AS est_a,
+       CAST(n_b_kept AS BIGINT) AS n_b_kept, ROUND(est_b, 4) AS est_b,
+       n_union_sketch, n_both, jaccard_est
+FROM ea CROSS JOIN eb CROSS JOIN j""")
+def sketch_kmv_jaccard(spark, sf_dir):
+    """K-minimum-values sketch (functions/scale.py kmv_sketch /
+    kmv_estimate / kmv_jaccard): bottom-256 hash values of two
+    overlapping event-id sets (value < 300 vs value in [150, 450]) give
+    BOTH cardinalities and their Jaccard similarity from ≤ 512 retained
+    rows — the set-INTERSECTION estimate HLL cannot produce, and the
+    100 TB way to ask "how much do these two crawls overlap" without
+    ever joining the raw sets.  Build = distinct + TakeOrdered (never a
+    global sort); sketches merge by union→distinct→bottom-k.  The hash
+    is the same bounded quadratic family as HLL's (all intermediates
+    < P² < 2^63), reproduced verbatim by the oracle, so every retained
+    hash, both estimates and the Jaccard are pinned to the digit."""
+    from aws_etl_bank_spark.functions.scale import (kmv_estimate,
+                                                    kmv_jaccard, kmv_sketch)
+
+    ev = load_table(spark, sf_dir, "events")
+    a = kmv_sketch(ev.where(F.col("value") < 300), "event_id", k=256)
+    b = kmv_sketch(ev.where(F.col("value").between(150, 450)), "event_id",
+                   k=256)
+    ea = kmv_estimate(a, k=256).select(
+        F.col("n_kept").alias("n_a_kept"), F.col("estimate").alias("est_a"))
+    eb = kmv_estimate(b, k=256).select(
+        F.col("n_kept").alias("n_b_kept"), F.col("estimate").alias("est_b"))
+    return (ea.crossJoin(eb).crossJoin(kmv_jaccard(a, b, k=256)))
+
+
+@q("join_salted_skew", """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name,
+       ROUND(e.value, 2) AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey""")
+def join_salted_skew(spark, sf_dir):
+    """Structurally salted skew join (functions/scale.py salted_join):
+    the fact side takes a content-derived salt in [0, 16), the
+    customer dim is exploded across ALL 16 salts, and the join runs on
+    (user_id, _salt) — each hot user's rows spread over 16 tasks
+    instead of one straggler.  This is the STRUCTURAL answer for when a
+    known-hot key defeats even AQE's runtime skew split (AQE can only
+    split what partial aggregation/join buffering hasn't already
+    concentrated).  The dim grows 16× — bounded, it's the small side —
+    and the result is EXACTLY the plain equi-join, which is what the
+    oracle runs.  The salted-agg sibling is agg_salted_event_totals."""
+    from aws_etl_bank_spark.functions.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = salted_join(ev, cust.withColumnRenamed("c_custkey", "user_id"),
+                      "user_id", n_salts=16)
+    return out.select("event_id", "user_id", "event_type", "c_name",
+                      F.round("value", 2).alias("value"))

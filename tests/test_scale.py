@@ -555,3 +555,94 @@ def test_top_fraction_nondeterministic_upstream_exact(spark):
     assert {r["id"] for r in rows} <= set(range(4_000))
     # second materialization of the SAME returned frame stays consistent
     assert out.count() == 1_000
+
+
+# --- binned-quantile sketch ----------------------------------------------
+
+
+def test_quantile_merge_equals_direct(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) bin-for-bin, and the
+    estimates read off either are identical — the roll-up property."""
+    a = spark.range(0, 4_000).select((F.col("id") % 313 * 1.3).alias("v"))
+    b = spark.range(0, 5_000).select((F.col("id") % 457 * 0.9).alias("v"))
+    union = a.unionByName(b)
+    direct = scale.quantile_sketch(union, "v", 0.0, 500.0, n_bins=100)
+    merged = scale.quantile_merge(
+        scale.quantile_sketch(a, "v", 0.0, 500.0, n_bins=100),
+        scale.quantile_sketch(b, "v", 0.0, 500.0, n_bins=100))
+    assert ({tuple(r) for r in direct.collect()}
+            == {tuple(r) for r in merged.collect()})
+    qs = [0.1, 0.5, 0.9]
+    e1 = {r["q"]: r["est"] for r in
+          scale.quantile_estimate(direct, qs, 0.0, 500.0, 100).collect()}
+    e2 = {r["q"]: r["est"] for r in
+          scale.quantile_estimate(merged, qs, 0.0, 500.0, 100).collect()}
+    assert e1 == e2
+
+
+def test_quantile_estimate_within_bin_width(spark):
+    """Every estimate is within one bin width of the EXACT quantile —
+    the sketch's deterministic error bound."""
+    df = spark.range(0, 10_000).select((F.col("id") % 997 * 0.5).alias("v"))
+    vals = sorted(r["v"] for r in df.collect())
+    sk = scale.quantile_sketch(df, "v", 0.0, 500.0, n_bins=250)
+    w = 500.0 / 250
+    for r in scale.quantile_estimate(sk, [0.05, 0.5, 0.95],
+                                     0.0, 500.0, 250).collect():
+        exact = vals[int(r["q"] * (len(vals) - 1))]
+        assert abs(r["est"] - exact) <= w + 1e-9, (r, exact)
+
+
+def test_quantile_sketch_bounded_and_clamped(spark):
+    """≤ n_bins rows out regardless of input size; out-of-range values
+    land in the edge bins instead of vanishing; NULLs drop."""
+    df = spark.createDataFrame(
+        [(-50.0,), (0.0,), (250.0,), (9999.0,), (None,)], "v double")
+    sk = scale.quantile_sketch(df, "v", 0.0, 500.0, n_bins=10)
+    rows = {r["bin"]: r["cnt"] for r in sk.collect()}
+    assert rows == {0: 2, 5: 1, 9: 1}
+    big = spark.range(0, 30_000).select((F.col("id") * 0.01).alias("v"))
+    assert scale.quantile_sketch(big, "v", 0.0, 500.0, n_bins=64).count() <= 64
+
+
+# --- KMV sketch ----------------------------------------------------------
+
+
+def test_kmv_merge_equals_direct(spark):
+    """bottom-k of the union of two sketches == sketch of the union of
+    the raw sets — the KMV roll-up property."""
+    a = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    b = spark.range(1_000, 3_500).select(F.col("id").alias("k"))
+    direct = scale.kmv_sketch(a.unionByName(b), "k", k=64)
+    merged = (scale.kmv_sketch(a, "k", k=64)
+              .unionByName(scale.kmv_sketch(b, "k", k=64))
+              .distinct().orderBy("h").limit(64))
+    assert ([r["h"] for r in direct.collect()]
+            == [r["h"] for r in merged.collect()])
+
+
+def test_kmv_estimate_regimes_and_error(spark):
+    """Small regime: fewer distinct keys than k ⇒ the estimate is EXACT.
+    Full regime: relative error within 3/√k."""
+    small = spark.range(0, 40).select(F.col("id").alias("k"))
+    est = scale.kmv_estimate(scale.kmv_sketch(small, "k", k=128), k=128)
+    assert est.collect()[0]["estimate"] == 40.0
+    for n in (1_000, 20_000):
+        df = spark.range(0, n).select(F.col("id").alias("k"))
+        e = scale.kmv_estimate(scale.kmv_sketch(df, "k", k=256),
+                               k=256).collect()[0]
+        assert abs(e["estimate"] - n) / n < 3 / (256 ** 0.5), (n, e)
+
+
+def test_kmv_jaccard_tracks_true_overlap(spark):
+    """J(A, B) estimate within 3/√k of the true Jaccard for a planted
+    50% overlap, and exactly 1.0 for identical sets."""
+    a = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    b = spark.range(1_000, 3_000).select(F.col("id").alias("k"))
+    ska = scale.kmv_sketch(a, "k", k=256)
+    skb = scale.kmv_sketch(b, "k", k=256)
+    j = scale.kmv_jaccard(ska, skb, k=256).collect()[0]
+    true_j = 1_000 / 3_000
+    assert abs(j["jaccard_est"] - true_j) < 3 / (256 ** 0.5), (j, true_j)
+    same = scale.kmv_jaccard(ska, ska, k=256).collect()[0]
+    assert same["jaccard_est"] == 1.0
