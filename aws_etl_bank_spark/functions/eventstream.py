@@ -168,3 +168,98 @@ def rolling_zscore(df: DataFrame, value_col: str, keys: list[str],
     sd = F.stddev_samp(value_col).over(w)
     return df.withColumn(
         out_col, F.when(sd != 0, (F.col(value_col) - mu) / sd))
+
+
+def sessionize_gap(df: DataFrame, gap_seconds: int = 21600,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   order_tiebreak: str = "event_id") -> DataFrame:
+    """Batch gap-based sessionization — the offline twin of the
+    streaming ``session_window`` in streaming/sessionize.py: a new
+    session starts when the gap to the previous event of the same user
+    exceeds ``gap_seconds``.
+
+    One window pass per user (lag → new-session flag → running count =
+    session index), then a same-key aggregation: both shuffles hash on
+    the user, so parallelism = number of users and a 100 TB event log
+    sessionizes without any global ordering.  The (ts, tiebreak) sort
+    key makes simultaneous events deterministic.  Session duration is
+    exact epoch-microsecond arithmetic (integer on every engine — no
+    float epoch, no second-truncation ambiguity)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    # NTZ-tolerant: unix_micros requires TIMESTAMP; an NTZ column casts
+    # value-identically under the engine's UTC session timezone
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_sess = (prev.isNull()
+                | ((us - prev) > F.lit(int(gap_seconds) * 1_000_000)))
+    flagged = df.withColumn("__new", new_sess.cast("int"))
+    run = (Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    sess = flagged.withColumn("session_idx", F.sum("__new").over(run))
+    return (sess.groupBy(user_col, "session_idx")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 (F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+                  - F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))))
+                 .alias("duration_us"))
+            .select(user_col, F.col("session_idx").cast("long"),
+                    "session_start",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("duration_us").cast("long").alias("duration_us")))
+
+
+def grouped_median(df: DataFrame, keys: list[str], value_col: str,
+                   out_col: str = "median") -> DataFrame:
+    """Exact per-group median WITHOUT an engine median/percentile
+    function, so the result is bit-identical on every engine: rank the
+    group's values, pick positions ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉, average
+    the two (``(lo + hi) / 2.0`` — one fixed IEEE expression, where
+    engine-native percentile interpolation formulas are allowed to
+    differ in the last ulp).
+
+    One keyed window (rank) + one keyed hash-agg, both hashed on the
+    group keys: parallelism = number of groups, nothing global."""
+    w = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+    ranked = (df.where(F.col(value_col).isNotNull())
+              .select(*keys, F.col(value_col).alias("__v"))
+              .withColumn("__r", F.row_number().over(w))
+              .withColumn("__n", F.count(F.lit(1)).over(
+                  Window.partitionBy(*keys))))
+    lo = F.floor((F.col("__n") + 1) / 2)
+    hi = F.ceil((F.col("__n") + 1) / 2)
+    picked = ranked.where((F.col("__r") == lo) | (F.col("__r") == hi))
+    # a group with odd n picks ONE row (lo == hi): avg of the single
+    # value; even n picks two and averages them
+    return (picked.groupBy(*keys)
+            .agg(((F.min("__v") + F.max("__v")) / 2.0).alias(out_col)))
+
+
+def mad_anomalies(df: DataFrame, keys: list[str], value_col: str,
+                  id_cols: list[str] | None = None,
+                  threshold: float = 3.5) -> DataFrame:
+    """Robust per-group outlier detection via the modified z-score
+    (Iglewicz–Hoaglin): ``M_i = 0.6745·(x_i − median) / MAD`` with
+    ``MAD = median(|x_i − median|)``; rows with ``|M_i| > threshold``
+    are anomalies.  Median/MAD resist the very outliers a mean/stddev
+    z-score is dragged by — the standard data-quality screen for a
+    metric column at ingest.
+
+    Two :func:`grouped_median` passes (values, then absolute
+    deviations) joined back broadcast (group-cardinality-sized), then a
+    map-only flag — every shuffle is keyed on the group.  Groups whose
+    MAD is 0 (over half the values identical) are skipped: the modified
+    z-score is undefined there, and emitting every non-median row as
+    anomalous would be noise, not signal."""
+    med = grouped_median(df, keys, value_col, "med")
+    dev = (df.join(F.broadcast(med), keys)
+           .withColumn("__adev", F.abs(F.col(value_col) - F.col("med"))))
+    mad = grouped_median(dev, keys, "__adev", "mad")
+    scored = (df.join(F.broadcast(med), keys)
+              .join(F.broadcast(mad), keys)
+              .where(F.col("mad") > 0)
+              .withColumn("mz", F.lit(0.6745)
+                          * (F.col(value_col) - F.col("med"))
+                          / F.col("mad")))
+    out_cols = (id_cols or []) + keys + [value_col, "med", "mad", "mz"]
+    return (scored.where(F.abs(F.col("mz")) > F.lit(threshold))
+            .select(*out_cols))

@@ -374,3 +374,41 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, n_cells: int = 16,
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
                 F.round("cosine", 4).alias("cosine"))
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the 4× storage/bandwidth cut applied before shipping vectors into
+    an ANN index (the scalar-quantization sibling of the PQ codes in
+    :func:`pq_encode`).
+
+    ``scale = max|x|``; ``code_i = clamp(floor(x_i·127/scale + 0.5),
+    -127, 127)`` — floor(+0.5) rounding instead of an engine ``round``
+    because half-even vs half-away tie-breaking differs between
+    engines while ``floor`` is exact IEEE everywhere.  Emits the codes
+    plus per-vector quality: ``max_err`` (⌈scale/254⌉-bounded, the
+    half-step guarantee, pinned in tests) computed in the SAME
+    ``transform`` that derives each code — map-only built-in array
+    expressions, zero shuffles, no UDF.  An all-zero vector degenerates
+    to scale 0 / all-zero codes / zero error; a NULL vector propagates
+    NULLs (the per-row policy, nothing throws)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    code = lambda x: F.least(  # noqa: E731
+        F.greatest(F.floor(x * F.lit(127.0) / F.col("__mx") + F.lit(0.5)),
+                   F.lit(-127)), F.lit(127))
+    base = df.select(F.col(id_col), v.alias("__v"), mx.alias("__mx"))
+    codes = F.when(F.col("__mx") == 0.0,
+                   F.transform(F.col("__v"), lambda x: F.lit(0).cast("long"))
+                   ).otherwise(F.transform(F.col("__v"), code))
+    errs = F.when(F.col("__mx") == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(F.transform(
+            F.col("__v"),
+            lambda x: F.abs(x - code(x) * F.col("__mx") / F.lit(127.0)))))
+    return base.select(
+        id_col,
+        F.size("__v").alias("n_dim"),
+        F.round("__mx", 6).alias("scale"),
+        codes.cast("array<int>").alias("codes"),
+        F.round(errs, 6).alias("max_err"))

@@ -658,3 +658,70 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str = "text",
     if k is not None:
         out = out.orderBy(F.desc("score"), F.col(id_col)).limit(k)
     return out
+
+
+def tfidf_top_terms(df: DataFrame, top_n: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-``top_n`` terms per document by TF-IDF (smoothed sklearn-style
+    idf = ln((N+1)/(df+1)) + 1) — the classic keyword/topic-signal
+    extraction pass over a training corpus.
+
+    All JVM-side, three bounded aggregations: (1) per-(doc, term) tf is
+    a hash-agg with map-side combine over the exploded words; (2) each
+    term's document frequency is a second hash-agg OVER THE TF ROWS
+    (never re-touching the corpus); (3) the corpus doc count crosses as
+    a one-row broadcast.  The final per-doc top-n is a window
+    partitioned by document — parallelism = number of docs, no global
+    sort anywhere.  (score desc, term asc) makes the cut deterministic,
+    which is what lets the oracle hash-match rather than rows-only."""
+    from pyspark.sql import Window
+
+    words = df.select(F.col(id_col),
+                      F.explode(_WORDS(F.col(text_col))).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .select(id_col, "term", "tf",
+                      (F.col("tf") * (F.log((F.col("n") + 1.0)
+                                            / (F.col("df") + 1.0)) + 1.0)
+                       ).alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= top_n)
+            .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                    F.round("score", 6).alias("score"),
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def vocab_coverage(df: DataFrame, top_k: int = 50,
+                   text_col: str = "text") -> DataFrame:
+    """The Zipf head of the corpus vocabulary: the ``top_k`` most
+    frequent tokens with each one's rank and the CUMULATIVE fraction of
+    all token occurrences covered so far — the curve a tokenizer/vocab
+    builder reads to pick a vocabulary size ("the top 50 tokens cover
+    X% of the corpus").
+
+    Build: one map-side-combined hash-agg to (term, cnt) — bounded by
+    distinct terms, not corpus size — then TakeOrdered for the top-k
+    (never a global sort) and a cumulative sum over just those k rows
+    (the bounded single-partition-window exception, same as
+    quantile_estimate).  The grand total crosses as a one-row
+    broadcast.  (cnt desc, term asc) ordering is fully deterministic."""
+    from pyspark.sql import Window
+
+    words = df.select(F.explode(_WORDS(F.col(text_col))).alias("term"))
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    top = vocab.orderBy(F.desc("cnt"), F.col("term")).limit(top_k)
+    w = (Window.orderBy(F.desc("cnt"), F.col("term"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (top.crossJoin(F.broadcast(total))
+            .select(F.row_number().over(
+                        Window.orderBy(F.desc("cnt"), F.col("term")))
+                    .cast("int").alias("rank"),
+                    "term", F.col("cnt").cast("long").alias("cnt"),
+                    F.round(F.sum("cnt").over(w).cast("double")
+                            / F.col("tot").cast("double"), 6)
+                    .alias("cum_frac")))

@@ -3963,3 +3963,90 @@ def join_salted_skew(spark, sf_dir):
                       "user_id", n_salts=16)
     return out.select("event_id", "user_id", "event_type", "c_name",
                       F.round("value", 2).alias("value"))
+
+
+@q("sessionize_gap_batch", """
+WITH l AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id, ts, us,
+         CASE WHEN prev IS NULL OR us - prev > 21600000000
+              THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM l),
+s AS (
+  SELECT user_id, ts, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS session_idx
+  FROM f)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_idx""")
+def sessionize_gap_batch(spark, sf_dir):
+    """Batch gap-based sessionization (functions/eventstream.py
+    sessionize_gap) — the offline twin of the streaming session_window
+    entry (stream_sessionize): a 6-hour silence starts a new session.
+    lag → flag → running count → same-key aggregation, every shuffle
+    hashed on the user (parallelism = users, nothing global); duration
+    is exact epoch-microsecond integer arithmetic on both engines."""
+    from aws_etl_bank_spark.functions.eventstream import sessionize_gap
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_gap(ev, gap_seconds=21600)
+
+
+@q("ts_anomaly_mad", """
+WITH v AS (SELECT user_id, event_id, value FROM events
+           WHERE value IS NOT NULL),
+r AS (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value) AS rr,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM v),
+med AS (SELECT user_id, (MIN(value) + MAX(value)) / 2.0 AS med
+        FROM r WHERE rr = floor((n + 1) / 2) OR rr = ceil((n + 1) / 2)
+        GROUP BY user_id),
+d AS (SELECT v.user_id, v.event_id, v.value, med,
+             abs(v.value - med) AS adev
+      FROM v JOIN med USING (user_id)),
+r2 AS (SELECT user_id, adev,
+              row_number() OVER (PARTITION BY user_id ORDER BY adev) AS rr,
+              COUNT(*) OVER (PARTITION BY user_id) AS n
+       FROM d),
+mad AS (SELECT user_id, (MIN(adev) + MAX(adev)) / 2.0 AS mad
+        FROM r2 WHERE rr = floor((n + 1) / 2) OR rr = ceil((n + 1) / 2)
+        GROUP BY user_id),
+sc AS (SELECT d.user_id, d.event_id, d.value, d.med, mad.mad,
+              0.6745 * (d.value - d.med) / mad.mad AS mz
+       FROM d JOIN mad USING (user_id) WHERE mad.mad > 0)
+SELECT event_id, user_id, ROUND(value, 2) AS value, ROUND(med, 4) AS med,
+       ROUND(mad, 4) AS mad, ROUND(mz, 4) AS mz
+FROM sc WHERE abs(mz) > 3.5""")
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust outlier screen via the modified z-score (Iglewicz–Hoaglin
+    0.6745·(x−median)/MAD, |M| > 3.5) per user — the data-quality
+    anomaly pass whose median/MAD resist the very outliers that drag a
+    mean/stddev z-score (its rolling sibling is ts_rolling_zscore).
+
+    The per-group median is computed WITHOUT an engine median()
+    (functions/eventstream.py grouped_median: rank + pick ⌊(n+1)/2⌋ /
+    ⌈(n+1)/2⌉ + one fixed (lo+hi)/2 expression) because engine-native
+    percentile interpolation is allowed to differ in the last ulp —
+    this way both engines run bit-identical arithmetic.  Two keyed
+    window+agg passes, group-sized broadcast join-backs, map-only flag;
+    med/mad round at 4 decimals (inputs have 2, so the half-sum has at
+    most 3 — no half-tie for the engines to disagree on)."""
+    from aws_etl_bank_spark.functions.eventstream import mad_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    out = mad_anomalies(ev, ["user_id"], "value",
+                        id_cols=["event_id"], threshold=3.5)
+    return out.select("event_id", "user_id",
+                      F.round("value", 2).alias("value"),
+                      F.round("med", 4).alias("med"),
+                      F.round("mad", 4).alias("mad"),
+                      F.round("mz", 4).alias("mz"))

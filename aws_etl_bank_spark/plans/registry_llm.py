@@ -2165,3 +2165,98 @@ def text_bigram_logprob(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_logprob(docs, lam=0.7)
+
+
+@q("text_tfidf_topterms", r"""
+WITH wd AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wd GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS dfn FROM tf GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT doc_id, term, tf,
+             tf * (ln((n + 1.0) / (dfn + 1.0)) + 1.0) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+r AS (SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM s)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, ROUND(score, 6) AS score,
+       CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 3""")
+def text_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (llm/text.py tfidf_top_terms):
+    smoothed sklearn-style idf, deterministic (score desc, term asc)
+    cut.  Three bounded hash-aggs — per-(doc,term) tf, per-term df OVER
+    THE TF ROWS, one-row broadcast doc count — and a per-doc window;
+    no global sort, no UDF.  The oracle replays the identical model."""
+    from aws_etl_bank_spark.llm.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_n=3)
+
+
+@q("text_vocab_coverage", r"""
+WITH wd AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents),
+v AS (SELECT term, COUNT(*) AS cnt FROM wd GROUP BY 1),
+t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM v),
+top AS (SELECT term, cnt FROM v ORDER BY cnt DESC, term LIMIT 50),
+r AS (SELECT term, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rnk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, term
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM top)
+SELECT rnk, term, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cum AS DOUBLE) / tot, 6) AS cum_frac
+FROM r CROSS JOIN t""")
+def text_vocab_coverage(spark, sf_dir):
+    """Zipf head of the corpus vocabulary (llm/text.py vocab_coverage):
+    top-50 tokens with rank and CUMULATIVE share of all token
+    occurrences — the curve a vocab/tokenizer builder reads.  One
+    map-side-combined hash-agg (bounded by distinct terms) + TakeOrdered
+    top-k + a k-row cumulative window; the total crosses as a one-row
+    broadcast."""
+    from aws_etl_bank_spark.llm.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = vocab_coverage(docs, top_k=50)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+@q("embed_quantize_int8", """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+c AS (SELECT vec_id, v, mx,
+        CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x * 127.0 / mx + 0.5), -127), 127) AS BIGINT))
+        END AS codes,
+        CASE WHEN mx = 0 THEN 0.0
+             ELSE list_max(list_transform(v, x -> abs(x - least(greatest(
+                    floor(x * 127.0 / mx + 0.5), -127), 127) * mx / 127.0)))
+        END AS max_err
+      FROM m)
+SELECT vec_id, CAST(len(v) AS INT) AS n_dim, ROUND(mx, 6) AS scale,
+       array_to_string(codes, ',') AS codes_csv, ROUND(max_err, 6) AS max_err
+FROM c""")
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding table
+    (llm/similarity.py quantize_int8): 4× smaller vectors for the ANN
+    index, with the per-vector max reconstruction error emitted beside
+    the codes.  floor(+0.5) rounding — not an engine round() — because
+    half-tie conventions differ between engines while floor is exact
+    IEEE everywhere; that is what lets the oracle pin every code and
+    every error to the digit.  Map-only built-in array expressions:
+    zero shuffles, no UDF, scales embarrassingly.  The half-step error
+    bound (max_err <= scale/254 + ulp) is pinned in tests."""
+    from aws_etl_bank_spark.llm.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb, "embedding", "vec_id")
+    return out.select(
+        "vec_id", "n_dim", "scale",
+        F.concat_ws(",", F.col("codes")).alias("codes_csv"), "max_err")

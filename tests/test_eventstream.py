@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pyspark.sql.functions as F
 import pytest
 
 from aws_etl_bank_spark.functions.eventstream import funnel_stages, rolling_zscore
@@ -222,3 +223,47 @@ def test_funnel_arrays_strategy_ansi_safe(events, spark):
         assert out[2].purchase_ts is None
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+# --- batch sessionize / grouped median / MAD -----------------------------
+
+
+def test_sessionize_gap_splits_on_gap(spark):
+    from aws_etl_bank_spark.functions.eventstream import sessionize_gap
+
+    rows = [(1, 1, "2024-01-01 00:00:00"), (1, 2, "2024-01-01 01:00:00"),
+            (1, 3, "2024-01-01 09:00:00"),  # 8h gap > 6h → new session
+            (2, 4, "2024-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, s string") \
+        .select("user_id", "event_id", F.to_timestamp("s").alias("ts"))
+    out = {(r["user_id"], r["session_idx"]): (r["n_events"], r["duration_us"])
+           for r in sessionize_gap(df, gap_seconds=21600).collect()}
+    assert out == {(1, 1): (2, 3600_000_000), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+def test_grouped_median_odd_even_and_nulls(spark):
+    from aws_etl_bank_spark.functions.eventstream import grouped_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("a", 5.0),            # odd → 5.0
+         ("b", 1.0), ("b", 2.0), ("b", 10.0), ("b", 20.0),  # even → 6.0
+         ("c", 7.0), ("c", None)],                      # null dropped → 7.0
+        "k string, v double")
+    out = {r["k"]: r["median"]
+           for r in grouped_median(df, ["k"], "v").collect()}
+    assert out == {"a": 5.0, "b": 6.0, "c": 7.0}
+
+
+def test_mad_anomalies_flags_planted_outlier(spark):
+    from aws_etl_bank_spark.functions.eventstream import mad_anomalies
+
+    base = [("u", i, 100.0 + (i % 7)) for i in range(50)]
+    rows = base + [("u", 99, 10_000.0)]  # planted whale
+    df = spark.createDataFrame(rows, "k string, event_id long, v double")
+    out = mad_anomalies(df, ["k"], "v", id_cols=["event_id"]).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["mz"] > 3.5
+    # a constant group (MAD = 0) is skipped, not spammed
+    const = spark.createDataFrame([("c", i, 5.0) for i in range(10)],
+                                  "k string, event_id long, v double")
+    assert mad_anomalies(const, ["k"], "v", id_cols=["event_id"]).count() == 0

@@ -1284,3 +1284,58 @@ def test_bigram_logprob_self_fit_singleton_prefix_artifact(spark):
     rows = {r["doc_id"]: r["avg_neg_logp"]
             for r in text.bigram_logprob(df).collect()}
     assert rows[99] < max(v for k, v in rows.items() if k != 99)
+
+
+# --- tf-idf / vocab coverage / int8 quantization -------------------------
+
+
+def test_tfidf_top_terms_known_fixture(spark):
+    from aws_etl_bank_spark.llm.text import tfidf_top_terms
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["score"])
+           for r in tfidf_top_terms(docs, top_n=2).collect()}
+    idf = lambda dfn: math.log(4.0 / (dfn + 1.0)) + 1.0  # noqa: E731
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert out[(1, 1)][0] == "apple"
+    assert out[(1, 1)][1] == 2
+    assert abs(out[(1, 1)][2] - round(2 * idf(1), 6)) < 1e-9
+    assert out[(1, 2)][0] == "banana"
+    # doc 3: date (df=1, rarer) outscores cherry (df=2) at equal tf
+    assert (out[(3, 1)][0], out[(3, 2)][0]) == ("date", "cherry")
+
+
+def test_vocab_coverage_cumulative_fracs(spark):
+    from aws_etl_bank_spark.llm.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string")
+    out = {r["rank"]: (r["term"], r["cnt"], r["cum_frac"])
+           for r in vocab_coverage(docs, top_k=2).collect()}
+    assert out == {1: ("a", 3, 0.5), 2: ("b", 2, round(5 / 6, 6))}
+
+
+def test_quantize_int8_error_bound_and_edge_cases(spark):
+    from aws_etl_bank_spark.llm.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert out[1]["codes"] == [64, -127, 32]  # 0.5/1.0*127=63.5 → floor+.5 = 64
+    assert out[1]["scale"] == 1.0
+    assert out[1]["max_err"] <= 1.0 / 254 + 1e-9  # half-step bound
+    assert out[2]["codes"] == [0, 0] and out[2]["max_err"] == 0.0
+    assert out[3]["codes"] is None  # NULL propagates, nothing throws
+    # bound holds across a real batch
+    import random
+    rnd = random.Random(7)
+    big = spark.createDataFrame(
+        [(i, [rnd.uniform(-3, 3) for _ in range(16)]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    bad = (quantize_int8(big)
+           .where(F.col("max_err") > F.col("scale") / 254 + 1e-9).count())
+    assert bad == 0
