@@ -20,53 +20,35 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 7, per the r6 verdict): clear the evidence debt.
-# The driver evaluates the first 50 registry entries per round; r6 left
-# 67 entries whose newest driver row is r3 or older, plus ann_pq_topk
-# (never driver-run).  Order: (1) the schema tripwire, (2) the entries
-# whose implementation or oracle CHANGED this round (canon-zero on the
-# signed-delta/DSIR rounds, DECIMAL cube sums, the cached top-fraction,
-# and the new SemDeDup recall-invariant companion), (3) ann_pq_topk,
-# (4) 40 of the 67 stale r2/r3 entries in ledger order.  The remaining
-# 27 stale entries complete in r8 — after which no entry's newest
-# driver evidence predates r4.
+# Slot policy (round 8, per the r7 verdict): finish the evidence
+# rotation.  The driver evaluates the first 50 registry entries per
+# round; r7 cleared 40 of the 67 stale r2/r3 entries and left 27.
+# Order: (1) the schema tripwire, (2) the two entries added after the
+# r7 driver run (zero driver evidence), (3) entries whose
+# implementation CHANGED this round (empty-sketch coalesce in
+# hll_estimate; NULL-payload guards on every image-decode path),
+# (4) the 10 entries NEW this round, (5) the final 27 stale r2/r3
+# entries — after which no entry's newest driver evidence predates r4
+# — and (6) the oldest r4-vintage rows begin their refresh cycle.
 _PRIORITY = [
     # environment-drift tripwire first: pinned-literal schema oracle makes
     # a testdata regeneration fail in ONE obvious row (TESTDATA.md)
     "testdata_schema_smoke",
-    # changed this round — re-prove before anything else: -0.0
-    # canonicalization on the two genuinely signed rounded outputs
-    # (difference of float sums; log-likelihood ratios), exact-decimal
-    # CUBE sums, the persisted three-pass top-fraction, and the new
-    # planted found==co-cell recall oracle for semantic dedup
-    "win_lag_delta", "llm_dsir_select", "agg_cube_type_day",
-    "text_quality_top_fraction", "dedup_semantic_full_recall",
-    # new this round: HyperLogLog mergeable distinct sketch (the CMS
-    # sibling, both estimator regimes in one oracle row pair), and the
-    # REAL image decode path (numpy P6 parser + nearest-neighbor
-    # thumbnail vectors over planted closed-form PPM payloads)
+    # added after the r7 driver run — no driver row of any vintage yet
+    "dedup_substring_spans", "text_bigram_logprob",
+    # changed this round: hll_estimate coalesces the empty-sketch sum
+    # (r7 advice) and the decode paths survive NULL payloads
     "sketch_hll_distinct", "multimodal_decode_ppm",
     "multimodal_thumbnail_vec",
-    # the ONE entry with zero driver evidence of any kind (rows-only)
-    "ann_pq_topk",
-    # r2/r3-stale refresh, ledger order (40 slots; 27 remain for r8)
-    "filter_python_predicate", "filter_drop_policy", "map_python_records",
-    "map_error_policy", "drop_null_fields_op",
-    "union_by_name_drift", "union_choice_cast", "resolve_choice_make_cols",
-    "subtract_op", "intersect_op", "distinct_op", "orderby_topk",
-    "sample_limit",
-    "scalar_dates", "scalar_when_case", "scalar_strings", "udf_surface",
-    "filter_sql_expr", "string_cleanup", "repartition_coalesce",
-    "explode_split", "posexplode_index", "replace_array_element",
-    "named_struct_op", "ingestion_time_columns",
-    "csv_allstrings_cast", "unbox_json", "scd2_merge_dim", "unbox_csv",
-    "unnest_struct", "unnest_ddb",
-    "relationalize_root", "relationalize_child", "spigot_passthrough",
-    "catalog_pushdown", "src_getsource_csv_getframe",
-    "src_parquet_sink_catalog_roundtrip", "src_sample_frame_full",
-    "todf_resolve_option_cast", "errors_as_dynamic_frame",
-    # ---- 50-slot waterline (the driver caps here) ----
-    # r8 rotation finishes the stale set from this point:
+    # new this round: the un-shadowed duplicate registrations, the
+    # quantile/KMV sketches, the salted skew join, the text/embedding
+    # curation ops, batch sessionization and the MAD outlier screen
+    "scale_bucketed_join_agg", "win_rank_family_by_user",
+    "sketch_quantile_binned", "sketch_kmv_jaccard", "join_salted_skew",
+    "text_tfidf_topterms", "text_vocab_coverage", "embed_quantize_int8",
+    "sessionize_gap_batch", "ts_anomaly_mad",
+    # final r2/r3-stale refresh (27 entries, ledger order) — closes the
+    # backlog the r6 verdict opened
     "agg_cube_grouping", "pivot_event_counts",
     "agg_percentiles", "scd2_as_of_read", "unpivot_melt", "dedup_exact",
     "graph_connected_components", "dedup_ngram_keep_transitive",
@@ -77,6 +59,11 @@ _PRIORITY = [
     "text_repetition", "stratified_sample_lang", "text_decontaminate",
     "token_budget_mix", "join_asof_purchase", "join_range_bands",
     "dedup_lines_c4",
+    # ---- 50-slot waterline (the driver caps here) ----
+    # r9 rotation starts the r4-vintage refresh from this point:
+    "agg_daily_cust", "agg_payment_types", "agg_count_distinct",
+    "agg_avg_by_month", "agg_nested_max", "agg_collect_struct_size",
+    "count_actions",
     # rest of the 50-cap fills from registry definition order below
 ]
 
