@@ -100,3 +100,36 @@ def check(df: DataFrame,
         for i, (cname, (mname, _), assertion) in enumerate(checks)
     ])
     return wide.select(F.inline(rows))
+
+
+def fk_orphan_report(relations: list[tuple[str, DataFrame, str,
+                                           DataFrame, str]]) -> DataFrame:
+    """Referential-integrity audit: one row per declared FK relation —
+    ``(relation, n_child, n_orphans, orphan_frac)`` where an orphan is a
+    child row whose (non-NULL) foreign key matches no parent key.  The
+    Deequ-style companion to the single-table metric suite above: the
+    cross-table check a warehouse load runs before publishing a zone.
+
+    Each relation is one aggregation over the child LEFT-JOINED to the
+    parent's DISTINCT keys (dim-sized ⇒ broadcast; the child is scanned
+    once per relation, never collected): counting ``parent IS NULL``
+    after the join gives the orphan count in the same pass as the row
+    count.  NULL FKs are not orphans (SQL semantics: a NULL FK is
+    "unknown", caught by the completeness metric, not this one)."""
+    outs = []
+    for name, child, fk, parent, pk in relations:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        joined = child.select(F.col(fk).alias("__fk")).join(
+            F.broadcast(keys), F.col("__fk") == F.col("__pk"), "left")
+        outs.append(joined.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum((F.col("__fk").isNotNull()
+                   & F.col("__pk").isNull()).cast("long")).alias("n_orphans"))
+            .select("relation", "n_child", "n_orphans",
+                    F.round(F.col("n_orphans") / F.col("n_child"), 6)
+                    .alias("orphan_frac")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -98,3 +98,34 @@ def merge_rollup(stored: DataFrame, delta: DataFrame, keys: list[str],
                              "sum+count / a sketch instead")
         aggs.append(fns[how](col).alias(col))
     return stored.unionByName(delta).groupBy(*keys).agg(*aggs)
+
+
+def cusum_drift(df: DataFrame, value_col: str, keys: list[str],
+                ts_col: str, k: float, h: float,
+                tiebreak: str = "event_id") -> DataFrame:
+    """One-sided CUSUM drift detection per key: ``S_i = max(0,
+    S_{i-1} + (x_i − k))`` with an alarm when ``S_i > h`` — the classic
+    sequential change-point statistic (Page 1954) for "this metric has
+    been running high lately", which a point z-score cannot see.
+
+    The recursion looks inherently serial, but it has a closed
+    windows-only form: with ``P_i = Σ_{j≤i}(x_j − k)`` (prefix sum),
+    ``S_i = P_i − min(0, min_{j≤i} P_j)`` — a running sum and a running
+    min over the SAME keyed window, both single-pass.  That identity is
+    what makes CUSUM distributable: no applyInPandas, no per-key serial
+    scan, parallelism = number of keys.  Emits only alarm rows
+    (keys, tiebreak id, value, cusum)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # two chained window columns over the SAME spec: the second Window
+    # node reuses the first's exchange + sort (one shuffle total), it
+    # just cannot be nested into a single expression
+    out = (df.withColumn("__p", F.sum(F.col(value_col) - F.lit(k)).over(w))
+           .withColumn("cusum",
+                       F.col("__p") - F.least(F.min("__p").over(w),
+                                              F.lit(0.0))))
+    return (out.where(F.col("cusum") > F.lit(h))
+            .select(*keys, tiebreak, value_col,
+                    F.round("cusum", 2).alias("cusum")))

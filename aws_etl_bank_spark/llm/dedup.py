@@ -1106,3 +1106,112 @@ def substring_span_pairs(df: DataFrame, text_col: str = "text",
                 F.col("start_b").cast("int").alias("start_b"),
                 F.col("span_tokens").cast("int").alias("span_tokens"))
     )
+
+
+def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                            shingle_n: int = 3, threshold: float = 0.8,
+                            max_shingle_df: int | str | None = "auto") -> DataFrame:
+    """DIRECTIONAL near-duplicate detection by n-gram CONTAINMENT —
+    ``C(src → dst) = |sh(src) ∩ sh(dst)| / |sh(src)|`` — the asymmetric
+    companion of :func:`ngram_jaccard_pairs`: a short document pasted
+    inside a long one has low Jaccard (the union is big) but containment
+    ≈ 1 from the short side, which is exactly the quote/boilerplate/
+    subset-duplication case Jaccard misses (Broder 1997's "containment"
+    resemblance).
+
+    Same scale-safe postings plan as the Jaccard op (ONE corpus parse,
+    sorted posting list per shingle, two-level explode emits each
+    unordered pair once, hub-shingle df cut bounds any shingle's
+    quadratic contribution); each surviving pair then emits up to TWO
+    directional rows — dividing the shared count by the source side's
+    set size costs nothing extra.  Output: (src, dst, n_common,
+    containment) for containment ≥ threshold, src ≠ dst."""
+    if max_shingle_df == "auto":
+        max_shingle_df = DEFAULT_MAX_SHINGLE_DF
+    shingled = _shingle_frame(df, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("doc"), F.size("sh_arr").alias("sz"),
+        F.explode("sh_arr").alias("sh"),
+    )
+    postings = (
+        shingled.groupBy("sh")
+        .agg(F.sort_array(F.collect_set(F.struct("doc", "sz"))).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    if max_shingle_df is not None:
+        postings = postings.filter(F.size("ps") <= max_shingle_df)
+    pairs = (
+        postings
+        .select(F.explode(F.expr("sequence(0, size(ps) - 2)")).alias("i"), "ps")
+        .select(
+            F.expr("element_at(ps, i + 1)").alias("a"),
+            F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("b"),
+        )
+        .groupBy(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+            F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+        "n_common", F.col("sz_a").alias("sz_src"),
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+        "n_common", F.col("sz_b").alias("sz_src"),
+    ))
+    return (directed
+            .withColumn("containment",
+                        F.round(F.col("n_common") / F.col("sz_src"), 4))
+            .filter(F.col("containment") >= threshold)
+            .select("src", "dst", F.col("n_common").cast("long"),
+                    "containment"))
+
+
+def decontaminate_bloom(df: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text", shingle_n: int = 3,
+                        frac_threshold: float = 0.5,
+                        m_bits: int = 1 << 17) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-bitmap PREFILTER on the corpus
+    shingles — the shape for when the benchmark's distinct-shingle set
+    is too big to broadcast as rows but its ≤32 KiB bitmap never is
+    (the string sibling of functions/scale.py bloom_prefilter_join).
+
+    Corpus shingles failing the bitmap test (guaranteed non-matches —
+    Bloom has no false negatives) never reach the exact join's shuffle;
+    false positives are eliminated by the exact join that follows, so
+    the output is BYTE-IDENTICAL to :func:`decontaminate` — which is
+    what its oracle checks.  Per-doc shingle totals are taken BEFORE
+    the prefilter, so matched_frac denominators are unchanged."""
+    from aws_etl_bank_spark.functions.scale import (bloom_bitmap,
+                                                    bloom_might_contain)
+
+    doc_sh = _shingle_frame(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.size("sh_arr").alias("__sz"),
+        F.explode("sh_arr").alias("__sh"))
+    bench_sh = (
+        _shingle_frame(
+            benchmark.select(F.col(bench_text_col).alias("__bid"),
+                             F.col(bench_text_col)),
+            bench_text_col, "__bid", shingle_n)
+        .select(F.explode("sh_arr").alias("__sh"))
+        .distinct())
+    bloom = bloom_bitmap(bench_sh, "__sh", m_bits=m_bits)
+    prefiltered = (doc_sh.crossJoin(F.broadcast(bloom))
+                   .where(bloom_might_contain(F.col("__bloom"),
+                                              F.col("__sh"), m_bits=m_bits))
+                   .drop("__bloom"))
+    matched = (prefiltered.join(F.broadcast(bench_sh), "__sh")
+               .groupBy(id_col, "__sz")
+               .agg(F.count("*").alias("__n")))
+    signals = matched.select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_matched_ngrams"),
+        F.round(F.col("__n") / F.col("__sz") + F.lit(1e-9), 4)
+        .alias("matched_frac"))
+    return (df.join(signals, id_col, "left")
+            .withColumn("n_matched_ngrams",
+                        F.coalesce("n_matched_ngrams", F.lit(0).cast("long")))
+            .withColumn("matched_frac", F.coalesce("matched_frac", F.lit(0.0)))
+            .withColumn("contaminated",
+                        F.col("matched_frac") >= frac_threshold))

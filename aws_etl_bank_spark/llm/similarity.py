@@ -412,3 +412,110 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
         F.round("__mx", 6).alias("scale"),
         codes.cast("array<int>").alias("codes"),
         F.round(errs, 6).alias("max_err"))
+
+
+def dim_variance_select(df: DataFrame, dim: int, top_n: int = 8,
+                        vec_col: str = "embedding",
+                        ) -> DataFrame:
+    """Per-dimension variance of an embedding column with the ``top_n``
+    highest-variance dimensions selected — the cheapest useful
+    dimensionality reduction (variance-based feature selection): drop
+    the near-constant dimensions before they waste index space.
+
+    Variance uses the explicit sufficient-statistics form
+    ``(Σx² − (Σx)²/n) / (n−1)`` — NOT an engine var_samp, whose
+    streaming update algorithms legitimately differ across engines in
+    the last ulps — so the oracle can replay the identical arithmetic.
+    Plan: posexplode to (dim, x) rows, ONE map-side-combined hash-agg to
+    ``dim`` rows (64 here), TakeOrdered for the top-n.  The explode is
+    the honest cost (N·d rows through a d-way agg); at 100 TB you run
+    it on a sample, which changes nothing structurally."""
+    xs = df.select(F.posexplode(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .alias("dim", "x"))
+    stats = xs.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"))
+    var = stats.select(
+        "dim", F.col("n").cast("long").alias("n"),
+        ((F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+         / (F.col("n") - 1)).alias("var"))
+    return (var.orderBy(F.desc("var"), F.col("dim"))
+            .limit(top_n)
+            .select("dim", "n", F.round("var", 6).alias("var")))
+
+
+def _pm1_planes(dim: int, n_planes: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from the bounded Knuth hash family
+    (llm/text.py hash_split's multiplier): plane j, component d is
+    +1 iff ``(j·dim + d)·2654435761 mod 1000003`` is odd.  Integer
+    arithmetic only — reproducible everywhere, no RNG state."""
+    return [[1 if ((j * dim + d) * 2654435761 % 1000003) % 2 else -1
+             for d in range(dim)]
+            for j in range(n_planes)]
+
+
+def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                    dim: int, n_planes: int = 16, bands: int = 2,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Random-hyperplane (SimHash) LSH for cosine ANN: each vector's
+    ``n_planes`` sign bits are packed into ``bands`` bucket keys; a
+    query meets only the corpus rows sharing at least one band bucket
+    (union of ``bands`` equi-joins, implemented as one explode + one
+    equi-join), then exact cosine reranks the candidates and a per-query
+    window takes the top k.
+
+    The third ANN family next to IVF (learned cells) and PQ (compressed
+    distances): LSH needs NO training pass — the planes are fixed ±1
+    patterns from the bounded Knuth hash (:func:`_pm1_planes`), compiled
+    into the plan as literal arrays exactly like the PQ codebooks, so
+    bucketing is map-only built-in array arithmetic (zip_with · sum per
+    plane), engine-reproducible, and the corpus shuffles ONLY on bucket
+    keys (``bands`` rows per vector, never vector×vector).  Two vectors
+    agree on a band with probability (1 − θ/π)^(planes/bands) — identical
+    vectors ALWAYS collide on every band, which is what the planted-twin
+    oracle pins."""
+    if n_planes % bands:
+        raise ValueError("n_planes must divide evenly into bands")
+    per_band = n_planes // bands
+    planes = _pm1_planes(dim, n_planes)
+
+    def buckets(vcol):
+        v = F.transform(vcol, lambda x: x.cast("double"))
+        bits = [
+            (F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(c)) for c in plane]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x) >= 0).cast("int")
+            for plane in planes
+        ]
+        return F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(bits[b * per_band + i] * (1 << i)
+                    for i in range(per_band)).alias("bucket"))
+            for b in range(bands)
+        ])
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"),
+                      F.explode(buckets(F.col(vec_col))).alias("bk"))
+    qy = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"),
+                        F.explode(buckets(F.col(vec_col))).alias("bk"))
+    cand = (qy.join(c, "bk")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "__qv", "__cv")
+            .distinct())
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        cosine_sim(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.round("cosine", 4).alias("cosine")))

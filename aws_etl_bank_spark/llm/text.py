@@ -725,3 +725,32 @@ def vocab_coverage(df: DataFrame, top_k: int = 50,
                     F.round(F.sum("cnt").over(w).cast("double")
                             / F.col("tot").cast("double"), 6)
                     .alias("cum_frac")))
+
+
+def temperature_mix_weights(df: DataFrame, strata_col: str,
+                            alpha: float = 0.7,
+                            count_col: str | None = None) -> DataFrame:
+    """Temperature-scaled sampling weights per stratum — the multilingual
+    /multi-domain mixing rule (α-smoothing, Conneau & Lample 2019):
+    ``p_s = n_s / Σn``, ``w_s = p_s^α / Σ p^α``.  α < 1 upsamples the
+    tail (low-resource languages/domains) relative to raw proportions;
+    α = 1 is proportional, α = 0 uniform.  ``count_col`` weights by a
+    size column (e.g. token counts) instead of rows.
+
+    Two bounded aggregations: stratum counts (map-side combined, output
+    = #strata rows) and the two normalizers as one-row broadcasts —
+    nothing scales with the corpus.  Output per stratum: n, p, w, and
+    the effective upsampling factor w/p, all rounded for the oracle."""
+    cnt = (F.sum(count_col) if count_col else F.count(F.lit(1)))
+    per = df.groupBy(strata_col).agg(cnt.cast("double").alias("n"))
+    tot = per.agg(F.sum("n").alias("tot"))
+    p = (per.crossJoin(F.broadcast(tot))
+         .select(strata_col, "n", (F.col("n") / F.col("tot")).alias("p")))
+    z = p.agg(F.sum(F.pow("p", F.lit(alpha))).alias("z"))
+    return (p.crossJoin(F.broadcast(z))
+            .select(strata_col, F.col("n").cast("long").alias("n"),
+                    F.round("p", 6).alias("p"),
+                    F.round(F.pow("p", F.lit(alpha)) / F.col("z"), 6)
+                    .alias("w"),
+                    F.round(F.pow("p", F.lit(alpha)) / F.col("z")
+                            / F.col("p"), 4).alias("upsample")))

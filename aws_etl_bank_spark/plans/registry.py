@@ -4050,3 +4050,91 @@ def ts_anomaly_mad(spark, sf_dir):
                       F.round("med", 4).alias("med"),
                       F.round("mad", 4).alias("mad"),
                       F.round("mz", 4).alias("mz"))
+
+
+@q("ts_cusum_drift", """
+WITH p AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(value - 60.0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS pre
+  FROM events),
+s AS (
+  SELECT user_id, event_id, value,
+         pre - least(MIN(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW), 0) AS cs
+  FROM p)
+SELECT user_id, event_id, value, ROUND(cs, 2) AS cusum
+FROM s WHERE cs > 500.0""")
+def ts_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM change detection (functions/timeseries.py
+    cusum_drift): alarm when the per-user cumulative exceedance over
+    reference k=60 crosses h=500 — the sequential "running high lately"
+    statistic a point z-score cannot see.  The serial-looking recursion
+    S_i = max(0, S_{i-1} + x_i - k) is computed in CLOSED windows-only
+    form (S_i = P_i - min(0, running-min P)): a running sum and a
+    running min over the same keyed window — one shuffle, no
+    applyInPandas, parallelism = number of users.  The oracle replays
+    the identical two windows."""
+    from aws_etl_bank_spark.functions.timeseries import cusum_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_drift(ev, "value", ["user_id"], "ts", k=60.0, h=500.0)
+
+
+@q("quality_fk_orphans", """
+WITH rel AS (
+  SELECT 'lineitem->orders' AS relation,
+         (SELECT COUNT(*) FROM lineitem) AS n_child,
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+  UNION ALL
+  SELECT 'orders->customer',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_partkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_suppkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey)))
+SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       ROUND(n_orphans / CAST(n_child AS DOUBLE), 6) AS orphan_frac
+FROM rel""")
+def quality_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit (functions/quality.py
+    fk_orphan_report) over the warehouse's four FK relations: each is
+    ONE child aggregation with the parent's distinct keys broadcast —
+    the cross-table Deequ-style check next to the single-table metric
+    suite (quality_metrics_orders).  NULL FKs are "unknown", not
+    orphans (the completeness metric's job).  Detection of planted
+    orphans is pinned in tests/test_quality.py; the testdata itself is
+    referentially clean, which this entry proves every round."""
+    from aws_etl_bank_spark.functions.quality import fk_orphan_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return fk_orphan_report([
+        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("orders->customer", o, "o_custkey",
+         load_table(spark, sf_dir, "customer"), "c_custkey"),
+        ("lineitem->part", li, "l_partkey",
+         load_table(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem->supplier", li, "l_suppkey",
+         load_table(spark, sf_dir, "supplier"), "s_suppkey"),
+    ])

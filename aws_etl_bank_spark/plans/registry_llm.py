@@ -2260,3 +2260,160 @@ def embed_quantize_int8(spark, sf_dir):
     return out.select(
         "vec_id", "n_dim", "scale",
         F.concat_ws(",", F.col("codes")).alias("codes_csv"), "max_err")
+
+
+@q("dedup_ngram_containment", r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct([array_to_string(words[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                     for i in range(1, len(words) - 1)])
+    ELSE [array_to_string(words, ' ')] END) AS s
+  FROM w
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+directed AS (
+  SELECT id_a AS src, id_b AS dst, n_common FROM common
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, n_common FROM common)
+SELECT src, dst, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(n_common / CAST(sz AS DOUBLE), 4) AS containment
+FROM directed JOIN sizes ON sizes.doc_id = directed.src
+WHERE n_common / CAST(sz AS DOUBLE) >= 0.8""")
+def dedup_ngram_containment(spark, sf_dir):
+    """DIRECTIONAL n-gram containment dedup (llm/dedup.py
+    ngram_containment_pairs): |sh(src) ∩ sh(dst)| / |sh(src)| ≥ 0.8 —
+    Broder's asymmetric resemblance, catching the short-doc-pasted-in-
+    long-doc subset duplication that Jaccard's union denominator hides.
+    Same one-parse postings plan as dedup_ngram_jaccard (sorted posting
+    list per shingle, two-level explode, hub-df cut); each unordered
+    pair emits up to two directional rows at zero extra join cost."""
+    from aws_etl_bank_spark.llm.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, "text", "doc_id",
+                                   shingle_n=3, threshold=0.8)
+
+
+@q("mix_temperature_weights", """
+WITH per AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+             FROM documents GROUP BY lang),
+t AS (SELECT SUM(n) AS tot FROM per),
+p AS (SELECT lang, n, n / tot AS p FROM per CROSS JOIN t),
+z AS (SELECT SUM(pow(p, 0.7)) AS z FROM p)
+SELECT lang, CAST(n AS BIGINT) AS n, ROUND(p, 6) AS p,
+       ROUND(pow(p, 0.7) / z, 6) AS w,
+       ROUND(pow(p, 0.7) / z / p, 4) AS upsample
+FROM p CROSS JOIN z""")
+def mix_temperature_weights(spark, sf_dir):
+    """Temperature-scaled language-mixing weights (llm/text.py
+    temperature_mix_weights, α=0.7 — the XLM/mT5 convention): p^α
+    renormalized upsamples tail languages relative to raw proportions;
+    the ``upsample`` column is the effective per-language multiplier a
+    sampler applies.  Two bounded aggs + two one-row broadcasts —
+    nothing scales with the corpus.  The deterministic-weights
+    complement of the stochastic token_budget_mix/upsample entries."""
+    from aws_etl_bank_spark.llm.text import temperature_mix_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix_weights(docs, "lang", alpha=0.7)
+
+
+@q("embed_dim_variance", """
+WITH xs AS (
+  SELECT i.i AS dim, CAST(embedding[CAST(i.i + 1 AS INT)] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(0, 64) i(i)),
+st AS (
+  SELECT dim, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS s2
+  FROM xs GROUP BY dim)
+SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+       ROUND((s2 - s * s / n) / (n - 1), 6) AS var
+FROM st ORDER BY (s2 - s * s / n) / (n - 1) DESC, dim LIMIT 8""")
+def embed_dim_variance(spark, sf_dir):
+    """Variance-based embedding-dimension selection (llm/similarity.py
+    dim_variance_select): the top-8 highest-variance of the 64
+    dimensions — the cheapest honest dimensionality reduction (drop
+    near-constant dims before they waste ANN index space).  Variance
+    uses explicit sufficient statistics (Σx, Σx², n) rather than an
+    engine var_samp whose streaming update algorithms differ across
+    engines; posexplode → ONE map-side-combined hash-agg to 64 rows →
+    TakeOrdered."""
+    from aws_etl_bank_spark.llm.similarity import dim_variance_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dim_variance_select(emb, dim=64, top_n=8)
+
+
+@q("ann_lsh_planted_twin", """
+SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+       CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id < 5""")
+def ann_lsh_planted_twin(spark, sf_dir):
+    """Oracle-checked projection of random-hyperplane LSH ANN
+    (llm/similarity.py lsh_cosine_topk) — the third ANN family beside
+    IVF (ann_ivf_planted_twin) and PQ (ann_pq_planted_twin), needing no
+    training pass: ±1 hyperplanes from the bounded Knuth hash are
+    compiled in as literal arrays (the PQ-codebook pattern), sign-bit
+    buckets shuffle only (id, band, bucket) rows, candidates rerank by
+    exact cosine.  An exact twin of each query shares EVERY band bucket
+    by construction and no organic pair in this embedding set exceeds
+    cosine ~0.51, so top-1 must be the twin at cosine 1.0 — the recall
+    property a rows-only entry cannot prove to the driver."""
+    from aws_etl_bank_spark.llm.similarity import lsh_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(twins)
+    return lsh_cosine_topk(corpus, queries, k=1, dim=64,
+                           n_planes=16, bands=2)
+
+
+@q("text_decontaminate_bloom", r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents
+),
+s AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct([array_to_string(words[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                     for i in range(1, len(words) - 1)])
+    ELSE [array_to_string(words, ' ')] END) AS sh
+  FROM w
+),
+bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+m AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+      FROM s JOIN bench USING (sh) GROUP BY s.doc_id)
+SELECT d.doc_id,
+       COALESCE(n_matched, 0) AS n_matched_ngrams,
+       COALESCE(round(n_matched / CAST(sz AS DOUBLE) + 0.000000001, 4), 0.0) AS matched_frac,
+       COALESCE(round(n_matched / CAST(sz AS DOUBLE) + 0.000000001, 4), 0.0) >= 0.5 AS contaminated
+FROM documents d
+JOIN sizes USING (doc_id)
+LEFT JOIN m USING (doc_id)""")
+def text_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination (llm/dedup.py
+    decontaminate_bloom): the corpus's shingles are screened against a
+    ≤32 KiB Bloom bitmap of the benchmark's shingles BEFORE the exact
+    join — the shape for a benchmark too big to broadcast as rows
+    (its bitmap never is).  No false negatives, and the exact join
+    removes false positives, so the output — and therefore the oracle —
+    is byte-identical to the unfiltered text_decontaminate: what this
+    entry proves is that the prefilter changes the plan, not the
+    answer (the string sibling of join_bloom_prefilter)."""
+    from aws_etl_bank_spark.llm.dedup import decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate_bloom(docs, bench, shingle_n=3,
+                               frac_threshold=0.5).select(
+        "doc_id", "n_matched_ngrams", "matched_frac", "contaminated")

@@ -1339,3 +1339,87 @@ def test_quantize_int8_error_bound_and_edge_cases(spark):
     bad = (quantize_int8(big)
            .where(F.col("max_err") > F.col("scale") / 254 + 1e-9).count())
     assert bad == 0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc pasted inside a long one: containment from the short
+    side ≈ 1 while Jaccard stays below any dedup threshold."""
+    from aws_etl_bank_spark.llm.dedup import (ngram_containment_pairs,
+                                              ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, short), (2, long_)],
+                                 "doc_id long, text string")
+    cont = {(r["src"], r["dst"]): r["containment"]
+            for r in ngram_containment_pairs(docs, "text", "doc_id",
+                                             threshold=0.8).collect()}
+    assert cont[(1, 2)] == 1.0          # short ⊂ long
+    assert (2, 1) not in cont           # long ⊄ short
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    assert jac.count() == 0             # Jaccard blind to the subset
+
+
+def test_temperature_weights_known_values(spark):
+    import math
+
+    from aws_etl_bank_spark.llm.text import temperature_mix_weights
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(80)] + [(100 + i, "fr") for i in range(20)],
+        "doc_id long, lang string")
+    out = {r["lang"]: r for r in
+           temperature_mix_weights(docs, "lang", alpha=0.7).collect()}
+    z = 0.8 ** 0.7 + 0.2 ** 0.7
+    assert out["en"]["p"] == 0.8 and out["fr"]["p"] == 0.2
+    assert abs(out["fr"]["w"] - 0.2 ** 0.7 / z) < 1e-6
+    # α<1 upsamples the tail, downsamples the head
+    assert out["fr"]["upsample"] > 1.0 > out["en"]["upsample"]
+    assert abs(out["en"]["w"] + out["fr"]["w"] - 1.0) < 1e-5
+
+
+def test_dim_variance_select_finds_planted_dims(spark):
+    from aws_etl_bank_spark.llm.similarity import dim_variance_select
+
+    # dim 2 swings ±100, dim 5 swings ±10, everything else constant
+    rows = [(i, [0.0, 1.0, 100.0 * (-1) ** i, 5.0,
+                 2.0, 10.0 * (-1) ** i, 7.0, 3.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dim_variance_select(df, dim=8, top_n=2).collect()
+    assert [r["dim"] for r in out] == [2, 5]
+    assert out[0]["var"] > out[1]["var"] > 0
+
+
+def test_lsh_cosine_finds_planted_twin_no_cartesian(spark):
+    from aws_etl_bank_spark.llm.similarity import lsh_cosine_topk
+
+    import random
+    rnd = random.Random(3)
+    corpus = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    twins = [(1000 + i, v) for i, v in corpus[:3]]
+    df = spark.createDataFrame(corpus + twins,
+                               "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 3)
+    out = lsh_cosine_topk(df, queries, k=1, dim=16, n_planes=8, bands=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {r["query_id"]: (r["neighbor_id"], r["cosine"])
+           for r in out.collect()}
+    for qid in range(3):
+        assert got[qid] == (1000 + qid, 1.0)
+
+
+def test_decontaminate_bloom_equals_plain(spark):
+    from aws_etl_bank_spark.llm.dedup import decontaminate, decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [(i, f"common prefix words doc {i} tail tokens here") for i in range(30)]
+        + [(100, "the benchmark sentence with quite distinctive wording")],
+        "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") == 100)
+    cols = ["doc_id", "n_matched_ngrams", "matched_frac", "contaminated"]
+    plain = {tuple(r) for r in decontaminate(docs, bench).select(*cols).collect()}
+    bloom = {tuple(r) for r in
+             decontaminate_bloom(docs, bench).select(*cols).collect()}
+    assert bloom == plain
+    assert any(r[3] for r in plain)  # the benchmark doc itself flags

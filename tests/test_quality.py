@@ -79,3 +79,18 @@ def test_approx_uniqueness_close(frame):
     (name, expr) = Q.uniqueness("id", approx=True)
     v = frame.agg(expr.alias("v")).collect()[0]["v"]
     assert 0.9 <= v <= 1.1
+
+
+def test_fk_orphan_report_planted_and_null_fk(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from aws_etl_bank_spark.functions.quality import fk_orphan_report
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = {r["relation"]: r for r in
+           fk_orphan_report([("c->p", child, "fk", parent, "pk")]).collect()}
+    r = out["c->p"]
+    # fk=99 is an orphan; fk=NULL is NOT (unknown, not violated)
+    assert (r["n_child"], r["n_orphans"], r["orphan_frac"]) == (4, 1, 0.25)

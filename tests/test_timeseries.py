@@ -126,3 +126,25 @@ def test_merge_rollup_rejects_non_decomposable(spark):
     df = spark.range(1).select(F.col("id").alias("k"), F.col("id").alias("a"))
     with pt.raises(ValueError, match="mergeable"):
         merge_rollup(df, df, ["k"], {"a": "avg"})
+
+
+def test_cusum_windows_form_equals_serial_recursion(spark):
+    """The windows-only closed form (prefix − running-min) must equal the
+    textbook serial recursion S_i = max(0, S_{i-1} + x_i − k) exactly."""
+    import pyspark.sql.functions as F
+
+    from aws_etl_bank_spark.functions.timeseries import cusum_drift
+
+    rows = [("u", i, float(v)) for i, v in enumerate(
+        [5, 9, 1, 12, 15, 2, 0, 20, 18, 3, 11, 11, 11])]
+    df = (spark.createDataFrame(rows, "k string, event_id long, v double")
+          .withColumn("ts", F.col("event_id")))
+    k, h = 8.0, 6.0
+    s, expect = 0.0, {}
+    for i, v in enumerate([5, 9, 1, 12, 15, 2, 0, 20, 18, 3, 11, 11, 11]):
+        s = max(0.0, s + v - k)
+        if s > h:
+            expect[i] = round(s, 2)
+    got = {r["event_id"]: r["cusum"]
+           for r in cusum_drift(df, "v", ["k"], "ts", k=k, h=h).collect()}
+    assert got == expect
