@@ -37,16 +37,25 @@ _PRIORITY = [
     # added after the r7 driver run — no driver row of any vintage yet
     "dedup_substring_spans", "text_bigram_logprob",
     # changed this round: hll_estimate coalesces the empty-sketch sum
-    # (r7 advice) and the decode paths survive NULL payloads
-    "sketch_hll_distinct", "multimodal_decode_ppm",
-    "multimodal_thumbnail_vec",
-    # new this round: the un-shadowed duplicate registrations, the
-    # quantile/KMV sketches, the salted skew join, the text/embedding
-    # curation ops, batch sessionization and the MAD outlier screen
+    # (r7 advice).  The multimodal decode entries also changed, but
+    # ONLY in a NULL-payload guard their planted fixtures (no NULLs)
+    # cannot reach — they keep their r7-green rows and yield their
+    # slots to the 19 brand-new entries below
+    "sketch_hll_distinct",
+    # new this round (19): the un-shadowed duplicate registrations, the
+    # quantile/KMV sketches + their streaming rollup, the salted skew
+    # join, the text/embedding curation ops, batch sessionization, the
+    # MAD and CUSUM anomaly screens, the FK-orphan audit, containment
+    # dedup, temperature mixing, dim-variance selection, the LSH ANN
+    # planted twin, Bloom decontamination and the degree histogram
     "scale_bucketed_join_agg", "win_rank_family_by_user",
     "sketch_quantile_binned", "sketch_kmv_jaccard", "join_salted_skew",
     "text_tfidf_topterms", "text_vocab_coverage", "embed_quantize_int8",
     "sessionize_gap_batch", "ts_anomaly_mad",
+    "ts_cusum_drift", "quality_fk_orphans", "dedup_ngram_containment",
+    "mix_temperature_weights", "embed_dim_variance",
+    "ann_lsh_planted_twin", "text_decontaminate_bloom",
+    "stream_quantile_sketch", "graph_degree_distribution",
     # final r2/r3-stale refresh (27 entries, ledger order) — closes the
     # backlog the r6 verdict opened
     "agg_cube_grouping", "pivot_event_counts",
@@ -60,7 +69,9 @@ _PRIORITY = [
     "token_budget_mix", "join_asof_purchase", "join_range_bands",
     "dedup_lines_c4",
     # ---- 50-slot waterline (the driver caps here) ----
-    # r9 rotation starts the r4-vintage refresh from this point:
+    # r9 rotation: the two NULL-guard multimodal entries first, then
+    # the r4-vintage refresh begins:
+    "multimodal_decode_ppm", "multimodal_thumbnail_vec",
     "agg_daily_cust", "agg_payment_types", "agg_count_distinct",
     "agg_avg_by_month", "agg_nested_max", "agg_collect_struct_size",
     "count_actions",

@@ -2417,3 +2417,97 @@ def text_decontaminate_bloom(spark, sf_dir):
     return decontaminate_bloom(docs, bench, shingle_n=3,
                                frac_threshold=0.5).select(
         "doc_id", "n_matched_ngrams", "matched_frac", "contaminated")
+
+
+@q("stream_quantile_sketch", """
+WITH h AS (
+  SELECT CAST(least(greatest(floor((value - 0.0) / 2.0), 0), 249) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+c AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin) AS cum,
+         SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_before,
+         SUM(cnt) OVER () AS n
+  FROM h),
+qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+probe AS (
+  SELECT q, CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS r,
+         bin, cnt, cum, cum_before
+  FROM qs CROSS JOIN c)
+SELECT q, r, bin,
+       ROUND(0.0 + 2.0 * (bin + (r - cum_before) / CAST(cnt AS DOUBLE)), 6) AS est
+FROM probe WHERE cum >= r AND cum_before < r""")
+def stream_quantile_sketch(spark, sf_dir):
+    """Streaming quantile rollup via the MERGEABLE binned sketch
+    (functions/scale.py): each micro-batch of the event stream builds
+    its own ≤250-row histogram; cross-batch state is the SUM of bins —
+    never the raw values — and the final estimates are read off the
+    merged sketch.  Because merge-equals-direct is exact (pinned in
+    tests/test_scale.py), the streamed result equals the batch
+    computation to the digit, which is what the shared oracle with
+    sketch_quantile_binned checks.  THE mergeable-sketch streaming
+    story: per-day/per-batch sketches roll up without re-touching
+    history (an exact percentile would re-sort everything per batch)."""
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    from aws_etl_bank_spark.functions.scale import (quantile_estimate,
+                                                    quantile_merge)
+    from aws_etl_bank_spark.functions.scale import quantile_sketch as qsk
+    from aws_etl_bank_spark.plans.registry import _scratch
+    from aws_etl_bank_spark.streaming import for_each_batch
+
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
+    collected: list = []
+
+    def handle(batch_df, batch_id):
+        rows = qsk(batch_df, "value", 0.0, 500.0, n_bins=250).collect()
+        collected.extend([(r["bin"], r["cnt"]) for r in rows])
+
+    for_each_batch(stream, handle, {
+        "windowSize": "1 seconds",
+        "checkpointLocation": _scratch(
+            sf_dir, f"qsk_ckpt_{int(_time.time() * 1000)}"),
+        "availableNow": True,
+    })
+    schema = T.StructType([T.StructField("bin", T.LongType()),
+                           T.StructField("cnt", T.LongType())])
+    merged = quantile_merge(spark.createDataFrame(collected, schema))
+    return quantile_estimate(merged, [0.1, 0.5, 0.9, 0.99],
+                             0.0, 500.0, n_bins=250)
+
+
+@q("graph_degree_distribution", """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT c AS node FROM pairs UNION ALL SELECT s AS node FROM pairs)
+  GROUP BY node)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree""")
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the customer–supplier purchase graph (the
+    same distinct-edge construction as graph_pagerank): two hash-aggs —
+    per-node degree (map-side combined), then nodes per degree — the
+    first thing to read before ANY graph algorithm at 100 TB, because
+    the max-degree tail IS the skew/hub forecast for CC's and
+    PageRank's joins (and for every posting-list dedup op: same hub
+    hazard, same cut decision)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (o.join(li, li.l_orderkey == o.o_orderkey)
+             .select(F.col("o_custkey").alias("c"),
+                     (F.col("l_suppkey") + 1_000_000).alias("s"))
+             .distinct())
+    nodes = (pairs.select(F.col("c").alias("node"))
+             .unionAll(pairs.select(F.col("s").alias("node"))))
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.col("degree").cast("long"),
+                    F.col("n_nodes").cast("long")))
