@@ -110,26 +110,41 @@ def fk_orphan_report(relations: list[tuple[str, DataFrame, str,
     Deequ-style companion to the single-table metric suite above: the
     cross-table check a warehouse load runs before publishing a zone.
 
-    Each relation is one aggregation over the child LEFT-JOINED to the
-    parent's DISTINCT keys (dim-sized ⇒ broadcast; the child is scanned
-    once per relation, never collected): counting ``parent IS NULL``
-    after the join gives the orphan count in the same pass as the row
-    count.  NULL FKs are not orphans (SQL semantics: a NULL FK is
+    Relations sharing a child DataFrame are checked in ONE scan of that
+    child: all its FK columns ride one projection, each parent's
+    DISTINCT keys join in broadcast (dim-sized), and a single
+    aggregation counts every relation's orphans at once (``parent IS
+    NULL`` after its left join), then unpivots to one row per relation
+    — so auditing lineitem's three FKs costs one lineitem pass, not
+    three.  NULL FKs are not orphans (SQL semantics: a NULL FK is
     "unknown", caught by the completeness metric, not this one)."""
-    outs = []
+    by_child: dict[int, tuple[DataFrame, list]] = {}
     for name, child, fk, parent, pk in relations:
-        keys = parent.select(F.col(pk).alias("__pk")).distinct()
-        joined = child.select(F.col(fk).alias("__fk")).join(
-            F.broadcast(keys), F.col("__fk") == F.col("__pk"), "left")
-        outs.append(joined.agg(
-            F.lit(name).alias("relation"),
-            F.count(F.lit(1)).alias("n_child"),
-            F.sum((F.col("__fk").isNotNull()
-                   & F.col("__pk").isNull()).cast("long")).alias("n_orphans"))
-            .select("relation", "n_child", "n_orphans",
-                    F.round(F.col("n_orphans") / F.col("n_child"), 6)
-                    .alias("orphan_frac")))
+        by_child.setdefault(id(child), (child, []))[1].append(
+            (name, fk, parent, pk))
+    outs = []
+    for child, rels in by_child.values():
+        fks = sorted({fk for _, fk, _, _ in rels})
+        joined = child.select(*[F.col(fk) for fk in fks])
+        for i, (name, fk, parent, pk) in enumerate(rels):
+            keys = parent.select(F.col(pk).alias(f"__pk{i}")).distinct()
+            joined = joined.join(F.broadcast(keys),
+                                 F.col(fk) == F.col(f"__pk{i}"), "left")
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, (name, fk, parent, pk) in enumerate(rels):
+            aggs.append(F.sum((F.col(fk).isNotNull()
+                               & F.col(f"__pk{i}").isNull()).cast("long"))
+                        .alias(f"__o{i}"))
+        wide = joined.agg(*aggs)
+        rows = F.array(*[
+            F.struct(F.lit(name).alias("relation"),
+                     F.col("__n").alias("n_child"),
+                     F.col(f"__o{i}").alias("n_orphans"))
+            for i, (name, *_rest) in enumerate(rels)])
+        outs.append(wide.select(F.inline(rows)))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out
+    return out.select("relation", "n_child", "n_orphans",
+                      F.round(F.col("n_orphans") / F.col("n_child"), 6)
+                      .alias("orphan_frac"))

@@ -737,20 +737,23 @@ def temperature_mix_weights(df: DataFrame, strata_col: str,
     α = 1 is proportional, α = 0 uniform.  ``count_col`` weights by a
     size column (e.g. token counts) instead of rows.
 
-    Two bounded aggregations: stratum counts (map-side combined, output
-    = #strata rows) and the two normalizers as one-row broadcasts —
-    nothing scales with the corpus.  Output per stratum: n, p, w, and
-    the effective upsampling factor w/p, all rounded for the oracle."""
+    ONE corpus scan: the stratum counts are a single map-side-combined
+    hash-agg (output = #strata rows), and both normalizers (Σn, Σp^α)
+    are whole-frame windows over just those rows — the bounded
+    single-partition-window exception (#strata is small by definition;
+    a broadcast-join formulation here would rescan the corpus once per
+    normalizer, which is what this replaces).  Output per stratum: n,
+    p, w, and the effective upsampling factor w/p, all rounded for the
+    oracle."""
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
     cnt = (F.sum(count_col) if count_col else F.count(F.lit(1)))
     per = df.groupBy(strata_col).agg(cnt.cast("double").alias("n"))
-    tot = per.agg(F.sum("n").alias("tot"))
-    p = (per.crossJoin(F.broadcast(tot))
-         .select(strata_col, "n", (F.col("n") / F.col("tot")).alias("p")))
-    z = p.agg(F.sum(F.pow("p", F.lit(alpha))).alias("z"))
-    return (p.crossJoin(F.broadcast(z))
-            .select(strata_col, F.col("n").cast("long").alias("n"),
+    p = per.withColumn("p", F.col("n") / F.sum("n").over(wall))
+    w = F.pow("p", F.lit(alpha)) / F.sum(F.pow("p", F.lit(alpha))).over(wall)
+    return p.select(strata_col, F.col("n").cast("long").alias("n"),
                     F.round("p", 6).alias("p"),
-                    F.round(F.pow("p", F.lit(alpha)) / F.col("z"), 6)
-                    .alias("w"),
-                    F.round(F.pow("p", F.lit(alpha)) / F.col("z")
-                            / F.col("p"), 4).alias("upsample")))
+                    F.round(w, 6).alias("w"),
+                    F.round(w / F.col("p"), 4).alias("upsample"))
