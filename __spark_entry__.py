@@ -69,8 +69,11 @@ _PRIORITY = [
     "token_budget_mix", "join_asof_purchase", "join_range_bands",
     "dedup_lines_c4",
     # ---- 50-slot waterline (the driver caps here) ----
-    # r9 rotation: the two NULL-guard multimodal entries first, then
-    # the r4-vintage refresh begins:
+    # r9 rotation: first the two r8 entries that landed after the slots
+    # filled (grouped HLL, streaming KMV — both green in this round's
+    # bench_out/VERIFY_full.json and sf1 logs), then the two NULL-guard
+    # multimodal entries, then the r4-vintage refresh begins:
+    "sketch_hll_grouped", "stream_kmv_distinct",
     "multimodal_decode_ppm", "multimodal_thumbnail_vec",
     "agg_daily_cust", "agg_payment_types", "agg_count_distinct",
     "agg_avg_by_month", "agg_nested_max", "agg_collect_struct_size",

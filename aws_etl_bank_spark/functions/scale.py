@@ -990,3 +990,47 @@ def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame, k: int = 128) -> DataFrame:
          .cast("long").alias("n_both"),
         F.round(F.sum((F.col("in_a") * F.col("in_b")).cast("double"))
                 / F.count(F.lit(1)), 6).alias("jaccard_est"))
+
+
+def hll_sketch_grouped(df: DataFrame, group_cols: list[str], key_col: str,
+                       m: int = 256) -> DataFrame:
+    """Per-group HyperLogLog sketches: (group_cols…, register, max_rank)
+    — ≤ ``m`` rows PER GROUP however large the group, the sketch-family
+    answer to "distinct users per segment per day" dashboards where an
+    exact grouped COUNT(DISTINCT) reshuffles the raw keys every
+    refresh.  One hash aggregation keyed on (group, register) with
+    map-side combine; sketches of the same group merge across
+    partitions/days by cell-wise MAX exactly like the global form."""
+    if m < 2:
+        raise ValueError("m must be >= 2")
+    k = F.col(key_col)
+    reg = F.pmod(_hll_hash(k, *_HLL_REG_COEF), F.lit(m))
+    rank = _hll_rank(_hll_hash(k, *_HLL_RANK_COEF))
+    return (df.select(*group_cols, reg.alias("register"), rank.alias("rank"))
+            .groupBy(*group_cols, "register")
+            .agg(F.max("rank").alias("max_rank")))
+
+
+def hll_estimate_grouped(sketch: DataFrame, group_cols: list[str],
+                         m: int = 256) -> DataFrame:
+    """Per-group estimates from :func:`hll_sketch_grouped` output — the
+    same harmonic estimator + small-range linear-counting correction as
+    :func:`hll_estimate`, one row per group, computed in one hash-agg
+    over the (≤ m · n_groups)-row sketch."""
+    alpha = hll_alpha(m)
+    agg = (sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))),
+                   F.lit(0.0)).alias("__s")))
+    est = (agg.select(
+        *group_cols, F.col("n_set").cast("long").alias("n_set"),
+        (F.col("__s") + (F.lit(m) - F.col("n_set"))).alias("sum_inv"))
+        .withColumn("est_raw", F.lit(alpha * m * m) / F.col("sum_inv")))
+    v0 = F.lit(m) - F.col("n_set")
+    corrected = F.when((F.col("est_raw") <= F.lit(2.5 * m)) & (v0 > 0),
+                       F.lit(float(m)) * F.log(F.lit(float(m)) / v0)
+                       ).otherwise(F.col("est_raw"))
+    return est.select(
+        *group_cols, "n_set", "sum_inv",
+        F.round("est_raw", 4).alias("est_raw"),
+        F.round(corrected, 4).alias("estimate"))

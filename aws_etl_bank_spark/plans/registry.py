@@ -4138,3 +4138,114 @@ def quality_fk_orphans(spark, sf_dir):
         ("lineitem->supplier", li, "l_suppkey",
          load_table(spark, sf_dir, "supplier"), "s_suppkey"),
     ])
+
+
+def _hll_grouped_oracle() -> str:
+    h2 = _HLL_QUAD_SQL.format(a=76003, c=4391, d=9973)
+    reg = _HLL_QUAD_SQL.format(a=4391, c=76003, d=51349) + " % 256"
+    affines = (_HLL_AFFINE_SQL.format(k="user_id", a=4391, b=9973)
+               + " AS h_4391, "
+               + _HLL_AFFINE_SQL.format(k="user_id", a=76003, b=51349)
+               + " AS h_76003")
+    return f"""
+WITH raw AS (SELECT event_type, {affines} FROM events),
+regs AS (SELECT event_type, {reg} AS register,
+                {_HLL_RANK_CASE.format(h2=h2)} AS rank FROM raw),
+sk AS (SELECT event_type, register, MAX(rank) AS max_rank
+       FROM regs GROUP BY 1, 2),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_set,
+             SUM(power(2.0, -max_rank)) AS s FROM sk GROUP BY 1),
+t AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+             AS true_distinct FROM events GROUP BY 1)
+SELECT a.event_type, t.true_distinct, a.n_set,
+       a.s + (256 - a.n_set) AS sum_inv,
+       ROUND({_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)), 4) AS est_raw,
+       ROUND(CASE WHEN {_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)) <= 640.0
+                       AND a.n_set < 256
+                  THEN 256.0 * ln(256.0 / (256 - a.n_set))
+                  ELSE {_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)) END,
+             4) AS estimate
+FROM a JOIN t USING (event_type)"""
+
+
+@q("sketch_hll_grouped", _hll_grouped_oracle())
+def sketch_hll_grouped(spark, sf_dir):
+    """Per-GROUP HyperLogLog (functions/scale.py hll_sketch_grouped /
+    hll_estimate_grouped): distinct users per event type from ≤ 256
+    rows per group — the "distinct per segment" dashboard shape where
+    an exact grouped COUNT(DISTINCT) reshuffles raw keys on every
+    refresh, while per-day grouped sketches roll up by (group, cell)
+    MAX.  One (group, register) hash-agg with map-side combine; the
+    oracle reproduces every group's registers and estimate to 4
+    decimals, next to the exact count for the accuracy story."""
+    from aws_etl_bank_spark.functions.scale import (hll_estimate_grouped,
+                                                    hll_sketch_grouped)
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate_grouped(
+        hll_sketch_grouped(ev, ["event_type"], "user_id", m=256),
+        ["event_type"], m=256)
+    tru = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("true_distinct"))
+    return (est.join(tru, "event_type")
+            .select("event_type", "true_distinct", "n_set", "sum_inv",
+                    "est_raw", "estimate"))
+
+
+_KMV_USER_SQL_HASH = """(
+  ((user_id % 1000003) * 7001 + 104729) % 1000003 *
+   (((user_id % 1000003) * 7001 + 104729) % 1000003)
+  + 1223 * (((user_id % 1000003) * 7001 + 104729) % 1000003)
+  + 514229) % 1000003"""
+
+
+@q("stream_kmv_distinct", f"""
+WITH hs AS (SELECT DISTINCT {_KMV_USER_SQL_HASH} AS h FROM events
+            ORDER BY h LIMIT 256)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE 255.0 * 1000003.0 / CAST(MAX(h) AS DOUBLE) END,
+             4) AS estimate,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS true_distinct
+FROM hs""")
+def stream_kmv_distinct(spark, sf_dir):
+    """Streaming distinct-count via the MERGEABLE KMV sketch
+    (functions/scale.py): each micro-batch keeps only its bottom-256
+    user-id hashes; cross-batch state is the union's bottom-256 — never
+    the raw id set — and the final estimate reads off the merged
+    sketch.  Because bottom-k-of-union == bottom-k-of-concatenation
+    exactly (pinned in tests/test_scale.py), the streamed result equals
+    the batch computation bit-for-bit: the shared batch oracle is the
+    proof, exactly like stream_quantile_sketch.  The `true_distinct`
+    column rides along for the accuracy story."""
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    from aws_etl_bank_spark.functions.scale import kmv_estimate, kmv_sketch
+    from aws_etl_bank_spark.sources.testdata import events_stream
+    from aws_etl_bank_spark.streaming import for_each_batch
+
+    from aws_etl_bank_spark.plans.registry_llm import _events_stream_dir
+
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
+    collected: list = []
+
+    def handle(batch_df, batch_id):
+        rows = kmv_sketch(batch_df, "user_id", k=256).collect()
+        collected.extend([(r["h"],) for r in rows])
+
+    for_each_batch(stream, handle, {
+        "windowSize": "1 seconds",
+        "checkpointLocation": _scratch(
+            sf_dir, f"kmv_ckpt_{int(_time.time() * 1000)}"),
+        "availableNow": True,
+    })
+    schema = T.StructType([T.StructField("h", T.LongType())])
+    merged = (spark.createDataFrame(collected, schema)
+              .distinct().orderBy("h").limit(256))
+    est = kmv_estimate(merged, k=256)
+    tru = (load_table(spark, sf_dir, "events")
+           .agg(F.count_distinct("user_id").alias("true_distinct")))
+    return est.crossJoin(F.broadcast(tru))
