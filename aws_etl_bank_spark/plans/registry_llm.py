@@ -2511,3 +2511,27 @@ def graph_degree_distribution(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_nodes"))
             .select(F.col("degree").cast("long"),
                     F.col("n_nodes").cast("long")))
+
+
+@q("sample_bottomk_hash", """
+WITH h AS (
+  SELECT doc_id, lang,
+         (((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 1000003 AS hk
+  FROM documents)
+SELECT doc_id, lang FROM h ORDER BY hk, doc_id LIMIT 200""")
+def sample_bottomk_hash(spark, sf_dir):
+    """Deterministic uniform-without-replacement k-sample via bottom-k
+    of the Knuth multiplicative hash (the llm/text.py hash_split
+    family): "give me 200 representative docs" as a TakeOrdered over
+    the hash — no global sort, no RNG state, reproducible across
+    engines/retries/partitionings, and STABLE under corpus growth (a
+    doc's hash never changes, so samples only churn at the k-th-hash
+    boundary — the property a debugging/eval sample wants, which
+    rand()-based sampling lacks).  The bounded-intermediate form
+    (pmod before multiply) never overflows int64."""
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.pmod(F.pmod(F.col("doc_id").cast("long"), F.lit(1000003))
+                * F.lit(2654435761 % 1000003), F.lit(1000003))
+    return (docs.select("doc_id", "lang", hk.alias("__hk"))
+            .orderBy("__hk", "doc_id").limit(200)
+            .select("doc_id", "lang"))
