@@ -646,3 +646,44 @@ def test_kmv_jaccard_tracks_true_overlap(spark):
     assert abs(j["jaccard_est"] - true_j) < 3 / (256 ** 0.5), (j, true_j)
     same = scale.kmv_jaccard(ska, ska, k=256).collect()[0]
     assert same["jaccard_est"] == 1.0
+
+
+def test_hll_grouped_consistent_with_global(spark):
+    """Each group's sketch rows equal the GLOBAL sketch of that group's
+    rows alone — grouped sketching is just sketching per group."""
+    df = (spark.range(0, 6_000)
+          .withColumn("g", (F.col("id") % 3).cast("string"))
+          .withColumn("k", F.col("id") * 13 + 1))
+    grouped = scale.hll_sketch_grouped(df, ["g"], "k", m=64)
+    for g in ("0", "1", "2"):
+        sub = {(r["register"], r["max_rank"])
+               for r in scale.hll_sketch(df.where(F.col("g") == g), "k",
+                                         m=64).collect()}
+        got = {(r["register"], r["max_rank"])
+               for r in grouped.where(F.col("g") == g)
+               .select("register", "max_rank").collect()}
+        assert got == sub
+    est = {r["g"]: r["estimate"] for r in
+           scale.hll_estimate_grouped(grouped, ["g"], m=64).collect()}
+    for g in ("0", "1", "2"):  # 2000 distinct per group, 1.04/sqrt(64)=13%
+        assert abs(est[g] - 2000) / 2000 < 3 * 1.04 / 8
+
+
+def test_bottomk_hash_sample_stable_under_growth(spark):
+    """The k-sample is a pure function of ids: re-evaluation is
+    identical, and growing the corpus only churns the sample at the
+    k-th-hash boundary (new sample ⊆ old sample ∪ new rows)."""
+    hk = lambda c: F.pmod(  # noqa: E731
+        F.pmod(c.cast("long"), F.lit(1000003)) * F.lit(2654435761 % 1000003),
+        F.lit(1000003))
+
+    def sample(df, k):
+        return [r["id"] for r in df.select("id", hk(F.col("id")).alias("h"))
+                .orderBy("h", "id").limit(k).collect()]
+
+    base = spark.range(0, 5_000)
+    s1, s2 = sample(base, 100), sample(base, 100)
+    assert s1 == s2 and len(s1) == 100
+    grown = spark.range(0, 7_500)
+    s3 = sample(grown, 100)
+    assert set(s3) <= set(s1) | set(range(5_000, 7_500))
