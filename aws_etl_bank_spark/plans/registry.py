@@ -4249,3 +4249,45 @@ def stream_kmv_distinct(spark, sf_dir):
     tru = (load_table(spark, sf_dir, "events")
            .agg(F.count_distinct("user_id").alias("true_distinct")))
     return est.crossJoin(F.broadcast(tru))
+
+
+@q("ts_ohlc_bucket", """
+WITH r AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS bucket, value,
+         row_number() OVER (PARTITION BY event_type,
+                                         epoch_us(ts) // 86400000000
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       ROUND(min_by(value, rn), 2) AS open,
+       ROUND(MAX(value), 2) AS high,
+       ROUND(MIN(value), 2) AS low,
+       ROUND(max_by(value, rn), 2) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY event_type, bucket""")
+def ts_ohlc_bucket(spark, sf_dir):
+    """OHLC candle rollup: per (event_type, day) open/high/low/close/
+    count — the financial time-series compaction (ts_bucket_rollup's
+    sibling with ORDER-dependent endpoints).  One keyed window assigns
+    the within-bucket sequence (deterministic (ts, event_id) order),
+    and the same-key aggregation REUSES the window's exchange — one
+    shuffle total; open/close are min_by/max_by over the unique rank,
+    identical semantics on both engines.  Day buckets are exact
+    epoch-microsecond integer division (no float epoch)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    w = (Window.partitionBy("event_type", "bucket")
+         .orderBy("ts", "event_id"))
+    r = (ev.withColumn("bucket", bucket)
+         .withColumn("rn", F.row_number().over(w)))
+    return (r.groupBy("event_type", "bucket")
+            .agg(F.round(F.expr("min_by(value, rn)"), 2).alias("open"),
+                 F.round(F.max("value"), 2).alias("high"),
+                 F.round(F.min("value"), 2).alias("low"),
+                 F.round(F.expr("max_by(value, rn)"), 2).alias("close"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("event_type", F.col("bucket").cast("long"),
+                    "open", "high", "low", "close",
+                    F.col("n").cast("long").alias("n")))
