@@ -17,6 +17,73 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact global triangle count over an undirected edge list, by
+    degree orientation (the node-iterator cut of Chiba–Nishizeki /
+    Schank–Wagner): orient every edge from its (degree, id)-smaller
+    endpoint to the larger, enumerate wedges as pairs of OUT-edges of a
+    common source, and close each wedge with a semi-join back to the
+    oriented edge list.
+
+    Why orientation is the whole scale story: wedge volume is
+    Σ outdeg(v)², and orientation bounds every out-degree by O(√m) on
+    any graph (a node of degree d keeps at most the edges to its ≥d-
+    degree neighbors, and there are at most 2m/d of those) — so a
+    10 M-degree hub, which would generate 10¹⁴ raw wedges and serialize
+    the whole stage, generates NONE: its edges all point INTO it, and
+    hub-closed triangles are counted from their two low-degree corners
+    instead.  Total wedge work is O(m^1.5) worst-case, linear-ish on
+    real sparse graphs.  Both joins are hash equi-joins on node ids
+    (shuffle keyed by source node / canonical edge) — no cartesian
+    anywhere, AQE-splittable.
+
+    Returns one row: (n_nodes, n_edges, n_triangles) — orientation-
+    independent quantities only (wedge counts depend on tie-breaks).
+    Self-loops are dropped; the input need not be deduplicated."""
+    e = (edges.select(F.col(a).cast("long").alias("a"),
+                      F.col(b).cast("long").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .distinct()
+         .persist())  # read 3×: degree, orientation join, wedge close
+    deg = (e.select(F.col("a").alias("id"))
+           .unionAll(e.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+    # orient by (degree, id): src is the strictly-smaller endpoint
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (e.join(da, e.a == F.col("da.id"))
+                .join(db, e.b == F.col("db.id"))
+                .select(
+                    F.when((F.col("da.deg") < F.col("db.deg"))
+                           | ((F.col("da.deg") == F.col("db.deg"))
+                              & (F.col("a") < F.col("b"))),
+                           F.struct(F.col("a").alias("s"),
+                                    F.col("b").alias("d")))
+                    .otherwise(F.struct(F.col("b").alias("s"),
+                                        F.col("a").alias("d")))
+                    .alias("e"))
+                .select("e.s", "e.d"))
+    oriented = oriented.persist()
+    # wedges: unordered pairs of out-neighbors of one source
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (o1.join(o2, (F.col("o1.s") == F.col("o2.s"))
+                      & (F.col("o1.d") < F.col("o2.d")))
+              .select(F.col("o1.d").alias("a"), F.col("o2.d").alias("d")))
+    # close the wedge against the canonical (undirected) edge list: the
+    # third edge may carry either orientation, so compare as a<b pairs
+    closing = e.select(F.col("a"), F.col("b").alias("d"))
+    n_tri = wedges.join(closing, ["a", "d"], "inner").count()
+    n_edges = oriented.count()
+    n_nodes = deg.count()
+    oriented.unpersist()
+    e.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri)],
+        "n_nodes long, n_edges long, n_triangles long")
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 3, damping: float = 0.85,
              assume_distinct: bool = False,

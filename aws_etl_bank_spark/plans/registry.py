@@ -4291,3 +4291,42 @@ def ts_ohlc_bucket(spark, sf_dir):
             .select("event_type", F.col("bucket").cast("long"),
                     "open", "high", "low", "close",
                     F.col("n").cast("long").alias("n")))
+
+
+@q("ts_active_users_7d", """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+wau AS (
+  SELECT d.day AS day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
+  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day)
+SELECT w.day AS day, dau.dau AS dau, w.active_7d AS active_7d
+FROM wau w JOIN dau ON dau.day = w.day""")
+def ts_active_users_7d(spark, sf_dir):
+    """Rolling 7-day distinct active users per day (the DAU/WAU
+    engagement rollup) WITHOUT a range join: count-distinct composes
+    with neither window frames nor partial aggregation, so the naive
+    forms — a RANGE-interval window over users, or a days×events
+    interval join — are respectively impossible and a broadcast-
+    nested-loop.  The scalable shape: dedupe events to (day, user)
+    FIRST (one hash-agg — the 100 TB row count drops to
+    days×actives), then explode each pair to the ≤7 report days it
+    feeds (bounded 7× of the DEDUPED frame, never of raw events), and
+    count-distinct per report day.  All equi-shuffles keyed by
+    (day, user); the report-day membership join broadcasts the tiny
+    day dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(F.to_date("ts").alias("day"), "user_id")
+          .distinct())
+    days = du.select("day").distinct()
+    exp = (du.select("user_id", "day",
+                     F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"))
+           .select("user_id", F.expr("date_add(day, off)").alias("day")))
+    wau = (exp.join(F.broadcast(days), "day")
+           .groupBy("day")
+           .agg(F.countDistinct("user_id").alias("active_7d")))
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (wau.join(dau, "day")
+            .select("day", F.col("dau").cast("long").alias("dau"),
+                    F.col("active_7d").cast("long").alias("active_7d")))

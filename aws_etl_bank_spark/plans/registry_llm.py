@@ -2535,3 +2535,89 @@ def sample_bottomk_hash(spark, sf_dir):
     return (docs.select("doc_id", "lang", hk.alias("__hk"))
             .orderBy("__hk", "doc_id").limit(200)
             .select("doc_id", "lang"))
+
+
+@q("graph_triangle_count", """
+WITH ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+            WHERE c_custkey % 7 <> 0),
+band AS (
+  SELECT x.k AS a, y.k AS b FROM ks x JOIN ks y ON y.k = x.k + 1
+  UNION ALL
+  SELECT x.k AS a, y.k AS b FROM ks x JOIN ks y ON y.k = x.k + 2),
+hub AS (SELECT CAST(0 AS BIGINT) AS a, k AS b FROM ks WHERE k % 3 <= 1),
+e AS (SELECT a, b FROM band UNION ALL SELECT a, b FROM hub),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT DISTINCT n FROM
+        (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e))) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles""")
+def graph_triangle_count(spark, sf_dir):
+    """Exact triangle counting by degree orientation
+    (functions/graph.py:triangle_count) over a deterministic fixture
+    with a PLANTED HUB: a banded graph on customer keys (edges k—k+1,
+    k—k+2 over keys with k%7≠0, giving closed band triangles) plus a
+    hub node 0 adjacent to two-thirds of all nodes.  The hub is the
+    point: naive wedge enumeration would generate deg(hub)² ≈ (2N/3)²
+    wedges — the quadratic blowup that kills co-occurrence joins at
+    100 TB — while degree orientation points every hub edge INTO the
+    hub so it generates zero wedges and its triangles are found from
+    their low-degree corners (Σ outdeg² ≤ O(m^1.5) on ANY graph).  The
+    oracle counts the same triangles by a canonical x<y<z three-way
+    self-join, orientation-free — so the check is of the counting
+    semantics, not a replay of the plan."""
+    from aws_etl_bank_spark.functions.graph import triangle_count
+
+    ks = (load_table(spark, sf_dir, "customer")
+          .select(F.col("c_custkey").cast("long").alias("k"))
+          .filter(F.col("k") % 7 != 0))
+    b1 = (ks.alias("x").join(ks.alias("y"),
+                             F.col("y.k") == F.col("x.k") + 1)
+          .select(F.col("x.k").alias("a"), F.col("y.k").alias("b")))
+    b2 = (ks.alias("x").join(ks.alias("y"),
+                             F.col("y.k") == F.col("x.k") + 2)
+          .select(F.col("x.k").alias("a"), F.col("y.k").alias("b")))
+    hub = (ks.filter(F.col("k") % 3 <= 1)
+           .select(F.lit(0).cast("long").alias("a"), F.col("k").alias("b")))
+    return triangle_count(b1.unionAll(b2).unionAll(hub))
+
+
+@q("sample_weighted_priority", """
+WITH h AS (
+  SELECT o_orderkey, o_totalprice,
+         (((o_orderkey % 1000003 + 1000003) % 1000003) * 2654435761)
+           % 1000003 + 1 AS hk,
+         GREATEST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), 1) AS w
+  FROM orders)
+SELECT o_orderkey, o_totalprice
+FROM h
+ORDER BY CAST(hk AS DOUBLE) / CAST(w AS DOUBLE), o_orderkey
+LIMIT 100""")
+def sample_weighted_priority(spark, sf_dir):
+    """Deterministic weighted priority sample, k=100 orders with
+    inclusion biased toward high ``o_totalprice``: priority =
+    hash(key)/weight, keep the bottom-k (the exponential-clocks /
+    PPSWOR shape of Efraimidis–Espirakis sampling with the uniform
+    draw replaced by the corpus-stable Knuth hash of
+    sample_bottomk_hash).  Same scale posture as bottom-k: a
+    TakeOrdered, never a global sort; reproducible across engines,
+    retries and repartitionings; stable under corpus growth.
+    Cross-engine exactness by construction: hash and weight are pure
+    int64 arithmetic (floor(x·100+0.5) cents, never engine round()
+    half-ties) and the only float op is ONE IEEE-exact division —
+    no libm (ln/pow) in the ranking key, so both engines compute
+    bit-identical priorities."""
+    o = load_table(spark, sf_dir, "orders")
+    hk = (F.pmod(F.pmod(F.col("o_orderkey").cast("long"), F.lit(1000003))
+                 * F.lit(2654435761 % 1000003), F.lit(1000003)) + 1)
+    w = F.greatest(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
+                   F.lit(1))
+    pr = hk.cast("double") / w.cast("double")
+    return (o.select("o_orderkey", "o_totalprice", pr.alias("__pr"))
+            .orderBy("__pr", "o_orderkey").limit(100)
+            .select("o_orderkey", "o_totalprice"))

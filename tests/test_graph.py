@@ -46,3 +46,44 @@ def test_pagerank_empty_graph_returns_empty_frame(spark):
     out = pagerank(empty)
     assert out.columns == ["id", "pagerank"]
     assert out.count() == 0
+
+
+def _tri(spark, pairs):
+    from aws_etl_bank_spark.functions.graph import triangle_count
+    df = spark.createDataFrame(pairs, "a long, b long")
+    return triangle_count(df).collect()[0]
+
+
+def test_triangle_count_k4_has_four(spark):
+    # complete graph on 4 nodes: C(4,3) = 4 triangles, 6 edges
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    r = _tri(spark, k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+
+def test_triangle_count_ignores_duplicates_loops_and_direction(spark):
+    # one triangle given with mixed orientations, a dup edge, a loop,
+    # and a dangling path edge that closes nothing
+    edges = [(1, 2), (2, 1), (3, 2), (1, 3), (3, 3), (3, 4)]
+    r = _tri(spark, edges)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 4, 1)
+
+
+def test_triangle_count_hub_star_is_triangle_free(spark):
+    # star around 0: hub wedges must NOT be counted as triangles
+    r = _tri(spark, [(0, i) for i in range(1, 8)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (8, 7, 0)
+
+
+def test_triangle_count_hub_plus_rim_edges(spark):
+    # star + rim edges 1-2 and 4-5: exactly the two hub-closed triangles
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2), (4, 5)]
+    r = _tri(spark, edges)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (6, 7, 2)
+
+
+def test_triangle_count_empty(spark):
+    from aws_etl_bank_spark.functions.graph import triangle_count
+    df = spark.createDataFrame([], "a long, b long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (0, 0, 0)

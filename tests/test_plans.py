@@ -220,3 +220,33 @@ def test_tpch_completion_set_plan_shape(spark):
     p21 = REGISTRY["tpch_q21_waiting_supplier"].fn(spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
     assert p21.count("Window") == 1  # both per-order counts share one window
+
+
+def test_new_sampling_and_rollup_plan_shape(spark):
+    """sample_weighted_priority must be a per-partition top-k
+    (TakeOrderedAndProject), never a global sort; ts_active_users_7d
+    must broadcast the day dimension and contain no nested-loop join
+    (the naive interval-join form would be one)."""
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    pw = REGISTRY["sample_weighted_priority"].fn(spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in pw
+    assert "Sort " not in pw
+    pa = REGISTRY["ts_active_users_7d"].fn(spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in pa
+    assert "CartesianProduct" not in pa
+
+
+def test_triangle_fixture_invariants(spark):
+    """The triangle entry executes eagerly (bounded scalar counts), so
+    plan text isn't inspectable from the returned frame; assert the
+    fixture invariants instead (planted hub closes some but not most
+    edges)."""
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["graph_triangle_count"].fn(spark, "/root/testdata/sf0.001")
+    row = df.collect()[0]
+    assert row.n_triangles > 0 and row.n_edges > row.n_triangles
