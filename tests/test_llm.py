@@ -1423,3 +1423,55 @@ def test_decontaminate_bloom_equals_plain(spark):
              decontaminate_bloom(docs, bench).select(*cols).collect()}
     assert bloom == plain
     assert any(r[3] for r in plain)  # the benchmark doc itself flags
+
+
+def _fh_bucket(tok, n=16):
+    import hashlib
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n
+
+
+def test_feature_hash_counts_match_reference_hash(spark):
+    from aws_etl_bank_spark.llm.text import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "The cat  sat ON the mat"), (2, "cat cat cat")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.asDict() for r in
+            feature_hash(df, "text", "doc_id", n_features=16).collect()}
+    # doc 1: lowercased tokens, multi-space tolerated
+    exp1 = {}
+    for t in "the cat sat on the mat".split():
+        exp1[_fh_bucket(t)] = exp1.get(_fh_bucket(t), 0) + 1
+    for i in range(16):
+        assert rows[1][f"f{i}"] == exp1.get(i, 0)
+    # doc 2: one bucket holds 3, all others 0
+    b = _fh_bucket("cat")
+    assert rows[2][f"f{b}"] == 3
+    assert sum(rows[2][f"f{i}"] for i in range(16)) == 3
+
+
+def test_feature_hash_stable_under_corpus_growth(spark):
+    """A doc's feature row is a pure function of its own text — adding
+    documents must not change it (the no-global-vocabulary property)."""
+    from aws_etl_bank_spark.llm.text import feature_hash
+
+    small = spark.createDataFrame([(1, "alpha beta beta")],
+                                  "doc_id long, text string")
+    big = spark.createDataFrame(
+        [(1, "alpha beta beta")] + [(i, f"tok{i} filler") for i in range(2, 60)],
+        "doc_id long, text string")
+    r1 = feature_hash(small, "text", "doc_id").filter("doc_id = 1").collect()[0]
+    r2 = feature_hash(big, "text", "doc_id").filter("doc_id = 1").collect()[0]
+    assert r1.asDict() == r2.asDict()
+
+
+def test_feature_hash_single_exchange_no_python(spark):
+    """One shuffle (the doc-id hash-agg; token rows reduce map-side via
+    the wide CASE partials) and no Python UDF in the plan."""
+    from aws_etl_bank_spark.llm.text import feature_hash
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = feature_hash(df, "text", "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
