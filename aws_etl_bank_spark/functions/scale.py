@@ -1034,3 +1034,54 @@ def hll_estimate_grouped(sketch: DataFrame, group_cols: list[str],
         *group_cols, "n_set", "sum_inv",
         F.round("est_raw", 4).alias("est_raw"),
         F.round(corrected, 4).alias("estimate"))
+
+
+def heavy_hitters_topk(df: DataFrame, key_col: str, k: int = 20,
+                       counters: int = 64) -> DataFrame:
+    """Exact top-k heavy hitters WITHOUT shuffling the full key
+    cardinality: per-partition Misra–Gries candidate summaries, then an
+    exact recount restricted to the candidate set (the standard 2-pass
+    sketch-then-verify shape).
+
+    Why not plain ``groupBy(key).count().orderBy(...).limit(k)``?  Its
+    shuffle carries one row per DISTINCT KEY PER MAP TASK — at 100 TB
+    with billions of keys (user ids, URLs, n-grams) the exchange IS the
+    job.  Here pass 1 runs Misra–Gries inside each partition
+    (``counters`` cells, Arrow-batched: merge a batch's value_counts,
+    then the MG decrement — subtract the (counters+1)-th largest count
+    from all cells and drop the non-positive — so each batch is
+    vectorized, never per-row Python), emitting ≤ ``counters`` keys per
+    partition.  The union of partition candidates provably contains
+    every key with global count > N/counters (summing the per-partition
+    MG error bounds), so for true heavy hitters the candidate set is
+    complete.  Pass 2 broadcast-semi-joins the fact to the candidate
+    keys and recounts exactly — the only full-data aggregation groups by
+    ≤ counters·partitions keys, and the final top-k is a TakeOrdered.
+
+    Exactness contract: returned counts are exact; the top-k set itself
+    is guaranteed complete when the k-th hitter's count exceeds
+    N/``counters`` (the caller sizes ``counters`` to the skew it is
+    hunting — heavy-hitter queries are only meaningful on skewed keys).
+    Deterministic output order: (count DESC, key)."""
+    import pandas as pd
+
+    def mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > counters:
+                cut = sorted(counts.values(), reverse=True)[counters]
+                counts = {kk: v - cut for kk, v in counts.items()
+                          if v - cut > 0}
+        yield pd.DataFrame({key_col: list(counts.keys())})
+
+    field = df.schema[key_col]
+    cand = (df.select(key_col)
+            .mapInPandas(mg, type(df.schema)([field]))
+            .distinct())
+    exact = (df.join(F.broadcast(cand), key_col, "left_semi")
+             .groupBy(key_col)
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    return (exact.orderBy(F.desc("cnt"), key_col).limit(k)
+            .select(key_col, F.col("cnt").cast("long").alias("cnt")))

@@ -2654,3 +2654,66 @@ def feature_hash_text(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return feature_hash(docs, "text", "doc_id", n_features=16)
+
+
+@q("scale_heavy_hitters", """
+WITH kk AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_custkey % 10
+              ELSE o_custkey + 1000000 END AS key
+  FROM orders)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM kk GROUP BY key ORDER BY cnt DESC, key LIMIT 10""")
+def scale_heavy_hitters(spark, sf_dir):
+    """Exact top-10 heavy hitters via per-partition Misra–Gries
+    candidate pruning (functions/scale.py:heavy_hitters_topk) on a
+    PLANTED power-law key: a third of all orders collapse onto 10 hub
+    keys (each ≈ N/30 ≫ the N/128 MG guarantee threshold), the rest
+    stay near-unique — the cardinality profile where a plain
+    groupBy-then-top-k shuffles billions of singleton keys to find ten
+    hubs.  The MG pass emits ≤ 128 candidates per partition, the exact
+    recount groups only candidate rows, and the oracle recomputes true
+    top-10 by brute force — checking both the candidate-completeness
+    guarantee and the exact counts."""
+    from aws_etl_bank_spark.functions.scale import heavy_hitters_topk
+
+    o = load_table(spark, sf_dir, "orders")
+    kk = o.select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_custkey") % 10)
+        .otherwise(F.col("o_custkey") + 1_000_000).alias("key"))
+    return heavy_hitters_topk(kk, "key", k=10, counters=128)
+
+
+@q("embed_pca_planted_axis", """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
+       CAST(64 AS BIGINT) AS dim,
+       CAST(1 AS INTEGER) AS aligned,
+       CAST(1 AS INTEGER) AS dominant""")
+def embed_pca_planted_axis(spark, sf_dir):
+    """Distributed PCA, planted-axis check (the planted-twin oracle
+    convention of the ANN family): each embedding is shifted ±2 along
+    the unit direction u = 1/8·(1,…,1) by vec_id parity, planting a
+    variance-4 component that dwarfs the data's own spectrum; the top
+    principal component recovered by llm/decompose.py:pca_top_component
+    (per-partition Gram partials via one Arrow pass — executors ship
+    d+d² doubles PER PARTITION, never per row — then an O(d³) driver
+    eigensolve) must align with u (|cos| ≥ 0.99) and carry ≥ half the
+    total variance.  The oracle pins n/dim genuinely and the two
+    invariant bits by construction."""
+    import numpy as np
+
+    from aws_etl_bank_spark.llm.decompose import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            + F.when(F.col("vec_id") % 2 == 0, F.lit(0.25))
+            .otherwise(F.lit(-0.25)))
+        .alias("v"))
+    n, eigval, v, trace = pca_top_component(planted, "v", 64)
+    u = np.full(64, 0.125)
+    cos = abs(float(np.dot(v, u)))
+    return spark.createDataFrame(
+        [(n, 64, int(cos >= 0.99), int(eigval >= 0.5 * trace))],
+        "n long, dim long, aligned int, dominant int")

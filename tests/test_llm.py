@@ -1475,3 +1475,43 @@ def test_feature_hash_single_exchange_no_python(spark):
         .executedPlan().toString()
     assert plan.count("Exchange") <= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_covariance_stats_matches_numpy(spark):
+    import numpy as np
+
+    from aws_etl_bank_spark.llm.decompose import covariance_stats
+
+    rng = [[float(i), float(i * i % 7), 1.0] for i in range(1, 40)]
+    df = spark.createDataFrame([(r,) for r in rng], "v array<double>") \
+        .repartition(5)
+    n, mean, cov = covariance_stats(df, "v", 3)
+    m = np.asarray(rng)
+    assert n == 39
+    assert np.allclose(mean, m.mean(axis=0))
+    assert np.allclose(cov, np.cov(m.T, bias=True))
+
+
+def test_pca_recovers_planted_direction(spark):
+    import numpy as np
+
+    from aws_etl_bank_spark.llm.decompose import pca_top_component
+
+    # points on a line through a fixed direction + tiny orthogonal jitter
+    u = np.array([3.0, 4.0, 0.0]) / 5.0
+    pts = [(i % 2 * 2 - 1) * 10 * u + np.array([0, 0, (i % 3 - 1) * 0.01])
+           for i in range(60)]
+    df = spark.createDataFrame([(p.tolist(),) for p in pts],
+                               "v array<double>").repartition(4)
+    n, val, vec, trace = pca_top_component(df, "v", 3)
+    assert n == 60
+    assert abs(abs(float(np.dot(vec, u))) - 1.0) < 1e-6
+    assert val / trace > 0.999
+
+
+def test_pca_empty_input(spark):
+    from aws_etl_bank_spark.llm.decompose import pca_top_component
+
+    df = spark.createDataFrame([], "v array<double>")
+    n, val, vec, trace = pca_top_component(df, "v", 3)
+    assert n == 0 and val == 0.0 and trace == 0.0

@@ -687,3 +687,35 @@ def test_bottomk_hash_sample_stable_under_growth(spark):
     grown = spark.range(0, 7_500)
     s3 = sample(grown, 100)
     assert set(s3) <= set(s1) | set(range(5_000, 7_500))
+
+
+def test_heavy_hitters_exact_counts_and_completeness(spark):
+    from aws_etl_bank_spark.functions.scale import heavy_hitters_topk
+
+    # 3 planted hitters far above N/counters, 500 singletons
+    rows = ([(7,)] * 300 + [(11,)] * 200 + [(13,)] * 100
+            + [(1000 + i,) for i in range(500)])
+    df = spark.createDataFrame(rows, "key long").repartition(8)
+    got = heavy_hitters_topk(df, "key", k=3, counters=16).collect()
+    assert [(r.key, r.cnt) for r in got] == [(7, 300), (11, 200), (13, 100)]
+
+
+def test_heavy_hitters_mg_trim_survives_batching(spark):
+    from aws_etl_bank_spark.functions.scale import heavy_hitters_topk
+
+    # interleave the hitter with noise so every Arrow batch must trim
+    rows = []
+    for i in range(2000):
+        rows.append((5,) if i % 4 == 0 else (10_000 + i,))
+    df = spark.createDataFrame(rows, "key long").repartition(4)
+    got = heavy_hitters_topk(df, "key", k=1, counters=8).collect()
+    assert got[0].key == 5 and got[0].cnt == 500
+
+
+def test_heavy_hitters_result_is_takeordered(spark):
+    from aws_etl_bank_spark.functions.scale import heavy_hitters_topk
+
+    df = spark.createDataFrame([(1,)] * 10, "key long")
+    plan = heavy_hitters_topk(df, "key", k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
