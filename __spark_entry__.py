@@ -78,6 +78,8 @@ _PRIORITY = [
     "graph_triangle_count", "sample_weighted_priority", "ts_active_users_7d",
     "label_churn_window", "assoc_copurchase_lift", "ts_seasonal_strength",
     "feature_hash_text", "scale_heavy_hitters", "embed_pca_planted_axis",
+    "feature_velocity_windows", "session_markov_transitions",
+    "score_psi_drift", "sample_per_group_bottomk",
     "multimodal_decode_ppm", "multimodal_thumbnail_vec",
     "agg_daily_cust", "agg_payment_types", "agg_count_distinct",
     "agg_avg_by_month", "agg_nested_max", "agg_collect_struct_size",

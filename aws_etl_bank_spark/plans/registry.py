@@ -4317,8 +4317,10 @@ def ts_active_users_7d(spark, sf_dir):
     (day, user); the report-day membership join broadcasts the tiny
     day dimension."""
     ev = load_table(spark, sf_dir, "events")
+    # the deduped (day, user) frame feeds the explode, the day
+    # dimension and the DAU agg — persist or pay three event scans
     du = (ev.select(F.to_date("ts").alias("day"), "user_id")
-          .distinct())
+          .distinct().persist())
     days = du.select("day").distinct()
     exp = (du.select("user_id", "day",
                      F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"))
@@ -4358,10 +4360,12 @@ def label_churn_window(spark, sf_dir):
     window is unobserved — the right-censoring rule every churn
     dataset needs); the max-month scalar rides a 1-row broadcast."""
     o = load_table(spark, sf_dir, "orders")
+    # cm feeds three consumers (labels, shifted future, max month):
+    # persist so the fact scans + dedup-shuffles once, not thrice
     cm = (o.select("o_custkey",
                    F.trunc(F.col("o_orderdate").cast("date"), "month")
                    .alias("month"))
-          .distinct())
+          .distinct().persist())
     nxt = cm.select("o_custkey", F.add_months("month", -1).alias("month"),
                     F.lit(1).alias("act"))
     mx = cm.agg(F.max("month").alias("__mx"))
@@ -4410,6 +4414,11 @@ def assoc_copurchase_lift(spark, sf_dir):
           .select("l_orderkey", "l_partkey").distinct())
     ok = (li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__k"))
           .filter(F.col("__k") <= 50).select("l_orderkey"))
+    # the capped basket frame is read four ways (order count, item
+    # counts, both pair-join sides) — but all four consumers share the
+    # identical (distinct → join) subtree inside ONE action, which
+    # Catalyst collapses via ReusedExchange (4 in the executed plan,
+    # A/B-measured faster than an explicit persist at sf0.1)
     b = li.join(ok, "l_orderkey")
     n = b.select("l_orderkey").distinct() \
          .agg(F.count(F.lit(1)).alias("__n"))
@@ -4492,3 +4501,156 @@ def ts_seasonal_strength(spark, sf_dir):
                     (F.round(1.0 - (F.col("ss") - F.col("sw"))
                              / F.greatest(tot, F.lit(1e-12)), 4) + 0)
                     .alias("strength")))
+
+
+@q("feature_velocity_windows", """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events)
+SELECT user_id, event_id,
+  CAST(COUNT(*) OVER w1 AS BIGINT) AS n_1h,
+  CAST(SUM(v) OVER w1 AS BIGINT) AS cents_1h,
+  CAST(COUNT(*) OVER w24 AS BIGINT) AS n_24h,
+  CAST(SUM(v) OVER w24 AS BIGINT) AS cents_24h
+FROM e
+WINDOW
+  w1 AS (PARTITION BY user_id ORDER BY us
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+  w24 AS (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""")
+def feature_velocity_windows(spark, sf_dir):
+    """Point-in-time-correct velocity features — trailing 1 h / 24 h
+    per-user event counts and amount sums AS OF each event (the
+    feature-store primitive behind fraud velocity rules and any
+    leakage-free training set: a feature may only see events ≤ its own
+    timestamp).  Expressed as RANGE-frame windows over exact
+    epoch-microsecond integers — the frame bound is data-defined, so
+    Catalyst evaluates it per row with ONE sort per user partition and
+    zero self-joins (the naive form is an events×events interval join).
+    Both window frames share one partitioning+sort (a single Exchange,
+    one Sort in the plan); amounts are int64 cents so the running sums
+    are engine-order-independent.  Skew: a hot user serializes its
+    partition — the running_sum_split hot-key treatment
+    (operators/windows.py) applies unchanged if a user exceeds executor
+    memory; at the events table's fan-out it is not needed."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"))
+    w1 = (Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-3_600_000_000, 0))
+    w24 = (Window.partitionBy("user_id").orderBy("us")
+           .rangeBetween(-86_400_000_000, 0))
+    return e.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w1).cast("long").alias("n_1h"),
+        F.sum("v").over(w1).cast("long").alias("cents_1h"),
+        F.count(F.lit(1)).over(w24).cast("long").alias("n_24h"),
+        F.sum("v").over(w24).cast("long").alias("cents_24h"))
+
+
+@q("session_markov_transitions", """
+WITH s AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id
+  FROM events),
+tr AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id, day
+                               ORDER BY ts, event_id) AS from_type
+  FROM s),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS cnt
+  FROM tr WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type),
+tot AS (SELECT from_type, SUM(cnt) AS t FROM c GROUP BY from_type)
+SELECT c.from_type AS from_type, c.to_type AS to_type,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE) AS p
+FROM c JOIN tot ON tot.from_type = c.from_type""")
+def session_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior: within
+    each (user, day) session, count consecutive event-type bigrams and
+    normalize per source state — the behavioral-analytics /
+    next-action-model primitive.  One keyed window (deterministic
+    (ts, event_id) order) emits the lag pairs, then two hash-aggs; the
+    per-source normalizer joins back on the tiny state set.
+    Transition probability is ONE IEEE-exact division of exact counts
+    — no rounding needed for cross-engine equality."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("user_id", F.to_date("ts").alias("day"),
+                  "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    tr = (s.select(F.col("event_type").alias("to_type"),
+                   F.lag("event_type").over(w).alias("from_type"))
+          .filter(F.col("from_type").isNotNull()))
+    c = tr.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.groupBy("from_type").agg(F.sum("cnt").alias("t"))
+    return (c.join(tot, "from_type")
+            .select("from_type", "to_type",
+                    F.col("cnt").cast("long").alias("cnt"),
+                    (F.col("cnt").cast("double") / F.col("t").cast("double"))
+                    .alias("p")))
+
+
+@q("score_psi_drift", """
+WITH e AS (
+  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN 'ref' ELSE 'cur' END AS pop,
+         LEAST(CAST(FLOOR(value / 60.0) AS BIGINT), 9) AS bin
+  FROM events),
+c AS (SELECT pop, bin, COUNT(*) AS n FROM e GROUP BY pop, bin),
+n AS (SELECT pop, SUM(n) AS tot FROM c GROUP BY pop),
+bins AS (SELECT range AS bin FROM range(10)),
+pq AS (
+  SELECT b.bin,
+    (COALESCE(r.n, 0) + 0.5)
+      / ((SELECT tot FROM n WHERE pop = 'ref') + 5.0) AS p,
+    (COALESCE(u.n, 0) + 0.5)
+      / ((SELECT tot FROM n WHERE pop = 'cur') + 5.0) AS q
+  FROM bins b
+  LEFT JOIN c r ON r.bin = b.bin AND r.pop = 'ref'
+  LEFT JOIN c u ON u.bin = b.bin AND u.pop = 'cur')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(SUM((p - q) * ln(p / q)), 6) + 0 AS psi
+FROM pq""")
+def score_psi_drift(spark, sf_dir):
+    """Population Stability Index between the month's first- and
+    second-half score distributions — the model-monitoring drift
+    metric every deployed banking model is watched with
+    (PSI = Σ (p−q)·ln(p/q) over score bins; > 0.2 conventionally
+    triggers retraining).  Scale shape: ONE hash-agg over
+    (population, bin) — the 100 TB scan reduces to 20 rows — then the
+    10-bin spine (a literal range, so empty bins are present, with
+    add-half smoothing keeping ln finite) assembles driver-light.
+    Counts and totals are exact ints; ln enters only on 10 final
+    terms, masked by the canon-zero 6-decimal round."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), "ref")
+        .otherwise("cur").alias("pop"),
+        F.least(F.floor(F.col("value") / 60.0).cast("long"), F.lit(9))
+        .alias("bin"))
+    # persist the 20-row (pop, bin) agg: it feeds both the totals
+    # scalar and the spine join — without it the fact scans twice
+    c = e.groupBy("pop", "bin").agg(F.count(F.lit(1)).alias("n")).persist()
+    tots = {r["pop"]: r["tot"] for r in
+            c.groupBy("pop").agg(F.sum("n").alias("tot")).collect()}
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    r = (c.filter(F.col("pop") == "ref")
+         .select("bin", F.col("n").alias("rn")))
+    u = (c.filter(F.col("pop") == "cur")
+         .select("bin", F.col("n").alias("un")))
+    pq = (bins.join(r, "bin", "left").join(u, "bin", "left")
+          .select(
+              ((F.coalesce(F.col("rn"), F.lit(0)) + 0.5)
+               / F.lit(float(tots.get("ref", 0)) + 5.0)).alias("p"),
+              ((F.coalesce(F.col("un"), F.lit(0)) + 0.5)
+               / F.lit(float(tots.get("cur", 0)) + 5.0)).alias("q")))
+    return pq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        (F.round(F.sum((F.col("p") - F.col("q"))
+                       * F.log(F.col("p") / F.col("q"))), 6) + 0)
+        .alias("psi"))

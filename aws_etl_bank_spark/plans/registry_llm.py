@@ -2717,3 +2717,34 @@ def embed_pca_planted_axis(spark, sf_dir):
     return spark.createDataFrame(
         [(n, 64, int(cos >= 0.99), int(eigval >= 0.5 * trace))],
         "n long, dim long, aligned int, dominant int")
+
+
+@q("sample_per_group_bottomk", """
+WITH h AS (
+  SELECT lang, doc_id,
+         (((doc_id % 1000003 + 1000003) % 1000003) * 2654435761)
+           % 1000003 AS hk
+  FROM documents),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+      FROM h)
+SELECT lang, doc_id FROM r WHERE rn <= 5""")
+def sample_per_group_bottomk(spark, sf_dir):
+    """Deterministic per-group k-sample — "5 representative docs per
+    language" — as bottom-k of the corpus-stable Knuth hash WITHIN each
+    group (the per-stratum sibling of sample_bottomk_hash, same
+    stability-under-growth property per group).  The rank filter is
+    planted directly on the window so Catalyst's WindowGroupLimit
+    pushdown keeps only k rows per group BEFORE the exchange — each map
+    task forwards ≤ k·groups rows, so the shuffle is bounded by the
+    sample size, not the corpus (asserted in tests/test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    hk = F.pmod(F.pmod(F.col("doc_id").cast("long"), F.lit(1000003))
+                * F.lit(2654435761 % 1000003), F.lit(1000003))
+    w = Window.partitionBy("lang").orderBy("__hk", "doc_id")
+    return (docs.select("lang", "doc_id", hk.alias("__hk"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 5)
+            .select("lang", "doc_id"))

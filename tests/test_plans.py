@@ -250,3 +250,26 @@ def test_triangle_fixture_invariants(spark):
     df = REGISTRY["graph_triangle_count"].fn(spark, "/root/testdata/sf0.001")
     row = df.collect()[0]
     assert row.n_triangles > 0 and row.n_edges > row.n_triangles
+
+
+def test_velocity_windows_share_one_exchange_and_sort(spark):
+    """Both RANGE frames (1 h and 24 h) key on (user_id, us) — the plan
+    must evaluate them over ONE exchange and ONE sort, not one per
+    frame."""
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    p = REGISTRY["feature_velocity_windows"].fn(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1
+    assert p.count("Sort ") == 1
+
+
+def test_per_group_sample_uses_window_group_limit(spark):
+    """The rank<=k filter must push into WindowGroupLimit so map tasks
+    forward only k rows per group before the shuffle."""
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    p = REGISTRY["sample_per_group_bottomk"].fn(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    assert p.count("Exchange") == 1
