@@ -2748,3 +2748,42 @@ def sample_per_group_bottomk(spark, sf_dir):
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= 5)
             .select("lang", "doc_id"))
+
+
+@q("multimodal_decode_wav", """
+WITH w AS (
+  SELECT doc_id AS d, 64 + doc_id % 97 AS n
+  FROM documents WHERE doc_id < 500),
+s AS (SELECT d, n, unnest(range(0, n)) AS i FROM w),
+v AS (SELECT d, n, i, ((d * 17 + i * 13) % 4096) - 2048 AS x FROM s),
+z AS (SELECT d,
+             CASE WHEN x * lag(x) OVER (PARTITION BY d ORDER BY i) < 0
+                  THEN 1 ELSE 0 END AS c
+      FROM v)
+SELECT v.d AS doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(v.n AS BIGINT) AS n_samples,
+       CAST(SUM(v.x) AS DOUBLE) / v.n AS mean_amp,
+       sqrt(CAST(SUM(v.x * v.x) AS DOUBLE) / v.n) AS rms,
+       CAST(MAX(ABS(v.x)) AS INT) AS peak,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM z WHERE z.d = v.d) AS zero_cross
+FROM v GROUP BY v.d, v.n""")
+def multimodal_decode_wav(spark, sf_dir):
+    """REAL audio decoding (llm/multimodal.py:_decode_wav — a proper
+    RIFF chunk walk + 16-bit PCM frombuffer, numpy only): deterministic
+    mono 8 kHz WAVs are generated per doc id (synthetic_wav_payloads —
+    sample i of doc d is ((d·17 + i·13) mod 4096) − 2048), then decoded
+    and featurized (count, mean, RMS, peak, zero crossings) inside one
+    Arrow-batched map-only pass.  The oracle recomputes every feature
+    from the same arithmetic over unnest(range(n)) — a header
+    misparse, byte-order flip, off-by-one in the data chunk, or
+    dropped sample shifts mean/RMS/zero-cross and fails the hash.
+    mean and RMS are exact cross-engine (integer sums, IEEE division,
+    IEEE sqrt — no libm, no rounding).  Compressed audio (non-PCM
+    format tags) takes the same per-row NULL gate as JPEG/PNG."""
+    from aws_etl_bank_spark.llm.multimodal import (decode_audio_features,
+                                                   synthetic_wav_payloads)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return decode_audio_features(synthetic_wav_payloads(docs))

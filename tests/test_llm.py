@@ -1515,3 +1515,83 @@ def test_pca_empty_input(spark):
     df = spark.createDataFrame([], "v array<double>")
     n, val, vec, trace = pca_top_component(df, "v", 3)
     assert n == 0 and val == 0.0 and trace == 0.0
+
+
+def test_wav_decode_matches_stdlib_writer(spark):
+    """Parse a WAV written by the stdlib `wave` module (independent
+    writer, different chunk layout than our synthesizer)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from aws_etl_bank_spark.llm.multimodal import _decode_wav
+
+    x = np.array([0, 1000, -1000, 32767, -32768, 5], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(44100)
+        wf.writeframes(x.tobytes())
+    rate, ch, got = _decode_wav(buf.getvalue())
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(got, x)
+
+
+def test_wav_decode_rejects_garbage_and_nonpcm(spark):
+    from aws_etl_bank_spark.llm.multimodal import _decode_wav
+
+    assert _decode_wav(None) is None
+    assert _decode_wav(b"") is None
+    assert _decode_wav(b"RIFF\x00\x00\x00\x00JUNK") is None
+    assert _decode_wav(b"not audio at all") is None
+    # valid container, format tag 3 (IEEE float) -> codec gate
+    body = ((3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+            + (4).to_bytes(2, "little") + (32).to_bytes(2, "little"))
+    buf = (b"RIFF" + (100).to_bytes(4, "little") + b"WAVEfmt "
+           + (16).to_bytes(4, "little") + body)
+    assert _decode_wav(buf) is None
+    # truncated data chunk
+    from aws_etl_bank_spark.llm.multimodal import synthetic_wav_payloads
+    df = spark.createDataFrame([(7,)], "doc_id long")
+    full = synthetic_wav_payloads(df).collect()[0].payload
+    assert _decode_wav(bytes(full)[:len(full) - 3]) is None
+
+
+def test_wav_decode_skips_unknown_and_odd_chunks(spark):
+    import numpy as np
+
+    from aws_etl_bank_spark.llm.multimodal import _decode_wav
+
+    x = np.array([10, -20, 30], dtype="<i2")
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    # odd-sized unknown chunk (5 bytes) + pad byte BEFORE fmt/data
+    payload = (b"LIST" + (5).to_bytes(4, "little") + b"abcde\x00"
+               + b"fmt " + (16).to_bytes(4, "little") + fmt
+               + b"data" + (6).to_bytes(4, "little") + x.tobytes())
+    buf = b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WAVE" + payload
+    rate, ch, got = _decode_wav(buf)
+    assert rate == 8000 and ch == 1 and np.array_equal(got, x)
+
+
+def test_audio_features_null_policy_per_row(spark):
+    """One corrupt payload must yield one NULL-feature row, not kill
+    the stage (the multimodal contract)."""
+    from aws_etl_bank_spark.llm.multimodal import (decode_audio_features,
+                                                   synthetic_wav_payloads)
+
+    good = synthetic_wav_payloads(
+        spark.createDataFrame([(1,), (2,)], "doc_id long"))
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"JPEGish garbage")), (100, None)],
+        "doc_id long, payload binary")
+    out = {r.doc_id: r for r in
+           decode_audio_features(good.unionByName(bad)).collect()}
+    assert len(out) == 4
+    assert out[1].n_samples == 64 + 1 % 97 and out[1].sample_rate == 8000
+    assert out[99].sample_rate is None and out[99].rms is None
+    assert out[100].n_samples is None
