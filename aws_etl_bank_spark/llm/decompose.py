@@ -75,3 +75,39 @@ def pca_top_component(df: DataFrame, vec_col: str, dim: int):
     if nz.size and v[nz[0]] < 0:
         v = -v
     return n, float(vals[-1]), v, float(np.trace(cov))
+
+
+def jl_project(df: DataFrame, vec_col: str, id_col: str,
+               in_dim: int, out_dim: int) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a DETERMINISTIC ±1
+    matrix (Achlioptas' database-friendly construction): out dim ``i``
+    is ⟨x, r_i⟩/√out_dim with r_i[j] = ±1 decided by the parity of the
+    corpus-stable Knuth hash of (i·in_dim + j).
+
+    The 100 TB shape: the projection matrix is COMPILED INTO THE PLAN
+    as literal arrays (the PQ-codebook pattern) — no broadcast, no
+    join, no Python; each row maps through ``zip_with`` +
+    ``aggregate`` (sequential fold, so the float sum order is fixed)
+    entirely inside whole-stage codegen, zero shuffles.  Determinism
+    is the point versus ``randn()`` matrices: re-runs, retries, and
+    engines all agree, so downstream ANN indexes built on projected
+    vectors are reproducible.  Emitted long-form (id, dim, val) for
+    oracle-friendliness."""
+    import math
+
+    P, A = 1000003, 2654435761 % 1000003
+
+    def sign(i: int, j: int) -> float:
+        return 1.0 - 2.0 * ((((i * in_dim + j) % P) * A % P) % 2)
+
+    scale = 1.0 / math.sqrt(out_dim)
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    comps = []
+    for i in range(out_dim):
+        r_i = F.array(*[F.lit(sign(i, j)) for j in range(in_dim)])
+        dot = F.aggregate(F.zip_with(x, r_i, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        comps.append(dot * scale)
+    return (df.select(F.col(id_col), F.posexplode(F.array(*comps))
+                      .alias("dim", "val"))
+            .select(id_col, F.col("dim").cast("int").alias("dim"), "val"))

@@ -4654,3 +4654,68 @@ def score_psi_drift(spark, sf_dir):
         (F.round(F.sum((F.col("p") - F.col("q"))
                        * F.log(F.col("p") / F.col("q"))), 6) + 0)
         .alias("psi"))
+
+
+@q("stream_heavy_hitters", """
+WITH kk AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN user_id % 10
+              ELSE event_id + 10000000 END AS key
+  FROM events)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM kk GROUP BY key ORDER BY cnt DESC, key LIMIT 10""")
+def stream_heavy_hitters(spark, sf_dir):
+    """Streaming top-10 heavy hitters — the real-time "who is hammering
+    us right now" op: each micro-batch runs the distributed
+    Misra–Gries candidate pass (functions/scale.py heavy_hitters_topk,
+    so per-batch driver traffic is ≤ counters candidate rows, never
+    the batch's key cardinality), the driver merges batch summaries
+    with the MG trim (summary merge keeps the additive-error
+    guarantee: any key with total count > N/counters survives to the
+    end of the stream), and a final exact recount over the stored
+    table verifies the candidates — the same sketch-then-verify shape
+    as the batch entry, with the sketch half running incrementally.
+    The planted fixture (a third of events collapse onto 10 hub keys,
+    the rest near-unique) puts the hubs far above the guarantee
+    threshold, so the streamed result equals the batch oracle's
+    brute-force top-10 exactly."""
+    import time as _time
+
+    from aws_etl_bank_spark.functions.scale import heavy_hitters_topk
+    from aws_etl_bank_spark.plans.registry_llm import _events_stream_dir
+    from aws_etl_bank_spark.sources.testdata import events_stream
+    from aws_etl_bank_spark.streaming import for_each_batch
+
+    counters = 128
+
+    def keyed(df):
+        return df.select(
+            F.when(F.col("event_id") % 3 == 0, F.col("user_id") % 10)
+            .otherwise(F.col("event_id") + 10_000_000).alias("key"))
+
+    state: dict = {}
+
+    def handle(batch_df, batch_id):
+        rows = heavy_hitters_topk(keyed(batch_df), "key",
+                                  k=counters, counters=counters).collect()
+        for r in rows:
+            state[r.key] = state.get(r.key, 0) + r.cnt
+        if len(state) > counters:
+            cut = sorted(state.values(), reverse=True)[counters]
+            for k2 in list(state):
+                state[k2] -= cut
+                if state[k2] <= 0:
+                    del state[k2]
+
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
+    for_each_batch(stream, handle, {
+        "windowSize": "1 seconds",
+        "checkpointLocation": _scratch(
+            sf_dir, f"hh_ckpt_{int(_time.time() * 1000)}"),
+        "availableNow": True,
+    })
+    cand = spark.createDataFrame([(int(k),) for k in state], "key long")
+    exact = (keyed(load_table(spark, sf_dir, "events"))
+             .join(F.broadcast(cand), "key", "left_semi")
+             .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
+    return (exact.orderBy(F.desc("cnt"), "key").limit(10)
+            .select("key", F.col("cnt").cast("long").alias("cnt")))

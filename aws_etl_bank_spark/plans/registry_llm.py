@@ -2787,3 +2787,36 @@ def multimodal_decode_wav(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return decode_audio_features(synthetic_wav_payloads(docs))
+
+
+@q("embed_jl_projection", """
+WITH v AS (
+  SELECT vec_id, j.i AS j, CAST(j.x AS DOUBLE) AS x
+  FROM (SELECT vec_id,
+               unnest(embedding) AS x,
+               unnest(range(0, 64)) AS i
+        FROM embeddings) AS j(vec_id, x, i)),
+proj AS (
+  SELECT vec_id, d.range AS dim,
+         SUM(x * (1.0 - 2.0 * ((((d.range * 64 + j) % 1000003)
+                                * 427799 % 1000003) % 2))) / 4.0 AS val
+  FROM v, range(16) d
+  GROUP BY vec_id, d.range)
+SELECT vec_id, CAST(dim AS INT) AS dim, ROUND(val, 5) + 0 AS val
+FROM proj""")
+def embed_jl_projection(spark, sf_dir):
+    """Deterministic JL random projection 64→16
+    (llm/decompose.py:jl_project — ±1 Achlioptas matrix from Knuth-hash
+    parity, compiled into the plan as literals; zip_with+aggregate
+    fold inside codegen, zero exchanges).  The oracle rebuilds the
+    SAME matrix from the same hash arithmetic (427799 =
+    2654435761 mod 1000003) and recomputes every projected coordinate;
+    the only cross-engine slack is float summation order over 64
+    terms, masked by the canon-zero 5-decimal round.  JL distance
+    preservation is property-tested in tests/test_llm.py."""
+    from aws_etl_bank_spark.llm.decompose import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = jl_project(emb, "embedding", "vec_id", 64, 16)
+    return out.select("vec_id", "dim",
+                      (F.round(F.col("val"), 5) + 0).alias("val"))

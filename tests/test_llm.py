@@ -1595,3 +1595,55 @@ def test_audio_features_null_policy_per_row(spark):
     assert out[1].n_samples == 64 + 1 % 97 and out[1].sample_rate == 8000
     assert out[99].sample_rate is None and out[99].rms is None
     assert out[100].n_samples is None
+
+
+def test_jl_projection_preserves_planted_distances(spark):
+    """JL guarantee check on a planted pair structure: near-duplicate
+    vectors stay near after projection, far vectors stay far (ratio
+    test, not absolute — the projection is 64->16)."""
+    import numpy as np
+
+    from aws_etl_bank_spark.llm.decompose import jl_project
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v.tolist()))
+        rows.append((2 * i + 1, (v + 0.01 * rng.randn(64)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = jl_project(df, "embedding", "vec_id", 64, 16).collect()
+    proj = {}
+    for r in out:
+        proj.setdefault(r.vec_id, [0.0] * 16)[r.dim] = r.val
+    proj = {k: np.asarray(v) for k, v in proj.items()}
+    near = [np.linalg.norm(proj[2 * i] - proj[2 * i + 1]) for i in range(20)]
+    far = [np.linalg.norm(proj[0] - proj[2 * i]) for i in range(2, 20)]
+    assert max(near) < min(far)
+
+
+def test_jl_projection_zero_exchanges_no_python(spark):
+    from aws_etl_bank_spark.llm.decompose import jl_project
+
+    df = spark.createDataFrame([(1, [1.0] * 8)],
+                               "vec_id long, embedding array<double>")
+    plan = jl_project(df, "embedding", "vec_id", 8, 4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jl_projection_matches_hand_matrix(spark):
+    """The compiled ±1 matrix must equal the documented hash parity."""
+    from aws_etl_bank_spark.llm.decompose import jl_project
+
+    P, A = 1000003, 2654435761 % 1000003
+    x = [1.0, 2.0, -3.0, 0.5]
+    df = spark.createDataFrame([(0, x)], "vec_id long, embedding array<double>")
+    got = {r.dim: r.val for r in
+           jl_project(df, "embedding", "vec_id", 4, 2).collect()}
+    import math
+    for i in range(2):
+        exp = sum(xj * (1 - 2 * ((((i * 4 + j) % P) * A % P) % 2))
+                  for j, xj in enumerate(x)) / math.sqrt(2)
+        assert abs(got[i] - exp) < 1e-12
