@@ -87,6 +87,16 @@ HEADLINE = [
     # index + self-join — the heaviest join shape added in r7, benched so
     # the ledger has a number for it)
     "dedup_substring_spans",
+    # late-r08 additions: the four heaviest new shapes of the round's
+    # second half — degree-oriented triangle counting (wedge equi-join
+    # against a planted hub), market-basket pair lift (within-order
+    # self-join under the basket cap), the dual RANGE-frame velocity
+    # features over 1 M events, and the JL projection (64→16 literal
+    # ±1 fold, pure codegen)
+    "graph_triangle_count",
+    "assoc_copurchase_lift",
+    "feature_velocity_windows",
+    "embed_jl_projection",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —

@@ -227,6 +227,7 @@ def test_new_sampling_and_rollup_plan_shape(spark):
     (TakeOrderedAndProject), never a global sort; ts_active_users_7d
     must broadcast the day dimension and contain no nested-loop join
     (the naive interval-join form would be one)."""
+    import aws_etl_bank_spark.plans.registry_llm  # noqa: F401
     from aws_etl_bank_spark.plans.registry import REGISTRY
 
     sf = "/root/testdata/sf0.001"
@@ -241,13 +242,16 @@ def test_new_sampling_and_rollup_plan_shape(spark):
 
 
 def test_triangle_fixture_invariants(spark):
-    """The triangle entry executes eagerly (bounded scalar counts), so
-    plan text isn't inspectable from the returned frame; assert the
-    fixture invariants instead (planted hub closes some but not most
-    edges)."""
+    """One lazy plan: every join is a hash equi-join except the two
+    bounded single-row count cross-joins; the planted hub must close
+    some but not most edges."""
+    import aws_etl_bank_spark.plans.registry_llm  # noqa: F401
     from aws_etl_bank_spark.plans.registry import REGISTRY
 
     df = REGISTRY["graph_triangle_count"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
     row = df.collect()[0]
     assert row.n_triangles > 0 and row.n_edges > row.n_triangles
 
@@ -267,6 +271,7 @@ def test_velocity_windows_share_one_exchange_and_sort(spark):
 def test_per_group_sample_uses_window_group_limit(spark):
     """The rank<=k filter must push into WindowGroupLimit so map tasks
     forward only k rows per group before the shuffle."""
+    import aws_etl_bank_spark.plans.registry_llm  # noqa: F401
     from aws_etl_bank_spark.plans.registry import REGISTRY
 
     p = REGISTRY["sample_per_group_bottomk"].fn(spark, "/root/testdata/sf0.001") \
