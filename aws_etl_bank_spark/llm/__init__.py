@@ -15,6 +15,7 @@ from aws_etl_bank_spark.llm.dedup import (  # noqa: F401
     semantic_dedup_pairs,
     semantic_dedup_keep,
     decontaminate_semantic,
+    remove_duplicate_spans,
     substring_span_pairs,
 )
 from aws_etl_bank_spark.llm.similarity import (  # noqa: F401

@@ -1215,3 +1215,62 @@ def decontaminate_bloom(df: DataFrame, benchmark: DataFrame,
             .withColumn("matched_frac", F.coalesce("matched_frac", F.lit(0.0)))
             .withColumn("contaminated",
                         F.col("matched_frac") >= frac_threshold))
+
+
+def remove_duplicate_spans(df: DataFrame, spans: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Second half of the Lee et al. passage-dedup pipeline: given the
+    (id_a, id_b, start_b, span_tokens) pairs from
+    :func:`substring_span_pairs`, CUT each duplicated passage from the
+    higher-id document (keep-first: every duplicate class retains its
+    content only in its smallest doc id) and splice the survivor tokens
+    back into text.  Returns (id, clean_text, n_removed) for EVERY
+    input document — untouched docs pass through with n_removed = 0.
+
+    Distributed shape: per-doc cut intervals first MERGE (overlapping
+    spans against different partners collapse — gaps-and-islands over a
+    running max(e), groups bounded by spans per doc, never corpus-
+    sized), then collect to ONE array per affected doc and broadcast-
+    class equi-join back to the corpus; the splice itself is a map-side
+    array expression (filter positions not covered by any interval →
+    element_at gather → concat_ws) inside whole-stage codegen — the
+    token frame never explodes into a shuffle.  Positions are 1-based
+    indices of ``split(lower(text), '\\s+')``, the same tokenization
+    the span finder used; the cleaned text is therefore the lowered
+    form (the normalization under which spans were defined)."""
+    from pyspark.sql import Window
+
+    cuts = spans.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").cast("long").alias("s"),
+        (F.col("start_b") + F.col("span_tokens") - 1).cast("long").alias("e"))
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        cuts.withColumn(
+            "__ni",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+            .otherwise(0))
+        .withColumn("__isl", F.sum("__ni").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "__isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__ivl")))
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks")) \
+             .join(merged, id_col, "left")
+    kept = F.expr(
+        "filter(sequence(1, size(__toks)), p -> __ivl is null or "
+        "not exists(__ivl, iv -> p >= iv.s and p <= iv.e))")
+    return (base.withColumn("__kept", kept)
+            .select(
+                id_col,
+                F.concat_ws(
+                    " ",
+                    F.expr("transform(__kept, p -> element_at(__toks, p))"))
+                .alias("clean_text"),
+                (F.size("__toks") - F.size("__kept")).cast("long")
+                .alias("n_removed")))

@@ -4719,3 +4719,50 @@ def stream_heavy_hitters(spark, sf_dir):
              .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
     return (exact.orderBy(F.desc("cnt"), "key").limit(10)
             .select("key", F.col("cnt").cast("long").alias("cnt")))
+
+
+@q("feature_decayed_velocity", """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE)
+           / 3600000000.0 AS t
+  FROM events),
+s AS (
+  SELECT user_id, event_id, t,
+         SUM(exp(t / 24.0)) OVER w AS s1,
+         SUM(value * exp(t / 24.0)) OVER w AS s2
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id,
+       ROUND(exp(-t / 24.0) * s1, 4) + 0 AS decayed_n,
+       ROUND(exp(-t / 24.0) * s2, 4) + 0 AS decayed_amt
+FROM s""")
+def feature_decayed_velocity(spark, sf_dir):
+    """Exponentially time-decayed running features AS OF each event
+    (24 h e-folding): decayed count Σe^{−λΔt} and decayed amount
+    Σ value·e^{−λΔt} — the recency-weighted sibling of the hard-window
+    velocity features, and the classic fraud/engagement feature a
+    feature store serves.  The recursion s_i = x_i + e^{−λδ}·s_{i−1}
+    is SERIAL as written; the scalable form factorizes it —
+    e^{−λt_i} · Σ_{j≤i} x_j·e^{+λt_j} — turning it into TWO cumulative
+    window sums over one keyed sort (the CUSUM trick: closed windows
+    only, no applyInPandas, no serial scan).  Time is exact integer
+    epoch-µs shifted to the data's base year before ONE IEEE division
+    (keeps e^{+λt} ≤ e^{30} — factorization overflows if t is raw
+    epoch), and both engines evaluate the prefix sums in the same
+    deterministic (t, event_id) order, so the only cross-engine slack
+    is exp()'s last ulp — masked by the canon-zero 4-decimal round."""
+    ev = load_table(spark, sf_dir, "events")
+    lam = 1.0 / 24.0
+    t = ((F.expr("unix_micros(cast(ts as timestamp))")
+          - F.lit(1704067200000000)).cast("double") / 3.6e9)
+    e = ev.select("user_id", "event_id", "value", t.alias("t"))
+    w = (Window.partitionBy("user_id").orderBy("t", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    s1 = F.sum(F.exp(F.col("t") * lam)).over(w)
+    s2 = F.sum(F.col("value") * F.exp(F.col("t") * lam)).over(w)
+    return e.select(
+        "user_id", "event_id",
+        (F.round(F.exp(-F.col("t") * lam) * s1, 4) + 0).alias("decayed_n"),
+        (F.round(F.exp(-F.col("t") * lam) * s2, 4) + 0).alias("decayed_amt"))

@@ -2820,3 +2820,86 @@ def embed_jl_projection(spark, sf_dir):
     out = jl_project(emb, "embedding", "vec_id", 64, 16)
     return out.select("vec_id", "dim",
                       (F.round(F.col("val"), 5) + 0).alias("val"))
+
+
+@q("dedup_substring_remove", r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents
+),
+ps AS (
+  SELECT doc_id, unnest(range(1, len(words) - 6)) AS pos, words
+  FROM w WHERE len(words) >= 8
+),
+pos_sh AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         array_to_string(words[CAST(pos AS INT):CAST(pos + 7 AS INT)], ' ') AS s
+  FROM ps
+),
+ok AS (SELECT s FROM pos_sh GROUP BY s HAVING count(*) <= 64),
+m AS (
+  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
+  FROM pos_sh a JOIN ok USING (s) JOIN pos_sh b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT id_a, id_b, pos_a, pos_b,
+         pos_a - row_number() OVER (
+             PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+  FROM m
+),
+sp AS (
+  SELECT id_b AS doc_id,
+         CAST(min(pos_b) AS BIGINT) AS s,
+         CAST(min(pos_b) + (max(pos_a) - min(pos_a) + 8) - 1 AS BIGINT) AS e
+  FROM isl GROUP BY id_a, id_b, pos_a - pos_b, grp
+),
+srt AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS pmax
+  FROM sp
+),
+gi AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl2
+  FROM srt
+),
+mi AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM gi GROUP BY doc_id, isl2),
+tk AS (
+  SELECT doc_id, unnest(words) AS tok,
+         unnest(range(1, len(words) + 1)) AS pos
+  FROM w
+),
+keep AS (
+  SELECT t.doc_id,
+         CASE WHEN mi.s IS NULL THEN t.tok END AS tok,
+         t.pos
+  FROM tk t
+  LEFT JOIN mi ON mi.doc_id = t.doc_id AND t.pos BETWEEN mi.s AND mi.e
+)
+SELECT doc_id,
+       COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text,
+       CAST(SUM(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+FROM keep GROUP BY doc_id""")
+def dedup_substring_remove(spark, sf_dir):
+    """The REMOVAL half of the Lee et al. passage-dedup pipeline
+    (llm/dedup.py remove_duplicate_spans, fed by substring_span_pairs):
+    every duplicated ≥8-token run is cut from the higher-id document
+    (keep-first), overlapping cut intervals merge per doc, and the
+    survivor tokens splice back map-side (array filter/gather inside
+    codegen — the 22 M-token frame at sf1 never shuffles).  The oracle
+    replays the ENTIRE pipeline in SQL — span mining on shingle TEXT
+    (so hash collisions fail the compare), interval merge as windowed
+    gaps-and-islands, token filtering via a disjoint-interval join —
+    and reconstructs every document's expected cleaned text
+    byte-for-byte."""
+    from aws_etl_bank_spark.llm import (remove_duplicate_spans,
+                                        substring_span_pairs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = substring_span_pairs(docs, "text", "doc_id", k=8,
+                                 max_shingle_occurrences=64)
+    return remove_duplicate_spans(docs, spans, "text", "doc_id", k=8)

@@ -1647,3 +1647,72 @@ def test_jl_projection_matches_hand_matrix(spark):
         exp = sum(xj * (1 - 2 * ((((i * 4 + j) % P) * A % P) % 2))
                   for j, xj in enumerate(x)) / math.sqrt(2)
         assert abs(got[i] - exp) < 1e-12
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    from aws_etl_bank_spark.llm import (remove_duplicate_spans,
+                                        substring_span_pairs)
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, f"alpha {shared} beta"),
+         (2, f"gamma delta {shared}"),
+         (3, "nothing duplicated here at all")],
+        "doc_id long, text string")
+    spans = substring_span_pairs(docs, "text", "doc_id", k=8)
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(docs, spans).collect()}
+    # doc 1 (lowest id) keeps everything, lowered
+    assert out[1].clean_text == f"alpha {shared} beta"
+    assert out[1].n_removed == 0
+    # doc 2 loses the shared passage, keeps its own prefix
+    assert out[2].clean_text == "gamma delta"
+    assert out[2].n_removed == 8
+    # untouched doc passes through
+    assert out[3].clean_text == "nothing duplicated here at all"
+    assert out[3].n_removed == 0
+
+
+def test_remove_duplicate_spans_merges_overlaps(spark):
+    """Spans against different partners overlapping in the same doc
+    must merge — tokens are removed once, not double-counted."""
+    from aws_etl_bank_spark.llm import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(9, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 9, 1, 2, 4), (2, 9, 1, 4, 4), (3, 9, 1, 8, 2)],
+        "id_a long, id_b long, start_a int, start_b int, span_tokens int")
+    r = remove_duplicate_spans(docs, spans).collect()[0]
+    # cuts [2,5] and [4,7] merge to [2,7]; [8,9] separate -> keep 1, 10
+    assert r.clean_text == "t1 t10"
+    assert r.n_removed == 8
+
+
+def test_remove_duplicate_spans_full_doc_and_case(spark):
+    from aws_etl_bank_spark.llm import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(5, "AA BB CC"), (6, "x y z")], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 5, 1, 1, 3)],
+        "id_a long, id_b long, start_a int, start_b int, span_tokens int")
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, spans).collect()}
+    assert out[5].clean_text == "" and out[5].n_removed == 3
+    assert out[6].clean_text == "x y z" and out[6].n_removed == 0
+
+
+def test_remove_duplicate_spans_splice_stays_in_codegen(spark):
+    """The token splice must be array expressions, not a token-level
+    explode join: the plan may shuffle only the tiny interval frame."""
+    from aws_etl_bank_spark.llm import remove_duplicate_spans
+
+    docs = spark.createDataFrame([(5, "a b c")], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 5, 1, 1, 2)],
+        "id_a long, id_b long, start_a int, start_b int, span_tokens int")
+    plan = remove_duplicate_spans(docs, spans)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan  # no explode anywhere in the splice

@@ -266,6 +266,10 @@ def test_velocity_windows_share_one_exchange_and_sort(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") == 1
     assert p.count("Sort ") == 1
+    pd_ = REGISTRY["feature_decayed_velocity"].fn(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert pd_.count("Exchange") == 1
+    assert pd_.count("Sort ") == 1
 
 
 def test_per_group_sample_uses_window_group_limit(spark):
