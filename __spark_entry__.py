@@ -81,7 +81,7 @@ _PRIORITY = [
     "feature_velocity_windows", "session_markov_transitions",
     "score_psi_drift", "sample_per_group_bottomk", "multimodal_decode_wav",
     "stream_heavy_hitters", "embed_jl_projection", "dedup_substring_remove",
-    "feature_decayed_velocity",
+    "feature_decayed_velocity", "quality_entropy_profile",
     "multimodal_decode_ppm", "multimodal_thumbnail_vec",
     "agg_daily_cust", "agg_payment_types", "agg_count_distinct",
     "agg_avg_by_month", "agg_nested_max", "agg_collect_struct_size",

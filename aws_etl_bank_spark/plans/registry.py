@@ -4766,3 +4766,53 @@ def feature_decayed_velocity(spark, sf_dir):
         "user_id", "event_id",
         (F.round(F.exp(-F.col("t") * lam) * s1, 4) + 0).alias("decayed_n"),
         (F.round(F.exp(-F.col("t") * lam) * s2, 4) + 0).alias("decayed_amt"))
+
+
+@q("quality_entropy_profile", """
+WITH lng AS (
+  SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS val
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+c AS (SELECT col, val, COUNT(*) AS n FROM lng GROUP BY col, val),
+t AS (SELECT col, SUM(n) AS tot, COUNT(*) AS n_distinct FROM c GROUP BY col)
+SELECT c.col AS col,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       CAST(t.tot AS BIGINT) AS n_rows,
+       ROUND(-SUM((CAST(n AS DOUBLE) / tot)
+                  * ln(CAST(n AS DOUBLE) / tot)), 6) + 0 AS entropy
+FROM c JOIN t ON t.col = c.col
+GROUP BY c.col, t.n_distinct, t.tot""")
+def quality_entropy_profile(spark, sf_dir):
+    """Per-column Shannon entropy + distinct-count profile for
+    categorical columns — the data-profiling statistic that flags both
+    constant columns (entropy 0: a broken upstream writing one value)
+    and exploding-cardinality columns (entropy ≈ log n — o_custkey is
+    profiled as the planted example of an id leaking into a dimension)
+    before they hit a model.  Scale shape: the wide
+    table UNPIVOTS map-side to (col, val) — one fact scan for ALL
+    profiled columns — then two hash-aggs (value counts map-side
+    combine; per-column totals on the tiny count frame).  Counts and
+    totals are exact ints; p·ln p runs only over the distinct-value
+    frame, masked by the canon-zero 6-decimal round."""
+    o = load_table(spark, sf_dir, "orders")
+    lng = o.select(
+        F.explode(F.map_from_arrays(
+            F.array(F.lit("o_orderstatus"), F.lit("o_orderpriority"),
+                    F.lit("o_custkey")),
+            F.array(F.col("o_orderstatus").cast("string"),
+                    F.col("o_orderpriority").cast("string"),
+                    F.col("o_custkey").cast("string"))))
+        .alias("col", "val"))
+    c = lng.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+    t = (c.groupBy("col")
+         .agg(F.sum("n").alias("tot"),
+              F.count(F.lit(1)).alias("n_distinct")))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (c.join(t, "col")
+            .groupBy("col", "n_distinct", "tot")
+            .agg((F.round(-F.sum(p * F.log(p)), 6) + 0).alias("entropy"))
+            .select("col", F.col("n_distinct").cast("long").alias("n_distinct"),
+                    F.col("tot").cast("long").alias("n_rows"), "entropy"))
