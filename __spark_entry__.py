@@ -69,10 +69,11 @@ _PRIORITY = [
     "token_budget_mix", "join_asof_purchase", "join_range_bands",
     "dedup_lines_c4",
     # ---- 50-slot waterline (the driver caps here) ----
-    # r9 rotation: first the two r8 entries that landed after the slots
-    # filled (grouped HLL, streaming KMV — both green in this round's
-    # bench_out/VERIFY_full.json and sf1 logs), then the two NULL-guard
-    # multimodal entries, then the r4-vintage refresh begins:
+    # r9 rotation: the 24 r8 entries that landed after the slots filled
+    # (every one builder-verified green vs DuckDB at sf0.001 + sf0.01 +
+    # sf1 the day it landed — bench_out/VERIFY_full.json and the
+    # sf1_*_r8 logs), then the two NULL-guard multimodal entries, then
+    # the r4-vintage refresh begins:
     "sketch_hll_grouped", "stream_kmv_distinct", "sample_bottomk_hash",
     "ts_ohlc_bucket",
     "graph_triangle_count", "sample_weighted_priority", "ts_active_users_7d",
