@@ -4816,3 +4816,94 @@ def quality_entropy_profile(spark, sf_dir):
             .agg((F.round(-F.sum(p * F.log(p)), 6) + 0).alias("entropy"))
             .select("col", F.col("n_distinct").cast("long").alias("n_distinct"),
                     F.col("tot").cast("long").alias("n_rows"), "entropy"))
+
+
+@q("scale_bitmap_retention", """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(user_id // 62 AS BIGINT) AS word,
+         1::BIGINT << CAST(user_id % 62 AS INT) AS mask
+  FROM events),
+bm AS (SELECT day, word, bit_or(mask) AS bits FROM e GROUP BY day, word),
+dau AS (SELECT day, CAST(SUM(bit_count(bits)) AS BIGINT) AS dau
+        FROM bm GROUP BY day),
+ret AS (
+  SELECT a.day AS day,
+         CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS returned
+  FROM bm a JOIN bm b ON b.word = a.word AND b.day = a.day + 1
+  GROUP BY a.day)
+SELECT d.day AS day, d.dau,
+       COALESCE(r.returned, 0) AS returned_next_day
+FROM dau d LEFT JOIN ret r ON r.day = d.day""")
+def scale_bitmap_retention(spark, sf_dir):
+    """Bitmap-index distinct rollup — the Druid/ClickHouse groupBitmap
+    pattern in pure DataFrame algebra: user presence per day compresses
+    to 62-bit words via bit_or (one map-side-combined hash-agg; the
+    per-day state is ≤ max_user/62 words, NOT a user set), DAU is a
+    bit_count sum over the bitmap, and next-day retention is a bitmap
+    AND — an equi-join on (word, day+1) followed by popcount, with NO
+    count-distinct shuffle anywhere.  This is the shape that replaces
+    COUNT(DISTINCT) entirely for dense integer ids at 100 TB: bitmaps
+    merge associatively (incremental days just OR in), intersect
+    cheaply (any cohort overlap is AND+popcount), and the whole state
+    is int64 columns any engine can store.  62 bits per word, not 64:
+    a shift into the sign bit is int64 overflow on engines that check
+    (DuckDB raises).  The tiny bitmap frame persists — its three
+    consumers (DAU, both retention sides) would otherwise rescan the
+    fact."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.to_date("ts").alias("day"),
+        F.expr("user_id div 62").alias("word"),
+        F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))").alias("mask"))
+    bm = (e.groupBy("day", "word")
+          .agg(F.expr("bit_or(mask)").alias("bits")).persist())
+    dau = (bm.groupBy("day")
+           .agg(F.sum(F.bit_count("bits")).cast("long").alias("dau")))
+    a, b = bm.alias("a"), bm.alias("b")
+    ret = (a.join(b, (F.col("b.word") == F.col("a.word"))
+                  & (F.col("b.day") == F.date_add(F.col("a.day"), 1)))
+           .groupBy(F.col("a.day").alias("day"))
+           .agg(F.sum(F.bit_count(
+               F.col("a.bits").bitwiseAND(F.col("b.bits"))))
+               .cast("long").alias("returned")))
+    return (dau.join(ret, "day", "left")
+            .select("day", "dau",
+                    F.coalesce(F.col("returned"), F.lit(0)).cast("long")
+                    .alias("returned_next_day")))
+
+
+@q("session_top_paths", """
+WITH s AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id
+           FROM events),
+p AS (SELECT user_id, day,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, day),
+c AS (SELECT path, COUNT(*) AS n FROM p GROUP BY path)
+SELECT path, CAST(n AS BIGINT) AS n
+FROM c ORDER BY n DESC, path LIMIT 20""")
+def session_top_paths(spark, sf_dir):
+    """Top-20 user journey paths — each (user, day) session's ordered
+    event-type sequence as a '>'-joined path string, counted and
+    ranked (the clickstream "common paths" report; the full-sequence
+    sibling of session_markov_transitions' bigrams).  Scale shape: ONE
+    hash-agg builds every session's path via collect_list +
+    array_sort(struct(ts, event_id, type)) — sorting happens inside
+    the aggregation buffer per session (bounded by session length),
+    not as a corpus-wide sort — then a path-keyed count and a
+    TakeOrdered finish.  Deterministic: the struct sort pins
+    (ts, event_id) order identically to the oracle's ordered
+    string_agg."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("user_id", F.to_date("ts").alias("day"),
+                  "event_type", "ts", "event_id")
+    p = (s.groupBy("user_id", "day")
+         .agg(F.array_join(
+             F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("ts", "event_id", "event_type"))),
+                 lambda x: x["event_type"]),
+             ">").alias("path")))
+    return (p.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "path").limit(20)
+            .select("path", F.col("n").cast("long").alias("n")))

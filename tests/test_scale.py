@@ -719,3 +719,30 @@ def test_heavy_hitters_result_is_takeordered(spark):
     plan = heavy_hitters_topk(df, "key", k=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bitmap_retention_equals_exact_counts(spark):
+    """The bitmap rollup must reproduce exact distinct counts and exact
+    next-day intersections — bitmaps are a representation change, not
+    an approximation."""
+    import pyspark.sql.functions as F
+
+    import aws_etl_bank_spark.plans.registry_llm  # noqa: F401
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+    from aws_etl_bank_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.day: (r.dau, r.returned_next_day)
+           for r in REGISTRY["scale_bitmap_retention"].fn(spark, sf).collect()}
+    ev = load_table(spark, sf, "events") \
+        .select(F.to_date("ts").alias("day"), "user_id").distinct()
+    exact_dau = {r.day: r.c for r in
+                 ev.groupBy("day").agg(F.count(F.lit(1)).alias("c")).collect()}
+    nxt = ev.select(F.date_sub("day", 1).alias("day"),
+                    F.col("user_id").alias("u2"))
+    exact_ret = {r.day: r.c for r in
+                 ev.join(nxt, ["day"]).filter("user_id = u2")
+                 .groupBy("day").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for day, (dau, ret) in got.items():
+        assert dau == exact_dau[day]
+        assert ret == exact_ret.get(day, 0)
