@@ -69,7 +69,7 @@ _PRIORITY = [
     "token_budget_mix", "join_asof_purchase", "join_range_bands",
     "dedup_lines_c4",
     # ---- 50-slot waterline (the driver caps here) ----
-    # r9 rotation: the 24 r8 entries that landed after the slots filled
+    # r9 rotation: the r8 entries that landed after the slots filled
     # (every one builder-verified green vs DuckDB at sf0.001 + sf0.01 +
     # sf1 the day it landed — bench_out/VERIFY_full.json and the
     # sf1_*_r8 logs), then the two NULL-guard multimodal entries, then
