@@ -2903,3 +2903,33 @@ def dedup_substring_remove(spark, sf_dir):
     spans = substring_span_pairs(docs, "text", "doc_id", k=8,
                                  max_shingle_occurrences=64)
     return remove_duplicate_spans(docs, spans, "text", "doc_id", k=8)
+
+
+@q("ann_ivf_index_persisted", """
+SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+       CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id < 5""")
+def ann_ivf_index_persisted(spark, sf_dir):
+    """The persisted-index ANN lifecycle (llm/similarity.py
+    ivf_index_write / ivf_index_topk): the planted-twin corpus is
+    cell-assigned ONCE and written as parquet partitioned by cell_id,
+    then queried through the stored index with an isin partition
+    filter — the reader prunes every unprobed inverted list's files
+    (PartitionFilters pinned in tests/test_llm.py).  Same recall
+    oracle as ann_ivf_planted_twin: identical vectors co-cell, the
+    twin must come back at rank 1 / cosine 1.0 — proving the
+    round-trip (assignment → partitioned write → pruned read → probe
+    → rank) preserves the index semantics, not just the in-memory
+    plan."""
+    from aws_etl_bank_spark.llm.similarity import (ivf_index_topk,
+                                                   ivf_index_write)
+    from aws_etl_bank_spark.plans.registry import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(twins)
+    path = _scratch(sf_dir, "ivf_index")
+    ivf_index_write(corpus, path, n_cells=16)
+    return ivf_index_topk(spark, path, queries, k=1, nprobe=4)

@@ -1716,3 +1716,27 @@ def test_remove_duplicate_spans_splice_stays_in_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" not in plan  # no explode anywhere in the splice
+
+
+def test_ivf_index_roundtrip_prunes_partitions(spark, scratch):
+    """The stored index must (a) return the same neighbors as the
+    in-memory ivf_topk and (b) actually PRUNE unprobed cells at the
+    parquet scan (PartitionFilters with the isin list)."""
+    import pyspark.sql.functions as F
+
+    from aws_etl_bank_spark.llm.similarity import (ivf_index_topk,
+                                                   ivf_index_write, ivf_topk)
+    from aws_etl_bank_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = f"{scratch}/ivf_idx"
+    ivf_index_write(emb, path, n_cells=8)
+    got = ivf_index_topk(spark, path, queries, k=2, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines()
+                     if "cells" in l and "PartitionFilters" in l)
+    assert "cell_id IN" in scan_line or "cell_id#" in scan_line
+    mem = ivf_topk(emb, queries, k=2, n_cells=8, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, mem.collect()))
