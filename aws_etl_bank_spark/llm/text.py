@@ -6,7 +6,7 @@ scoring, token counting, fingerprinting.  All pure Catalyst expressions
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 #: Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 #: Deliberately small and hard-coded: language ID at scale is a
@@ -789,3 +789,50 @@ def feature_hash(df: DataFrame, text_col: str, id_col: str,
     aggs = [F.sum(F.when(F.col("__b") == i, 1).otherwise(0)).cast("long")
             .alias(f"f{i}") for i in range(n_features)]
     return tok.withColumn("__b", bucket).groupBy(id_col).agg(*aggs)
+
+
+def build_vocab(df: DataFrame, text_col: str = "text",
+                vocab_size: int = 1 << 15) -> DataFrame:
+    """Frequency-ranked token vocabulary (token, token_id), id 1..V by
+    (count DESC, token) — the deterministic tie-break makes the
+    artifact reproducible run-to-run, which is what lets a training
+    corpus be re-encoded incrementally without renumbering.  Id 0 is
+    reserved for OOV/unk.  One hash-agg over the corpus (bounded by
+    distinct tokens) + a TakeOrdered to the vocab size — the ranking
+    never globally sorts the full token frequency table."""
+    tok = (df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                     .alias("token"))
+           .filter(F.col("token") != ""))
+    vc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = vc.orderBy(F.desc("n"), "token").limit(vocab_size)
+    w = Window.orderBy(F.desc("n"), "token")
+    # the window runs on ≤ vocab_size rows (post-limit) — the bounded
+    # single-partition-window exception, same as vocab_coverage
+    return top.select(F.col("token"),
+                      F.row_number().over(w).cast("int").alias("token_id"))
+
+
+def encode_with_vocab(df: DataFrame, vocab: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Encode documents to token-id arrays through a vocabulary
+    (:func:`build_vocab`): OOV tokens become id 0.  The join side is
+    the vocab (broadcast — it is vocab_size rows by construction);
+    token order is restored by collecting (pos, id) structs and
+    sorting INSIDE the aggregation buffer (array_sort of structs —
+    bounded by doc length, never a corpus-wide sort).  One shuffle,
+    keyed by doc id.  Output: (id, ids array<int>, n_tokens, n_oov)."""
+    tok = (df.select(F.col(id_col),
+                     F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                     .alias("pos", "token"))
+           .filter(F.col("token") != ""))
+    enc = (tok.join(F.broadcast(vocab), "token", "left")
+           .select(id_col, "pos",
+                   F.coalesce(F.col("token_id"), F.lit(0)).alias("tid")))
+    return (enc.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x["tid"]).alias("ids"),
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
+                .cast("long").alias("n_oov")))

@@ -2933,3 +2933,41 @@ def ann_ivf_index_persisted(spark, sf_dir):
     path = _scratch(sf_dir, "ivf_index")
     ivf_index_write(corpus, path, n_cells=16)
     return ivf_index_topk(spark, path, queries, k=1, nprobe=4)
+
+
+@q("text_vocab_encode", """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS token,
+         unnest(range(1, len(string_split_regex(lower(text), '\\s+')) + 1))
+           AS pos
+  FROM documents),
+tk AS (SELECT doc_id, token, pos FROM tok WHERE token <> ''),
+vc AS (SELECT token, COUNT(*) AS n FROM tk GROUP BY token),
+v AS (SELECT token,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS tid
+      FROM vc ORDER BY n DESC, token LIMIT 16),
+enc AS (
+  SELECT tk.doc_id, tk.pos, COALESCE(v.tid, 0) AS tid
+  FROM tk LEFT JOIN v USING (token))
+SELECT doc_id,
+       list(tid ORDER BY pos) AS ids,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM enc GROUP BY doc_id""")
+def text_vocab_encode(spark, sf_dir):
+    """Vocabulary build + corpus encoding (llm/text.py build_vocab /
+    encode_with_vocab) — the tokenize-for-training step: a 16-token
+    frequency-ranked vocab (deterministic (count DESC, token)
+    tie-break, id 0 = OOV) encodes every document to an id array in
+    original token order.  The small vocab deliberately forces OOV
+    traffic so the unk path is oracle-checked too.  One corpus
+    hash-agg for the vocab (TakeOrdered, no global sort), one
+    broadcast join + doc-keyed shuffle for the encode; the oracle
+    rebuilds vocabulary, ranks and every position-ordered id array in
+    SQL."""
+    from aws_etl_bank_spark.llm.text import build_vocab, encode_with_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", vocab_size=16)
+    return encode_with_vocab(docs, vocab, "text", "doc_id")

@@ -1740,3 +1740,30 @@ def test_ivf_index_roundtrip_prunes_partitions(spark, scratch):
     assert "cell_id IN" in scan_line or "cell_id#" in scan_line
     mem = ivf_topk(emb, queries, k=2, n_cells=8, nprobe=2)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, mem.collect()))
+
+
+def test_vocab_encode_roundtrip_and_oov(spark):
+    from aws_etl_bank_spark.llm.text import build_vocab, encode_with_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a RARE"), (2, "a b a")], "doc_id long, text string")
+    vocab = {r.token: r.token_id
+             for r in build_vocab(docs, vocab_size=2).collect()}
+    # corpus-wide counts tie at a=4, b=4 -> lexicographic: a=1, b=2;
+    # rare is OOV
+    assert vocab == {"a": 1, "b": 2}
+    out = {r.doc_id: r for r in
+           encode_with_vocab(docs, build_vocab(docs, vocab_size=2)).collect()}
+    assert out[1].ids == [2, 2, 2, 1, 1, 0]   # order preserved, rare->0
+    assert out[1].n_tokens == 6 and out[1].n_oov == 1
+    assert out[2].ids == [1, 2, 1] and out[2].n_oov == 0
+
+
+def test_vocab_ids_stable_under_tie(spark):
+    """Equal counts break ties lexicographically — the reproducibility
+    contract that lets a corpus re-encode without renumbering."""
+    from aws_etl_bank_spark.llm.text import build_vocab
+
+    docs = spark.createDataFrame([(1, "zz aa zz aa")], "doc_id long, text string")
+    v = {r.token: r.token_id for r in build_vocab(docs).collect()}
+    assert v == {"aa": 1, "zz": 2}
