@@ -4907,3 +4907,59 @@ def session_top_paths(spark, sf_dir):
     return (p.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "path").limit(20)
             .select("path", F.col("n").cast("long").alias("n")))
+
+
+@q("scd_snapshot_diff", """
+WITH oldt AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0),
+newt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 89 <> 0),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_totalprice AS op, o.o_orderstatus AS os,
+         n.o_totalprice AS np, n.o_orderstatus AS ns,
+         o.o_orderkey IS NOT NULL AS ino,
+         n.o_orderkey IS NOT NULL AS inn
+  FROM oldt o FULL OUTER JOIN newt n ON n.o_orderkey = o.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN NOT ino THEN 'I' WHEN NOT inn THEN 'D'
+            ELSE 'U' END AS change_type,
+       CASE WHEN ino AND inn THEN list_filter(
+              [CASE WHEN op IS DISTINCT FROM np
+                    THEN 'o_totalprice' END,
+               CASE WHEN os IS DISTINCT FROM ns
+                    THEN 'o_orderstatus' END],
+              x -> x IS NOT NULL)
+            ELSE CAST([] AS VARCHAR[]) END AS changed_cols,
+       np AS o_totalprice, ns AS o_orderstatus
+FROM j
+WHERE NOT (ino AND inn AND op IS NOT DISTINCT FROM np
+           AND os IS NOT DISTINCT FROM ns)""")
+def scd_snapshot_diff(spark, sf_dir):
+    """Changeset generation between two daily extracts
+    (aws_etl_bank_spark/scd.py:snapshot_diff) — the CDC-feed-from-
+    full-extract pattern: yesterday's snapshot (keys %97 removed
+    simulate not-yet-inserted rows) diffed against today's (keys %89
+    dropped = deletes, %13 repriced = updates) in ONE null-safe
+    full-outer join; I/D fall out of join-side nullness, U out of a
+    null-safe column compare, per-column change flags are array
+    expressions on the same row.  The +1.5 reprice is an IEEE-exact
+    double op, so both engines see identical update values."""
+    from aws_etl_bank_spark.scd import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 97 != 0)
+           .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    new = (o.filter(F.col("o_orderkey") % 89 != 0)
+           .select("o_orderkey",
+                   F.when(F.col("o_orderkey") % 13 == 0,
+                          F.col("o_totalprice") + 1.5)
+                   .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+                   "o_orderstatus"))
+    return snapshot_diff(old, new, ["o_orderkey"],
+                         ["o_totalprice", "o_orderstatus"])

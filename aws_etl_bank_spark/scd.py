@@ -131,3 +131,46 @@ def scd2_as_of(dim: DataFrame, as_of: str) -> DataFrame:
         (F.col("record_created_time") <= F.to_timestamp(F.lit(as_of)))
         & (F.col("record_updated_time") > F.to_date(F.lit(as_of)))
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Changeset GENERATION between two table snapshots — the
+    complement of the CDC *apply* path (streaming/cdc.py): given
+    yesterday's and today's extracts, emit one row per changed key
+    with ``change_type`` I(nsert)/U(pdate)/D(elete) and, for updates,
+    the list of changed columns.  This is how a source without a
+    binlog gets a CDC feed (the daily-full-extract pattern every bank
+    batch window runs).
+
+    ONE full-outer equi-join on the key — no windows, no per-column
+    passes: the I/D split falls out of join-side nullness and the
+    U detection is a single null-safe struct inequality; per-column
+    change flags are array expressions over the same row.  Null-safe
+    (`<=>`) comparison means NULL→value and value→NULL both count as
+    changes and NULL==NULL does not — the semantics a diff needs and
+    a plain ``!=`` silently gets wrong.  Unchanged keys are filtered
+    before the result ever materializes."""
+    o = old.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+                   F.lit(1).alias("__in_o"))
+    n = new.select(*keys, *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+                   F.lit(1).alias("__in_n"))
+    j = o.join(n, keys, "full_outer")
+    any_diff = None
+    for c in compare_cols:
+        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    ctype = (F.when(F.col("__in_o").isNull(), F.lit("I"))
+             .when(F.col("__in_n").isNull(), F.lit("D"))
+             .when(any_diff, F.lit("U")))
+    changed = F.filter(
+        F.array(*[F.when(~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                         F.lit(c)) for c in compare_cols]),
+        lambda x: x.isNotNull())
+    return (j.withColumn("change_type", ctype)
+            .filter(F.col("change_type").isNotNull())
+            .select(*keys, "change_type",
+                    F.when(F.col("change_type") == "U", changed)
+                    .otherwise(F.array().cast("array<string>"))
+                    .alias("changed_cols"),
+                    *[F.col(f"__n_{c}").alias(c) for c in compare_cols]))

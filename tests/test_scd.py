@@ -115,3 +115,37 @@ def test_scd2_merge_plans_one_join_and_no_recompute(spark, tmp_path):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"FileScan parquet", plan)) == 3
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+
+
+def test_snapshot_diff_types_and_null_safety(spark):
+    from aws_etl_bank_spark.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, None), (3, 30.0, "C"), (4, 40.0, "D")],
+        "k long, price double, status string")
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),          # unchanged -> filtered
+         (2, 20.0, "B"),          # NULL -> value: update on status
+         (3, None, "C"),          # value -> NULL: update on price
+         (5, 50.0, "E")],         # insert; 4 deleted
+        "k long, price double, status string")
+    got = {r.k: r for r in
+           snapshot_diff(old, new, ["k"], ["price", "status"]).collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2].change_type == "U" and got[2].changed_cols == ["status"]
+    assert got[3].change_type == "U" and got[3].changed_cols == ["price"]
+    assert got[3].price is None            # new-side values carried
+    assert got[4].change_type == "D" and got[4].changed_cols == []
+    assert got[4].price is None
+    assert got[5].change_type == "I" and got[5].price == 50.0
+
+
+def test_snapshot_diff_single_join_no_window(spark):
+    from aws_etl_bank_spark.scd import snapshot_diff
+
+    old = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    plan = snapshot_diff(old, new, ["k"], ["v"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Join") == 1
