@@ -4963,3 +4963,88 @@ def scd_snapshot_diff(spark, sf_dir):
                    "o_orderstatus"))
     return snapshot_diff(old, new, ["o_orderkey"],
                          ["o_totalprice", "o_orderstatus"])
+
+
+@q("ts_lateness_profile", """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (
+  SELECT user_id,
+         GREATEST(0, COALESCE(
+             max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) - us, 0)) AS late_us
+  FROM e)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us
+FROM l GROUP BY user_id""")
+def ts_lateness_profile(spark, sf_dir):
+    """Event-time lateness profile — the diagnostic that SIZES
+    WATERMARKS: per key, how many events arrived behind an
+    already-seen later timestamp (arrival order = the monotonic
+    ingest id) and by at most how much.  The streaming suite's
+    `withWatermark` thresholds are exactly this table's max/quantiles;
+    running it on the batch mirror of the stream is how the threshold
+    is chosen rather than guessed.  Shape: one KEYED running-max
+    window (the global-watermark variant would be a single-partition
+    ORDER BY event_id window — the anti-pattern; compute per key and
+    aggregate the per-key maxima instead) + one hash-agg; lateness is
+    exact epoch-µs integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id",
+                  F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    late = F.greatest(
+        F.lit(0), F.coalesce(F.max("us").over(w) - F.col("us"), F.lit(0)))
+    return (e.withColumn("late_us", late)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_late"),
+                 F.max("late_us").cast("long").alias("max_late_us")))
+
+
+@q("ts_rollup_cascade", """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events)
+SELECT event_type,
+       CAST(day // 30 AS BIGINT) AS period,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_cents,
+       CAST(MIN(v) AS BIGINT) AS min_cents,
+       CAST(MAX(v) AS BIGINT) AS max_cents
+FROM c GROUP BY event_type, day // 30""")
+def ts_rollup_cascade(spark, sf_dir):
+    """Rollup CASCADE: the 30-day-period rollup computed FROM the
+    daily rollup — never re-touching raw events — checked against an
+    oracle that aggregates the raw data directly.  This is the
+    continuous-aggregate maintenance contract at 100 TB: day → week →
+    month each re-aggregates the previous (decomposable) level, so
+    coarser grains cost |days| rows, not |events|; the oracle equality
+    IS the proof that (count, sum, min, max) compose losslessly
+    through the cascade (avg deliberately re-derives from sum/count —
+    averaging averages is the classic cascade bug, kept out by
+    construction).  Two map-side-combined hash-aggs; exact int cents
+    and epoch-µs day buckets throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"))
+    daily = (c.groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                  F.min("v").alias("mn"), F.max("v").alias("mx")))
+    return (daily.groupBy("event_type",
+                          F.expr("day div 30").cast("long").alias("period"))
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("s").cast("long").alias("sum_cents"),
+                 F.min("mn").cast("long").alias("min_cents"),
+                 F.max("mx").cast("long").alias("max_cents")))
