@@ -2971,3 +2971,73 @@ def text_vocab_encode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     vocab = build_vocab(docs, "text", vocab_size=16)
     return encode_with_vocab(docs, vocab, "text", "doc_id")
+
+
+@q("text_word_pmi", r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+  FROM documents),
+tk AS (
+  SELECT doc_id,
+         unnest(toks) AS wd,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM w),
+t AS (SELECT doc_id, wd, pos FROM tk WHERE wd <> ''),
+pr AS (
+  SELECT LEAST(a.wd, b.wd) AS w1, GREATEST(a.wd, b.wd) AS w2
+  FROM t a JOIN t b
+    ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 2),
+pc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pr GROUP BY w1, w2),
+uni AS (SELECT wd, COUNT(*) AS c FROM t GROUP BY wd),
+tot AS (SELECT (SELECT COUNT(*) FROM pr) AS tp,
+               (SELECT COUNT(*) FROM t) AS tw)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       ROUND(ln((CAST(c_ab AS DOUBLE) / tp)
+                / ((CAST(u1.c AS DOUBLE) / tw)
+                   * (CAST(u2.c AS DOUBLE) / tw))), 6) + 0 AS pmi
+FROM pc, tot
+JOIN uni u1 ON u1.wd = w1
+JOIN uni u2 ON u2.wd = w2
+ORDER BY c_ab DESC, w1, w2
+LIMIT 30""")
+def text_word_pmi(spark, sf_dir):
+    """Windowed word co-occurrence PMI (window ±2) — the collocation
+    statistic under PPMI embedding matrices and phrase detection
+    (word2vec's phrase pass), and the text sibling of
+    assoc_copurchase_lift.  Pair generation is MAP-ONLY: each doc's
+    token array emits its own within-window pairs via nested
+    transform + one explode (the shingle pattern — never a positions
+    self-join, whose shuffle would carry every token twice); then two
+    hash-aggs (pair counts, unigram counts) and 1-row corpus totals
+    broadcast.  PMI's log runs only on the top-k output rows, masked
+    by the canon-zero round; top-30 by (support DESC, pair) is a
+    TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = docs.select(F.col("doc_id"), toks.alias("__toks"))
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, greatest(size(__toks) - 1, 0)), "
+        "i -> transform(sequence(i + 1, least(i + 2, size(__toks))), "
+        "j -> struct(element_at(__toks, i) as x, "
+        "element_at(__toks, j) as y))))")
+    pr = (base.filter(F.size("__toks") >= 2)
+          .select(F.explode(pair_expr).alias("p"))
+          .filter((F.col("p.x") != "") & (F.col("p.y") != ""))
+          .select(F.least("p.x", "p.y").alias("w1"),
+                  F.greatest("p.x", "p.y").alias("w2")))
+    pc = pr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    wd = (base.select(F.explode("__toks").alias("wd"))
+          .filter(F.col("wd") != ""))
+    uni = wd.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
+    tot = pr.agg(F.count(F.lit(1)).alias("tp")).crossJoin(
+        wd.agg(F.count(F.lit(1)).alias("tw")))
+    u1 = uni.select(F.col("wd").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("wd").alias("w2"), F.col("c").alias("c2"))
+    pmi = (F.round(F.log(
+        (F.col("c_ab").cast("double") / F.col("tp"))
+        / ((F.col("c1").cast("double") / F.col("tw"))
+           * (F.col("c2").cast("double") / F.col("tw")))), 6) + 0)
+    return (pc.join(u1, "w1").join(u2, "w2").crossJoin(F.broadcast(tot))
+            .select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
+                    pmi.alias("pmi"))
+            .orderBy(F.desc("c_ab"), "w1", "w2").limit(30))
