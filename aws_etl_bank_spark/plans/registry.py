@@ -5048,3 +5048,165 @@ def ts_rollup_cascade(spark, sf_dir):
                  F.sum("s").cast("long").alias("sum_cents"),
                  F.min("mn").cast("long").alias("min_cents"),
                  F.max("mx").cast("long").alias("max_cents")))
+
+
+@q("feature_impute_group", """
+WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS v
+  FROM events),
+p AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e WHERE v IS NOT NULL),
+medx AS (
+  SELECT p.event_type,
+         (CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS DOUBLE)
+          + MAX(CASE WHEN rn = (n + 2) // 2 THEN v END)) / 2.0 AS med
+  FROM p GROUP BY p.event_type)
+SELECT e.event_id, e.event_type,
+       COALESCE(CAST(e.v AS DOUBLE), medx.med) AS v_imputed,
+       CAST(CASE WHEN e.v IS NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS was_imputed
+FROM e JOIN medx ON medx.event_type = e.event_type""")
+def feature_impute_group(spark, sf_dir):
+    """Group-median NULL imputation — the ML-preprocessing step with
+    the grouped-median trap: engine `median()` interpolation rules
+    differ, so the median is rank-picked exactly
+    ((⌊(n+1)/2⌋-th + ⌈(n+1)/2⌉-th)/2 over int cents — the
+    ts_anomaly_mad recipe), making imputed values engine-identical by
+    arithmetic, not by luck.  NULLs are planted deterministically
+    (event_id % 7) so the imputation path is oracle-covered for every
+    group.  Shape: one rank window per group over NON-NULL rows only
+    + a group-sized broadcast join-back; the imputed flag rides along
+    for downstream leakage audits."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .alias("v"))
+    nn = e.filter(F.col("v").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("v")
+    p = (nn.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(
+             Window.partitionBy("event_type"))))
+    med = (p.groupBy("event_type")
+           .agg(((F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                               F.col("v")).otherwise(None)
+                        .cast("double"))
+                  + F.max(F.when(F.col("rn") == F.expr("(n + 2) div 2"),
+                                 F.col("v")).otherwise(None)))
+                 / 2.0).alias("med")))
+    return (e.join(F.broadcast(med), "event_type")
+            .select("event_id", "event_type",
+                    F.coalesce(F.col("v").cast("double"), F.col("med"))
+                    .alias("v_imputed"),
+                    F.when(F.col("v").isNull(), 1).otherwise(0)
+                    .cast("int").alias("was_imputed")))
+
+
+@q("feature_target_encode_loo", """
+WITH e AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders),
+g AS (SELECT cat, SUM(y) AS s, COUNT(*) AS n FROM e GROUP BY cat)
+SELECT o_orderkey, cat,
+       CASE WHEN n > 1 THEN CAST(s - y AS DOUBLE) / (n - 1) END AS te_loo
+FROM e JOIN g USING (cat)""")
+def feature_target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding — the high-cardinality-categorical
+    feature with the leakage correction done in closed form: each
+    row's encoding is (Σ_group y − y_own)/(n_group − 1), so a row
+    never sees its own target (the naive group-mean join leaks and
+    overfits; the naive per-row recompute is O(N·groups)).  ONE
+    hash-agg to group sufficient stats + a group-sized broadcast
+    join-back; the encoding is exact int cents and one IEEE division,
+    engine-identical without rounding.  Singleton groups yield NULL
+    (no peer signal) rather than a leaked self-mean."""
+    o = load_table(spark, sf_dir, "orders")
+    e = o.select("o_orderkey", F.col("o_orderpriority").alias("cat"),
+                 F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                 .alias("y"))
+    g = e.groupBy("cat").agg(F.sum("y").alias("s"),
+                             F.count(F.lit(1)).alias("n"))
+    return (e.join(F.broadcast(g), "cat")
+            .select("o_orderkey", "cat",
+                    F.when(F.col("n") > 1,
+                           (F.col("s") - F.col("y")).cast("double")
+                           / (F.col("n") - 1)).alias("te_loo")))
+
+
+@q("sample_class_balanced", """
+WITH e AS (
+  SELECT event_id, event_type,
+         (((event_id % 1000003 + 1000003) % 1000003) * 2654435761)
+           % 1000003 AS hk
+  FROM events),
+cc AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY event_type),
+nm AS (SELECT MIN(n) AS n_min FROM cc),
+r AS (SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hk, event_id) AS rn
+      FROM e)
+SELECT r.event_id, r.event_type
+FROM r, nm WHERE r.rn <= nm.n_min""")
+def sample_class_balanced(spark, sf_dir):
+    """Deterministic class-balanced downsample — every label keeps
+    exactly n_min rows (the minority-class count), selected by the
+    corpus-stable Knuth hash so membership is a pure function of the
+    id (reproducible across reruns/partitionings/engines; rand()-based
+    balancing is not).  The per-class rank filter rides the
+    WindowGroupLimit pattern of sample_per_group_bottomk — except the
+    limit is data-dependent (n_min via a 1-row broadcast), so the
+    filter applies post-window; the window is still keyed per class,
+    never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    hk = F.pmod(F.pmod(F.col("event_id").cast("long"), F.lit(1000003))
+                * F.lit(2654435761 % 1000003), F.lit(1000003))
+    e = ev.select("event_id", "event_type", hk.alias("__hk"))
+    nm = (e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+          .agg(F.min("n").alias("__n_min")))
+    w = Window.partitionBy("event_type").orderBy("__hk", "event_id")
+    return (e.withColumn("__rn", F.row_number().over(w))
+            .join(F.broadcast(nm))
+            .filter(F.col("__rn") <= F.col("__n_min"))
+            .select("event_id", "event_type"))
+
+
+@q("split_temporal_purged", """
+WITH e AS (
+  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-18' THEN 'train'
+              WHEN CAST(ts AS DATE) >= DATE '2024-01-20' THEN 'test'
+              ELSE 'purged' END AS split,
+         epoch_us(ts) AS us
+  FROM events)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(us) AS BIGINT) AS min_us,
+       CAST(MAX(us) AS BIGINT) AS max_us
+FROM e GROUP BY split""")
+def split_temporal_purged(spark, sf_dir):
+    """Purged temporal train/test split — the financial-ML split
+    discipline (de Prado's purging): a 2-day embargo BETWEEN train and
+    test is dropped so that features with trailing windows (the
+    velocity/decay entries) cannot straddle the boundary and leak
+    test-period information into training rows.  Map-only labeling;
+    the oracle pins each split's row count and exact epoch-µs
+    boundaries, which is the property that matters (no event on the
+    wrong side).  The summary shape keeps the entry compact; the
+    per-row labeling is the same CASE expression."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    split = (F.when(day < F.lit("2024-01-18").cast("date"), "train")
+             .when(day >= F.lit("2024-01-20").cast("date"), "test")
+             .otherwise("purged"))
+    return (ev.select(split.alias("split"),
+                      F.expr("unix_micros(cast(ts as timestamp))")
+                      .alias("us"))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min("us").cast("long").alias("min_us"),
+                 F.max("us").cast("long").alias("max_us")))
