@@ -3025,12 +3025,16 @@ def text_word_pmi(spark, sf_dir):
           .filter((F.col("p.x") != "") & (F.col("p.y") != ""))
           .select(F.least("p.x", "p.y").alias("w1"),
                   F.greatest("p.x", "p.y").alias("w2")))
-    pc = pr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    pc = (pr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+          .persist())
     wd = (base.select(F.explode("__toks").alias("wd"))
           .filter(F.col("wd") != ""))
-    uni = wd.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
-    tot = pr.agg(F.count(F.lit(1)).alias("tp")).crossJoin(
-        wd.agg(F.count(F.lit(1)).alias("tw")))
+    uni = wd.groupBy("wd").agg(F.count(F.lit(1)).alias("c")).persist()
+    # corpus totals derive from the AGGREGATES (Σc_ab, Σc), never by
+    # rescanning the corpus — pc/uni persist because each feeds both
+    # its total and the final join
+    tot = pc.agg(F.sum("c_ab").alias("tp")).crossJoin(
+        uni.agg(F.sum("c").alias("tw")))
     u1 = uni.select(F.col("wd").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("wd").alias("w2"), F.col("c").alias("c2"))
     pmi = (F.round(F.log(
