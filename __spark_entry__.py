@@ -87,7 +87,7 @@ _PRIORITY = [
     "text_vocab_encode", "scd_snapshot_diff", "ts_lateness_profile",
     "ts_rollup_cascade", "text_word_pmi", "feature_impute_group",
     "feature_target_encode_loo", "sample_class_balanced",
-    "split_temporal_purged",
+    "split_temporal_purged", "ml_ols_closed_form", "stream_batch_unified",
     "multimodal_decode_ppm", "multimodal_thumbnail_vec",
     "agg_daily_cust", "agg_payment_types", "agg_count_distinct",
     "agg_avg_by_month", "agg_nested_max", "agg_collect_struct_size",

@@ -5210,3 +5210,148 @@ def split_temporal_purged(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.min("us").cast("long").alias("min_us"),
                  F.max("us").cast("long").alias("max_us")))
+
+
+@q("ml_ols_closed_form", """
+WITH f AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 - 19723 AS BIGINT) AS x1,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS x2,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM f),
+d AS (
+  SELECT n, s1, s2, sy, s11, s12, s22, s1y, s2y,
+    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22
+                         - CAST(s12 AS DOUBLE) * s12)
+    - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22
+                            - CAST(s12 AS DOUBLE) * s2)
+    + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12
+                            - CAST(s11 AS DOUBLE) * s2) AS det
+  FROM s)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND((CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22
+                               - CAST(s12 AS DOUBLE) * s12)
+         - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
+                                 - CAST(s12 AS DOUBLE) * s2y)
+         + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12
+                                 - CAST(s11 AS DOUBLE) * s2y))
+        / det, 6) + 0 AS beta0,
+  ROUND((CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
+                              - CAST(s12 AS DOUBLE) * s2y)
+         - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22
+                                 - CAST(s12 AS DOUBLE) * s2)
+         + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
+                                 - CAST(s1y AS DOUBLE) * s2))
+        / det, 6) + 0 AS beta1,
+  ROUND((CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y
+                              - CAST(s1y AS DOUBLE) * s12)
+         - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
+                                 - CAST(s1y AS DOUBLE) * s2)
+         + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12
+                                 - CAST(s11 AS DOUBLE) * s2))
+        / det, 6) + 0 AS beta2
+FROM d""")
+def ml_ols_closed_form(spark, sf_dir):
+    """Distributed ordinary least squares in closed form — cents ~
+    day-index + hour-of-day: the 100 TB regression shape is ONE
+    map-side-combined aggregation to the 9 exact-int64 sufficient
+    statistics (n, Σx, Σxxᵀ, Σxy — feature magnitudes bound every sum
+    far below 2⁶³), then the 3×3 normal equations solve by CRAMER'S
+    RULE as a row-local expression — no driver linear algebra, no
+    iterations, no collect beyond the single stats row.  Cross-engine
+    exactness: the determinant expressions are WRITTEN IDENTICALLY on
+    both sides over identical exact ints, so the doubles agree to the
+    last ulp before the canon-zero 6-decimal round.  (The d×d general
+    case is embed_pca_planted_axis's Gram machinery + a driver solve;
+    Cramer is the no-driver special case every fixed-small-d
+    regression should use.)"""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        (F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+         - 19723).alias("x1"),
+        F.expr("pmod(unix_micros(cast(ts as timestamp)) div 3600000000, 24)")
+        .alias("x2"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"))
+    s = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"))
+    c = {k: F.col(k).cast("double") for k in
+         ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")}
+    det = (c["n"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+           - c["s1"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
+           + c["s2"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"]))
+    b0 = (c["sy"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+          - c["s1"] * (c["s1y"] * c["s22"] - c["s12"] * c["s2y"])
+          + c["s2"] * (c["s1y"] * c["s12"] - c["s11"] * c["s2y"]))
+    b1 = (c["n"] * (c["s1y"] * c["s22"] - c["s12"] * c["s2y"])
+          - c["sy"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
+          + c["s2"] * (c["s1"] * c["s2y"] - c["s1y"] * c["s2"]))
+    b2 = (c["n"] * (c["s11"] * c["s2y"] - c["s1y"] * c["s12"])
+          - c["s1"] * (c["s1"] * c["s2y"] - c["s1y"] * c["s2"])
+          + c["sy"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"]))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(b0 / det, 6) + 0).alias("beta0"),
+        (F.round(b1 / det, 6) + 0).alias("beta1"),
+        (F.round(b2 / det, 6) + 0).alias("beta2"))
+
+
+@q("stream_batch_unified", """
+SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY day""")
+def stream_batch_unified(spark, sf_dir):
+    """Kappa-style stream/batch unification: history is a batch read
+    (days before the cutover), the live path REPLAYS the stream from
+    one day BEFORE the cutover (the deliberate overlap every
+    at-least-once handoff has) through a real foreachBatch parquet
+    sink, and the unified view dedups the overlap by event id
+    (first-arrival) before aggregating.  The oracle is the plain
+    batch aggregate over the WHOLE table — equality proves the
+    handoff loses nothing and double-counts nothing, the two failure
+    modes of a batch→stream cutover.  The live path stays distributed
+    end-to-end (micro-batches append to files; nothing corpus-sized
+    crosses the driver)."""
+    import time as _time
+
+    from aws_etl_bank_spark.plans.registry_llm import _events_stream_dir
+    from aws_etl_bank_spark.sources.testdata import events_stream
+    from aws_etl_bank_spark.streaming import for_each_batch
+
+    cut = F.lit("2024-01-16").cast("date")
+    ev = load_table(spark, sf_dir, "events")
+    hist = (ev.filter(F.to_date("ts") < cut)
+            .select("event_id", F.to_date("ts").alias("day")))
+    sink = _scratch(sf_dir, f"kappa_sink_{int(_time.time() * 1000)}")
+
+    def handle(batch_df, batch_id):
+        (batch_df.filter(F.to_date("ts") >= F.date_sub(cut, 1))
+         .select("event_id", F.to_date("ts").alias("day"))
+         .write.mode("append").parquet(sink))
+
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
+    for_each_batch(stream, handle, {
+        "windowSize": "1 seconds",
+        "checkpointLocation": _scratch(
+            sf_dir, f"kappa_ckpt_{int(_time.time() * 1000)}"),
+        "availableNow": True,
+    })
+    live = spark.read.parquet(sink)
+    return (hist.unionByName(live)
+            .dropDuplicates(["event_id"])
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))

@@ -282,3 +282,29 @@ def test_per_group_sample_uses_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p
     assert p.count("Exchange") == 1
+
+
+def test_ols_matches_numpy(spark):
+    """Cramer-rule coefficients must equal numpy's least-squares fit on
+    the same features (independent solver, same data)."""
+    import numpy as np
+
+    import aws_etl_bank_spark.plans.registry_llm  # noqa: F401
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+    from aws_etl_bank_spark.sources.testdata import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["ml_ols_closed_form"].fn(spark, sf).collect()[0]
+    f = load_table(spark, sf, "events").select(
+        (F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+         - 19723).alias("x1"),
+        F.expr("pmod(unix_micros(cast(ts as timestamp)) div 3600000000, 24)")
+        .alias("x2"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y")).collect()
+    X = np.array([[1.0, r.x1, r.x2] for r in f])
+    y = np.array([float(r.y) for r in f])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert abs(got.beta0 - beta[0]) < 1e-4
+    assert abs(got.beta1 - beta[1]) < 1e-4
+    assert abs(got.beta2 - beta[2]) < 1e-4
