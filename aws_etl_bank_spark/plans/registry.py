@@ -5355,3 +5355,90 @@ def stream_batch_unified(spark, sf_dir):
             .dropDuplicates(["event_id"])
             .groupBy("day")
             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+@q("agg_mode_per_group", """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1""")
+def agg_mode_per_group(spark, sf_dir):
+    """Exact per-group mode with a DETERMINISTIC tie-break — each
+    user's most frequent event type, ties to the lexicographically
+    first (engine `mode()` tie behavior is undefined, which is why it
+    never appears here).  Two-level shape: value counts first (one
+    map-side-combined hash-agg — the (group, value) frame is the
+    small one), then max_by over the counted rows; the rank filter
+    rides WindowGroupLimit so only one row per group survives the
+    second exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (ev.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (c.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", F.col("event_type").alias("mode_type"),
+                    F.col("n").cast("long").alias("n")))
+
+
+@q("join_interval_overlap", """
+WITH s AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MIN(epoch_us(ts)) AS lo,
+         MIN(epoch_us(ts)) + 300000000 AS hi
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+p AS (
+  SELECT a.day AS day, a.user_id AS u1, b.user_id AS u2
+  FROM s a JOIN s b
+    ON b.day = a.day AND a.user_id < b.user_id
+   AND a.lo <= b.hi AND b.lo <= a.hi)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs
+FROM p GROUP BY day""")
+def join_interval_overlap(spark, sf_dir):
+    """INTERVAL × INTERVAL overlap join — which users' 5-minute
+    session-start windows were concurrently active each day — the
+    two-sided generalization of
+    the point-probe range join (operators/joins.py range_join): both
+    sides are intervals, so neither can be bucketized away
+    one-sidedly.  Scale shape: each day-session explodes to the HOUR
+    BUCKETS it covers (bounded ≤ 24× — the banding trick), candidate
+    pairs come from an equi-join on (day, bucket), duplicates from
+    multi-bucket overlaps collapse with a distinct, and the exact
+    lo ≤ hi' ∧ lo' ≤ hi predicate verifies candidates — never a
+    non-equi nested-loop over sessions² (no BNLJ, plan-asserted in
+    tests).  The oracle does the naive quadratic interval join —
+    checking the banded plan against the definition.  The 5-minute
+    fixture keeps the TRUE overlap density sparse at every SF (a
+    whole-day-interval fixture degenerates to all-pairs — output
+    quadratic in users, which no join strategy can save; interval
+    joins are only meaningful when overlap is selective)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.select("user_id", F.to_date("ts").alias("day"),
+                   F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+         .groupBy("user_id", "day")
+         .agg(F.min("us").alias("lo"),
+              (F.min("us") + 300_000_000).alias("hi")))
+    hour = 3_600_000_000
+    b = s.select(
+        "user_id", "day", "lo", "hi",
+        F.explode(F.sequence(F.expr(f"lo div {hour}"),
+                             F.expr(f"hi div {hour}"))).alias("bucket"))
+    a2, b2 = b.alias("a"), b.alias("b")
+    cand = (a2.join(b2, (F.col("b.day") == F.col("a.day"))
+                    & (F.col("b.bucket") == F.col("a.bucket"))
+                    & (F.col("a.user_id") < F.col("b.user_id")))
+            .filter((F.col("a.lo") <= F.col("b.hi"))
+                    & (F.col("b.lo") <= F.col("a.hi")))
+            .select(F.col("a.day").alias("day"),
+                    F.col("a.user_id").alias("u1"),
+                    F.col("b.user_id").alias("u2"))
+            .distinct())
+    return (cand.groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_overlapping_pairs")))

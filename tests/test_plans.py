@@ -308,3 +308,16 @@ def test_ols_matches_numpy(spark):
     assert abs(got.beta0 - beta[0]) < 1e-4
     assert abs(got.beta1 - beta[1]) < 1e-4
     assert abs(got.beta2 - beta[2]) < 1e-4
+
+
+def test_interval_overlap_no_nested_loop(spark):
+    """The banded interval-overlap join must stay a hash equi-join on
+    (day, bucket) — a BroadcastNestedLoopJoin means the non-equi form
+    leaked through."""
+    import aws_etl_bank_spark.plans.registry_llm  # noqa: F401
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    p = REGISTRY["join_interval_overlap"].fn(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
