@@ -388,3 +388,80 @@ def decode_audio_features(df: DataFrame, payload_col: str = "payload",
                 "mean_amp", "rms", "peak", "zero_cross"])
 
     return df.mapInPandas(run, schema=schema)
+
+
+def synthetic_tone_wavs(df: DataFrame, id_col: str = "doc_id",
+                        rate: int = 8000, n_samples: int = 256) -> DataFrame:
+    """Pure-tone WAV fixture for the spectral path: doc ``d`` carries a
+    sine at bin ``3 + d % 60`` of a ``n_samples``-point DFT (i.e.
+    frequency (3 + d%60)·rate/n_samples Hz), amplitude 12000, mono
+    16-bit PCM — so the dominant rFFT bin is a closed-form function of
+    the id."""
+    import numpy as np
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                k = 3 + d % 60
+                t = np.arange(n_samples, dtype=np.float64)
+                x = np.round(12000.0 * np.sin(2.0 * np.pi * k * t
+                                              / n_samples)).astype("<i2")
+                data = x.tobytes()
+                hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little")
+                       + b"WAVEfmt " + (16).to_bytes(4, "little")
+                       + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                       + rate.to_bytes(4, "little")
+                       + (rate * 2).to_bytes(4, "little")
+                       + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                       + b"data" + len(data).to_bytes(4, "little"))
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def audio_spectral_features(df: DataFrame, payload_col: str = "payload",
+                            id_col: str = "doc_id",
+                            n_fft: int = 256) -> DataFrame:
+    """REAL spectral analysis over decoded PCM: rFFT of the first
+    ``n_fft`` samples, emitting the dominant non-DC bin, its frequency
+    in Hz and the spectral magnitude ratio peak/total — the
+    audio-featurization step (pitch/voicing screens, content
+    fingerprinting) that follows decode in a media pipeline.  Same
+    posture as every decode op: Arrow-batched map-only numpy (FFT is
+    O(n log n) per row, embarrassingly parallel), one NULL-feature row
+    per undecodable/short payload, never a stage failure.  Peak-bin
+    ties (exact equal magnitudes) break to the lowest bin via argmax —
+    deterministic, and the planted-tone fixture keeps the peak
+    unambiguous anyway."""
+    import numpy as np
+
+    schema = ("doc_id long, peak_bin int, peak_hz double, "
+              "peak_ratio double, n_fft int")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf[id_col].to_numpy(), pdf[payload_col]):
+                dec = _decode_wav(payload)
+                if dec is None or dec[2].size < n_fft:
+                    rows.append((int(d), None, None, None, None))
+                    continue
+                rate, _ch, x = dec
+                spec = np.abs(np.fft.rfft(x[:n_fft].astype(np.float64)))
+                k = int(np.argmax(spec[1:]) + 1)  # skip DC
+                tot = float(spec.sum())
+                rows.append((int(d), k, k * rate / n_fft,
+                             float(spec[k]) / tot if tot > 0 else None,
+                             n_fft))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "peak_bin", "peak_hz", "peak_ratio", "n_fft"])
+
+    return df.mapInPandas(run, schema=schema)

@@ -3045,3 +3045,28 @@ def text_word_pmi(spark, sf_dir):
             .select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
                     pmi.alias("pmi"))
             .orderBy(F.desc("c_ab"), "w1", "w2").limit(30))
+
+
+@q("multimodal_audio_spectrum", """
+SELECT doc_id,
+       CAST(3 + doc_id % 60 AS INT) AS peak_bin,
+       CAST((3 + doc_id % 60) * 8000.0 / 256.0 AS DOUBLE) AS peak_hz,
+       CAST(256 AS INT) AS n_fft
+FROM documents WHERE doc_id < 400""")
+def multimodal_audio_spectrum(spark, sf_dir):
+    """REAL DSP on really-decoded audio (llm/multimodal.py
+    audio_spectral_features): planted pure tones — doc d carries a
+    sine at DFT bin 3 + d%60 — are synthesized as PCM16 WAVs, decoded
+    by the RIFF parser, and rFFT'd inside one Arrow map-only pass; the
+    dominant non-DC bin and its Hz must equal the closed-form planted
+    values (a header misparse, sample-order flip, or off-by-one in
+    the FFT window moves the peak and fails the hash).  peak_ratio is
+    deliberately NOT oracle-compared: leakage magnitudes are
+    FFT-implementation-specific — bin and frequency are the portable
+    facts."""
+    from aws_etl_bank_spark.llm.multimodal import (audio_spectral_features,
+                                                   synthetic_tone_wavs)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    feats = audio_spectral_features(synthetic_tone_wavs(docs))
+    return feats.select("doc_id", "peak_bin", "peak_hz", "n_fft")

@@ -1767,3 +1767,33 @@ def test_vocab_ids_stable_under_tie(spark):
     docs = spark.createDataFrame([(1, "zz aa zz aa")], "doc_id long, text string")
     v = {r.token: r.token_id for r in build_vocab(docs).collect()}
     assert v == {"aa": 1, "zz": 2}
+
+
+def test_audio_spectrum_finds_planted_tone_and_ratio(spark):
+    import numpy as np
+
+    from aws_etl_bank_spark.llm.multimodal import (audio_spectral_features,
+                                                   synthetic_tone_wavs)
+
+    df = spark.createDataFrame([(7,), (100,)], "doc_id long")
+    out = {r.doc_id: r for r in
+           audio_spectral_features(synthetic_tone_wavs(df)).collect()}
+    assert out[7].peak_bin == 3 + 7 % 60
+    assert out[100].peak_bin == 3 + 100 % 60
+    # a pure tone concentrates the spectrum: the peak dominates
+    assert out[7].peak_ratio > 0.4
+    assert out[7].peak_hz == (3 + 7 % 60) * 8000.0 / 256.0
+
+
+def test_audio_spectrum_null_gate_on_short_or_garbage(spark):
+    from aws_etl_bank_spark.llm.multimodal import (audio_spectral_features,
+                                                   synthetic_wav_payloads)
+
+    # synthetic_wav_payloads makes 64..160-sample clips: all < 256 fft
+    short = synthetic_wav_payloads(
+        spark.createDataFrame([(1,)], "doc_id long"))
+    bad = spark.createDataFrame([(2, bytearray(b"mp3 junk"))],
+                                "doc_id long, payload binary")
+    out = {r.doc_id: r for r in
+           audio_spectral_features(short.unionByName(bad)).collect()}
+    assert out[1].peak_bin is None and out[2].peak_bin is None
