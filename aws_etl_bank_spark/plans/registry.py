@@ -5442,3 +5442,48 @@ def join_interval_overlap(spark, sf_dir):
     return (cand.groupBy("day")
             .agg(F.count(F.lit(1)).cast("long")
                  .alias("n_overlapping_pairs")))
+
+
+@q("agg_weighted_median", """
+WITH e AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(1 + user_id % 5 AS BIGINT) AS w
+  FROM events),
+r AS (
+  SELECT event_type, v, w,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY v, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cw,
+         SUM(w) OVER (PARTITION BY event_type) AS tw
+  FROM e)
+SELECT event_type,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+           AS weighted_median_cents,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM r GROUP BY event_type""")
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median per group — the lower weighted median
+    (smallest v whose cumulative weight reaches half the total), the
+    definition that needs NO interpolation and therefore no
+    engine-specific percentile semantics: one keyed sort window for
+    the running weight, one whole-group window for the total (both
+    share the partition exchange), and a conditional-min aggregate
+    picks the answer.  All arithmetic exact int64 (cents, integer
+    weights, 2·cw ≥ tw instead of cw ≥ tw/2 — no division at all).
+    Deterministic under ties via the (v, w) sort; weights here derive
+    from user_id so the fixture is reproducible."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        (1 + F.col("user_id") % 5).cast("long").alias("w"))
+    wcum = (Window.partitionBy("event_type").orderBy("v", "w")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wtot = Window.partitionBy("event_type")
+    r = (e.withColumn("cw", F.sum("w").over(wcum))
+         .withColumn("tw", F.sum("w").over(wtot)))
+    return (r.groupBy("event_type")
+            .agg(F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+                 .cast("long").alias("weighted_median_cents"),
+                 F.max("tw").cast("long").alias("total_weight")))
