@@ -97,6 +97,11 @@ HEADLINE = [
     "assoc_copurchase_lift",
     "feature_velocity_windows",
     "embed_jl_projection",
+    # end-of-r08 additions: the passage-REMOVAL splice (spans pipeline +
+    # interval merge + array gather) and the bitmap-distinct rollup
+    # (bit_or/popcount + bitmap-AND retention join)
+    "dedup_substring_remove",
+    "scale_bitmap_retention",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
