@@ -5487,3 +5487,62 @@ def agg_weighted_median(spark, sf_dir):
             .agg(F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
                  .cast("long").alias("weighted_median_cents"),
                  F.max("tw").cast("long").alias("total_weight")))
+
+
+@q("ts_autocorrelation", """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000),
+p AS (
+  SELECT event_type, s AS x,
+         lead(s) OVER (PARTITION BY event_type ORDER BY hr) AS y
+  FROM h),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p WHERE y IS NOT NULL GROUP BY event_type)
+SELECT event_type, n,
+  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+        6) + 0 AS acf_lag1
+FROM st""")
+def ts_autocorrelation(spark, sf_dir):
+    """Lag-1 autocorrelation of each event type's hourly totals — the
+    first statistic of any forecasting/seasonality screen ("is this
+    series even autocorrelated?"), computed the cross-engine-exact
+    way: hourly cent sums are exact int64, the lag pairs come from one
+    keyed window, and the Pearson correlation is assembled from exact
+    integer sufficient statistics (N·Σxy − ΣxΣy form — the same
+    no-streaming-variance rule as ts_seasonal_strength), with floats
+    only in the final per-group expression (IEEE mult/sub/div/sqrt —
+    no libm), canon-zero rounded.  Two map-side-combined hash-aggs +
+    one keyed sort shared by the lag window."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.select("event_type",
+                   F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+                   .alias("hr"),
+                   F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"))
+         .groupBy("event_type", "hr").agg(F.sum("v").alias("s")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    p = (h.select("event_type", F.col("s").alias("x"),
+                  F.lead("s").over(w).alias("y"))
+         .filter(F.col("y").isNotNull()))
+    st = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    c = {k: F.col(k).cast("double")
+         for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    acf = ((c["n"] * c["sxy"] - c["sx"] * c["sy"])
+           / F.sqrt((c["n"] * c["sxx"] - c["sx"] * c["sx"])
+                    * (c["n"] * c["syy"] - c["sy"] * c["sy"])))
+    return st.select("event_type", F.col("n").cast("long").alias("n"),
+                     (F.round(acf, 6) + 0).alias("acf_lag1"))

@@ -3070,3 +3070,71 @@ def multimodal_audio_spectrum(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     feats = audio_spectral_features(synthetic_tone_wavs(docs))
     return feats.select("doc_id", "peak_bin", "peak_hz", "n_fft")
+
+
+@q("graph_common_neighbors", """
+WITH ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+            WHERE c_custkey % 7 <> 0),
+band AS (
+  SELECT x.k AS a, y.k AS b FROM ks x JOIN ks y ON y.k = x.k + 1
+  UNION ALL
+  SELECT x.k AS a, y.k AS b FROM ks x JOIN ks y ON y.k = x.k + 2),
+hub AS (SELECT CAST(0 AS BIGINT) AS a, k AS b FROM ks WHERE k % 3 <= 1),
+e AS (SELECT a, b FROM band UNION ALL SELECT a, b FROM hub),
+adj AS (SELECT a AS c, b AS n FROM e UNION ALL SELECT b AS c, a AS n FROM e),
+deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
+ok AS (SELECT c FROM deg WHERE d <= 32),
+w AS (
+  SELECT x.n AS n1, y.n AS n2
+  FROM adj x JOIN ok USING (c) JOIN adj y USING (c)
+  WHERE x.n < y.n),
+cn AS (SELECT n1, n2, COUNT(*) AS common FROM w GROUP BY n1, n2)
+SELECT n1, n2, CAST(common AS BIGINT) AS common,
+       CAST(common AS DOUBLE)
+         / (d1.d + d2.d - common) AS jaccard
+FROM cn JOIN deg d1 ON d1.c = n1 JOIN deg d2 ON d2.c = n2
+ORDER BY common DESC, n1, n2 LIMIT 50""")
+def graph_common_neighbors(spark, sf_dir):
+    """Common-neighbor / neighborhood-Jaccard link-prediction scores
+    over the banded-plus-hub graph — the feature under friend-of-
+    friend recommenders.  The scale hazard is the same one triangle
+    counting dodges: wedge volume is Σ deg(center)², so the planted
+    2N/3-degree hub would contribute ~(2N/3)² candidate pairs through
+    ITSELF; the standing cut drops high-degree CENTERS (deg > 32)
+    before the wedge join — which is also the statistically right
+    call (co-adjacency through a celebrity node carries no link
+    signal — the same reasoning as the posting-list df cut in the
+    dedup family).  Remaining stages: adjacency hash-aggs, one
+    (bounded) wedge equi-join, degree join-backs; Jaccard =
+    common/(d1+d2−common) is one exact-int IEEE division; top-50 by
+    (common DESC, pair) is a TakeOrdered."""
+    ks = (load_table(spark, sf_dir, "customer")
+          .select(F.col("c_custkey").cast("long").alias("k"))
+          .filter(F.col("k") % 7 != 0))
+    b1 = (ks.alias("x").join(ks.alias("y"),
+                             F.col("y.k") == F.col("x.k") + 1)
+          .select(F.col("x.k").alias("a"), F.col("y.k").alias("b")))
+    b2 = (ks.alias("x").join(ks.alias("y"),
+                             F.col("y.k") == F.col("x.k") + 2)
+          .select(F.col("x.k").alias("a"), F.col("y.k").alias("b")))
+    hub = (ks.filter(F.col("k") % 3 <= 1)
+           .select(F.lit(0).cast("long").alias("a"), F.col("k").alias("b")))
+    e = b1.unionAll(b2).unionAll(hub)
+    adj = (e.select(F.col("a").alias("c"), F.col("b").alias("n"))
+           .unionAll(e.select(F.col("b").alias("c"), F.col("a").alias("n"))))
+    deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    ok = deg.filter(F.col("d") <= 32).select("c")
+    aok = adj.join(ok, "c")
+    x, y = aok.alias("x"), aok.alias("y")
+    cn = (x.join(y, (F.col("y.c") == F.col("x.c"))
+                 & (F.col("x.n") < F.col("y.n")))
+          .groupBy(F.col("x.n").alias("n1"), F.col("y.n").alias("n2"))
+          .agg(F.count(F.lit(1)).alias("common")))
+    d1 = deg.select(F.col("c").alias("n1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("c").alias("n2"), F.col("d").alias("d2"))
+    return (cn.join(d1, "n1").join(d2, "n2")
+            .select("n1", "n2", F.col("common").cast("long").alias("common"),
+                    (F.col("common").cast("double")
+                     / (F.col("d1") + F.col("d2") - F.col("common")))
+                    .alias("jaccard"))
+            .orderBy(F.desc("common"), "n1", "n2").limit(50))
