@@ -5546,3 +5546,145 @@ def ts_autocorrelation(spark, sf_dir):
                     * (c["n"] * c["syy"] - c["sy"] * c["sy"])))
     return st.select("event_type", F.col("n").cast("long").alias("n"),
                      (F.round(acf, 6) + 0).alias("acf_lag1"))
+
+
+@q("stream_ohlc_incremental", """
+WITH r AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS bucket, value,
+         row_number() OVER (PARTITION BY event_type,
+                                         epoch_us(ts) // 86400000000
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       ROUND(min_by(value, rn), 2) AS open,
+       ROUND(MAX(value), 2) AS high,
+       ROUND(MIN(value), 2) AS low,
+       ROUND(max_by(value, rn), 2) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY event_type, bucket""")
+def stream_ohlc_incremental(spark, sf_dir):
+    """Streaming OHLC candles — ts_ohlc_bucket's mergeable form:
+    open/close look order-dependent (the disqualifier for naive
+    incremental aggregation), but each micro-batch's partial
+    (argmin/argmax of value OVER THE EVENT-TIME KEY (ts, event_id),
+    plus min/max/count) IS decomposable: cross-batch merge is the
+    same min_by/max_by over the partials' keys, so candles stream
+    with per-(type, bucket) state of five scalars — no raw-row state,
+    no arrival-order dependence (proof: events arrive in file order,
+    not time order, and the result still hash-matches the BATCH
+    oracle, shared verbatim with ts_ohlc_bucket)."""
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    from aws_etl_bank_spark.plans.registry_llm import _events_stream_dir
+    from aws_etl_bank_spark.sources.testdata import events_stream
+    from aws_etl_bank_spark.streaming import for_each_batch
+
+    def partials(df):
+        bucket = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        key = F.struct(F.col("ts"), F.col("event_id"))
+        return (df.withColumn("bucket", bucket)
+                .groupBy("event_type", "bucket")
+                .agg(F.expr("min_by(struct(ts, event_id, value), "
+                            "struct(ts, event_id))").alias("o"),
+                     F.max("value").alias("high"),
+                     F.min("value").alias("low"),
+                     F.expr("max_by(struct(ts, event_id, value), "
+                            "struct(ts, event_id))").alias("c"),
+                     F.count(F.lit(1)).alias("n")))
+
+    collected: list = []
+
+    def handle(batch_df, batch_id):
+        collected.extend(partials(batch_df).collect())
+
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
+    for_each_batch(stream, handle, {
+        "windowSize": "1 seconds",
+        "checkpointLocation": _scratch(
+            sf_dir, f"ohlc_ckpt_{int(_time.time() * 1000)}"),
+        "availableNow": True,
+    })
+    key_t = T.StructType([T.StructField("ts", T.TimestampType()),
+                          T.StructField("event_id", T.LongType()),
+                          T.StructField("value", T.DoubleType())])
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("o", key_t), T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()), T.StructField("c", key_t),
+        T.StructField("n", T.LongType())])
+    parts = spark.createDataFrame(collected, schema)
+    merged = (parts.groupBy("event_type", "bucket")
+              .agg(F.expr("min_by(o, struct(o.ts, o.event_id))").alias("o"),
+                   F.max("high").alias("high"), F.min("low").alias("low"),
+                   F.expr("max_by(c, struct(c.ts, c.event_id))").alias("c"),
+                   F.sum("n").alias("n")))
+    return merged.select(
+        "event_type", F.col("bucket").cast("long").alias("bucket"),
+        F.round(F.col("o.value"), 2).alias("open"),
+        F.round("high", 2).alias("high"), F.round("low", 2).alias("low"),
+        F.round(F.col("c.value"), 2).alias("close"),
+        F.col("n").cast("long").alias("n"))
+
+
+@q("csv_malformed_policy", """
+SELECT
+  CAST((SELECT COUNT(*) FROM customer WHERE c_custkey <= 1000)
+       AS BIGINT) AS n_permissive,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey <= 1000 AND c_custkey % 10 = 0)
+       AS BIGINT) AS n_corrupt,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey <= 1000 AND c_custkey % 10 <> 0)
+       AS BIGINT) AS n_dropmalformed,
+  CAST((SELECT SUM(c_custkey * 2) FROM customer
+        WHERE c_custkey <= 1000 AND c_custkey % 10 <> 0)
+       AS BIGINT) AS sum_amount_good""")
+def csv_malformed_policy(spark, sf_dir):
+    """CSV malformed-record policies end-to-end (the mode= /
+    columnNameOfCorruptRecord contract of the CSV source): a landing
+    file is written DISTRIBUTED (lines via write.text — no driver
+    loop) with every 10th record's numeric field corrupted, then read
+    back under an enforced schema in PERMISSIVE mode (row count
+    preserved, corrupt originals captured in the rescue column — the
+    audit-trail the banking raw zone wants) and DROPMALFORMED mode
+    (bad rows vanish).  The oracle derives all four counts and the
+    good-row checksum from the source table — a policy regression
+    (silent row loss in PERMISSIVE, leakage in DROPMALFORMED, a
+    miscounted rescue column) moves a number."""
+    import time as _time
+
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 1000))
+    lines = cust.select(F.when(
+        F.col("c_custkey") % 10 == 0,
+        F.concat_ws(",", F.col("c_custkey").cast("string"),
+                    F.lit("not-a-number")))
+        .otherwise(F.concat_ws(",", F.col("c_custkey").cast("string"),
+                               (F.col("c_custkey") * 2).cast("string")))
+        .alias("value"))
+    path = _scratch(sf_dir, f"csv_malformed_{int(_time.time() * 1000)}")
+    lines.write.mode("overwrite").text(path)
+    schema = "id long, amount long, _corrupt string"
+    # Spark forbids referencing the rescue column on the raw CSV
+    # relation (it would need a second parse with different semantics);
+    # the documented contract is to cache the parsed rows first
+    perm = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(path).cache())
+    perm_agg = perm.agg(
+        F.count(F.lit(1)).alias("n_permissive"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .alias("n_corrupt"))
+    drop = (spark.read.schema("id long, amount long")
+            .option("mode", "DROPMALFORMED").csv(path))
+    drop_agg = drop.agg(F.count(F.lit(1)).alias("n_dropmalformed"),
+                        F.sum("amount").alias("sum_amount_good"))
+    return (perm_agg.crossJoin(drop_agg)
+            .select(F.col("n_permissive").cast("long"),
+                    F.col("n_corrupt").cast("long"),
+                    F.col("n_dropmalformed").cast("long"),
+                    F.col("sum_amount_good").cast("long")))
