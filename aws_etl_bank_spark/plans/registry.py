@@ -5688,3 +5688,66 @@ def csv_malformed_policy(spark, sf_dir):
                     F.col("n_corrupt").cast("long"),
                     F.col("n_dropmalformed").cast("long"),
                     F.col("sum_amount_good").cast("long")))
+
+
+@q("funnel_time_to_convert", """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+  GROUP BY e.user_id),
+d AS (
+  SELECT (p.p_us - v.v_us) // 1000000 AS ttc_s
+  FROM v JOIN p ON p.user_id = v.user_id),
+r AS (
+  SELECT ttc_s,
+         row_number() OVER (ORDER BY ttc_s) AS rn,
+         COUNT(*) OVER () AS n
+  FROM d)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+  CAST((MAX(CASE WHEN rn = (n + 1) // 2 THEN ttc_s END)
+        + MAX(CASE WHEN rn = (n + 2) // 2 THEN ttc_s END)) / 2.0
+       AS DOUBLE) AS median_ttc_s,
+  CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN ttc_s END) AS BIGINT)
+      AS p90_ttc_s
+FROM r""")
+def funnel_time_to_convert(spark, sf_dir):
+    """Funnel latency — seconds from a user's FIRST view to their first
+    purchase at-or-after it, summarized as median and p90 (both
+    rank-picked over exact integer seconds — the engine-independent
+    percentile recipe, no interpolation semantics).  Shape: two
+    filtered aggregations joined per user (the funnel_stages chained-
+    min pattern), epoch-µs integer arithmetic, then one bounded
+    ranking over the CONVERTED-USERS frame (users-sized, not
+    events-sized; at 100 TB the rank window keys would move to the
+    two-pass top_fraction histogram if converters outgrew a
+    partition).  The p90 pick is ⌈0.9·n⌉ = (9n+9)//10 — closed-form
+    integer rank on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id", us.alias("us"))
+         .groupBy("user_id").agg(F.min("us").alias("v_us")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", us.alias("us"))
+         .join(v, "user_id")
+         .filter(F.col("us") >= F.col("v_us"))
+         .groupBy("user_id").agg(F.min("us").alias("p_us")))
+    d = (v.join(p, "user_id")
+         .select(F.expr("(p_us - v_us) div 1000000").alias("ttc_s")))
+    w = Window.orderBy("ttc_s")
+    r = (d.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(
+             Window.partitionBy())))
+    return r.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        ((F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                       F.col("ttc_s")))
+          + F.max(F.when(F.col("rn") == F.expr("(n + 2) div 2"),
+                         F.col("ttc_s")))) / 2.0)
+        .cast("double").alias("median_ttc_s"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 9 + 9) div 10"),
+                     F.col("ttc_s"))).cast("long").alias("p90_ttc_s"))
