@@ -3138,3 +3138,71 @@ def graph_common_neighbors(spark, sf_dir):
                      / (F.col("d1") + F.col("d2") - F.col("common")))
                     .alias("jaccard"))
             .orderBy(F.desc("common"), "n1", "n2").limit(50))
+
+
+@q("dedup_cluster_sizes", r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct([array_to_string(words[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                     for i in range(1, len(words) - 1)])
+    ELSE [array_to_string(words, ' ')] END) AS sh
+  FROM w
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5
+),
+e AS (SELECT id_a, id_b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+      UNION SELECT doc_id, doc_id FROM w),
+reach AS (
+  SELECT id_a AS id, id_a AS lbl FROM e
+  UNION
+  SELECT e.id_b, r.lbl FROM reach r JOIN e ON e.id_a = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+cs AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM cs GROUP BY cluster_size""")
+def dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram — the curation report every
+    dedup run ends with ("how much of the corpus sits in dup clusters
+    of size k?"), driving both the keep-policy choice and the
+    dedup-rate estimate.  Composition: exact n-gram-Jaccard pairs
+    (threshold 0.5, the inverted-index postings plan — never
+    corpus²) → iterative connected components (singletons included
+    via self-edges, so size-1 clusters appear in the histogram) → two
+    hash-aggs (members per component, clusters per size).  The oracle
+    recomputes the pair graph from shingle TEXT and closes it with a
+    recursive min-label CTE — the same ground-truth recipe as the
+    entity-resolution entry, here summarizing the whole corpus."""
+    from aws_etl_bank_spark.llm import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (ngram_jaccard_pairs(docs, "text", "doc_id",
+                                 shingle_n=3, threshold=0.5)
+             .select("id_a", "id_b"))
+    selfp = docs.select(F.col("doc_id").alias("id_a"),
+                        F.col("doc_id").alias("id_b"))
+    comp = connected_components(pairs.unionByName(selfp))
+    cs = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (cs.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select(F.col("cluster_size").cast("long"),
+                    F.col("n_clusters").cast("long"),
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .cast("long").alias("n_docs")))
