@@ -91,6 +91,7 @@ _PRIORITY = [
     "join_interval_overlap", "multimodal_audio_spectrum",
     "agg_weighted_median", "ts_autocorrelation", "graph_common_neighbors",
     "stream_ohlc_incremental", "csv_malformed_policy", "funnel_time_to_convert", "dedup_cluster_sizes",
+    "agg_gini_concentration",
     "multimodal_decode_ppm", "multimodal_thumbnail_vec",
     "agg_daily_cust", "agg_payment_types", "agg_count_distinct",
     "agg_avg_by_month", "agg_nested_max", "agg_collect_struct_size",

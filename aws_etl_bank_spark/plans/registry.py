@@ -5751,3 +5751,48 @@ def funnel_time_to_convert(spark, sf_dir):
         .cast("double").alias("median_ttc_s"),
         F.max(F.when(F.col("rn") == F.expr("(n * 9 + 9) div 10"),
                      F.col("ttc_s"))).cast("long").alias("p90_ttc_s"))
+
+
+@q("agg_gini_concentration", """
+WITH x AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders GROUP BY o_custkey),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS i FROM x),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(i * v) AS BIGINT) AS siv
+  FROM r)
+SELECT n,
+       ROUND((2.0 * CAST(siv AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)))
+             - (CAST(n AS DOUBLE) + 1.0) / n, 6) + 0 AS gini
+FROM s""")
+def agg_gini_concentration(spark, sf_dir):
+    """Gini coefficient of customer spending — the concentration /
+    inequality metric behind exposure and AML reporting ("what share
+    of volume sits with the top accounts?").  Exact closed form over
+    sorted ranks: G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n with x ascending —
+    rank and both sums are exact int64 (i·v ≤ 10⁵·10¹⁰ per term),
+    floats only in the final expression, canon-zero rounded.  The
+    rank is a single global sort window over the CUSTOMER aggregate
+    (customers-sized, not orders-sized — the bounded-window
+    exception; at billions of customers the two-pass histogram
+    top_fraction machinery supplies the same ranks
+    distribution-wide)."""
+    o = load_table(spark, sf_dir, "orders")
+    x = (o.groupBy("o_custkey")
+         .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                    .cast("long")).alias("v")))
+    w = Window.orderBy("v", "o_custkey")
+    r = x.withColumn("i", F.row_number().over(w))
+    s = r.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+              F.sum(F.col("i") * F.col("v")).alias("siv"))
+    gini = ((2.0 * F.col("siv").cast("double")
+             / (F.col("n").cast("double") * F.col("sv").cast("double")))
+            - (F.col("n").cast("double") + 1.0) / F.col("n"))
+    return s.select(F.col("n").cast("long").alias("n"),
+                    (F.round(gini, 6) + 0).alias("gini"))
