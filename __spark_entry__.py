@@ -20,60 +20,18 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 8, per the r7 verdict): finish the evidence
-# rotation.  The driver evaluates the first 50 registry entries per
-# round; r7 cleared 40 of the 67 stale r2/r3 entries and left 27.
-# Order: (1) the schema tripwire, (2) the two entries added after the
-# r7 driver run (zero driver evidence), (3) entries whose
-# implementation CHANGED this round (empty-sketch coalesce in
-# hll_estimate; NULL-payload guards on every image-decode path),
-# (4) the 10 entries NEW this round, (5) the final 27 stale r2/r3
-# entries — after which no entry's newest driver evidence predates r4
-# — and (6) the oldest r4-vintage rows begin their refresh cycle.
+# Slot policy (round 9, per the r8 verdict task 1): the 48 entries
+# that landed after the r8 waterline filled (sketch_hll_grouped ..
+# agg_gini_concentration — each builder-verified green vs DuckDB at
+# sf0.001 + sf0.01 + sf1 the day it landed; bench_out/VERIFY_full.json
+# and the sf1_*_r8 logs) take the first 48 slots so every registry
+# entry finally has a driver-vintage CORRECTNESS row.  Slots 49-50 are
+# the two multimodal entries whose NULL-payload guard changed in r8.
+# After this round the rotation becomes a pure oldest-first refresh:
+# the r4-vintage rows (agg_* §2.4 family, catalog/JDBC family) queue
+# immediately below the waterline for r10.
 _PRIORITY = [
-    # environment-drift tripwire first: pinned-literal schema oracle makes
-    # a testdata regeneration fail in ONE obvious row (TESTDATA.md)
-    "testdata_schema_smoke",
-    # added after the r7 driver run — no driver row of any vintage yet
-    "dedup_substring_spans", "text_bigram_logprob",
-    # changed this round: hll_estimate coalesces the empty-sketch sum
-    # (r7 advice).  The multimodal decode entries also changed, but
-    # ONLY in a NULL-payload guard their planted fixtures (no NULLs)
-    # cannot reach — they keep their r7-green rows and yield their
-    # slots to the 19 brand-new entries below
-    "sketch_hll_distinct",
-    # new this round (19): the un-shadowed duplicate registrations, the
-    # quantile/KMV sketches + their streaming rollup, the salted skew
-    # join, the text/embedding curation ops, batch sessionization, the
-    # MAD and CUSUM anomaly screens, the FK-orphan audit, containment
-    # dedup, temperature mixing, dim-variance selection, the LSH ANN
-    # planted twin, Bloom decontamination and the degree histogram
-    "scale_bucketed_join_agg", "win_rank_family_by_user",
-    "sketch_quantile_binned", "sketch_kmv_jaccard", "join_salted_skew",
-    "text_tfidf_topterms", "text_vocab_coverage", "embed_quantize_int8",
-    "sessionize_gap_batch", "ts_anomaly_mad",
-    "ts_cusum_drift", "quality_fk_orphans", "dedup_ngram_containment",
-    "mix_temperature_weights", "embed_dim_variance",
-    "ann_lsh_planted_twin", "text_decontaminate_bloom",
-    "stream_quantile_sketch", "graph_degree_distribution",
-    # final r2/r3-stale refresh (27 entries, ledger order) — closes the
-    # backlog the r6 verdict opened
-    "agg_cube_grouping", "pivot_event_counts",
-    "agg_percentiles", "scd2_as_of_read", "unpivot_melt", "dedup_exact",
-    "graph_connected_components", "dedup_ngram_keep_transitive",
-    "dedup_ngram_jaccard", "dedup_embedding_pairs", "ann_bruteforce_topk",
-    "text_stats_quality", "text_token_counts", "text_langid",
-    "multimodal_meta", "multimodal_frames", "stream_sessionize",
-    "llm_curation_pipeline", "text_chunking", "text_pii_scrub",
-    "text_repetition", "stratified_sample_lang", "text_decontaminate",
-    "token_budget_mix", "join_asof_purchase", "join_range_bands",
-    "dedup_lines_c4",
-    # ---- 50-slot waterline (the driver caps here) ----
-    # r9 rotation: the r8 entries that landed after the slots filled
-    # (every one builder-verified green vs DuckDB at sf0.001 + sf0.01 +
-    # sf1 the day it landed — bench_out/VERIFY_full.json and the
-    # sf1_*_r8 logs), then the two NULL-guard multimodal entries, then
-    # the r4-vintage refresh begins:
+    # 48 never-driver-evaluated r8 entries, ledger order
     "sketch_hll_grouped", "stream_kmv_distinct", "sample_bottomk_hash",
     "ts_ohlc_bucket",
     "graph_triangle_count", "sample_weighted_priority", "ts_active_users_7d",
@@ -87,12 +45,20 @@ _PRIORITY = [
     "text_vocab_encode", "scd_snapshot_diff", "ts_lateness_profile",
     "ts_rollup_cascade", "text_word_pmi", "feature_impute_group",
     "feature_target_encode_loo", "sample_class_balanced",
-    "split_temporal_purged", "ml_ols_closed_form", "stream_batch_unified", "agg_mode_per_group",
+    "split_temporal_purged", "ml_ols_closed_form", "stream_batch_unified",
+    "agg_mode_per_group",
     "join_interval_overlap", "multimodal_audio_spectrum",
     "agg_weighted_median", "ts_autocorrelation", "graph_common_neighbors",
-    "stream_ohlc_incremental", "csv_malformed_policy", "funnel_time_to_convert", "dedup_cluster_sizes",
+    "stream_ohlc_incremental", "csv_malformed_policy",
+    "funnel_time_to_convert", "dedup_cluster_sizes",
     "agg_gini_concentration",
+    # slots 49-50: implementation changed in r8 (NULL-payload decode
+    # guard) — their newest driver rows predate the change
     "multimodal_decode_ppm", "multimodal_thumbnail_vec",
+    # ---- 50-slot waterline (the driver caps here) ----
+    # r10 rotation begins: the schema tripwire re-anchors, then the
+    # oldest driver evidence (r4-vintage) refreshes oldest-first
+    "testdata_schema_smoke",
     "agg_daily_cust", "agg_payment_types", "agg_count_distinct",
     "agg_avg_by_month", "agg_nested_max", "agg_collect_struct_size",
     "count_actions",

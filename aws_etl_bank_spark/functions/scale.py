@@ -945,7 +945,12 @@ def kmv_hash(key: Column) -> Column:
 def kmv_sketch(df: DataFrame, key_col: str, k: int = 128) -> DataFrame:
     """The k smallest DISTINCT hash values of ``key_col`` — a KMV
     (bottom-k) cardinality sketch (Bar-Yossef et al. 2002).  Distinct
-    estimate: ``(k-1)·P/h_k`` when the sketch is full, EXACT otherwise.
+    estimate: ``(k-1)·P/h_k`` when the sketch is full; below k it is
+    exact only up to hash collisions — the sketch dedups HASHES in
+    [0, P) with P = 1,000,003, so two distinct keys colliding under
+    the quadratic hash undercount by one (probability ≈ n²/2P: already
+    non-negligible once distinct keys reach a few thousand).  Oracle
+    fixtures must not rely on sub-k exactness at that scale.
 
     Unlike HLL this sketch supports set INTERSECTION: the k smallest of
     a union of sketches is the union's sketch, and Jaccard is estimated
@@ -959,8 +964,9 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = 128) -> DataFrame:
 
 def kmv_estimate(sketch: DataFrame, k: int = 128) -> DataFrame:
     """One row: ``n_kept`` hashes in the sketch and the cardinality
-    ``estimate`` — ``(k-1)·P/max_h`` in the full regime, the exact
-    ``n_kept`` when the input had fewer than k distinct keys."""
+    ``estimate`` — ``(k-1)·P/max_h`` in the full regime; below k it
+    returns ``n_kept``, which equals the true distinct count only up
+    to hash collisions (see :func:`kmv_sketch`)."""
     agg = sketch.agg(F.count(F.lit(1)).alias("n_kept"),
                      F.max("h").alias("max_h"))
     est = F.when(

@@ -1159,10 +1159,17 @@ def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
         F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
         "n_common", F.col("sz_b").alias("sz_src"),
     ))
+    # Filter on the UNROUNDED ratio (IEEE int/int division is exact, so
+    # Spark and a SQL oracle agree bit-for-bit at the threshold); the
+    # rounded form is output-only, with the house 1e-9 half-tie nudge
+    # (same convention as decontaminate/quality_score).  Filtering on
+    # the rounded value admitted raw containment in [0.79995, 0.8) that
+    # a raw-ratio oracle rejects.
     return (directed
+            .withColumn("__raw", F.col("n_common") / F.col("sz_src"))
+            .filter(F.col("__raw") >= threshold)
             .withColumn("containment",
-                        F.round(F.col("n_common") / F.col("sz_src"), 4))
-            .filter(F.col("containment") >= threshold)
+                        F.round(F.col("__raw") + F.lit(1e-9), 4))
             .select("src", "dst", F.col("n_common").cast("long"),
                     "containment"))
 

@@ -4633,11 +4633,19 @@ def score_psi_drift(spark, sf_dir):
         .otherwise("cur").alias("pop"),
         F.least(F.floor(F.col("value") / 60.0).cast("long"), F.lit(9))
         .alias("bin"))
-    # persist the 20-row (pop, bin) agg: it feeds both the totals
-    # scalar and the spine join — without it the fact scans twice
-    c = e.groupBy("pop", "bin").agg(F.count(F.lit(1)).alias("n")).persist()
-    tots = {r["pop"]: r["tot"] for r in
-            c.groupBy("pop").agg(F.sum("n").alias("tot")).collect()}
+    # Collect the ≤20-row (pop, bin) agg ONCE — it feeds both the
+    # totals scalar and the spine join, and a driver copy of a bounded
+    # histogram is cheaper than persist()-and-forget (the r8 advice:
+    # persisted intermediates leaked for the session's lifetime).  The
+    # 100 TB scan still happens exactly once, distributed.
+    c_rows = (e.groupBy("pop", "bin")
+              .agg(F.count(F.lit(1)).alias("n")).collect())
+    tots: dict[str, int] = {}
+    for row in c_rows:
+        tots[row["pop"]] = tots.get(row["pop"], 0) + row["n"]
+    c = spark.createDataFrame(
+        [(row["pop"], int(row["bin"]), int(row["n"])) for row in c_rows],
+        "pop string, bin long, n long")
     bins = spark.range(10).select(F.col("id").alias("bin"))
     r = (c.filter(F.col("pop") == "ref")
          .select("bin", F.col("n").alias("rn")))

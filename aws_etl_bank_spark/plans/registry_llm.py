@@ -2284,7 +2284,7 @@ directed AS (
   UNION ALL
   SELECT id_b AS src, id_a AS dst, n_common FROM common)
 SELECT src, dst, CAST(n_common AS BIGINT) AS n_common,
-       ROUND(n_common / CAST(sz AS DOUBLE), 4) AS containment
+       ROUND(n_common / CAST(sz AS DOUBLE) + 0.000000001, 4) AS containment
 FROM directed JOIN sizes ON sizes.doc_id = directed.src
 WHERE n_common / CAST(sz AS DOUBLE) >= 0.8""")
 def dedup_ngram_containment(spark, sf_dir):

@@ -147,6 +147,12 @@ def main():
             record[name] = {"status": "excluded"}
             print(f"skip  {name} (excluded)")
             continue
+        # Drop the previous entry's persisted intermediates (a handful
+        # of entries persist() bounded aggs consumed twice — e.g.
+        # text_word_pmi, ts_active_users_7d); in a single-session
+        # 284-entry sweep those caches would otherwise accumulate for
+        # the life of the session (r8 advice).
+        spark.catalog.clearCache()
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
