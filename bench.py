@@ -110,6 +110,27 @@ HEADLINE = [
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def calibration_probe(spark) -> float:
+    """Box-speed calibration: a pinned, CPU-bound, testdata-independent
+    Spark job — 32M synthetic ids through md5→conv→hash-agg on 32
+    partitions — FROZEN FOREVER so `calibration_sec` means the same
+    thing in every round's BENCH artifact.  r8's 48→72 s bench scare
+    was pure box drift and cost a worktree A/B to adjudicate; dividing
+    any two rounds' totals by their calibration ratio settles it from
+    the JSON alone.  Reported: median of 3 after one warmup."""
+    df = (spark.range(0, 32_000_000, 1, 32)
+          .selectExpr("id % 9973 AS k",
+                      "conv(substring(md5(cast(id AS string)),1,15),16,10)"
+                      " AS h")
+          .groupBy("k").agg({"h": "sum"}))
+    times = []
+    for i in range(4):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    return round(sorted(times[1:])[1], 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -148,6 +169,7 @@ def main():
         timings[name] = round(ts[len(ts) // 2], 3)
         spread[name] = round(ts[-1] - ts[0], 3)
     total = round(sum(timings.values()), 3)
+    calibration = calibration_probe(spark)
     full = {
         "metric": "headline_total_runtime",
         "value": total,
@@ -157,6 +179,7 @@ def main():
         "samples": {n: [round(t, 3) for t in ts] for n, ts in samples.items()},
         "runs": RUNS,
         "sf": float(sf),
+        "calibration_sec": calibration,
     }
     # Full result (per-query samples + spreads) goes to a repo file: the
     # driver's stdout tail capture is ~2000 chars and r5's line outgrew
@@ -174,6 +197,7 @@ def main():
         "queries": timings,
         "runs": RUNS,
         "sf": float(sf),
+        "calibration_sec": calibration,
     }, separators=(",", ":")))
 
 
