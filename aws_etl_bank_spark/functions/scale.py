@@ -1091,3 +1091,108 @@ def heavy_hitters_topk(df: DataFrame, key_col: str, k: int = 20,
              .agg(F.count(F.lit(1)).alias("cnt")))
     return (exact.orderBy(F.desc("cnt"), key_col).limit(k)
             .select(key_col, F.col("cnt").cast("long").alias("cnt")))
+
+
+def bucketed_global_rank(df: DataFrame, score: Column | str,
+                         tie_cols: list[str], out_col: str = "rank",
+                         descending: bool = False, n_buckets: int = 4096,
+                         cache: bool = True) -> DataFrame:
+    """EXACT global ``row_number() OVER (ORDER BY score [DESC],
+    tie_cols…)`` without a single-partition sort — the rank-assignment
+    sibling of :func:`top_fraction`'s selection (same two-pass
+    histogram idea, r8 verdict items 3-4).
+
+    A plain ``Window.orderBy(...)`` funnels the whole frame through ONE
+    task: fine for a bounded dimension, a wall for an
+    unbounded-cardinality frame (hundreds of millions of customers).
+    Here:
+
+    1. one aggregation pass takes (min, max, n) of the score;
+    2. each row is bucketed into an equi-width histogram cell (cells
+       ordered like the target sort order); the per-cell counts
+       (≤ ``n_buckets`` rows) come to the driver once and prefix-sum
+       into per-cell rank OFFSETS, broadcast back as a k-row join;
+    3. ``row_number()`` runs PER CELL — ``partitionBy(cell)`` — so the
+       sort is n/n_buckets-sized and embarrassingly parallel; the
+       global rank is offset + local rank.
+
+    Exactness: the cell index is a monotone function of the score (the
+    double cast used for bucketing is order-preserving for int64 up to
+    2^53 and for dates-as-days always), so cell order == score order
+    and within-cell ranking by the ORIGINAL typed column (never the
+    cast) breaks ties exactly like the corpus-wide window would.
+    Degenerate all-equal scores collapse to one cell — then tie_cols
+    carry the whole order and the single window is the documented
+    exception, same as :func:`top_fraction`.
+
+    ``(score, *tie_cols)`` must be unique for the rank to be
+    deterministic.  ``cache=True`` persists the input MEMORY_AND_DISK
+    across the three passes (stats, histogram, final) — required when
+    the upstream is nondeterministic, cheaper always; the caller (or
+    the verify harness's ``clearCache``) releases it after
+    materialization.  Pass ``cache=False`` when the caller already
+    persisted ``df``.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    s = F.col(score) if isinstance(score, str) else score
+    tagged_src = df.withColumn("__bgr_s", s)
+    if cache:
+        tagged_src = tagged_src.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = tagged_src.agg(
+        F.min("__bgr_s").alias("lo"), F.max("__bgr_s").alias("hi"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if n == 0:
+        return (tagged_src.withColumn(out_col, F.lit(None).cast("long"))
+                .drop("__bgr_s"))
+    if lo == hi:
+        cell = F.lit(0).cast("int")
+        n_buckets = 1
+    else:
+        lo_d, hi_d = float(lo), float(hi)
+        width = (hi_d - lo_d) / n_buckets
+        raw = F.floor((F.col("__bgr_s").cast("double") - F.lit(lo_d))
+                      / F.lit(width))
+        idx = F.least(raw, F.lit(n_buckets - 1)).cast("int")
+        cell = (F.lit(n_buckets - 1) - idx) if descending else idx
+    tagged = tagged_src.withColumn("__bgr_b", cell)
+    hist = {r["b"]: r["c"] for r in
+            tagged.select(F.col("__bgr_b").alias("b")).groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, cum = [], 0
+    for b in range(n_buckets):
+        c = hist.get(b, 0)
+        if c:
+            offsets.append((b, cum))
+            cum += c
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__bgr_b int, __bgr_off long")
+    order = [F.col("__bgr_s").desc() if descending
+             else F.col("__bgr_s").asc()]
+    order += [F.col(t).asc() for t in tie_cols]
+    w = Window.partitionBy("__bgr_b").orderBy(*order)
+    return (tagged.join(F.broadcast(off_df), "__bgr_b")
+            .withColumn(out_col,
+                        (F.col("__bgr_off")
+                         + F.row_number().over(w)).cast("long"))
+            .drop("__bgr_b", "__bgr_off", "__bgr_s"))
+
+
+def ntile_from_rank(rank_col: Column, n: int, k: int) -> Column:
+    """SQL ``ntile(k)`` as a pure expression of the global rank and the
+    row count — the first ``n % k`` tiles get ``ceil(n/k)`` rows, the
+    rest ``floor(n/k)`` (the ANSI definition both Spark and DuckDB
+    implement).  With :func:`bucketed_global_rank` supplying the rank,
+    quantile bucketing needs no unpartitioned ntile window at all."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    q, r = divmod(n, k)
+    if q == 0:
+        # fewer rows than tiles: tile i gets row i
+        return rank_col.cast("int")
+    split = r * (q + 1)
+    big = F.floor((rank_col - 1) / F.lit(q + 1)) + 1
+    small = F.lit(r) + F.floor((rank_col - F.lit(split) - 1) / F.lit(q)) + 1
+    return F.when(rank_col <= F.lit(split), big).otherwise(small).cast("int")
