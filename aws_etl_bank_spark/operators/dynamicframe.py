@@ -571,22 +571,26 @@ class DynamicFrame:
                 schema = ", ".join(f"col{i} STRING" for i in range(n))
             df = self._df.withColumn(path, F.from_csv(F.col(path), schema, {"sep": sep}))
         elif fmt == "avro":
-            # the python wrapper always imports; jar absence surfaces as
-            # AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE at expression build,
-            # so the gate must catch that, not ImportError
-            from pyspark.sql.avro.functions import from_avro
             if schema is None:
                 raise ValueError("avro unbox requires an explicit jsonFormatSchema")
+            # Prefer the JVM expression when the spark-avro package is on
+            # the classpath (codegen, zero Python); the bundled pyspark
+            # distribution omits that jar, so fall back to the in-repo
+            # Arrow-batched pure-Python datum decoder (sources/avro.py)
+            # — same jsonFormatSchema contract, same NULL-on-malformed
+            # policy as the json/csv paths.
+            df = None
             try:
+                from pyspark.sql.avro.functions import from_avro
                 df = self._df.withColumn(path, from_avro(F.col(path), schema))
+                df.schema  # forces expression resolution (jar gate)
             except Exception as e:
-                if "AVRO_NOT_LOADED" in str(e):
-                    raise NotImplementedError(
-                        "avro unbox requires the spark-avro package on the "
-                        "session classpath (pyspark's bundled distribution "
-                        "omits it; add --packages org.apache.spark:spark-avro)"
-                    ) from e
-                raise
+                if "AVRO_NOT_LOADED" not in str(e):
+                    raise
+                df = None
+            if df is None:
+                from aws_etl_bank_spark.sources.avro import from_avro_datum
+                df = from_avro_datum(self._df, path, schema, out_col=path)
         else:
             raise ValueError(f"unbox: unsupported format {format!r}")
         return self._with_df(df)

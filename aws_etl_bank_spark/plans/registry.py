@@ -5870,3 +5870,66 @@ def agg_gini_concentration_hist(spark, sf_dir):
             - (F.col("n").cast("double") + 1.0) / F.col("n"))
     return s.select(F.col("n").cast("long").alias("n"),
                     (F.round(gini, 6) + 0).alias("gini"))
+
+
+@q("src_avro_datum_roundtrip", """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 10 = 0""")
+def src_avro_datum_roundtrip(spark, sf_dir):
+    """Avro DATUM encode→decode roundtrip over the orders slice — the
+    Kafka/Glue ``unbox(format="avro")`` surface, newly REAL in this
+    sandbox: spark-avro's jar is absent, so sources/avro.py implements
+    the binary datum codec in pure Python (cross-checked byte-for-byte
+    against the org.apache.avro JVM reference in tests/test_avro.py)
+    and runs it Arrow-batched inside mapInPandas.  Each row serializes
+    to schema-less avro bytes, then decodes back through the same
+    jsonFormatSchema contract ``from_avro`` uses; the oracle sees the
+    identity, so any codec asymmetry (zigzag, unions, utf-8 lengths)
+    fails the hash.  Scale shape: two map-only Arrow passes, no
+    shuffle, no driver data."""
+    import json as _json
+
+    from aws_etl_bank_spark.sources.avro import (from_avro_datum,
+                                                 to_avro_datum)
+
+    schema = _json.dumps({
+        "type": "record", "name": "order", "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_custkey", "type": "long"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "o_orderstatus", "type": ["null", "string"]}]})
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 10 == 0)
+         .select("o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderstatus"))
+    enc = to_avro_datum(
+        o, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+        schema, out_col="payload")
+    dec = from_avro_datum(enc.select("payload"), "payload", schema,
+                          out_col="rec")
+    return dec.select(
+        F.col("rec.o_orderkey").alias("o_orderkey"),
+        F.col("rec.o_custkey").alias("o_custkey"),
+        F.col("rec.o_totalprice").alias("o_totalprice"),
+        F.col("rec.o_orderstatus").alias("o_orderstatus"))
+
+
+@q("src_avro_ocf_roundtrip", """
+SELECT s_suppkey, s_nationkey, s_acctbal, s_name
+FROM supplier""")
+def src_avro_ocf_roundtrip(spark, sf_dir):
+    """Avro Object Container File write→read through sources/avro.py:
+    ``write_avro`` emits one deflate-compressed OCF per partition via
+    mapInPandas (distributed, nothing collects), ``read_avro`` lists
+    the files with Spark's built-in binaryFile source and decodes each
+    partition Arrow-batched — per-file parallelism, the same split
+    granularity spark-avro itself achieves on deflate containers.  The
+    oracle is the identity on supplier, so header/metadata/sync-marker
+    or block-framing bugs fail the roundtrip, not just datum bugs."""
+    from aws_etl_bank_spark.sources.avro import read_avro, write_avro
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal", "s_name")
+    path = _scratch(sf_dir, "supplier_ocf")
+    write_avro(s.repartition(4), path, codec="deflate")
+    return read_avro(spark, path)
