@@ -5933,3 +5933,161 @@ def src_avro_ocf_roundtrip(spark, sf_dir):
     path = _scratch(sf_dir, "supplier_ocf")
     write_avro(s.repartition(4), path, codec="deflate")
     return read_avro(spark, path)
+
+
+@q("feature_quantile_normalize", """
+WITH r AS (
+  SELECT event_id, value,
+         row_number() OVER (ORDER BY value, event_id) AS rk
+  FROM events),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r)
+SELECT event_id, value,
+       ROUND((CAST(rk AS DOUBLE) - 1.0)
+             / (CAST(n.n AS DOUBLE) - 1.0), 6) + 0 AS q
+FROM r, n""")
+def feature_quantile_normalize(spark, sf_dir):
+    """Quantile (rank-gauss style) normalization of a feature over the
+    WHOLE corpus — the ML-preprocessing staple that naively needs
+    ``percent_rank() OVER ()``: a single-task window at 100 TB.  Here
+    the exact global rank comes from ``bucketed_global_rank``
+    (functions/scale.py: histogram cells → driver prefix-sum offsets →
+    per-cell row_number), so the output is bit-identical to the SQL
+    window form while every sort stays cell-local.  q = (rank−1)/(n−1)
+    is an IEEE-exact integer division, canon-zero rounded."""
+    from aws_etl_bank_spark.functions.scale import bucketed_global_rank
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = bucketed_global_rank(ev, "value", ["event_id"], out_col="rk")
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (ranked.crossJoin(F.broadcast(n))
+            .select("event_id", "value",
+                    (F.round((F.col("rk").cast("double") - 1.0)
+                             / (F.col("n").cast("double") - 1.0), 6) + 0)
+                    .alias("q")))
+
+
+@q("agg_rollup_hierarchy", """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS lvl,
+       CAST(COUNT(c_custkey) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP(r_name, n_name)""")
+def agg_rollup_hierarchy(spark, sf_dir):
+    """ROLLUP along the region→nation hierarchy (the drill-down
+    companion of ``agg_cube_grouping``'s CUBE): per-nation, per-region
+    subtotal, and grand-total rows in ONE aggregation pass —
+    Catalyst expands the rollup into a single Expand+HashAggregate, so
+    the fact is scanned once however many levels roll up.  The two dims
+    broadcast; money sums in DECIMAL per the exactness rule;
+    grouping_id's bit layout (first rollup column = high bit) matches
+    GROUPING(r)*2+GROUPING(n) on the oracle side."""
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(nat),
+                c["c_nationkey"] == nat["n_nationkey"])
+         .join(F.broadcast(reg),
+               nat["n_regionkey"] == reg["r_regionkey"]))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.grouping_id().cast("int").alias("lvl"),
+                 F.count("c_custkey").alias("n_cust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("total_bal"))
+            .select("r_name", "n_name", "lvl", "n_cust", "total_bal"))
+
+
+@q("label_time_to_event", """
+WITH u AS (
+  SELECT user_id,
+         MIN(ts) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST((epoch_us(CAST(COALESCE(tp, TIMESTAMP '2024-02-01') AS TIMESTAMP))
+             - epoch_us(CAST(t0 AS TIMESTAMP))) AS BIGINT) AS duration_us,
+       (tp IS NOT NULL) AS observed
+FROM u""")
+def label_time_to_event(spark, sf_dir):
+    """Survival-analysis label extraction: per user, the time from
+    first activity to first PURCHASE, right-censored at the horizon
+    (2024-02-01) when no purchase happened — the (duration, observed)
+    pair every churn/conversion hazard model trains on.  One hash-agg
+    over the fact (two conditional MINs — no sessionize, no window);
+    durations are unix_micros integer math (the engine-safe epoch
+    form), never second-truncating timestamp subtraction."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.min("ts").alias("t0"),
+              F.min(F.when(F.col("event_type") == "purchase",
+                           F.col("ts"))).alias("tp")))
+    horizon = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    dur = (F.unix_micros(F.coalesce(F.col("tp").cast("timestamp"), horizon))
+           - F.unix_micros(F.col("t0").cast("timestamp")))
+    return u.select("user_id", dur.cast("long").alias("duration_us"),
+                    F.col("tp").isNotNull().alias("observed"))
+
+
+@q("fraud_round_amount_share", """
+WITH c AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                            % 10000 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_round
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, n_orders, n_round,
+       ROUND(CAST(n_round AS DOUBLE) / n_orders + 0.000000001, 4)
+         AS round_share,
+       (CAST(n_round AS DOUBLE) / n_orders >= 0.3) AS flagged
+FROM c""")
+def fraud_round_amount_share(spark, sf_dir):
+    """Round-amount structuring screen — the AML heuristic that flags
+    customers whose orders cluster on whole-hundred amounts (classic
+    smurfing tell).  Cents via the house ``floor(x·100+0.5)`` money
+    canon make "round" an exact integer predicate; the FLAG compares
+    the raw IEEE-exact ratio (never the rounded rendering — the
+    containment-fix convention), the displayed share gets the 1e-9
+    half-tie nudge.  One hash-agg, map-side combinable."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    c = (o.groupBy("o_custkey")
+         .agg(F.count(F.lit(1)).alias("n_orders"),
+              F.sum(F.when(cents % 10000 == 0, 1).otherwise(0))
+              .cast("long").alias("n_round")))
+    raw = F.col("n_round").cast("double") / F.col("n_orders")
+    return c.select(
+        "o_custkey", "n_orders", "n_round",
+        F.round(raw + F.lit(1e-9), 4).alias("round_share"),
+        (raw >= 0.3).alias("flagged"))
+
+
+@q("agg_partial_merge", """
+SELECT o_custkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2""")
+def agg_partial_merge(spark, sf_dir):
+    """Re-aggregatable partial aggregates — the incremental-pipeline
+    pattern: DAILY (custkey, day) partials roll up to the MONTHLY
+    answer by summing sums and summing counts, proving the partial
+    state is mergeable (what lets a 100 TB daily job feed monthly
+    marts without rescanning the fact; the batch mirror of the
+    streaming OHLC/KMV incremental entries).  The oracle aggregates
+    the fact directly — any non-decomposable leak (an avg taken too
+    early, a count double-merged) breaks the hash.  Cents int64 per
+    the money canon."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.groupBy("o_custkey",
+                       F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                        .cast("long")).alias("cents"),
+                  F.count(F.lit(1)).alias("n")))
+    return (daily.groupBy("o_custkey",
+                          F.trunc("day", "month").alias("month"))
+            .agg(F.sum("cents").cast("long").alias("cents"),
+                 F.sum("n").cast("long").alias("n")))

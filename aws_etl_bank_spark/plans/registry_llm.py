@@ -3206,3 +3206,46 @@ def dedup_cluster_sizes(spark, sf_dir):
                     F.col("n_clusters").cast("long"),
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs")))
+
+
+@q("text_zipf_hapax", r"""
+WITH w AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS wd
+  FROM documents),
+t AS (SELECT lang, wd FROM w WHERE wd <> ''),
+u AS (SELECT lang, wd, COUNT(*) AS c FROM t GROUP BY lang, wd)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_share
+FROM u GROUP BY lang""")
+def text_zipf_hapax(spark, sf_dir):
+    """Per-language vocabulary profile: token/type counts, hapax
+    legomena, type-token ratio and hapax share — the Zipf-tail
+    diagnostics a corpus curator reads before choosing vocab size and
+    min-frequency cuts (a hapax share drifting up across snapshots
+    usually means OCR noise or dedup regression).  Two hash-aggs —
+    (lang, word) then lang — with map-side combine; the same
+    ``split(lower, \\s+), drop empties`` token convention as every
+    text entry.  Ratios are exact int/int divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (docs.select("lang",
+                     F.explode(F.split(F.lower("text"), r"\s+"))
+                     .alias("wd"))
+         .filter(F.col("wd") != ""))
+    u = t.groupBy("lang", "wd").agg(F.count(F.lit(1)).alias("c"))
+    return (u.groupBy("lang")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_hapax"))
+            .select("lang", "n_tokens", "n_types", "n_hapax",
+                    F.round(F.col("n_types").cast("double")
+                            / F.col("n_tokens"), 6)
+                    .alias("type_token_ratio"),
+                    F.round(F.col("n_hapax").cast("double")
+                            / F.col("n_types"), 6)
+                    .alias("hapax_share")))
