@@ -1196,3 +1196,74 @@ def ntile_from_rank(rank_col: Column, n: int, k: int) -> Column:
     big = F.floor((rank_col - 1) / F.lit(q + 1)) + 1
     small = F.lit(r) + F.floor((rank_col - F.lit(split) - 1) / F.lit(q)) + 1
     return F.when(rank_col <= F.lit(split), big).otherwise(small).cast("int")
+
+
+def bucketed_rank_by_group(df: DataFrame, group_cols: list[str],
+                           score: Column | str, tie_cols: list[str],
+                           out_col: str = "rank",
+                           descending: bool = False,
+                           n_buckets: int = 1024,
+                           cache: bool = True) -> DataFrame:
+    """Per-group exact ``row_number() OVER (PARTITION BY group ORDER BY
+    score, ties)`` for UNBOUNDED group cardinality AND unbounded group
+    sizes — the grouped sibling of :func:`bucketed_global_rank`, with
+    one structural upgrade: nothing ever collects to the driver, so
+    billions of groups are as fine as one.
+
+    A plain partitioned window is already parallel ACROSS groups but
+    serial WITHIN one: a hot group (one mega-merchant among millions)
+    still sorts on a single task.  Here, per group:
+
+    1. (min, max) of the score per group — one hash-agg, joined back
+       (both sides shuffle on the group key; AQE co-partitions);
+    2. every row gets an equi-width histogram cell ordered like the
+       target sort; per-(group, cell) counts prefix-sum into rank
+       offsets with a window over AT MOST ``n_buckets`` rows per group
+       — a bounded partition by construction, never data-sized;
+    3. ``row_number`` runs per (group, cell) — the hot group's sort
+       splits across its occupied cells — and the group rank is
+       offset + local rank.
+
+    Same exactness argument as the global form (monotone double cast
+    for cells, original typed column for within-cell order); all-equal
+    scores in a group degenerate to one cell, i.e. exactly the plain
+    partitioned window for that group and no worse.  ``(group, score,
+    *tie_cols)`` must be unique.  ``cache=True`` persists the
+    cell-tagged frame MEMORY_AND_DISK across the counting and ranking
+    consumers (release via ``clearCache`` after materialization)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    s = F.col(score) if isinstance(score, str) else score
+    tagged = df.withColumn("__bgr_s", s)
+    stats = (tagged.groupBy(*group_cols)
+             .agg(F.min("__bgr_s").alias("__bgr_lo"),
+                  F.max("__bgr_s").alias("__bgr_hi")))
+    t = tagged.join(stats, group_cols)
+    width = ((F.col("__bgr_hi").cast("double")
+              - F.col("__bgr_lo").cast("double")) / F.lit(n_buckets))
+    raw = F.floor((F.col("__bgr_s").cast("double")
+                   - F.col("__bgr_lo").cast("double")) / width)
+    idx = (F.when(F.col("__bgr_lo") == F.col("__bgr_hi"), F.lit(0))
+           .otherwise(F.least(raw, F.lit(n_buckets - 1)))).cast("int")
+    cell = (F.lit(n_buckets - 1) - idx) if descending else idx
+    t = t.withColumn("__bgr_b", cell).drop("__bgr_lo", "__bgr_hi")
+    if cache:
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (t.groupBy(*group_cols, "__bgr_b")
+              .agg(F.count(F.lit(1)).alias("__bgr_c")))
+    w_off = (Window.partitionBy(*group_cols).orderBy("__bgr_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        *group_cols, "__bgr_b",
+        F.coalesce(F.sum("__bgr_c").over(w_off), F.lit(0))
+        .alias("__bgr_off"))
+    order = [F.col("__bgr_s").desc() if descending
+             else F.col("__bgr_s").asc()]
+    order += [F.col(c).asc() for c in tie_cols]
+    w = Window.partitionBy(*group_cols, "__bgr_b").orderBy(*order)
+    return (t.join(offsets, [*group_cols, "__bgr_b"])
+            .withColumn(out_col,
+                        (F.col("__bgr_off")
+                         + F.row_number().over(w)).cast("long"))
+            .drop("__bgr_b", "__bgr_off", "__bgr_s"))

@@ -6091,3 +6091,100 @@ def agg_partial_merge(spark, sf_dir):
                           F.trunc("day", "month").alias("month"))
             .agg(F.sum("cents").cast("long").alias("cents"),
                  F.sum("n").cast("long").alias("n")))
+
+
+@q("feature_quantile_normalize_grouped", """
+WITH r AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_id, event_type, value,
+       ROUND((CAST(rk AS DOUBLE) - 1.0)
+             / (CAST(n AS DOUBLE) - 1.0), 6) + 0 AS q
+FROM r""")
+def feature_quantile_normalize_grouped(spark, sf_dir):
+    """PER-GROUP quantile normalization (value → within-event-type
+    quantile) via ``bucketed_rank_by_group`` (functions/scale.py): the
+    grouped rank machinery where per-group histogram offsets
+    prefix-sum in a ≤n_buckets-row window and row_number runs per
+    (group, cell) — so a HOT group's sort splits across its cells
+    instead of serializing one task, and NOTHING collects to the
+    driver (billions of groups are fine).  Group sizes come from the
+    same cell counts at zero extra cost.  Bit-identical to the
+    PARTITION BY window form the oracle runs."""
+    from pyspark.sql import Window as W
+
+    from aws_etl_bank_spark.functions.scale import bucketed_rank_by_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    ranked = bucketed_rank_by_group(ev, ["event_type"], "value",
+                                    ["event_id"], out_col="rk")
+    n = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    return (ranked.join(n, "event_type")
+            .select("event_id", "event_type", "value",
+                    (F.round((F.col("rk").cast("double") - 1.0)
+                             / (F.col("n").cast("double") - 1.0), 6) + 0)
+                    .alias("q")))
+
+
+@q("win_dist_family_by_user", """
+SELECT event_id, user_id,
+       ROUND(percent_rank() OVER w + 0.000000001, 6) AS pr,
+       ROUND(cume_dist() OVER w + 0.000000001, 6) AS cd,
+       CAST(ntile(3) OVER w AS INT) AS tercile,
+       first_value(event_id) OVER w AS first_ev,
+       nth_value(event_id, 2) OVER w AS second_ev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""")
+def win_dist_family_by_user(spark, sf_dir):
+    """The DISTRIBUTION window family (§2.5 completion next to the
+    rank/lead-lag family entry): percent_rank, cume_dist, ntile,
+    first_value and nth_value over per-user frames — one Window node,
+    one shuffle on user_id, every function sharing the same sort.
+    percent_rank/cume_dist are exact small-int divisions; the 1e-9
+    half-tie nudge canon applies to their 6-decimal rendering.
+    nth_value uses the default frame (unbounded preceding → current
+    row) on BOTH engines, so rows before the 2nd of their user are
+    NULL — frame semantics, not a quirk."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("pr"),
+        F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("cd"),
+        F.ntile(3).over(w).cast("int").alias("tercile"),
+        F.first("event_id").over(w).alias("first_ev"),
+        F.nth_value("event_id", 2).over(w).alias("second_ev"))
+
+
+@q("maintenance_compact_small_files", """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier""")
+def maintenance_compact_small_files(spark, sf_dir):
+    """Small-files compaction — the table-maintenance chore every
+    100 TB lake runs nightly: a fragmented write (64 shards of a
+    supplier snapshot — the many-small-files pathology that slows
+    every downstream scan's task scheduling and footer reads) is
+    compacted by a size-targeted coalesce (ceil(bytes/128 MiB),
+    floor 1: coalesce NARROWS — no shuffle, files merge within
+    executors) and read back.  The oracle is the identity, so a
+    dropped or duplicated row in either write fails the hash; the
+    file counts before/after are asserted in tests, not here, to keep
+    the result deterministic."""
+    import math
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    frag_path = _scratch(sf_dir, "supplier_fragmented")
+    s.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    total_bytes = sum(
+        f.stat().st_size for f in os.scandir(frag_path)
+        if f.name.endswith(".parquet"))
+    target = max(1, math.ceil(total_bytes / (128 * 1024 * 1024)))
+    out_path = _scratch(sf_dir, "supplier_compacted")
+    frag.coalesce(target).write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

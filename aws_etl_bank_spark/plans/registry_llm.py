@@ -3249,3 +3249,52 @@ def text_zipf_hapax(spark, sf_dir):
                     F.round(F.col("n_hapax").cast("double")
                             / F.col("n_types"), 6)
                     .alias("hapax_share")))
+
+
+@q("text_lang_vocab_overlap", r"""
+WITH w AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS wd
+  FROM documents),
+v AS (SELECT DISTINCT lang, wd FROM w WHERE wd <> ''),
+sz AS (SELECT lang, COUNT(*) AS n FROM v GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_common
+  FROM v a JOIN v b ON a.wd = b.wd AND a.lang < b.lang
+  GROUP BY 1, 2)
+SELECT lang_a, lang_b, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.lang = lang_a
+JOIN sz sb ON sb.lang = lang_b""")
+def text_lang_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between language sub-corpora — the
+    cross-lingual contamination / code-switching diagnostic (an en↔fr
+    vocab overlap spiking after an ingest usually means mislabeled
+    languages, not shared words).  Same postings shape as the dedup
+    family: ONE distinct (lang, word) frame, word-keyed equi-join
+    emits each unordered language pair once per shared word, then
+    set-algebra |A∩B|/(|A|+|B|−|A∩B|) in exact int64 with one exact
+    division at the end.  Language count is small but the plan never
+    relies on it — the join is word-keyed, not lang²."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = (docs.select("lang",
+                     F.explode(F.split(F.lower("text"), r"\s+"))
+                     .alias("wd"))
+         .filter(F.col("wd") != "").distinct())
+    sz = v.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("lang").alias("lang_a"), "wd")
+    b = v.select(F.col("lang").alias("lang_b"), "wd")
+    inter = (a.join(b, "wd")
+             .filter(F.col("lang_a") < F.col("lang_b"))
+             .groupBy("lang_a", "lang_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sz.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb"))
+    return (inter.join(F.broadcast(sa), "lang_a")
+            .join(F.broadcast(sb), "lang_b")
+            .select("lang_a", "lang_b",
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("na") + F.col("nb")
+                               - F.col("n_common")), 6).alias("jaccard")))

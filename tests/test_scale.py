@@ -812,3 +812,50 @@ def test_ntile_from_rank_matches_spark_ntile(spark):
             Window.orderBy("rk")).cast("int").alias("t"))
         assert sorted(map(tuple, got.collect())) \
             == sorted(map(tuple, exp.collect())), (n, k)
+
+
+def test_bucketed_rank_by_group_matches_partitioned_window(spark):
+    """Grouped bucketed rank == row_number() OVER (PARTITION BY g ORDER
+    BY ...) — mixed group sizes, both directions, plus an all-equal-
+    scores group (the one-cell degenerate case)."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from aws_etl_bank_spark.functions.scale import bucketed_rank_by_group
+
+    random.seed(13)
+    rows = [(i, random.randint(0, 6), random.randint(0, 25))
+            for i in range(1500)]
+    rows += [(1500 + j, 99, 5) for j in range(40)]   # all-equal group
+    df = spark.createDataFrame(rows, "id long, g int, v long")
+    for desc in (False, True):
+        got = bucketed_rank_by_group(df, ["g"], "v", ["id"],
+                                     out_col="rk", descending=desc,
+                                     n_buckets=16)
+        w = Window.partitionBy("g").orderBy(
+            F.col("v").desc() if desc else F.col("v").asc(), "id")
+        exp = df.withColumn("rk", F.row_number().over(w).cast("long"))
+        assert sorted(map(tuple, got.select("id", "g", "rk").collect())) \
+            == sorted(map(tuple, exp.select("id", "g", "rk").collect()))
+        spark.catalog.clearCache()
+
+
+def test_compaction_reduces_file_count(spark):
+    """The maintenance entry's observable: 64 fragments in, a
+    size-targeted handful out (tiny table → exactly 1), data identical."""
+    import os
+
+    import aws_etl_bank_spark.plans.registry_llm  # noqa: F401
+    from aws_etl_bank_spark.plans.registry import REGISTRY, _scratch
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["maintenance_compact_small_files"].fn(spark, sf)
+    n_rows = out.count()
+    frag = _scratch(sf, "supplier_fragmented")
+    comp = _scratch(sf, "supplier_compacted")
+    n_frag = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    n_comp = sum(1 for f in os.listdir(comp) if f.endswith(".parquet"))
+    assert n_rows == 10
+    assert n_frag > n_comp == 1
