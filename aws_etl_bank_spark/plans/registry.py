@@ -6188,3 +6188,71 @@ def maintenance_compact_small_files(spark, sf_dir):
     out_path = _scratch(sf_dir, "supplier_compacted")
     frag.coalesce(target).write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+@q("ts_rolling_median_k7", """
+WITH l AS (
+  SELECT event_id, user_id, ts, value,
+         list_sort(list(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING
+                                              AND CURRENT ROW)) AS win
+  FROM events)
+SELECT event_id, user_id,
+       CAST(len(win) AS INT) AS k,
+       CAST(win[(len(win) + 1) // 2] AS DOUBLE) AS rolling_median
+FROM l""")
+def ts_rolling_median_k7(spark, sf_dir):
+    """Rolling LOWER median of the last ≤7 events per user — the
+    robust-smoothing alternative to the rolling mean every
+    fraud/telemetry screen wants (one outlier can't move it).  Spark
+    has no percentile over sliding frames, but a BOUNDED frame makes
+    the array form exact and cheap: collect_list over the 7-row frame,
+    array_sort, pick element (k+1)/2 — per-row work is O(k log k) with
+    k pinned at 7, and the only shuffle is the user_id window's.  The
+    lower median is a VALUE PICK, never interpolation arithmetic, so
+    both engines agree bit-for-bit on doubles (the rank-picked canon
+    from the percentile entries)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, 0))
+    arr = F.array_sort(F.collect_list("value").over(w))
+    k = F.size(arr)
+    return (ev.select(
+        "event_id", "user_id", arr.alias("win"), k.alias("k"))
+        .select("event_id", "user_id", F.col("k").cast("int").alias("k"),
+                F.element_at("win", F.floor((F.col("k") + 1) / 2)
+                             .cast("int"))
+                .cast("double").alias("rolling_median")))
+
+
+@q("quality_k_anonymity", """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS grp_n
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(grp_n) AS BIGINT) AS min_group,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS n_below_k,
+       ROUND(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+             / CAST(SUM(grp_n) AS DOUBLE) + 0.000000001, 6)
+         AS share_below_k
+FROM g""")
+def quality_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier — the privacy gate a bank runs before sharing a
+    dataset: how many customers sit in equivalence classes smaller
+    than k=5 (each one re-identifiable by the QI combination alone).
+    Two hash-aggs — QI-class counts, then a 1-row scorecard — the
+    100 TB scan reduces immediately; share rendered with the house
+    nudge-round."""
+    c = load_table(spark, sf_dir, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count(F.lit(1)).alias("grp_n")))
+    below = F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("grp_n").cast("long").alias("min_group"),
+        F.sum(below).cast("long").alias("n_below_k"),
+        F.round(F.sum(below).cast("double") / F.sum("grp_n")
+                + F.lit(1e-9), 6).alias("share_below_k"))

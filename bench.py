@@ -102,6 +102,14 @@ HEADLINE = [
     # (bit_or/popcount + bitmap-AND retention join)
     "dedup_substring_remove",
     "scale_bitmap_retention",
+    # r09 additions: the histogram-bucketed exact-rank machinery in its
+    # global and grouped forms (quantile normalization over 1 M events —
+    # the no-single-task-sort replacement for percent_rank() OVER ()),
+    # and the pure-Python Avro datum codec roundtrip (Arrow-batched
+    # mapInPandas throughput, the one deliberate Python-path headline)
+    "feature_quantile_normalize",
+    "feature_quantile_normalize_grouped",
+    "src_avro_datum_roundtrip",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
