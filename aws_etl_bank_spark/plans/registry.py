@@ -6256,3 +6256,98 @@ def quality_k_anonymity(spark, sf_dir):
         F.sum(below).cast("long").alias("n_below_k"),
         F.round(F.sum(below).cast("double") / F.sum("grp_n")
                 + F.lit(1e-9), 6).alias("share_below_k"))
+
+
+@q("stream_avro_ingest", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events GROUP BY event_type""")
+def stream_avro_ingest(spark, sf_dir):
+    """Streaming ingest of Avro DATUM payloads — the Kafka topology
+    every bank runs (schema-less avro value bytes per message),
+    minus the broker: events serialize to avro payload files (our
+    pure-Python codec, sources/avro.py), a file stream replays them
+    in micro-batches, and each batch decodes via ``from_avro_datum``
+    inside foreachBatch before appending to the bronze sink.  The
+    oracle aggregates the ORIGINAL table, so the equality proves the
+    encode→stream→decode loop is lossless end-to-end, micro-batch
+    boundaries included.  Decode is Arrow-batched per micro-batch;
+    nothing corpus-sized crosses the driver."""
+    import json as _json
+    import time as _time
+
+    from aws_etl_bank_spark.sources.avro import (from_avro_datum,
+                                                 to_avro_datum)
+    from aws_etl_bank_spark.streaming import for_each_batch
+
+    schema = _json.dumps({
+        "type": "record", "name": "ev", "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": ["null", "string"]},
+            {"name": "value", "type": "double"}]})
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    src = _scratch(sf_dir, "avro_stream_src")
+    (to_avro_datum(ev, ["event_id", "event_type", "value"], schema,
+                   out_col="payload")
+     .select("payload").repartition(3)
+     .write.mode("overwrite").parquet(src))
+    sink = _scratch(sf_dir, f"avro_stream_sink_{int(_time.time() * 1000)}")
+
+    def handle(batch_df, batch_id):
+        dec = from_avro_datum(batch_df, "payload", schema, out_col="rec")
+        (dec.select(F.col("rec.event_type").alias("event_type"),
+                    F.col("rec.value").alias("value"))
+         .write.mode("append").parquet(sink))
+
+    stream = (spark.readStream.schema("payload binary")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    for_each_batch(stream, handle, {
+        "windowSize": "1 seconds",
+        "checkpointLocation": _scratch(
+            sf_dir, f"avro_stream_ckpt_{int(_time.time() * 1000)}"),
+        "availableNow": True,
+    })
+    out = spark.read.parquet(sink)
+    return (out.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                 .cast("long").alias("cents")))
+
+
+@q("catalog_analyze_columns", """
+WITH s AS (
+  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders)
+SELECT col, CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv
+FROM s GROUP BY col""")
+def catalog_analyze_columns(spark, sf_dir):
+    """ANALYZE-style column statistics (non-null count + exact NDV per
+    column) — what a catalog's cost-based optimizer feeds on and what
+    every data-quality dashboard trends.  ONE scan: ``stack`` unpivots
+    the four profiled columns to (col, value) rows — versus the naive
+    four-count-distinct aggregate, whose Expand inflates the SHUFFLE
+    by the column count too; here the expand feeds a map-side-combined
+    (col, v) dedup agg, so the exchange carries distinct values only.
+    Discrete columns keyed as strings (injective render — doubles are
+    deliberately absent: their engine-specific rendering isn't)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(F.expr(
+        "stack(4, 'o_orderkey', CAST(o_orderkey AS STRING), "
+        "'o_custkey', CAST(o_custkey AS STRING), "
+        "'o_orderstatus', o_orderstatus, "
+        "'o_orderpriority', o_orderpriority) AS (col, v)"))
+    d = s.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    return (d.groupBy("col")
+            .agg(F.sum(F.when(F.col("v").isNotNull(), F.col("c"))
+                       .otherwise(0)).cast("long").alias("n_nonnull"),
+                 F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("ndv")))
