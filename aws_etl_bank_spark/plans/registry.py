@@ -6351,3 +6351,66 @@ def catalog_analyze_columns(spark, sf_dir):
                        .otherwise(0)).cast("long").alias("n_nonnull"),
                  F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
                  .cast("long").alias("ndv")))
+
+
+@q("join_null_safe_equi", """
+WITH l AS (
+  SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k,
+         c_name
+  FROM customer)
+SELECT l.k, l.n_orders, r.c_name
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""")
+def join_null_safe_equi(spark, sf_dir):
+    """NULL-safe equi-join (``<=>`` / IS NOT DISTINCT FROM) — the
+    join every late-arriving-dimension pipeline needs when "unknown"
+    keys must MATCH each other instead of silently dropping (a plain
+    equi-join's NULL never equals NULL).  Spark plans ``<=>`` as a
+    hash-join key like any other (NULLs hash to one partition — which
+    is also why the null group is the canonical skew key at 100 TB:
+    the aggregate-before-join here keeps it one row on the left).
+    Oracle: the same join under DuckDB's IS NOT DISTINCT FROM."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    null_if = lambda col: F.when(F.col(col) % 97 == 0,  # noqa: E731
+                                 F.lit(None)).otherwise(F.col(col))
+    left = (o.select(null_if("o_custkey").alias("k"))
+            .groupBy("k").agg(F.count(F.lit(1)).cast("long")
+                              .alias("n_orders")))
+    right = c.select(null_if("c_custkey").alias("k"), "c_name")
+    return (left.join(right, left["k"].eqNullSafe(right["k"]))
+            .select(left["k"].alias("k"), "n_orders", "c_name"))
+
+
+@q("ops_schema_merge_evolution", """
+SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS s_acctbal,
+       CAST(NULL AS INTEGER) AS s_nationkey
+FROM supplier
+UNION ALL
+SELECT s_suppkey, CAST(NULL AS VARCHAR), s_acctbal, s_nationkey
+FROM supplier""")
+def ops_schema_merge_evolution(spark, sf_dir):
+    """Schema evolution on read (``mergeSchema``) — the lake reality
+    that a table's files were written by DIFFERENT pipeline versions:
+    generation 1 wrote (suppkey, name), generation 2 added
+    (acctbal, nationkey) and dropped name; a merged read must union
+    the schemas and NULL-pad each generation's missing columns, never
+    error and never silently project to the first footer.  Spark's
+    parquet mergeSchema does exactly that from the file footers alone
+    (no catalog); the oracle constructs the same union explicitly.
+    Footer merging is a driver-side metadata pass over file FOOTERS,
+    not data — at 100 TB you cap it with a catalog schema instead,
+    which is why the entry documents both."""
+    s = load_table(spark, sf_dir, "supplier")
+    base = _scratch(sf_dir, "evolving_table")
+    (s.select("s_suppkey", "s_name")
+     .write.mode("overwrite").parquet(os.path.join(base, "gen=1")))
+    (s.select("s_suppkey", "s_acctbal", "s_nationkey")
+     .write.mode("overwrite").parquet(os.path.join(base, "gen=2")))
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("recursiveFileLookup", "true").parquet(base))
+    return merged.select("s_suppkey", "s_name", "s_acctbal",
+                         "s_nationkey")

@@ -200,29 +200,33 @@ def test_unbox_csv_with_separator(spark):
     assert row["col0"] == "x" and row["col1"] == "7"
 
 
-def test_unbox_avro_gated_or_roundtrips(spark):
-    """Without the spark-avro jar (this sandbox), avro unbox must raise
-    the clean NotImplementedError gate, not Spark's raw analysis error;
-    with the jar present it must parse.  Schema is always required."""
-    import pyspark.sql.functions as F
-    from pyspark.sql.avro.functions import to_avro
+def test_unbox_avro_decodes_via_fallback(spark):
+    """avro unbox must WORK even without the spark-avro jar (r9): the
+    JVM from_avro path is preferred when the package is present, and
+    the in-repo pure-Python datum decoder (sources/avro.py) takes over
+    otherwise — same jsonFormatSchema contract either way.  Schema is
+    always required."""
+    import json
+
+    from aws_etl_bank_spark.sources.avro import encode_datum
 
     df = spark.createDataFrame([(1, "x")], "id long, payload string")
     with pytest.raises(ValueError, match="jsonFormatSchema"):
         DynamicFrame.fromDF(df).unbox("payload", "avro")
-    try:
-        binned = df.select("id", to_avro(F.col("id")).alias("payload"))
-        avro_available = True
-    except Exception:
-        avro_available = False
-    if avro_available:  # pragma: no cover - needs spark-avro on classpath
-        out = DynamicFrame.fromDF(binned).unbox(
-            "payload", "avro", schema='{"type": "long"}').toDF()
-        assert out.collect()[0]["payload"] == 1
-    else:
-        with pytest.raises(NotImplementedError, match="spark-avro"):
-            DynamicFrame.fromDF(df).unbox(
-                "payload", "avro", schema='{"type": "long"}')
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    rows = []
+    for i in range(5):
+        buf = bytearray()
+        encode_datum(buf, {"a": i, "b": f"v{i}"}, schema)
+        rows.append((i, bytearray(buf)))
+    binned = spark.createDataFrame(rows, "id long, payload binary")
+    out = DynamicFrame.fromDF(binned).unbox(
+        "payload", "avro", schema=json.dumps(schema)).toDF()
+    got = sorted((r["id"], r["payload"]["a"], r["payload"]["b"])
+                 for r in out.collect())
+    assert got == [(i, i, f"v{i}") for i in range(5)]
 
 
 def test_relationalize_deterministic_keys(spark):
