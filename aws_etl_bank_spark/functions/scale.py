@@ -1148,7 +1148,7 @@ def bucketed_global_rank(df: DataFrame, score: Column | str,
         return (tagged_src.withColumn(out_col, F.lit(None).cast("long"))
                 .drop("__bgr_s"))
     if lo == hi:
-        cell = F.lit(0).cast("int")
+        base = F.lit(0).cast("int")
         n_buckets = 1
     else:
         lo_d, hi_d = float(lo), float(hi)
@@ -1156,11 +1156,19 @@ def bucketed_global_rank(df: DataFrame, score: Column | str,
         raw = F.floor((F.col("__bgr_s").cast("double") - F.lit(lo_d))
                       / F.lit(width))
         idx = F.least(raw, F.lit(n_buckets - 1)).cast("int")
-        cell = (F.lit(n_buckets - 1) - idx) if descending else idx
+        base = (F.lit(n_buckets - 1) - idx) if descending else idx
+    # NULL scores get a NULL cell — and therefore a NULL rank, the
+    # "not in the ranking universe" semantics (same universe rule as
+    # top_fraction).  Without the guard, F.least's null-SKIPPING (it
+    # returns the non-null argument) would silently file NULL scores
+    # into the extreme cell and hand them real ranks.
+    cell = F.when(F.col("__bgr_s").isNull(), F.lit(None).cast("int")) \
+        .otherwise(base)
     tagged = tagged_src.withColumn("__bgr_b", cell)
     hist = {r["b"]: r["c"] for r in
             tagged.select(F.col("__bgr_b").alias("b")).groupBy("b")
-            .agg(F.count(F.lit(1)).alias("c")).collect()}
+            .agg(F.count(F.lit(1)).alias("c")).collect()
+            if r["b"] is not None}
     offsets, cum = [], 0
     for b in range(n_buckets):
         c = hist.get(b, 0)
@@ -1173,10 +1181,11 @@ def bucketed_global_rank(df: DataFrame, score: Column | str,
              else F.col("__bgr_s").asc()]
     order += [F.col(t).asc() for t in tie_cols]
     w = Window.partitionBy("__bgr_b").orderBy(*order)
-    return (tagged.join(F.broadcast(off_df), "__bgr_b")
-            .withColumn(out_col,
-                        (F.col("__bgr_off")
-                         + F.row_number().over(w)).cast("long"))
+    rank = F.when(F.col("__bgr_b").isNull(), F.lit(None)) \
+        .otherwise(F.col("__bgr_off") + F.row_number().over(w)) \
+        .cast("long")
+    return (tagged.join(F.broadcast(off_df), "__bgr_b", "left")
+            .withColumn(out_col, rank)
             .drop("__bgr_b", "__bgr_off", "__bgr_s"))
 
 
@@ -1244,13 +1253,20 @@ def bucketed_rank_by_group(df: DataFrame, group_cols: list[str],
               - F.col("__bgr_lo").cast("double")) / F.lit(n_buckets))
     raw = F.floor((F.col("__bgr_s").cast("double")
                    - F.col("__bgr_lo").cast("double")) / width)
-    idx = (F.when(F.col("__bgr_lo") == F.col("__bgr_hi"), F.lit(0))
+    # NULL scores → NULL cell → NULL rank (the top_fraction universe
+    # rule); the explicit isNull arm matters because F.least SKIPS
+    # nulls (a NULL score would otherwise land in the extreme cell),
+    # and an all-NULL group's lo==hi comparison is NULL, not true.
+    idx = (F.when(F.col("__bgr_s").isNull(), F.lit(None))
+           .when(F.col("__bgr_lo") == F.col("__bgr_hi"), F.lit(0))
            .otherwise(F.least(raw, F.lit(n_buckets - 1)))).cast("int")
-    cell = (F.lit(n_buckets - 1) - idx) if descending else idx
+    cell = F.when(idx.isNull(), F.lit(None).cast("int")).otherwise(
+        (F.lit(n_buckets - 1) - idx) if descending else idx)
     t = t.withColumn("__bgr_b", cell).drop("__bgr_lo", "__bgr_hi")
     if cache:
         t = t.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = (t.groupBy(*group_cols, "__bgr_b")
+    counts = (t.filter(F.col("__bgr_b").isNotNull())
+              .groupBy(*group_cols, "__bgr_b")
               .agg(F.count(F.lit(1)).alias("__bgr_c")))
     w_off = (Window.partitionBy(*group_cols).orderBy("__bgr_b")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -1262,8 +1278,9 @@ def bucketed_rank_by_group(df: DataFrame, group_cols: list[str],
              else F.col("__bgr_s").asc()]
     order += [F.col(c).asc() for c in tie_cols]
     w = Window.partitionBy(*group_cols, "__bgr_b").orderBy(*order)
-    return (t.join(offsets, [*group_cols, "__bgr_b"])
-            .withColumn(out_col,
-                        (F.col("__bgr_off")
-                         + F.row_number().over(w)).cast("long"))
+    rank = F.when(F.col("__bgr_b").isNull(), F.lit(None)) \
+        .otherwise(F.col("__bgr_off") + F.row_number().over(w)) \
+        .cast("long")
+    return (t.join(offsets, [*group_cols, "__bgr_b"], "left")
+            .withColumn(out_col, rank)
             .drop("__bgr_b", "__bgr_off", "__bgr_s"))

@@ -859,3 +859,36 @@ def test_compaction_reduces_file_count(spark):
     n_comp = sum(1 for f in os.listdir(comp) if f.endswith(".parquet"))
     assert n_rows == 10
     assert n_frag > n_comp == 1
+
+
+def test_bucketed_rank_null_scores_get_null_rank(spark):
+    """NULL scores stay OUT of the ranking universe (NULL rank, row
+    kept) in both rank helpers — F.least's null-skipping would
+    otherwise file them into the extreme cell with a real rank."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from aws_etl_bank_spark.functions.scale import (bucketed_global_rank,
+                                                    bucketed_rank_by_group)
+
+    rows = [(0, 0, None), (1, 0, 5), (2, 0, 3), (3, 1, None),
+            (4, 1, None), (5, 2, 7), (6, 2, 7)]
+    df = spark.createDataFrame(rows, "id long, g int, v int")
+
+    got = bucketed_global_rank(df, "v", ["id"], out_col="rk")
+    by_id = {r["id"]: r["rk"] for r in got.collect()}
+    w = Window.orderBy(F.col("v").asc(), F.col("id"))
+    exp = {r["id"]: r["rk"] for r in
+           df.filter(F.col("v").isNotNull())
+           .withColumn("rk", F.row_number().over(w).cast("long")).collect()}
+    assert {i for i, rk in by_id.items() if rk is None} == {0, 3, 4}
+    assert {i: rk for i, rk in by_id.items() if rk is not None} == exp
+    spark.catalog.clearCache()
+
+    got_g = bucketed_rank_by_group(df, ["g"], "v", ["id"], out_col="rk")
+    by_id_g = {r["id"]: r["rk"] for r in got_g.collect()}
+    assert len(by_id_g) == 7                      # no rows dropped
+    assert {i for i, rk in by_id_g.items() if rk is None} == {0, 3, 4}
+    assert by_id_g[2] == 1 and by_id_g[1] == 2    # group 0 non-null order
+    assert by_id_g[5] == 1 and by_id_g[6] == 2    # tie broken by id
+    spark.catalog.clearCache()
