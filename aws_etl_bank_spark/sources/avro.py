@@ -434,26 +434,32 @@ def read_avro(spark, path: str):
 def write_avro(df, path: str, codec: str = "null",
                schema: dict | None = None) -> None:
     """DataFrame → OCF files, one per partition (the mirror of
-    :func:`read_avro`; distributed via ``foreachPartition``-free
-    mapInPandas so the write parallelizes and nothing collects to the
-    driver).  Column types must map onto avro primitives."""
+    :func:`read_avro`; mapInPandas so the write parallelizes and
+    nothing collects to the driver).  Column types must map onto avro
+    primitives.  ``path`` must be visible to every executor (local
+    mode / NFS — a real cluster sink would go through a Hadoop
+    committer instead, which is the spark-avro jar's job).
+
+    Retry-safe: the part name is the PARTITION id (not a uuid/random),
+    and the bytes land via write-to-temp + atomic rename — a retried
+    task overwrites its own file instead of adding a duplicate."""
     import os
-    import uuid
 
     import pandas as pd
 
     if schema is None:
         schema = spark_schema_to_avro(df.schema)
     os.makedirs(path, exist_ok=True)
-    # overwrite semantics: part names are uuid-fresh per run, so stale
-    # files from a previous write would otherwise survive and duplicate
-    # every row on read-back
+    # overwrite semantics: a previous write's parts would otherwise
+    # survive and duplicate rows on read-back
     for stale in os.listdir(path):
         if stale.endswith(".avro"):
             os.remove(os.path.join(path, stale))
     schema_json = json.dumps(schema, sort_keys=True)
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         sch = json.loads(schema_json)
         recs: list[dict] = []
         for pdf in batches:
@@ -466,9 +472,12 @@ def write_avro(df, path: str, codec: str = "null",
                     clean[k] = v
                 recs.append(clean)
         if recs:
-            name = f"part-{uuid.uuid4().hex}.avro"
-            with open(os.path.join(path, name), "wb") as f:
+            pid = TaskContext.get().partitionId()
+            final = os.path.join(path, f"part-{pid:05d}.avro")
+            tmp = final + f".tmp-{TaskContext.get().taskAttemptId()}"
+            with open(tmp, "wb") as f:
                 f.write(write_ocf_bytes(recs, sch, codec=codec))
+            os.replace(tmp, final)
         yield pd.DataFrame({"files": [1 if recs else 0]})
 
     df.mapInPandas(enc, "files int").agg({"files": "sum"}).collect()
