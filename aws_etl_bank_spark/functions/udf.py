@@ -63,3 +63,59 @@ def week_of_month_udf():
     on the date dim."""
     return F.udf(lambda d: ((d.day - 1) // 7 + 1) if d is not None else None,
                  T.IntegerType())
+
+
+def weighted_cents_udaf():
+    """Arrow-batched GROUPED-AGG pandas UDF (the Python UDAF surface —
+    SURVEY.md §2.12 lists it as the upgrade path the reference never
+    needed): Σ value·weight over exact int64 cents, one whole group per
+    call.  Scale caveat BY CONSTRUCTION: a grouped-agg pandas UDF gets
+    the ENTIRE group as one in-memory series (no partial aggregation,
+    no map-side combine) — use it for bounded groups or genuinely
+    non-decomposable aggregates; anything expressible as built-ins
+    (this one is — its oracle uses SUM(v*w)) should stay JVM-side.
+    int64 arithmetic keeps the result bit-equal to the SQL form
+    regardless of pandas' summation order."""
+    # pandas must be importable from MODULE globals: under
+    # `from __future__ import annotations` the hint is the STRING
+    # 'pd.Series' and pyspark resolves it against the function's
+    # globals, not its closure
+    global pd
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def weighted_cents(v: "pd.Series", w: "pd.Series") -> int:
+        return int((v * w).sum())
+
+    # Spark refuses to mix a grouped-agg pandas UDF with JVM aggregates
+    # in one groupBy (INVALID_PANDAS_UDF_PLACEMENT), so the companion
+    # total is a pandas agg too
+    @F.pandas_udf("long")
+    def int_sum(w: "pd.Series") -> int:
+        return int(w.sum())
+
+    return weighted_cents, int_sum
+
+
+def sentence_split_udtf():
+    """Python UDTF (table function — the other §2.12 upgrade path):
+    one text row in, one row PER SENTENCE out with its index and word
+    count.  Runs Arrow-batched per partition like any generator; the
+    lateral join keeps it distributed (no collect, no explode of a
+    driver-built array).  Sentence convention: split on '.' + trailing
+    whitespace, drop empties; words = whitespace split — both mirrored
+    verbatim by the DuckDB oracle."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_words int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            pieces = [p for p in re.split(r"\.\s+", text) if p]
+            for i, s in enumerate(pieces):
+                yield i, s, len([w for w in s.split() if w])
+
+    return SentenceSplit

@@ -6414,3 +6414,75 @@ def ops_schema_merge_evolution(spark, sf_dir):
               .option("recursiveFileLookup", "true").parquet(base))
     return merged.select("s_suppkey", "s_name", "s_acctbal",
                          "s_nationkey")
+
+
+@q("udaf_grouped_weighted_mean", """
+WITH w AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_id % 5 + 1 AS wt
+  FROM events)
+SELECT event_type,
+       CAST(SUM(cents * wt) AS BIGINT) AS ws,
+       CAST(SUM(wt) AS BIGINT) AS tw,
+       ROUND(CAST(SUM(cents * wt) AS DOUBLE) / SUM(wt), 6) AS wmean_cents
+FROM w GROUP BY event_type""")
+def udaf_grouped_weighted_mean(spark, sf_dir):
+    """The Python UDAF surface (grouped-agg pandas UDF, §2.12's
+    documented upgrade path) doing a weighted mean over exact int64
+    cents — the weighted sum flows through the Arrow UDAF, the weight
+    total through a built-in SUM in the SAME aggregation, and the mean
+    is one IEEE-exact division.  The oracle computes the identical
+    SUM(v·w)/SUM(w) natively: equality proves the UDAF path is exact,
+    and the docstring (functions/udf.py) records why built-ins win
+    when the aggregate IS decomposable — a grouped-agg UDF sees the
+    whole group in memory, no map-side combine."""
+    from aws_etl_bank_spark.functions.udf import weighted_cents_udaf
+
+    wc, int_sum = weighted_cents_udaf()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        (F.col("event_id") % 5 + 1).alias("wt"))
+    return (ev.groupBy("event_type")
+            .agg(wc("cents", "wt").alias("ws"),
+                 int_sum("wt").alias("tw"))
+            .select("event_type", "ws", "tw",
+                    F.round(F.col("ws").cast("double") / F.col("tw"), 6)
+                    .alias("wmean_cents")))
+
+
+@q("udtf_sentence_split", r"""
+WITH p AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\.\s+'),
+                     x -> x <> '') AS pieces
+  FROM documents WHERE doc_id % 20 = 0),
+s AS (
+  SELECT doc_id,
+         unnest(pieces) AS sentence,
+         CAST(unnest(range(len(pieces))) AS INT) AS sent_idx
+  FROM p)
+SELECT doc_id, sent_idx, sentence,
+       CAST(len(list_filter(string_split_regex(sentence, '\s+'),
+                            w -> w <> '')) AS INT) AS n_words
+FROM s""")
+def udtf_sentence_split(spark, sf_dir):
+    """The Python UDTF surface (§2.12's other upgrade path): a lateral
+    table function fanning each document into per-sentence rows with
+    index and word count — the row-generating shape (parse trees,
+    chunkers, tokenizers) that scalar UDFs can't express and explode
+    can only fake by materializing the whole array per row first.
+    Runs as a generator per partition under Arrow; the LATERAL join
+    keeps everything distributed.  Oracle mirrors the split + filter
+    conventions exactly."""
+    from aws_etl_bank_spark.functions.udf import sentence_split_udtf
+
+    SentenceSplit = sentence_split_udtf()
+    spark.udtf.register("sent_split_r9", SentenceSplit)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.sentence, s.n_words "
+        "FROM __udtf_docs, LATERAL sent_split_r9(text) s")
