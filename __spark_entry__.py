@@ -20,49 +20,55 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 9, per the r8 verdict task 1): the 48 entries
-# that landed after the r8 waterline filled (sketch_hll_grouped ..
-# agg_gini_concentration — each builder-verified green vs DuckDB at
-# sf0.001 + sf0.01 + sf1 the day it landed; bench_out/VERIFY_full.json
-# and the sf1_*_r8 logs) take the first 48 slots so every registry
-# entry finally has a driver-vintage CORRECTNESS row.  Slots 49-50 are
-# the two multimodal entries whose NULL-payload guard changed in r8.
-# After this round the rotation becomes a pure oldest-first refresh:
-# the r4-vintage rows (agg_* §2.4 family, catalog/JDBC family) queue
-# immediately below the waterline for r10.
+# Slot policy (round 10, per the r9 verdict task 2): slots 1-2 are the
+# two entries whose array outputs crashed the driver's pandas canon in
+# r9 and are now array_join-serialized (text_vocab_encode,
+# scd_snapshot_diff — values were already sf0.01+sf1-proven; this
+# re-greens the hard signal).  Slots 3-23 are the 21 r9-new entries the
+# driver has never evaluated (each builder-verified green via
+# scripts/verify_entry.py the day it landed).  Slots 24-50 are the 27
+# alphabetically-first ORACLE-BACKED r4-vintage entries (the oldest
+# driver evidence in the ledger; 46 entries are r4-vintage, so the
+# remaining 13 oracle-backed + 6 rows-only queue below the waterline
+# for r11, followed by any r10-new entries).
 _PRIORITY = [
-    # 48 never-driver-evaluated r8 entries, ledger order
-    "sketch_hll_grouped", "stream_kmv_distinct", "sample_bottomk_hash",
-    "ts_ohlc_bucket",
-    "graph_triangle_count", "sample_weighted_priority", "ts_active_users_7d",
-    "label_churn_window", "assoc_copurchase_lift", "ts_seasonal_strength",
-    "feature_hash_text", "scale_heavy_hitters", "embed_pca_planted_axis",
-    "feature_velocity_windows", "session_markov_transitions",
-    "score_psi_drift", "sample_per_group_bottomk", "multimodal_decode_wav",
-    "stream_heavy_hitters", "embed_jl_projection", "dedup_substring_remove",
-    "feature_decayed_velocity", "quality_entropy_profile",
-    "scale_bitmap_retention", "session_top_paths", "ann_ivf_index_persisted",
-    "text_vocab_encode", "scd_snapshot_diff", "ts_lateness_profile",
-    "ts_rollup_cascade", "text_word_pmi", "feature_impute_group",
-    "feature_target_encode_loo", "sample_class_balanced",
-    "split_temporal_purged", "ml_ols_closed_form", "stream_batch_unified",
-    "agg_mode_per_group",
-    "join_interval_overlap", "multimodal_audio_spectrum",
-    "agg_weighted_median", "ts_autocorrelation", "graph_common_neighbors",
-    "stream_ohlc_incremental", "csv_malformed_policy",
-    "funnel_time_to_convert", "dedup_cluster_sizes",
-    "agg_gini_concentration",
-    # slots 49-50: implementation changed in r8 (NULL-payload decode
-    # guard) — their newest driver rows predate the change
-    "multimodal_decode_ppm", "multimodal_thumbnail_vec",
+    # slots 1-2: r9 canon-crash fixes (array outputs now serialized)
+    "text_vocab_encode", "scd_snapshot_diff",
+    # slots 3-23: the 21 never-driver-evaluated r9 entries
+    "agg_gini_concentration_hist", "src_avro_datum_roundtrip",
+    "src_avro_ocf_roundtrip", "feature_quantile_normalize",
+    "feature_quantile_normalize_grouped", "agg_rollup_hierarchy",
+    "label_time_to_event", "fraud_round_amount_share", "agg_partial_merge",
+    "win_dist_family_by_user", "maintenance_compact_small_files",
+    "ts_rolling_median_k7", "quality_k_anonymity", "stream_avro_ingest",
+    "catalog_analyze_columns", "join_null_safe_equi",
+    "ops_schema_merge_evolution", "udaf_grouped_weighted_mean",
+    "udtf_sentence_split", "text_zipf_hapax", "text_lang_vocab_overlap",
+    # slots 24-50: oldest driver vintage (r4), oracle-backed first
+    "agg_approx_distinct_ratio", "agg_avg_by_month",
+    "agg_collect_struct_size", "agg_count_distinct", "agg_daily_cust",
+    "agg_nested_max", "agg_payment_types", "agg_salted_event_totals",
+    "ann_ivf_planted_twin", "catalog_purge_partitions",
+    "catalog_schema_fetch", "cohort_retention_weekly",
+    "collection_select_map", "count_actions", "fact_snapshot_fidelity",
+    "funnel_view_click_purchase", "governed_txn_write",
+    "jdbc_conf_roundtrip", "jdbc_extract_csv_ingest",
+    "job_bookmark_increment", "join_asof_bucketed", "mix_upsample_by_weight",
+    "partitions_after_repartition", "rdd_source_frame",
+    "scale_bucketed_join", "scale_range_clustered_read",
+    "sink_collection_write",
     # ---- 50-slot waterline (the driver caps here) ----
-    # r10 rotation begins: the schema tripwire re-anchors, then the
-    # oldest driver evidence (r4-vintage) refreshes oldest-first
+    # r11 rotation resumes: remaining r4-vintage oracle-backed, then
+    # rows-only r4-vintage, then r10-new entries
+    "stream_dedup_ids", "stream_foreach_batch", "stream_sample_poll",
+    "stream_sliding_counts", "stream_stateful_counts", "stream_stream_join",
+    "stream_window_counts", "text_fingerprint_planted", "ts_bucket_rollup",
+    "ts_gapfill_hourly", "ts_rolling_zscore", "win_running_sum_acct",
+    "win_running_sum_cust",
+    "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "text_fingerprint",
     "testdata_schema_smoke",
-    "agg_daily_cust", "agg_payment_types", "agg_count_distinct",
-    "agg_avg_by_month", "agg_nested_max", "agg_collect_struct_size",
-    "count_actions",
-    # rest of the 50-cap fills from registry definition order below
+    # rest of the registry fills from definition order below
 ]
 
 

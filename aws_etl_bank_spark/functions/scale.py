@@ -50,6 +50,13 @@ def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt",
     return df.withColumn(salt_col, salt.cast("int"))
 
 
+def _reduce_and(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def _contains_map(dt) -> bool:
     """True if the type tree contains a MapType anywhere (xxhash64 cannot
     hash maps)."""
@@ -1138,22 +1145,36 @@ def bucketed_global_rank(df: DataFrame, score: Column | str,
 
     s = F.col(score) if isinstance(score, str) else score
     tagged_src = df.withColumn("__bgr_s", s)
+    # DATE/TIMESTAMP scores (the docstring's "dates-as-days" case)
+    # bucket through an exact monotone integer twin — date→days since
+    # epoch, timestamp→microseconds (NTZ cast to session-tz timestamp
+    # first; unix_micros rejects NTZ) — so float(lo) below never sees a
+    # datetime object (r9 ADVICE: callers previously had to pre-convert
+    # or crash).  Within-cell ordering still uses the ORIGINAL column.
+    score_dt = dict(tagged_src.dtypes)["__bgr_s"]
+    if score_dt == "date":
+        sn = F.datediff(F.col("__bgr_s"), F.lit("1970-01-01").cast("date"))
+    elif score_dt in ("timestamp", "timestamp_ntz"):
+        sn = F.unix_micros(F.col("__bgr_s").cast("timestamp"))
+    else:
+        sn = F.col("__bgr_s")
+    tagged_src = tagged_src.withColumn("__bgr_sn", sn)
     if cache:
         tagged_src = tagged_src.persist(StorageLevel.MEMORY_AND_DISK)
     stats = tagged_src.agg(
-        F.min("__bgr_s").alias("lo"), F.max("__bgr_s").alias("hi"),
+        F.min("__bgr_sn").alias("lo"), F.max("__bgr_sn").alias("hi"),
         F.count(F.lit(1)).alias("n")).collect()[0]
     n, lo, hi = stats["n"], stats["lo"], stats["hi"]
     if n == 0:
         return (tagged_src.withColumn(out_col, F.lit(None).cast("long"))
-                .drop("__bgr_s"))
+                .drop("__bgr_s", "__bgr_sn"))
     if lo == hi:
         base = F.lit(0).cast("int")
         n_buckets = 1
     else:
         lo_d, hi_d = float(lo), float(hi)
         width = (hi_d - lo_d) / n_buckets
-        raw = F.floor((F.col("__bgr_s").cast("double") - F.lit(lo_d))
+        raw = F.floor((F.col("__bgr_sn").cast("double") - F.lit(lo_d))
                       / F.lit(width))
         idx = F.least(raw, F.lit(n_buckets - 1)).cast("int")
         base = (F.lit(n_buckets - 1) - idx) if descending else idx
@@ -1186,7 +1207,7 @@ def bucketed_global_rank(df: DataFrame, score: Column | str,
         .cast("long")
     return (tagged.join(F.broadcast(off_df), "__bgr_b", "left")
             .withColumn(out_col, rank)
-            .drop("__bgr_b", "__bgr_off", "__bgr_s"))
+            .drop("__bgr_b", "__bgr_off", "__bgr_s", "__bgr_sn"))
 
 
 def ntile_from_rank(rank_col: Column, n: int, k: int) -> Column:
@@ -1245,13 +1266,35 @@ def bucketed_rank_by_group(df: DataFrame, group_cols: list[str],
 
     s = F.col(score) if isinstance(score, str) else score
     tagged = df.withColumn("__bgr_s", s)
+    # DATE/TIMESTAMP scores bucket through an exact monotone integer
+    # twin (days / epoch-micros) — a date .cast("double") is NULL in
+    # Spark, which would silently file every row into the degenerate
+    # cell; same fix as bucketed_global_rank (r9 ADVICE).
+    score_dt = dict(tagged.dtypes)["__bgr_s"]
+    if score_dt == "date":
+        sn = F.datediff(F.col("__bgr_s"), F.lit("1970-01-01").cast("date"))
+    elif score_dt in ("timestamp", "timestamp_ntz"):
+        sn = F.unix_micros(F.col("__bgr_s").cast("timestamp"))
+    else:
+        sn = F.col("__bgr_s")
+    tagged = tagged.withColumn("__bgr_sn", sn)
     stats = (tagged.groupBy(*group_cols)
-             .agg(F.min("__bgr_s").alias("__bgr_lo"),
-                  F.max("__bgr_s").alias("__bgr_hi")))
-    t = tagged.join(stats, group_cols)
+             .agg(F.min("__bgr_sn").alias("__bgr_lo"),
+                  F.max("__bgr_sn").alias("__bgr_hi")))
+    # NULL group keys must keep their stats row: groupBy treats NULL as
+    # a real group (as does the PARTITION BY window this function claims
+    # bit-identity with), but a plain equi-join drops it because NULL
+    # never equals NULL.  eqNullSafe is still an equi-join key to the
+    # planner (hash/SMJ, no cartesian hazard), so the only change is
+    # the NULL-group rows survive (r9 ADVICE, medium).
+    la, ra = tagged.alias("__bgr_l"), stats.alias("__bgr_r")
+    cond = _reduce_and([F.col(f"__bgr_l.{c}").eqNullSafe(F.col(f"__bgr_r.{c}"))
+                        for c in group_cols])
+    t = la.join(ra, cond).select("__bgr_l.*", "__bgr_r.__bgr_lo",
+                                 "__bgr_r.__bgr_hi")
     width = ((F.col("__bgr_hi").cast("double")
               - F.col("__bgr_lo").cast("double")) / F.lit(n_buckets))
-    raw = F.floor((F.col("__bgr_s").cast("double")
+    raw = F.floor((F.col("__bgr_sn").cast("double")
                    - F.col("__bgr_lo").cast("double")) / width)
     # NULL scores → NULL cell → NULL rank (the top_fraction universe
     # rule); the explicit isNull arm matters because F.least SKIPS
@@ -1281,6 +1324,14 @@ def bucketed_rank_by_group(df: DataFrame, group_cols: list[str],
     rank = F.when(F.col("__bgr_b").isNull(), F.lit(None)) \
         .otherwise(F.col("__bgr_off") + F.row_number().over(w)) \
         .cast("long")
-    return (t.join(offsets, [*group_cols, "__bgr_b"], "left")
+    # same null-safe treatment on the join-back (NULL cells have no
+    # offsets row by construction — counts filters them — so they fall
+    # through the left join to a NULL offset and the NULL-rank arm)
+    lb, rb = t.alias("__bgr_l"), offsets.alias("__bgr_r")
+    cond2 = _reduce_and(
+        [F.col(f"__bgr_l.{c}").eqNullSafe(F.col(f"__bgr_r.{c}"))
+         for c in [*group_cols, "__bgr_b"]])
+    return (lb.join(rb, cond2, "left")
+            .select("__bgr_l.*", "__bgr_r.__bgr_off")
             .withColumn(out_col, rank)
-            .drop("__bgr_b", "__bgr_off", "__bgr_s"))
+            .drop("__bgr_b", "__bgr_off", "__bgr_s", "__bgr_sn"))

@@ -4957,13 +4957,13 @@ j AS (
 SELECT o_orderkey,
        CASE WHEN NOT ino THEN 'I' WHEN NOT inn THEN 'D'
             ELSE 'U' END AS change_type,
-       CASE WHEN ino AND inn THEN list_filter(
+       CASE WHEN ino AND inn THEN array_to_string(list_sort(list_filter(
               [CASE WHEN op IS DISTINCT FROM np
                     THEN 'o_totalprice' END,
                CASE WHEN os IS DISTINCT FROM ns
                     THEN 'o_orderstatus' END],
-              x -> x IS NOT NULL)
-            ELSE CAST([] AS VARCHAR[]) END AS changed_cols,
+              x -> x IS NOT NULL)), ',')
+            ELSE '' END AS changed_cols,
        np AS o_totalprice, ns AS o_orderstatus
 FROM j
 WHERE NOT (ino AND inn AND op IS NOT DISTINCT FROM np
@@ -4977,7 +4977,10 @@ def scd_snapshot_diff(spark, sf_dir):
     full-outer join; I/D fall out of join-side nullness, U out of a
     null-safe column compare, per-column change flags are array
     expressions on the same row.  The +1.5 reprice is an IEEE-exact
-    double op, so both engines see identical update values."""
+    double op, so both engines see identical update values.  The
+    changed-column list is sorted and serialized with ``array_join``
+    (house convention — the driver's pandas canon cannot hash raw
+    arrays; same as agg_payment_types)."""
     from aws_etl_bank_spark.scd import snapshot_diff
 
     o = load_table(spark, sf_dir, "orders")
@@ -4989,8 +4992,10 @@ def scd_snapshot_diff(spark, sf_dir):
                           F.col("o_totalprice") + 1.5)
                    .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
                    "o_orderstatus"))
-    return snapshot_diff(old, new, ["o_orderkey"],
-                         ["o_totalprice", "o_orderstatus"])
+    d = snapshot_diff(old, new, ["o_orderkey"],
+                      ["o_totalprice", "o_orderstatus"])
+    return d.withColumn("changed_cols",
+                        F.array_join(F.array_sort("changed_cols"), ","))
 
 
 @q("ts_lateness_profile", """
@@ -6124,8 +6129,13 @@ def feature_quantile_normalize_grouped(spark, sf_dir):
                                     ["event_id"], out_col="rk")
     n = (ev.groupBy("event_type")
          .agg(F.count(F.lit(1)).alias("n")))
-    return (ranked.join(n, "event_type")
-            .select("event_id", "event_type", "value",
+    # null-safe count join: groupBy (and the oracle's PARTITION BY)
+    # keep NULL event_type as a real group, a plain equi-join would
+    # drop its rows (r9 ADVICE, medium — same hole as the stats join
+    # inside bucketed_rank_by_group, fixed there too)
+    return (ranked.join(n, ranked["event_type"].eqNullSafe(n["event_type"]))
+            .select(ranked["event_id"], ranked["event_type"],
+                    ranked["value"],
                     (F.round((F.col("rk").cast("double") - 1.0)
                              / (F.col("n").cast("double") - 1.0), 6) + 0)
                     .alias("q")))

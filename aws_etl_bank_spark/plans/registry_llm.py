@@ -2951,7 +2951,7 @@ enc AS (
   SELECT tk.doc_id, tk.pos, COALESCE(v.tid, 0) AS tid
   FROM tk LEFT JOIN v USING (token))
 SELECT doc_id,
-       list(tid ORDER BY pos) AS ids,
+       array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ',') AS ids,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM enc GROUP BY doc_id""")
@@ -2965,12 +2965,17 @@ def text_vocab_encode(spark, sf_dir):
     hash-agg for the vocab (TakeOrdered, no global sort), one
     broadcast join + doc-keyed shuffle for the encode; the oracle
     rebuilds vocabulary, ranks and every position-ordered id array in
-    SQL."""
+    SQL.  The id array is serialized with ``array_join`` (house
+    convention — the driver's pandas canon cannot hash raw arrays;
+    same as agg_payment_types)."""
     from aws_etl_bank_spark.llm.text import build_vocab, encode_with_vocab
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = build_vocab(docs, "text", vocab_size=16)
-    return encode_with_vocab(docs, vocab, "text", "doc_id")
+    enc = encode_with_vocab(docs, vocab, "text", "doc_id")
+    return enc.withColumn(
+        "ids",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), ","))
 
 
 @q("text_word_pmi", r"""

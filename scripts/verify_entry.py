@@ -162,6 +162,25 @@ def main():
             record[name] = {"status": "fail", "detail": f"spark error: {e}"}
             print(f"FAIL  {name}: spark error {e}")
             continue
+        # Driver-canon parity (r9 verdict task 1): the driver's pandas
+        # _canon crashes with "unhashable type: numpy.ndarray" on any
+        # oracle-compared output that keeps a raw array/struct/map
+        # column (text_vocab_encode / scd_snapshot_diff shipped red in
+        # r9 because THIS gate tolerated what the driver cannot hash).
+        # House convention: serialize with array_join/array_to_string
+        # (agg_payment_types).  Hard-fail here so the class can't ship.
+        nested = [c for c, t in df.dtypes
+                  if t.startswith(("array", "struct", "map"))]
+        if nested and name in oracles:
+            failures.append((name, f"nested output cols {nested}"))
+            record[name] = {"status": "fail",
+                            "detail": f"nested output cols {nested} — "
+                                      "driver canon cannot hash arrays; "
+                                      "serialize with array_join"}
+            print(f"FAIL  {name}: nested output columns {nested} — the "
+                  "driver's pandas canon crashes on raw arrays; serialize "
+                  "with array_join (house convention)")
+            continue
         if name not in oracles:
             rows_only += 1
             record[name] = {"status": "rows_only", "rows": len(rows)}

@@ -892,3 +892,60 @@ def test_bucketed_rank_null_scores_get_null_rank(spark):
     assert by_id_g[2] == 1 and by_id_g[1] == 2    # group 0 non-null order
     assert by_id_g[5] == 1 and by_id_g[6] == 2    # tie broken by id
     spark.catalog.clearCache()
+
+
+def test_bucketed_rank_null_group_key_kept(spark):
+    """A NULL group KEY is a real partition (groupBy and PARTITION BY
+    both treat it so) — the r9 ADVICE hole: the internal stats join
+    was a plain equi-join, so NULL-keyed rows lost their stats row and
+    silently VANISHED.  Now both internal joins are eqNullSafe."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from aws_etl_bank_spark.functions.scale import bucketed_rank_by_group
+
+    rows = [(0, None, 9), (1, None, 2), (2, None, 2), (3, "a", 4),
+            (4, "a", 1), (5, None, None)]
+    df = spark.createDataFrame(rows, "id long, g string, v int")
+    got = bucketed_rank_by_group(df, ["g"], "v", ["id"], out_col="rk")
+    by_id = {r["id"]: r["rk"] for r in got.collect()}
+    assert len(by_id) == 6                        # NULL-g rows survive
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), "id")
+    exp = {r["id"]: r["rk"] for r in
+           df.filter(F.col("v").isNotNull())
+           .withColumn("rk", F.row_number().over(w).cast("long")).collect()}
+    assert by_id[5] is None                       # NULL score, NULL key
+    assert {i: rk for i, rk in by_id.items() if rk is not None} == exp
+    spark.catalog.clearCache()
+
+
+def test_bucketed_global_rank_date_scores(spark):
+    """DATE/TIMESTAMP scores rank without the caller pre-converting
+    (r9 ADVICE: float(lo) crashed on datetime objects) — the internal
+    monotone integer twin (days / epoch-micros) buckets exactly."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from aws_etl_bank_spark.functions.scale import (bucketed_global_rank,
+                                                    bucketed_rank_by_group)
+
+    rows = [(i, i % 3, dt.date(2024, 1, 1) + dt.timedelta(days=(i * 7) % 23))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g int, d date")
+    got = bucketed_global_rank(df, "d", ["id"], out_col="rk", n_buckets=8)
+    w = Window.orderBy(F.col("d").asc(), "id")
+    exp = df.withColumn("rk", F.row_number().over(w).cast("long"))
+    assert sorted(map(tuple, got.select("id", "rk").collect())) \
+        == sorted(map(tuple, exp.select("id", "rk").collect()))
+    spark.catalog.clearCache()
+
+    ts = df.withColumn("t", F.col("d").cast("timestamp")).drop("d")
+    got_g = bucketed_rank_by_group(ts, ["g"], "t", ["id"], out_col="rk",
+                                   n_buckets=8)
+    wg = Window.partitionBy("g").orderBy(F.col("t").asc(), "id")
+    exp_g = ts.withColumn("rk", F.row_number().over(wg).cast("long"))
+    assert sorted(map(tuple, got_g.select("id", "rk").collect())) \
+        == sorted(map(tuple, exp_g.select("id", "rk").collect()))
+    spark.catalog.clearCache()
