@@ -590,7 +590,15 @@ class DynamicFrame:
                 df = None
             if df is None:
                 from aws_etl_bank_spark.sources.avro import from_avro_datum
-                df = from_avro_datum(self._df, path, schema, out_col=path)
+                # fallback parity with the JVM withColumn path: keep the
+                # unboxed column in its ORIGINAL position (from_avro_datum
+                # appends it after the passthrough columns).  Divergence
+                # note (documented, r9 ADVICE): this path NULLs malformed
+                # payloads (PERMISSIVE) while the JVM from_avro default is
+                # FAILFAST — same permissive policy as the json/csv unbox
+                # paths, preferred here for cross-path consistency.
+                df = (from_avro_datum(self._df, path, schema, out_col=path)
+                      .select(*self._df.columns))
         else:
             raise ValueError(f"unbox: unsupported format {format!r}")
         return self._with_df(df)

@@ -373,6 +373,47 @@ def avro_schema_to_spark(schema: Any):
     return avro_schema_to_spark(t)
 
 
+def _logical_type(schema: Any) -> str | None:
+    """The field's avro ``logicalType`` annotation, looking through a
+    null-union; None when the type is a bare primitive/complex."""
+    if isinstance(schema, list):
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) == 1:
+            return _logical_type(non_null[0])
+        return None
+    if isinstance(schema, dict):
+        return schema.get("logicalType")
+    return None
+
+
+def avro_logical_casts(df, schema: dict):
+    """Decorate a primitively-decoded avro record frame with its
+    LOGICAL types — the piece spark-avro does during decode and this
+    codec deliberately leaves to a column expression (r9 verdict task
+    6).  timestamp-millis/micros (long) → TIMESTAMP, date (int) →
+    DATE; every conversion is a built-in JVM expression
+    (``timestamp_millis``/``timestamp_micros``/``date_from_unix_date``)
+    so the decoration costs no Python and survives whole-stage codegen.
+    Fields without a recognized logicalType pass through untouched;
+    decimal/time-* stay primitive (documented codec scope)."""
+    import pyspark.sql.functions as F
+
+    casts = {}
+    for f in schema.get("fields", []):
+        lt = _logical_type(f["type"])
+        if lt == "timestamp-micros":
+            casts[f["name"]] = F.timestamp_micros(F.col(f["name"]))
+        elif lt == "timestamp-millis":
+            casts[f["name"]] = F.timestamp_millis(F.col(f["name"]))
+        elif lt == "date":
+            casts[f["name"]] = F.date_from_unix_date(F.col(f["name"]))
+    out = df
+    for name, expr in casts.items():
+        if name in out.columns:
+            out = out.withColumn(name, expr)
+    return out
+
+
 def _nullable(schema: Any) -> bool:
     return isinstance(schema, list) and "null" in schema
 
@@ -414,11 +455,24 @@ def read_avro(spark, path: str):
     cols = [f.name for f in spark_schema.fields]
     int_cols = _int_fields(schema)
 
+    expected_schema = json.dumps(schema, sort_keys=True)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
             for blob in pdf["content"]:
-                _, recs = read_ocf_bytes(bytes(blob))
+                fschema, recs = read_ocf_bytes(bytes(blob))
+                # every file decodes under its own embedded writer
+                # schema; a silently different one would make
+                # pd.DataFrame fill NaN / drop fields instead of
+                # erroring (r9 ADVICE) — fail loudly like spark-avro
+                # does when it cannot resolve
+                if json.dumps(fschema, sort_keys=True) != expected_schema:
+                    raise ValueError(
+                        "read_avro: mixed writer schemas in directory "
+                        f"(expected {expected_schema}, found a file with "
+                        f"{json.dumps(fschema, sort_keys=True)}); "
+                        "reader-schema resolution is not implemented")
                 rows.extend(recs)
             out = pd.DataFrame(rows, columns=cols)
             for c in int_cols:
@@ -466,8 +520,11 @@ def write_avro(df, path: str, codec: str = "null",
             for rec in pdf.to_dict("records"):
                 clean = {}
                 for k, v in _pyify(rec).items():
-                    if not isinstance(v, (list, dict, bytes, str)) \
-                            and pd.isna(v):
+                    # pd.isna on a list/ndarray returns an elementwise
+                    # array whose truth value is ambiguous — restrict
+                    # the NaN→None rewrite to scalars (r9 ADVICE;
+                    # _pyify already converted ndarrays to lists)
+                    if pd.api.types.is_scalar(v) and pd.isna(v):
                         v = None
                     clean[k] = v
                 recs.append(clean)
@@ -572,8 +629,15 @@ def to_avro_datum(df, cols: list[str], schema_json: str,
         for pdf in batches:
             blobs = []
             for rec in pdf[cols].to_dict("records"):
+                # NULLs in numeric columns arrive as NaN through the
+                # Arrow→numpy conversion; rewrite scalar NaN→None so
+                # the union dispatch picks the null branch (same clean
+                # as write_avro)
+                clean = {k: (None if pd.api.types.is_scalar(v)
+                             and pd.isna(v) else v)
+                         for k, v in _pyify(rec).items()}
                 out = bytearray()
-                encode_datum(out, _pyify(rec), schema)
+                encode_datum(out, clean, schema)
                 blobs.append(bytes(out))
             res = pdf[names].copy()
             res[out_col] = blobs
@@ -584,10 +648,17 @@ def to_avro_datum(df, cols: list[str], schema_json: str,
 
 def _pyify(rec: dict) -> dict:
     """numpy scalars → python scalars so encode_datum's type dispatch
-    (int/float/str/bytes) sees stdlib types."""
+    (int/float/str/bytes) sees stdlib types.  Arrow hands array columns
+    back as numpy ndarrays — ``.tolist()`` converts them (deeply) to
+    python lists; the old ``hasattr(v, "item")`` path raised ValueError
+    on any size>1 array (r9 ADVICE)."""
+    import numpy as np
+
     out = {}
     for k, v in rec.items():
-        if hasattr(v, "item"):
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        elif hasattr(v, "item"):
             v = v.item()
         out[k] = v
     return out

@@ -116,6 +116,15 @@ def _norm_duck_type(code) -> str:
     return _DUCK_TYPES.get(c, c.lower())
 
 
+def nested_output_cols(dtypes) -> list[str]:
+    """Columns the driver's pandas canon cannot hash (raw array/struct/
+    map) — any oracle-backed entry emitting one is REJECTED (r9 verdict
+    task 1: text_vocab_encode / scd_snapshot_diff shipped red because
+    this gate tolerated what the driver crashes on)."""
+    return [c for c, t in dtypes
+            if t.startswith(("array", "struct", "map"))]
+
+
 def rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     normed = [tuple(norm_value(r[i]) for i in order) for r in rows]
@@ -169,8 +178,7 @@ def main():
         # r9 because THIS gate tolerated what the driver cannot hash).
         # House convention: serialize with array_join/array_to_string
         # (agg_payment_types).  Hard-fail here so the class can't ship.
-        nested = [c for c, t in df.dtypes
-                  if t.startswith(("array", "struct", "map"))]
+        nested = nested_output_cols(df.dtypes)
         if nested and name in oracles:
             failures.append((name, f"nested output cols {nested}"))
             record[name] = {"status": "fail",

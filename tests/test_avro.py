@@ -177,3 +177,93 @@ def test_from_to_avro_datum_and_unbox(spark):
         spark.createDataFrame([(bytearray(b"\xff"),)], "payload binary"))
     dec_bad = from_avro_datum(bad, "payload", schema_json, out_col="rec")
     assert dec_bad.filter(F.col("rec").isNull()).count() == 1
+
+
+def test_write_avro_array_columns(spark, tmp_path):
+    """Nested (array) columns survive the OCF write path: Arrow hands
+    them to mapInPandas as numpy ndarrays, which used to trip both the
+    pd.isna scalar check and _pyify's .item() (r9 ADVICE)."""
+    df = spark.range(40).selectExpr(
+        "id", "array(id, id + 1, id + 2) AS xs",
+        "transform(sequence(1, cast(id % 3 as int)), x -> concat('t', x)) AS ts")
+    path = str(tmp_path / "ocf_arrays")
+    write_avro(df.repartition(3), path, codec="deflate")
+    back = read_avro(spark, path)
+    exp = sorted((r["id"], tuple(r["xs"]), tuple(r["ts"]))
+                 for r in df.collect())
+    got = sorted((r["id"], tuple(r["xs"]), tuple(r["ts"]))
+                 for r in back.collect())
+    assert got == exp
+
+
+def test_read_avro_rejects_mixed_writer_schemas(spark, tmp_path):
+    """A directory whose files carry different embedded writer schemas
+    must fail loudly (r9 ADVICE) — silent NaN-fill is how column drift
+    corrupts a lake."""
+    import os
+
+    path = str(tmp_path / "mixed")
+    os.makedirs(path)
+    s1 = {"type": "record", "name": "r",
+          "fields": [{"name": "a", "type": "long"}]}
+    s2 = {"type": "record", "name": "r",
+          "fields": [{"name": "b", "type": "string"}]}
+    with open(os.path.join(path, "p1.avro"), "wb") as f:
+        f.write(write_ocf_bytes([{"a": 1}], s1))
+    with open(os.path.join(path, "p2.avro"), "wb") as f:
+        f.write(write_ocf_bytes([{"b": "x"}], s2))
+    with pytest.raises(Exception, match="mixed writer schemas"):
+        read_avro(spark, path).collect()
+
+
+def test_avro_logical_casts(spark):
+    """timestamp-micros / timestamp-millis / date logicalTypes decode
+    to TIMESTAMP/DATE via JVM expressions after the primitive codec
+    pass; unannotated fields pass through untouched."""
+    import datetime as dt
+    import json as _json
+
+    from aws_etl_bank_spark.sources.avro import avro_logical_casts
+
+    schema_d = {"type": "record", "name": "ev", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "us", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "ms", "type": ["null", {"type": "long",
+                                         "logicalType": "timestamp-millis"}]},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}}]}
+    src = spark.createDataFrame(
+        [(1, 1_700_000_000_000_000, 1_700_000_000_123, 19000),
+         (2, 0, None, 0)],
+        "k long, us long, ms long, d int")
+    enc = to_avro_datum(src, ["k", "us", "ms", "d"],
+                        _json.dumps(schema_d), out_col="p")
+    dec = from_avro_datum(enc.select("p"), "p", _json.dumps(schema_d),
+                          out_col="rec")
+    got = avro_logical_casts(dec.select("rec.k", "rec.us", "rec.ms",
+                                        "rec.d"), schema_d)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == \
+        ["bigint", "timestamp", "timestamp", "date"]
+    rows = {r["k"]: r for r in got.collect()}
+    assert rows[2]["us"] == dt.datetime(1970, 1, 1)
+    assert rows[2]["ms"] is None
+    assert rows[2]["d"] == dt.date(1970, 1, 1)
+    assert rows[1]["d"] == dt.date(1970, 1, 1) + dt.timedelta(days=19000)
+    assert rows[1]["us"].microsecond == 0
+    assert rows[1]["ms"].microsecond == 123000
+
+
+def test_unbox_avro_fallback_preserves_column_order(spark):
+    """The jar-less unbox path must keep the unboxed column in its
+    ORIGINAL position, like the JVM withColumn path (r9 ADVICE)."""
+    import json as _json
+
+    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
+
+    schema_json = _json.dumps(RECORD)
+    src = spark.range(10).selectExpr("id AS a", "concat('v', id) AS b")
+    enc = to_avro_datum(src, ["a", "b"], schema_json, out_col="payload")
+    framed = enc.selectExpr("a AS before", "payload", "b AS after")
+    un = DynamicFrame.fromDF(framed, None, "t").unbox(
+        "payload", "avro", schema=schema_json)
+    assert un.toDF().columns == ["before", "payload", "after"]

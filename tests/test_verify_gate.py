@@ -56,3 +56,18 @@ def test_bench_stdout_line_fits_driver_capture():
         "sf": 0.1,
     }, separators=(",", ":"))
     assert len(line) < 1900, len(line)
+
+
+def test_nested_output_columns_are_flagged():
+    """r9 shipped two driver-red rows (text_vocab_encode,
+    scd_snapshot_diff) because the local gate tolerated raw array
+    output columns the driver's pandas canon cannot hash — the gate now
+    rejects every array/struct/map-typed output of an oracle-backed
+    entry (serialize with array_join instead)."""
+    from scripts.verify_entry import nested_output_cols
+
+    dtypes = [("doc_id", "string"), ("ids", "array<int>"),
+              ("rec", "struct<a:bigint,b:string>"),
+              ("m", "map<string,int>"), ("n_tokens", "bigint")]
+    assert nested_output_cols(dtypes) == ["ids", "rec", "m"]
+    assert nested_output_cols([("a", "bigint"), ("b", "string")]) == []
