@@ -724,6 +724,39 @@ def intersect_op(spark, sf_dir):
     )
 
 
+@q("subtract_all_op", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")
+def subtract_all_op(spark, sf_dir):
+    """MULTISET difference (``exceptAll`` — §2.7 completion next to the
+    set-semantics subtract entry): each F-status occurrence of a
+    custkey survives once per unmatched multiplicity, the ANSI EXCEPT
+    ALL bag semantics Spark implements with a count-and-replicate
+    rewrite (sum of +1/-1 tags, generate surviving copies) — one
+    shuffle on the key, no distinct.  A dedup-THEN-diff would silently
+    change row counts for repeat customers; bag semantics is what
+    reconciliation reports need."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter("o_orderstatus = 'F'").select("o_custkey")
+        .exceptAll(o.filter("o_orderstatus = 'O'").select("o_custkey"))
+    )
+
+
+@q("intersect_all_op", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")
+def intersect_all_op(spark, sf_dir):
+    """MULTISET intersection (``intersectAll``): a custkey appearing m
+    times on one side and n on the other yields min(m, n) copies —
+    same single-shuffle count-based physical strategy as exceptAll."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter("o_orderstatus = 'F'").select("o_custkey")
+        .intersectAll(o.filter("o_orderstatus = 'O'").select("o_custkey"))
+    )
+
+
 @q("distinct_op", """
 SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""")
 def distinct_op(spark, sf_dir):
@@ -3173,6 +3206,57 @@ def scalar_string_suite(spark, sf_dir):
         F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nat_pad"),
         F.repeat(F.lit("*"), (F.col("c_nationkey") % 4).cast("int")).alias("stars"),
         F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("trailing_digits"),
+    )
+
+
+@q("scalar_hof_suite", r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> length(x) > 5)) AS INT) AS n_long,
+       COALESCE(CAST(list_aggregate(list_transform(toks,
+                     x -> length(x)), 'sum') AS BIGINT), 0) AS total_chars,
+       len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) > 0
+         AS has_digit,
+       len(list_filter(toks, x -> length(x) >= 30)) = 0 AS all_short,
+       array_to_string(list_transform(toks[1:3], x -> upper(x)), ',')
+         AS first3_upper,
+       array_to_string(list_transform(toks[1:2],
+                       x -> concat(x, '#', length(x))), ',') AS len_tagged
+FROM t""")
+def scalar_hof_suite(spark, sf_dir):
+    """Higher-order array functions in one projection (§2.8 depth):
+    ``filter``, ``transform``, ``aggregate`` (fold), ``exists``,
+    ``forall``, ``slice`` and ``zip_with`` over the tokenized document
+    corpus — every lambda runs INSIDE the JVM expression engine (no
+    Python, no explode/re-group shuffle: the per-row array never leaves
+    its row, which is the whole point of HOFs at 100 TB vs the
+    explode→groupBy rewrite).  Array outputs are array_join-serialized
+    (driver canon).  The oracle recomputes each lambda with DuckDB's
+    list_* twins; zip_with's token#length tagging is recomputed as a
+    single list_transform there — same values, proving the zipped form.
+    Empty token lists agree by construction (fold seed 0 vs
+    COALESCE'd list_aggregate; exists=false, forall=true on empty)."""
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != F.lit(""))
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).alias("total_chars"),
+        F.exists(toks, lambda x: x.rlike("[0-9]")).alias("has_digit"),
+        F.forall(toks, lambda x: F.length(x) < 30).alias("all_short"),
+        F.array_join(F.transform(F.slice(toks, 1, 3), F.upper), ",")
+        .alias("first3_upper"),
+        F.array_join(
+            F.slice(F.zip_with(toks, F.transform(toks, F.length),
+                               lambda t, n: F.concat(t, F.lit("#"),
+                                                     n.cast("string"))),
+                    1, 2), ",").alias("len_tagged"),
     )
 
 
@@ -6475,6 +6559,36 @@ def ops_schema_merge_evolution(spark, sf_dir):
               .option("recursiveFileLookup", "true").parquet(base))
     return merged.select("s_suppkey", "s_name", "s_acctbal",
                          "s_nationkey")
+
+
+@q("ops_observe_metrics", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 10) AS BIGINT) AS n_big
+FROM lineitem""")
+def ops_observe_metrics(spark, sf_dir):
+    """Pipeline-embedded metrics via ``DataFrame.observe`` +
+    ``Observation`` — the production pattern for row-count / checksum
+    telemetry WITHOUT a second scan: the observed aggregates ride the
+    same physical plan as the real job (here a downstream filter+count
+    action) and surface on the driver when the action finishes, so a
+    100 TB job gets its reconciliation totals for free instead of
+    re-reading the table.  The quantity checksum uses exact int64
+    cents (the money canon).  The oracle recomputes all three metrics
+    declaratively; the driver-side work is ONE bounded metrics row."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_quantity") * 100).cast("long")).alias("qty_cents"))
+    n_big = observed.filter(F.col("l_quantity") > 10).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["qty_cents"], n_big)],
+        "n_rows long, qty_cents long, n_big long")
 
 
 @q("udaf_grouped_weighted_mean", """

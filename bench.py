@@ -153,6 +153,12 @@ def main():
     # ~2000-char budget.  ERROR level keeps the tail clean.
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    # Pre-loop probe (r9 verdict task 5): the single end-of-run probe
+    # cleared cross-round drift but MISSED mid-run contention (the r9
+    # driver bench ran ~30% contended behind a clean end probe).  A
+    # pre/post pair brackets the query loop, so a contended run shows
+    # calibration_pre != calibration_post without a judge re-run.
+    calibration_pre = calibration_probe(spark)
     # Warmup: one tiny-sf pass per headline query primes the JVM, codegen
     # cache, and file-source metadata so the timed numbers reflect
     # steady-state execution rather than first-query startup cost.
@@ -178,6 +184,7 @@ def main():
         spread[name] = round(ts[-1] - ts[0], 3)
     total = round(sum(timings.values()), 3)
     calibration = calibration_probe(spark)
+    calibration_post = calibration
     full = {
         "metric": "headline_total_runtime",
         "value": total,
@@ -188,6 +195,8 @@ def main():
         "runs": RUNS,
         "sf": float(sf),
         "calibration_sec": calibration,
+        "calibration_pre": calibration_pre,
+        "calibration_post": calibration_post,
     }
     # Full result (per-query samples + spreads) goes to a repo file: the
     # driver's stdout tail capture is ~2000 chars and r5's line outgrew
@@ -206,6 +215,8 @@ def main():
         "runs": RUNS,
         "sf": float(sf),
         "calibration_sec": calibration,
+        "calibration_pre": calibration_pre,
+        "calibration_post": calibration_post,
     }, separators=(",", ":")))
 
 

@@ -54,6 +54,9 @@ def test_bench_stdout_line_fits_driver_capture():
         "queries": {n: 9999.999 for n in bench.HEADLINE},
         "runs": 3,
         "sf": 0.1,
+        "calibration_sec": 9999.999,
+        "calibration_pre": 9999.999,
+        "calibration_post": 9999.999,
     }, separators=(",", ":"))
     assert len(line) < 1900, len(line)
 
