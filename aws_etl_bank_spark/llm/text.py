@@ -836,3 +836,67 @@ def encode_with_vocab(df: DataFrame, vocab: DataFrame,
                 F.count(F.lit(1)).cast("long").alias("n_tokens"),
                 F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
                 .cast("long").alias("n_oov")))
+
+
+def bpe_train_merges(df: DataFrame, text_col: str = "text",
+                     n_merges: int = 3) -> DataFrame:
+    """Byte-pair-encoding merge TRAINING over a corpus — the real
+    tokenizer-building step (learn the merge table), not just the
+    BPE-ish token count this module already has.  Classic
+    Sennrich-style word-frequency formulation:
+
+    1. one corpus pass builds the word-frequency table ([a-z]+ words —
+       the normalization standard BPE corpora apply anyway, and it
+       keeps symbol strings disjoint from the ``</w>`` marker);
+    2. each word becomes a space-separated symbol string
+       (``h e l l o </w>``);
+    3. per merge round: adjacent-pair counts weighted by word freq
+       (pairs via slice+zip of the symbol array — pure array ops, NO
+       window and NO shuffle beyond one pair hash-agg), the top pair
+       by (count DESC, pair ASC), then ONE literal replace
+       re-segments every word (non-overlapping left-to-right scan —
+       Java, Python and DuckDB agree, pinned by test).
+
+    Scale shape: the corpus is read once; every round works on the
+    word-frequency table (vocabulary-sized, not corpus-sized — the
+    classic trick that makes BPE training tractable), and only the
+    1-row top pair comes to the driver per round.  Returns one row per
+    learned merge: (rank, pair, merged, cnt)."""
+    wf = (df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                    .alias("w"))
+          .filter(F.col("w").rlike("^[a-z]+$"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    # h e l l o </w>
+    seg = (F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(1), F.length("w")),
+                                 lambda i: F.substring(F.col("w"), i, 1)),
+                     " "),
+        F.lit(" </w>")))
+    wf = wf.select(seg.alias("seg"), "freq")
+    from pyspark import StorageLevel
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
+        syms = F.split(F.col("seg"), " ")
+        n = F.size(syms)
+        pairs = F.zip_with(F.slice(syms, 1, n - 1),
+                           F.slice(syms, 2, n - 1),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+        top = (wf.select(F.explode(pairs).alias("pair"), "freq")
+               .groupBy("pair").agg(F.sum("freq").alias("cnt"))
+               .orderBy(F.desc("cnt"), "pair").limit(1).collect())
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, merged, cnt))
+        old = wf
+        wf = wf.select(
+            F.trim(F.replace(F.concat(F.lit(" "), F.col("seg"), F.lit(" ")),
+                             F.lit(f" {pair} "), F.lit(f" {merged} ")))
+            .alias("seg"), "freq")
+        wf = wf.localCheckpoint(eager=True)  # cut lineage; free the parent
+        old.unpersist()
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, pair string, merged string, cnt bigint")

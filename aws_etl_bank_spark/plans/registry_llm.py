@@ -3303,3 +3303,160 @@ def text_lang_vocab_overlap(spark, sf_dir):
                     F.round(F.col("n_common").cast("double")
                             / (F.col("na") + F.col("nb")
                                - F.col("n_common")), 6).alias("jaccard")))
+
+
+@q("ml_kmeans_lloyd", """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5)
+                                  AS BIGINT)) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 4)),
+d1 AS (
+  SELECT q.vec_id, q.v, c0.cid,
+         list_reduce(list_transform(list_zip(q.v, c0.c),
+             p -> (CAST(p[1] AS DOUBLE) - p[2])
+                  * (CAST(p[1] AS DOUBLE) - p[2])),
+             (acc, x) -> acc + x) AS dist
+  FROM q CROSS JOIN c0),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1),
+c1 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos,
+           CAST(CAST(SUM(comp) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM (SELECT cid, unnest(v) AS comp,
+                 unnest(range(1, len(v) + 1)) AS pos
+          FROM a1)
+    GROUP BY cid, pos) GROUP BY cid),
+d2 AS (
+  SELECT q.vec_id, q.v, c1.cid,
+         list_reduce(list_transform(list_zip(q.v, c1.c),
+             p -> (CAST(p[1] AS DOUBLE) - p[2])
+                  * (CAST(p[1] AS DOUBLE) - p[2])),
+             (acc, x) -> acc + x) AS dist
+  FROM q CROSS JOIN c1),
+a2 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1),
+c2 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos,
+           CAST(CAST(SUM(comp) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM (SELECT cid, unnest(v) AS comp,
+                 unnest(range(1, len(v) + 1)) AS pos
+          FROM a2)
+    GROUP BY cid, pos) GROUP BY cid),
+d3 AS (
+  SELECT q.vec_id, c2.cid,
+         list_reduce(list_transform(list_zip(q.v, c2.c),
+             p -> (CAST(p[1] AS DOUBLE) - p[2])
+                  * (CAST(p[1] AS DOUBLE) - p[2])),
+             (acc, x) -> acc + x) AS dist
+  FROM q CROSS JOIN c2)
+SELECT vec_id, cid FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS rn
+  FROM d3) WHERE rn = 1""")
+def ml_kmeans_lloyd(spark, sf_dir):
+    """Distributed k-means, ORACLE-CHECKED per assignment (llm/
+    cluster.py lloyd_assign) — 2 full Lloyd steps from the 4
+    smallest-id seeds, then a final assignment; every vector's cluster
+    id must match DuckDB's unrolled replica of the same iterations.
+    Cross-engine exactness is engineered, not hoped for: integer-
+    quantized components (round-half-up canon) make cluster sums exact
+    int64 hash-aggs; centroid means are one IEEE division; distance
+    folds run left-to-right on both engines (F.aggregate vs
+    list_reduce — IEEE 0.0+x==x aligns the seeded/unseeded folds);
+    argmin ties break on cid via struct-min.  Scale shape: per
+    iteration ONE broadcast-join corpus pass (assignment, no shuffle)
+    + one posexplode (cid,pos) hash-agg (k*dim rows out); only k*dim
+    centroid means touch the driver between iterations — the same
+    bounded-collect convention the PQ codebooks use.  The ml.KMeans
+    path (similarity.train_centroids) stays the production entry for
+    k-means||; this one is the parity-provable Lloyd core."""
+    from aws_etl_bank_spark.llm.cluster import lloyd_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lloyd_assign(emb, k=4, iters=2, scale=1000)
+
+
+@q("text_bpe_train_merges", r"""
+WITH wf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+    FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w),
+s0 AS (
+  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+           i -> w[CAST(i AS INT)]), ' ') || ' </w>' AS seg, freq
+  FROM wf),
+p1 AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(seg, ' '))),
+             i -> string_split(seg, ' ')[CAST(i AS INT)] || ' ' ||
+                  string_split(seg, ' ')[CAST(i + 1 AS INT)])) AS pair,
+           freq
+    FROM s0) GROUP BY pair),
+t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+s1 AS (
+  SELECT trim(replace(' ' || seg || ' ', ' ' || t1.pair || ' ',
+              ' ' || replace(t1.pair, ' ', '') || ' ')) AS seg, freq
+  FROM s0, t1),
+p2 AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(seg, ' '))),
+             i -> string_split(seg, ' ')[CAST(i AS INT)] || ' ' ||
+                  string_split(seg, ' ')[CAST(i + 1 AS INT)])) AS pair,
+           freq
+    FROM s1) GROUP BY pair),
+t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+s2 AS (
+  SELECT trim(replace(' ' || seg || ' ', ' ' || t2.pair || ' ',
+              ' ' || replace(t2.pair, ' ', '') || ' ')) AS seg, freq
+  FROM s1, t2),
+p3 AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(seg, ' '))),
+             i -> string_split(seg, ' ')[CAST(i AS INT)] || ' ' ||
+                  string_split(seg, ' ')[CAST(i + 1 AS INT)])) AS pair,
+           freq
+    FROM s2) GROUP BY pair),
+t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+SELECT 1 AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM t1
+UNION ALL
+SELECT 2, pair, replace(pair, ' ', ''), cnt FROM t2
+UNION ALL
+SELECT 3, pair, replace(pair, ' ', ''), cnt FROM t3""")
+def text_bpe_train_merges(spark, sf_dir):
+    """BPE merge-table TRAINING (llm/text.py bpe_train_merges) — the
+    Sennrich word-frequency formulation: 3 merge rounds over the
+    corpus's [a-z]+ words, each round = adjacent-pair counts weighted
+    by word frequency (slice+zip array ops, one vocabulary-sized
+    hash-agg), top pair by (count DESC, pair ASC), one literal replace
+    to re-segment.  The oracle unrolls all three rounds in SQL and
+    must reproduce every learned pair AND its count — ties, the
+    left-to-right non-overlapping replace scan ('a a a' → 'aa a'),
+    and the </w> end marker all agree by construction.  Scale shape:
+    corpus read ONCE to build the word-frequency table; every round
+    is vocabulary-sized, and only the 1-row winner reaches the
+    driver per round."""
+    from aws_etl_bank_spark.llm.text import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, "text", n_merges=3)

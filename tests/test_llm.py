@@ -1797,3 +1797,53 @@ def test_audio_spectrum_null_gate_on_short_or_garbage(spark):
     out = {r.doc_id: r for r in
            audio_spectral_features(short.unionByName(bad)).collect()}
     assert out[1].peak_bin is None and out[2].peak_bin is None
+
+
+def test_lloyd_assign_separates_planted_clusters(spark):
+    """Two well-separated blobs, k=2: every point lands with its blob
+    and the two seed points (smallest ids, one per blob) anchor the
+    labels deterministically."""
+    from aws_etl_bank_spark.llm.cluster import lloyd_assign
+
+    rows = [(0, [0.0, 0.1, 0.0]), (1, [10.0, 10.1, 9.9]),
+            (2, [0.2, -0.1, 0.1]), (3, [9.8, 10.0, 10.2]),
+            (4, [-0.1, 0.0, 0.2]), (5, [10.1, 9.9, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cid"] for r in
+           lloyd_assign(df, k=2, iters=2).collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+    spark.catalog.clearCache()
+
+
+def test_lloyd_assign_tie_breaks_on_cid(spark):
+    """A point equidistant from both centroids goes to the LOWER cid —
+    the struct-min tie-break the oracle mirrors."""
+    from aws_etl_bank_spark.llm.cluster import lloyd_assign
+
+    # seeds at 0 and 2; the point at 1.0 is exactly between them and
+    # stays between them after the update (each cluster keeps its seed)
+    rows = [(0, [0.0]), (1, [2.0]), (2, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cid"] for r in
+           lloyd_assign(df, k=2, iters=1).collect()}
+    assert got[2] == 0
+    spark.catalog.clearCache()
+
+
+def test_bpe_train_merges_reference(spark):
+    """Hand-computed Sennrich BPE on a tiny corpus: merge ranks, pair
+    strings, weighted counts, the (count DESC, pair ASC) tie-break and
+    the non-overlapping left-to-right replace ('aaa' stays 'aa a')."""
+    from aws_etl_bank_spark.llm.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("low low low lower lowest aaa aaa",), ("newer newer new aaa",)],
+        "text string")
+    got = [tuple(r) for r in bpe_train_merges(df, "text", 4).collect()]
+    assert got == [
+        (1, "a a", "aa", 6),     # aaa×3 contributes two 'a a' pairs each
+        (2, "l o", "lo", 5),     # ties 'o w' at 5; 'l o' < 'o w'
+        (3, "lo w", "low", 5),
+        (4, "a </w>", "a</w>", 3),  # 'aa a </w>' tail; ' ' sorts first
+    ]
+    spark.catalog.clearCache()
