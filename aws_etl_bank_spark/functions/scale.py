@@ -1335,3 +1335,59 @@ def bucketed_rank_by_group(df: DataFrame, group_cols: list[str],
             .select("__bgr_l.*", "__bgr_r.__bgr_off")
             .withColumn(out_col, rank)
             .drop("__bgr_b", "__bgr_off", "__bgr_s", "__bgr_sn"))
+
+
+def bucketed_cumsum(df: DataFrame, order_col: str,
+                    value_cols: list[str],
+                    n_buckets: int = 4096) -> DataFrame:
+    """EXACT global running sums ``SUM(v) OVER (ORDER BY order_col)``
+    for int64 value columns without a single-partition window — the
+    cumulative-sum sibling of :func:`bucketed_global_rank` (same
+    two-pass histogram idea): rows bucket into equi-width cells of the
+    (numeric) order column, per-cell TOTALS (≤ ``n_buckets`` rows ×
+    len(value_cols) int64s) come to the driver once and prefix-sum
+    into per-cell OFFSETS, and the within-cell running sum is a
+    window PARTITIONED BY cell.  Integer sums make the result exact
+    and association-free.  ``order_col`` values must be unique (group
+    first — a CDF over distinct thresholds, the intended use).  NULL
+    order keys are excluded (not part of the ordering universe)."""
+    from pyspark.sql import Window
+
+    t = df.filter(F.col(order_col).isNotNull())
+    stats = t.agg(F.min(order_col).alias("lo"),
+                  F.max(order_col).alias("hi"),
+                  F.count(F.lit(1)).alias("n")).collect()[0]
+    if stats["n"] == 0:
+        out = df
+        for v in value_cols:
+            out = out.withColumn(f"cum_{v}", F.lit(None).cast("long"))
+        return out
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if lo == hi:
+        cell = F.lit(0)
+    else:
+        width = (hi - lo) / n_buckets
+        cell = F.least(F.floor((F.col(order_col).cast("double")
+                                - F.lit(lo)) / F.lit(width)),
+                       F.lit(n_buckets - 1)).cast("int")
+    t = t.withColumn("__bcs_b", cell)
+    per_cell = (t.groupBy("__bcs_b")
+                .agg(*[F.sum(v).cast("long").alias(v) for v in value_cols])
+                .collect())
+    per_cell.sort(key=lambda r: r["__bcs_b"])
+    offsets, cum = [], {v: 0 for v in value_cols}
+    for r in per_cell:
+        offsets.append((r["__bcs_b"], *[cum[v] for v in value_cols]))
+        for v in value_cols:
+            cum[v] += r[v]
+    schema = "__bcs_b int, " + ", ".join(f"__bcs_off_{v} long"
+                                         for v in value_cols)
+    off = df.sparkSession.createDataFrame(offsets, schema)
+    w = (Window.partitionBy("__bcs_b").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = t.join(F.broadcast(off), "__bcs_b")
+    for v in value_cols:
+        out = out.withColumn(
+            f"cum_{v}",
+            (F.col(f"__bcs_off_{v}") + F.sum(v).over(w)).cast("long"))
+    return out.drop("__bcs_b", *[f"__bcs_off_{v}" for v in value_cols])

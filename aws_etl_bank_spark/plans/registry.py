@@ -6661,3 +6661,128 @@ def udtf_sentence_split(spark, sf_dir):
     return spark.sql(
         "SELECT doc_id, s.sent_idx, s.sentence, s.n_words "
         "FROM __udtf_docs, LATERAL sent_split_r9(text) s")
+
+
+@q("quality_l_diversity", """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS grp_n,
+         CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT))
+              AS BIGINT) AS n_sensitive
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity,
+       CAST(SUM(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l,
+       CAST(SUM(CASE WHEN n_sensitive < 3 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS rows_below_l
+FROM g""")
+def quality_l_diversity(spark, sf_dir):
+    """l-diversity audit — k-anonymity's stronger sibling
+    (quality_k_anonymity): a QI class can be large yet still leak if
+    every member shares the SAME sensitive value, so the gate is
+    distinct-sensitive-values per (nation, segment) class, l=3, with
+    balance band floor(acctbal/2000) as the sensitive attribute.  Two
+    hash-aggs and a 1-row scorecard; the count-distinct is per-group
+    (bounded by band cardinality), so the 100 TB scan reduces
+    immediately and nothing skews."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000).cast("long")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count(F.lit(1)).alias("grp_n"),
+              F.countDistinct(band).alias("n_sensitive")))
+    below = F.col("n_sensitive") < 3
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long")
+        .alias("groups_below_l"),
+        F.sum(F.when(below, F.col("grp_n")).otherwise(0)).cast("long")
+        .alias("rows_below_l"))
+
+
+@q("score_ks_statistic", """
+WITH s AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END AS b
+  FROM orders),
+g AS (SELECT x, CAST(SUM(a) AS BIGINT) AS da,
+             CAST(SUM(b) AS BIGINT) AS db
+      FROM s GROUP BY x),
+c AS (SELECT x,
+             CAST(SUM(da) OVER (ORDER BY x) AS BIGINT) AS ca,
+             CAST(SUM(db) OVER (ORDER BY x) AS BIGINT) AS cb
+      FROM g),
+n AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+             CAST(SUM(b) AS BIGINT) AS nb FROM s)
+SELECT x AS threshold,
+       CAST(ABS(ca * nb - cb * na) AS BIGINT) AS diff_units,
+       ROUND(ABS(ca * nb - cb * na) / CAST(na * nb AS DOUBLE)
+             + 0.000000001, 6) AS ks
+FROM c, n
+ORDER BY ABS(ca * nb - cb * na) DESC, x LIMIT 1""")
+def score_ks_statistic(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic (open vs
+    non-open order price distributions) — the model-monitoring /
+    population-drift metric next to score_psi_drift, computed with
+    INTEGER math end to end: per-threshold cumulative counts come
+    from ``bucketed_cumsum`` (functions/scale.py — the running-sum
+    sibling of bucketed_global_rank: per-cell totals prefix-summed on
+    the driver, within-cell window partitioned by cell, NO
+    single-task ORDER BY window), the sup statistic compares
+    |ca*nb − cb*na| in int64 (association-free), and the only float
+    op is the final division, rendered with the house nudge-round.
+    The oracle is the plain window-SQL form."""
+    from aws_etl_bank_spark.functions.scale import bucketed_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("a"),
+        F.when(F.col("o_orderstatus") != "O", 1).otherwise(0).alias("b"))
+    g = (s.groupBy("x")
+         .agg(F.sum("a").cast("long").alias("da"),
+              F.sum("b").cast("long").alias("db")))
+    c = bucketed_cumsum(g, "x", ["da", "db"])
+    n = s.agg(F.sum("a").cast("long").alias("na"),
+              F.sum("b").cast("long").alias("nb"))
+    diff = F.abs(F.col("cum_da") * F.col("nb")
+                 - F.col("cum_db") * F.col("na"))
+    return (c.crossJoin(F.broadcast(n))
+            .select(F.col("x").alias("threshold"),
+                    diff.cast("long").alias("diff_units"),
+                    F.round(diff / (F.col("na") * F.col("nb"))
+                            .cast("double") + F.lit(1e-9), 6).alias("ks"))
+            .orderBy(F.desc("diff_units"), "threshold").limit(1))
+
+
+@q("ops_partition_file_stats", """
+SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files
+FROM supplier GROUP BY 1""")
+def ops_partition_file_stats(spark, sf_dir):
+    """Partition-layout introspection via the hidden ``_metadata``
+    column — the ops view a lake needs before compaction/pruning
+    decisions: write supplier hive-partitioned by nation (one file per
+    partition via repartition on the partition key), read it back, and
+    aggregate rows + DISTINCT physical files per partition from
+    ``_metadata.file_path`` (no directory listing in user code; the
+    source exposes its own layout).  The oracle recomputes rows per
+    nation declaratively and pins the 1-file-per-partition layout the
+    repartition guarantees.  Partition values surface as the read
+    schema's partition column; counts prove discovery saw every file."""
+    s = load_table(spark, sf_dir, "supplier")
+    path = _scratch(sf_dir, "supplier_hive")
+    (s.repartition("s_nationkey")
+     .write.mode("overwrite").partitionBy("s_nationkey").parquet(path))
+    back = spark.read.parquet(path)
+    return (back.select(F.col("s_nationkey").cast("int").alias("s_nationkey"),
+                        F.col("_metadata.file_path").alias("fp"))
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("fp").alias("n_files"))
+            .select("s_nationkey",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("n_files").cast("long").alias("n_files")))

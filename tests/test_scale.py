@@ -949,3 +949,32 @@ def test_bucketed_global_rank_date_scores(spark):
     assert sorted(map(tuple, got_g.select("id", "rk").collect())) \
         == sorted(map(tuple, exp_g.select("id", "rk").collect()))
     spark.catalog.clearCache()
+
+
+def test_bucketed_cumsum_matches_global_window(spark):
+    """bucketed_cumsum == SUM(v) OVER (ORDER BY x) for every value
+    column, including the one-cell degenerate case (all-equal order
+    keys are impossible post-group, but lo==hi from a single row is)."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from aws_etl_bank_spark.functions.scale import bucketed_cumsum
+
+    random.seed(7)
+    xs = random.sample(range(100000), 800)
+    rows = [(float(x), x % 7, (x * 3) % 11) for x in xs]
+    df = spark.createDataFrame(rows, "x double, a long, b long")
+    got = bucketed_cumsum(df, "x", ["a", "b"], n_buckets=16)
+    w = (Window.orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    exp = df.select("x", F.sum("a").over(w).alias("cum_a"),
+                    F.sum("b").over(w).alias("cum_b"))
+    assert sorted(map(tuple, got.select("x", "cum_a", "cum_b").collect())) \
+        == sorted(map(tuple, exp.collect()))
+
+    one = spark.createDataFrame([(5.0, 2, 3)], "x double, a long, b long")
+    r = bucketed_cumsum(one, "x", ["a", "b"]).collect()[0]
+    assert (r["cum_a"], r["cum_b"]) == (2, 3)
+    spark.catalog.clearCache()
