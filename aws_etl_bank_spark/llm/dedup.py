@@ -1281,3 +1281,78 @@ def remove_duplicate_spans(df: DataFrame, spans: DataFrame,
                 .alias("clean_text"),
                 (F.size("__toks") - F.size("__kept")).cast("long")
                 .alias("n_removed")))
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_rounds: int = 50) -> DataFrame:
+    """(id, component) via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the scale path next to :func:`connected_components`: min-label
+    propagation needs O(diameter) rounds, so a million-node chain
+    needs a million joins; star rounds contract the graph toward
+    rooted stars in O(log² n) rounds REGARDLESS of diameter.
+
+    Per round (both phases are one groupBy-min + one join + one
+    explode-free emit — everything shuffles on node id with map-side
+    combine):
+
+    - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+      rewires each LARGER neighbor v>u to m;
+    - small-star: every node u with smaller neighbors Γ⁻(u) computes
+      m = min(Γ⁻(u)) and rewires Γ⁻(u) ∪ {u} to m.
+
+    Convergence = the canonical edge multiset is stable round-over-
+    round, detected with a (count, Σ xxhash64) signature — one tiny
+    aggregate, no edge-set diff join.  At convergence every edge is
+    (node, root-of-its-component).  The driver holds loop control and
+    the 2-value signature, never data; ``localCheckpoint`` truncates
+    lineage per round."""
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # nodes BEFORE the self-loop filter: a node whose only edge is a
+    # self-loop is still a (singleton) component, like min-label CC
+    nodes = (raw.select(F.col("a").alias("id"))
+             .union(raw.select(F.col("b").alias("id")))
+             .distinct().localCheckpoint())
+    e0 = raw.filter(F.col("a") != F.col("b"))
+    edges = (e0.select(F.least("a", "b").alias("a"),
+                       F.greatest("a", "b").alias("b"))
+             .distinct().localCheckpoint())
+    prev_sig, converged = None, False
+    for _ in range(max_rounds):
+        both = edges.union(edges.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+        mins = both.groupBy("a").agg(F.min("b").alias("mn"))
+        j = both.join(mins, "a").withColumn("m", F.least("mn", F.col("a")))
+        ls = (j.filter(F.col("b") > F.col("a"))
+              .select(F.col("b").alias("a"), F.col("m").alias("b"))
+              .filter(F.col("a") != F.col("b")).distinct())
+        # small-star: ls edges are already (larger, smaller)
+        mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+        em1 = (ls.join(mins2, "a")
+               .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        em2 = mins2.select("a", F.col("m").alias("b"))
+        edges_new = (em1.union(em2).filter(F.col("a") != F.col("b"))
+                     .select(F.least("a", "b").alias("a"),
+                             F.greatest("a", "b").alias("b"))
+                     .distinct().localCheckpoint())
+        s = edges_new.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(F.xxhash64("a", "b")).alias("h")).collect()[0]
+        sig = (s["n"], s["h"])
+        edges = edges_new
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        log.warning(
+            "connected_components_star: edge set not stable within "
+            "max_rounds=%d — labels may be under-contracted.", max_rounds)
+    # at convergence every canonical edge is (root, node): the root is
+    # the component MIN, so it lands in the `a` slot
+    labeled = edges.select(F.col("b").alias("id"),
+                           F.col("a").alias("component"))
+    # roots map to themselves; isolated original nodes keep themselves
+    rest = (nodes.join(labeled.select("id"), "id", "left_anti")
+            .withColumn("component", F.col("id")))
+    return labeled.unionByName(rest.select("id", "component"))

@@ -3460,3 +3460,43 @@ def text_bpe_train_merges(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, "text", n_merges=3)
+
+
+@q("graph_cc_star_chain", """
+WITH v AS (SELECT DISTINCT vec_id FROM embeddings),
+r AS (SELECT vec_id,
+             vec_id - row_number() OVER (ORDER BY vec_id) AS isl
+      FROM v)
+SELECT vec_id AS id,
+       CAST(MIN(vec_id) OVER (PARTITION BY isl) AS BIGINT) AS component
+FROM r""")
+def graph_cc_star_chain(spark, sf_dir):
+    """Connected components on a LONG-CHAIN graph via alternating
+    large-star/small-star rounds (llm/dedup.py
+    connected_components_star, Kiveris et al.) — the case min-label
+    propagation structurally cannot handle: edges (vec_id, vec_id+1)
+    form one path per contiguous id block (diameter = block size −
+    hundreds at sf0.01, thousands at sf1), so min-label needs
+    diameter-many join rounds while the star algorithm contracts to
+    rooted stars in O(log² n) rounds regardless of diameter.  Each
+    round is two groupBy-mins + joins, everything keyed on node id;
+    only a 2-value convergence signature reaches the driver.  The
+    oracle labels each node with its contiguous-run minimum via the
+    gaps-and-islands window — the exact component structure of a
+    chain-of-consecutive-integers graph.  (Chains are the worst case,
+    not a corner case: dup chains, session grafts and entity-merge
+    graphs all grow long paths at corpus scale.)"""
+    from aws_etl_bank_spark.llm.dedup import connected_components_star
+
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    nxt = ids.select((F.col("vec_id") + 1).alias("vec_id"))
+    chain = (ids.join(nxt, "vec_id")  # vec_ids that have a predecessor
+             .select((F.col("vec_id") - 1).alias("id_a"),
+                     F.col("vec_id").alias("id_b")))
+    # self-loops register every id as a node, so an id with no
+    # consecutive neighbor still surfaces as a singleton component —
+    # exactly the oracle's all-nodes universe
+    loops = ids.select(F.col("vec_id").alias("id_a"),
+                       F.col("vec_id").alias("id_b"))
+    return (connected_components_star(chain.unionByName(loops))
+            .select("id", F.col("component").cast("long").alias("component")))

@@ -1847,3 +1847,41 @@ def test_bpe_train_merges_reference(spark):
         (4, "a </w>", "a</w>", 3),  # 'aa a </w>' tail; ' ' sorts first
     ]
     spark.catalog.clearCache()
+
+
+def test_cc_star_long_chain_and_parity(spark):
+    """Star CC contracts a 4000-node path (diameter 3999) — the case
+    min-label's bounded rounds cannot close — and agrees with the
+    min-label implementation on a random graph, including self-loop
+    singletons."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from aws_etl_bank_spark.llm.dedup import (connected_components,
+                                              connected_components_star)
+
+    chain = spark.range(0, 3999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    got = connected_components_star(chain)
+    agg = got.agg(F.count(F.lit(1)).alias("n"),
+                  F.countDistinct("component").alias("k"),
+                  F.max("component").alias("mx")).collect()[0]
+    assert (agg["n"], agg["k"], agg["mx"]) == (4000, 1, 0)
+
+    random.seed(3)
+    edges = [(random.randint(0, 300), random.randint(0, 300))
+             for _ in range(250)]
+    df = (spark.createDataFrame(edges, "id_a long, id_b long")
+          .filter("id_a <> id_b"))
+    a = {(r["id"], r["component"])
+         for r in connected_components_star(df).collect()}
+    b = {(r["id"], r["component"])
+         for r in connected_components(df).collect()}
+    assert a == b
+
+    df2 = spark.createDataFrame([(1, 2), (2, 3), (10, 11), (20, 20)],
+                                "id_a long, id_b long")
+    got2 = sorted((r["id"], r["component"])
+                  for r in connected_components_star(df2).collect())
+    assert got2 == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)]
