@@ -110,6 +110,15 @@ HEADLINE = [
     "feature_quantile_normalize",
     "feature_quantile_normalize_grouped",
     "src_avro_datum_roundtrip",
+    # r10 additions: the three iterative/trainer shapes of the round —
+    # Lloyd k-means (2 broadcast-assign + hash-agg-update rounds over
+    # the embedding table), BPE merge training (3 vocabulary-sized pair
+    # rounds off one corpus pass), and star-contraction connected
+    # components on a long-chain graph (the O(log^2 n) CC that replaces
+    # diameter-bound min-label)
+    "ml_kmeans_lloyd",
+    "text_bpe_train_merges",
+    "graph_cc_star_chain",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
