@@ -6786,3 +6786,104 @@ def ops_partition_file_stats(spark, sf_dir):
             .select("s_nationkey",
                     F.col("n_rows").cast("long").alias("n_rows"),
                     F.col("n_files").cast("long").alias("n_files")))
+
+
+@q("ops_table_reconcile_buckets", """
+WITH a AS (
+  SELECT o_orderkey % 64 AS bucket,
+         CAST('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+             o_orderstatus), 1, 15) AS BIGINT) AS h
+  FROM orders),
+b AS (
+  SELECT o_orderkey % 64 AS bucket,
+         CAST('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(CAST(CASE WHEN o_orderkey % 13 = 0
+                            THEN o_totalprice + 1.5
+                            ELSE o_totalprice END
+                       AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+             o_orderstatus), 1, 15) AS BIGINT) AS h
+  FROM orders WHERE o_orderkey % 89 <> 0),
+ga AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
+              CAST(bit_xor(h) AS BIGINT) AS x_a
+       FROM a GROUP BY bucket),
+gb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+              CAST(bit_xor(h) AS BIGINT) AS x_b
+       FROM b GROUP BY bucket)
+SELECT CAST(ga.bucket AS BIGINT) AS bucket, n_a, n_b
+FROM ga JOIN gb ON ga.bucket = gb.bucket
+WHERE n_a <> n_b OR x_a <> x_b""")
+def ops_table_reconcile_buckets(spark, sf_dir):
+    """Hash-bucket table reconciliation — how two 100 TB table copies
+    are compared WITHOUT moving rows: each side reduces to 64 bucket
+    fingerprints (row count + bit_xor of a canonical row hash — XOR is
+    order-free and overflow-free, unlike a SUM of 60-bit hashes), and
+    only fingerprint-mismatched buckets surface for row-level digging.
+    The row hash is the engine-portable md5→int64 canon
+    (conv(substr(md5,1,15))) over key|price|status with the price
+    rendered through DECIMAL(18,2) so both engines hash identical
+    bytes; side B injects %13 reprices and %89 deletes.  Two scans,
+    two 64-row hash-aggs, one 64-row join."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def hashed(price_col):
+        s = F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"),
+            price_col.cast("decimal(18,2)").cast("string"),
+            F.col("o_orderstatus"))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+    a = o.select((F.col("o_orderkey") % 64).alias("bucket"),
+                 hashed(F.col("o_totalprice")).alias("h"))
+    newprice = F.when(F.col("o_orderkey") % 13 == 0,
+                      F.col("o_totalprice") + 1.5) \
+        .otherwise(F.col("o_totalprice"))
+    b = (o.filter(F.col("o_orderkey") % 89 != 0)
+         .select((F.col("o_orderkey") % 64).alias("bucket"),
+                 hashed(newprice).alias("h")))
+    ga = a.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_a"),
+                                 F.bit_xor("h").alias("x_a"))
+    gb = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_b"),
+                                 F.bit_xor("h").alias("x_b"))
+    return (ga.join(gb, "bucket")
+            .filter((F.col("n_a") != F.col("n_b"))
+                    | (F.col("x_a") != F.col("x_b")))
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    "n_a", "n_b"))
+
+
+@q("catalog_equidepth_histogram", """
+WITH r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk
+  FROM orders),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders),
+t AS (SELECT unnest(range(1, 9)) AS i)
+SELECT CAST(t.i AS INT) AS q,
+       CAST(r.rk AS BIGINT) AS rk,
+       r.o_totalprice AS boundary
+FROM r, n, t
+WHERE r.rk = (t.i * n.c + 7) // 8""")
+def catalog_equidepth_histogram(spark, sf_dir):
+    """Equi-depth histogram boundaries (the CBO statistics a catalog's
+    ANALYZE collects, next to catalog_analyze_columns' NDV): the order
+    price at ranks ceil(i·n/8), i=1..8, EXACT — ranks come from
+    ``bucketed_global_rank`` (histogram cells + per-cell row_number,
+    no single-task ORDER BY window), boundary targets from integer
+    math ((i·n+7) div 8), and the 8 target ranks broadcast-join
+    against the ranked frame.  The oracle is the plain window form.
+    One corpus scan + the rank machinery's two bounded passes."""
+    from aws_etl_bank_spark.functions.scale import bucketed_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey")
+    ranked = bucketed_global_rank(o, "o_totalprice", ["o_orderkey"],
+                                  out_col="rk")
+    n = o.count()
+    targets = [(i, (i * n + 7) // 8) for i in range(1, 9)]
+    t = spark.createDataFrame(targets, "q int, rk long")
+    return (ranked.join(F.broadcast(t), "rk")
+            .select("q", F.col("rk").cast("long").alias("rk"),
+                    F.col("o_totalprice").alias("boundary")))
