@@ -6887,3 +6887,101 @@ def catalog_equidepth_histogram(spark, sf_dir):
     return (ranked.join(F.broadcast(t), "rk")
             .select("q", F.col("rk").cast("long").alias("rk"),
                     F.col("o_totalprice").alias("boundary")))
+
+
+@q("src_python_datasource", """
+SELECT s_suppkey, s_nationkey, s_acctbal, s_name FROM supplier""")
+def src_python_datasource(spark, sf_dir):
+    """Custom PYTHON DataSource (Spark 4 ``pyspark.sql.datasource``) —
+    the modern form of the reference's custom-connector dispatch
+    (getSource(connection_type=...)): sources/pyds.py registers a
+    pyarrow-backed parquet reader whose ``partitions()`` lists the
+    file's ROW GROUPS (driver reads only the footer) and whose tasks
+    yield Arrow RecordBatches for just their row group — a
+    Python-defined connector that still parallelizes like a native
+    scan and never builds Python row objects.  Identity oracle over
+    supplier, so framing/typing bugs in the connector fail the hash."""
+    import os
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
+
+    try:
+        spark.dataSource.register(PyArrowParquetDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (spark.read.format("pyarrow_parquet")
+            .option("path", os.path.join(sf_dir, "supplier.parquet"))
+            .option("columns", "s_suppkey,s_nationkey,s_acctbal,s_name")
+            .load())
+
+
+@q("udf_sql_scalar", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS band,
+       FLOOR(o_totalprice * 1.5 + 0.5) / 100 AS fee
+FROM orders""")
+def udf_sql_scalar(spark, sf_dir):
+    """SQL scalar UDFs (Spark 4 ``CREATE FUNCTION ... RETURNS ...
+    RETURN expr``) — the §2.12 surface done RIGHT for 100 TB: unlike a
+    Python UDF the body is inlined into the Catalyst plan (stays
+    inside whole-stage codegen, vectorizes, costs zero serialization),
+    so shared business logic (price banding, fee schedules) lives in
+    one catalog definition instead of N copied expressions.  Two
+    functions defined once, used in one projection; the oracle inlines
+    the same expressions."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'low'
+                    WHEN p < 150000 THEN 'mid'
+                    ELSE 'high' END""")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION fee(p DOUBLE)
+        RETURNS DOUBLE
+        RETURN FLOOR(p * 1.5 + 0.5) / 100""")
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__udfsql_orders")
+    return spark.sql("""
+        SELECT o_orderkey, price_band(o_totalprice) AS band,
+               fee(o_totalprice) AS fee
+        FROM __udfsql_orders""")
+
+
+@q("scalar_variant_suite", """
+WITH j AS (
+  SELECT o_orderkey,
+         '{"status":"' || o_orderstatus || '","price":' ||
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) ||
+         ',"nums":[3,7,11]}' AS doc
+  FROM orders)
+SELECT o_orderkey,
+       json_extract_string(doc, '$.status') AS status,
+       CAST(json_extract(doc, '$.price') AS DOUBLE) AS price,
+       CAST(json_extract(doc, '$.nums[2]') AS INT) AS third_num,
+       CAST(json_extract(doc, '$.missing') IS NULL AS BOOLEAN) AS miss
+FROM j""")
+def scalar_variant_suite(spark, sf_dir):
+    """The VARIANT semi-structured type (Spark 4 ``parse_json`` +
+    ``variant_get``) — the shredded-binary successor to
+    string-JSON-with-get_json_object (scalar_json_suite): parse once
+    into VARIANT, then typed path extraction per field.  At 100 TB the
+    difference is structural: VARIANT decodes the document ONCE into a
+    binary form whose fields extract without re-parsing, and the
+    encoding is columnar-shreddable.  try_variant_get on a missing
+    path yields NULL (checked).  The oracle runs the same paths with
+    DuckDB's JSON extraction."""
+    o = load_table(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('{"status":"'), F.col("o_orderstatus"), F.lit('","price":'),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.lit(',"nums":[3,7,11]}'))
+    v = o.select("o_orderkey", F.parse_json(doc).alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.variant_get(F.col("v"), "$.status", "string").alias("status"),
+        F.variant_get(F.col("v"), "$.price", "double").alias("price"),
+        F.variant_get(F.col("v"), "$.nums[2]", "int").alias("third_num"),
+        F.try_variant_get(F.col("v"), "$.missing", "string").isNull()
+        .alias("miss"))
