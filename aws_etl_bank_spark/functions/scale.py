@@ -1157,12 +1157,14 @@ def bucketed_global_rank(df: DataFrame, score: Column | str,
     elif score_dt in ("timestamp", "timestamp_ntz"):
         sn = F.unix_micros(F.col("__bgr_s").cast("timestamp"))
     else:
-        sn = F.col("__bgr_s")
-    tagged_src = tagged_src.withColumn("__bgr_sn", sn)
+        sn = None  # numeric: bucket on __bgr_s directly, no twin column
+    sn_col = "__bgr_sn" if sn is not None else "__bgr_s"
+    if sn is not None:
+        tagged_src = tagged_src.withColumn("__bgr_sn", sn)
     if cache:
         tagged_src = tagged_src.persist(StorageLevel.MEMORY_AND_DISK)
     stats = tagged_src.agg(
-        F.min("__bgr_sn").alias("lo"), F.max("__bgr_sn").alias("hi"),
+        F.min(sn_col).alias("lo"), F.max(sn_col).alias("hi"),
         F.count(F.lit(1)).alias("n")).collect()[0]
     n, lo, hi = stats["n"], stats["lo"], stats["hi"]
     if n == 0:
@@ -1174,7 +1176,7 @@ def bucketed_global_rank(df: DataFrame, score: Column | str,
     else:
         lo_d, hi_d = float(lo), float(hi)
         width = (hi_d - lo_d) / n_buckets
-        raw = F.floor((F.col("__bgr_sn").cast("double") - F.lit(lo_d))
+        raw = F.floor((F.col(sn_col).cast("double") - F.lit(lo_d))
                       / F.lit(width))
         idx = F.least(raw, F.lit(n_buckets - 1)).cast("int")
         base = (F.lit(n_buckets - 1) - idx) if descending else idx
@@ -1276,11 +1278,13 @@ def bucketed_rank_by_group(df: DataFrame, group_cols: list[str],
     elif score_dt in ("timestamp", "timestamp_ntz"):
         sn = F.unix_micros(F.col("__bgr_s").cast("timestamp"))
     else:
-        sn = F.col("__bgr_s")
-    tagged = tagged.withColumn("__bgr_sn", sn)
+        sn = None  # numeric: bucket on __bgr_s directly, no twin column
+    sn_col = "__bgr_sn" if sn is not None else "__bgr_s"
+    if sn is not None:
+        tagged = tagged.withColumn("__bgr_sn", sn)
     stats = (tagged.groupBy(*group_cols)
-             .agg(F.min("__bgr_sn").alias("__bgr_lo"),
-                  F.max("__bgr_sn").alias("__bgr_hi")))
+             .agg(F.min(sn_col).alias("__bgr_lo"),
+                  F.max(sn_col).alias("__bgr_hi")))
     # NULL group keys must keep their stats row: groupBy treats NULL as
     # a real group (as does the PARTITION BY window this function claims
     # bit-identity with), but a plain equi-join drops it because NULL
@@ -1294,7 +1298,7 @@ def bucketed_rank_by_group(df: DataFrame, group_cols: list[str],
                                  "__bgr_r.__bgr_hi")
     width = ((F.col("__bgr_hi").cast("double")
               - F.col("__bgr_lo").cast("double")) / F.lit(n_buckets))
-    raw = F.floor((F.col("__bgr_sn").cast("double")
+    raw = F.floor((F.col(sn_col).cast("double")
                    - F.col("__bgr_lo").cast("double")) / width)
     # NULL scores → NULL cell → NULL rank (the top_fraction universe
     # rule); the explicit isNull arm matters because F.least SKIPS
