@@ -6985,3 +6985,86 @@ def scalar_variant_suite(spark, sf_dir):
         F.variant_get(F.col("v"), "$.nums[2]", "int").alias("third_num"),
         F.try_variant_get(F.col("v"), "$.missing", "string").isNull()
         .alias("miss"))
+
+
+@q("agg_grouping_sets", """
+SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())""")
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the custom-combination form next to the
+    CUBE and ROLLUP entries — a CUBE would also emit the
+    (priority)-only layer this report does NOT want): three chosen
+    layers in ONE pass — Spark plans a single Expand below one
+    partial hash-agg, so map-side combine stays intact and the fact
+    is read once, not once per layer.  Money in exact int64 cents."""
+    ev = load_table(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("__gsets_orders")
+    return spark.sql("""
+        SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM __gsets_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())""")
+
+
+@q("quality_completeness_profile", """
+SELECT 'c_name' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(SUM(CASE WHEN trim(COALESCE(c_name, '')) = ''
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN trim(COALESCE(c_mktsegment, '')) = ''
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'c_acctbal',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM customer""")
+def quality_completeness_profile(spark, sf_dir):
+    """Deequ-style completeness profile (null + blank rates per
+    column) in ONE scan — the unpivot trick catalog_analyze_columns
+    uses for NDV, here for completeness: per-column indicator sums
+    ride a single aggregation instead of one scan per column (the
+    naive loop is C scans of a 100 TB table).  The oracle spells the
+    same sums column by column."""
+    c = load_table(spark, sf_dir, "customer")
+    # one scan, one aggregate row carrying all the sums, then a
+    # 1-row → 3-row driver-free reshape via stack
+    a = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_name"),
+        F.sum(F.when(F.trim(F.coalesce(F.col("c_name"), F.lit(""))) == "",
+                     1).otherwise(0)).cast("long").alias("blank_name"),
+        F.sum(F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_seg"),
+        F.sum(F.when(F.trim(F.coalesce(F.col("c_mktsegment"), F.lit("")))
+                     == "", 1).otherwise(0)).cast("long")
+        .alias("blank_seg"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_bal"))
+    return a.selectExpr("""stack(3,
+        'c_name', n, null_name, blank_name,
+        'c_mktsegment', n, null_seg, blank_seg,
+        'c_acctbal', n, null_bal, CAST(0 AS BIGINT))
+        AS (col, n, n_null, n_blank)""")

@@ -484,3 +484,48 @@ def test_incremental_dedup_batches_equal_global_exact_dedup(spark, tmp_path):
     kept = stream_dedup_against_index(stream, str(tmp_path / "state"))
     got = sorted(r["doc_id"] for r in kept.collect())
     assert got == [1, 2, 4, 7]
+
+
+def test_tws_requires_protobuf(spark):
+    """transformWithStateInPandas (streaming/tws.py) is implemented and
+    PLAN-BUILDS, but its Python driver worker needs google.protobuf,
+    absent in this sandbox — pin the probe so the surface lights up
+    (and this test flips) the day a protobuf wheel appears."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    import pyspark.sql.functions as F
+
+    from aws_etl_bank_spark.streaming.tws import (ROCKSDB_PROVIDER,
+                                                  running_user_totals_tws)
+
+    src = (spark.readStream.format("rate").option("rowsPerSecond", "10")
+           .load()
+           .select(F.col("value").alias("user_id"),
+                   (F.col("value") * 1.0).alias("value")))
+    totals = running_user_totals_tws(src)   # plan builds either way
+    assert totals.schema.simpleString() == \
+        "struct<user_id:bigint,n_events:bigint,cents:bigint>"
+    if not has_protobuf:
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       ROCKSDB_PROVIDER)
+        try:
+            q = (totals.writeStream.format("memory")
+                 .queryName("tws_probe").outputMode("update")
+                 .trigger(availableNow=True).start())
+            with pytest.raises(Exception, match="crashed|STREAM_FAILED"):
+                q.awaitTermination()
+        finally:
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev)
