@@ -74,3 +74,28 @@ def test_nested_output_columns_are_flagged():
               ("m", "map<string,int>"), ("n_tokens", "bigint")]
     assert nested_output_cols(dtypes) == ["ids", "rec", "m"]
     assert nested_output_cols([("a", "bigint"), ("b", "string")]) == []
+
+
+def test_bench_headline_queries_all_registered():
+    """A typo'd HEADLINE name would crash the driver's bench run — pin
+    that every benched query resolves in the registry."""
+    import bench
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert missing == [], missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_priority_slate_all_registered():
+    """Same protection for the driver rotation: every _PRIORITY name
+    must resolve, and the first 50 (the driver's evaluation budget)
+    must be unique."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    missing = [n for n in entrymod._PRIORITY if n not in qs]
+    assert missing == [], missing
+    first50 = entrymod._PRIORITY[:50]
+    assert len(first50) == len(set(first50)) == 50
