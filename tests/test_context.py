@@ -180,3 +180,31 @@ def test_glue_script_call_shapes(ctx, scratch):
     out = f"{scratch}/shape_out"
     ctx.write_dynamic_frame.from_options(dyf3, "file", {"path": out}, format="parquet")
     assert ctx.spark.read.parquet(out).count() == 7
+
+
+def test_pyarrow_parquet_datasource_row_group_partitions(spark, tmp_path):
+    """The custom Python DataSource (sources/pyds.py) parallelizes by
+    parquet ROW GROUP and honors the columns option (explicit pruning):
+    a 4-row-group file must scan as 4 input partitions and return only
+    the projected columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
+
+    path = str(tmp_path / "rg.parquet")
+    tbl = pa.table({"a": list(range(1000)),
+                    "b": [f"s{i}" for i in range(1000)],
+                    "c": [float(i) for i in range(1000)]})
+    pq.write_table(tbl, path, row_group_size=250)
+    try:
+        spark.dataSource.register(PyArrowParquetDataSource)
+    except Exception:
+        pass
+    df = (spark.read.format("pyarrow_parquet")
+          .option("path", path).option("columns", "a,c").load())
+    assert df.columns == ["a", "c"]
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert sum(r["a"] for r in rows) == 499500
