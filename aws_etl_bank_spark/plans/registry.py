@@ -7068,3 +7068,114 @@ def quality_completeness_profile(spark, sf_dir):
         'c_mktsegment', n, null_seg, blank_seg,
         'c_acctbal', n, null_bal, CAST(0 AS BIGINT))
         AS (col, n, n_null, n_blank)""")
+
+
+@q("src_fixed_width_ingest", """
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+       o_orderpriority
+FROM orders WHERE o_orderkey % 25 = 0""")
+def src_fixed_width_ingest(spark, sf_dir):
+    """Fixed-width (COBOL-extract style) file ingestion — the bank
+    batch format the reference's CSV jobs eventually meet: write a
+    deterministic fixed-width rendering of an orders slice (key 12 |
+    status 1 | price 16 zero-padded decimal | priority 15), read it
+    back with ``spark.read.text`` + pure substring/trim/cast
+    projections — ALL whole-stage-codegen expressions, no UDF, and
+    the text source splits by line so the parse parallelizes like any
+    scan.  Price goes through DECIMAL(18,2) text both ways, so the
+    roundtrip is exact; the oracle recomputes the slice from orders."""
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 25 == 0))
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+               16, "0"),
+        F.rpad(F.col("o_orderpriority"), 15, " "))
+    path = _scratch(sf_dir, "orders_fixed_width")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
+        F.substring("value", 13, 1).alias("o_orderstatus"),
+        F.substring("value", 14, 16).cast("decimal(18,2)")
+        .cast("double").alias("price"),
+        F.rtrim(F.substring("value", 30, 15)).alias("o_orderpriority"))
+
+
+@q("src_csv_multiline_quoted", """
+SELECT c_custkey, c_name || chr(10) || c_mktsegment AS note, c_acctbal
+FROM customer WHERE c_custkey % 10 = 0""")
+def src_csv_multiline_quoted(spark, sf_dir):
+    """Quoted-newline CSV roundtrip (``multiLine=true``) — the reader
+    behavior that separates a toy CSV parser from a real one: records
+    whose quoted fields EMBED newlines span physical lines, so the
+    reader must parse quote state across line boundaries.  (Scale
+    note, documented trade-off: multiLine CSV files are not
+    line-splittable — Spark reads each file whole, so the writer's
+    partitioning sets the read parallelism; keep multiline extracts
+    in many small files.)  The oracle recomputes the embedded-newline
+    note from customer."""
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") % 10 == 0)
+         .select("c_custkey",
+                 F.concat(F.col("c_name"), F.lit("\n"),
+                          F.col("c_mktsegment")).alias("note"),
+                 "c_acctbal"))
+    path = _scratch(sf_dir, "customer_multiline_csv")
+    (c.repartition(4).write.mode("overwrite")
+     .option("header", "true").option("quoteAll", "true").csv(path))
+    return (spark.read.option("header", "true").option("multiLine", "true")
+            .option("inferSchema", "false").csv(path)
+            .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                    F.col("note"),
+                    F.col("c_acctbal").cast("double").alias("c_acctbal")))
+
+
+@q("udf_cogroup_apply", """
+WITH o AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.cents, 0) AS BIGINT) AS cents,
+       c.c_acctbal
+FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey""")
+def udf_cogroup_apply(spark, sf_dir):
+    """The COGROUP Python surface (§2.12's last uncovered shape):
+    ``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` hands
+    each key's rows from BOTH frames to one Arrow-batched pandas
+    callable — the escape hatch for per-key merge logic SQL can't
+    express (custom asof/interleave).  Here the callable computes a
+    per-customer order rollup joined to the customer row, and the
+    oracle is the equivalent LEFT JOIN + GROUP BY — proving the
+    cogroup path exact (int64 cents, no float accumulation in
+    Python).  Scale shape: ONE co-partitioned shuffle of both sides
+    on the key (exactly what a join would shuffle), Arrow transfer,
+    state bounded by one key's rows."""
+    import pandas as pd
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:          # order rows for a custkey not in customer
+            return pd.DataFrame(columns=["c_custkey", "n_orders",
+                                         "cents", "c_acctbal"])
+        return pd.DataFrame({
+            "c_custkey": [int(left["c_custkey"].iloc[0])],
+            "n_orders": [int(len(right))],
+            "cents": [int(right["cents"].sum()) if len(right) else 0],
+            "c_acctbal": [float(left["c_acctbal"].iloc[0])]})
+
+    return (c.groupBy("c_custkey").cogroup(o.groupBy("o_custkey"))
+            .applyInPandas(merge, "c_custkey long, n_orders long, "
+                                  "cents long, c_acctbal double"))
