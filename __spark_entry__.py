@@ -58,7 +58,7 @@ _PRIORITY = [
     "scale_bucketed_join", "scale_range_clustered_read",
     "sink_collection_write",
     # ---- 50-slot waterline (the driver caps here) ----
-    # r11 rotation resumes here, in this order: the 21 r10-NEW entries
+    # r11 rotation resumes here, in this order: the 23 r10-NEW entries
     # (builder-verified at sf0.01 + sf1 the day each landed, never
     # driver-evaluated), then the remaining r4-vintage oracle-backed,
     # then rows-only r4-vintage, then the schema tripwire
@@ -70,7 +70,7 @@ _PRIORITY = [
     "src_python_datasource", "udf_sql_scalar", "scalar_variant_suite",
     "agg_grouping_sets", "quality_completeness_profile",
     "src_fixed_width_ingest", "src_csv_multiline_quoted",
-    "udf_cogroup_apply",
+    "udf_cogroup_apply", "scalar_na_suite", "scalar_map_suite",
     "stream_dedup_ids", "stream_foreach_batch", "stream_sample_poll",
     "stream_sliding_counts", "stream_stateful_counts", "stream_stream_join",
     "stream_window_counts", "text_fingerprint_planted", "ts_bucket_rollup",

@@ -7179,3 +7179,97 @@ def udf_cogroup_apply(spark, sf_dir):
     return (c.groupBy("c_custkey").cogroup(o.groupBy("o_custkey"))
             .applyInPandas(merge, "c_custkey long, n_orders long, "
                                   "cents long, c_acctbal double"))
+
+
+@q("scalar_na_suite", """
+WITH s AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END
+           AS seg,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END
+           AS bal
+  FROM customer)
+SELECT c_custkey,
+       COALESCE(seg, 'UNKNOWN') AS seg_filled,
+       COALESCE(bal, 0.0) AS bal_filled,
+       CASE WHEN COALESCE(seg, 'UNKNOWN') = 'BUILDING'
+            THEN 'CONSTRUCTION' ELSE COALESCE(seg, 'UNKNOWN') END
+         AS seg_replaced,
+       (seg IS NOT NULL AND bal IS NOT NULL) AS complete
+FROM s""")
+def scalar_na_suite(spark, sf_dir):
+    """The DataFrameNaFunctions surface (``df.na.fill`` / ``na.replace``)
+    — the missing-data API layer over the COALESCE/CASE expressions it
+    compiles to (planted NULLs on %7/%11 keys so both branches carry
+    rows): typed per-column fills in one pass, a value-level replace,
+    and a row-completeness flag.  Everything stays a map-only
+    projection; the oracle writes the compiled-to expressions
+    directly."""
+    c = load_table(spark, sf_dir, "customer")
+    s = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_acctbal")).alias("bal"))
+    complete = (F.col("seg").isNotNull()
+                & F.col("bal").isNotNull()).alias("complete")
+    s = s.select("*", complete)
+    filled = s.na.fill({"seg": "UNKNOWN", "bal": 0.0})
+    replaced = filled.na.replace("BUILDING", "CONSTRUCTION",
+                                 subset=["seg"])
+    return (filled.alias("f")
+            .join(replaced.select("c_custkey",
+                                  F.col("seg").alias("seg_replaced")),
+                  "c_custkey")
+            .select("c_custkey", F.col("f.seg").alias("seg_filled"),
+                    F.col("f.bal").alias("bal_filled"),
+                    "seg_replaced", F.col("f.complete").alias("complete")))
+
+
+@q("scalar_map_suite", """
+WITH t AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                  ORDER BY event_type) AS type_counts,
+       string_agg(CASE WHEN n >= 3
+                       THEN event_type || ':' || CAST(n * 10 AS VARCHAR)
+                  END, ',' ORDER BY event_type) AS hot_scaled,
+       CAST(MAX(n) AS BIGINT) AS max_n
+FROM t GROUP BY user_id""")
+def scalar_map_suite(spark, sf_dir):
+    """MAP higher-order functions (§2.8 completion next to the array
+    HOF suite): per-user event-type counts built into a real
+    ``map<string,bigint>`` with ``map_from_entries``, then
+    ``map_filter`` (keep hot types), ``transform_values`` (scale),
+    ``map_entries`` + sort + serialize (the driver canon cannot hash
+    maps, so entries render as ordered ``k:v`` strings — empty maps
+    as NULL to match SQL's empty string_agg), and ``array_max`` over
+    ``map_values``.  All lambdas JVM-side; one shuffle for the
+    (user, type) agg, one for the per-user map build."""
+    ev = load_table(spark, sf_dir, "events")
+    t = (ev.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    m = (t.groupBy("user_id")
+         .agg(F.map_from_entries(
+             F.array_sort(F.collect_list(F.struct("event_type", "n"))))
+             .alias("mp")))
+
+    def render(mp):
+        ent = F.array_sort(F.map_entries(mp))
+        joined = F.array_join(
+            F.transform(ent, lambda e: F.concat(
+                e["key"], F.lit(":"), e["value"].cast("string"))), ",")
+        return F.when(F.size(F.map_entries(mp)) == 0, F.lit(None)) \
+            .otherwise(joined)
+
+    hot = F.transform_values(
+        F.map_filter(F.col("mp"), lambda k, v: v >= 3),
+        lambda k, v: v * 10)
+    return m.select(
+        "user_id",
+        render(F.col("mp")).alias("type_counts"),
+        render(hot).alias("hot_scaled"),
+        F.array_max(F.map_values("mp")).cast("long").alias("max_n"))
