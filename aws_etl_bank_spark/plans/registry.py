@@ -7215,16 +7215,17 @@ def scalar_na_suite(spark, sf_dir):
     complete = (F.col("seg").isNotNull()
                 & F.col("bal").isNotNull()).alias("complete")
     s = s.select("*", complete)
-    filled = s.na.fill({"seg": "UNKNOWN", "bal": 0.0})
+    # fill, then replace on a COPY of the filled column — both na.*
+    # surfaces exercised with zero joins (the whole entry stays one
+    # map-only projection; a self-join here would be pure waste at
+    # any scale)
+    filled = (s.na.fill({"seg": "UNKNOWN", "bal": 0.0})
+              .withColumn("seg_replaced", F.col("seg")))
     replaced = filled.na.replace("BUILDING", "CONSTRUCTION",
-                                 subset=["seg"])
-    return (filled.alias("f")
-            .join(replaced.select("c_custkey",
-                                  F.col("seg").alias("seg_replaced")),
-                  "c_custkey")
-            .select("c_custkey", F.col("f.seg").alias("seg_filled"),
-                    F.col("f.bal").alias("bal_filled"),
-                    "seg_replaced", F.col("f.complete").alias("complete")))
+                                 subset=["seg_replaced"])
+    return replaced.select(
+        "c_custkey", F.col("seg").alias("seg_filled"),
+        F.col("bal").alias("bal_filled"), "seg_replaced", "complete")
 
 
 @q("scalar_map_suite", """
