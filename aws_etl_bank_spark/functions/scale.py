@@ -1362,7 +1362,11 @@ def bucketed_cumsum(df: DataFrame, order_col: str,
                   F.max(order_col).alias("hi"),
                   F.count(F.lit(1)).alias("n")).collect()[0]
     if stats["n"] == 0:
-        out = df
+        # Degenerate case keeps the SAME row universe as the normal
+        # path (NULL order keys filtered out — r10 ADVICE): return the
+        # filtered frame, not the original df, so callers see a
+        # consistent contract whether or not any non-NULL keys exist.
+        out = t
         for v in value_cols:
             out = out.withColumn(f"cum_{v}", F.lit(None).cast("long"))
         return out

@@ -892,9 +892,25 @@ def bpe_train_merges(df: DataFrame, text_col: str = "text",
         merged = pair.replace(" ", "")
         merges.append((rank, pair, merged, cnt))
         old = wf
+        # Boundary-aware greedy re-segmentation (Sennrich semantics,
+        # r10 ADVICE): the naive ` pair ` literal replace consumes the
+        # separator space, so a run of 4+ identical symbols
+        # under-merges ('a a a a' -> 'aa a a' instead of 'aa aa').
+        # Doubling every separator first makes each boundary space
+        # shared-free — the pattern ` A  B ` consumes one space on
+        # each side and leaves one for the neighbouring match — so a
+        # plain left-to-right non-overlapping replace becomes exactly
+        # the greedy pairwise merge; collapse the doubles afterwards.
+        # Same construction in the DuckDB oracle (replace() is
+        # left-to-right non-overlapping on both engines).
+        doubled = F.replace(
+            F.concat(F.lit(" "), F.col("seg"), F.lit(" ")),
+            F.lit(" "), F.lit("  "))
+        pat = " " + pair.replace(" ", "  ") + " "
         wf = wf.select(
-            F.trim(F.replace(F.concat(F.lit(" "), F.col("seg"), F.lit(" ")),
-                             F.lit(f" {pair} "), F.lit(f" {merged} ")))
+            F.trim(F.replace(F.replace(doubled, F.lit(pat),
+                                       F.lit(f" {merged} ")),
+                             F.lit("  "), F.lit(" ")))
             .alias("seg"), "freq")
         wf = wf.localCheckpoint(eager=True)  # cut lineage; free the parent
         old.unpersist()

@@ -6812,9 +6812,11 @@ ga AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
 gb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
               CAST(bit_xor(h) AS BIGINT) AS x_b
        FROM b GROUP BY bucket)
-SELECT CAST(ga.bucket AS BIGINT) AS bucket, n_a, n_b
-FROM ga JOIN gb ON ga.bucket = gb.bucket
-WHERE n_a <> n_b OR x_a <> x_b""")
+SELECT CAST(COALESCE(ga.bucket, gb.bucket) AS BIGINT) AS bucket,
+       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket
+WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
+   OR COALESCE(x_a, 0) <> COALESCE(x_b, 0)""")
 def ops_table_reconcile_buckets(spark, sf_dir):
     """Hash-bucket table reconciliation — how two 100 TB table copies
     are compared WITHOUT moving rows: each side reduces to 64 bucket
@@ -6847,9 +6849,17 @@ def ops_table_reconcile_buckets(spark, sf_dir):
                                  F.bit_xor("h").alias("x_a"))
     gb = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_b"),
                                  F.bit_xor("h").alias("x_b"))
-    return (ga.join(gb, "bucket")
+    # FULL OUTER on bucket (r10 ADVICE): a bucket entirely absent from
+    # one copy (all its rows deleted) must surface as a mismatch, not
+    # vanish from the report — an inner join hides exactly the worst
+    # diff.  COALESCE counts/xors to 0 so the one-sided comparison is
+    # well-defined (the USING-column join coalesces bucket itself).
+    zero = F.lit(0).cast("long")
+    return (ga.join(gb, "bucket", "full_outer")
+            .withColumn("n_a", F.coalesce("n_a", zero))
+            .withColumn("n_b", F.coalesce("n_b", zero))
             .filter((F.col("n_a") != F.col("n_b"))
-                    | (F.col("x_a") != F.col("x_b")))
+                    | (F.coalesce("x_a", zero) != F.coalesce("x_b", zero)))
             .select(F.col("bucket").cast("long").alias("bucket"),
                     "n_a", "n_b"))
 

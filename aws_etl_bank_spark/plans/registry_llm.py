@@ -3415,8 +3415,10 @@ p1 AS (
     FROM s0) GROUP BY pair),
 t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
 s1 AS (
-  SELECT trim(replace(' ' || seg || ' ', ' ' || t1.pair || ' ',
-              ' ' || replace(t1.pair, ' ', '') || ' ')) AS seg, freq
+  SELECT trim(replace(replace(replace(' ' || seg || ' ', ' ', '  '),
+              ' ' || replace(t1.pair, ' ', '  ') || ' ',
+              ' ' || replace(t1.pair, ' ', '') || ' '),
+              '  ', ' ')) AS seg, freq
   FROM s0, t1),
 p2 AS (
   SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -3427,8 +3429,10 @@ p2 AS (
     FROM s1) GROUP BY pair),
 t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
 s2 AS (
-  SELECT trim(replace(' ' || seg || ' ', ' ' || t2.pair || ' ',
-              ' ' || replace(t2.pair, ' ', '') || ' ')) AS seg, freq
+  SELECT trim(replace(replace(replace(' ' || seg || ' ', ' ', '  '),
+              ' ' || replace(t2.pair, ' ', '  ') || ' ',
+              ' ' || replace(t2.pair, ' ', '') || ' '),
+              '  ', ' ')) AS seg, freq
   FROM s1, t2),
 p3 AS (
   SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -3448,10 +3452,12 @@ def text_bpe_train_merges(spark, sf_dir):
     Sennrich word-frequency formulation: 3 merge rounds over the
     corpus's [a-z]+ words, each round = adjacent-pair counts weighted
     by word frequency (slice+zip array ops, one vocabulary-sized
-    hash-agg), top pair by (count DESC, pair ASC), one literal replace
-    to re-segment.  The oracle unrolls all three rounds in SQL and
-    must reproduce every learned pair AND its count — ties, the
-    left-to-right non-overlapping replace scan ('a a a' → 'aa a'),
+    hash-agg), top pair by (count DESC, pair ASC), one
+    boundary-aware greedy replace to re-segment (separator-doubling
+    so 'a a a a' merges to 'aa aa', Sennrich semantics — r10 ADVICE).
+    The oracle unrolls all three rounds in SQL with the identical
+    doubled-separator replace and must reproduce every learned pair
+    AND its count — ties, the greedy pairwise scan ('a a a' → 'aa a'),
     and the </w> end marker all agree by construction.  Scale shape:
     corpus read ONCE to build the word-frequency table; every round
     is vocabulary-sized, and only the 1-row winner reaches the

@@ -441,7 +441,13 @@ def read_avro(spark, path: str):
     Python pass.  Parallelism = files, the same granularity spark-avro
     achieves on deflate OCFs.  The schema comes from the first file's
     header (one tiny driver-side read through the same source), like
-    spark-avro's schema inference."""
+    spark-avro's schema inference.
+
+    Known read-side artifact: a stored NaN double surfaces as SQL NULL
+    because the pandas→Arrow conversion at the mapInPandas boundary
+    (``pa.Array.from_pandas``) masks NaN as null.  The ENCODE side is
+    NaN-exact (schema-directed — see ``_null_union_fields``); the
+    bytes on disk carry the genuine NaN."""
     import pandas as pd
 
     first = (spark.read.format("binaryFile").load(path)
@@ -515,6 +521,7 @@ def write_avro(df, path: str, codec: str = "null",
         from pyspark import TaskContext
 
         sch = json.loads(schema_json)
+        null_ok = _null_union_fields(sch)
         recs: list[dict] = []
         for pdf in batches:
             for rec in pdf.to_dict("records"):
@@ -522,9 +529,14 @@ def write_avro(df, path: str, codec: str = "null",
                 for k, v in _pyify(rec).items():
                     # pd.isna on a list/ndarray returns an elementwise
                     # array whose truth value is ambiguous — restrict
-                    # the NaN→None rewrite to scalars (r9 ADVICE;
-                    # _pyify already converted ndarrays to lists)
-                    if pd.api.types.is_scalar(v) and pd.isna(v):
+                    # the NaN→None rewrite to scalars (r9 ADVICE), and
+                    # to NULL-UNION fields only (r10 ADVICE): a NaN
+                    # double in a non-null double field is a genuine
+                    # representable Avro value and must encode as NaN,
+                    # not silently become null (which encode_datum
+                    # would reject for a non-union field anyway).
+                    if (k in null_ok and pd.api.types.is_scalar(v)
+                            and pd.isna(v)):
                         v = None
                     clean[k] = v
                 recs.append(clean)
@@ -625,15 +637,20 @@ def to_avro_datum(df, cols: list[str], schema_json: str,
                           + [T.StructField(out_col, T.BinaryType(), True)])
     names = [f.name for f in passthrough]
 
+    null_ok = _null_union_fields(schema)
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
             for rec in pdf[cols].to_dict("records"):
                 # NULLs in numeric columns arrive as NaN through the
                 # Arrow→numpy conversion; rewrite scalar NaN→None so
-                # the union dispatch picks the null branch (same clean
-                # as write_avro)
-                clean = {k: (None if pd.api.types.is_scalar(v)
+                # the union dispatch picks the null branch — but ONLY
+                # for null-union fields (r10 ADVICE): a genuine NaN in
+                # a non-null double field stays NaN (same clean as
+                # write_avro)
+                clean = {k: (None if k in null_ok
+                             and pd.api.types.is_scalar(v)
                              and pd.isna(v) else v)
                          for k, v in _pyify(rec).items()}
                 out = bytearray()
@@ -644,6 +661,15 @@ def to_avro_datum(df, cols: list[str], schema_json: str,
             yield res
 
     return df.mapInPandas(encode, result)
+
+
+def _null_union_fields(schema: dict) -> set:
+    """Names of record fields whose type is a union containing
+    ``"null"`` — the only fields where a pandas-NaN may legitimately
+    be rewritten to None on the encode path (r10 ADVICE: NaN in a
+    non-null double field is a representable Avro value)."""
+    return {f["name"] for f in schema.get("fields", [])
+            if isinstance(f.get("type"), list) and "null" in f["type"]}
 
 
 def _pyify(rec: dict) -> dict:

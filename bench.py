@@ -162,12 +162,6 @@ def main():
     # ~2000-char budget.  ERROR level keeps the tail clean.
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    # Pre-loop probe (r9 verdict task 5): the single end-of-run probe
-    # cleared cross-round drift but MISSED mid-run contention (the r9
-    # driver bench ran ~30% contended behind a clean end probe).  A
-    # pre/post pair brackets the query loop, so a contended run shows
-    # calibration_pre != calibration_post without a judge re-run.
-    calibration_pre = calibration_probe(spark)
     # Warmup: one tiny-sf pass per headline query primes the JVM, codegen
     # cache, and file-source metadata so the timed numbers reflect
     # steady-state execution rather than first-query startup cost.
@@ -176,6 +170,16 @@ def main():
             qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+    # Probe pair (r9 verdict task 5): the single end-of-run probe
+    # cleared cross-round drift but MISSED mid-run contention (the r9
+    # driver bench ran ~30% contended behind a clean end probe).  A
+    # pre/post pair brackets the query loop, so a contended run shows
+    # calibration_pre != calibration_post without a judge re-run.
+    # The pre probe runs AFTER warmup (r10 ADVICE): before it, the
+    # probe absorbs JVM/codegen cold-start and systematically reads
+    # slower than the post probe, weakening the comparison — both
+    # probes must measure steady-state.
+    calibration_pre = calibration_probe(spark)
     # Interleaved rounds (suite-order pass 1, pass 2, ...) so slow box
     # drift lands on every query equally instead of biasing one.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}

@@ -196,6 +196,53 @@ def test_write_avro_array_columns(spark, tmp_path):
     assert got == exp
 
 
+def test_avro_nan_semantics_by_union(spark, tmp_path):
+    """NaN handling is schema-directed (r10 ADVICE): in a NULL-UNION
+    double field a pandas-NaN means SQL NULL and encodes as the null
+    branch, but in a NON-null double field NaN is a genuine
+    representable Avro value and must encode as NaN, not silently
+    become null.  The encoded BYTES are checked driver-side with
+    decode_datum / read_ocf_bytes — the Spark read path crosses an
+    Arrow boundary whose from_pandas conversion masks NaN to null,
+    which is a (documented) read-side artifact, not an encode bug."""
+    import io
+    import json as _json
+    import math
+    import os
+
+    from aws_etl_bank_spark.sources.avro import (decode_datum,
+                                                 read_ocf_bytes)
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "plain", "type": "double"},
+        {"name": "opt", "type": ["null", "double"]}]}
+    df = spark.createDataFrame(
+        [(1, float("nan"), None), (2, 2.5, float("nan"))],
+        "k long, plain double, opt double")
+
+    # datum path: decode the blobs driver-side (no Arrow boundary)
+    enc = to_avro_datum(df, ["k", "plain", "opt"], _json.dumps(sch))
+    got = {}
+    for r in enc.select("avro").collect():
+        rec = decode_datum(io.BytesIO(bytes(r["avro"])), sch)
+        got[rec["k"]] = (rec["plain"], rec["opt"])
+    assert math.isnan(got[1][0]) and got[1][1] is None
+    # row 2's opt arrives as NaN through Arrow; null-union -> null
+    assert got[2] == (2.5, None)
+
+    # OCF write path: parse the file bytes driver-side
+    path = str(tmp_path / "ocf_nan")
+    write_avro(df, path, schema=sch)
+    recs = []
+    for part in sorted(os.listdir(path)):
+        with open(os.path.join(path, part), "rb") as f:
+            recs.extend(read_ocf_bytes(f.read())[1])
+    back = {rec["k"]: (rec["plain"], rec["opt"]) for rec in recs}
+    assert math.isnan(back[1][0]) and back[1][1] is None
+    assert back[2] == (2.5, None)
+
+
 def test_read_avro_rejects_mixed_writer_schemas(spark, tmp_path):
     """A directory whose files carry different embedded writer schemas
     must fail loudly (r9 ADVICE) — silent NaN-fill is how column drift

@@ -1849,6 +1849,26 @@ def test_bpe_train_merges_reference(spark):
     spark.catalog.clearCache()
 
 
+def test_bpe_symbol_run_merges_greedily(spark):
+    """A run of 4+ identical symbols must merge PAIRWISE (Sennrich:
+    'a a a a' -> 'aa aa'), not lose alternate merges to the consumed
+    separator space ('aa a a' — the r10 ADVICE under-merge).  With
+    'aaaa', merge 1 'a a' must re-segment to 'aa aa </w>' so merge 2
+    sees the 'aa aa' pair (under the flawed replace it saw 'aa a')."""
+    from aws_etl_bank_spark.llm.text import bpe_train_merges
+
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    got = [tuple(r) for r in bpe_train_merges(df, "text", 3).collect()]
+    assert got == [
+        (1, "a a", "aa", 9),        # 3 pairs per 'a a a a </w>' × freq 3
+        # greedy re-seg -> 'aa aa </w>'; 'aa </w>' ties 'aa aa' at 3
+        # and '<' sorts before 'a'
+        (2, "aa </w>", "aa</w>", 3),
+        (3, "aa aa</w>", "aaaa</w>", 3),
+    ]
+    spark.catalog.clearCache()
+
+
 def test_cc_star_long_chain_and_parity(spark):
     """Star CC contracts a 4000-node path (diameter 3999) — the case
     min-label's bounded rounds cannot close — and agrees with the

@@ -977,4 +977,13 @@ def test_bucketed_cumsum_matches_global_window(spark):
     one = spark.createDataFrame([(5.0, 2, 3)], "x double, a long, b long")
     r = bucketed_cumsum(one, "x", ["a", "b"]).collect()[0]
     assert (r["cum_a"], r["cum_b"]) == (2, 3)
+
+    # All-NULL order keys: the degenerate branch must keep the SAME
+    # row universe as the normal path (NULL keys filtered — r10
+    # ADVICE), so the result is EMPTY, not the NULL-keyed input rows.
+    nul = spark.createDataFrame([(None, 1, 2), (None, 3, 4)],
+                                "x double, a long, b long")
+    empty = bucketed_cumsum(nul, "x", ["a", "b"])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"x", "a", "b", "cum_a", "cum_b"}
     spark.catalog.clearCache()
