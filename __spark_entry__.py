@@ -20,66 +20,49 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 10, per the r9 verdict task 2): slots 1-2 are the
-# two entries whose array outputs crashed the driver's pandas canon in
-# r9 and are now array_join-serialized (text_vocab_encode,
-# scd_snapshot_diff — values were already sf0.01+sf1-proven; this
-# re-greens the hard signal).  Slots 3-23 are the 21 r9-new entries the
-# driver has never evaluated (each builder-verified green via
-# scripts/verify_entry.py the day it landed).  Slots 24-50 are the 27
-# alphabetically-first ORACLE-BACKED r4-vintage entries (the oldest
-# driver evidence in the ledger; 46 entries are r4-vintage, so the
-# remaining 13 oracle-backed + 6 rows-only queue below the waterline
-# for r11, followed by any r10-new entries).
+# Slot policy (round 11, per the r10 verdict tasks 1 + 4): slots 1-3
+# are the entries whose CODE changed this round (r10 ADVICE fixes —
+# text_bpe_train_merges' boundary-aware re-segmentation,
+# ops_table_reconcile_buckets' full-outer reconcile,
+# score_ks_statistic's bucketed_cumsum contract; all re-verified at
+# sf0.01 the day they changed).  Slots 4-23 are the remaining 20
+# r10-new entries the driver has never evaluated (each
+# builder-verified green via scripts/verify_entry.py in r10 AND
+# re-verified at r11 HEAD).  Slots 24-36 are the 13 remaining
+# r4-vintage ORACLE-BACKED entries, slots 37-43 the 7 r4-vintage
+# rows-only entries — after this round no entry's newest driver
+# evidence predates r5 (verdict task 4's "≤6 older than r6" met with
+# room to spare).  Slots 44-50 hold the r11-NEW entries, inserted as
+# they land.
 _PRIORITY = [
-    # slots 1-2: r9 canon-crash fixes (array outputs now serialized)
-    "text_vocab_encode", "scd_snapshot_diff",
-    # slots 3-23: the 21 never-driver-evaluated r9 entries
-    "agg_gini_concentration_hist", "src_avro_datum_roundtrip",
-    "src_avro_ocf_roundtrip", "feature_quantile_normalize",
-    "feature_quantile_normalize_grouped", "agg_rollup_hierarchy",
-    "label_time_to_event", "fraud_round_amount_share", "agg_partial_merge",
-    "win_dist_family_by_user", "maintenance_compact_small_files",
-    "ts_rolling_median_k7", "quality_k_anonymity", "stream_avro_ingest",
-    "catalog_analyze_columns", "join_null_safe_equi",
-    "ops_schema_merge_evolution", "udaf_grouped_weighted_mean",
-    "udtf_sentence_split", "text_zipf_hapax", "text_lang_vocab_overlap",
-    # slots 24-50: oldest driver vintage (r4), oracle-backed first
-    "agg_approx_distinct_ratio", "agg_avg_by_month",
-    "agg_collect_struct_size", "agg_count_distinct", "agg_daily_cust",
-    "agg_nested_max", "agg_payment_types", "agg_salted_event_totals",
-    "ann_ivf_planted_twin", "catalog_purge_partitions",
-    "catalog_schema_fetch", "cohort_retention_weekly",
-    "collection_select_map", "count_actions", "fact_snapshot_fidelity",
-    "funnel_view_click_purchase", "governed_txn_write",
-    "jdbc_conf_roundtrip", "jdbc_extract_csv_ingest",
-    "job_bookmark_increment", "join_asof_bucketed", "mix_upsample_by_weight",
-    "partitions_after_repartition", "rdd_source_frame",
-    "scale_bucketed_join", "scale_range_clustered_read",
-    "sink_collection_write",
-    # ---- 50-slot waterline (the driver caps here) ----
-    # r11 rotation resumes here, in this order: the 23 r10-NEW entries
-    # (builder-verified at sf0.01 + sf1 the day each landed, never
-    # driver-evaluated), then the remaining r4-vintage oracle-backed,
-    # then rows-only r4-vintage, then the schema tripwire
-    "ml_kmeans_lloyd", "text_bpe_train_merges", "graph_cc_star_chain",
-    "score_ks_statistic", "quality_l_diversity", "scalar_hof_suite",
+    # slots 1-3: r10 ADVICE fixes (code changed this round)
+    "text_bpe_train_merges", "ops_table_reconcile_buckets",
+    "score_ks_statistic",
+    # slots 4-23: the remaining 20 never-driver-evaluated r10 entries
+    "ml_kmeans_lloyd", "graph_cc_star_chain",
+    "quality_l_diversity", "scalar_hof_suite",
     "subtract_all_op", "intersect_all_op", "ops_observe_metrics",
-    "ops_table_reconcile_buckets", "catalog_equidepth_histogram",
+    "catalog_equidepth_histogram",
     "ops_partition_file_stats", "src_avro_logical_types",
     "src_python_datasource", "udf_sql_scalar", "scalar_variant_suite",
     "agg_grouping_sets", "quality_completeness_profile",
     "src_fixed_width_ingest", "src_csv_multiline_quoted",
     "udf_cogroup_apply", "scalar_na_suite", "scalar_map_suite",
+    # slots 24-36: last r4-vintage oracle-backed entries
     "stream_dedup_ids", "stream_foreach_batch", "stream_sample_poll",
     "stream_sliding_counts", "stream_stateful_counts", "stream_stream_join",
     "stream_window_counts", "text_fingerprint_planted", "ts_bucket_rollup",
     "ts_gapfill_hourly", "ts_rolling_zscore", "win_running_sum_acct",
     "win_running_sum_cust",
+    # slots 37-43: last r4-vintage rows-only entries + schema tripwire
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
     "dedup_minhash_pairs", "dedup_simhash_pairs", "text_fingerprint",
     "testdata_schema_smoke",
-    # rest of the registry fills from definition order below
+    # slots 44-50: r11-NEW entries land here as they are built
+    "dedup_fuzzy_ed1_planted", "dedup_fuzzy_entity_planted",
+    # ---- 50-slot waterline (the driver caps here) ----
+    # r12 rotation resumes here: oldest-evidence (r5-vintage) entries
+    # refresh next, then definition order below
 ]
 
 

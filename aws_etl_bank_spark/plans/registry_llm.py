@@ -1823,6 +1823,78 @@ def dedup_fuzzy_entity_ids(spark, sf_dir):
         F.col("component").cast("long").alias("component"))
 
 
+@q("dedup_fuzzy_ed1_planted", """
+WITH n AS (SELECT c_custkey, c_name FROM customer
+           WHERE c_custkey % 100000000 < 600)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS text_a, b.c_name AS text_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM n a JOIN n b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1""")
+def dedup_fuzzy_ed1_planted(spark, sf_dir):
+    """BOUNDED companion to ``dedup_fuzzy_ed1_pairs`` (r10 verdict
+    task 5): the organic full-corpus entry's oracle is an O(n²)
+    levenshtein self-join that is infeasible at sf1 (2.25 B
+    comparisons — standing audit exclusion), so this companion runs
+    the IDENTICAL engine path (llm/dedup.py fuzzy_pairs_ed1 —
+    SymSpell deletion-variant blocking + exact verify) on a subset
+    bounded PER STRIDE COPY (``c_custkey % 1e8 < 600`` — make_sf.py
+    offsets keys by 1e8 per copy), keeping the oracle's brute force
+    ≤ 18 M comparisons at sf1.  The fixture is naturally planted:
+    copies share names (ed-0 twins) and digit-neighbour names sit at
+    exactly ed 1, so blocking, hash-collision verify, and the a<b
+    canonicalization are all exercised with a non-trivial pair set at
+    every scale."""
+    from aws_etl_bank_spark.llm.dedup import fuzzy_pairs_ed1
+
+    c = (load_table(spark, sf_dir, "customer")
+         .where(F.col("c_custkey") % 100_000_000 < 600))
+    return fuzzy_pairs_ed1(c, "c_name", "c_custkey").select(
+        "id_a", "id_b", "text_a", "text_b",
+        F.col("dist").cast("int").alias("dist"))
+
+
+@q("dedup_fuzzy_entity_planted", """
+WITH RECURSIVE nodes AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer
+  WHERE c_custkey % 100000000 < 200
+),
+edges AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM nodes a JOIN nodes b ON levenshtein(a.name, b.name) <= 1
+),
+reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(lbl) AS BIGINT) AS component
+FROM reach GROUP BY id""")
+def dedup_fuzzy_entity_planted(spark, sf_dir):
+    """BOUNDED companion to ``dedup_fuzzy_entity_ids`` (r10 verdict
+    task 5, same rationale as dedup_fuzzy_ed1_planted): the full
+    block → match → cluster entity-resolution composition —
+    fuzzy_pairs_ed1 blocking plus iterative min-label connected
+    components — on the per-copy-bounded subset
+    (``c_custkey % 1e8 < 200``), so the oracle's recursive closure
+    over the brute-force levenshtein graph stays tractable at sf1
+    (~2000 nodes).  Cross-copy identical names fuse copies into one
+    cluster per digit-chain, so the transitive structure is deeper
+    at sf1 than at sf0.01 — exactly what a scale audit should
+    exercise."""
+    from aws_etl_bank_spark.llm.dedup import (connected_components,
+                                              fuzzy_pairs_ed1)
+
+    c = (load_table(spark, sf_dir, "customer")
+         .where(F.col("c_custkey") % 100_000_000 < 200))
+    pairs = fuzzy_pairs_ed1(c, "c_name", "c_custkey").select("id_a", "id_b")
+    selfp = c.select(F.col("c_custkey").alias("id_a"),
+                     F.col("c_custkey").alias("id_b"))
+    return connected_components(pairs.unionByName(selfp)).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"))
+
+
 @q("graph_pagerank", """
 WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
