@@ -60,6 +60,7 @@ _PRIORITY = [
     "testdata_schema_smoke",
     # slots 44-50: r11-NEW entries land here as they are built
     "dedup_fuzzy_ed1_planted", "dedup_fuzzy_entity_planted",
+    "multimodal_decode_jpeg",
     # ---- 50-slot waterline (the driver caps here) ----
     # r12 rotation resumes here: oldest-evidence (r5-vintage) entries
     # refresh next, then definition order below

@@ -1,0 +1,142 @@
+"""From-scratch baseline JPEG codec (llm/jpeg.py): spec conformance,
+roundtrips across sampling modes, restart markers, the closed-form
+planted fixture, and the Spark decode plumbing."""
+
+import numpy as np
+import pytest
+
+from aws_etl_bank_spark.llm.jpeg import (FIXTURE_QUANT, ZIGZAG,
+                                         decode_baseline, encode_baseline,
+                                         fixture_spec)
+
+
+def _ramp(h, w):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack([30 + xx * 2 + yy, 20 + xx + yy * 2, 60 + xx + yy],
+                    axis=-1).astype(np.uint8)
+
+
+def test_zigzag_is_the_standard_scan():
+    # the first and last few entries of the T.81 zigzag, hand-checked
+    assert ZIGZAG[:10] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+                           (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
+    assert ZIGZAG[-6:] == [(7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7)]
+    assert len(set(ZIGZAG)) == 64
+
+
+def test_jfif_structure():
+    """SOI/APP0-JFIF/DQT/SOF0/DHT/SOS/EOI in order, valid lengths."""
+    buf = encode_baseline(rgb=_ramp(8, 8))
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    assert buf[2:4] == b"\xff\xe0" and buf[6:11] == b"JFIF\x00"
+    markers = []
+    pos = 2
+    while pos < len(buf) - 2:
+        assert buf[pos] == 0xFF
+        m = buf[pos + 1]
+        markers.append(m)
+        if m == 0xDA:
+            break
+        seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        pos += 2 + seglen
+    assert markers == [0xE0, 0xDB, 0xDB, 0xC0, 0xC4, 0xC4, 0xC4, 0xC4, 0xDA]
+
+
+def test_near_lossless_roundtrip_444():
+    """With unit quant tables the only loss is float DCT + the two
+    color-transform roundings: every pixel within ±3."""
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (29, 37, 3)).astype(np.uint8)
+    q1 = [1] * 64
+    h, w, rgb = decode_baseline(
+        encode_baseline(rgb=img, quant_luma=q1, quant_chroma=q1))
+    assert (h, w) == (29, 37)
+    assert np.abs(rgb.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_roundtrip_420_and_restart_markers():
+    img = _ramp(32, 48)
+    q1 = [1] * 64
+    # 4:2:0, smooth image: subsample loss only
+    h, w, rgb = decode_baseline(encode_baseline(
+        rgb=img, subsampling="4:2:0", quant_luma=q1, quant_chroma=q1))
+    assert (h, w) == (32, 48)
+    assert np.abs(rgb.astype(int) - img.astype(int)).max() <= 3
+    # restart markers force DC-prediction resets mid-scan in both modes
+    for sub, dri in (("4:4:4", 3), ("4:2:0", 2)):
+        h, w, rgb = decode_baseline(encode_baseline(
+            rgb=img, subsampling=sub, restart_interval=dri,
+            quant_luma=q1, quant_chroma=q1))
+        assert np.abs(rgb.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_annexk_quality50_is_lossy_but_close_on_smooth():
+    img = _ramp(24, 40)
+    h, w, rgb = decode_baseline(encode_baseline(rgb=img))
+    assert np.abs(rgb.astype(int) - img.astype(int)).max() <= 20
+
+
+def test_fixture_decodes_to_planted_constants_exactly():
+    """The block-constant even-valued fixture is lossless through the
+    full decode chain (the property the SQL oracle relies on)."""
+    for d in (0, 1, 5, 11, 42, 299):
+        w, h, bx, blocks = fixture_spec(d)
+        img = np.zeros((h, w, 3))
+        for b, (vy, vcb, vcr) in enumerate(blocks):
+            r0, c0 = (b // bx) * 8, (b % bx) * 8
+            img[r0:r0 + 8, c0:c0 + 8] = (vy, vcb, vcr)
+        hh, ww, rgb = decode_baseline(encode_baseline(
+            ycbcr=img, quant_luma=FIXTURE_QUANT,
+            quant_chroma=FIXTURE_QUANT))
+        assert (hh, ww) == (h, w)
+        for b, (vy, vcb, vcr) in enumerate(blocks):
+            r0, c0 = (b // bx) * 8, (b % bx) * 8
+            er = min(255, max(0, int(np.floor(vy + 1.402 * (vcr - 128)
+                                              + 0.5))))
+            eg = min(255, max(0, int(np.floor(
+                vy - 0.344136 * (vcb - 128) - 0.714136 * (vcr - 128)
+                + 0.5))))
+            eb = min(255, max(0, int(np.floor(vy + 1.772 * (vcb - 128)
+                                              + 0.5))))
+            block = rgb[r0:r0 + 8, c0:c0 + 8]
+            assert (block == (er, eg, eb)).all()
+
+
+def test_corrupt_and_unsupported_rejected():
+    with pytest.raises(ValueError):
+        decode_baseline(b"")
+    with pytest.raises(ValueError):
+        decode_baseline(b"\xff\xd8\x00\x00")
+    good = encode_baseline(rgb=_ramp(8, 8))
+    with pytest.raises(Exception):
+        decode_baseline(good[:40])          # truncated before scan
+    # progressive (SOF2) must be rejected explicitly, not mis-decoded
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_baseline(bytes(prog))
+
+
+def test_spark_decode_features_and_null_policy(spark):
+    """The mapInPandas plumbing: payload generation on executors, real
+    decode, NULL row for a corrupt payload."""
+    import pyspark.sql.functions as F
+
+    from aws_etl_bank_spark.llm.jpeg import (decode_jpeg_features,
+                                             synthetic_jpeg_payloads)
+
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    feats = decode_jpeg_features(synthetic_jpeg_payloads(ids))
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows) == 12
+    for d, r in rows.items():
+        w, h, bx, blocks = fixture_spec(d)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_r"] is not None
+    # corrupt payload -> NULL features, row preserved
+    bad = spark.createDataFrame([(99, bytearray(b"\x00nope"))],
+                                "doc_id long, payload binary")
+    r = decode_jpeg_features(bad).collect()[0]
+    assert r["width"] is None and r["mean_b"] is None
+    spark.catalog.clearCache()
