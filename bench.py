@@ -170,25 +170,28 @@ def main():
             qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         except Exception:
             pass
-    # Probe pair (r9 verdict task 5): the single end-of-run probe
-    # cleared cross-round drift but MISSED mid-run contention (the r9
-    # driver bench ran ~30% contended behind a clean end probe).  A
-    # pre/post pair brackets the query loop, so a contended run shows
-    # calibration_pre != calibration_post without a judge re-run.
-    # The pre probe runs AFTER warmup (r10 ADVICE): before it, the
-    # probe absorbs JVM/codegen cold-start and systematically reads
-    # slower than the post probe, weakening the comparison — both
-    # probes must measure steady-state.
-    calibration_pre = calibration_probe(spark)
+    # Probe fence (r9 verdict task 5, extended per r10 task 6): a
+    # calibration probe runs between every interleaved pass, so each
+    # pass total is bracketed by its own probe pair and a judge can
+    # see WHICH pass was contended, not just that the run as a whole
+    # drifted.  The first probe runs AFTER warmup (r10 ADVICE): before
+    # it, the probe absorbs JVM/codegen cold-start and systematically
+    # reads slower than the later probes — all probes must measure
+    # steady-state.  pre/post keep their r9 meaning as the fence ends.
+    probes = [calibration_probe(spark)]
     # Interleaved rounds (suite-order pass 1, pass 2, ...) so slow box
     # drift lands on every query equally instead of biasing one.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pass_totals: list[float] = []
     for _ in range(RUNS):
+        t_pass = time.time()
         for name in HEADLINE:
             start = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - start)
+        pass_totals.append(round(time.time() - t_pass, 3))
+        probes.append(calibration_probe(spark))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name, ts in samples.items():
@@ -196,7 +199,8 @@ def main():
         timings[name] = round(ts[len(ts) // 2], 3)
         spread[name] = round(ts[-1] - ts[0], 3)
     total = round(sum(timings.values()), 3)
-    calibration = calibration_probe(spark)
+    calibration_pre = probes[0]
+    calibration = probes[-1]
     calibration_post = calibration
     full = {
         "metric": "headline_total_runtime",
@@ -205,6 +209,8 @@ def main():
         "queries": timings,
         "spread": spread,
         "samples": {n: [round(t, 3) for t in ts] for n, ts in samples.items()},
+        "pass_totals": pass_totals,
+        "probes": probes,
         "runs": RUNS,
         "sf": float(sf),
         "calibration_sec": calibration,
@@ -227,6 +233,11 @@ def main():
         "queries": timings,
         "runs": RUNS,
         "sf": float(sf),
+        # per-pass wall totals + the probe fence around them:
+        # pass i sits between probes[i] and probes[i+1], so a judge
+        # can attribute drift to a specific pass from the JSON alone
+        "samples": pass_totals,
+        "probes": probes,
         "calibration_sec": calibration,
         "calibration_pre": calibration_pre,
         "calibration_post": calibration_post,

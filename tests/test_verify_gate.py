@@ -54,6 +54,8 @@ def test_bench_stdout_line_fits_driver_capture():
         "queries": {n: 9999.999 for n in bench.HEADLINE},
         "runs": 3,
         "sf": 0.1,
+        "samples": [9999.999] * 3,
+        "probes": [9999.999] * 4,
         "calibration_sec": 9999.999,
         "calibration_pre": 9999.999,
         "calibration_post": 9999.999,
