@@ -61,15 +61,17 @@ _PRIORITY = [
     # slots 44-50: r11-NEW entries land here as they are built
     "dedup_fuzzy_ed1_planted", "dedup_fuzzy_entity_planted",
     "multimodal_decode_jpeg",
-    # slots 47-50: oldest-evidence r5-vintage refreshes (displaced
-    # below the waterline if more r11-new entries land; the two fuzzy
-    # originals get fresh rows alongside their new planted companions)
+    # slots 47-50: the Spark 4 modern-API batch (lateralJoin,
+    # scalar()/exists(), transpose, mapInArrow)
+    "join_lateral_topk", "scalar_exists_subqueries",
+    "ops_transpose_metrics", "arrow_native_quantized_norm",
+    # ---- 50-slot waterline (the driver caps here) ----
+    # r12 rotation resumes here: oldest-evidence r5-vintage entries
+    # refresh next (fuzzy originals alongside their planted
+    # companions, minhash_incremental, benford, pagerank, ...),
+    # then definition order below
     "dedup_fuzzy_ed1_pairs", "dedup_fuzzy_entity_ids",
     "dedup_minhash_incremental", "fraud_benford_digits",
-    # ---- 50-slot waterline (the driver caps here) ----
-    # r12 rotation resumes here: remaining r5-vintage entries
-    # (graph_pagerank, grouped_map_normalize, infer_embed_texts, ...)
-    # refresh next, then definition order below
 ]
 
 

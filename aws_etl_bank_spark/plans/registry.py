@@ -7284,3 +7284,115 @@ def scalar_map_suite(spark, sf_dir):
         render(F.col("mp")).alias("type_counts"),
         render(hot).alias("hot_scaled"),
         F.array_max(F.map_values("mp")).cast("long").alias("max_n"))
+
+
+@q("join_lateral_topk", """
+SELECT c.c_custkey, c.c_name, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l""")
+def join_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL join (the Spark 4 ``DataFrame.lateralJoin``
+    API): top-2 orders per customer written as a per-row correlated
+    subquery with ORDER BY + LIMIT.  The scale story is the plan, not
+    the API: Catalyst DECORRELATES it — the executed plan is
+    WindowGroupLimit (partial top-k per key BEFORE the shuffle, final
+    after) + one broadcast hash join, i.e. exactly the
+    row_number()-filter rewrite a careful engineer would hand-write,
+    never a per-customer nested loop.  Plan shape pinned in
+    tests/test_modern_api.py; the oracle is DuckDB's native LATERAL."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    sub = (o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+           .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(2)
+           .select("o_orderkey", "o_totalprice"))
+    return c.lateralJoin(sub)
+
+
+@q("scalar_exists_subqueries", """
+SELECT c.c_custkey,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2))
+        FROM orders WHERE o_custkey = c.c_custkey) AS total_spend,
+       EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c.c_custkey
+                 AND o_totalprice > 300000) AS has_big
+FROM customer c""")
+def scalar_exists_subqueries(spark, sf_dir):
+    """Correlated SCALAR and EXISTS subqueries through the Spark 4
+    column-builder APIs (``DataFrame.scalar()`` / ``.exists()``) —
+    the declarative form of per-row lookups.  Catalyst decorrelates
+    both into aggregate-then-join (one hash-agg over orders + left
+    joins), so the plan scales as two shuffles regardless of customer
+    count — never a per-row probe.  The money sum goes through
+    DECIMAL(18,2) (the tpch_q1 rule) so both engines aggregate exact
+    cents; customers with no orders surface NULL spend and FALSE
+    exists on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+             .select(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("decimal(18,2)").alias("s")))
+    big = o.where((F.col("o_custkey") == F.col("c_custkey").outer())
+                  & (F.col("o_totalprice") > 300000))
+    return c.select("c_custkey",
+                    spend.scalar().alias("total_spend"),
+                    big.exists().alias("has_big"))
+
+
+@q("ops_transpose_metrics", """
+WITH m AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_custs
+  FROM orders GROUP BY o_orderstatus)
+SELECT 'n_orders' AS key,
+       MAX(CASE WHEN o_orderstatus = 'F' THEN n_orders END) AS F,
+       MAX(CASE WHEN o_orderstatus = 'O' THEN n_orders END) AS O,
+       MAX(CASE WHEN o_orderstatus = 'P' THEN n_orders END) AS P
+FROM m
+UNION ALL
+SELECT 'n_custs',
+       MAX(CASE WHEN o_orderstatus = 'F' THEN n_custs END),
+       MAX(CASE WHEN o_orderstatus = 'O' THEN n_custs END),
+       MAX(CASE WHEN o_orderstatus = 'P' THEN n_custs END)
+FROM m""")
+def ops_transpose_metrics(spark, sf_dir):
+    """``DataFrame.transpose()`` (Spark 4) flipping a BOUNDED metrics
+    frame — the profile-report reshape (metrics as rows, groups as
+    columns).  Transpose derives column names from DATA (first
+    column's values), so it is a driver-bounded operation by
+    construction: legal only on frames already reduced to
+    group-cardinality size (here 3 order statuses × 2 metrics from
+    one hash-agg); the big-data reshape remains pivot/groupBy.  The
+    oracle builds the transposed layout with conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (o.groupBy("o_orderstatus")
+         .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
+              F.countDistinct("o_custkey").cast("double").alias("n_custs"))
+         .orderBy("o_orderstatus"))
+    return m.transpose()
+
+
+@q("arrow_native_quantized_norm", """
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                 * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+            AS BIGINT) AS q_norm2
+FROM embeddings""")
+def arrow_native_quantized_norm(spark, sf_dir):
+    """``DataFrame.mapInArrow`` — the zero-copy Arrow-native batch
+    path UNDER mapInPandas (no pandas materialization, no NaN→null
+    masking, list columns stay Arrow buffers): per-vector squared
+    norm over component values quantized to int64 with the
+    floor(x·1000+0.5) canon, so the per-row sum is exact integer
+    arithmetic on both engines (the k-means recipe).  The UDF slices
+    the FixedSizeList/List child buffer directly into one numpy
+    reshape+einsum per RecordBatch — columnar end to end, map-only,
+    no shuffle."""
+    from aws_etl_bank_spark.llm.arrowops import quantized_norms
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_norms(emb, "embedding", "vec_id", scale=1000)

@@ -1,0 +1,95 @@
+"""Spark 4 modern-API surfaces: lateralJoin (and its decorrelated
+plan), scalar()/exists() subquery builders, DataFrame.transpose, and
+the mapInArrow zero-copy batch path (llm/arrowops.py)."""
+
+import pyspark.sql.functions as F
+
+
+def test_lateral_join_decorrelates_to_window_group_limit(spark):
+    """The correlated ORDER BY + LIMIT lateral subquery must compile
+    to WindowGroupLimit + a hash join — never a per-row nested loop
+    (BroadcastNestedLoopJoin/CartesianProduct)."""
+    from aws_etl_bank_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf, "orders")
+    sub = (o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+           .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(2)
+           .select("o_orderkey", "o_totalprice"))
+    lj = c.lateralJoin(sub)
+    plan = lj._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    # semantics: equals the window-rank rewrite
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                "o_orderkey")
+    exp = (o.withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+           .join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .select("c_custkey", "c_name", "o_orderkey", "o_totalprice"))
+    assert sorted(map(tuple, lj.collect())) == sorted(map(tuple,
+                                                          exp.collect()))
+    spark.catalog.clearCache()
+
+
+def test_scalar_exists_empty_group_semantics(spark):
+    """A key with no matching rows gets NULL from scalar() and FALSE
+    from exists() — the decorrelated left-join semantics."""
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(1, 10.0), (1, 5.0)], "k long, v double")
+    s = (right.where(F.col("k") == F.col("left_k").outer())
+         .select(F.sum("v").alias("s")))
+    e = right.where((F.col("k") == F.col("left_k").outer())
+                    & (F.col("v") > 7))
+    r = {row["left_k"]: (row["s"], row["has"])
+         for row in left.select(F.col("k").alias("left_k"))
+         .select("left_k", s.scalar().alias("s"), e.exists().alias("has"))
+         .collect()}
+    assert r[1] == (15.0, True)
+    assert r[2] == (None, False)
+    spark.catalog.clearCache()
+
+
+def test_transpose_layout(spark):
+    """transpose(): first column's VALUES become column names, each
+    remaining original column becomes a row keyed by its name."""
+    m = spark.createDataFrame(
+        [("x", 1.0, 2.0), ("y", 3.0, 4.0)], "g string, m1 double, m2 double")
+    t = m.transpose()
+    rows = {r["key"]: (r["x"], r["y"]) for r in t.collect()}
+    assert set(t.columns) == {"key", "x", "y"}
+    assert rows == {"m1": (1.0, 3.0), "m2": (2.0, 4.0)}
+    spark.catalog.clearCache()
+
+
+def test_map_in_arrow_quantized_norms(spark):
+    """quantized_norms agrees with the SQL fold on fixed vectors,
+    handles ragged lists (variable length, empty list), and keeps NaN
+    out of the story entirely (int64 output)."""
+    from aws_etl_bank_spark.llm.arrowops import quantized_norms
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.25]), (2, [2.0]), (3, [])],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["q_norm2"]
+           for r in quantized_norms(df, "embedding", "vec_id").collect()}
+    # floor(0.5*1000+0.5)=500, floor(-1.25*1000+0.5)=-1250 -> 250000+1562500
+    assert got == {1: 500 ** 2 + 1250 ** 2, 2: 2000 ** 2, 3: 0}
+
+    # cross-check against the JVM-side fold on the real table
+    from aws_etl_bank_spark.sources.testdata import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got_arrow = quantized_norms(emb, "embedding", "vec_id")
+    exp = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding",
+                        lambda x: F.floor(x.cast("double") * 1000 + 0.5)
+                        .cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, q: acc + q * q).alias("q_norm2"))
+    assert sorted(map(tuple, got_arrow.collect())) == \
+        sorted(map(tuple, exp.collect()))
+    spark.catalog.clearCache()
