@@ -54,9 +54,13 @@ _PRIORITY = [
     "stream_window_counts", "text_fingerprint_planted", "ts_bucket_rollup",
     "ts_gapfill_hourly", "ts_rolling_zscore", "win_running_sum_acct",
     "win_running_sum_cust",
-    # slots 37-43: last r4-vintage rows-only entries + schema tripwire
+    # slots 37-42: last r4-vintage rows-only entries + schema tripwire
+    # (text_fingerprint slips to r12 — its oracle-backed planted
+    # companion text_fingerprint_planted is in slot 31, so the hard
+    # signal refreshes; the rows-only row yields its slot to the new
+    # oracle-backed scalar_try_suite)
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
-    "dedup_minhash_pairs", "dedup_simhash_pairs", "text_fingerprint",
+    "dedup_minhash_pairs", "dedup_simhash_pairs",
     "testdata_schema_smoke",
     # slots 44-50: r11-NEW entries land here as they are built
     "dedup_fuzzy_ed1_planted", "dedup_fuzzy_entity_planted",
@@ -65,7 +69,9 @@ _PRIORITY = [
     # scalar()/exists(), transpose, mapInArrow)
     "join_lateral_topk", "scalar_exists_subqueries",
     "ops_transpose_metrics", "arrow_native_quantized_norm",
+    "scalar_try_suite",
     # ---- 50-slot waterline (the driver caps here) ----
+    "text_fingerprint",
     # r12 rotation resumes here: oldest-evidence r5-vintage entries
     # refresh next (fuzzy originals alongside their planted
     # companions, minhash_incremental, benford, pagerank, ...),

@@ -7396,3 +7396,46 @@ def arrow_native_quantized_norm(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_norms(emb, "embedding", "vec_id", scale=1000)
+
+
+@q("scalar_try_suite", """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE floor(o_totalprice / (o_orderkey % 5) * 10000 + 0.5)
+                 / 10000 END AS safe_ratio,
+       CASE WHEN o_orderkey % 2 = 1 THEN NULL
+            ELSE 9223372036854775807 END AS add_sat,
+       CASE o_orderkey % 4 WHEN 0 THEN 0
+            WHEN 1 THEN 4611686018427387904 ELSE NULL END AS mul_sat,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_orderkey END AS cast_back,
+       CASE o_orderkey % 3
+            WHEN 0 THEN string_split(o_orderpriority, '-')[1]
+            WHEN 1 THEN string_split(o_orderpriority, '-')[2]
+            ELSE NULL END AS prio_part
+FROM orders""")
+def scalar_try_suite(spark, sf_dir):
+    """The ANSI error-safe ``try_*`` function family (§2.8 next to the
+    na/map/HOF suites): try_divide (NULL on zero divisor), try_add /
+    try_multiply (NULL on int64 overflow — exercised with literals at
+    the saturation boundary), try_cast (NULL on a non-numeric string,
+    the ingest-coercion workhorse), and try_element_at (NULL on an
+    out-of-bounds index, where plain element_at raises; index 0 is a
+    hard INVALID_INDEX_OF_ZERO error even under try_, pinned in tests).  The oracle
+    states each expected value directly (CASE over the same key
+    arithmetic), so a behavior change in any try_ fallback — e.g. an
+    overflow wrapping instead of NULLing — breaks the hash.  Pure
+    projection: map-only, whole-stage codegen, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "floor(try_divide(CAST(o_totalprice AS DOUBLE),"
+        "       CAST(o_orderkey % 5 AS DOUBLE)) * 10000 + 0.5) / 10000"
+        " AS safe_ratio",
+        "try_add(9223372036854775807, o_orderkey % 2) AS add_sat",
+        "try_multiply(4611686018427387904, o_orderkey % 4) AS mul_sat",
+        "try_cast(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus"
+        "              ELSE CAST(o_orderkey AS STRING) END AS BIGINT)"
+        " AS cast_back",
+        "try_element_at(split(o_orderpriority, '-'),"
+        "               1 + CAST(o_orderkey % 3 AS INT)) AS prio_part")

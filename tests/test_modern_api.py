@@ -93,3 +93,28 @@ def test_map_in_arrow_quantized_norms(spark):
     assert sorted(map(tuple, got_arrow.collect())) == \
         sorted(map(tuple, exp.collect()))
     spark.catalog.clearCache()
+
+
+def test_try_family_edge_semantics(spark):
+    """try_* fallbacks: NULL on zero-divide, int64 overflow, bad cast,
+    out-of-bounds index — but index 0 is a HARD error even under
+    try_element_at (INVALID_INDEX_OF_ZERO), which is why the suite
+    entry drives indices 1..3."""
+    import pytest
+
+    r = spark.range(1, 4).selectExpr(
+        "try_divide(CAST(10 AS DOUBLE), CAST(id - 2 AS DOUBLE)) AS d",
+        "try_add(9223372036854775807, id - 1) AS a",
+        "try_multiply(4611686018427387904, id) AS m",
+        "try_cast(CASE WHEN id = 1 THEN 'x' ELSE CAST(id AS STRING) END"
+        " AS INT) AS c",
+        "try_element_at(array(1, 2), CAST(id AS INT)) AS e").collect()
+    by_id = {i + 1: row for i, row in enumerate(r)}
+    assert by_id[2]["d"] is None and by_id[1]["d"] == -10.0
+    assert by_id[1]["a"] == 9223372036854775807 and by_id[2]["a"] is None
+    assert by_id[2]["m"] is None and by_id[1]["m"] == 4611686018427387904
+    assert by_id[1]["c"] is None and by_id[3]["c"] == 3
+    assert by_id[3]["e"] is None and by_id[2]["e"] == 2
+    with pytest.raises(Exception, match="INVALID_INDEX_OF_ZERO"):
+        spark.sql("SELECT try_element_at(array(1), 0)").collect()
+    spark.catalog.clearCache()
