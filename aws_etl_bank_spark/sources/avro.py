@@ -443,13 +443,11 @@ def read_avro(spark, path: str):
     header (one tiny driver-side read through the same source), like
     spark-avro's schema inference.
 
-    Known read-side artifact: a stored NaN double surfaces as SQL NULL
-    because the pandas→Arrow conversion at the mapInPandas boundary
-    (``pa.Array.from_pandas``) masks NaN as null.  The ENCODE side is
-    NaN-exact (schema-directed — see ``_null_union_fields``); the
-    bytes on disk carry the genuine NaN."""
-    import pandas as pd
-
+    The decode runs through ``mapInArrow`` (r11): the output batch is
+    built with ``pa.Table.from_pylist`` under the exact Arrow schema,
+    never through pandas — so a stored NaN double survives as NaN
+    (``pa.Array.from_pandas`` would mask it to null) and integer
+    columns need no nullable-dtype dance."""
     first = (spark.read.format("binaryFile").load(path)
              .select("content").limit(1).collect())
     if not first:
@@ -458,21 +456,23 @@ def read_avro(spark, path: str):
     if schema.get("type") != "record":
         raise ValueError("top-level avro schema must be a record")
     spark_schema = avro_schema_to_spark(schema)
-    cols = [f.name for f in spark_schema.fields]
-    int_cols = _int_fields(schema)
 
     expected_schema = json.dumps(schema, sort_keys=True)
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def decode(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(spark_schema)
+        for batch in batches:
             rows: list[dict] = []
-            for blob in pdf["content"]:
-                fschema, recs = read_ocf_bytes(bytes(blob))
+            for blob in batch.column(0):
+                fschema, recs = read_ocf_bytes(bytes(blob.as_py()))
                 # every file decodes under its own embedded writer
-                # schema; a silently different one would make
-                # pd.DataFrame fill NaN / drop fields instead of
-                # erroring (r9 ADVICE) — fail loudly like spark-avro
-                # does when it cannot resolve
+                # schema; a silently different one would fill
+                # NULLs / drop fields instead of erroring (r9
+                # ADVICE) — fail loudly like spark-avro does when it
+                # cannot resolve
                 if json.dumps(fschema, sort_keys=True) != expected_schema:
                     raise ValueError(
                         "read_avro: mixed writer schemas in directory "
@@ -480,15 +480,11 @@ def read_avro(spark, path: str):
                         f"{json.dumps(fschema, sort_keys=True)}); "
                         "reader-schema resolution is not implemented")
                 rows.extend(recs)
-            out = pd.DataFrame(rows, columns=cols)
-            for c in int_cols:
-                # nullable extension dtype: survives None rows, and
-                # Arrow maps Int32 -> int32 for the declared schema
-                out[c] = out[c].astype("Int32")
-            yield out
+            tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
+            yield from tbl.to_batches()
 
     files = spark.read.format("binaryFile").load(path).select("content")
-    return files.mapInPandas(decode, spark_schema)
+    return files.mapInArrow(decode, spark_schema)
 
 
 def write_avro(df, path: str, codec: str = "null",
@@ -605,23 +601,31 @@ def from_avro_datum(df, col: str, schema_json: str, out_col: str = "value"):
                           + [T.StructField(out_col, spark_t, True)])
     src_cols = [f.name for f in passthrough]
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def decode(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        out_t = to_arrow_type(spark_t)
+        for batch in batches:
+            names = batch.schema.names
             vals = []
-            for blob in pdf[col]:
-                if blob is None:
+            for blob in batch.column(names.index(col)):
+                b = blob.as_py()
+                if b is None:
                     vals.append(None)
                     continue
                 try:
-                    vals.append(decode_datum(io.BytesIO(bytes(blob)),
-                                             schema))
+                    vals.append(decode_datum(io.BytesIO(bytes(b)), schema))
                 except Exception:
                     vals.append(None)
-            out = pdf[src_cols].copy()
-            out[out_col] = vals
-            yield out
+            # pa.array on python objects (NOT from_pandas) keeps a
+            # decoded NaN double as NaN instead of masking it to null
+            arrays = [batch.column(names.index(c)) for c in src_cols]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(vals, type=out_t)],
+                src_cols + [out_col])
 
-    return df.mapInPandas(decode, result)
+    return df.mapInArrow(decode, result)
 
 
 def to_avro_datum(df, cols: list[str], schema_json: str,

@@ -202,9 +202,10 @@ def test_avro_nan_semantics_by_union(spark, tmp_path):
     branch, but in a NON-null double field NaN is a genuine
     representable Avro value and must encode as NaN, not silently
     become null.  The encoded BYTES are checked driver-side with
-    decode_datum / read_ocf_bytes — the Spark read path crosses an
-    Arrow boundary whose from_pandas conversion masks NaN to null,
-    which is a (documented) read-side artifact, not an encode bug."""
+    decode_datum / read_ocf_bytes, and the SPARK read paths (now
+    mapInArrow, r11) must surface the stored NaN as NaN — the old
+    mapInPandas decode masked it to NULL at the from_pandas
+    boundary."""
     import io
     import json as _json
     import math
@@ -241,6 +242,18 @@ def test_avro_nan_semantics_by_union(spark, tmp_path):
     back = {rec["k"]: (rec["plain"], rec["opt"]) for rec in recs}
     assert math.isnan(back[1][0]) and back[1][1] is None
     assert back[2] == (2.5, None)
+
+    # Spark read paths (mapInArrow): NaN survives to the DataFrame
+    got_rd = {r["k"]: (r["plain"], r["opt"])
+              for r in read_avro(spark, path).collect()}
+    assert math.isnan(got_rd[1][0]) and got_rd[1][1] is None
+    assert got_rd[2] == (2.5, None)
+    dec = from_avro_datum(enc.select("avro"), "avro", _json.dumps(sch),
+                          out_col="rec")
+    got_dm = {r["rec"]["k"]: (r["rec"]["plain"], r["rec"]["opt"])
+              for r in dec.collect()}
+    assert math.isnan(got_dm[1][0]) and got_dm[1][1] is None
+    assert got_dm[2] == (2.5, None)
 
 
 def test_read_avro_rejects_mixed_writer_schemas(spark, tmp_path):
