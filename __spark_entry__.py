@@ -59,19 +59,21 @@ _PRIORITY = [
     # companion text_fingerprint_planted is in slot 31, so the hard
     # signal refreshes; the rows-only row yields its slot to the new
     # oracle-backed scalar_try_suite)
+    # (dedup_simhash_pairs also slips to r12 — oracle-backed
+    # companion dedup_simhash_planted_pairs carries the hard signal)
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
-    "dedup_minhash_pairs", "dedup_simhash_pairs",
+    "dedup_minhash_pairs",
     "testdata_schema_smoke",
     # slots 44-50: r11-NEW entries land here as they are built
     "dedup_fuzzy_ed1_planted", "dedup_fuzzy_entity_planted",
-    "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg", "multimodal_decode_jpeg420",
     # slots 47-50: the Spark 4 modern-API batch (lateralJoin,
     # scalar()/exists(), transpose, mapInArrow)
     "join_lateral_topk", "scalar_exists_subqueries",
     "ops_transpose_metrics", "arrow_native_quantized_norm",
     "scalar_try_suite",
     # ---- 50-slot waterline (the driver caps here) ----
-    "text_fingerprint",
+    "text_fingerprint", "dedup_simhash_pairs",
     # r12 rotation resumes here: oldest-evidence r5-vintage entries
     # refresh next (fuzzy originals alongside their planted
     # companions, minhash_incremental, benford, pagerank, ...),

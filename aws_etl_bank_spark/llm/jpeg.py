@@ -679,11 +679,26 @@ def fixture_spec(doc_id: int):
     return bx * 8, by * 8, bx, blocks
 
 
-def synthetic_jpeg_payloads(df, id_col: str = "doc_id"):
+def fixture_spec_420(doc_id: int):
+    """4:2:0 fixture geometry: full 16×16 MCUs (bx ∈ {2,4} Y-blocks
+    wide, 2 tall), per-block even Y constants as in ``fixture_spec``,
+    but Cb/Cr constant PER IMAGE — a constant chroma plane box-averages
+    to itself, DC-roundtrips exactly (even + quant 16), and
+    nearest-upsamples back to the same constant, so the decoded image
+    stays closed-form through the subsampled path."""
+    bx, by = 2 * (1 + doc_id % 2), 2
+    ys = [2 * ((31 * doc_id + 17 * b) % 128) for b in range(bx * by)]
+    cb = 2 * ((7 * doc_id) % 128)
+    cr = 2 * ((13 * doc_id) % 128)
+    return bx * 8, by * 8, bx, ys, cb, cr
+
+
+def synthetic_jpeg_payloads(df, id_col: str = "doc_id",
+                            subsampling: str = "4:4:4"):
     """id column -> (id, payload binary) of deterministic
-    block-constant baseline JPEGs (see ``fixture_spec``).  Generation
-    runs Arrow-batched on the executors — the driver never sees a
-    payload byte."""
+    block-constant baseline JPEGs (``fixture_spec`` for 4:4:4,
+    ``fixture_spec_420`` for 4:2:0).  Generation runs Arrow-batched on
+    the executors — the driver never sees a payload byte."""
     import pandas as pd
 
     def gen(batches: Iterator) -> Iterator:
@@ -693,14 +708,23 @@ def synthetic_jpeg_payloads(df, id_col: str = "doc_id"):
             payloads = []
             for d in pdf[id_col].astype("int64"):
                 d = int(d)
-                w, h, bx, blocks = fixture_spec(d)
-                img = np.zeros((h, w, 3))
-                for b, (vy, vcb, vcr) in enumerate(blocks):
-                    r0, c0 = (b // bx) * 8, (b % bx) * 8
-                    img[r0:r0 + 8, c0:c0 + 8] = (vy, vcb, vcr)
+                if subsampling == "4:2:0":
+                    w, h, bx, ys, cb, cr = fixture_spec_420(d)
+                    img = np.zeros((h, w, 3))
+                    img[..., 1] = cb
+                    img[..., 2] = cr
+                    for b, vy in enumerate(ys):
+                        r0, c0 = (b // bx) * 8, (b % bx) * 8
+                        img[r0:r0 + 8, c0:c0 + 8, 0] = vy
+                else:
+                    w, h, bx, blocks = fixture_spec(d)
+                    img = np.zeros((h, w, 3))
+                    for b, (vy, vcb, vcr) in enumerate(blocks):
+                        r0, c0 = (b // bx) * 8, (b % bx) * 8
+                        img[r0:r0 + 8, c0:c0 + 8] = (vy, vcb, vcr)
                 payloads.append(encode_baseline(
                     ycbcr=img, quant_luma=FIXTURE_QUANT,
-                    quant_chroma=FIXTURE_QUANT))
+                    quant_chroma=FIXTURE_QUANT, subsampling=subsampling))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(

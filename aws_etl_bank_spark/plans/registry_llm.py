@@ -741,6 +741,57 @@ def multimodal_decode_jpeg(spark, sf_dir):
         canon("mean_b").alias("mean_b"))
 
 
+@q("multimodal_decode_jpeg420", """
+WITH imgs AS (
+  SELECT doc_id AS d, 2 * (1 + doc_id % 2) AS bx, 2 AS by,
+         2 * ((7 * doc_id) % 128) AS vcb,
+         2 * ((13 * doc_id) % 128) AS vcr
+  FROM documents WHERE doc_id < 200),
+blk AS (SELECT d, bx, by, vcb, vcr, unnest(range(0, bx * by)) AS b
+        FROM imgs),
+v AS (SELECT d, bx, by, vcb, vcr,
+             2 * ((31 * d + 17 * b) % 128) AS vy
+      FROM blk),
+px AS (SELECT d, bx, by,
+  LEAST(255, GREATEST(0, floor(vy + 1.402 * (vcr - 128) + 0.5))) AS r,
+  LEAST(255, GREATEST(0, floor(vy - 0.344136 * (vcb - 128)
+                               - 0.714136 * (vcr - 128) + 0.5))) AS g,
+  LEAST(255, GREATEST(0, floor(vy + 1.772 * (vcb - 128) + 0.5))) AS bl
+  FROM v)
+SELECT d AS doc_id,
+       CAST(8 * bx AS INT) AS width, CAST(8 * by AS INT) AS height,
+       floor(avg(r) * 10000 + 0.5) / 10000 AS mean_r,
+       floor(avg(g) * 10000 + 0.5) / 10000 AS mean_g,
+       floor(avg(bl) * 10000 + 0.5) / 10000 AS mean_b
+FROM px GROUP BY d, bx, by""")
+def multimodal_decode_jpeg420(spark, sf_dir):
+    """The CHROMA-SUBSAMPLED decode path under the oracle gate:
+    4:2:0 baseline JPEGs (full 16×16 MCUs, 2×2 Y blocks + 1 Cb + 1 Cr
+    per MCU) with per-block Y and per-image chroma constants
+    (llm/jpeg.py fixture_spec_420) — a constant chroma plane
+    box-averages to itself, DC-roundtrips exactly, and
+    nearest-upsamples back to the same constant, so MCU interleave
+    order, sampling-factor bookkeeping, and the upsample gather are
+    all hash-checked closed-form (a swapped Y-block within the MCU or
+    a mis-strided upsample shifts a block mean).  Same canon as
+    multimodal_decode_jpeg."""
+    from aws_etl_bank_spark.llm.jpeg import (decode_jpeg_features,
+                                             synthetic_jpeg_payloads)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = decode_jpeg_features(
+        synthetic_jpeg_payloads(docs, subsampling="4:2:0"))
+
+    def canon(c):
+        return F.floor(F.col(c) * 10000 + F.lit(0.5)) / 10000
+
+    return feats.select(
+        "doc_id", "width", "height",
+        canon("mean_r").alias("mean_r"),
+        canon("mean_g").alias("mean_g"),
+        canon("mean_b").alias("mean_b"))
+
+
 # ===========================================================================
 # Streaming (SURVEY.md §2.11)
 # ===========================================================================
