@@ -59,10 +59,9 @@ _PRIORITY = [
     # companion text_fingerprint_planted is in slot 31, so the hard
     # signal refreshes; the rows-only row yields its slot to the new
     # oracle-backed scalar_try_suite)
-    # (dedup_simhash_pairs also slips to r12 — oracle-backed
-    # companion dedup_simhash_planted_pairs carries the hard signal)
+    # (dedup_simhash_pairs and dedup_minhash_pairs also slip to r12 —
+    # their oracle-backed planted companions carry the hard signal)
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
-    "dedup_minhash_pairs",
     "testdata_schema_smoke",
     # slots 44-50: r11-NEW entries land here as they are built
     "dedup_fuzzy_ed1_planted", "dedup_fuzzy_entity_planted",
@@ -71,9 +70,9 @@ _PRIORITY = [
     # scalar()/exists(), transpose, mapInArrow)
     "join_lateral_topk", "scalar_exists_subqueries",
     "ops_transpose_metrics", "arrow_native_quantized_norm",
-    "scalar_try_suite",
+    "scalar_try_suite", "agg_listagg_ordered",
     # ---- 50-slot waterline (the driver caps here) ----
-    "text_fingerprint", "dedup_simhash_pairs",
+    "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
     # r12 rotation resumes here: oldest-evidence r5-vintage entries
     # refresh next (fuzzy originals alongside their planted
     # companions, minhash_incremental, benford, pagerank, ...),

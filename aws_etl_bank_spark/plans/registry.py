@@ -7439,3 +7439,33 @@ def scalar_try_suite(spark, sf_dir):
         " AS cast_back",
         "try_element_at(split(o_orderpriority, '-'),"
         "               1 + CAST(o_orderkey % 3 AS INT)) AS prio_part")
+
+
+@q("agg_listagg_ordered", """
+SELECT o_orderpriority,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS status_seq,
+       string_agg(DISTINCT o_orderstatus, ','
+                  ORDER BY o_orderstatus) AS status_set,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey % 97 = 0
+GROUP BY o_orderpriority""")
+def agg_listagg_ordered(spark, sf_dir):
+    """``listagg(...) WITHIN GROUP (ORDER BY ...)`` (Spark 4's ANSI
+    ordered string aggregation, §2.4/§2.8) in both plain and DISTINCT
+    forms against DuckDB's ``string_agg(... ORDER BY ...)``.  The
+    WITHIN GROUP ordering makes the concatenation deterministic — the
+    whole point of the surface vs. collect_list+array_join, whose
+    order is partition-dependent.  Driven on a key-sampled subset
+    (%97) so group strings stay KB-bounded at any SF: unbounded
+    per-group concatenation is an anti-pattern at 100 TB — the scale
+    form caps with slice(sort_array(collect_list(...)), 1, k)."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 97 = 0")
+    o.createOrReplaceTempView("__listagg_src")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               listagg(o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderkey) AS status_seq,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS status_set,
+               COUNT(*) AS n
+        FROM __listagg_src GROUP BY o_orderpriority""")
