@@ -119,6 +119,14 @@ HEADLINE = [
     "ml_kmeans_lloyd",
     "text_bpe_train_merges",
     "graph_cc_star_chain",
+    # r11 additions: the from-scratch JPEG decode (Arrow-batched
+    # mapInPandas over generated binaries — the Python-decode
+    # throughput shape next to the avro datum codec), the decorrelated
+    # lateral top-k (WindowGroupLimit + broadcast join), and the
+    # mapInArrow zero-copy vector kernel
+    "multimodal_decode_jpeg",
+    "join_lateral_topk",
+    "arrow_native_quantized_norm",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
