@@ -243,12 +243,12 @@ def main():
         "sf": float(sf),
         # per-pass wall totals + the probe fence around them:
         # pass i sits between probes[i] and probes[i+1], so a judge
-        # can attribute drift to a specific pass from the JSON alone
+        # can attribute drift to a specific pass from the JSON alone.
+        # calibration_pre/post are NOT repeated here (they are
+        # probes[0] / probes[-1]); the full artifact keeps both keys.
         "samples": pass_totals,
         "probes": probes,
         "calibration_sec": calibration,
-        "calibration_pre": calibration_pre,
-        "calibration_post": calibration_post,
     }, separators=(",", ":")))
 
 

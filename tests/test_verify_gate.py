@@ -57,8 +57,6 @@ def test_bench_stdout_line_fits_driver_capture():
         "samples": [9999.999] * 3,
         "probes": [9999.999] * 4,
         "calibration_sec": 9999.999,
-        "calibration_pre": 9999.999,
-        "calibration_post": 9999.999,
     }, separators=(",", ":"))
     assert len(line) < 1900, len(line)
 
