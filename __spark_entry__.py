@@ -59,9 +59,10 @@ _PRIORITY = [
     # companion text_fingerprint_planted is in slot 31, so the hard
     # signal refreshes; the rows-only row yields its slot to the new
     # oracle-backed scalar_try_suite)
-    # (dedup_simhash_pairs and dedup_minhash_pairs also slip to r12 —
-    # their oracle-backed planted companions carry the hard signal)
-    "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
+    # (dedup_simhash_pairs, dedup_minhash_pairs and ann_ivf_topk also
+    # slip to r12 — their oracle-backed planted companions carry the
+    # hard signal; ann_ivf_planted_twin is in slot 32)
+    "ann_ivf_trained_topk", "dedup_minhash_keep",
     "testdata_schema_smoke",
     # slots 44-50: r11-NEW entries land here as they are built
     "dedup_fuzzy_ed1_planted", "dedup_fuzzy_entity_planted",
@@ -70,9 +71,10 @@ _PRIORITY = [
     # scalar()/exists(), transpose, mapInArrow)
     "join_lateral_topk", "scalar_exists_subqueries",
     "ops_transpose_metrics", "arrow_native_quantized_norm",
-    "scalar_try_suite", "agg_listagg_ordered",
+    "scalar_try_suite", "agg_listagg_ordered", "agg_hll_sketch_bound",
     # ---- 50-slot waterline (the driver caps here) ----
     "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
+    "ann_ivf_topk",
     # r12 rotation resumes here: oldest-evidence r5-vintage entries
     # refresh next (fuzzy originals alongside their planted
     # companions, minhash_incremental, benford, pagerank, ...),

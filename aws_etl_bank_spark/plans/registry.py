@@ -7469,3 +7469,36 @@ def agg_listagg_ordered(spark, sf_dir):
                    WITHIN GROUP (ORDER BY o_orderstatus) AS status_set,
                COUNT(*) AS n
         FROM __listagg_src GROUP BY o_orderpriority""")
+
+
+@q("agg_hll_sketch_bound", """
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS est_ok
+FROM orders""")
+def agg_hll_sketch_bound(spark, sf_dir):
+    """The BUILT-IN Apache DataSketches HLL surface (Spark 3.5+:
+    hll_sketch_agg → hll_union_agg → hll_sketch_estimate) next to the
+    from-scratch HLL in functions/scale.py: per-status sketches union
+    into a global distinct-customer estimate.  HLL registers are
+    max-per-bucket, so the estimate is a pure function of the value
+    SET — deterministic under any partitioning — and DuckDB cannot
+    reproduce the DataSketches estimator bit-for-bit, so the oracle
+    checks the ACCURACY CONTRACT instead: at lgK=14 (σ≈0.8%) the
+    estimate must sit within ±3% of the exact count, asserted as a
+    hashed boolean next to the exact count itself.  Mergeability
+    (union of per-group sketches == sketch of the union) is exactly
+    what makes sketches the 100 TB path: partial aggregation
+    map-side, constant-size state per group."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__hll_src")
+    return spark.sql("""
+        WITH s AS (SELECT o_orderstatus, hll_sketch_agg(o_custkey, 14) AS sk
+                   FROM __hll_src GROUP BY o_orderstatus),
+             e AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est
+                   FROM s),
+             x AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact
+                   FROM __hll_src)
+        SELECT CAST(x.n_exact AS BIGINT) AS n_exact,
+               abs(CAST(e.est AS DOUBLE) / x.n_exact - 1.0) <= 0.03
+                   AS est_ok
+        FROM e, x""")
