@@ -52,6 +52,22 @@ def test_scalar_exists_empty_group_semantics(spark):
     spark.catalog.clearCache()
 
 
+def test_scalar_exists_decorrelated_plan(spark):
+    """The registry entry's plan claim, pinned: scalar -> hash
+    aggregate + LeftOuter join, exists -> ExistenceJoin with the
+    constant predicate pushed to the scan; no per-row nested loop."""
+    import aws_etl_bank_spark.plans.registry as reg
+
+    df = reg.REGISTRY["scalar_exists_subqueries"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistenceJoin" in plan
+    assert "HashAggregate" in plan and "LeftOuter" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "GreaterThan(o_totalprice,300000.0)" in plan  # pushed filter
+    spark.catalog.clearCache()
+
+
 def test_transpose_layout(spark):
     """transpose(): first column's VALUES become column names, each
     remaining original column becomes a row keyed by its name."""
