@@ -59,10 +59,10 @@ _PRIORITY = [
     # companion text_fingerprint_planted is in slot 31, so the hard
     # signal refreshes; the rows-only row yields its slot to the new
     # oracle-backed scalar_try_suite)
-    # (dedup_simhash_pairs, dedup_minhash_pairs and ann_ivf_topk also
-    # slip to r12 — their oracle-backed planted companions carry the
-    # hard signal; ann_ivf_planted_twin is in slot 32)
-    "ann_ivf_trained_topk", "dedup_minhash_keep",
+    # (the r4 rows-only block slips to r12 — every one has an
+    # oracle-backed planted companion carrying the hard signal;
+    # ann_ivf_planted_twin is in slot 32 — keeping only the schema
+    # tripwire in-slate)
     "testdata_schema_smoke",
     # slots 44-50: r11-NEW entries land here as they are built
     "dedup_fuzzy_ed1_planted", "dedup_fuzzy_entity_planted",
@@ -72,9 +72,10 @@ _PRIORITY = [
     "join_lateral_topk", "scalar_exists_subqueries",
     "ops_transpose_metrics", "arrow_native_quantized_norm",
     "scalar_try_suite", "agg_listagg_ordered", "agg_hll_sketch_bound",
+    "sql_recursive_cte_walk", "udtf_table_argument_agg",
     # ---- 50-slot waterline (the driver caps here) ----
     "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
-    "ann_ivf_topk",
+    "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
     # r12 rotation resumes here: oldest-evidence r5-vintage entries
     # refresh next (fuzzy originals alongside their planted
     # companions, minhash_incremental, benford, pagerank, ...),

@@ -7502,3 +7502,85 @@ def agg_hll_sketch_bound(spark, sf_dir):
                abs(CAST(e.est AS DOUBLE) / x.n_exact - 1.0) <= 0.03
                    AS est_ok
         FROM e, x""")
+
+
+@q("sql_recursive_cte_walk", """
+WITH RECURSIVE walk(vec_id, head, depth) AS (
+  SELECT vec_id, vec_id AS head, 0 AS depth
+  FROM embeddings WHERE vec_id % 100 = 0
+  UNION ALL
+  SELECT e.vec_id, w.head, w.depth + 1
+  FROM walk w JOIN embeddings e ON e.vec_id = w.vec_id + 1
+  WHERE w.depth < 40)
+SELECT CAST(head AS BIGINT) AS head,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(MAX(depth) AS INT) AS max_depth
+FROM walk GROUP BY head""")
+def sql_recursive_cte_walk(spark, sf_dir):
+    """``WITH RECURSIVE`` (new in this Spark 4 build — probed and
+    adopted r11): a bounded successor-chain walk from every 100th
+    vec_id, UNION ALL recursion with a per-step equi-join and an
+    explicit depth < 40 guard (the engine's recursion-level limit
+    defaults to 100; unbounded linear recursion is the wrong tool on
+    a cluster anyway — diameter-scale traversals belong to the
+    pointer-doubling / star-contraction entries, which this entry's
+    docstring exists to contrast).  Output is per-head reach counts,
+    identical recursion semantics on DuckDB's native recursive CTE."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    emb.createOrReplaceTempView("__rcte_emb")
+    return spark.sql("""
+        WITH RECURSIVE walk(vec_id, head, depth) AS (
+          SELECT vec_id, vec_id AS head, 0 AS depth
+          FROM __rcte_emb WHERE vec_id % 100 = 0
+          UNION ALL
+          SELECT e.vec_id, w.head, w.depth + 1
+          FROM walk w JOIN __rcte_emb e ON e.vec_id = w.vec_id + 1
+          WHERE w.depth < 40)
+        SELECT CAST(head AS BIGINT) AS head,
+               COUNT(*) AS n_reached,
+               CAST(MAX(depth) AS INT) AS max_depth
+        FROM walk GROUP BY head""")
+
+
+@q("udtf_table_argument_agg", """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders GROUP BY o_orderstatus""")
+def udtf_table_argument_agg(spark, sf_dir):
+    """Python UDTF with a TABLE argument + PARTITION BY (the Spark 4
+    polymorphic table function surface, next to the lateral-view UDTF
+    udtf_sentence_split): each o_orderstatus partition streams through
+    one UDTF instance (eval per row, terminate yields the partition
+    aggregate), Arrow-batched.  Money is folded as exact integer cents
+    (floor(p·100+0.5)) so the Python accumulation matches the SQL
+    oracle bit-for-bit.  Scale shape: PARTITION BY is one shuffle with
+    |groups| parallelism — legal here (3 statuses × bounded state);
+    the general high-cardinality aggregate stays groupBy/agg."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderstatus string, n bigint, total_cents bigint")
+    class StatusAgg:
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.cents = 0
+
+        def eval(self, row):
+            import math
+            self.key = row["o_orderstatus"]
+            self.n += 1
+            self.cents += int(math.floor(row["o_totalprice"] * 100 + 0.5))
+
+        def terminate(self):
+            if self.n:
+                yield self.key, self.n, self.cents
+
+    spark.udtf.register("__status_agg", StatusAgg)
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__udtf_orders")
+    return spark.sql("""
+        SELECT * FROM __status_agg(
+          TABLE(SELECT o_orderstatus, o_totalprice FROM __udtf_orders)
+          PARTITION BY o_orderstatus)""")
