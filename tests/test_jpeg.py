@@ -140,3 +140,56 @@ def test_spark_decode_features_and_null_policy(spark):
     r = decode_jpeg_features(bad).collect()[0]
     assert r["width"] is None and r["mean_b"] is None
     spark.catalog.clearCache()
+
+
+def test_zrl_long_zero_runs_roundtrip():
+    """A single high-frequency AC coefficient forces runs of >15 zeros
+    — the ZRL (0xF0) encode/decode path block-constant fixtures never
+    touch — plus the negative-coefficient EXTEND path."""
+    from aws_etl_bank_spark.llm.jpeg import _dct_matrix
+
+    m = _dct_matrix()
+    q1 = [1] * 64
+    for (r, c), mag in (((3, 5), 100.0), ((7, 7), -64.0), ((5, 2), 37.0)):
+        coeffs = np.zeros((8, 8))
+        coeffs[r, c] = mag
+        block = m.T @ coeffs @ m + 128.0
+        img = np.zeros((8, 8, 3))
+        img[..., 0] = block                 # Y carries the pattern
+        img[..., 1] = 128.0
+        img[..., 2] = 128.0
+        buf = encode_baseline(ycbcr=img, quant_luma=q1, quant_chroma=q1)
+        h, w, rgb = decode_baseline(buf)
+        # Cb=Cr=128 -> RGB == round(Y); compare against the exact chain
+        exp = np.clip(np.floor(np.clip(np.floor(block + 0.5), 0, 255)
+                               + 0.5), 0, 255)
+        assert (rgb[..., 0] == exp).all(), (r, c, mag)
+
+
+def test_16bit_dqt_segment_decodes():
+    """The decoder must parse 16-bit-precision DQT tables (prec=1) —
+    rewrite the encoder's 8-bit DQT segments to 16-bit form and expect
+    an identical decode."""
+    import struct
+
+    img = _ramp(16, 24)
+    q1 = [1] * 64
+    buf = encode_baseline(rgb=img, quant_luma=q1, quant_chroma=q1)
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        if buf[pos] == 0xFF and pos + 1 < len(buf) and buf[pos + 1] == 0xDB:
+            seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
+            tid = buf[pos + 4] & 0x0F
+            qvals = list(buf[pos + 5:pos + 5 + 64])
+            out += b"\xff\xdb" + struct.pack(">H", 3 + 128)
+            out += bytes([(1 << 4) | tid])
+            for v in qvals:
+                out += struct.pack(">H", v)
+            pos += 2 + seglen
+        else:
+            out.append(buf[pos])
+            pos += 1
+    h8, w8, rgb8 = decode_baseline(buf)
+    h16, w16, rgb16 = decode_baseline(bytes(out))
+    assert (h8, w8) == (h16, w16) and (rgb8 == rgb16).all()
