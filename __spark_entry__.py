@@ -74,6 +74,11 @@ _PRIORITY = [
     "scalar_try_suite", "agg_listagg_ordered", "agg_hll_sketch_bound",
     "sql_recursive_cte_walk", "udtf_table_argument_agg",
     # ---- 50-slot waterline (the driver caps here) ----
+    # r12 head: the late-r11 batch (builder-verified at sf0.01 + sf1,
+    # never driver-evaluated), then the deferred r4 rows-only block,
+    # then r5-vintage refreshes
+    "agg_theta_sketch_setops", "agg_bitmap_distinct_exact",
+    "agg_regr_family", "quality_mask_pii", "scalar_xml_suite",
     "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
     # r12 rotation resumes here: oldest-evidence r5-vintage entries

@@ -7584,3 +7584,162 @@ def udtf_table_argument_agg(spark, sf_dir):
         SELECT * FROM __status_agg(
           TABLE(SELECT o_orderstatus, o_totalprice FROM __udtf_orders)
           PARTITION BY o_orderstatus)""")
+
+
+@q("agg_theta_sketch_setops", """
+WITH a AS (SELECT DISTINCT o_custkey % 2000 AS v FROM orders
+           WHERE o_orderstatus = 'F'),
+     b AS (SELECT DISTINCT o_custkey % 2000 AS v FROM orders
+           WHERE o_orderstatus = 'O')
+SELECT CAST((SELECT COUNT(*) FROM (SELECT v FROM a UNION SELECT v FROM b))
+            AS BIGINT) AS n_union,
+       CAST((SELECT COUNT(*) FROM (SELECT v FROM a INTERSECT
+                                   SELECT v FROM b)) AS BIGINT) AS n_inter,
+       CAST((SELECT COUNT(*) FROM (SELECT v FROM a EXCEPT
+                                   SELECT v FROM b)) AS BIGINT) AS n_diff""")
+def agg_theta_sketch_setops(spark, sf_dir):
+    """Apache DataSketches THETA sketches — the sketch family that
+    supports full SET ALGEBRA (union / intersection / A-not-B), i.e.
+    audience-overlap analytics without ever materializing the sets:
+    per-status customer-id sketches combine with theta_union /
+    theta_intersection / theta_difference.  The value domain is
+    projected to % 2000 so both sketches stay in EXACT mode (< k=4096
+    retained hashes) — estimates are then exact integers and the
+    oracle is plain distinct set algebra; above k the same plan
+    degrades gracefully to ±1.6% estimates at CONSTANT memory, which
+    is the 100 TB story (set intersection of two 10-billion-row
+    audiences in two sketch scans + a driver-side combine)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__theta_src")
+    return spark.sql("""
+        WITH a AS (SELECT theta_sketch_agg(o_custkey % 2000) AS sk
+                   FROM __theta_src WHERE o_orderstatus = 'F'),
+             b AS (SELECT theta_sketch_agg(o_custkey % 2000) AS sk
+                   FROM __theta_src WHERE o_orderstatus = 'O')
+        SELECT CAST(theta_sketch_estimate(theta_union(a.sk, b.sk))
+                    AS BIGINT) AS n_union,
+               CAST(theta_sketch_estimate(theta_intersection(a.sk, b.sk))
+                    AS BIGINT) AS n_inter,
+               CAST(theta_sketch_estimate(theta_difference(a.sk, b.sk))
+                    AS BIGINT) AS n_diff
+        FROM a, b""")
+
+
+@q("agg_bitmap_distinct_exact", """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders GROUP BY o_orderpriority""")
+def agg_bitmap_distinct_exact(spark, sf_dir):
+    """The built-in BITMAP aggregate surface (Spark 3.5:
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    / bitmap_count) doing EXACT distinct counts as two cheap
+    hash-aggs: keys bucket into fixed 32k-bit bitmap rows, per-bucket
+    bitmaps OR together map-side, and the per-group distinct count is
+    the SUM of per-bucket popcounts — the roaring-bitmap pattern next
+    to functions/scale.py's custom bitmap retention entry.  Exact at
+    every scale (no estimate), shuffle volume = populated buckets ×
+    4 KiB, never the raw key stream."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__bm_src")
+    return spark.sql("""
+        WITH per_bucket AS (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS bk,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+          FROM __bm_src GROUP BY o_orderpriority, bk)
+        SELECT o_orderpriority,
+               SUM(bitmap_count(bm)) AS n_cust
+        FROM per_bucket GROUP BY o_orderpriority""")
+
+
+@q("agg_regr_family", """
+WITH t AS (SELECT o_orderkey % 1000 AS x,
+                  2 * (o_orderkey % 1000) + (o_orderkey % 7) AS y
+           FROM orders)
+SELECT ROUND(regr_slope(y, x), 6) + 0 AS slope,
+       ROUND(regr_intercept(y, x), 6) + 0 AS intercept,
+       ROUND(regr_r2(y, x), 6) + 0 AS r2,
+       CAST(regr_count(y, x) AS BIGINT) AS n,
+       ROUND(regr_avgx(y, x), 6) + 0 AS avgx,
+       ROUND(regr_avgy(y, x), 6) + 0 AS avgy
+FROM t""")
+def agg_regr_family(spark, sf_dir):
+    """ANSI linear-regression aggregates (regr_slope / intercept / r2
+    / count / avgx / avgy) over integer-valued x,y derived from the
+    order key (y = 2x + key%7 noise, so the fit is strong but not
+    perfect and r² is a real fraction).  Integer inputs keep every
+    raw sum exact in double; the final ratios differ between engines
+    only in the last ulps (each engine's own streaming accumulation),
+    absorbed by the ROUND(...,6)+0 canon — output-only, never a key
+    (the standing libm/tie rule).  One combineable hash-agg, the
+    sufficient-statistics shape that scales to any row count."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__regr_src")
+    return spark.sql("""
+        WITH t AS (SELECT o_orderkey % 1000 AS x,
+                          2 * (o_orderkey % 1000) + (o_orderkey % 7) AS y
+                   FROM __regr_src)
+        SELECT ROUND(regr_slope(y, x), 6) + 0 AS slope,
+               ROUND(regr_intercept(y, x), 6) + 0 AS intercept,
+               ROUND(regr_r2(y, x), 6) + 0 AS r2,
+               regr_count(y, x) AS n,
+               ROUND(regr_avgx(y, x), 6) + 0 AS avgx,
+               ROUND(regr_avgy(y, x), 6) + 0 AS avgy
+        FROM t""")
+
+
+@q("quality_mask_pii", """
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+           AS masked_default,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', 'D', 'g'),
+           '[^UlD]', '*', 'g') AS masked_custom
+FROM customer""")
+def quality_mask_pii(spark, sf_dir):
+    """The ``mask()`` PII-redaction function (§2.8 / the governance
+    surface next to quality_k_anonymity and l_diversity): default
+    masking (upper→X, lower→x, digit→n, other kept) and fully-custom
+    masking (U/l/D and '*' for separators).  The oracle rebuilds both
+    maskings with regexp chains — character-class coverage, not just
+    row counts, is hash-checked.  Pure projection, codegen, no
+    shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "mask(c_name) AS masked_default",
+        "mask(c_name, 'U', 'l', 'D', '*') AS masked_custom")
+
+
+@q("scalar_xml_suite", """
+SELECT o_orderkey,
+       o_orderpriority AS xp_prio,
+       o_orderkey AS xml_key,
+       o_orderstatus AS xml_status,
+       CAST(2 AS INT) AS n_children
+FROM orders WHERE o_orderkey % 11 = 0""")
+def scalar_xml_suite(spark, sf_dir):
+    """XML scalar functions (§2.8, next to the JSON/VARIANT suites;
+    the reference's getSource dispatch lists XML as an ingest format):
+    documents are BUILT from row data (concat), then re-extracted
+    with xpath_string, from_xml (schema'd struct), and xpath counting
+    — the oracle is the identity on the original columns, so any
+    parse/escape/extraction defect breaks the hash.  Key-sampled
+    (%11) to keep the Python-free codegen path the dominant cost."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 11 = 0")
+    o.createOrReplaceTempView("__xml_src")
+    return spark.sql("""
+        WITH x AS (
+          SELECT o_orderkey,
+                 concat('<o><k>', o_orderkey, '</k><p>', o_orderpriority,
+                        '</p><s>', o_orderstatus, '</s></o>') AS doc
+          FROM __xml_src)
+        SELECT o_orderkey,
+               xpath_string(doc, '/o/p') AS xp_prio,
+               from_xml(doc, 'k BIGINT, p STRING, s STRING').k AS xml_key,
+               from_xml(doc, 'k BIGINT, p STRING, s STRING').s
+                   AS xml_status,
+               CAST(size(xpath(doc, '/o/*[self::k or self::s]/text()'))
+                    AS INT) AS n_children
+        FROM x""")
