@@ -29,11 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # r10-new entries the driver has never evaluated (each
 # builder-verified green via scripts/verify_entry.py in r10 AND
 # re-verified at r11 HEAD).  Slots 24-36 are the 13 remaining
-# r4-vintage ORACLE-BACKED entries, slots 37-43 the 7 r4-vintage
-# rows-only entries — after this round no entry's newest driver
-# evidence predates r5 (verdict task 4's "≤6 older than r6" met with
-# room to spare).  Slots 44-50 hold the r11-NEW entries, inserted as
-# they land.
+# r4-vintage ORACLE-BACKED entries; slot 37 the schema tripwire;
+# slots 38-50 the first 13 r11-NEW entries (every one verified at
+# BOTH sf0.01 and sf1 the day it landed).  The six r4-vintage
+# rows-only entries yield their slots to new ORACLE-BACKED work and
+# queue at the r12 head — each one's semantics are hash-covered by an
+# oracle-backed planted companion already in-slate or green on the
+# ledger (text_fingerprint_planted slot 31, ann_ivf_planted_twin,
+# dedup_{minhash,simhash}_planted_{pairs,keep}).
 _PRIORITY = [
     # slots 1-3: r10 ADVICE fixes (code changed this round)
     "text_bpe_train_merges", "ops_table_reconcile_buckets",
@@ -54,21 +57,13 @@ _PRIORITY = [
     "stream_window_counts", "text_fingerprint_planted", "ts_bucket_rollup",
     "ts_gapfill_hourly", "ts_rolling_zscore", "win_running_sum_acct",
     "win_running_sum_cust",
-    # slots 37-42: last r4-vintage rows-only entries + schema tripwire
-    # (text_fingerprint slips to r12 — its oracle-backed planted
-    # companion text_fingerprint_planted is in slot 31, so the hard
-    # signal refreshes; the rows-only row yields its slot to the new
-    # oracle-backed scalar_try_suite)
-    # (the r4 rows-only block slips to r12 — every one has an
-    # oracle-backed planted companion carrying the hard signal;
-    # ann_ivf_planted_twin is in slot 32 — keeping only the schema
-    # tripwire in-slate)
+    # slot 37: the schema tripwire
     "testdata_schema_smoke",
-    # slots 44-50: r11-NEW entries land here as they are built
+    # slots 38-50: r11-NEW entries in landing order (sf1-planted
+    # fuzzy companions, the JPEG codec pair, the Spark 4 modern-API
+    # batch, try_/listagg/HLL, recursive CTE, table-arg UDTF)
     "dedup_fuzzy_ed1_planted", "dedup_fuzzy_entity_planted",
     "multimodal_decode_jpeg", "multimodal_decode_jpeg420",
-    # slots 47-50: the Spark 4 modern-API batch (lateralJoin,
-    # scalar()/exists(), transpose, mapInArrow)
     "join_lateral_topk", "scalar_exists_subqueries",
     "ops_transpose_metrics", "arrow_native_quantized_norm",
     "scalar_try_suite", "agg_listagg_ordered", "agg_hll_sketch_bound",
@@ -79,6 +74,7 @@ _PRIORITY = [
     # then r5-vintage refreshes
     "agg_theta_sketch_setops", "agg_bitmap_distinct_exact",
     "agg_regr_family", "quality_mask_pii", "scalar_xml_suite",
+    "text_url_parse", "scalar_digest_suite",
     "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
     # r12 rotation resumes here: oldest-evidence r5-vintage entries

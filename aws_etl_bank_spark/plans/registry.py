@@ -7743,3 +7743,58 @@ def scalar_xml_suite(spark, sf_dir):
                CAST(size(xpath(doc, '/o/*[self::k or self::s]/text()'))
                     AS INT) AS n_children
         FROM x""")
+
+
+@q("text_url_parse", """
+SELECT o_orderkey,
+       'h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com' AS host,
+       '/p/' || CAST(o_orderkey AS VARCHAR) AS path,
+       o_orderstatus AS q_status,
+       o_orderpriority AS dec_roundtrip
+FROM orders WHERE o_orderkey % 13 = 0""")
+def text_url_parse(spark, sf_dir):
+    """URL parsing/encoding (parse_url HOST/PATH/QUERY-key,
+    url_encode/url_decode) — the domain-extraction step every
+    web-corpus curation pipeline runs before per-host dedup and
+    filtering.  URLs are BUILT from row data, re-parsed, and the
+    encode→decode roundtrip re-surfaces the raw priority string, so
+    the oracle is the identity on the constructing columns.
+    Key-sampled; pure codegen projection."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 13 = 0")
+    o.createOrReplaceTempView("__url_src")
+    return spark.sql("""
+        WITH u AS (
+          SELECT o_orderkey, o_orderpriority,
+                 concat('https://h', o_custkey % 50, '.example.com/p/',
+                        o_orderkey, '?s=', o_orderstatus) AS url
+          FROM __url_src)
+        SELECT o_orderkey,
+               parse_url(url, 'HOST') AS host,
+               parse_url(url, 'PATH') AS path,
+               parse_url(url, 'QUERY', 's') AS q_status,
+               url_decode(url_encode(o_orderpriority)) AS dec_roundtrip
+        FROM u""")
+
+
+@q("scalar_digest_suite", """
+SELECT c_custkey,
+       sha256(c_name) AS sha_hex,
+       to_base64(CAST(c_name AS BLOB)) AS b64,
+       lower(hex(c_name)) AS hex_bytes,
+       c_name AS b64_roundtrip
+FROM customer""")
+def scalar_digest_suite(spark, sf_dir):
+    """Content-digest and binary-encoding functions (§2.8, the
+    fingerprint primitives under every dedup/caching scheme): SHA-256
+    (cross-engine-identical hex), base64/unbase64 (RFC 4648, asserted
+    by the decode roundtrip), and hex byte dumps (case-normalized —
+    Spark upper-cases, DuckDB's hex() differs).  md5→int64 is already
+    the house join-hash canon (feature_hash_text); this pins the rest
+    of the digest surface.  Pure codegen projection."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "sha2(c_name, 256) AS sha_hex",
+        "base64(c_name) AS b64",
+        "lower(hex(c_name)) AS hex_bytes",
+        "CAST(unbase64(base64(c_name)) AS STRING) AS b64_roundtrip")
