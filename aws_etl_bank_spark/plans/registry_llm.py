@@ -792,6 +792,38 @@ def multimodal_decode_jpeg420(spark, sf_dir):
         canon("mean_b").alias("mean_b"))
 
 
+@q("multimodal_decode_png", """
+WITH imgs AS (
+  SELECT doc_id AS d, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 400),
+px AS (SELECT d, w, h, unnest(range(0, w * h * 3)) AS i FROM imgs)
+SELECT d AS doc_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       floor(avg((31 * d + 7 * i) % 256) * 10000 + 0.5) / 10000
+           AS mean_byte
+FROM px GROUP BY d, w, h""")
+def multimodal_decode_png(spark, sf_dir):
+    """REAL PNG decoding with a from-scratch codec (llm/png.py —
+    chunk walk with CRC-32 verification, IDAT inflate via stdlib
+    zlib, and full scanline unfiltering: None/Sub/Up/Average/Paeth
+    including the floor-average and Paeth tie rules).  Fixture rows
+    CYCLE all five filter types at encode time; PNG is lossless, so
+    the planted closed-form pixels must come back exactly through
+    every unfilter path — a wrong Paeth tie-break or average floor
+    shifts the mean and fails the hash.  Same Arrow-batched
+    map-only shape as the PPM/BMP/JPEG decoders."""
+    from aws_etl_bank_spark.llm.png import (decode_png_features,
+                                            synthetic_png_payloads)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    feats = decode_png_features(synthetic_png_payloads(docs))
+    return feats.select(
+        "doc_id", "width", "height", "n_channels",
+        (F.floor(F.col("mean_byte") * 10000 + F.lit(0.5)) / 10000)
+        .alias("mean_byte"))
+
+
 # ===========================================================================
 # Streaming (SURVEY.md §2.11)
 # ===========================================================================

@@ -193,3 +193,45 @@ def test_16bit_dqt_segment_decodes():
     h8, w8, rgb8 = decode_baseline(buf)
     h16, w16, rgb16 = decode_baseline(bytes(out))
     assert (h8, w8) == (h16, w16) and (rgb8 == rgb16).all()
+
+
+def test_png_codec_all_filters_and_rejects():
+    """From-scratch PNG (llm/png.py): every scanline filter roundtrips
+    exactly for grey/RGB/RGBA, CRC corruption and truncation reject,
+    and the Spark feature path NULLs corrupt payloads."""
+    from aws_etl_bank_spark.llm.png import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for shape in [(5, 9, 3), (8, 4, 1), (6, 6, 4)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for filters in (None, [1] * shape[0], [2] * shape[0],
+                        [3] * shape[0], [4] * shape[0],
+                        [y % 5 for y in range(shape[0])]):
+            h, w, px = decode_png(encode_png(img, filters=filters))
+            assert (h, w, px.shape[2]) == shape
+            assert (px == img).all()
+    good = encode_png(np.zeros((3, 3, 3), np.uint8))
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF             # flip inside IEND CRC
+    for bad in (b"", b"\x89PNG\r\n\x1a\nxxxx", good[:-6], bytes(bad_crc)):
+        with pytest.raises(Exception):
+            decode_png(bad)
+
+
+def test_png_spark_features(spark):
+    from aws_etl_bank_spark.llm.png import (decode_png_features,
+                                            fixture_spec_png,
+                                            synthetic_png_payloads)
+    import pyspark.sql.functions as F
+
+    ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    rows = {r["doc_id"]: r for r in
+            decode_png_features(synthetic_png_payloads(ids)).collect()}
+    for d, r in rows.items():
+        w, h = fixture_spec_png(d)
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+    bad = spark.createDataFrame([(99, bytearray(b"notpng"))],
+                                "doc_id long, payload binary")
+    r = decode_png_features(bad).collect()[0]
+    assert r["width"] is None and r["mean_byte"] is None
+    spark.catalog.clearCache()
