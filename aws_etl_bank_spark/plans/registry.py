@@ -7798,3 +7798,74 @@ def scalar_digest_suite(spark, sf_dir):
         "base64(c_name) AS b64",
         "lower(hex(c_name)) AS hex_bytes",
         "CAST(unbase64(base64(c_name)) AS STRING) AS b64_roundtrip")
+
+
+@q("scalar_timezone_suite", """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                        CAST(month(o_orderdate) AS BIGINT),
+                        CAST(day(o_orderdate) AS BIGINT),
+                        CAST(o_orderkey % 24 AS BIGINT),
+                        CAST(o_orderkey % 60 AS BIGINT),
+                        CAST(o_orderkey % 60 AS DOUBLE)) AS base
+  FROM orders WHERE o_orderkey % 17 = 0)
+SELECT k, base,
+       base + INTERVAL '330 minutes' AS ist,
+       base + INTERVAL '8 hours' AS utc_from_pst,
+       CAST(epoch(base) AS BIGINT) AS epoch_s
+FROM t""")
+def scalar_timezone_suite(spark, sf_dir):
+    """Timezone arithmetic with FIXED-OFFSET zones (make_timestamp,
+    convert_timezone, to_utc_timestamp, unix epoch extraction) — the
+    deterministic core of timestamp handling.  Fixed offsets
+    ('+05:30', '-08:00') are deliberate: they are pure interval
+    shifts both engines agree on byte-for-byte, whereas NAMED zones
+    drag in tz-database vintage skew (Java tzdb vs ICU) that no canon
+    can reconcile — exactly the distinction a cross-engine pipeline
+    must respect.  Session timezone is pinned UTC (session.py), so
+    NTZ↔instant casts are identity and the epoch check is pure
+    integer math.  Key-sampled; map-only projection."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 17 = 0")
+    o.createOrReplaceTempView("__tz_src")
+    return spark.sql("""
+        WITH t AS (
+          SELECT o_orderkey AS k,
+                 CAST(make_timestamp(year(o_orderdate), month(o_orderdate),
+                                     day(o_orderdate), o_orderkey % 24,
+                                     o_orderkey % 60,
+                                     CAST(o_orderkey % 60 AS DECIMAL(8,6)))
+                      AS TIMESTAMP_NTZ) AS base
+          FROM __tz_src)
+        SELECT k, base,
+               convert_timezone('UTC', '+05:30', base) AS ist,
+               CAST(to_utc_timestamp(base, '-08:00') AS TIMESTAMP_NTZ)
+                   AS utc_from_pst,
+               unix_seconds(CAST(base AS TIMESTAMP)) AS epoch_s
+        FROM t""")
+
+
+@q("scalar_posexplode_outer", """
+WITH t AS (SELECT o_orderkey AS k, CAST(o_orderkey % 4 AS INT) AS n
+           FROM orders WHERE o_orderkey % 7 = 0)
+SELECT k,
+       CASE WHEN n = 0 THEN NULL ELSE CAST(g.i - 1 AS INT) END AS pos,
+       CASE WHEN n = 0 THEN NULL ELSE CAST(g.i AS INT) END AS v
+FROM t LEFT JOIN LATERAL (SELECT unnest(range(1, n + 1)) AS i) AS g
+       ON TRUE""")
+def scalar_posexplode_outer(spark, sf_dir):
+    """NULL-preserving generators (§2.8/§2.9): posexplode_outer emits
+    a (NULL, NULL) row for an EMPTY array where plain posexplode
+    silently drops the parent row — the row-count-preserving contract
+    ETL joins rely on after array expansion.  Empty arrays come from
+    the data (key % 4 == 0); the oracle reproduces outer semantics
+    with a LEFT LATERAL unnest.  One generate, no shuffle."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 7 = 0")
+    o.createOrReplaceTempView("__gen_src")
+    return spark.sql("""
+        SELECT o_orderkey AS k, pos, v
+        FROM __gen_src
+        LATERAL VIEW OUTER posexplode(
+          CASE WHEN o_orderkey % 4 = 0 THEN array()
+               ELSE sequence(1, CAST(o_orderkey % 4 AS INT)) END)
+          AS pos, v""")
