@@ -7869,3 +7869,37 @@ def scalar_posexplode_outer(spark, sf_dir):
           CASE WHEN o_orderkey % 4 = 0 THEN array()
                ELSE sequence(1, CAST(o_orderkey % 4 AS INT)) END)
           AS pos, v""")
+
+
+@q("src_warc_roundtrip", """
+SELECT doc_id AS record_id,
+       'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+           AS target_uri,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+           AS content_length,
+       text AS payload
+FROM documents WHERE doc_id < 400""")
+def src_warc_roundtrip(spark, sf_dir):
+    """WARC ingestion (sources/warc.py — ISO 28500 / the Common Crawl
+    ``.warc.gz`` container, implemented from the public spec since no
+    WARC library ships here): documents become per-record-gzipped
+    WARC responses (one member per record, the range-fetchable
+    layout), written one segment per partition, then read back
+    through the binaryFile source and parsed by Content-Length
+    framing (never delimiter scanning).  The oracle is the identity
+    on the source rows — record ids, URIs, byte lengths, and full
+    payload text must survive the container — so header parsing,
+    member walking (zlib unused_data loop), and UTF-8 framing are all
+    hash-checked.  Parallelism = segments on both sides, the shape
+    real crawl processing uses."""
+    from aws_etl_bank_spark.sources.warc import read_warc, write_warc
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id",
+                    F.concat(F.lit("https://corpus.example/doc/"),
+                             F.col("doc_id").cast("string")).alias("uri"),
+                    "text"))
+    path = _scratch(sf_dir, "warc_roundtrip")
+    write_warc(docs.repartition(4), path, "doc_id", "uri", "text")
+    return read_warc(spark, path)
