@@ -76,7 +76,7 @@ _PRIORITY = [
     "agg_regr_family", "quality_mask_pii", "scalar_xml_suite",
     "text_url_parse", "scalar_digest_suite", "multimodal_decode_png",
     "scalar_timezone_suite", "scalar_posexplode_outer",
-    "src_warc_roundtrip",
+    "src_warc_roundtrip", "multimodal_decode_gif",
     "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
     # r12 rotation resumes here: oldest-evidence r5-vintage entries

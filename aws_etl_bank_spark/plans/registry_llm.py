@@ -824,6 +824,46 @@ def multimodal_decode_png(spark, sf_dir):
         .alias("mean_byte"))
 
 
+@q("multimodal_decode_gif", """
+WITH imgs AS (
+  SELECT doc_id AS d, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 400),
+px AS (SELECT d, w, h,
+              (31 * d + 7 * unnest(range(0, w * h))) % 64 AS idx
+       FROM imgs)
+SELECT d AS doc_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       floor(avg((4 * idx) % 256) * 10000 + 0.5) / 10000 AS mean_r,
+       floor(avg((3 * idx) % 256) * 10000 + 0.5) / 10000 AS mean_g,
+       floor(avg((5 * idx) % 256) * 10000 + 0.5) / 10000 AS mean_b
+FROM px GROUP BY d, w, h""")
+def multimodal_decode_gif(spark, sf_dir):
+    """REAL GIF decoding with from-scratch LZW (llm/gif.py): header /
+    color-table / sub-block walk plus full LZW dictionary protocol —
+    code-size escalation, the KwKwK special case, CLEAR resets at the
+    4096 ceiling — implemented from the public spec (no image or LZW
+    library here).  GIF is lossless on palette indices, so the
+    planted closed-form fixture (index (31d+7i)%64 through the
+    (4j,3j,5j)%256 palette) hash-checks the whole decompressor: a
+    wrong width-bump boundary or KwKwK branch scrambles pixels and
+    the channel means.  Fourth codec in the image family
+    (PPM/BMP/JPEG/PNG/GIF); same Arrow-batched map-only shape."""
+    from aws_etl_bank_spark.llm.gif import (decode_gif_features,
+                                            synthetic_gif_payloads)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    feats = decode_gif_features(synthetic_gif_payloads(docs))
+
+    def canon(c):
+        return F.floor(F.col(c) * 10000 + F.lit(0.5)) / 10000
+
+    return feats.select(
+        "doc_id", "width", "height",
+        canon("mean_r").alias("mean_r"),
+        canon("mean_g").alias("mean_g"),
+        canon("mean_b").alias("mean_b"))
+
+
 # ===========================================================================
 # Streaming (SURVEY.md §2.11)
 # ===========================================================================

@@ -235,3 +235,40 @@ def test_png_spark_features(spark):
     r = decode_png_features(bad).collect()[0]
     assert r["width"] is None and r["mean_byte"] is None
     spark.catalog.clearCache()
+
+
+def test_gif_lzw_codec():
+    """From-scratch GIF/LZW (llm/gif.py): closed-form fixtures exact,
+    dictionary stress (width bumps, repetition/KwKwK, the 4096 CLEAR
+    reset), and structural rejection."""
+    from aws_etl_bank_spark.llm.gif import (_fixture_palette, decode_gif,
+                                            encode_gif, fixture_spec_gif)
+
+    pal = _fixture_palette()
+    pal_arr = np.array(pal, dtype=np.uint8)
+    for d in (0, 3, 17, 299):
+        w, h = fixture_spec_gif(d)
+        i = np.arange(h * w, dtype=np.int64)
+        idx = ((31 * d + 7 * i) % 64).astype(np.uint8).reshape(h, w)
+        hh, ww, rgb = decode_gif(encode_gif(idx, pal))
+        assert (hh, ww) == (h, w) and (rgb == pal_arr[idx]).all()
+    rng = np.random.RandomState(3)
+    for idx in (rng.randint(0, 64, (80, 90)),
+                np.tile(np.arange(50) % 7, 200).reshape(100, 100),
+                np.zeros((64, 64)),                      # max repetition
+                rng.randint(0, 64, (200, 300))):         # 4096 resets
+        idx = idx.astype(np.uint8)
+        hh, ww, rgb = decode_gif(encode_gif(idx, pal))
+        assert (rgb == pal_arr[idx]).all()
+    for bad in (b"", b"GIF89a", b"NOTGIF" + b"\x00" * 20):
+        with pytest.raises(Exception):
+            decode_gif(bad)
+    # interlace flag must reject, not mis-decode.  The image
+    # descriptor sits at a FIXED offset (13-byte header + 64*3
+    # palette) — searching for 0x2C would hit palette bytes.
+    good = bytearray(encode_gif(np.zeros((4, 4), np.uint8), pal))
+    desc = 13 + 64 * 3
+    assert good[desc] == 0x2C
+    good[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlace"):
+        decode_gif(bytes(good))
