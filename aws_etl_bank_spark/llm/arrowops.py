@@ -26,7 +26,12 @@ def quantized_norms(df, vec_col: str, id_col: str, scale: int = 1000):
 
     Handles both FixedSizeList and (possibly ragged) List layouts:
     fixed-size vectors reshape to a matrix and reduce with one einsum;
-    ragged lists reduce with ``np.add.reduceat`` over the offsets.
+    ragged lists reduce with prefix-sum differences over the offsets.
+
+    NULL vector rows and NaN components raise ``ValueError``: a null
+    list length would flow NaN into the int64 offset cast and corrupt
+    every subsequent row's norm in the batch, so the kernel refuses
+    them instead of silently producing garbage.
     """
     import numpy as np
     import pyarrow as pa
@@ -39,8 +44,16 @@ def quantized_norms(df, vec_col: str, id_col: str, scale: int = 1000):
                 yield pa.RecordBatch.from_arrays(
                     [ids, pa.array([], pa.int64())], [id_col, "q_norm2"])
                 continue
+            if arr.null_count:
+                raise ValueError(
+                    "quantized_norms: NULL vector row in batch — "
+                    "filter or impute before the kernel")
             flat = arr.flatten().to_numpy(zero_copy_only=False) \
                       .astype(np.float64)
+            if np.isnan(flat).any():
+                raise ValueError(
+                    "quantized_norms: NaN vector component in batch — "
+                    "filter or impute before the kernel")
             q = np.floor(flat * scale + 0.5).astype(np.int64)
             if pa.types.is_fixed_size_list(arr.type):
                 mat = q.reshape(batch.num_rows, arr.type.list_size)

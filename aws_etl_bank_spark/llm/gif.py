@@ -12,7 +12,7 @@ specification:
   at the 4096 ceiling) packed LSB-first into 255-byte sub-blocks.
 * ``decode_gif(buf)`` — header/trailer walk, extension-block
   skipping, LZW decompression with the full dictionary protocol
-  including the KwKwK special case (code == next未assigned entry),
+  including the KwKwK special case (code == next unassigned entry),
   palette lookup to RGB.  Interlace and local color tables are
   rejected explicitly (not mis-decoded).
 
@@ -178,7 +178,21 @@ def encode_gif(indices, palette) -> bytes:
 
 
 def decode_gif(buf: bytes):
-    """GIF bytes → (height, width, uint8 ndarray [h, w, 3])."""
+    """GIF bytes → (height, width, uint8 ndarray [h, w, 3]).
+
+    Raises ValueError on any malformed/truncated stream (same contract
+    as the JPEG/PNG decoders): a truncated sub-block or extension walk
+    surfaces internally as IndexError/struct.error and is re-raised
+    here as ``ValueError('gif: truncated')``."""
+    try:
+        return _decode_gif_impl(buf)
+    except ValueError:
+        raise
+    except (IndexError, struct.error) as exc:
+        raise ValueError("gif: truncated") from exc
+
+
+def _decode_gif_impl(buf: bytes):
     import numpy as np
 
     if buf[:6] not in (b"GIF87a", b"GIF89a"):

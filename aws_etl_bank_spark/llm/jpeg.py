@@ -304,7 +304,20 @@ def decode_baseline(buf: bytes):
     1-component.  Raises ValueError on anything that is not a
     well-formed baseline (SOF0) stream — callers in the Spark path map
     that to a NULL row (the corrupt-payload policy every decoder in
-    this package shares)."""
+    this package shares).  Truncated segment headers / entropy data
+    surface internally as ``struct.error`` / ``_MarkerInStream`` /
+    ``IndexError``; they are re-raised here as ValueError so the
+    documented contract holds for direct callers too."""
+    try:
+        return _decode_baseline_impl(buf)
+    except ValueError:
+        raise
+    except (_MarkerInStream, struct.error, IndexError, StopIteration) as exc:
+        raise ValueError(
+            f"jpeg: malformed stream ({type(exc).__name__})") from exc
+
+
+def _decode_baseline_impl(buf: bytes):
     import numpy as np
 
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:

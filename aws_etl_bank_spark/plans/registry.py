@@ -7872,7 +7872,7 @@ def scalar_posexplode_outer(spark, sf_dir):
 
 
 @q("src_warc_roundtrip", """
-SELECT doc_id AS record_id,
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
        'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
            AS target_uri,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)

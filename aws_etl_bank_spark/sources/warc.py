@@ -119,10 +119,18 @@ def write_warc(df, path: str, id_col: str, uri_col: str,
 
 
 def read_warc(spark, path: str):
-    """``.warc.gz`` directory → DataFrame (record_id, target_uri,
-    content_length, payload string) — one Arrow-batched parse pass
-    per partition of files; malformed FILES raise (a corrupt segment
-    should fail loudly, like the mixed-writer-schema Avro rule)."""
+    """``.warc.gz`` directory → DataFrame (record_id string,
+    target_uri, content_length, payload string) — one Arrow-batched
+    parse pass per partition of files; malformed FILES raise (a
+    corrupt segment should fail loudly, like the mixed-writer-schema
+    Avro rule).
+
+    record_id is the WARC-Record-ID with the ``<urn:uuid:...>``
+    wrapper stripped but otherwise verbatim — a spec-conformant
+    foreign WARC's real UUID ids survive, not just this writer's
+    integer ids.  Payloads decode with ``errors="replace"`` so a
+    binary (non-UTF-8) response record yields U+FFFD runs instead of
+    failing the whole segment."""
     import pandas as pd
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,16 +140,17 @@ def read_warc(spark, path: str):
             for blob in pdf["content"]:
                 for headers, payload in iter_warc_records(bytes(blob)):
                     rid = headers.get("warc-record-id", "")
-                    rid = rid.split("urn:uuid:")[-1].rstrip(">")
-                    rows["record_id"].append(int(rid))
+                    rid = rid.split("urn:uuid:")[-1].rstrip(">").lstrip("<")
+                    rows["record_id"].append(rid)
                     rows["target_uri"].append(
                         headers.get("warc-target-uri", ""))
                     rows["content_length"].append(
                         int(headers["content-length"]))
-                    rows["payload"].append(payload.decode("utf-8"))
+                    rows["payload"].append(
+                        payload.decode("utf-8", errors="replace"))
             yield pd.DataFrame(rows)
 
     files = spark.read.format("binaryFile").load(path).select("content")
     return files.mapInPandas(
-        decode, "record_id long, target_uri string, "
+        decode, "record_id string, target_uri string, "
                 "content_length long, payload string")

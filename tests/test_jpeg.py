@@ -108,8 +108,11 @@ def test_corrupt_and_unsupported_rejected():
     with pytest.raises(ValueError):
         decode_baseline(b"\xff\xd8\x00\x00")
     good = encode_baseline(rgb=_ramp(8, 8))
-    with pytest.raises(Exception):
-        decode_baseline(good[:40])          # truncated before scan
+    # truncation anywhere must surface as ValueError (not
+    # struct.error / _MarkerInStream / IndexError — r11 ADVICE)
+    for cut in (40, 20, len(good) // 2):
+        with pytest.raises(ValueError):
+            decode_baseline(good[:cut])
     # progressive (SOF2) must be rejected explicitly, not mis-decoded
     prog = bytearray(good)
     sof = prog.find(b"\xff\xc0")
@@ -260,8 +263,13 @@ def test_gif_lzw_codec():
         idx = idx.astype(np.uint8)
         hh, ww, rgb = decode_gif(encode_gif(idx, pal))
         assert (rgb == pal_arr[idx]).all()
-    for bad in (b"", b"GIF89a", b"NOTGIF" + b"\x00" * 20):
-        with pytest.raises(Exception):
+    # the documented contract is ValueError on ANY malformed stream —
+    # including truncated sub-block/extension walks that surface
+    # internally as IndexError (r11 ADVICE)
+    whole = bytes(encode_gif(np.zeros((4, 4), np.uint8), pal))
+    for bad in (b"", b"GIF89a", b"NOTGIF" + b"\x00" * 20,
+                whole[:15], whole[:13 + 64 * 3 + 5], whole[:-3]):
+        with pytest.raises(ValueError):
             decode_gif(bad)
     # interlace flag must reject, not mis-decode.  The image
     # descriptor sits at a FIXED offset (13-byte header + 64*3

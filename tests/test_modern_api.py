@@ -3,6 +3,7 @@ plan), scalar()/exists() subquery builders, DataFrame.transpose, and
 the mapInArrow zero-copy batch path (llm/arrowops.py)."""
 
 import pyspark.sql.functions as F
+import pytest
 
 
 def test_lateral_join_decorrelates_to_window_group_limit(spark):
@@ -108,6 +109,18 @@ def test_map_in_arrow_quantized_norms(spark):
             lambda acc, q: acc + q * q).alias("q_norm2"))
     assert sorted(map(tuple, got_arrow.collect())) == \
         sorted(map(tuple, exp.collect()))
+
+    # NULL vector rows / NaN components must raise, not corrupt the
+    # batch's offset arithmetic (r11 ADVICE): a null list length flows
+    # NaN into the int64 cast and skews every later row's norm.
+    bad_null = spark.createDataFrame(
+        [(1, [1.0]), (2, None)], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="NULL vector row"):
+        quantized_norms(bad_null, "embedding", "vec_id").collect()
+    bad_nan = spark.createDataFrame(
+        [(1, [1.0, float("nan")])], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="NaN vector component"):
+        quantized_norms(bad_nan, "embedding", "vec_id").collect()
     spark.catalog.clearCache()
 
 

@@ -61,10 +61,11 @@ def test_warc_spark_roundtrip(spark, tmp_path):
     path = str(tmp_path / "warc")
     write_warc(df.repartition(3), path, "doc_id", "uri", "text")
     back = read_warc(spark, path)
-    exp = sorted((r["doc_id"], r["uri"], r["text"]) for r in df.collect())
+    exp = sorted((str(r["doc_id"]), r["uri"], r["text"])
+                 for r in df.collect())
     got = sorted((r["record_id"], r["target_uri"], r["payload"])
                  for r in back.collect())
     assert got == exp
     lens = {r["record_id"]: r["content_length"] for r in back.collect()}
-    assert lens[3] == len(f"text payload #3\r\n\r\ntail".encode())
+    assert lens["3"] == len(f"text payload #3\r\n\r\ntail".encode())
     spark.catalog.clearCache()
