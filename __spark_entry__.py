@@ -20,71 +20,59 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 11, per the r10 verdict tasks 1 + 4): slots 1-3
-# are the entries whose CODE changed this round (r10 ADVICE fixes —
-# text_bpe_train_merges' boundary-aware re-segmentation,
-# ops_table_reconcile_buckets' full-outer reconcile,
-# score_ks_statistic's bucketed_cumsum contract; all re-verified at
-# sf0.01 the day they changed).  Slots 4-23 are the remaining 20
-# r10-new entries the driver has never evaluated (each
-# builder-verified green via scripts/verify_entry.py in r10 AND
-# re-verified at r11 HEAD).  Slots 24-36 are the 13 remaining
-# r4-vintage ORACLE-BACKED entries; slot 37 the schema tripwire;
-# slots 38-50 the first 13 r11-NEW entries (every one verified at
-# BOTH sf0.01 and sf1 the day it landed).  The six r4-vintage
-# rows-only entries yield their slots to new ORACLE-BACKED work and
-# queue at the r12 head — each one's semantics are hash-covered by an
-# oracle-backed planted companion already in-slate or green on the
-# ledger (text_fingerprint_planted slot 31, ann_ivf_planted_twin,
-# dedup_{minhash,simhash}_planted_{pairs,keep}).
+# Slot policy (round 12, per the r11 verdict tasks 1 + 2 + 5):
+# slots 1-4 are the round's only red row and its three bisection
+# probes (r11 task 1 — decimal-only / boolean-only / integer-cents
+# variants isolate which column the driver's bitwise hash rejects;
+# all four verified green locally at sf0.01 the day they landed).
+# Slots 5-16 are the 12 late-r11 entries the driver has never
+# evaluated (each builder-verified at sf0.01 + sf1 in r11 and
+# re-verified at r12 HEAD; src_warc_roundtrip's record_id became a
+# string this round — ADVICE fix — and was re-verified after).
+# Slots 17-22 are the deferred r4-vintage rows-only block (their
+# oracle-backed planted companions are all driver-green).  Slots
+# 23-50 are r5-vintage refreshes: all 26 non-TPC-H r5 entries plus
+# tpch_q1/q2; the other 18 TPC-H r5 entries queue at the r13 head.
 _PRIORITY = [
-    # slots 1-3: r10 ADVICE fixes (code changed this round)
-    "text_bpe_train_merges", "ops_table_reconcile_buckets",
-    "score_ks_statistic",
-    # slots 4-23: the remaining 20 never-driver-evaluated r10 entries
-    "ml_kmeans_lloyd", "graph_cc_star_chain",
-    "quality_l_diversity", "scalar_hof_suite",
-    "subtract_all_op", "intersect_all_op", "ops_observe_metrics",
-    "catalog_equidepth_histogram",
-    "ops_partition_file_stats", "src_avro_logical_types",
-    "src_python_datasource", "udf_sql_scalar", "scalar_variant_suite",
-    "agg_grouping_sets", "quality_completeness_profile",
-    "src_fixed_width_ingest", "src_csv_multiline_quoted",
-    "udf_cogroup_apply", "scalar_na_suite", "scalar_map_suite",
-    # slots 24-36: last r4-vintage oracle-backed entries
-    "stream_dedup_ids", "stream_foreach_batch", "stream_sample_poll",
-    "stream_sliding_counts", "stream_stateful_counts", "stream_stream_join",
-    "stream_window_counts", "text_fingerprint_planted", "ts_bucket_rollup",
-    "ts_gapfill_hourly", "ts_rolling_zscore", "win_running_sum_acct",
-    "win_running_sum_cust",
-    # slot 37: the schema tripwire
-    "testdata_schema_smoke",
-    # slots 38-50: r11-NEW entries in landing order (sf1-planted
-    # fuzzy companions, the JPEG codec pair, the Spark 4 modern-API
-    # batch, try_/listagg/HLL, recursive CTE, table-arg UDTF)
-    "dedup_fuzzy_ed1_planted", "dedup_fuzzy_entity_planted",
-    "multimodal_decode_jpeg", "multimodal_decode_jpeg420",
-    "join_lateral_topk", "scalar_exists_subqueries",
-    "ops_transpose_metrics", "arrow_native_quantized_norm",
-    "scalar_try_suite", "agg_listagg_ordered", "agg_hll_sketch_bound",
-    "sql_recursive_cte_walk", "udtf_table_argument_agg",
-    # ---- 50-slot waterline (the driver caps here) ----
-    # r12 head: the late-r11 batch (builder-verified at sf0.01 + sf1,
-    # never driver-evaluated), then the deferred r4 rows-only block,
-    # then r5-vintage refreshes
+    # slots 1-4: the r11 red row + its bisection probes (r11 task 1)
+    "scalar_exists_subqueries", "scalar_exists_probe_decimal",
+    "scalar_exists_probe_bool", "scalar_exists_probe_cents",
+    # slots 5-16: late-r11 entries, never driver-evaluated
     "agg_theta_sketch_setops", "agg_bitmap_distinct_exact",
     "agg_regr_family", "quality_mask_pii", "scalar_xml_suite",
     "text_url_parse", "scalar_digest_suite", "multimodal_decode_png",
     "scalar_timezone_suite", "scalar_posexplode_outer",
     "src_warc_roundtrip", "multimodal_decode_gif",
+    # slots 17-22: the deferred r4-vintage rows-only block
     "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
-    # r12 rotation resumes here: oldest-evidence r5-vintage entries
-    # refresh next (fuzzy originals alongside their planted
-    # companions, minhash_incremental, benford, pagerank, ...),
-    # then definition order below
+    # slots 23-48: all 26 non-TPC-H r5-vintage refreshes
     "dedup_fuzzy_ed1_pairs", "dedup_fuzzy_entity_ids",
     "dedup_minhash_incremental", "fraud_benford_digits",
+    "graph_pagerank", "grouped_map_normalize", "infer_embed_texts",
+    "join_bloom_prefilter", "join_null_safe_equality",
+    "loan_amortization_schedule", "maintenance_compact_roundtrip",
+    "rfm_segmentation", "sample_limit_contained", "scalar_json_suite",
+    "scalar_string_suite", "scale_skew_report",
+    "scale_zorder_clustered_read", "src_jsonl_roundtrip",
+    "src_orc_roundtrip", "stream_incremental_dedup", "text_hash_split",
+    "text_pack_sequences", "text_unigram_logprob",
+    "ts_rolling_zscore_bucketed", "ts_rollup_incremental_merge",
+    "win_first_last_nth",
+    # slots 49-50: first two TPC-H r5 refreshes
+    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+    # ---- 50-slot waterline (the driver caps here) ----
+    # r13 head: the remaining 18 TPC-H r5-vintage refreshes in
+    # numeric order, then r6-vintage entries in definition order
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity", "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier", "tpch_q22_dormant_high_balance",
 ]
 
 

@@ -7341,6 +7341,82 @@ def scalar_exists_subqueries(spark, sf_dir):
                     big.exists().alias("has_big"))
 
 
+# --- r12 bisection probes for the scalar_exists_subqueries driver-red
+# row (r11 VERDICT task 1).  The entry is rows+schema green, hash red
+# in the DRIVER environment only (bit-identical locally, both decimal
+# canon theories disproved by experiment), so these three variants
+# isolate which output column the driver's bitwise hash rejects:
+# decimal-only, boolean-only, and the full semantics through the
+# proven integer-cents canon (never driver-red).  Whichever fails
+# names the divergence class; the fix folds back into the original.
+
+@q("scalar_exists_probe_decimal", """
+SELECT c.c_custkey,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2))
+        FROM orders WHERE o_custkey = c.c_custkey) AS total_spend
+FROM customer c""")
+def scalar_exists_probe_decimal(spark, sf_dir):
+    """Bisection probe A: ONLY the correlated scalar DECIMAL(18,2)
+    sum (NULL for customers with no orders) — the original entry's
+    decimal column in isolation.  Red here = the driver hash's
+    DECIMAL/NULL-decimal treatment or a driver-parquet value that
+    splits the engines' double→decimal cast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+             .select(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("decimal(18,2)").alias("s")))
+    return c.select("c_custkey", spend.scalar().alias("total_spend"))
+
+
+@q("scalar_exists_probe_bool", """
+SELECT c.c_custkey,
+       EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c.c_custkey
+                 AND o_totalprice > 300000) AS has_big
+FROM customer c""")
+def scalar_exists_probe_bool(spark, sf_dir):
+    """Bisection probe B: ONLY the correlated EXISTS boolean.  Red
+    here = the driver hash's BOOLEAN treatment (would be the
+    registry's first such case — every prior boolean output rode
+    alongside other columns)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.where((F.col("o_custkey") == F.col("c_custkey").outer())
+                  & (F.col("o_totalprice") > 300000))
+    return c.select("c_custkey", big.exists().alias("has_big"))
+
+
+@q("scalar_exists_probe_cents", """
+SELECT c.c_custkey,
+       (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)
+        FROM orders WHERE o_custkey = c.c_custkey) AS spend_cents,
+       EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c.c_custkey
+                 AND o_totalprice > 300000) AS has_big
+FROM customer c""")
+def scalar_exists_probe_cents(spark, sf_dir):
+    """Bisection probe C: the FULL original semantics with the money
+    sum rendered through the integer-cents canon
+    (``floor(x*100 + 0.5)`` summed as BIGINT — identical double
+    arithmetic on both engines, never driver-red).  Green here while
+    the original stays red = decimal rendering is the culprit and
+    this form is the canonical successor."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    corr = F.col("c_custkey").outer()
+    spend = (o.where(F.col("o_custkey") == corr)
+             .select(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                           .cast("long")).cast("long").alias("s")))
+    big = o.where((F.col("o_custkey") == corr)
+                  & (F.col("o_totalprice") > 300000))
+    return c.select("c_custkey",
+                    spend.scalar().alias("spend_cents"),
+                    big.exists().alias("has_big"))
+
+
 @q("ops_transpose_metrics", """
 WITH m AS (
   SELECT o_orderstatus,
