@@ -99,3 +99,44 @@ def test_priority_slate_all_registered():
     assert missing == [], missing
     first50 = entrymod._PRIORITY[:50]
     assert len(first50) == len(set(first50)) == 50
+
+
+def test_bench_stdout_compact_line_is_last(tmp_path):
+    """End-to-end capture-contract pin (r11 verdict task 4): BENCH_r11's
+    captured tail contained a DAGScheduler stack trace from a streaming
+    `query.stop()` ahead of the JSON line — log noise sharing the
+    driver's ~2000-char stdout+stderr tail budget.  Run the real bench
+    entrypoint on a small query subset that INCLUDES a streaming stop
+    (the trace source) and pin that the compact JSON line is the LAST
+    line of stdout and that stderr carries no stack frames."""
+    import json
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_BENCH_RUNS": "1",
+        "SPARK_GRAFT_BENCH_QUERIES":
+            "join_multiway_sql,stream_window_counts,stream_cdc_scd2",
+    })
+    proc = subprocess.run(
+        [os.sys.executable, "/root/repo/bench.py"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert out_lines, "bench printed nothing"
+    last = out_lines[-1]
+    parsed = json.loads(last)          # the compact line parses alone
+    assert parsed["metric"] == "headline_total_runtime"
+    assert set(parsed["queries"]) == {
+        "join_multiway_sql", "stream_window_counts", "stream_cdc_scd2"}
+    # nothing else on stdout at all: the driver tail is stdout+stderr
+    # merged, so any extra stdout line eats the capture budget
+    assert out_lines == [last], out_lines[:-1]
+    # no JVM stack frames on stderr either ("\tat org.apache..." is the
+    # r11 trace signature); log level OFF must hold through shutdown
+    frames = [ln for ln in proc.stderr.splitlines()
+              if ln.startswith("\tat ") or "DAGScheduler" in ln]
+    assert frames == [], frames[:5]
