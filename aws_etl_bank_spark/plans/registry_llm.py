@@ -973,6 +973,54 @@ def stream_stateful_counts(spark, sf_dir):
     )
 
 
+@q("stream_tws_running_totals", """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM events GROUP BY user_id""")
+def stream_tws_running_totals(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4's arbitrary-stateful API,
+    streaming/tws.py) run as a REAL streaming query: per-user running
+    (count, cents) pairs in RocksDB-backed ValueState carried across
+    micro-batches, update-mode memory sink.  Unblocked in r12 by the
+    from-scratch vendored protobuf runtime
+    (aws_etl_bank_spark/vendor/google/protobuf — the state protocol's
+    wire format implemented from the public spec); the JVM state
+    server parses our bytes with real protobuf, so this entry
+    hash-checks the whole protocol.  Cumulative totals are
+    batch-split-invariant: the final emitted row per user (max
+    n_events) equals the batch aggregate.  State lives in the store —
+    per key only two int64s round-trip per batch — so state scales
+    with keys, not events: the 100 TB unbounded-stream shape."""
+    import time as _time
+
+    from aws_etl_bank_spark.streaming.tws import (
+        ROCKSDB_PROVIDER, ensure_worker_protobuf, running_user_totals_tws)
+
+    ensure_worker_protobuf(spark)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        stream = events_stream(spark, _events_stream_dir(sf_dir))
+        totals = running_user_totals_tws(stream)
+        name = f"tws_totals_{int(_time.time() * 1000) % 10_000_000}"
+        query = (totals.writeStream.format("memory").queryName(name)
+                 .outputMode("update").trigger(availableNow=True).start())
+        query.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                           prev)
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max_by("cents", "n_events").alias("cents")))
+
+
 @q("stream_foreach_batch", """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
 FROM events GROUP BY event_type""")

@@ -12,25 +12,86 @@ the two int64s round-trip per batch, so state size scales with keys,
 not events — the property that makes the operator viable on an
 unbounded 100 TB stream.
 
-ENV-BLOCKED in this sandbox (r10 probe): transformWithState's Python
-driver worker speaks protobuf to the JVM
-(pyspark/sql/streaming/proto/StateMessage_pb2.py) and the
-``google.protobuf`` package is not installed — the query dies with
-``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE: ImportError: cannot
-import name 'descriptor' from 'google.protobuf'``.  The operator is
-implemented and plan-builds (test_tws_requires_protobuf pins the
-exact failure mode); it lights up the day a protobuf wheel appears —
-same posture as the Kinesis connector jar and JPEG codecs.
-applyInPandasWithState (streaming/sessionize.py, driver-green since
-r4) remains the working stateful surface.
+The container ships no protobuf wheel, and transformWithState's Python
+worker speaks protobuf to the JVM state server
+(pyspark/sql/streaming/proto/StateMessage_pb2.py imports
+``google.protobuf`` and died with
+``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` through r11).
+UNBLOCKED in r12 by ``aws_etl_bank_spark/vendor/google/protobuf`` — a
+from-scratch runtime implementing the public Protocol Buffers wire
+format (same play as the repo's Avro/JPEG/PNG/GIF codecs):
+``ensure_worker_protobuf`` puts it on the driver's ``sys.path`` and
+ships it to every Python worker as an ``addPyFile`` zip, after which
+the generated StateMessage module loads and the state protocol runs
+end-to-end against the JVM's real protobuf parser.  A real
+``google.protobuf`` wheel, if one ever appears, wins automatically
+(the helper only engages when the import fails).
 """
 
 from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame
 
 ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming."
                     "state.RocksDBStateStoreProvider")
+
+_VENDOR_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor")
+
+
+def ensure_worker_protobuf(spark) -> bool:
+    """Make ``google.protobuf`` importable on the driver AND every
+    Python worker.  Returns True when the vendored runtime was engaged,
+    False when a real protobuf distribution is already importable.
+
+    Worker delivery rides the standard pyFiles channel: the vendored
+    package is zipped once and ``addPyFile``-ed, so each Python worker
+    (including long-lived reused ones) inserts it into ``sys.path``
+    during its per-task include setup — the same mechanism that ships
+    user modules to executors on a real cluster, so the story is
+    identical at 1000 executors."""
+    try:
+        import google.protobuf  # noqa: F401
+        return False
+    except ImportError:
+        pass
+    if _VENDOR_DIR not in sys.path:
+        sys.path.insert(0, _VENDOR_DIR)
+    import google.protobuf  # noqa: F401  (driver side resolves now)
+
+    sc = spark.sparkContext
+    if not getattr(sc, "_graft_protobuf_shipped", False):
+        zpath = os.path.join(tempfile.gettempdir(),
+                             "graft_vendored_protobuf.zip")
+        if not os.path.exists(zpath):
+            tmp = zpath + f".tmp-{os.getpid()}"
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for root, _dirs, files in os.walk(
+                        os.path.join(_VENDOR_DIR, "google")):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            zf.write(full,
+                                     os.path.relpath(full, _VENDOR_DIR))
+            os.replace(tmp, zpath)
+        sc.addPyFile(zpath)
+        # transformWithState ALSO spawns a driver-side streaming runner
+        # (transform_with_state_driver_worker.py, schema pre-init) that
+        # does NOT process pyFiles includes; its PYTHONPATH is merged
+        # from the PythonFunction's env map, which pyspark fills from
+        # sc.environment.  Must be set BEFORE the UDF is built (the env
+        # snapshot is taken at transformWithStateInPandas call time).
+        prev = sc.environment.get("PYTHONPATH", "")
+        if _VENDOR_DIR not in prev.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = (
+                _VENDOR_DIR + ((os.pathsep + prev) if prev else ""))
+        sc._graft_protobuf_shipped = True
+    return True
 
 
 def running_user_totals_tws(events: DataFrame) -> DataFrame:

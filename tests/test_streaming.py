@@ -486,46 +486,54 @@ def test_incremental_dedup_batches_equal_global_exact_dedup(spark, tmp_path):
     assert got == [1, 2, 4, 7]
 
 
-def test_tws_requires_protobuf(spark):
-    """transformWithStateInPandas (streaming/tws.py) is implemented and
-    PLAN-BUILDS, but its Python driver worker needs google.protobuf,
-    absent in this sandbox — pin the probe so the surface lights up
-    (and this test flips) the day a protobuf wheel appears."""
-    import pytest
-
-    try:
-        import google.protobuf  # noqa: F401
-        has_protobuf = True
-    except ImportError:
-        has_protobuf = False
-
+def test_tws_runs_with_vendored_protobuf(spark, tmp_path):
+    """transformWithStateInPandas (streaming/tws.py) END-TO-END: the
+    container ships no protobuf wheel, so ensure_worker_protobuf ships
+    the from-scratch vendored runtime (vendor/google/protobuf) to the
+    driver-side streaming runner (sc.environment PYTHONPATH) and the
+    task workers (addPyFile zip).  The JVM state server parses our
+    wire bytes with REAL protobuf, so a green run validates the whole
+    encoder/decoder.  Through r11 this surface was env-blocked and
+    this test pinned the ImportError; it flipped in r12."""
     import pyspark.sql.functions as F
 
     from aws_etl_bank_spark.streaming.tws import (ROCKSDB_PROVIDER,
+                                                  ensure_worker_protobuf,
                                                   running_user_totals_tws)
 
-    src = (spark.readStream.format("rate").option("rowsPerSecond", "10")
-           .load()
-           .select(F.col("value").alias("user_id"),
-                   (F.col("value") * 1.0).alias("value")))
-    totals = running_user_totals_tws(src)   # plan builds either way
+    ensure_worker_protobuf(spark)
+    import google.protobuf  # noqa: F401  (importable now, either way)
+
+    df = spark.createDataFrame(
+        [(1, 1.25), (1, 2.00), (2, 0.10), (3, -1.005), (1, 0.333)],
+        "user_id long, value double")
+    feed = str(tmp_path / "feed")
+    df.repartition(2).write.parquet(feed)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    totals = running_user_totals_tws(stream)
     assert totals.schema.simpleString() == \
         "struct<user_id:bigint,n_events:bigint,cents:bigint>"
-    if not has_protobuf:
-        prev = spark.conf.get(
-            "spark.sql.streaming.stateStore.providerClass", None)
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-                       ROCKSDB_PROVIDER)
-        try:
-            q = (totals.writeStream.format("memory")
-                 .queryName("tws_probe").outputMode("update")
-                 .trigger(availableNow=True).start())
-            with pytest.raises(Exception, match="crashed|STREAM_FAILED"):
-                q.awaitTermination()
-        finally:
-            if prev is None:
-                spark.conf.unset(
-                    "spark.sql.streaming.stateStore.providerClass")
-            else:
-                spark.conf.set(
-                    "spark.sql.streaming.stateStore.providerClass", prev)
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        q = (totals.writeStream.format("memory")
+             .queryName("tws_e2e").outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+    final = (spark.table("tws_e2e").groupBy("user_id")
+             .agg(F.max("n_events").alias("n"),
+                  F.max_by("cents", "n_events").alias("c")))
+    got = {r["user_id"]: (r["n"], r["c"]) for r in final.collect()}
+    # cents canon floor(x*100+0.5): 125+200+33=358, 10, floor(-100.0)=-100
+    assert got == {1: (3, 358), 2: (1, 10), 3: (1, -100)}
