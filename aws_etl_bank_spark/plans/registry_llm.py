@@ -1021,6 +1021,102 @@ def stream_tws_running_totals(spark, sf_dir):
                  F.max_by("cents", "n_events").alias("cents")))
 
 
+@q("stream_tws_topk_list", """
+WITH c AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT user_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY cents DESC) AS rnk
+  FROM c)
+SELECT user_id, CAST(rnk AS BIGINT) AS rank, cents
+FROM r WHERE rnk <= 3""")
+def stream_tws_topk_list(spark, sf_dir):
+    """transformWithState ListState surface (streaming/tws.py
+    user_topk_values_tws): the per-user running top-3 cents list lives
+    in RocksDB ListState (O(k) state per key), each batch re-emits the
+    current top-k with a strictly-increasing n_seen marker, and the
+    max-n_seen rows are the final top-k — batch-split-invariant.  The
+    (rank, cents) pairs are deterministic under ties (equal values get
+    consecutive ranks), so the DuckDB row_number oracle hash-matches
+    despite its arbitrary tie ordering."""
+    import time as _time
+
+    from aws_etl_bank_spark.streaming.tws import (
+        ROCKSDB_PROVIDER, ensure_worker_protobuf, user_topk_values_tws)
+
+    ensure_worker_protobuf(spark)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        stream = events_stream(spark, _events_stream_dir(sf_dir))
+        topk = user_topk_values_tws(stream, k=3)
+        name = f"tws_topk_{int(_time.time() * 1000) % 10_000_000}"
+        query = (topk.writeStream.format("memory").queryName(name)
+                 .outputMode("update").trigger(availableNow=True).start())
+        query.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                           prev)
+    from pyspark.sql import Window as W
+
+    sunk = spark.table(name)
+    mx = F.max("n_seen").over(W.partitionBy("user_id"))
+    return (sunk.withColumn("_mx", mx)
+            .where(F.col("n_seen") == F.col("_mx"))
+            .select("user_id", "rank", "cents"))
+
+
+@q("stream_tws_type_counts_map", """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type""")
+def stream_tws_type_counts_map(spark, sf_dir):
+    """transformWithState MapState surface (streaming/tws.py
+    user_type_counts_tws): per-(user, event_type) running counts in
+    RocksDB MapState updated via getValue/updateValue, read back each
+    batch through the PAGED map iterator protocol
+    (StateResponseWithMapIterator) — the deepest exercise of the
+    vendored protobuf codec.  Each batch emits the user's whole
+    current map with an n_seen marker; max-n_seen rows per user are
+    the final counts, batch-split-invariant."""
+    import time as _time
+
+    from aws_etl_bank_spark.streaming.tws import (
+        ROCKSDB_PROVIDER, ensure_worker_protobuf, user_type_counts_tws)
+
+    ensure_worker_protobuf(spark)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        stream = events_stream(spark, _events_stream_dir(sf_dir))
+        counts = user_type_counts_tws(stream)
+        name = f"tws_map_{int(_time.time() * 1000) % 10_000_000}"
+        query = (counts.writeStream.format("memory").queryName(name)
+                 .outputMode("update").trigger(availableNow=True).start())
+        query.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                           prev)
+    from pyspark.sql import Window as W
+
+    sunk = spark.table(name)
+    mx = F.max("n_seen").over(W.partitionBy("user_id"))
+    return (sunk.withColumn("_mx", mx)
+            .where(F.col("n_seen") == F.col("_mx"))
+            .select("user_id", "event_type", "n"))
+
+
 @q("stream_foreach_batch", """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
 FROM events GROUP BY event_type""")

@@ -130,3 +130,101 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType="user_id bigint, n_events bigint, cents bigint",
         outputMode="Update",
         timeMode="None")
+
+
+def user_topk_values_tws(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user top-k cent values via ListState: the running top-k list
+    lives in the state store (``put``/``get`` the whole k-element list
+    per batch — k is a constant, so state per key is O(k), not
+    O(events)).  Each batch emits the CURRENT top-k with an ``n_seen``
+    marker; since n_seen is strictly increasing per user, the rows with
+    the max n_seen are the final top-k — batch-split-invariant, and the
+    (rank, cents) pairs are deterministic even under cent ties (equal
+    values take consecutive ranks)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("topk", "cents BIGINT")
+            self._n = handle.getValueState("seen", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = ([int(t[0]) for t in self._top.get()]
+                   if self._top.exists() else [])
+            n = int(self._n.get()[0]) if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                cur.extend(int(c) for c in pdf["cents"])
+            cur.sort(reverse=True)
+            cur = cur[:k]
+            self._top.put([(c,) for c in cur])
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]] * len(cur),
+                                "n_seen": [n] * len(cur),
+                                "rank": list(range(1, len(cur) + 1)),
+                                "cents": cur})
+
+        def close(self) -> None:
+            pass
+
+    src = events.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TopK(),
+        outputStructType=("user_id bigint, n_seen bigint, "
+                          "rank bigint, cents bigint"),
+        outputMode="Update",
+        timeMode="None")
+
+
+def user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user per-event_type running counts via MapState: one map
+    entry per (user, type) updated with ``getValue``/``updateValue``
+    and read back with the full-map ``iterator()`` — the paged
+    map-iterator protocol (StateResponseWithMapIterator) under real
+    load.  Each batch emits the user's ENTIRE current map with an
+    ``n_seen`` marker, so the max-n_seen rows per user are the final
+    per-type counts regardless of micro-batch splits."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState("counts", "event_type STRING",
+                                         "n BIGINT")
+            self._seen = handle.getValueState("seen", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = int(self._seen.get()[0]) if self._seen.exists() else 0
+            local: dict[str, int] = {}
+            for pdf in rows:
+                seen += len(pdf)
+                for t, c in pdf["event_type"].value_counts().items():
+                    local[t] = local.get(t, 0) + int(c)
+            for t, c in local.items():
+                prev = (self._m.getValue((t,))
+                        if self._m.containsKey((t,)) else None)
+                self._m.updateValue((t,), ((int(prev[0]) if prev else 0)
+                                           + c,))
+            self._seen.update((seen,))
+            items = sorted((kk[0], int(vv[0]))
+                           for kk, vv in self._m.iterator())
+            yield pd.DataFrame({"user_id": [key[0]] * len(items),
+                                "n_seen": [seen] * len(items),
+                                "event_type": [t for t, _ in items],
+                                "n": [c for _, c in items]})
+
+        def close(self) -> None:
+            pass
+
+    return events.select("user_id", "event_type") \
+        .groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeCounts(),
+            outputStructType=("user_id bigint, n_seen bigint, "
+                              "event_type string, n bigint"),
+            outputMode="Update",
+            timeMode="None")
