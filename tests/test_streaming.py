@@ -537,3 +537,84 @@ def test_tws_runs_with_vendored_protobuf(spark, tmp_path):
     got = {r["user_id"]: (r["n"], r["c"]) for r in final.collect()}
     # cents canon floor(x*100+0.5): 125+200+33=358, 10, floor(-100.0)=-100
     assert got == {1: (3, 358), 2: (1, 10), 3: (1, -100)}
+
+
+def test_tws_timer_protocol_roundtrip(spark, tmp_path):
+    """Timer surface of transformWithState through the vendored
+    protobuf codec: registerTimer / listTimers / deleteTimer all
+    round-trip the TimerStateCallCommand protocol (the counts prove
+    both registrations landed and one deletion took).  ProcessingTime
+    time mode keeps scheduling batches to service pending timers, so
+    the query is polled and stopped rather than run availableNow (an
+    availableNow run with this time mode never terminates)."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from aws_etl_bank_spark.streaming.tws import (ROCKSDB_PROVIDER,
+                                                  ensure_worker_protobuf)
+
+    ensure_worker_protobuf(spark)
+
+    class TimerProto(StatefulProcessor):
+        def init(self, handle):
+            self._h = handle
+            self._st = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = int(self._st.get()[0]) if self._st.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._st.update((n,))
+            self._h.registerTimer(10**15)
+            self._h.registerTimer(10**15 + 5)
+            before = len(list(self._h.listTimers()))
+            self._h.deleteTimer(10**15 + 5)
+            after = len(list(self._h.listTimers()))
+            self._h.deleteTimer(10**15)
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n],
+                                "t_before": [before], "t_after": [after]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame({"user_id": [key[0]], "n": [-1],
+                                "t_before": [-1], "t_after": [-1]})
+
+        def close(self):
+            pass
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0), (1, 3.0)],
+                               "user_id long, value double")
+    feed = str(tmp_path / "feed")
+    df.write.parquet(feed)
+    stream = spark.readStream.schema(df.schema).parquet(feed)
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TimerProto(),
+        outputStructType=("user_id bigint, n bigint, "
+                          "t_before bigint, t_after bigint"),
+        outputMode="Update", timeMode="ProcessingTime")
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        q = (out.writeStream.format("memory").queryName("tws_timer_t")
+             .outputMode("update")
+             .trigger(processingTime="1 seconds").start())
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("select * from tws_timer_t").count() >= 2:
+                break
+            time.sleep(0.5)
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+    rows = {r["user_id"]: (r["n"], r["t_before"], r["t_after"])
+            for r in spark.table("tws_timer_t").collect()}
+    assert rows == {1: (2, 2, 1), 2: (1, 2, 1)}
