@@ -127,6 +127,11 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "join_lateral_topk",
     "arrow_native_quantized_norm",
+    # r12 addition: transformWithState running totals — RocksDB-backed
+    # ValueState across micro-batches through the vendored protobuf
+    # codec; the ListState/MapState siblings share the same machinery
+    # cost, so one representative carries the trend line
+    "stream_tws_running_totals",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
@@ -248,7 +253,11 @@ def main():
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # 2-decimal medians on the COMPACT line only (10 ms precision —
+        # below box noise); the full artifact keeps 3 decimals.  At 52
+        # queries the 3-decimal worst case outgrew the ~2000-char
+        # driver tail capture.
+        "queries": {n: round(t, 2) for n, t in timings.items()},
         "runs": RUNS,
         "sf": float(sf),
         # per-pass wall totals + the probe fence around them:

@@ -51,7 +51,9 @@ def test_bench_stdout_line_fits_driver_capture():
         "metric": "headline_total_runtime",
         "value": 9999.999,
         "unit": "sec",
-        "queries": {n: 9999.999 for n in bench.HEADLINE},
+        # compact line carries 2-decimal medians (bench.py rounds);
+        # worst case is 4-digit seconds
+        "queries": {n: 9999.99 for n in bench.HEADLINE},
         "runs": 3,
         "sf": 0.1,
         "samples": [9999.999] * 3,
