@@ -21,22 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 # Slot policy (round 12, per the r11 verdict tasks 1 + 2 + 3 + 5):
-# slots 1-3 are the round's new oracle-backed surfaces
+# slots 1-6 are the round's new oracle-backed surfaces
 # (transformWithState ValueState / ListState / paged-MapState via the
-# vendored from-scratch protobuf runtime).  Slots 4-7 are the round's
-# only red row and its three bisection probes (r11 task 1 —
+# vendored from-scratch protobuf runtime; the applyInArrow /
+# arrow_udf / Python-DataSource-writer batch).  Slots 7-10 are the
+# round's only red row and its three bisection probes (r11 task 1 —
 # decimal-only / boolean-only / integer-cents variants isolate which
 # column the driver's bitwise hash rejects; all four verified green
-# locally at sf0.01 the day they landed).  Slots 8-19 are the 12
+# locally at sf0.01 the day they landed).  Slots 11-22 are the 12
 # late-r11 entries the driver has never evaluated (each
 # builder-verified at sf0.01 + sf1 in r11 and re-verified at r12
 # HEAD; src_warc_roundtrip's record_id became a string this round —
-# ADVICE fix — and was re-verified after).  Slots 20-25 are the
+# ADVICE fix — and was re-verified after).  Slots 23-28 are the
 # deferred r4-vintage rows-only block (their oracle-backed planted
-# companions are all driver-green).  Slots 26-50 are r5-vintage
-# refreshes (25 of the 26 non-TPC-H r5 entries; win_first_last_nth
-# falls just below the waterline and leads the r13 queue ahead of the
-# 20 TPC-H r5 entries).
+# companions are all driver-green).  Slots 29-50 are r5-vintage
+# refreshes (22 of the 26 non-TPC-H r5 entries; the other four lead
+# the r13 queue ahead of the 20 TPC-H r5 entries).
 _PRIORITY = [
     # slots 1-3: NEW in r12 — transformWithState (ValueState /
     # ListState / paged-MapState) unblocked by the from-scratch
@@ -44,7 +44,12 @@ _PRIORITY = [
     # it landed)
     "stream_tws_running_totals", "stream_tws_topk_list",
     "stream_tws_type_counts_map",
-    # slots 4-7: the r11 red row + its bisection probes (r11 task 1)
+    # slots 4-6: NEW in r12 — the remaining Spark 4 Arrow-native
+    # surfaces (applyInArrow grouped-map, arrow_udf scalars, Python
+    # DataSource Arrow WRITER), each verified sf0.01 + sf1 on landing
+    "arrow_grouped_apply", "arrow_udf_scalar",
+    "src_python_datasource_writer",
+    # slots 7-10: the r11 red row + its bisection probes (r11 task 1)
     "scalar_exists_subqueries", "scalar_exists_probe_decimal",
     "scalar_exists_probe_bool", "scalar_exists_probe_cents",
     # slots 5-16: late-r11 entries, never driver-evaluated
@@ -66,11 +71,12 @@ _PRIORITY = [
     "scalar_string_suite", "scale_skew_report",
     "scale_zorder_clustered_read", "src_jsonl_roundtrip",
     "src_orc_roundtrip", "stream_incremental_dedup", "text_hash_split",
-    "text_pack_sequences", "text_unigram_logprob",
+    "text_pack_sequences",
+    # ---- 50-slot waterline: text_pack_sequences is slot 50 ----
+    # r13 head: the four dropped non-TPC-H r5 refreshes, then the 20
+    # TPC-H r5-vintage refreshes in numeric order, then r6-vintage
+    "text_unigram_logprob",
     "ts_rolling_zscore_bucketed", "ts_rollup_incremental_merge",
-    # ---- 50-slot waterline: ts_rollup_incremental_merge is slot 50
-    # r13 head: the dropped non-TPC-H r5 refresh, then the 20 TPC-H
-    # r5-vintage refreshes in numeric order, then r6-vintage entries
     "win_first_last_nth",
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_order_priority",

@@ -6925,6 +6925,127 @@ def src_python_datasource(spark, sf_dir):
             .load())
 
 
+@q("src_python_datasource_writer", """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 7 = 0""")
+def src_python_datasource_writer(spark, sf_dir):
+    """WRITER half of the custom Python DataSource (the Spark 4
+    ``DataSourceArrowWriter`` API, sources/pyds.py): each task streams
+    its Arrow RecordBatches into one parquet file (write-then-rename,
+    atomic per task; abort deletes the files named in the commit
+    messages), so the Python-defined sink parallelizes like a native
+    write and never materializes Python rows.  Round-trip through the
+    native parquet reader with an identity oracle — framing/typing
+    bugs in the writer fail the hash."""
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
+
+    try:
+        spark.dataSource.register(PyArrowParquetDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (load_table(spark, sf_dir, "orders")
+          .where(F.col("o_orderkey") % 7 == 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderstatus"))
+    path = _scratch(sf_dir, "pyds_writer")
+    (df.repartition(4).write.format("pyarrow_parquet")
+       .mode("overwrite").option("path", path).save())
+    return spark.read.parquet(path)
+
+
+@q("arrow_grouped_apply", """
+WITH c AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+g AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(cents) AS BIGINT) AS total
+  FROM c GROUP BY o_custkey)
+SELECT c.o_orderkey, c.o_custkey,
+       CAST(c.cents * g.cnt - g.total AS BIGINT) AS scaled_delta
+FROM c JOIN g USING (o_custkey)""")
+def arrow_grouped_apply(spark, sf_dir):
+    """``groupBy().applyInArrow`` (Spark 4): the grouped-map surface
+    with the whole group handed to Python as ONE ``pyarrow.Table`` —
+    no pandas conversion, integer kernels run on Arrow buffers.  The
+    kernel emits each order's mean-free spend as the exact-integer
+    form cents·n − Σcents (no division, so the SQL oracle reproduces
+    it bit-for-bit).  Grouping key is o_custkey — per-group size is
+    orders-per-customer (~10), so groups stay cache-sized at any SF;
+    the shuffle is the same hash-partition an aggregate would do."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    c = (load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey",
+                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                 .cast("long").alias("cents")))
+
+    def kernel(table: pa.Table) -> pa.Table:
+        cents = table.column("cents")
+        total = pc.sum(cents).as_py() or 0
+        n = table.num_rows
+        delta = pc.subtract(
+            pc.multiply(cents, pa.scalar(n, pa.int64())),
+            pa.scalar(total, pa.int64()))
+        return pa.table({"o_orderkey": table.column("o_orderkey"),
+                         "o_custkey": table.column("o_custkey"),
+                         "scaled_delta": delta})
+
+    return c.groupBy("o_custkey").applyInArrow(
+        kernel, "o_orderkey bigint, o_custkey bigint, scaled_delta bigint")
+
+
+@q("arrow_udf_scalar", """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderpriority
+  FROM orders)
+SELECT o_orderkey,
+       CAST(cents + cents // 10 AS BIGINT) AS with_surcharge,
+       UPPER(o_orderpriority) AS pri
+FROM c""")
+def arrow_udf_scalar(spark, sf_dir):
+    """``F.arrow_udf`` (Spark 4.1): scalar UDFs whose batches arrive
+    as ``pyarrow.Array`` — the Arrow-native tier above pandas_udf
+    (no pandas materialization at all).  Integer surcharge math and a
+    utf8 upper both run as single pyarrow.compute kernel calls per
+    batch; values are exact ints/strings, so the SQL oracle
+    hash-checks the whole path.  Map-only plan: zero exchanges,
+    the UDF sits inside the scan's project."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    # NOTE: real pa.Array annotations, not strings — registry.py runs
+    # under `from __future__ import annotations`, which would turn
+    # hints into strings and trip arrow_udf's signature check, so the
+    # hints are attached explicitly.
+    def _with_surcharge(cents):
+        # pyarrow integer divide truncates; inputs are positive cents
+        # so truncation == floor == DuckDB's // semantics
+        return pc.add(cents, pc.divide(cents, pa.scalar(10, pa.int64())))
+
+    def _upper(s):
+        return pc.utf8_upper(s)
+
+    _with_surcharge.__annotations__ = {"cents": pa.Array,
+                                       "return": pa.Array}
+    _upper.__annotations__ = {"s": pa.Array, "return": pa.Array}
+    with_surcharge = arrow_udf(_with_surcharge, "long")
+    upper = arrow_udf(_upper, "string")
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+             .cast("long"))
+    return o.select(
+        "o_orderkey",
+        with_surcharge(cents).alias("with_surcharge"),
+        upper(F.col("o_orderpriority")).alias("pri"))
+
+
 @q("udf_sql_scalar", """
 SELECT o_orderkey,
        CASE WHEN o_totalprice < 50000 THEN 'low'

@@ -16,7 +16,9 @@ connector would honor ``ReadSchema``.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader, InputPartition,
+                                    WriterCommitMessage)
 
 _ARROW_TO_DDL = {
     "int64": "bigint", "int32": "int", "int16": "smallint",
@@ -58,6 +60,19 @@ class PyArrowParquetDataSource(DataSource):
     def reader(self, schema) -> "PyArrowParquetReader":
         return PyArrowParquetReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "PyArrowParquetWriter":
+        # overwrite clears the target dir DRIVER-side before tasks run
+        # (writer() is a driver call), so tasks only ever append their
+        # own uniquely-named files
+        if overwrite:
+            import glob
+            import os
+
+            for f in glob.glob(os.path.join(self.options["path"],
+                                            "part-*.parquet")):
+                os.remove(f)
+        return PyArrowParquetWriter(self.options, overwrite)
+
 
 class PyArrowParquetReader(DataSourceReader):
     def __init__(self, options):
@@ -81,3 +96,63 @@ class PyArrowParquetReader(DataSourceReader):
         if self.columns:
             tbl = tbl.select(self.columns)
         yield from tbl.to_batches()
+
+
+class PyArrowParquetWriter(DataSourceArrowWriter):
+    """Arrow-native writer half of the connector (the Spark 4
+    ``DataSourceArrowWriter`` API): each task streams its
+    ``RecordBatch`` iterator into ONE parquet file under the target
+    directory — batches never materialize as Python rows, mirroring
+    the reader's zero-copy posture.  Files are written to a
+    ``.tmp-`` name and renamed only at the end of the task's write
+    (atomic per task); ``commit`` publishes nothing further (rename IS
+    the publish), ``abort`` best-effort deletes the files named in the
+    collected commit messages."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        final = os.path.join(self.path, name)
+        tmp = final + ".tmp"
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return WriterCommitMessage()          # empty partition
+        os.replace(tmp, final)
+        msg = WriterCommitMessage()
+        msg.file = final                          # type: ignore[attr-defined]
+        msg.rows = rows                           # type: ignore[attr-defined]
+        return msg
+
+    def commit(self, messages):
+        pass                                       # renames already published
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            f = getattr(m, "file", None)
+            if f and os.path.exists(f):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass

@@ -147,3 +147,68 @@ def test_try_family_edge_semantics(spark):
     with pytest.raises(Exception, match="INVALID_INDEX_OF_ZERO"):
         spark.sql("SELECT try_element_at(array(1), 0)").collect()
     spark.catalog.clearCache()
+
+
+def test_python_datasource_writer_roundtrip(spark, tmp_path):
+    """DataSourceArrowWriter (sources/pyds.py): tasks stream Arrow
+    batches into per-task parquet files; the full loop is custom
+    writer -> custom row-group reader, never touching the native
+    parquet path."""
+    import glob
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
+
+    try:
+        spark.dataSource.register(PyArrowParquetDataSource)
+    except Exception:
+        pass
+    df = spark.range(100).selectExpr("id", "id * 2 AS v",
+                                     "CAST(id AS STRING) AS s")
+    path = str(tmp_path / "out")
+    (df.repartition(3).write.format("pyarrow_parquet")
+       .mode("overwrite").option("path", path).save())
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 3 and not glob.glob(path + "/*.tmp")
+    # overwrite clears prior files (same count after a second write)
+    (df.repartition(2).write.format("pyarrow_parquet")
+       .mode("overwrite").option("path", path).save())
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 2
+    back = sorted(
+        tuple(r) for f in files
+        for r in (spark.read.format("pyarrow_parquet")
+                  .option("path", f).load().collect()))
+    assert back == sorted((i, i * 2, str(i)) for i in range(100))
+    spark.catalog.clearCache()
+
+
+def test_apply_in_arrow_and_arrow_udf(spark):
+    """applyInArrow hands each group as ONE pyarrow.Table; arrow_udf
+    batches arrive as pyarrow.Array.  Both verified against JVM-side
+    folds on small frames (the sf oracles cover the full tables)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k long, x long")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        total = pc.sum(t.column("x")).as_py() or 0
+        delta = pc.subtract(
+            pc.multiply(t.column("x"), pa.scalar(t.num_rows, pa.int64())),
+            pa.scalar(total, pa.int64()))
+        return pa.table({"k": t.column("k"), "d": delta})
+
+    got = sorted(map(tuple, df.groupBy("k").applyInArrow(
+        kernel, "k long, d long").collect()))
+    # k=1: 10*2-30=-10, 20*2-30=10; k=2: 5*1-5=0
+    assert got == [(1, -10), (1, 10), (2, 0)]
+
+    def _tenth(a):
+        return pc.add(a, pc.divide(a, pa.scalar(10, pa.int64())))
+    _tenth.__annotations__ = {"a": pa.Array, "return": pa.Array}
+    tenth = arrow_udf(_tenth, "long")
+    got2 = sorted(r["y"] for r in df.select(tenth("x").alias("y")).collect())
+    assert got2 == [5, 11, 22]
+    spark.catalog.clearCache()
