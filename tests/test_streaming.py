@@ -618,3 +618,69 @@ def test_tws_timer_protocol_roundtrip(spark, tmp_path):
     rows = {r["user_id"]: (r["n"], r["t_before"], r["t_after"])
             for r in spark.table("tws_timer_t").collect()}
     assert rows == {1: (2, 2, 1), 2: (1, 2, 1)}
+
+
+def test_tws_initial_state_seeding(spark, tmp_path):
+    """transformWithStateInPandas initialState: a batch GroupedData
+    seeds per-key state via handleInitialState in the first batch;
+    the stream then accumulates on top of the seed.  Completes the
+    TWS surface (ValueState/ListState/MapState/timers are covered by
+    the other tests and the three oracle entries)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from aws_etl_bank_spark.streaming.tws import (ROCKSDB_PROVIDER,
+                                                  ensure_worker_protobuf)
+
+    ensure_worker_protobuf(spark)
+
+    class Seeded(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState("n", "n BIGINT")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._st.update((int(initialState["seed"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = int(self._st.get()[0]) if self._st.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._st.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    seed = spark.createDataFrame([(1, 100), (3, 7)],
+                                 "user_id long, seed long")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0), (1, 3.0)],
+                               "user_id long, value double")
+    feed = str(tmp_path / "feed")
+    df.write.parquet(feed)
+    stream = spark.readStream.schema(df.schema).parquet(feed)
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Seeded(),
+        outputStructType="user_id bigint, n bigint",
+        outputMode="Update", timeMode="None",
+        initialState=seed.groupBy("user_id"))
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        q = (out.writeStream.format("memory").queryName("tws_seeded")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+    rows = {r["user_id"]: r["n"]
+            for r in spark.table("tws_seeded").collect()}
+    # user 1: seed 100 + 2 events; user 2: no seed + 1 event; user 3's
+    # seed exists but no stream rows arrive, so nothing is emitted
+    assert rows == {1: 102, 2: 1}
