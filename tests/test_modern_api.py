@@ -212,3 +212,23 @@ def test_apply_in_arrow_and_arrow_udf(spark):
     got2 = sorted(r["y"] for r in df.select(tenth("x").alias("y")).collect())
     assert got2 == [5, 11, 22]
     spark.catalog.clearCache()
+
+
+def test_arrow_entries_plan_shapes(spark):
+    """Plan pins for the r12 Arrow entries: arrow_udf is map-only
+    (zero exchanges, ArrowEvalPython node inside the scan's project);
+    applyInArrow is exactly one hash-partition exchange +
+    FlatMapGroupsInArrow — the same shuffle an aggregate would do,
+    never a sort-based or nested-loop shape."""
+    import aws_etl_bank_spark.plans.registry as reg
+
+    sf = "/root/testdata/sf0.001"
+    plan = (reg.REGISTRY["arrow_udf_scalar"].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 0 and "ArrowEval" in plan
+
+    plan2 = (reg.REGISTRY["arrow_grouped_apply"].fn(spark, sf)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert plan2.count("Exchange") == 1
+    assert "FlatMapGroupsInArrow" in plan2
+    spark.catalog.clearCache()
