@@ -21,21 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 # Slot policy (round 12, per the r11 verdict tasks 1 + 2 + 3 + 5):
-# slots 1-6 are the round's new oracle-backed surfaces
+# slots 1-7 are the round's new oracle-backed surfaces
 # (transformWithState ValueState / ListState / paged-MapState via the
 # vendored from-scratch protobuf runtime; the applyInArrow /
-# arrow_udf / Python-DataSource-writer batch).  Slots 7-10 are the
+# arrow_udf / Python-DataSource-writer batch; KLL quantile sketch).
+# Slots 8-11 are the
 # round's only red row and its three bisection probes (r11 task 1 —
 # decimal-only / boolean-only / integer-cents variants isolate which
 # column the driver's bitwise hash rejects; all four verified green
-# locally at sf0.01 the day they landed).  Slots 11-22 are the 12
+# locally at sf0.01 the day they landed).  Slots 12-23 are the 12
 # late-r11 entries the driver has never evaluated (each
 # builder-verified at sf0.01 + sf1 in r11 and re-verified at r12
 # HEAD; src_warc_roundtrip's record_id became a string this round —
-# ADVICE fix — and was re-verified after).  Slots 23-28 are the
+# ADVICE fix — and was re-verified after).  Slots 24-29 are the
 # deferred r4-vintage rows-only block (their oracle-backed planted
-# companions are all driver-green).  Slots 29-50 are r5-vintage
-# refreshes (22 of the 26 non-TPC-H r5 entries; the other four lead
+# companions are all driver-green).  Slots 30-50 are r5-vintage
+# refreshes (21 of the 26 non-TPC-H r5 entries; the other five lead
 # the r13 queue ahead of the 20 TPC-H r5 entries).
 _PRIORITY = [
     # slots 1-3: NEW in r12 — transformWithState (ValueState /
@@ -49,19 +50,22 @@ _PRIORITY = [
     # DataSource Arrow WRITER), each verified sf0.01 + sf1 on landing
     "arrow_grouped_apply", "arrow_udf_scalar",
     "src_python_datasource_writer",
-    # slots 7-10: the r11 red row + its bisection probes (r11 task 1)
+    # slot 7: NEW in r12 — built-in DataSketches KLL quantile sketch
+    # under a rank-error accuracy contract (verified sf0.01 + sf1)
+    "agg_kll_quantile_bound",
+    # slots 8-11: the r11 red row + its bisection probes (r11 task 1)
     "scalar_exists_subqueries", "scalar_exists_probe_decimal",
     "scalar_exists_probe_bool", "scalar_exists_probe_cents",
-    # slots 5-16: late-r11 entries, never driver-evaluated
+    # slots 12-23: late-r11 entries, never driver-evaluated
     "agg_theta_sketch_setops", "agg_bitmap_distinct_exact",
     "agg_regr_family", "quality_mask_pii", "scalar_xml_suite",
     "text_url_parse", "scalar_digest_suite", "multimodal_decode_png",
     "scalar_timezone_suite", "scalar_posexplode_outer",
     "src_warc_roundtrip", "multimodal_decode_gif",
-    # slots 17-22: the deferred r4-vintage rows-only block
+    # slots 24-29: the deferred r4-vintage rows-only block
     "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
-    # slots 23-48: all 26 non-TPC-H r5-vintage refreshes
+    # slots 30-50: non-TPC-H r5-vintage refreshes (21 fit)
     "dedup_fuzzy_ed1_pairs", "dedup_fuzzy_entity_ids",
     "dedup_minhash_incremental", "fraud_benford_digits",
     "graph_pagerank", "grouped_map_normalize", "infer_embed_texts",
@@ -71,11 +75,10 @@ _PRIORITY = [
     "scalar_string_suite", "scale_skew_report",
     "scale_zorder_clustered_read", "src_jsonl_roundtrip",
     "src_orc_roundtrip", "stream_incremental_dedup", "text_hash_split",
-    "text_pack_sequences",
-    # ---- 50-slot waterline: text_pack_sequences is slot 50 ----
-    # r13 head: the four dropped non-TPC-H r5 refreshes, then the 20
+    # ---- 50-slot waterline: text_hash_split is slot 50 ----
+    # r13 head: the five dropped non-TPC-H r5 refreshes, then the 20
     # TPC-H r5-vintage refreshes in numeric order, then r6-vintage
-    "text_unigram_logprob",
+    "text_pack_sequences", "text_unigram_logprob",
     "ts_rolling_zscore_bucketed", "ts_rollup_incremental_merge",
     "win_first_last_nth",
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",

@@ -7701,6 +7701,63 @@ def agg_hll_sketch_bound(spark, sf_dir):
         FROM e, x""")
 
 
+@q("agg_kll_quantile_bound", """
+WITH x AS (
+  SELECT quantile_cont(o_totalprice, 0.50) AS q50_exact,
+         quantile_cont(o_totalprice, 0.95) AS q95_exact,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders)
+SELECT n, TRUE AS q50_ok, TRUE AS q95_ok FROM x""")
+def agg_kll_quantile_bound(spark, sf_dir):
+    """The BUILT-IN Apache DataSketches KLL quantile sketch (Spark
+    3.5+: kll_sketch_agg_double → kll_sketch_merge_double →
+    kll_sketch_get_quantile_double) — the MERGEABLE quantile path that
+    replaces a global sort at 100 TB: per-status sketches (map-side
+    partials, O(k) state) merge into global p50/p95 estimates.  KLL's
+    guarantee is on RANK, not value: at the default k=200 the rank
+    error is ≤ ~1.65% (two-sided, 99% conf; Karnin-Lang-Liberty 2016),
+    so the oracle checks the accuracy CONTRACT — the estimated
+    quantile's exact rank must sit within ±2.5% of the target rank —
+    as hashed booleans next to the row count.  Merge order is pinned
+    by sorting the per-group sketches on the group key before the
+    fold, so the final sketch bytes — and the booleans — are
+    deterministic under any partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__kll_src")
+    return spark.sql("""
+        WITH s AS (SELECT o_orderstatus,
+                          kll_sketch_agg_double(o_totalprice) AS sk
+                   FROM __kll_src GROUP BY o_orderstatus),
+             m AS (SELECT aggregate(
+                            slice(sks, 2, size(sks) - 1),
+                            element_at(sks, 1),
+                            (acc, x) -> kll_sketch_merge_double(acc, x))
+                          AS sk
+                   -- sort by group key so the merge ORDER (and thus
+                   -- the exact sketch bytes) is deterministic, not
+                   -- collect_list arrival order
+                   FROM (SELECT transform(
+                           array_sort(collect_list(
+                             struct(o_orderstatus, sk))),
+                           p -> p.sk) AS sks
+                         FROM s)),
+             q AS (SELECT
+                     kll_sketch_get_quantile_double(sk, 0.50) AS q50,
+                     kll_sketch_get_quantile_double(sk, 0.95) AS q95
+                   FROM m),
+             r AS (SELECT
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CASE WHEN o_totalprice <= q.q50
+                              THEN 1 ELSE 0 END) / COUNT(*) AS rank50,
+                     SUM(CASE WHEN o_totalprice <= q.q95
+                              THEN 1 ELSE 0 END) / COUNT(*) AS rank95
+                   FROM __kll_src, q GROUP BY q.q50, q.q95)
+        SELECT n,
+               abs(rank50 - 0.50) <= 0.025 AS q50_ok,
+               abs(rank95 - 0.95) <= 0.025 AS q95_ok
+        FROM r""")
+
+
 @q("sql_recursive_cte_walk", """
 WITH RECURSIVE walk(vec_id, head, depth) AS (
   SELECT vec_id, vec_id AS head, 0 AS depth
