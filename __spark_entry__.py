@@ -21,51 +21,51 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 # Slot policy (round 12, per the r11 verdict tasks 1 + 2 + 3 + 5):
-# slots 1-7 are the round's new oracle-backed surfaces
-# (transformWithState ValueState / ListState / paged-MapState via the
-# vendored from-scratch protobuf runtime; the applyInArrow /
-# arrow_udf / Python-DataSource-writer batch; KLL quantile sketch).
-# Slots 8-11 are the
-# round's only red row and its three bisection probes (r11 task 1 —
-# decimal-only / boolean-only / integer-cents variants isolate which
-# column the driver's bitwise hash rejects; all four verified green
-# locally at sf0.01 the day they landed).  Slots 12-23 are the 12
-# late-r11 entries the driver has never evaluated (each
-# builder-verified at sf0.01 + sf1 in r11 and re-verified at r12
-# HEAD; src_warc_roundtrip's record_id became a string this round —
-# ADVICE fix — and was re-verified after).  Slots 24-29 are the
-# deferred r4-vintage rows-only block (their oracle-backed planted
-# companions are all driver-green).  Slots 30-50 are r5-vintage
-# refreshes (21 of the 26 non-TPC-H r5 entries; the other five lead
-# the r13 queue ahead of the 20 TPC-H r5 entries).
+# slots 1-8 are the round's new oracle-backed surfaces
+# (transformWithState ValueState / ListState / paged-MapState /
+# Row-based via the vendored from-scratch protobuf runtime; the
+# applyInArrow / arrow_udf / Python-DataSource-writer batch; KLL
+# quantile sketch).  Slots 9-12 are the round's only red row and its
+# three bisection probes (r11 task 1 — decimal-only / boolean-only /
+# integer-cents variants isolate which column the driver's bitwise
+# hash rejects; all four verified green locally at sf0.01 the day
+# they landed).  Slots 13-24 are the 12 late-r11 entries the driver
+# has never evaluated (each builder-verified at sf0.01 + sf1 in r11
+# and re-verified at r12 HEAD; src_warc_roundtrip's record_id became
+# a string this round — ADVICE fix — and was re-verified after).
+# Slots 25-30 are the deferred r4-vintage rows-only block (their
+# oracle-backed planted companions are all driver-green).  Slots
+# 31-50 are r5-vintage refreshes (20 of the 26 non-TPC-H r5 entries;
+# the other six lead the r13 queue ahead of the 20 TPC-H r5
+# entries).
 _PRIORITY = [
-    # slots 1-3: NEW in r12 — transformWithState (ValueState /
-    # ListState / paged-MapState) unblocked by the from-scratch
-    # vendored protobuf runtime (each verified sf0.01 + sf1 the day
-    # it landed)
+    # slots 1-4: NEW in r12 — transformWithState (ValueState /
+    # ListState / paged-MapState / Row-based variant) unblocked by
+    # the from-scratch vendored protobuf runtime (each verified
+    # sf0.01 + sf1 the day it landed)
     "stream_tws_running_totals", "stream_tws_topk_list",
-    "stream_tws_type_counts_map",
-    # slots 4-6: NEW in r12 — the remaining Spark 4 Arrow-native
+    "stream_tws_type_counts_map", "stream_tws_minmax_rows",
+    # slots 5-7: NEW in r12 — the remaining Spark 4 Arrow-native
     # surfaces (applyInArrow grouped-map, arrow_udf scalars, Python
     # DataSource Arrow WRITER), each verified sf0.01 + sf1 on landing
     "arrow_grouped_apply", "arrow_udf_scalar",
     "src_python_datasource_writer",
-    # slot 7: NEW in r12 — built-in DataSketches KLL quantile sketch
+    # slot 8: NEW in r12 — built-in DataSketches KLL quantile sketch
     # under a rank-error accuracy contract (verified sf0.01 + sf1)
     "agg_kll_quantile_bound",
-    # slots 8-11: the r11 red row + its bisection probes (r11 task 1)
+    # slots 9-12: the r11 red row + its bisection probes (r11 task 1)
     "scalar_exists_subqueries", "scalar_exists_probe_decimal",
     "scalar_exists_probe_bool", "scalar_exists_probe_cents",
-    # slots 12-23: late-r11 entries, never driver-evaluated
+    # slots 13-24: late-r11 entries, never driver-evaluated
     "agg_theta_sketch_setops", "agg_bitmap_distinct_exact",
     "agg_regr_family", "quality_mask_pii", "scalar_xml_suite",
     "text_url_parse", "scalar_digest_suite", "multimodal_decode_png",
     "scalar_timezone_suite", "scalar_posexplode_outer",
     "src_warc_roundtrip", "multimodal_decode_gif",
-    # slots 24-29: the deferred r4-vintage rows-only block
+    # slots 25-30: the deferred r4-vintage rows-only block
     "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
-    # slots 30-50: non-TPC-H r5-vintage refreshes (21 fit)
+    # slots 31-50: non-TPC-H r5-vintage refreshes (20 fit)
     "dedup_fuzzy_ed1_pairs", "dedup_fuzzy_entity_ids",
     "dedup_minhash_incremental", "fraud_benford_digits",
     "graph_pagerank", "grouped_map_normalize", "infer_embed_texts",
@@ -74,11 +74,11 @@ _PRIORITY = [
     "rfm_segmentation", "sample_limit_contained", "scalar_json_suite",
     "scalar_string_suite", "scale_skew_report",
     "scale_zorder_clustered_read", "src_jsonl_roundtrip",
-    "src_orc_roundtrip", "stream_incremental_dedup", "text_hash_split",
-    # ---- 50-slot waterline: text_hash_split is slot 50 ----
-    # r13 head: the five dropped non-TPC-H r5 refreshes, then the 20
+    "src_orc_roundtrip", "stream_incremental_dedup",
+    # ---- 50-slot waterline: stream_incremental_dedup is slot 50 ----
+    # r13 head: the six dropped non-TPC-H r5 refreshes, then the 20
     # TPC-H r5-vintage refreshes in numeric order, then r6-vintage
-    "text_pack_sequences", "text_unigram_logprob",
+    "text_hash_split", "text_pack_sequences", "text_unigram_logprob",
     "ts_rolling_zscore_bucketed", "ts_rollup_incremental_merge",
     "win_first_last_nth",
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",

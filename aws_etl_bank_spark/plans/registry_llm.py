@@ -1021,6 +1021,49 @@ def stream_tws_running_totals(spark, sf_dir):
                  F.max_by("cents", "n_events").alias("cents")))
 
 
+@q("stream_tws_minmax_rows", """
+WITH c AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id, MIN(cents) AS lo, MAX(cents) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM c GROUP BY user_id""")
+def stream_tws_minmax_rows(spark, sf_dir):
+    """ROW-based ``transformWithState`` (streaming/tws.py
+    user_minmax_tws_rows) — the non-pandas twin of
+    transformWithStateInPandas, same RocksDB state machinery with Row
+    iterators at the Python boundary: per-user running (min, max,
+    count).  Completes the TWS API matrix next to the three pandas
+    entries; same max-marker final-state contract."""
+    import time as _time
+
+    from aws_etl_bank_spark.streaming.tws import (
+        ROCKSDB_PROVIDER, ensure_worker_protobuf, user_minmax_tws_rows)
+
+    ensure_worker_protobuf(spark)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        stream = events_stream(spark, _events_stream_dir(sf_dir))
+        mm = user_minmax_tws_rows(stream)
+        name = f"tws_mm_{int(_time.time() * 1000) % 10_000_000}"
+        query = (mm.writeStream.format("memory").queryName(name)
+                 .outputMode("update").trigger(availableNow=True).start())
+        query.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                           prev)
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.max_by("lo", "n_events").alias("lo"),
+                 F.max_by("hi", "n_events").alias("hi"),
+                 F.max("n_events").alias("n_events")))
+
+
 @q("stream_tws_topk_list", """
 WITH c AS (
   SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents

@@ -228,3 +228,47 @@ def user_type_counts_tws(events: DataFrame) -> DataFrame:
                               "event_type string, n bigint"),
             outputMode="Update",
             timeMode="None")
+
+
+def user_minmax_tws_rows(events: DataFrame) -> DataFrame:
+    """ROW-based ``transformWithState`` (the non-pandas twin of
+    transformWithStateInPandas — ``handleInputRows`` receives an
+    iterator of ``Row``s and yields ``Row``s, Arrow still carrying the
+    batches underneath): per-user running (min, max, count) of cents.
+    Same update-mode emission contract as the pandas operators — the
+    max-count row per user is the final state."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class MinMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "mm", "lo BIGINT, hi BIGINT, n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                lo, hi, n = tuple(self._st.get())
+            else:
+                lo, hi, n = None, None, 0
+            for row in rows:
+                c = row["cents"]
+                lo = c if lo is None or c < lo else lo
+                hi = c if hi is None or c > hi else hi
+                n += 1
+            self._st.update((lo, hi, n))
+            yield Row(user_id=key[0], lo=lo, hi=hi, n_events=n)
+
+        def close(self) -> None:
+            pass
+
+    src = events.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    return src.groupBy("user_id").transformWithState(
+        statefulProcessor=MinMax(),
+        outputStructType=("user_id bigint, lo bigint, hi bigint, "
+                          "n_events bigint"),
+        outputMode="Update",
+        timeMode="None")
