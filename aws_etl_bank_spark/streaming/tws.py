@@ -56,13 +56,18 @@ def ensure_worker_protobuf(spark) -> bool:
     user modules to executors on a real cluster, so the story is
     identical at 1000 executors."""
     try:
-        import google.protobuf  # noqa: F401
-        return False
+        import google.protobuf as _gpb
+        # A DRIVER-side import succeeding is NOT enough to skip worker
+        # shipping: the vendored runtime may already be on the
+        # driver's sys.path (any prior ensure call, or a test module
+        # importing it directly) while the workers still know nothing.
+        # Only a REAL protobuf distribution makes shipping redundant.
+        if "sparkgraft-vendored" not in getattr(_gpb, "__version__", ""):
+            return False
     except ImportError:
-        pass
-    if _VENDOR_DIR not in sys.path:
-        sys.path.insert(0, _VENDOR_DIR)
-    import google.protobuf  # noqa: F401  (driver side resolves now)
+        if _VENDOR_DIR not in sys.path:
+            sys.path.insert(0, _VENDOR_DIR)
+        import google.protobuf  # noqa: F401  (driver side resolves now)
 
     sc = spark.sparkContext
     if not getattr(sc, "_graft_protobuf_shipped", False):
