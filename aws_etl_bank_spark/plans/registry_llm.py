@@ -1021,6 +1021,64 @@ def stream_tws_running_totals(spark, sf_dir):
                  F.max_by("cents", "n_events").alias("cents")))
 
 
+@q("stream_pyds_shard_source", """
+WITH c AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM c GROUP BY user_id""")
+def stream_pyds_shard_source(spark, sf_dir):
+    """Custom PYTHON STREAMING source (Spark 4
+    ``DataSourceStreamReader``, sources/pyds_stream.py) — the
+    Kinesis-shaped shard/offset contract without the connector jar:
+    events split into 4 ordered shards; ``latestOffset`` rate-limits
+    each shard per micro-batch (so the run takes multiple batches and
+    really exercises offset planning + commit), executors read ONLY
+    their shard's row slice via pyarrow, and the memory sink must
+    receive every record exactly once.  The per-user totals over the
+    sink equal the batch aggregate — delivery bugs (loss, dupes,
+    slice misalignment) fail the hash."""
+    import time as _time
+
+    from aws_etl_bank_spark.plans.registry import _scratch
+    from aws_etl_bank_spark.sources.pyds_stream import (
+        ShardedStreamDataSource, prepare_shards)
+
+    try:
+        spark.dataSource.register(ShardedStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    path = _scratch(sf_dir, "pyds_stream_shards")
+    total = prepare_shards(ev, path, shards=4, order_col="event_id")
+
+    stream = (spark.readStream.format("sharded_stream")
+              .option("path", path)
+              .option("schema_ddl",
+                      "event_id bigint, user_id bigint, cents bigint")
+              # ~3 micro-batches per shard at any SF
+              .option("maxRecordsPerBatch",
+                      max(1, total // 4 // 3 + 1))
+              .load())
+    name = f"pyds_shard_{int(_time.time() * 1000) % 10_000_000}"
+    query = (stream.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .trigger(processingTime="1 seconds").start())
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        if spark.table(name).count() >= total:
+            break
+        _time.sleep(0.5)
+    query.stop()
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("cents").alias("cents")))
+
+
 @q("stream_tws_minmax_rows", """
 WITH c AS (
   SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents

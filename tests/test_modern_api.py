@@ -232,3 +232,44 @@ def test_arrow_entries_plan_shapes(spark):
     assert plan2.count("Exchange") == 1
     assert "FlatMapGroupsInArrow" in plan2
     spark.catalog.clearCache()
+
+
+def test_python_streaming_datasource_exactly_once(spark, tmp_path):
+    """Custom Python STREAMING source (sources/pyds_stream.py): the
+    rate-limited latestOffset must spread delivery over multiple
+    micro-batches, every record arrives exactly once, and executors
+    read only their shard slice."""
+    import time
+
+    from aws_etl_bank_spark.sources.pyds_stream import (
+        ShardedStreamDataSource, prepare_shards)
+
+    try:
+        spark.dataSource.register(ShardedStreamDataSource)
+    except Exception:
+        pass
+    df = spark.range(300).selectExpr("id AS event_id", "id % 7 AS k")
+    path = str(tmp_path / "shards")
+    total = prepare_shards(df, path, shards=3, order_col="event_id")
+    assert total == 300
+
+    stream = (spark.readStream.format("sharded_stream")
+              .option("path", path)
+              .option("schema_ddl", "event_id bigint, k bigint")
+              .option("maxRecordsPerBatch", 40)
+              .load())
+    q = (stream.writeStream.format("memory").queryName("shard_t")
+         .outputMode("append").trigger(processingTime="1 seconds")
+         .start())
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if spark.table("shard_t").count() >= total:
+            break
+        time.sleep(0.5)
+    q.stop()
+    row = spark.sql("SELECT COUNT(*) c, COUNT(DISTINCT event_id) d "
+                    "FROM shard_t").collect()[0]
+    assert (row["c"], row["d"]) == (300, 300)      # exactly once
+    # 100 rows/shard at 40/batch -> >= 3 data-carrying batches
+    assert len([p for p in q.recentProgress
+                if p["numInputRows"] > 0]) >= 3
