@@ -21,12 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 # Slot policy (round 12, per the r11 verdict tasks 1 + 2 + 3 + 5):
-# slots 1-9 are the round's new oracle-backed surfaces
+# slots 1-10 are the round's new oracle-backed surfaces
 # (transformWithState ValueState / ListState / paged-MapState /
 # Row-based via the vendored from-scratch protobuf runtime; the
 # applyInArrow / arrow_udf / Python-DataSource-writer batch; KLL
-# quantile sketch; Python streaming source).  Slots 10-13 are the
-# round's only red row and its
+# quantile sketch; Python streaming source + sink).  Slots 11-14 are
+# the round's only red row and its
 # three bisection probes (r11 task 1 — decimal-only / boolean-only /
 # integer-cents variants isolate which column the driver's bitwise
 # hash rejects; all four verified green locally at sf0.01 the day
@@ -36,8 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # a string this round — ADVICE fix — and was re-verified after).
 # Slots 25-30 are the deferred r4-vintage rows-only block (their
 # oracle-backed planted companions are all driver-green).  Slots
-# 32-50 are r5-vintage refreshes (19 of the 26 non-TPC-H r5 entries;
-# the other seven lead the r13 queue ahead of the 20 TPC-H r5
+# 33-50 are r5-vintage refreshes (18 of the 26 non-TPC-H r5 entries;
+# the other eight lead the r13 queue ahead of the 20 TPC-H r5
 # entries).
 _PRIORITY = [
     # slots 1-4: NEW in r12 — transformWithState (ValueState /
@@ -54,22 +54,23 @@ _PRIORITY = [
     # slot 8: NEW in r12 — built-in DataSketches KLL quantile sketch
     # under a rank-error accuracy contract (verified sf0.01 + sf1)
     "agg_kll_quantile_bound",
-    # slot 9: NEW in r12 — custom Python STREAMING DataSource (the
-    # Kinesis-shaped shard/offset contract, verified sf0.01 + sf1)
-    "stream_pyds_shard_source",
-    # slots 10-13: the r11 red row + its bisection probes (r11 task 1)
+    # slots 9-10: NEW in r12 — custom Python STREAMING DataSource,
+    # both halves (Kinesis-shaped shard/offset reader; exactly-once
+    # manifest-commit sink), each verified sf0.01 + sf1
+    "stream_pyds_shard_source", "stream_pyds_manifest_sink",
+    # slots 11-14: the r11 red row + its bisection probes (r11 task 1)
     "scalar_exists_subqueries", "scalar_exists_probe_decimal",
     "scalar_exists_probe_bool", "scalar_exists_probe_cents",
-    # slots 14-25: late-r11 entries, never driver-evaluated
+    # slots 15-26: late-r11 entries, never driver-evaluated
     "agg_theta_sketch_setops", "agg_bitmap_distinct_exact",
     "agg_regr_family", "quality_mask_pii", "scalar_xml_suite",
     "text_url_parse", "scalar_digest_suite", "multimodal_decode_png",
     "scalar_timezone_suite", "scalar_posexplode_outer",
     "src_warc_roundtrip", "multimodal_decode_gif",
-    # slots 26-31: the deferred r4-vintage rows-only block
+    # slots 27-32: the deferred r4-vintage rows-only block
     "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
-    # slots 32-50: non-TPC-H r5-vintage refreshes (19 fit)
+    # slots 33-50: non-TPC-H r5-vintage refreshes (18 fit)
     "dedup_fuzzy_ed1_pairs", "dedup_fuzzy_entity_ids",
     "dedup_minhash_incremental", "fraud_benford_digits",
     "graph_pagerank", "grouped_map_normalize", "infer_embed_texts",
@@ -78,11 +79,10 @@ _PRIORITY = [
     "rfm_segmentation", "sample_limit_contained", "scalar_json_suite",
     "scalar_string_suite", "scale_skew_report",
     "scale_zorder_clustered_read", "src_jsonl_roundtrip",
-    "src_orc_roundtrip",
-    # ---- 50-slot waterline: src_orc_roundtrip is slot 50 ----
-    # r13 head: the seven dropped non-TPC-H r5 refreshes, then the 20
+    # ---- 50-slot waterline: src_jsonl_roundtrip is slot 50 ----
+    # r13 head: the eight dropped non-TPC-H r5 refreshes, then the 20
     # TPC-H r5-vintage refreshes in numeric order, then r6-vintage
-    "stream_incremental_dedup",
+    "src_orc_roundtrip", "stream_incremental_dedup",
     "text_hash_split", "text_pack_sequences", "text_unigram_logprob",
     "ts_rolling_zscore_bucketed", "ts_rollup_incremental_merge",
     "win_first_last_nth",

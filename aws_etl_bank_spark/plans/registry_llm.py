@@ -1079,6 +1079,51 @@ def stream_pyds_shard_source(spark, sf_dir):
                  F.sum("cents").alias("cents")))
 
 
+@q("stream_pyds_manifest_sink", """
+WITH c AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM c GROUP BY user_id""")
+def stream_pyds_manifest_sink(spark, sf_dir):
+    """Custom PYTHON STREAMING SINK (Spark 4
+    ``DataSourceStreamWriter``, sources/pyds_stream.py
+    ManifestStreamWriter): the events stream lands in the
+    manifest-committing sink — tasks stage jsonl files, the driver
+    publishes an atomic per-batch manifest only after every task
+    succeeded — and the verification reads back ONLY manifest-listed
+    files.  Exactly-once all-or-nothing batch publication is the
+    hash-checked property: per-user totals over the sink must equal
+    the batch aggregate."""
+    import time as _time
+
+    from aws_etl_bank_spark.plans.registry import _scratch
+    from aws_etl_bank_spark.sources.pyds_stream import (
+        ShardedStreamDataSource, read_manifest_sink)
+
+    try:
+        spark.dataSource.register(ShardedStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = events_stream(spark, _events_stream_dir(sf_dir)).select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    stamp = int(_time.time() * 1000)
+    sink = _scratch(sf_dir, f"pyds_manifest_sink_{stamp}")
+    ck = _scratch(sf_dir, f"pyds_manifest_ck_{stamp}")
+    q = (stream.writeStream.format("sharded_stream")
+         .option("path", sink).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    back = read_manifest_sink(
+        spark, sink, "event_id bigint, user_id bigint, cents bigint")
+    return (back.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("cents").alias("cents")))
+
+
 @q("stream_tws_minmax_rows", """
 WITH c AS (
   SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents

@@ -31,7 +31,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
-                                    InputPartition)
+                                    DataSourceStreamWriter, InputPartition,
+                                    WriterCommitMessage)
 
 
 def prepare_shards(df, path: str, shards: int, order_col: str) -> int:
@@ -136,3 +137,93 @@ class ShardedStreamDataSource(DataSource):
 
     def streamReader(self, schema) -> ShardedStreamReader:
         return ShardedStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite) -> "ManifestStreamWriter":
+        return ManifestStreamWriter(self.options)
+
+
+class _SinkCommit(WriterCommitMessage):
+    """Serializable commit message: the staged file and its row count."""
+
+    def __init__(self, staged, rows):
+        self.staged = staged
+        self.rows = rows
+
+
+class ManifestStreamWriter(DataSourceStreamWriter):
+    """Manifest-committing exactly-once streaming SINK (the Spark 4
+    ``DataSourceStreamWriter`` protocol): tasks stream their rows to
+    STAGED jsonl files and return commit messages; ``commit`` — driver,
+    once per micro-batch, only after every task succeeded — renames the
+    staged files into ``data/`` and atomically publishes
+    ``manifest-<batchId>.json`` naming them; ``abort`` deletes the
+    staged files.  A reader that trusts only manifest-listed files
+    therefore sees each micro-batch all-or-nothing: the same
+    manifest-commit design warehouse sinks use, so a retried batch
+    never double-publishes.  Driver state is O(files-per-batch); row
+    data never touches the driver."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"task-{uuid.uuid4().hex}.jsonl")
+        rows = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                rows += 1
+        return _SinkCommit(staged, rows)
+
+    def commit(self, messages, batchId):
+        import json
+
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        published, total = [], 0
+        for i, m in enumerate(messages):
+            if m is None or m.rows == 0:
+                if m is not None and os.path.exists(m.staged):
+                    os.remove(m.staged)
+                continue
+            final = os.path.join(data_dir, f"batch-{batchId:08d}-{i}.jsonl")
+            os.replace(m.staged, final)
+            published.append(os.path.basename(final))
+            total += m.rows
+        manifest = os.path.join(self.path, f"manifest-{batchId:08d}.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batchId": batchId, "files": published,
+                       "rows": total}, f)
+        os.replace(tmp, manifest)
+
+    def abort(self, messages, batchId):
+        for m in messages or []:
+            if m is not None and os.path.exists(m.staged):
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass
+
+
+def read_manifest_sink(spark, path: str, schema_ddl: str):
+    """Batch-read ONLY the manifest-listed files of a manifest sink —
+    staged/orphaned files are invisible, which is the exactly-once
+    contract."""
+    import glob
+    import json
+
+    files = []
+    for mf in sorted(glob.glob(os.path.join(path, "manifest-*.json"))):
+        with open(mf) as f:
+            meta = json.load(f)
+        files.extend(os.path.join(path, "data", name)
+                     for name in meta["files"])
+    if not files:
+        return spark.createDataFrame([], schema_ddl)
+    return spark.read.schema(schema_ddl).json(files)

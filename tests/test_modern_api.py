@@ -273,3 +273,41 @@ def test_python_streaming_datasource_exactly_once(spark, tmp_path):
     # 100 rows/shard at 40/batch -> >= 3 data-carrying batches
     assert len([p for p in q.recentProgress
                 if p["numInputRows"] > 0]) >= 3
+
+
+def test_python_streaming_sink_manifest_commit(spark, tmp_path):
+    """Manifest sink (sources/pyds_stream.py ManifestStreamWriter):
+    one manifest per micro-batch, no staged leftovers after success,
+    read-back trusts only manifest-listed files, exactly-once."""
+    import glob
+
+    from aws_etl_bank_spark.sources.pyds_stream import (
+        ShardedStreamDataSource, read_manifest_sink)
+
+    try:
+        spark.dataSource.register(ShardedStreamDataSource)
+    except Exception:
+        pass
+    df = spark.range(200).selectExpr("id AS event_id", "id % 5 AS k")
+    feed = str(tmp_path / "feed")
+    df.repartition(3).write.parquet(feed)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    sink = str(tmp_path / "sink")
+    q = (stream.writeStream.format("sharded_stream")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # an orphaned staged file must stay invisible to the reader
+    import os
+    os.makedirs(os.path.join(sink, "_staging"), exist_ok=True)
+    with open(os.path.join(sink, "_staging", "task-orphan.jsonl"),
+              "w") as f:
+        f.write('{"event_id": 999999, "k": 0}\n')
+    back = read_manifest_sink(spark, sink, "event_id bigint, k bigint")
+    row = back.selectExpr("count(*) c",
+                          "count(distinct event_id) d").collect()[0]
+    assert (row["c"], row["d"]) == (200, 200)
+    assert len(glob.glob(sink + "/manifest-*.json")) == 3  # 1/batch
+    spark.catalog.clearCache()
