@@ -684,3 +684,93 @@ def test_tws_initial_state_seeding(spark, tmp_path):
     # user 1: seed 100 + 2 events; user 2: no seed + 1 event; user 3's
     # seed exists but no stream rows arrive, so nothing is emitted
     assert rows == {1: 102, 2: 1}
+
+
+def test_tws_event_time_timer_expiry(spark, tmp_path):
+    """Event-time timers (transformWithState timeMode=EventTime): a
+    timer registered 5 minutes after a user's last event fires via
+    handleExpiredTimer once a LATER batch advances the watermark past
+    it — the session-timeout pattern.  Deterministic with an ordered
+    two-file feed (maxFilesPerTrigger=1): user 1's timer expires when
+    user 2's +20 min batch moves the watermark; user 2's never does."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from aws_etl_bank_spark.streaming.tws import (ROCKSDB_PROVIDER,
+                                                  ensure_worker_protobuf)
+
+    ensure_worker_protobuf(spark)
+
+    class SessionTimeout(StatefulProcessor):
+        def init(self, handle):
+            self._h = handle
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = int(self._n.get()[0]) if self._n.exists() else 0
+            last = 0
+            for pdf in rows:
+                n += len(pdf)
+                last = max(last, int(pdf["ts_ms"].max()))
+            self._n.update((n,))
+            self._h.registerTimer(last + 300_000)
+            yield pd.DataFrame({"user_id": [key[0]], "kind": ["data"],
+                                "n": [n]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n = int(self._n.get()[0]) if self._n.exists() else -1
+            self._h.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            yield pd.DataFrame({"user_id": [key[0]], "kind": ["timeout"],
+                                "n": [n]})
+
+        def close(self):
+            pass
+
+    base = 1_600_000_000_000
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    f1 = spark.createDataFrame([(1, base), (1, base + 1000)],
+                               "user_id long, ts_ms long")
+    f2 = spark.createDataFrame([(2, base + 1_200_000)],
+                               "user_id long, ts_ms long")
+    for i, df in enumerate([f1, f2]):
+        tmp_dir = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(tmp_dir)
+        import glob
+        import shutil
+        part = glob.glob(tmp_dir + "/part-*.parquet")[0]
+        dst = os.path.join(feed, f"file{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (spark.readStream.schema("user_id long, ts_ms long")
+              .option("maxFilesPerTrigger", 1).parquet(feed)
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+              .withWatermark("ts", "1 minute"))
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionTimeout(),
+        outputStructType="user_id bigint, kind string, n bigint",
+        outputMode="Update", timeMode="EventTime")
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        q = (out.writeStream.format("memory").queryName("evt_timer_t")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+    rows = sorted((r["user_id"], r["kind"], r["n"])
+                  for r in spark.table("evt_timer_t").collect())
+    assert rows == [(1, "data", 2), (1, "timeout", 2), (2, "data", 1)]
