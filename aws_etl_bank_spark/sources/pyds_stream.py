@@ -37,24 +37,32 @@ from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
 
 def prepare_shards(df, path: str, shards: int, order_col: str) -> int:
     """Materialize a deterministic sharded stream feed: row r goes to
-    shard ``hash-free`` ``order_col % shards`` (stable across runs),
-    ordered by ``order_col`` within the shard.  Returns total rows."""
+    shard ``order_col % shards`` (stable across runs), ordered by
+    ``order_col`` within the shard.  Returns total rows.
+
+    Each shard is written EXECUTOR-side (sortWithinPartitions +
+    single-partition parquet write, then the part file is renamed into
+    place) — row data never passes through the driver, so feed prep
+    scales like any other write."""
+    import glob
+    import shutil
+
     import pyspark.sql.functions as F
 
     os.makedirs(path, exist_ok=True)
     total = 0
     for s in range(shards):
         part = (df.where(F.col(order_col) % shards == s)
-                .orderBy(order_col).toPandas())
-        import pyarrow as pa
+                .repartition(1).sortWithinPartitions(order_col))
+        staging = os.path.join(path, f"_build-{s:05d}")
+        part.write.mode("overwrite").parquet(staging)
+        src = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        final = os.path.join(path, f"shard-{s:05d}.parquet")
+        os.replace(src, final)
+        shutil.rmtree(staging, ignore_errors=True)
         import pyarrow.parquet as pq
 
-        final = os.path.join(path, f"shard-{s:05d}.parquet")
-        tmp = final + ".tmp"
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
-                       tmp)
-        os.replace(tmp, final)
-        total += len(part)
+        total += pq.ParquetFile(final).metadata.num_rows
     return total
 
 
