@@ -25,8 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (transformWithState ValueState / ListState / paged-MapState /
 # Row-based via the vendored from-scratch protobuf runtime; the
 # applyInArrow / arrow_udf / Python-DataSource-writer batch; KLL
-# quantile sketch; Python streaming source + sink).  Slots 11-14 are
-# the round's only red row and its
+# quantile sketch; Python streaming source + sink).  Slots 11-15 are
+# the round's only red row and its four bisection probes, i.e. its
 # three bisection probes (r11 task 1 — decimal-only / boolean-only /
 # integer-cents variants isolate which column the driver's bitwise
 # hash rejects; all four verified green locally at sf0.01 the day
@@ -36,8 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # a string this round — ADVICE fix — and was re-verified after).
 # Slots 25-30 are the deferred r4-vintage rows-only block (their
 # oracle-backed planted companions are all driver-green).  Slots
-# 33-50 are r5-vintage refreshes (18 of the 26 non-TPC-H r5 entries;
-# the other eight lead the r13 queue ahead of the 20 TPC-H r5
+# 34-50 are r5-vintage refreshes (17 of the 26 non-TPC-H r5 entries;
+# the other nine lead the r13 queue ahead of the 20 TPC-H r5
 # entries).
 _PRIORITY = [
     # slots 1-4: NEW in r12 — transformWithState (ValueState /
@@ -58,19 +58,22 @@ _PRIORITY = [
     # both halves (Kinesis-shaped shard/offset reader; exactly-once
     # manifest-commit sink), each verified sf0.01 + sf1
     "stream_pyds_shard_source", "stream_pyds_manifest_sink",
-    # slots 11-14: the r11 red row + its bisection probes (r11 task 1)
+    # slots 11-15: the r11 red row + its bisection probes (r11 task
+    # 1; A' = the NULL-free decimal variant that splits the
+    # NULL-decimal theory from the decimal-values theory in one round)
     "scalar_exists_subqueries", "scalar_exists_probe_decimal",
+    "scalar_exists_probe_decimal_nonull",
     "scalar_exists_probe_bool", "scalar_exists_probe_cents",
-    # slots 15-26: late-r11 entries, never driver-evaluated
+    # slots 16-27: late-r11 entries, never driver-evaluated
     "agg_theta_sketch_setops", "agg_bitmap_distinct_exact",
     "agg_regr_family", "quality_mask_pii", "scalar_xml_suite",
     "text_url_parse", "scalar_digest_suite", "multimodal_decode_png",
     "scalar_timezone_suite", "scalar_posexplode_outer",
     "src_warc_roundtrip", "multimodal_decode_gif",
-    # slots 27-32: the deferred r4-vintage rows-only block
+    # slots 28-33: the deferred r4-vintage rows-only block
     "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
     "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
-    # slots 33-50: non-TPC-H r5-vintage refreshes (18 fit)
+    # slots 34-50: non-TPC-H r5-vintage refreshes (17 fit)
     "dedup_fuzzy_ed1_pairs", "dedup_fuzzy_entity_ids",
     "dedup_minhash_incremental", "fraud_benford_digits",
     "graph_pagerank", "grouped_map_normalize", "infer_embed_texts",
@@ -78,11 +81,12 @@ _PRIORITY = [
     "loan_amortization_schedule", "maintenance_compact_roundtrip",
     "rfm_segmentation", "sample_limit_contained", "scalar_json_suite",
     "scalar_string_suite", "scale_skew_report",
-    "scale_zorder_clustered_read", "src_jsonl_roundtrip",
-    # ---- 50-slot waterline: src_jsonl_roundtrip is slot 50 ----
-    # r13 head: the eight dropped non-TPC-H r5 refreshes, then the 20
+    "scale_zorder_clustered_read",
+    # ---- 50-slot waterline: scale_zorder_clustered_read is slot 50
+    # r13 head: the nine dropped non-TPC-H r5 refreshes, then the 20
     # TPC-H r5-vintage refreshes in numeric order, then r6-vintage
-    "src_orc_roundtrip", "stream_incremental_dedup",
+    "src_jsonl_roundtrip", "src_orc_roundtrip",
+    "stream_incremental_dedup",
     "text_hash_split", "text_pack_sequences", "text_unigram_logprob",
     "ts_rolling_zscore_bucketed", "ts_rollup_incremental_merge",
     "win_first_last_nth",

@@ -7509,6 +7509,31 @@ def scalar_exists_probe_bool(spark, sf_dir):
     return c.select("c_custkey", big.exists().alias("has_big"))
 
 
+@q("scalar_exists_probe_decimal_nonull", """
+SELECT c.c_custkey,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2))
+        FROM orders WHERE o_custkey = c.c_custkey) AS total_spend
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)""")
+def scalar_exists_probe_decimal_nonull(spark, sf_dir):
+    """Bisection probe A': the same correlated DECIMAL(18,2) scalar
+    but restricted to customers WITH orders, so the output column has
+    NO NULLs.  Read together with probe A: A red + A' green = the
+    driver hash's NULL-decimal handling; A red + A' red = the decimal
+    VALUES split the engines (driver-parquet double→decimal cast);
+    completes the bisection in one round."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    corr = F.col("c_custkey").outer()
+    spend = (o.where(F.col("o_custkey") == corr)
+             .select(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("decimal(18,2)").alias("s")))
+    has = o.where(F.col("o_custkey") == corr)
+    return (c.where(has.exists())
+            .select("c_custkey", spend.scalar().alias("total_spend")))
+
+
 @q("scalar_exists_probe_cents", """
 SELECT c.c_custkey,
        (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
