@@ -164,3 +164,56 @@ def test_truncated_message_raises_decode_error():
     ).SerializeToString()
     with pytest.raises(DecodeError):
         sm.StateRequest().ParseFromString(good[:-2])
+
+
+# --- property tests (hypothesis): the wire codec must roundtrip any
+# value the state protocol can carry -------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(I64)
+def test_varint_roundtrip_any_int64(v):
+    enc = w.encode_varint(v)
+    got, pos = w.decode_varint(enc, 0)
+    assert pos == len(enc)
+    assert w.varint_to_int64(got) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(I64)
+def test_zigzag_roundtrip_any_int64(v):
+    enc = w.encode_zigzag(v)
+    got, _ = w.decode_varint(enc, 0)
+    assert w.zigzag_to_int(got) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+       st.text(max_size=40), st.binary(max_size=60))
+def test_state_response_roundtrip_any_payload(code, err, val):
+    sm = _pb2()
+    r = sm.StateResponse(statusCode=code, errorMessage=err, value=val)
+    back = sm.StateResponse()
+    back.ParseFromString(r.SerializeToString())
+    assert (back.statusCode, back.errorMessage, back.value) == \
+        (code, err, val)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.binary(max_size=24), st.binary(max_size=24)),
+                max_size=12),
+       st.booleans())
+def test_map_iterator_response_roundtrip_any_pairs(pairs, more):
+    sm = _pb2()
+    r = sm.StateResponseWithMapIterator(
+        requireNextFetch=more,
+        kvPair=[sm.KeyAndValuePair(key=k, value=v) for k, v in pairs])
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(r.SerializeToString())
+    assert [(p.key, p.value) for p in back.kvPair] == pairs
+    assert back.requireNextFetch is more
