@@ -20,76 +20,30 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 12, per the r11 verdict tasks 1 + 2 + 3 + 5):
-# slots 1-10 are the round's new oracle-backed surfaces
-# (transformWithState ValueState / ListState / paged-MapState /
-# Row-based via the vendored from-scratch protobuf runtime; the
-# applyInArrow / arrow_udf / Python-DataSource-writer batch; KLL
-# quantile sketch; Python streaming source + sink).  Slots 11-15 are
-# the round's only red row and its four bisection probes, i.e. its
-# three bisection probes (r11 task 1 — decimal-only / boolean-only /
-# integer-cents variants isolate which column the driver's bitwise
-# hash rejects; all four verified green locally at sf0.01 the day
-# they landed).  Slots 13-24 are the 12 late-r11 entries the driver
-# has never evaluated (each builder-verified at sf0.01 + sf1 in r11
-# and re-verified at r12 HEAD; src_warc_roundtrip's record_id became
-# a string this round — ADVICE fix — and was re-verified after).
-# Slots 25-30 are the deferred r4-vintage rows-only block (their
-# oracle-backed planted companions are all driver-green).  Slots
-# 34-50 are r5-vintage refreshes (17 of the 26 non-TPC-H r5 entries;
-# the other nine lead the r13 queue ahead of the 20 TPC-H r5
-# entries).
+# Slot policy (round 13, per the r12 verdict tasks 1 + 2 + 6): slot 1
+# is the round's one red row, rewritten through the proven
+# integer-cents canon (the r12 bisection read out decimal +
+# NULL-free-decimal probes RED vs bool + cents probes GREEN, all four
+# locally repr-identical vs DuckDB ⇒ the driver environment's bitwise
+# hash diverges on DECIMAL values; the four probes did their job and
+# are retired from the registry).  Slots 2-10 are the nine non-TPC-H
+# r5-vintage refreshes; slots 11-30 the 20 TPC-H r5-vintage entries
+# in numeric order (their money outputs are all DOUBLE — the r13
+# DECIMAL sweep confirmed the only DECIMAL-typed output columns in
+# the whole registry were the retired probe family, so the decimal
+# divergence class cannot recur here).  Slots 31-50 are the first 20
+# r6-vintage entries (registry order).
 _PRIORITY = [
-    # slots 1-4: NEW in r12 — transformWithState (ValueState /
-    # ListState / paged-MapState / Row-based variant) unblocked by
-    # the from-scratch vendored protobuf runtime (each verified
-    # sf0.01 + sf1 the day it landed)
-    "stream_tws_running_totals", "stream_tws_topk_list",
-    "stream_tws_type_counts_map", "stream_tws_minmax_rows",
-    # slots 5-7: NEW in r12 — the remaining Spark 4 Arrow-native
-    # surfaces (applyInArrow grouped-map, arrow_udf scalars, Python
-    # DataSource Arrow WRITER), each verified sf0.01 + sf1 on landing
-    "arrow_grouped_apply", "arrow_udf_scalar",
-    "src_python_datasource_writer",
-    # slot 8: NEW in r12 — built-in DataSketches KLL quantile sketch
-    # under a rank-error accuracy contract (verified sf0.01 + sf1)
-    "agg_kll_quantile_bound",
-    # slots 9-10: NEW in r12 — custom Python STREAMING DataSource,
-    # both halves (Kinesis-shaped shard/offset reader; exactly-once
-    # manifest-commit sink), each verified sf0.01 + sf1
-    "stream_pyds_shard_source", "stream_pyds_manifest_sink",
-    # slots 11-15: the r11 red row + its bisection probes (r11 task
-    # 1; A' = the NULL-free decimal variant that splits the
-    # NULL-decimal theory from the decimal-values theory in one round)
-    "scalar_exists_subqueries", "scalar_exists_probe_decimal",
-    "scalar_exists_probe_decimal_nonull",
-    "scalar_exists_probe_bool", "scalar_exists_probe_cents",
-    # slots 16-27: late-r11 entries, never driver-evaluated
-    "agg_theta_sketch_setops", "agg_bitmap_distinct_exact",
-    "agg_regr_family", "quality_mask_pii", "scalar_xml_suite",
-    "text_url_parse", "scalar_digest_suite", "multimodal_decode_png",
-    "scalar_timezone_suite", "scalar_posexplode_outer",
-    "src_warc_roundtrip", "multimodal_decode_gif",
-    # slots 28-33: the deferred r4-vintage rows-only block
-    "text_fingerprint", "dedup_simhash_pairs", "dedup_minhash_pairs",
-    "ann_ivf_topk", "ann_ivf_trained_topk", "dedup_minhash_keep",
-    # slots 34-50: non-TPC-H r5-vintage refreshes (17 fit)
-    "dedup_fuzzy_ed1_pairs", "dedup_fuzzy_entity_ids",
-    "dedup_minhash_incremental", "fraud_benford_digits",
-    "graph_pagerank", "grouped_map_normalize", "infer_embed_texts",
-    "join_bloom_prefilter", "join_null_safe_equality",
-    "loan_amortization_schedule", "maintenance_compact_roundtrip",
-    "rfm_segmentation", "sample_limit_contained", "scalar_json_suite",
-    "scalar_string_suite", "scale_skew_report",
-    "scale_zorder_clustered_read",
-    # ---- 50-slot waterline: scale_zorder_clustered_read is slot 50
-    # r13 head: the nine dropped non-TPC-H r5 refreshes, then the 20
-    # TPC-H r5-vintage refreshes in numeric order, then r6-vintage
+    # slot 1: the r12 red row, folded onto the cents canon
+    "scalar_exists_subqueries",
+    # slots 2-10: non-TPC-H r5-vintage refreshes
     "src_jsonl_roundtrip", "src_orc_roundtrip",
     "stream_incremental_dedup",
     "text_hash_split", "text_pack_sequences", "text_unigram_logprob",
     "ts_rolling_zscore_bucketed", "ts_rollup_incremental_merge",
     "win_first_last_nth",
+    # slots 11-30: TPC-H r5-vintage refreshes (q12/q16 are r6-vintage
+    # and queue with their cohort below)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
@@ -100,6 +54,38 @@ _PRIORITY = [
     "tpch_q17_small_quantity", "tpch_q18_large_volume_customer",
     "tpch_q19_disjunctive_revenue", "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier", "tpch_q22_dormant_high_balance",
+    # slots 31-50: r6-vintage refreshes, first 20 in registry order
+    "fact_snapshot", "fact_snapshot_split",
+    "win_running_sum_cust_split", "win_row_number_topk",
+    "join_dynamicframe_equi", "join_multiway_sql",
+    "join_left_semi", "join_left_anti", "join_expr_month",
+    "merge_upsert", "apply_mapping_cast", "select_fields_nested",
+    "drop_fields_op", "rename_field_op", "split_rows_match",
+    "split_rows_rest", "split_fields_op", "agg_rollup_nation_year",
+    "sketch_count_min_estimates", "win_rank_family",
+    # ---- 50-slot waterline: win_rank_family is slot 50
+    # r14 head: the remaining 26 r6-vintage entries, then r7-vintage
+    # (win_lag_delta onward, registry order) to fill the window
+    "quality_metrics_orders", "quality_check_lineitem",
+    "agg_approx_percentile_band", "src_xml_roundtrip",
+    "ts_trend_slope", "scalar_datetime_suite", "ts_moving_median",
+    "ts_ewma_smoothing", "tpch_q12_late_shipment_priority",
+    "tpch_q16_supplier_counts_by_part", "dedup_semantic_pairs",
+    "dedup_semantic_keep", "text_quality_top_fraction_by_lang",
+    "scale_shuffle_key", "dedup_minhash_planted_pairs",
+    "dedup_simhash_planted_pairs", "dedup_minhash_planted_keep",
+    "text_bm25_rank", "text_bm25_topk", "stream_static_enrich",
+    "dedup_semantic_pairs_full", "text_decontaminate_semantic",
+    "ann_pq_planted_twin", "stream_cdc_scd2", "text_gopher_filter",
+    "ann_ivfpq_planted_twin",
+    "win_lag_delta", "filter_python_predicate", "filter_drop_policy",
+    "map_python_records", "map_error_policy", "drop_null_fields_op",
+    "union_by_name_drift", "union_choice_cast",
+    "resolve_choice_make_cols", "subtract_op", "intersect_op",
+    "distinct_op", "orderby_topk", "sample_limit", "scalar_dates",
+    "scalar_when_case", "scalar_strings", "udf_surface",
+    "filter_sql_expr", "string_cleanup", "repartition_coalesce",
+    "explode_split", "posexplode_index", "replace_array_element",
 ]
 
 

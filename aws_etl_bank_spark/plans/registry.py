@@ -7433,9 +7433,9 @@ def join_lateral_topk(spark, sf_dir):
 
 @q("scalar_exists_subqueries", """
 SELECT c.c_custkey,
-       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                    AS DECIMAL(18,2))
-        FROM orders WHERE o_custkey = c.c_custkey) AS total_spend,
+       (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)
+        FROM orders WHERE o_custkey = c.c_custkey) AS total_spend_cents,
        EXISTS (SELECT 1 FROM orders
                WHERE o_custkey = c.c_custkey
                  AND o_totalprice > 300000) AS has_big
@@ -7446,110 +7446,17 @@ def scalar_exists_subqueries(spark, sf_dir):
     the declarative form of per-row lookups.  Catalyst decorrelates
     both into aggregate-then-join (one hash-agg over orders + left
     joins), so the plan scales as two shuffles regardless of customer
-    count — never a per-row probe.  The money sum goes through
-    DECIMAL(18,2) (the tpch_q1 rule) so both engines aggregate exact
-    cents; customers with no orders surface NULL spend and FALSE
-    exists on both engines."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    spend = (o.where(F.col("o_custkey") == F.col("c_custkey").outer())
-             .select(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                     .cast("decimal(18,2)").alias("s")))
-    big = o.where((F.col("o_custkey") == F.col("c_custkey").outer())
-                  & (F.col("o_totalprice") > 300000))
-    return c.select("c_custkey",
-                    spend.scalar().alias("total_spend"),
-                    big.exists().alias("has_big"))
+    count — never a per-row probe.
 
-
-# --- r12 bisection probes for the scalar_exists_subqueries driver-red
-# row (r11 VERDICT task 1).  The entry is rows+schema green, hash red
-# in the DRIVER environment only (bit-identical locally, both decimal
-# canon theories disproved by experiment), so these three variants
-# isolate which output column the driver's bitwise hash rejects:
-# decimal-only, boolean-only, and the full semantics through the
-# proven integer-cents canon (never driver-red).  Whichever fails
-# names the divergence class; the fix folds back into the original.
-
-@q("scalar_exists_probe_decimal", """
-SELECT c.c_custkey,
-       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                    AS DECIMAL(18,2))
-        FROM orders WHERE o_custkey = c.c_custkey) AS total_spend
-FROM customer c""")
-def scalar_exists_probe_decimal(spark, sf_dir):
-    """Bisection probe A: ONLY the correlated scalar DECIMAL(18,2)
-    sum (NULL for customers with no orders) — the original entry's
-    decimal column in isolation.  Red here = the driver hash's
-    DECIMAL/NULL-decimal treatment or a driver-parquet value that
-    splits the engines' double→decimal cast."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    spend = (o.where(F.col("o_custkey") == F.col("c_custkey").outer())
-             .select(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                     .cast("decimal(18,2)").alias("s")))
-    return c.select("c_custkey", spend.scalar().alias("total_spend"))
-
-
-@q("scalar_exists_probe_bool", """
-SELECT c.c_custkey,
-       EXISTS (SELECT 1 FROM orders
-               WHERE o_custkey = c.c_custkey
-                 AND o_totalprice > 300000) AS has_big
-FROM customer c""")
-def scalar_exists_probe_bool(spark, sf_dir):
-    """Bisection probe B: ONLY the correlated EXISTS boolean.  Red
-    here = the driver hash's BOOLEAN treatment (would be the
-    registry's first such case — every prior boolean output rode
-    alongside other columns)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    big = o.where((F.col("o_custkey") == F.col("c_custkey").outer())
-                  & (F.col("o_totalprice") > 300000))
-    return c.select("c_custkey", big.exists().alias("has_big"))
-
-
-@q("scalar_exists_probe_decimal_nonull", """
-SELECT c.c_custkey,
-       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                    AS DECIMAL(18,2))
-        FROM orders WHERE o_custkey = c.c_custkey) AS total_spend
-FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)""")
-def scalar_exists_probe_decimal_nonull(spark, sf_dir):
-    """Bisection probe A': the same correlated DECIMAL(18,2) scalar
-    but restricted to customers WITH orders, so the output column has
-    NO NULLs.  Read together with probe A: A red + A' green = the
-    driver hash's NULL-decimal handling; A red + A' red = the decimal
-    VALUES split the engines (driver-parquet double→decimal cast);
-    completes the bisection in one round."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    corr = F.col("c_custkey").outer()
-    spend = (o.where(F.col("o_custkey") == corr)
-             .select(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                     .cast("decimal(18,2)").alias("s")))
-    has = o.where(F.col("o_custkey") == corr)
-    return (c.where(has.exists())
-            .select("c_custkey", spend.scalar().alias("total_spend")))
-
-
-@q("scalar_exists_probe_cents", """
-SELECT c.c_custkey,
-       (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS BIGINT)
-        FROM orders WHERE o_custkey = c.c_custkey) AS spend_cents,
-       EXISTS (SELECT 1 FROM orders
-               WHERE o_custkey = c.c_custkey
-                 AND o_totalprice > 300000) AS has_big
-FROM customer c""")
-def scalar_exists_probe_cents(spark, sf_dir):
-    """Bisection probe C: the FULL original semantics with the money
-    sum rendered through the integer-cents canon
+    The money sum is emitted through the INTEGER-CENTS canon
     (``floor(x*100 + 0.5)`` summed as BIGINT — identical double
-    arithmetic on both engines, never driver-red).  Green here while
-    the original stays red = decimal rendering is the culprit and
-    this form is the canonical successor."""
+    arithmetic on both engines): the r12 bisection proved the driver
+    environment's bitwise hash diverges on DECIMAL *values* (decimal
+    and NULL-free-decimal probes red, bool and cents probes green,
+    all four locally repr-identical vs DuckDB), so a DECIMAL(18,2)
+    output column can never be driver-hash-safe regardless of engine
+    agreement.  Customers with no orders surface NULL cents and FALSE
+    exists on both engines."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     corr = F.col("c_custkey").outer()
@@ -7559,7 +7466,7 @@ def scalar_exists_probe_cents(spark, sf_dir):
     big = o.where((F.col("o_custkey") == corr)
                   & (F.col("o_totalprice") > 300000))
     return c.select("c_custkey",
-                    spend.scalar().alias("spend_cents"),
+                    spend.scalar().alias("total_spend_cents"),
                     big.exists().alias("has_big"))
 
 
