@@ -217,3 +217,73 @@ def test_map_iterator_response_roundtrip_any_pairs(pairs, more):
     back.ParseFromString(r.SerializeToString())
     assert [(p.key, p.value) for p in back.kvPair] == pairs
     assert back.requireNextFetch is more
+
+
+def test_lazy_submessage_write_attaches_to_parent():
+    """ADVICE r12 (high): pyspark's stateful_processor_api_client writes
+    ``cmd.ttl.durationMs = ms`` on an UNSET message field.  Real protobuf
+    auto-vivifies: the read returns a live child that attaches itself
+    (sets presence) on first write — the ttl MUST survive into the
+    serialized request, not die on a detached default instance."""
+    sm = _pb2()
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "s"
+    cmd.schema = "{}"
+    assert not cmd.HasField("ttl")       # a read alone creates nothing
+    _ = cmd.ttl.durationMs
+    assert not cmd.HasField("ttl")
+    cmd.ttl.durationMs = 5000            # the pyspark ttl code path
+    assert cmd.HasField("ttl")
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.HasField("ttl")
+    assert back.ttl.durationMs == 5000
+
+
+def test_lazy_submessage_repeated_reads_same_instance():
+    sm = _pb2()
+    cmd = sm.StateCallCommand()
+    assert cmd.ttl is cmd.ttl            # pending child is cached
+    held = cmd.ttl
+    held.durationMs = 7
+    assert cmd.ttl is held               # attach keeps identity
+    assert cmd.ttl.durationMs == 7
+
+
+def test_lazy_attach_cascades_through_oneof_chain():
+    """`req.statefulProcessorCall.getValueState.stateName = ...` must set
+    presence at EVERY level and resolve the oneofs on the way up."""
+    sm = _pb2()
+    req = sm.StateRequest()
+    req.statefulProcessorCall.getValueState.stateName = "deep"
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    assert req.statefulProcessorCall.WhichOneof("method") == "getValueState"
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.getValueState.stateName == "deep"
+
+
+def test_lazy_oneof_child_reswitches_arm_on_late_write():
+    """Real protobuf's _OneofListener: a pending child of oneof arm A,
+    written AFTER arm B was set, re-switches the oneof back to A."""
+    sm = _pb2()
+    req = sm.StateRequest()
+    held = req.statefulProcessorCall            # pending arm A
+    req.version = 1
+    req.implicitGroupingKeyRequest.setImplicitKey.key = b"k"  # arm B
+    assert req.WhichOneof("method") == "implicitGroupingKeyRequest"
+    held.getValueState.stateName = "late"       # write through held A
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    assert req.statefulProcessorCall.getValueState.stateName == "late"
+
+
+def test_invalid_utf8_string_raises_decode_error():
+    """ADVICE r12: hostile bytes in a string field surface as the
+    documented DecodeError, never a raw UnicodeDecodeError."""
+    from google.protobuf.message import DecodeError
+    sm = _pb2()
+    # stateName is field 1 (LEN): craft a record carrying invalid UTF-8
+    bad = bytes([0x0A, 0x02, 0xC3, 0x28])
+    m = sm.StateCallCommand()
+    with pytest.raises(DecodeError):
+        m.ParseFromString(bad)
