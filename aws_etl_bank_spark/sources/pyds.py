@@ -103,11 +103,17 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
     ``DataSourceArrowWriter`` API): each task streams its
     ``RecordBatch`` iterator into ONE parquet file under the target
     directory — batches never materialize as Python rows, mirroring
-    the reader's zero-copy posture.  Files are written to a
-    ``.tmp-`` name and renamed only at the end of the task's write
-    (atomic per task); ``commit`` publishes nothing further (rename IS
-    the publish), ``abort`` best-effort deletes the files named in the
-    collected commit messages."""
+    the reader's zero-copy posture.
+
+    Job-commit protocol (ADVICE r12): tasks only STAGE — each attempt
+    writes a dot-prefixed file (hidden from parquet directory readers)
+    named by (partitionId, attemptNumber, uuid) and returns it in its
+    commit message.  Publication happens solely in ``commit()``, which
+    renames exactly the staged files Spark kept — ONE winning attempt
+    per partition — and sweeps every orphaned stage file.  A task
+    re-executed after success (stage retry, speculation, lost commit
+    message) therefore can never leave a reader-visible duplicate;
+    ``abort`` removes all stage files."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options["path"]
@@ -120,16 +126,25 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        try:
+            from pyspark import TaskContext
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx else 0
+            att = ctx.attemptNumber() if ctx else 0
+        except Exception:
+            pid, att = 0, 0
+
         os.makedirs(self.path, exist_ok=True)
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        final = os.path.join(self.path, name)
-        tmp = final + ".tmp"
+        token = uuid.uuid4().hex
+        staged = os.path.join(
+            self.path, f".staged-{pid:05d}-{att}-{token}.parquet")
+        final = os.path.join(self.path, f"part-{pid:05d}-{token}.parquet")
         writer = None
         rows = 0
         try:
             for batch in iterator:
                 if writer is None:
-                    writer = pq.ParquetWriter(tmp, batch.schema)
+                    writer = pq.ParquetWriter(staged, batch.schema)
                 writer.write_table(pa.Table.from_batches([batch]))
                 rows += batch.num_rows
         finally:
@@ -137,22 +152,31 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
                 writer.close()
         if writer is None:
             return WriterCommitMessage()          # empty partition
-        os.replace(tmp, final)
         msg = WriterCommitMessage()
+        msg.staged = staged                       # type: ignore[attr-defined]
         msg.file = final                          # type: ignore[attr-defined]
         msg.rows = rows                           # type: ignore[attr-defined]
         return msg
 
-    def commit(self, messages):
-        pass                                       # renames already published
+    def _sweep_staged(self):
+        import glob
+        import os
 
-    def abort(self, messages):
+        for orphan in glob.glob(os.path.join(self.path, ".staged-*")):
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass
+
+    def commit(self, messages):
         import os
 
         for m in messages or []:
-            f = getattr(m, "file", None)
-            if f and os.path.exists(f):
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+            staged = getattr(m, "staged", None)
+            final = getattr(m, "file", None)
+            if staged and final and os.path.exists(staged):
+                os.replace(staged, final)
+        self._sweep_staged()                      # losing attempts
+
+    def abort(self, messages):
+        self._sweep_staged()

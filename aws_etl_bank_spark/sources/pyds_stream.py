@@ -37,8 +37,12 @@ from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
 
 def prepare_shards(df, path: str, shards: int, order_col: str) -> int:
     """Materialize a deterministic sharded stream feed: row r goes to
-    shard ``order_col % shards`` (stable across runs), ordered by
-    ``order_col`` within the shard.  Returns total rows.
+    shard ``pmod(order_col, shards)`` (stable across runs; pmod, not
+    ``%`` — Spark's ``%`` follows the dividend's sign, so a negative
+    key would match NO shard and silently vanish from the feed — ADVICE
+    r12), ordered by ``order_col`` within the shard.  Returns total
+    rows, verified against ``df.count()`` so a routing gap can never
+    ship silently.
 
     Each shard is written EXECUTOR-side (sortWithinPartitions +
     single-partition parquet write, then the part file is renamed into
@@ -50,9 +54,10 @@ def prepare_shards(df, path: str, shards: int, order_col: str) -> int:
     import pyspark.sql.functions as F
 
     os.makedirs(path, exist_ok=True)
+    expected = df.count()
     total = 0
     for s in range(shards):
-        part = (df.where(F.col(order_col) % shards == s)
+        part = (df.where(F.pmod(F.col(order_col), F.lit(shards)) == s)
                 .repartition(1).sortWithinPartitions(order_col))
         staging = os.path.join(path, f"_build-{s:05d}")
         part.write.mode("overwrite").parquet(staging)
@@ -63,6 +68,10 @@ def prepare_shards(df, path: str, shards: int, order_col: str) -> int:
         import pyarrow.parquet as pq
 
         total += pq.ParquetFile(final).metadata.num_rows
+    if total != expected:
+        raise ValueError(
+            f"shard routing dropped rows: wrote {total}, expected "
+            f"{expected} — check {order_col} for values pmod misses")
     return total
 
 
@@ -100,6 +109,16 @@ class ShardedStreamReader(DataSourceStreamReader):
         return nxt
 
     def partitions(self, start: dict, end: dict):
+        # seed the rate-limit planning floor from the offsets Spark
+        # passes (ADVICE r12): a fresh reader after a checkpoint
+        # restart would otherwise plan from zero and emit a run of
+        # no-op micro-batches until the ramp caught the committed
+        # position (partitions() clamps hi > lo, so no data loss —
+        # just wasted batches and a confusing offset trace)
+        cur = getattr(self, "_last_planned", None) or self.initialOffset()
+        self._last_planned = {
+            s: max(cur.get(s, 0), int(start.get(s, 0)), int(end.get(s, 0)))
+            for s in self._shards}
         out = []
         for s in self._shards:
             lo, hi = int(start.get(s, 0)), int(end.get(s, 0))

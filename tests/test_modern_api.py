@@ -311,3 +311,63 @@ def test_python_streaming_sink_manifest_commit(spark, tmp_path):
     assert (row["c"], row["d"]) == (200, 200)
     assert len(glob.glob(sink + "/manifest-*.json")) == 3  # 1/batch
     spark.catalog.clearCache()
+
+
+def test_pyds_writer_retry_leaves_no_duplicate(tmp_path):
+    """ADVICE r12: PyArrowParquetWriter publishes in commit() from the
+    winning attempts' messages only — a task attempt that completed but
+    whose commit message was lost (stage retry, speculation) must leave
+    NO reader-visible file."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetWriter
+
+    path = str(tmp_path / "out")
+    w = PyArrowParquetWriter({"path": path}, overwrite=True)
+    batch = pa.record_batch({"x": pa.array([1, 2, 3], pa.int64())})
+    m_lost = w.write(iter([batch]))      # attempt whose message is lost
+    m_kept = w.write(iter([batch]))      # re-executed winning attempt
+    # before commit: everything staged, nothing reader-visible
+    assert glob.glob(os.path.join(path, "part-*.parquet")) == []
+    w.commit([m_kept])                   # Spark keeps ONE message/partition
+    visible = glob.glob(os.path.join(path, "part-*.parquet"))
+    assert len(visible) == 1             # the lost attempt never published
+    assert glob.glob(os.path.join(path, ".staged-*")) == []  # swept
+    # abort path: staged files removed, published files untouched
+    m3 = w.write(iter([batch]))
+    w.abort([m3])
+    assert glob.glob(os.path.join(path, ".staged-*")) == []
+    assert glob.glob(os.path.join(path, "part-*.parquet")) == visible
+
+
+def test_pyds_stream_reader_seeds_floor_from_checkpoint(spark, tmp_path):
+    """ADVICE r12: a fresh ShardedStreamReader (checkpoint restart)
+    must fold the offsets Spark passes into its rate-limit planning
+    floor instead of ramping from zero through no-op batches."""
+    from aws_etl_bank_spark.sources.pyds_stream import (
+        ShardedStreamReader, prepare_shards)
+
+    df = spark.range(300).selectExpr("id AS event_id", "id % 7 AS k")
+    path = str(tmp_path / "shards")
+    prepare_shards(df, path, shards=3, order_col="event_id")
+
+    fresh = ShardedStreamReader({"path": path, "maxRecordsPerBatch": 40})
+    committed = {s: 80 for s in fresh._shards}   # checkpointed position
+    # restart re-runs the uncommitted batch: partitions(start, end)
+    fresh.partitions(committed, committed)
+    nxt = fresh.latestOffset()
+    assert all(nxt[s] == 100 for s in fresh._shards), nxt  # 80+40 capped
+
+
+def test_prepare_shards_routes_negative_keys(spark, tmp_path):
+    """ADVICE r12: pmod routing — negative order keys land in a shard
+    instead of vanishing (Spark's % follows the dividend's sign)."""
+    from aws_etl_bank_spark.sources.pyds_stream import prepare_shards
+
+    df = spark.range(60).selectExpr("id - 30 AS event_id")
+    total = prepare_shards(df, str(tmp_path / "neg"), shards=4,
+                           order_col="event_id")
+    assert total == 60
