@@ -26,16 +26,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # NULL-free-decimal probes RED vs bool + cents probes GREEN, all four
 # locally repr-identical vs DuckDB ⇒ the driver environment's bitwise
 # hash diverges on DECIMAL values; the four probes did their job and
-# are retired from the registry).  Slots 2-10 are the nine non-TPC-H
-# r5-vintage refreshes; slots 11-30 the 20 TPC-H r5-vintage entries
-# in numeric order (their money outputs are all DOUBLE — the r13
-# DECIMAL sweep confirmed the only DECIMAL-typed output columns in
-# the whole registry were the retired probe family, so the decimal
-# divergence class cannot recur here).  Slots 31-50 are the first 20
-# r6-vintage entries (registry order).
+# are retired from the registry).  Slots 2-4 are the round's new
+# surfaces (pipe syntax, mergeable approx_top_k, statestore reader).
+# Slots 5-13 are the nine non-TPC-H r5-vintage refreshes; slots 14-33
+# the 20 TPC-H r5-vintage entries in numeric order (their money
+# outputs are all DOUBLE — the r13 DECIMAL sweep confirmed the only
+# DECIMAL-typed output columns in the whole registry were the retired
+# probe family, so the decimal divergence class cannot recur here).
+# Slots 34-50 are the first 17 r6-vintage entries (registry order).
 _PRIORITY = [
     # slot 1: the r12 red row, folded onto the cents canon
     "scalar_exists_subqueries",
+    # slots 2-4: NEW in r13 — SQL pipe syntax (|> chains), the
+    # mergeable approx_top_k accumulate/combine/estimate path, and
+    # the statestore batch format reading a streaming checkpoint
+    # (each verified at sf0.01 + sf1 the day it landed)
+    "sql_pipe_syntax_pricing", "agg_approx_top_k_merge",
+    "stream_state_reader",
     # slots 2-10: non-TPC-H r5-vintage refreshes
     "src_jsonl_roundtrip", "src_orc_roundtrip",
     "stream_incremental_dedup",
@@ -61,11 +68,12 @@ _PRIORITY = [
     "join_left_semi", "join_left_anti", "join_expr_month",
     "merge_upsert", "apply_mapping_cast", "select_fields_nested",
     "drop_fields_op", "rename_field_op", "split_rows_match",
-    "split_rows_rest", "split_fields_op", "agg_rollup_nation_year",
-    "sketch_count_min_estimates", "win_rank_family",
-    # ---- 50-slot waterline: win_rank_family is slot 50
-    # r14 head: the remaining 26 r6-vintage entries, then r7-vintage
+    "split_rows_rest", "split_fields_op",
+    # ---- 50-slot waterline: split_fields_op is slot 50
+    # r14 head: the 29 remaining r6-vintage entries, then r7-vintage
     # (win_lag_delta onward, registry order) to fill the window
+    "agg_rollup_nation_year", "sketch_count_min_estimates",
+    "win_rank_family",
     "quality_metrics_orders", "quality_check_lineitem",
     "agg_approx_percentile_band", "src_xml_roundtrip",
     "ts_trend_slope", "scalar_datetime_suite", "ts_moving_median",

@@ -8089,3 +8089,105 @@ def src_warc_roundtrip(spark, sf_dir):
     path = _scratch(sf_dir, "warc_roundtrip")
     write_warc(docs.repartition(4), path, "doc_id", "uri", "text")
     return read_warc(spark, path)
+
+
+@q("sql_pipe_syntax_pricing", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS revenue
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""")
+def sql_pipe_syntax_pricing(spark, sf_dir):
+    """SQL pipe syntax (Spark 4's ``|>`` operator chain, SPARK-49555 —
+    the linear FROM-first form of nested SQL): a pricing summary
+    written as WHERE |> EXTEND |> AGGREGATE ... GROUP BY |> EXTEND.
+    Pipe syntax is pure PARSER surface — each ``|>`` stage lowers to
+    the same Catalyst operators as the nested form, so the plan (one
+    scan with pushed filter, partial+final hash aggregate) and the
+    100 TB posture are identical to tpch_q1's; the entry pins that the
+    dialect itself round-trips the engine.  Money flows through the
+    integer-cents canon (r12: DECIMAL output columns are never
+    driver-hash-safe); the derived double is bigint/100.0, identical
+    IEEE division on both engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("__pipe_lineitem")
+    return spark.sql("""
+        FROM __pipe_lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) AS BIGINT) AS disc_cents
+        |> AGGREGATE CAST(SUM(disc_cents) AS BIGINT) AS revenue_cents,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+           GROUP BY l_returnflag, l_linestatus
+        |> EXTEND CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue""")
+
+
+@q("agg_approx_top_k_merge", """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority""")
+def agg_approx_top_k_merge(spark, sf_dir):
+    """Built-in heavy-hitters sketch (Spark 4.1's Apache DataSketches
+    frequent-items family) through its MERGEABLE three-phase path:
+    approx_top_k_accumulate per order-status group (map-side partial,
+    O(maxItemsTracked) state) -> approx_top_k_combine into one global
+    sketch -> approx_top_k_estimate.  This is the 100 TB shape — a
+    fixed-size sketch per partition merges associatively, never a
+    global shuffle of raw values.  The accuracy contract here is
+    EXACTNESS by capacity: maxItemsTracked=8 exceeds the 5 distinct
+    priorities, and the DataSketches frequent-items guarantee is
+    zero count error while nothing is evicted, so the estimate equals
+    the exact histogram and every row hash-checks against the plain
+    GROUP BY oracle (the KLL entry's contract style, applied to
+    frequencies).  Emitting ALL tracked items (k = distinct count)
+    makes tie order irrelevant under the order-insensitive compare."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__atk_src")
+    return spark.sql("""
+        WITH s AS (SELECT o_orderstatus,
+                          approx_top_k_accumulate(o_orderpriority, 8) AS sk
+                   FROM __atk_src GROUP BY o_orderstatus),
+             m AS (SELECT approx_top_k_combine(sk, 8) AS sk FROM s),
+             e AS (SELECT explode(approx_top_k_estimate(sk, 5)) AS p
+                   FROM m)
+        SELECT p.item AS priority, CAST(p.count AS BIGINT) AS n FROM e""")
+
+
+@q("stream_state_reader", """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id""")
+def stream_state_reader(spark, sf_dir):
+    """The state DATA SOURCE (Spark 4's ``statestore`` batch format,
+    SPARK-45511) — reading a Structured Streaming checkpoint's state
+    store as a DataFrame, the ops surface every production streaming
+    pipeline needs for state inspection, debugging, and migration.  A
+    real streaming aggregation (per-user counts over the events feed,
+    availableNow) commits RocksDB/HDFS-backed state; the entry then
+    reads the checkpoint BACK via ``spark.read.format("statestore")``
+    and flattens key/value structs to (user_id, n_events).  The state
+    rows — not the sink — are what's hash-checked: they must equal the
+    batch GROUP BY, pinning that checkpointed state is complete and
+    readable offline.  Scale: the state read is partitioned by the
+    store's shuffle partitions, O(keys) rows."""
+    import time as _time
+
+    from aws_etl_bank_spark.plans.registry_llm import _events_stream_dir
+    from aws_etl_bank_spark.sources.testdata import events_stream
+
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
+    counts = stream.groupBy("user_id").count()
+    ck = _scratch(sf_dir, f"state_reader_ck_{int(_time.time() * 1000)}")
+    name = f"state_reader_{int(_time.time() * 1000) % 10_000_000}"
+    query = (counts.writeStream.format("memory").queryName(name)
+             .outputMode("update").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    state = spark.read.format("statestore").load(ck)
+    return state.select(F.col("key.user_id").alias("user_id"),
+                        F.col("value.count").cast("long").alias("n_events"))

@@ -260,7 +260,12 @@ def main():
                    "entries": record}
         if n_excluded:
             payload["excluded"] = n_excluded
-        with open(_os.path.join(out_dir, "VERIFY_full.json"), "w") as f:
+        # SPARK_GRAFT_VERIFY_OUT names the artifact (default
+        # VERIFY_full.json) so an sf1 audit and the sf0.01 full gate
+        # can run concurrently without clobbering each other's record
+        out_name = _os.environ.get("SPARK_GRAFT_VERIFY_OUT",
+                                   "VERIFY_full.json")
+        with open(_os.path.join(out_dir, out_name), "w") as f:
             _json.dump(payload, f, indent=1)
     sys.exit(1 if failures else 0)
 

@@ -371,3 +371,37 @@ def test_prepare_shards_routes_negative_keys(spark, tmp_path):
     total = prepare_shards(df, str(tmp_path / "neg"), shards=4,
                            order_col="event_id")
     assert total == 60
+
+
+def test_pipe_syntax_lowers_to_pushed_scan(spark):
+    """SQL pipe syntax is parser surface only: the |> chain must lower
+    to the same pushed-filter scan + partial/final hash aggregate as
+    the nested form — one exchange, pruned read."""
+    import aws_etl_bank_spark.plans.registry as reg
+
+    sf = "/root/testdata/sf0.001"
+    df = reg.REGISTRY["sql_pipe_syntax_pricing"].fn(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "LessThanOrEqual(l_shipdate" in plan      # pushed to parquet
+    assert df.count() > 0
+    spark.catalog.clearCache()
+
+
+def test_statestore_reader_roundtrips_agg_state(spark, tmp_path):
+    """The statestore batch format reads back exactly the committed
+    streaming-aggregation state (key/value structs per shuffle
+    partition)."""
+    feed = str(tmp_path / "feed")
+    spark.range(100).selectExpr("id % 9 AS k").write.parquet(feed)
+    stream = (spark.readStream.schema("k bigint").parquet(feed)
+              .groupBy("k").count())
+    ck = str(tmp_path / "ck")
+    q = (stream.writeStream.format("memory").queryName("ssr_t")
+         .outputMode("update").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    state = (spark.read.format("statestore").load(ck)
+             .selectExpr("key.k AS k", "value.count AS n"))
+    got = {r["k"]: r["n"] for r in state.collect()}
+    assert got == {k: (100 + 8 - k) // 9 for k in range(9)}
