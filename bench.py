@@ -132,6 +132,12 @@ HEADLINE = [
     # codec; the ListState/MapState siblings share the same machinery
     # cost, so one representative carries the trend line
     "stream_tws_running_totals",
+    # r13 additions: the pipe-syntax pricing summary (must track
+    # tpch_q1's scan+agg cost — pipe syntax is parser surface, so any
+    # gap is a plan regression) and the mergeable approx_top_k sketch
+    # (ObjectHashAggregate partial/final over orders)
+    "sql_pipe_syntax_pricing",
+    "agg_approx_top_k_merge",
 ]
 
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
