@@ -266,12 +266,13 @@ def main():
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "runs": RUNS,
         "sf": float(sf),
-        # per-pass wall totals + the probe fence around them:
-        # pass i sits between probes[i] and probes[i+1], so a judge
-        # can attribute drift to a specific pass from the JSON alone.
-        # calibration_pre/post are NOT repeated here (they are
-        # probes[0] / probes[-1]); the full artifact keeps both keys.
-        "samples": pass_totals,
+        # probe fence: pass i sits between probes[i] and probes[i+1],
+        # so a judge can attribute drift to a specific pass from the
+        # JSON alone.  calibration_pre/post are NOT repeated here (they
+        # are probes[0] / probes[-1]).  Per-pass wall totals
+        # ("samples") moved to the full artifact only in r13 — at 54
+        # queries the compact line was outgrowing the ~2000-char
+        # driver tail capture (bench_out/BENCH_local.json keeps them).
         "probes": probes,
         "calibration_sec": calibration,
     }, separators=(",", ":")), flush=True)

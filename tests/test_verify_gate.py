@@ -56,7 +56,8 @@ def test_bench_stdout_line_fits_driver_capture():
         "queries": {n: 9999.99 for n in bench.HEADLINE},
         "runs": 3,
         "sf": 0.1,
-        "samples": [9999.999] * 3,
+        # per-pass "samples" moved to BENCH_local.json in r13 when the
+        # 54-query compact line approached the capture limit
         "probes": [9999.999] * 4,
         "calibration_sec": 9999.999,
     }, separators=(",", ":"))
