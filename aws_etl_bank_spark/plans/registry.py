@@ -8191,44 +8191,3 @@ def stream_state_reader(spark, sf_dir):
     state = spark.read.format("statestore").load(ck)
     return state.select(F.col("key.user_id").alias("user_id"),
                         F.col("value.count").cast("long").alias("n_events"))
-
-
-@q("ops_observe_metrics", """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
-       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
-            AS BIGINT) AS cents_in,
-       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-        WHERE l_shipdate <= DATE '1998-09-02') AS n_out
-FROM lineitem""")
-def ops_observe_metrics(spark, sf_dir):
-    """The ``Observation`` / ``DataFrame.observe`` metrics side-channel
-    (SPARK-34806) — named aggregates computed DURING another query's
-    pass, the mechanism production pipelines use for data-quality
-    gates (row counts, sums, maxima at a plan point) WITHOUT a second
-    scan.  At 100 TB the difference is material: a separate
-    validation aggregation re-reads the table; CollectMetrics rides
-    the existing scan for free.  Catalyst must NOT push the downstream
-    filter through the CollectMetrics node (that would silently change
-    the observed values — verified: n_in sees every input row while
-    n_out sees the filtered count), so the entry pins both the API and
-    that optimizer barrier.  Money through the integer-cents canon.
-    The observed dict feeds a one-row DataFrame that hash-checks
-    against plain aggregates."""
-    from pyspark.sql import Observation
-
-    l = load_table(spark, sf_dir, "lineitem")
-    obs = Observation()
-    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    observed = l.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_in"),
-        F.sum(cents).alias("cents_in"),
-        F.max("l_quantity").alias("max_qty"))
-    shipped = observed.where(F.col("l_shipdate") <= "1998-09-02")
-    n_out = shipped.count()        # one action drives pass + metrics
-    m = obs.get
-    return spark.createDataFrame(
-        [(int(m["n_in"]), int(m["cents_in"]), float(m["max_qty"]),
-          int(n_out))],
-        "n_in bigint, cents_in bigint, max_qty double, n_out bigint")
