@@ -45,6 +45,14 @@ def q(name: str, oracle: str | None = None):
             apply_runtime_confs(spark)
             return fn(spark, sf_dir)
 
+        # a name collision silently SHADOWS the earlier entry (dict
+        # write wins) and its driver evidence — caught live in r13
+        # when a draft re-used ops_observe_metrics; make it loud
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate registry entry {name!r}: a second @q would "
+                "silently shadow the first (and its driver evidence); "
+                "pick a new name or delete the old entry explicitly")
         REGISTRY[name] = QuerySpec(wrapped, oracle)
         return wrapped
 

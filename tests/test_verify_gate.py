@@ -143,3 +143,17 @@ def test_bench_stdout_compact_line_is_last(tmp_path):
     frames = [ln for ln in proc.stderr.splitlines()
               if ln.startswith("\tat ") or "DAGScheduler" in ln]
     assert frames == [], frames[:5]
+
+
+def test_duplicate_registry_name_raises():
+    """r13: a reused @q name silently shadowed an existing entry (and
+    its driver evidence); the decorator now refuses collisions."""
+    import pytest
+
+    from aws_etl_bank_spark.plans.registry import REGISTRY, q
+
+    existing = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="duplicate registry entry"):
+        @q(existing)
+        def shadow(spark, sf_dir):  # pragma: no cover
+            return None
