@@ -405,3 +405,12 @@ def test_statestore_reader_roundtrips_agg_state(spark, tmp_path):
              .selectExpr("key.k AS k", "value.count AS n"))
     got = {r["k"]: r["n"] for r in state.collect()}
     assert got == {k: (100 + 8 - k) // 9 for k in range(9)}
+    # the state-metadata companion format inventories the checkpoint's
+    # stateful operators — the discovery half of the ops surface
+    # (which operator/store/partition-count to pass to statestore)
+    md = spark.read.format("state-metadata").load(ck).collect()
+    assert len(md) == 1
+    assert md[0]["operatorName"] == "stateStoreSave"
+    assert md[0]["stateStoreName"] == "default"
+    assert md[0]["numPartitions"] == int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
