@@ -8199,3 +8199,34 @@ def stream_state_reader(spark, sf_dir):
     state = spark.read.format("statestore").load(ck)
     return state.select(F.col("key.user_id").alias("user_id"),
                         F.col("value.count").cast("long").alias("n_events"))
+
+
+@q("src_pyds_filter_pushdown", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 200000 AND o_orderstatus = 'F'""")
+def src_pyds_filter_pushdown(spark, sf_dir):
+    """FILTER PUSHDOWN through the custom Python DataSource (Spark
+    4.1's ``DataSourceReader.pushFilters``, sources/pyds.py): the
+    comparison and equality predicates are claimed by the connector,
+    which (a) prunes whole ROW GROUPS from the plan using footer
+    min/max statistics — the same skip native parquet scans get — and
+    (b) applies the residual mask with Arrow compute inside the task,
+    so Spark plans NO post-scan Filter at all (plan-pinned in
+    tests/test_modern_api.py).  At 100 TB this is the difference
+    between a connector that ships every row to Spark and one that
+    reads only qualifying row groups.  Identity columns make the
+    oracle a plain WHERE."""
+    import os
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
+
+    try:
+        spark.dataSource.register(PyArrowParquetDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (spark.read.format("pyarrow_parquet")
+            .option("path", os.path.join(sf_dir, "orders.parquet"))
+            .load()
+            .filter("o_totalprice > 200000 AND o_orderstatus = 'F'")
+            .select("o_orderkey", "o_custkey", "o_totalprice"))

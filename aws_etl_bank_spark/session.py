@@ -26,6 +26,11 @@ RUNTIME_CONFS = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # Spark 4.1 gates DataSourceReader.pushFilters behind this flag and
+    # HARD-FAILS a reader that implements it while the flag is off —
+    # the engine's Python connector (sources/pyds.py) prunes row
+    # groups from pushed filters, so the flag is part of its contract
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -79,12 +79,100 @@ class PyArrowParquetReader(DataSourceReader):
         self.path = options["path"]
         self.columns = [c for c in options.get("columns", "").split(",")
                         if c] or None
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        """Filter pushdown (Spark 4.1 ``DataSourceReader.pushFilters``):
+        accept simple top-level-column comparisons and handle them FULLY
+        inside the connector — footer-statistics row-group pruning in
+        ``partitions()`` (whole row groups skipped from the plan, the
+        same win native parquet gets from min/max stats) plus exact
+        Arrow-compute masking in ``read()`` (required: Spark does not
+        re-evaluate filters we keep).  Everything else is yielded back
+        for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import (EqualTo, GreaterThan,
+                                            GreaterThanOrEqual, IsNotNull,
+                                            LessThan, LessThanOrEqual)
+
+        supported = (EqualTo, GreaterThan, GreaterThanOrEqual,
+                     LessThan, LessThanOrEqual, IsNotNull)
+        for f in filters:
+            ok = (isinstance(f, supported)
+                  and len(f.attribute) == 1
+                  and (isinstance(f, IsNotNull)
+                       or isinstance(f.value, (int, float, str, bool))))
+            if ok:
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def _rg_can_match(self, meta, rg_idx) -> bool:
+        """min/max-statistics pruning: False only when a pushed filter
+        PROVABLY excludes every row of the group."""
+        from pyspark.sql.datasource import (EqualTo, GreaterThan,
+                                            GreaterThanOrEqual, IsNotNull,
+                                            LessThan, LessThanOrEqual)
+
+        rg = meta.row_group(rg_idx)
+        stats = {}
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            if col.statistics is not None and col.statistics.has_min_max:
+                stats[col.path_in_schema] = col.statistics
+        for f in self.pushed:
+            name = f.attribute[0]
+            st = stats.get(name)
+            if st is None:
+                continue
+            if isinstance(f, IsNotNull):
+                if st.null_count is not None \
+                        and st.null_count == rg.num_rows:
+                    return False
+                continue
+            v = f.value
+            try:
+                if isinstance(f, EqualTo) and (v < st.min or v > st.max):
+                    return False
+                if isinstance(f, GreaterThan) and st.max <= v:
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and st.max < v:
+                    return False
+                if isinstance(f, LessThan) and st.min >= v:
+                    return False
+                if isinstance(f, LessThanOrEqual) and st.min > v:
+                    return False
+            except TypeError:
+                continue        # incomparable stats type: keep the group
+        return True
 
     def partitions(self):
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(self.path).metadata.num_row_groups
-        return [InputPartition(i) for i in range(max(n, 1))]
+        meta = pq.ParquetFile(self.path).metadata
+        n = meta.num_row_groups
+        keep = [i for i in range(n)
+                if not self.pushed or self._rg_can_match(meta, i)]
+        return [InputPartition(i) for i in (keep or [0])] \
+            if n else [InputPartition(0)]
+
+    def _mask(self, tbl):
+        import pyarrow.compute as pc
+        from pyspark.sql.datasource import (EqualTo, GreaterThan,
+                                            GreaterThanOrEqual, IsNotNull,
+                                            LessThan, LessThanOrEqual)
+
+        mask = None
+        ops = {EqualTo: pc.equal, GreaterThan: pc.greater,
+               GreaterThanOrEqual: pc.greater_equal,
+               LessThan: pc.less, LessThanOrEqual: pc.less_equal}
+        for f in self.pushed:
+            col = tbl[f.attribute[0]]
+            if isinstance(f, IsNotNull):
+                m = pc.is_valid(col)
+            else:
+                m = ops[type(f)](col, f.value)
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        return mask
 
     def read(self, partition):
         import pyarrow.parquet as pq
@@ -92,9 +180,23 @@ class PyArrowParquetReader(DataSourceReader):
         f = pq.ParquetFile(self.path)
         if f.metadata.num_row_groups == 0:
             return
-        tbl = f.read_row_group(partition.value, columns=self.columns)
+        # read filter columns too, then project back: the pushed mask
+        # may reference columns outside the pruned projection
+        need = None
+        if self.columns:
+            extra = [flt.attribute[0] for flt in self.pushed
+                     if flt.attribute[0] not in self.columns]
+            need = self.columns + sorted(set(extra))
+        tbl = f.read_row_group(partition.value, columns=need)
+        if self.pushed:
+            mask = self._mask(tbl)
+            if mask is not None:
+                # null comparisons drop the row, matching SQL semantics
+                tbl = tbl.filter(mask, null_selection_behavior="drop")
         if self.columns:
             tbl = tbl.select(self.columns)
+        if tbl.num_rows == 0:
+            return
         yield from tbl.to_batches()
 
 

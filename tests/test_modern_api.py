@@ -414,3 +414,61 @@ def test_statestore_reader_roundtrips_agg_state(spark, tmp_path):
     assert md[0]["stateStoreName"] == "default"
     assert md[0]["numPartitions"] == int(
         spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_pyds_push_filters_prunes_row_groups(tmp_path):
+    """Spark 4.1 DataSourceReader.pushFilters, connector-side: claimed
+    comparisons prune row groups via footer min/max statistics before
+    any task launches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import GreaterThan, StringContains
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetReader
+
+    path = str(tmp_path / "t.parquet")
+    tbl = pa.table({"k": list(range(3000)),
+                    "s": [f"x{i % 5}" for i in range(3000)]})
+    pq.write_table(tbl, path, row_group_size=1000)   # 3 groups, k sorted
+
+    r = PyArrowParquetReader({"path": path})
+    residual = list(r.pushFilters([GreaterThan(("k",), 2500),
+                                   StringContains(("s",), "x")]))
+    # unsupported filter handed back to Spark; supported one claimed
+    assert [type(f).__name__ for f in residual] == ["StringContains"]
+    assert [type(f).__name__ for f in r.pushed] == ["GreaterThan"]
+    assert [p.value for p in r.partitions()] == [2]  # groups 0-1 pruned
+
+
+def test_pyds_push_filters_end_to_end(spark, tmp_path):
+    """Fully-pushed predicates leave NO post-scan Filter in the plan,
+    and the connector's Arrow mask must therefore be exact (null
+    comparisons drop rows, SQL semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
+
+    path = str(tmp_path / "t.parquet")
+    tbl = pa.table({"k": [1, 2, 3, None, 5, 6],
+                    "s": ["a", "b", "a", "a", None, "a"]})
+    pq.write_table(tbl, path)
+    try:
+        spark.dataSource.register(PyArrowParquetDataSource)
+    except Exception:
+        pass
+    df = (spark.read.format("pyarrow_parquet").option("path", path)
+          .load().filter("k > 1 AND s = 'a'"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no Filter NODE above the scan ("RuntimeFilters:" in the scan
+    # line is not one — no trailing space); both predicates delegated
+    assert "Filter " not in plan, plan
+    assert [tuple(r) for r in df.orderBy("k").collect()] == \
+        [(3, "a"), (6, "a")]               # nulls in k and s dropped
+    # residual-filter path: LIKE stays Spark-side, results still exact
+    df2 = (spark.read.format("pyarrow_parquet").option("path", path)
+           .load().filter("k > 1 AND s LIKE '%a%'"))
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "Filter " in plan2              # unsupported piece kept
+    assert [tuple(r) for r in df2.orderBy("k").collect()] == \
+        [(3, "a"), (6, "a")]
