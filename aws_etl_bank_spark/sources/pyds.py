@@ -91,16 +91,22 @@ class PyArrowParquetReader(DataSourceReader):
         re-evaluate filters we keep).  Everything else is yielded back
         for Spark to evaluate post-scan."""
         from pyspark.sql.datasource import (EqualTo, GreaterThan,
-                                            GreaterThanOrEqual, IsNotNull,
-                                            LessThan, LessThanOrEqual)
+                                            GreaterThanOrEqual, In,
+                                            IsNotNull, LessThan,
+                                            LessThanOrEqual)
 
+        prims = (int, float, str, bool)
         supported = (EqualTo, GreaterThan, GreaterThanOrEqual,
-                     LessThan, LessThanOrEqual, IsNotNull)
+                     LessThan, LessThanOrEqual, IsNotNull, In)
         for f in filters:
-            ok = (isinstance(f, supported)
-                  and len(f.attribute) == 1
-                  and (isinstance(f, IsNotNull)
-                       or isinstance(f.value, (int, float, str, bool))))
+            if isinstance(f, In):
+                ok = (len(f.attribute) == 1 and f.value
+                      and all(isinstance(v, prims) for v in f.value))
+            else:
+                ok = (isinstance(f, supported)
+                      and len(f.attribute) == 1
+                      and (isinstance(f, IsNotNull)
+                           or isinstance(f.value, prims)))
             if ok:
                 self.pushed.append(f)
             else:
@@ -110,8 +116,9 @@ class PyArrowParquetReader(DataSourceReader):
         """min/max-statistics pruning: False only when a pushed filter
         PROVABLY excludes every row of the group."""
         from pyspark.sql.datasource import (EqualTo, GreaterThan,
-                                            GreaterThanOrEqual, IsNotNull,
-                                            LessThan, LessThanOrEqual)
+                                            GreaterThanOrEqual, In,
+                                            IsNotNull, LessThan,
+                                            LessThanOrEqual)
 
         rg = meta.row_group(rg_idx)
         stats = {}
@@ -128,6 +135,13 @@ class PyArrowParquetReader(DataSourceReader):
                 if st.null_count is not None \
                         and st.null_count == rg.num_rows:
                     return False
+                continue
+            if isinstance(f, In):
+                try:
+                    if all(v < st.min or v > st.max for v in f.value):
+                        return False
+                except TypeError:
+                    pass
                 continue
             v = f.value
             try:
@@ -156,10 +170,12 @@ class PyArrowParquetReader(DataSourceReader):
             if n else [InputPartition(0)]
 
     def _mask(self, tbl):
+        import pyarrow as pa
         import pyarrow.compute as pc
         from pyspark.sql.datasource import (EqualTo, GreaterThan,
-                                            GreaterThanOrEqual, IsNotNull,
-                                            LessThan, LessThanOrEqual)
+                                            GreaterThanOrEqual, In,
+                                            IsNotNull, LessThan,
+                                            LessThanOrEqual)
 
         mask = None
         ops = {EqualTo: pc.equal, GreaterThan: pc.greater,
@@ -169,6 +185,9 @@ class PyArrowParquetReader(DataSourceReader):
             col = tbl[f.attribute[0]]
             if isinstance(f, IsNotNull):
                 m = pc.is_valid(col)
+            elif isinstance(f, In):
+                m = pc.is_in(col, value_set=pa.array(
+                    list(f.value), type=col.type))
             else:
                 m = ops[type(f)](col, f.value)
             mask = m if mask is None else pc.and_kleene(mask, m)

@@ -472,3 +472,32 @@ def test_pyds_push_filters_end_to_end(spark, tmp_path):
     assert "Filter " in plan2              # unsupported piece kept
     assert [tuple(r) for r in df2.orderBy("k").collect()] == \
         [(3, "a"), (6, "a")]
+
+
+def test_pyds_push_filters_in_predicate(spark, tmp_path):
+    """IN-list pushdown: stats-pruned when every list value falls
+    outside a row group's min/max, exact Arrow is_in mask otherwise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import In
+
+    from aws_etl_bank_spark.sources.pyds import (PyArrowParquetDataSource,
+                                                 PyArrowParquetReader)
+
+    path = str(tmp_path / "t.parquet")
+    tbl = pa.table({"k": list(range(3000))})
+    pq.write_table(tbl, path, row_group_size=1000)
+
+    r = PyArrowParquetReader({"path": path})
+    assert list(r.pushFilters([In(("k",), (10, 1500))])) == []
+    assert [p.value for p in r.partitions()] == [0, 1]  # group 2 pruned
+
+    try:
+        spark.dataSource.register(PyArrowParquetDataSource)
+    except Exception:
+        pass
+    df = (spark.read.format("pyarrow_parquet").option("path", path)
+          .load().filter("k IN (10, 1500, 99999)"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Filter " not in plan, plan     # IN fully delegated
+    assert sorted(r["k"] for r in df.collect()) == [10, 1500]
