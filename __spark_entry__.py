@@ -26,32 +26,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # NULL-free-decimal probes RED vs bool + cents probes GREEN, all four
 # locally repr-identical vs DuckDB ⇒ the driver environment's bitwise
 # hash diverges on DECIMAL values; the four probes did their job and
-# are retired from the registry).  Slots 2-5 are the round's new
+# are retired from the registry).  Slots 2-6 are the round's new
 # surfaces (pipe syntax, mergeable approx_top_k, statestore reader,
-# Python DataSource filter pushdown).
-# Slots 6-14 are the nine non-TPC-H r5-vintage refreshes; slots 15-34
+# Python DataSource filter pushdown, Arrow streaming sink).
+# Slots 7-15 are the nine non-TPC-H r5-vintage refreshes; slots 16-35
 # the 20 TPC-H r5-vintage entries in numeric order (their money
 # outputs are all DOUBLE — the r13 DECIMAL sweep confirmed the only
 # DECIMAL-typed output columns in the whole registry were the retired
 # probe family, so the decimal divergence class cannot recur here).
-# Slots 35-50 are the first 16 r6-vintage entries (registry order).
+# Slots 36-50 are the first 15 r6-vintage entries (registry order).
 _PRIORITY = [
     # slot 1: the r12 red row, folded onto the cents canon
     "scalar_exists_subqueries",
-    # slots 2-5: NEW in r13 — SQL pipe syntax (|> chains), the
+    # slots 2-6: NEW in r13 — SQL pipe syntax (|> chains), the
     # mergeable approx_top_k accumulate/combine/estimate path, the
-    # statestore batch format reading a streaming checkpoint, and
-    # Python DataSource filter pushdown (pushFilters row-group
-    # pruning); each verified at sf0.01 + sf1 the day it landed
+    # statestore batch format reading a streaming checkpoint, Python
+    # DataSource filter pushdown (pushFilters row-group pruning), and
+    # the Arrow streaming manifest sink (DataSourceStreamArrowWriter);
+    # each verified at sf0.01 + sf1 the day it landed
     "sql_pipe_syntax_pricing", "agg_approx_top_k_merge",
     "stream_state_reader", "src_pyds_filter_pushdown",
-    # slots 6-14: non-TPC-H r5-vintage refreshes
+    "stream_pyds_arrow_sink",
+    # slots 7-15: non-TPC-H r5-vintage refreshes
     "src_jsonl_roundtrip", "src_orc_roundtrip",
     "stream_incremental_dedup",
     "text_hash_split", "text_pack_sequences", "text_unigram_logprob",
     "ts_rolling_zscore_bucketed", "ts_rollup_incremental_merge",
     "win_first_last_nth",
-    # slots 15-34: TPC-H r5-vintage refreshes (q12/q16 are r6-vintage
+    # slots 16-35: TPC-H r5-vintage refreshes (q12/q16 are r6-vintage
     # and queue with their cohort below)
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_order_priority",
@@ -63,18 +65,17 @@ _PRIORITY = [
     "tpch_q17_small_quantity", "tpch_q18_large_volume_customer",
     "tpch_q19_disjunctive_revenue", "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier", "tpch_q22_dormant_high_balance",
-    # slots 35-50: r6-vintage refreshes, first 16 in registry order
+    # slots 36-50: r6-vintage refreshes, first 15 in registry order
     "fact_snapshot", "fact_snapshot_split",
     "win_running_sum_cust_split", "win_row_number_topk",
     "join_dynamicframe_equi", "join_multiway_sql",
     "join_left_semi", "join_left_anti", "join_expr_month",
     "merge_upsert", "apply_mapping_cast", "select_fields_nested",
     "drop_fields_op", "rename_field_op", "split_rows_match",
-    "split_rows_rest",
-    # ---- 50-slot waterline: split_rows_rest is slot 50
-    # r14 head: the 30 remaining r6-vintage entries, then r7-vintage
+    # ---- 50-slot waterline: split_rows_match is slot 50
+    # r14 head: the 31 remaining r6-vintage entries, then r7-vintage
     # (win_lag_delta onward, registry order) to fill the window
-    "split_fields_op", "agg_rollup_nation_year",
+    "split_rows_rest", "split_fields_op", "agg_rollup_nation_year",
     "sketch_count_min_estimates", "win_rank_family",
     "quality_metrics_orders", "quality_check_lineitem",
     "agg_approx_percentile_band", "src_xml_roundtrip",

@@ -4048,3 +4048,50 @@ def graph_cc_star_chain(spark, sf_dir):
                        F.col("vec_id").alias("id_b"))
     return (connected_components_star(chain.unionByName(loops))
             .select("id", F.col("component").cast("long").alias("component")))
+
+
+@q("stream_pyds_arrow_sink", """
+WITH c AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM c GROUP BY user_id""")
+def stream_pyds_arrow_sink(spark, sf_dir):
+    """ARROW-native custom Python streaming sink (Spark 4.1
+    ``DataSourceStreamArrowWriter``, sources/pyds_stream.py
+    ArrowManifestStreamWriter): tasks receive RecordBatch iterators
+    and stream them straight into staged parquet — no Python row
+    objects on the hot path, unlike the row-based jsonl sibling — and
+    the driver publishes the same atomic per-batch manifest only after
+    every task succeeded.  Verification reads back ONLY
+    manifest-listed parquet; exactly-once all-or-nothing publication
+    is the hash-checked property (per-user totals over the sink equal
+    the batch aggregate)."""
+    import time as _time
+
+    from aws_etl_bank_spark.plans.registry import _scratch
+    from aws_etl_bank_spark.sources.pyds_stream import (
+        ShardedStreamDataSource, read_manifest_sink)
+
+    try:
+        spark.dataSource.register(ShardedStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = events_stream(spark, _events_stream_dir(sf_dir)).select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    stamp = int(_time.time() * 1000)
+    sink = _scratch(sf_dir, f"pyds_arrow_sink_{stamp}")
+    ck = _scratch(sf_dir, f"pyds_arrow_ck_{stamp}")
+    q = (stream.writeStream.format("sharded_stream")
+         .option("path", sink).option("arrowSink", "true")
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    back = read_manifest_sink(
+        spark, sink, "event_id bigint, user_id bigint, cents bigint")
+    return (back.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("cents").alias("cents")))

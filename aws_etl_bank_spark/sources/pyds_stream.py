@@ -30,7 +30,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+from pyspark.sql.datasource import (DataSource, DataSourceStreamArrowWriter,
+                                    DataSourceStreamReader,
                                     DataSourceStreamWriter, InputPartition,
                                     WriterCommitMessage)
 
@@ -165,7 +166,12 @@ class ShardedStreamDataSource(DataSource):
     def streamReader(self, schema) -> ShardedStreamReader:
         return ShardedStreamReader(self.options)
 
-    def streamWriter(self, schema, overwrite) -> "ManifestStreamWriter":
+    def streamWriter(self, schema, overwrite):
+        # arrowSink=true selects the RecordBatch-native writer (Spark
+        # 4.1 DataSourceStreamArrowWriter); default is the row-based
+        # form — both share the manifest-commit protocol
+        if str(self.options.get("arrowSink", "")).lower() == "true":
+            return ArrowManifestStreamWriter(self.options)
         return ManifestStreamWriter(self.options)
 
 
@@ -177,35 +183,17 @@ class _SinkCommit(WriterCommitMessage):
         self.rows = rows
 
 
-class ManifestStreamWriter(DataSourceStreamWriter):
-    """Manifest-committing exactly-once streaming SINK (the Spark 4
-    ``DataSourceStreamWriter`` protocol): tasks stream their rows to
-    STAGED jsonl files and return commit messages; ``commit`` — driver,
-    once per micro-batch, only after every task succeeded — renames the
-    staged files into ``data/`` and atomically publishes
-    ``manifest-<batchId>.json`` naming them; ``abort`` deletes the
-    staged files.  A reader that trusts only manifest-listed files
-    therefore sees each micro-batch all-or-nothing: the same
-    manifest-commit design warehouse sinks use, so a retried batch
-    never double-publishes.  Driver state is O(files-per-batch); row
-    data never touches the driver."""
+class _ManifestCommitMixin:
+    """Driver-side manifest-commit protocol shared by the row-based and
+    Arrow streaming sinks: ``commit`` — once per micro-batch, only
+    after every task succeeded — renames the staged files into
+    ``data/`` and atomically publishes ``manifest-<batchId>.json``
+    naming them; ``abort`` deletes the staged files.  A reader that
+    trusts only manifest-listed files sees each micro-batch
+    all-or-nothing, so a retried batch never double-publishes.  Driver
+    state is O(files-per-batch); row data never touches the driver."""
 
-    def __init__(self, options):
-        self.path = options["path"]
-
-    def write(self, iterator):
-        import json
-        import uuid
-
-        staging = os.path.join(self.path, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        staged = os.path.join(staging, f"task-{uuid.uuid4().hex}.jsonl")
-        rows = 0
-        with open(staged, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-                rows += 1
-        return _SinkCommit(staged, rows)
+    EXT = "jsonl"
 
     def commit(self, messages, batchId):
         import json
@@ -218,7 +206,8 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                 if m is not None and os.path.exists(m.staged):
                     os.remove(m.staged)
                 continue
-            final = os.path.join(data_dir, f"batch-{batchId:08d}-{i}.jsonl")
+            final = os.path.join(
+                data_dir, f"batch-{batchId:08d}-{i}.{self.EXT}")
             os.replace(m.staged, final)
             published.append(os.path.basename(final))
             total += m.rows
@@ -238,6 +227,69 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                     pass
 
 
+class ManifestStreamWriter(_ManifestCommitMixin, DataSourceStreamWriter):
+    """Row-based manifest-committing exactly-once streaming SINK (the
+    Spark 4 ``DataSourceStreamWriter`` protocol): tasks stream their
+    rows to STAGED jsonl files and return commit messages; publication
+    is the mixin's manifest commit."""
+
+    EXT = "jsonl"
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"task-{uuid.uuid4().hex}.jsonl")
+        rows = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                rows += 1
+        return _SinkCommit(staged, rows)
+
+
+class ArrowManifestStreamWriter(_ManifestCommitMixin,
+                                DataSourceStreamArrowWriter):
+    """Arrow-native manifest sink (Spark 4.1
+    ``DataSourceStreamArrowWriter``): tasks receive ``RecordBatch``
+    iterators and stream them into STAGED parquet files — no Python
+    row objects, the zero-copy twin of the row-based sink above, under
+    the SAME manifest-commit exactly-once protocol."""
+
+    EXT = "parquet"
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging,
+                              f"task-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(staged, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return _SinkCommit(staged, rows)
+
+
 def read_manifest_sink(spark, path: str, schema_ddl: str):
     """Batch-read ONLY the manifest-listed files of a manifest sink —
     staged/orphaned files are invisible, which is the exactly-once
@@ -253,4 +305,6 @@ def read_manifest_sink(spark, path: str, schema_ddl: str):
                      for name in meta["files"])
     if not files:
         return spark.createDataFrame([], schema_ddl)
+    if files[0].endswith(".parquet"):        # Arrow sink variant
+        return spark.read.schema(schema_ddl).parquet(*files)
     return spark.read.schema(schema_ddl).json(files)

@@ -501,3 +501,37 @@ def test_pyds_push_filters_in_predicate(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Filter " not in plan, plan     # IN fully delegated
     assert sorted(r["k"] for r in df.collect()) == [10, 1500]
+
+
+def test_arrow_streaming_sink_manifest_commit(spark, tmp_path):
+    """DataSourceStreamArrowWriter variant of the manifest sink: tasks
+    write RecordBatches to staged parquet; per-batch manifests publish
+    atomically; no staged leftovers; read-back is exactly-once."""
+    import glob
+
+    from aws_etl_bank_spark.sources.pyds_stream import (
+        ShardedStreamDataSource, read_manifest_sink)
+
+    try:
+        spark.dataSource.register(ShardedStreamDataSource)
+    except Exception:
+        pass
+    df = spark.range(200).selectExpr("id AS event_id", "id % 5 AS k")
+    feed = str(tmp_path / "feed")
+    df.repartition(3).write.parquet(feed)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    sink = str(tmp_path / "sink")
+    q = (stream.writeStream.format("sharded_stream")
+         .option("path", sink).option("arrowSink", "true")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    manifests = glob.glob(sink + "/manifest-*.json")
+    assert len(manifests) == 3                 # one per micro-batch
+    assert glob.glob(sink + "/_staging/*") == []
+    assert all(f.endswith(".parquet")
+               for f in glob.glob(sink + "/data/*"))
+    back = read_manifest_sink(spark, sink, "event_id bigint, k bigint")
+    assert back.count() == 200
+    assert back.select("event_id").distinct().count() == 200
