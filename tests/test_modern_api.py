@@ -535,3 +535,55 @@ def test_arrow_streaming_sink_manifest_commit(spark, tmp_path):
     back = read_manifest_sink(spark, sink, "event_id bigint, k bigint")
     assert back.count() == 200
     assert back.select("event_id").distinct().count() == 200
+
+
+def test_pyds_push_filters_property_random_predicates(tmp_path):
+    """Property check (no Spark session needed): for random data and
+    random claimed predicates, the reader's surviving row groups plus
+    Arrow mask must reproduce exactly the rows a naive Python
+    evaluation keeps — row-group pruning may never drop a qualifying
+    row, and the mask may never keep a non-qualifying one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.datasource import (EqualTo, GreaterThan, In,
+                                        IsNotNull, LessThanOrEqual)
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetReader
+
+    idx = [0]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        data=st.lists(st.one_of(st.none(),
+                                st.integers(min_value=-50, max_value=50)),
+                      min_size=1, max_size=120),
+        kind=st.sampled_from(["eq", "gt", "le", "nn", "in"]),
+        v=st.integers(min_value=-55, max_value=55),
+        vs=st.lists(st.integers(min_value=-55, max_value=55),
+                    min_size=1, max_size=4),
+    )
+    def check(data, kind, v, vs):
+        idx[0] += 1
+        path = str(tmp_path / f"p{idx[0]}.parquet")
+        pq.write_table(pa.table({"k": pa.array(data, pa.int64())}),
+                       path, row_group_size=16)
+        flt = {"eq": EqualTo(("k",), v), "gt": GreaterThan(("k",), v),
+               "le": LessThanOrEqual(("k",), v),
+               "nn": IsNotNull(("k",)),
+               "in": In(("k",), tuple(vs))}[kind]
+        pred = {"eq": lambda x: x is not None and x == v,
+                "gt": lambda x: x is not None and x > v,
+                "le": lambda x: x is not None and x <= v,
+                "nn": lambda x: x is not None,
+                "in": lambda x: x is not None and x in vs}[kind]
+        r = PyArrowParquetReader({"path": path})
+        assert list(r.pushFilters([flt])) == []   # fully claimed
+        got = []
+        for p in r.partitions():
+            for b in r.read(p):
+                got.extend(b.column(0).to_pylist())
+        assert sorted(got) == sorted(x for x in data if pred(x))
+
+    check()
