@@ -20,61 +20,32 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 13, per the r12 verdict tasks 1 + 2 + 6): slot 1
-# is the round's one red row, rewritten through the proven
-# integer-cents canon (the r12 bisection read out decimal +
-# NULL-free-decimal probes RED vs bool + cents probes GREEN, all four
-# locally repr-identical vs DuckDB ⇒ the driver environment's bitwise
-# hash diverges on DECIMAL values; the four probes did their job and
-# are retired from the registry).  Slots 2-6 are the round's new
-# surfaces (pipe syntax, mergeable approx_top_k, statestore reader,
-# Python DataSource filter pushdown, Arrow streaming sink).
-# Slots 7-15 are the nine non-TPC-H r5-vintage refreshes; slots 16-35
-# the 20 TPC-H r5-vintage entries in numeric order (their money
-# outputs are all DOUBLE — the r13 DECIMAL sweep confirmed the only
-# DECIMAL-typed output columns in the whole registry were the retired
-# probe family, so the decimal divergence class cannot recur here).
-# Slots 36-50 are the first 15 r6-vintage entries (registry order).
+# Slot policy (round 14, per the r13 verdict tasks 1 + 2): slot 1 is
+# the PERMANENT driver-environment canary — one cheap 3-row aggregate
+# emitting every value class the driver's bitwise hash has to handle
+# (string / integer-cents BIGINT / ROUND-double / count / timestamp /
+# year-int / boolean), so any new driver-side canonicalization drift
+# (the class that burned r11-r13 on DECIMAL) reads out as one red
+# canary with a known-good local baseline instead of a mystery red in
+# a load-bearing entry.  Slots 2-3 are the two entries whose semantics
+# changed this round (sample_limit folded onto its invariant oracle,
+# VERDICT r13 task 4; src_pyds_filter_pushdown after the float-column
+# NaN yield-back, ADVICE r13 medium) — both need fresh driver
+# attestation.  Slots 4-34 are the 31 remaining r6-vintage refreshes
+# (registry order, continuing the written r13 queue); slots 35-50 the
+# r7-vintage head.  After this round the oldest driver evidence is r7.
 _PRIORITY = [
-    # slot 1: the r12 red row, folded onto the cents canon
-    "scalar_exists_subqueries",
-    # slots 2-6: NEW in r13 — SQL pipe syntax (|> chains), the
-    # mergeable approx_top_k accumulate/combine/estimate path, the
-    # statestore batch format reading a streaming checkpoint, Python
-    # DataSource filter pushdown (pushFilters row-group pruning), and
-    # the Arrow streaming manifest sink (DataSourceStreamArrowWriter);
-    # each verified at sf0.01 + sf1 the day it landed
-    "sql_pipe_syntax_pricing", "agg_approx_top_k_merge",
-    "stream_state_reader", "src_pyds_filter_pushdown",
-    "stream_pyds_arrow_sink",
-    # slots 7-15: non-TPC-H r5-vintage refreshes
-    "src_jsonl_roundtrip", "src_orc_roundtrip",
-    "stream_incremental_dedup",
-    "text_hash_split", "text_pack_sequences", "text_unigram_logprob",
-    "ts_rolling_zscore_bucketed", "ts_rollup_incremental_merge",
-    "win_first_last_nth",
-    # slots 16-35: TPC-H r5-vintage refreshes (q12/q16 are r6-vintage
-    # and queue with their cohort below)
-    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_type_profit", "tpch_q10_returned_items",
-    "tpch_q11_important_stock", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity", "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_revenue", "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier", "tpch_q22_dormant_high_balance",
-    # slots 36-50: r6-vintage refreshes, first 15 in registry order
-    "fact_snapshot", "fact_snapshot_split",
-    "win_running_sum_cust_split", "win_row_number_topk",
-    "join_dynamicframe_equi", "join_multiway_sql",
-    "join_left_semi", "join_left_anti", "join_expr_month",
-    "merge_upsert", "apply_mapping_cast", "select_fields_nested",
-    "drop_fields_op", "rename_field_op", "split_rows_match",
-    # ---- 50-slot waterline: split_rows_match is slot 50
-    # r14 head: the 31 remaining r6-vintage entries, then r7-vintage
-    # (win_lag_delta onward, registry order) to fill the window
+    # slot 1: permanent canary (VERDICT r13 task 2)
+    "canary_driver_hash_types",
+    # slots 2-3: semantics changed in r14 — re-attest
+    "sample_limit", "src_pyds_filter_pushdown",
+    # slot 4: NEW in r14 — SQL scripting (BEGIN/END, DECLARE/SET,
+    # WHILE loop; the round's new-surface probe: recursive CTE was
+    # already covered r11, VARIANT shredded-write and Python
+    # DataSource limit/agg pushdown are absent from this build —
+    # probe lines in PERF.md)
+    "sql_scripting_while_loop",
+    # slots 5-35: the 31 remaining r6-vintage refreshes
     "split_rows_rest", "split_fields_op", "agg_rollup_nation_year",
     "sketch_count_min_estimates", "win_rank_family",
     "quality_metrics_orders", "quality_check_lineitem",
@@ -89,14 +60,23 @@ _PRIORITY = [
     "dedup_semantic_pairs_full", "text_decontaminate_semantic",
     "ann_pq_planted_twin", "stream_cdc_scd2", "text_gopher_filter",
     "ann_ivfpq_planted_twin",
+    # slots 36-50: r7-vintage head (registry order; sample_limit
+    # already holds slot 2)
     "win_lag_delta", "filter_python_predicate", "filter_drop_policy",
     "map_python_records", "map_error_policy", "drop_null_fields_op",
     "union_by_name_drift", "union_choice_cast",
     "resolve_choice_make_cols", "subtract_op", "intersect_op",
-    "distinct_op", "orderby_topk", "sample_limit", "scalar_dates",
-    "scalar_when_case", "scalar_strings", "udf_surface",
+    "distinct_op", "orderby_topk", "scalar_dates",
+    "scalar_when_case",
+    # ---- 50-slot waterline: scalar_when_case is slot 50
+    # r15 head: remaining r7-vintage, registry order
+    "scalar_strings", "udf_surface",
     "filter_sql_expr", "string_cleanup", "repartition_coalesce",
     "explode_split", "posexplode_index", "replace_array_element",
+    "named_struct_op", "unnest_struct", "unnest_ddb", "unbox_json",
+    "relationalize_root", "relationalize_child",
+    "errors_as_dynamic_frame", "collection_select_map",
+    "count_actions", "spigot_passthrough", "partitions_after_repartition",
 ]
 
 

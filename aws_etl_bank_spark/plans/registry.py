@@ -783,25 +783,34 @@ def orderby_topk(spark, sf_dir):
     )
 
 
-@q("sample_limit")  # rows-only: unordered limit has no stable value set
+@q("sample_limit", """
+SELECT CAST(50 AS BIGINT) AS n_contained,
+       CAST(50 AS BIGINT) AS n_distinct,
+       CAST(50 AS BIGINT) AS n_rows""")
 def sample_limit(spark, sf_dir):
-    return load_table(spark, sf_dir, "orders").limit(50)
-
-
-@q("sample_limit_contained", "SELECT CAST(50 AS BIGINT) AS n_contained")
-def sample_limit_contained(spark, sf_dir):
-    """Derived oracle for the unordered LIMIT: which 50 rows come back is
-    nondeterministic, but (a) exactly 50 must come back and (b) every one
-    must be a genuine source row.  A left-semi join of the limited set
-    against the source emits each limited row at most once, so its count
-    equals 50 iff both properties hold — a single pinned-literal oracle
-    covers count AND containment (VERDICT r4 item 4a)."""
+    """Unordered LIMIT, oracle-checked through its invariants (VERDICT
+    r13 task 4, folding in the old ``sample_limit_contained`` from
+    VERDICT r4 item 4a): WHICH 50 rows come back is nondeterministic,
+    so the entry emits the three properties any correct limit must
+    satisfy — (a) exactly 50 rows (``n_rows``), (b) every one a
+    genuine source row via left-semi join back to the base table
+    (``n_contained``; a semi join preserves duplicates in the probe
+    side, so a duplicated output row would still need a source match),
+    and (c) all 50 distinct (``n_distinct``; orders rows are unique,
+    so a limit that repeated a row would read < 50).  Each branch
+    re-evaluates ``limit(50)`` independently — nondeterminism across
+    evaluations is fine because only the invariant counts are
+    emitted."""
     o = load_table(spark, sf_dir, "orders")
+    cols = o.columns
     lim = o.limit(50)
-    return (
-        lim.join(o, on=list(lim.columns), how="left_semi")
-        .agg(F.count(F.lit(1)).alias("n_contained"))
-    )
+    base = lim.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"))
+    contained = (o.limit(50).join(o, on=cols, how="left_semi")
+                 .agg(F.count(F.lit(1)).alias("n_contained")))
+    return contained.crossJoin(base).select(
+        "n_contained", "n_distinct", "n_rows")
 
 
 # ===========================================================================
@@ -8204,19 +8213,23 @@ def stream_state_reader(spark, sf_dir):
 @q("src_pyds_filter_pushdown", """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 200000 AND o_orderstatus = 'F'""")
+WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
+  AND o_orderkey >= 1000""")
 def src_pyds_filter_pushdown(spark, sf_dir):
     """FILTER PUSHDOWN through the custom Python DataSource (Spark
     4.1's ``DataSourceReader.pushFilters``, sources/pyds.py): the
-    comparison and equality predicates are claimed by the connector,
-    which (a) prunes whole ROW GROUPS from the plan using footer
-    min/max statistics — the same skip native parquet scans get — and
-    (b) applies the residual mask with Arrow compute inside the task,
-    so Spark plans NO post-scan Filter at all (plan-pinned in
-    tests/test_modern_api.py).  At 100 TB this is the difference
-    between a connector that ships every row to Spark and one that
-    reads only qualifying row groups.  Identity columns make the
-    oracle a plain WHERE."""
+    string-equality and integer-range predicates are claimed by the
+    connector, which (a) prunes whole ROW GROUPS from the plan using
+    footer min/max statistics — the same skip native parquet scans
+    get — and (b) applies the residual mask with Arrow compute inside
+    the task.  The DOUBLE comparison (`o_totalprice > 200000`) is
+    deliberately YIELDED BACK to Spark (ADVICE r13): Spark's NaN
+    semantics (NaN = NaN true; NaN > every double) differ from IEEE
+    pyarrow.compute, and Spark never re-evaluates claimed filters, so
+    float-column comparisons are never claimable.  At 100 TB this is
+    the difference between a connector that ships every row to Spark
+    and one that reads only qualifying row groups.  Identity columns
+    make the oracle a plain WHERE."""
     import os
 
     from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
@@ -8228,5 +8241,89 @@ def src_pyds_filter_pushdown(spark, sf_dir):
     return (spark.read.format("pyarrow_parquet")
             .option("path", os.path.join(sf_dir, "orders.parquet"))
             .load()
-            .filter("o_totalprice > 200000 AND o_orderstatus = 'F'")
+            .filter("o_totalprice > 200000 AND o_orderstatus = 'F' "
+                    "AND o_orderkey >= 1000")
             .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@q("canary_driver_hash_types", """
+SELECT o_orderstatus AS status,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       ROUND(AVG(o_totalprice), 2) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order,
+       CAST(year(MIN(o_orderdate)) AS INTEGER) AS first_year,
+       COUNT(*) > 100 AS is_common
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus""")
+def canary_driver_hash_types(spark, sf_dir):
+    """DRIVER-ENVIRONMENT CANARY (VERDICT r13 task 2): a deliberately
+    cheap 3-row aggregate emitting one column of every value class the
+    driver's bitwise hash canon has to handle — STRING key,
+    integer-CENTS money (the proven-safe canon from the r11-r13
+    DECIMAL-divergence incident: the driver environment's pandas hash
+    diverges from local on DECIMAL values, so money is summed as
+    ``BIGINT`` cents), a ``ROUND(..., 2)`` DOUBLE, a BIGINT count, a
+    TIMESTAMP min, a ``year()`` INTEGER, and a BOOLEAN.  This entry is
+    pinned to slot 1 of the driver's 50-entry window every round: any
+    NEW driver-side hash divergence (a pandas/pyarrow upgrade changing
+    canonicalization of one of these types) shows up as one red canary
+    with a known-good local baseline, instead of a mystery red in a
+    load-bearing entry.  Sub-second at sf0.01."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100)
+                  .cast("bigint")).cast("bigint").alias("sum_cents"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").cast("timestamp").alias("first_order"),
+            F.year(F.min("o_orderdate")).cast("int").alias("first_year"),
+            (F.count(F.lit(1)) > 100).alias("is_common"),
+        )
+        .orderBy("status")
+    )
+
+
+@q("sql_scripting_while_loop", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE year(o_orderdate) BETWEEN 1995 AND 2001""")
+def sql_scripting_while_loop(spark, sf_dir):
+    """SQL SCRIPTING (Spark 4.1 ``BEGIN ... END`` blocks, probed and
+    adopted r14): session variables (``DECLARE``/``SET``), a ``WHILE``
+    loop, and scalar-subquery assignment — the procedural surface a
+    migration from stored-procedure warehouses needs.  The script
+    walks the order years 1995-2001, accumulating an exact
+    integer-CENTS revenue total and an order count into BIGINT
+    variables (cents, not doubles, so the per-iteration accumulation
+    order can never diverge bitwise from the oracle's single SUM).
+    Honesty note on the plan: the loop issues one filtered aggregate
+    per year — 7 bounded scans — which is exactly why the docstring
+    points at the single GROUP BY as the recommended form at 100 TB;
+    the entry exists to pin the SCRIPTING surface (control flow,
+    variable state, loop termination), not to recommend the shape.
+    The oracle is the closed-form aggregate over the same year band."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__script_orders")
+    return spark.sql("""
+        BEGIN
+          DECLARE y INT DEFAULT 1995;
+          DECLARE cents BIGINT DEFAULT 0;
+          DECLARE n BIGINT DEFAULT 0;
+          WHILE y <= 2001 DO
+            SET cents = cents + (
+                SELECT COALESCE(SUM(CAST(ROUND(o_totalprice * 100)
+                                         AS BIGINT)), 0)
+                FROM __script_orders WHERE year(o_orderdate) = y);
+            SET n = n + (SELECT COUNT(*) FROM __script_orders
+                         WHERE year(o_orderdate) = y);
+            SET y = y + 1;
+          END WHILE;
+          SELECT n AS n_orders, cents AS total_cents;
+        END""")

@@ -76,10 +76,23 @@ class PyArrowParquetDataSource(DataSource):
 
 class PyArrowParquetReader(DataSourceReader):
     def __init__(self, options):
+        import pyarrow.parquet as pq
+
         self.path = options["path"]
         self.columns = [c for c in options.get("columns", "").split(",")
                         if c] or None
         self.pushed: list = []
+        # floating-point columns by name (driver-side footer read):
+        # Spark's SQL comparison semantics on doubles differ from IEEE
+        # (NaN = NaN is TRUE; NaN sorts GREATER than every double), and
+        # Spark does NOT re-evaluate filters a reader claims — so any
+        # comparison touching a float column (or a NaN literal) must be
+        # yielded back, never claimed (ADVICE r13, medium).
+        sch = pq.read_schema(self.path)
+        self._float_cols = {
+            name for name in sch.names
+            if str(sch.field(name).type) in ("float", "double",
+                                             "halffloat")}
 
     def pushFilters(self, filters):
         """Filter pushdown (Spark 4.1 ``DataSourceReader.pushFilters``):
@@ -95,18 +108,37 @@ class PyArrowParquetReader(DataSourceReader):
                                             IsNotNull, LessThan,
                                             LessThanOrEqual)
 
+        import math
+
         prims = (int, float, str, bool)
+
+        def _nan(v):
+            return isinstance(v, float) and math.isnan(v)
+
         supported = (EqualTo, GreaterThan, GreaterThanOrEqual,
                      LessThan, LessThanOrEqual, IsNotNull, In)
         for f in filters:
             if isinstance(f, In):
                 ok = (len(f.attribute) == 1 and f.value
-                      and all(isinstance(v, prims) for v in f.value))
+                      and all(isinstance(v, prims) for v in f.value)
+                      and not any(_nan(v) for v in f.value))
             else:
                 ok = (isinstance(f, supported)
                       and len(f.attribute) == 1
                       and (isinstance(f, IsNotNull)
-                           or isinstance(f.value, prims)))
+                           or (isinstance(f.value, prims)
+                               and not _nan(f.value))))
+            # comparisons against a floating-point COLUMN are unsafe
+            # even with a non-NaN literal: the column may hold NaN,
+            # and Spark orders NaN above every double while IEEE
+            # (pyarrow.compute, Python <) makes every NaN comparison
+            # false — e.g. `x > 5.0` must RETURN NaN rows under Spark
+            # semantics but the claimed mask would drop them.
+            # IsNotNull stays claimable (NaN is non-null under both).
+            if ok and not isinstance(f, IsNotNull) \
+                    and len(f.attribute) == 1 \
+                    and f.attribute[0] in self._float_cols:
+                ok = False
             if ok:
                 self.pushed.append(f)
             else:
@@ -295,8 +327,17 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
         for m in messages or []:
             staged = getattr(m, "staged", None)
             final = getattr(m, "file", None)
-            if staged and final and os.path.exists(staged):
-                os.replace(staged, final)
+            if not (staged and final):
+                continue                 # genuinely empty partition
+            if not os.path.exists(staged):
+                # a WINNING attempt's staged file is gone (swept,
+                # lost, external delete): publishing without it would
+                # be silent data loss — fail the job commit instead
+                # (ADVICE r13, low)
+                raise RuntimeError(
+                    f"pyarrow_parquet commit: staged file missing for "
+                    f"a committed task attempt: {staged}")
+            os.replace(staged, final)
         self._sweep_staged()                      # losing attempts
 
     def abort(self, messages):

@@ -587,3 +587,92 @@ def test_pyds_push_filters_property_random_predicates(tmp_path):
         assert sorted(got) == sorted(x for x in data if pred(x))
 
     check()
+
+
+def test_pyds_push_filters_yield_back_float_columns(tmp_path):
+    """ADVICE r13 (medium): Spark's double semantics (NaN = NaN is
+    TRUE; NaN sorts GREATER than every double) differ from the IEEE
+    semantics of pyarrow.compute, and Spark never re-evaluates claimed
+    filters — so comparisons on floating-point columns (or with NaN
+    literals) must be yielded back, never claimed.  IsNotNull stays
+    claimable (NaN is non-null under both)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import (EqualTo, GreaterThan, In,
+                                        IsNotNull)
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetReader
+
+    path = str(tmp_path / "f.parquet")
+    pq.write_table(pa.table({
+        "d": pa.array([1.0, float("nan"), 7.5], pa.float64()),
+        "k": pa.array([1, 2, 3], pa.int64())}), path)
+    r = PyArrowParquetReader({"path": path})
+    residual = list(r.pushFilters([
+        GreaterThan(("d",), 5.0),        # float COLUMN: yield back
+        EqualTo(("d",), 1.0),            # float COLUMN: yield back
+        IsNotNull(("d",)),               # safe: claim
+        GreaterThan(("k",), float("nan")),   # NaN literal: yield back
+        In(("k",), (1.0, float("nan"))),     # NaN in list: yield back
+        EqualTo(("k",), 2),              # int col, int value: claim
+    ]))
+    assert sorted(type(f).__name__ for f in residual) == \
+        ["EqualTo", "GreaterThan", "GreaterThan", "In"]
+    assert sorted(type(f).__name__ for f in r.pushed) == \
+        ["EqualTo", "IsNotNull"]
+    assert all(not isinstance(getattr(f, "value", None), float)
+               or not math.isnan(f.value) for f in r.pushed)
+
+
+def test_pyds_float_column_nan_rows_survive_spark_filter(spark, tmp_path):
+    """End-to-end fidelity for the float yield-back: `d > 5.0` under
+    Spark semantics RETURNS the NaN row (NaN > everything); with the
+    comparison correctly left to Spark the connector must produce it."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
+
+    path = str(tmp_path / "f.parquet")
+    pq.write_table(pa.table({
+        "d": pa.array([1.0, float("nan"), 7.5, None], pa.float64()),
+        "k": pa.array([1, 2, 3, 4], pa.int64())}), path)
+    try:
+        spark.dataSource.register(PyArrowParquetDataSource)
+    except Exception:
+        pass
+    got = (spark.read.format("pyarrow_parquet").option("path", path)
+           .load().filter("d > 5.0").orderBy("k").collect())
+    assert [r.k for r in got] == [2, 3]
+    assert math.isnan(got[0].d) and got[1].d == 7.5
+    # and NaN = NaN is TRUE under Spark SQL
+    got2 = (spark.read.format("pyarrow_parquet").option("path", path)
+            .load().filter("d = double('nan')").collect())
+    assert [r.k for r in got2] == [2]
+
+
+def test_pyds_commit_raises_on_missing_staged_file(tmp_path):
+    """ADVICE r13 (low): a WINNING attempt whose staged file vanished
+    must fail the job commit — silently skipping it would publish a
+    job missing that partition's data."""
+    import os
+
+    import pyarrow as pa
+    import pytest
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetWriter
+
+    path = str(tmp_path / "out")
+    w = PyArrowParquetWriter({"path": path}, overwrite=True)
+    batch = pa.record_batch({"x": pa.array([1, 2], pa.int64())})
+    msg = w.write(iter([batch]))
+    os.remove(msg.staged)                # simulate a swept/lost stage file
+    with pytest.raises(RuntimeError, match="staged file missing"):
+        w.commit([msg])
+    # empty-partition messages (no staged attr) still commit cleanly
+    empty = w.write(iter([]))
+    w.commit([empty])

@@ -287,3 +287,28 @@ def test_invalid_utf8_string_raises_decode_error():
     m = sm.StateCallCommand()
     with pytest.raises(DecodeError):
         m.ParseFromString(bad)
+
+
+def test_stale_lazy_child_detached_on_reparse():
+    """ADVICE r13 (low): ParseFromString/CopyFrom discard pending
+    lazy children — a previously vivified child reference written
+    AFTER a re-parse must NOT re-attach and clobber the freshly
+    parsed field value (real protobuf disconnects child listeners
+    on clear)."""
+    sm = _pb2()
+    cmd = sm.StateCallCommand()
+    stale = cmd.ttl                      # pending lazy child
+    fresh = sm.StateCallCommand()
+    fresh.stateName = "s"
+    fresh.ttl.durationMs = 111
+    cmd.ParseFromString(fresh.SerializeToString())
+    assert cmd.ttl.durationMs == 111
+    stale.durationMs = 999               # write through the stale ref
+    assert cmd.ttl.durationMs == 111     # parsed value NOT clobbered
+    assert not stale is cmd.ttl
+    # CopyFrom takes the same path
+    cmd2 = sm.StateCallCommand()
+    stale2 = cmd2.ttl
+    cmd2.CopyFrom(fresh)
+    stale2.durationMs = 888
+    assert cmd2.ttl.durationMs == 111
