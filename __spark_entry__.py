@@ -39,13 +39,19 @@ _PRIORITY = [
     "canary_driver_hash_types",
     # slots 2-3: semantics changed in r14 — re-attest
     "sample_limit", "src_pyds_filter_pushdown",
-    # slot 4: NEW in r14 — SQL scripting (BEGIN/END, DECLARE/SET,
-    # WHILE loop; the round's new-surface probe: recursive CTE was
-    # already covered r11, VARIANT shredded-write and Python
-    # DataSource limit/agg pushdown are absent from this build —
-    # probe lines in PERF.md)
-    "sql_scripting_while_loop",
-    # slots 5-35: the 31 remaining r6-vintage refreshes
+    # slots 4-11: NEW in r14 — SQL scripting (BEGIN/END, DECLARE/SET,
+    # WHILE loop), conditional/boolean aggregates, EXECUTE IMMEDIATE,
+    # IDENTIFIER + named parameters, GROUP BY ALL, TABLESAMPLE (ROWS)
+    # under the invariant oracle, session variables, and the SQL PIVOT
+    # clause.  (Round probes that did NOT become entries: recursive
+    # CTE already covered r11; VARIANT shredded-write, Python
+    # DataSource limit/agg pushdown absent from this build;
+    # histogram_numeric merge-order-nondeterministic — PERF.md.)
+    "sql_scripting_while_loop", "agg_conditional_bool_family",
+    "sql_execute_immediate", "sql_identifier_params",
+    "agg_group_by_all", "sample_tablesample_rows",
+    "sql_session_variables", "sql_pivot_clause",
+    # slots 12-42: the 31 remaining r6-vintage refreshes
     "split_rows_rest", "split_fields_op", "agg_rollup_nation_year",
     "sketch_count_min_estimates", "win_rank_family",
     "quality_metrics_orders", "quality_check_lineitem",
@@ -60,17 +66,16 @@ _PRIORITY = [
     "dedup_semantic_pairs_full", "text_decontaminate_semantic",
     "ann_pq_planted_twin", "stream_cdc_scd2", "text_gopher_filter",
     "ann_ivfpq_planted_twin",
-    # slots 36-50: r7-vintage head (registry order; sample_limit
+    # slots 43-50: r7-vintage head (registry order; sample_limit
     # already holds slot 2)
     "win_lag_delta", "filter_python_predicate", "filter_drop_policy",
     "map_python_records", "map_error_policy", "drop_null_fields_op",
     "union_by_name_drift", "union_choice_cast",
+    # ---- 50-slot waterline: union_choice_cast is slot 50
+    # r15 head: remaining r7-vintage, registry order
     "resolve_choice_make_cols", "subtract_op", "intersect_op",
     "distinct_op", "orderby_topk", "scalar_dates",
-    "scalar_when_case",
-    # ---- 50-slot waterline: scalar_when_case is slot 50
-    # r15 head: remaining r7-vintage, registry order
-    "scalar_strings", "udf_surface",
+    "scalar_when_case", "scalar_strings", "udf_surface",
     "filter_sql_expr", "string_cleanup", "repartition_coalesce",
     "explode_split", "posexplode_index", "replace_array_element",
     "named_struct_op", "unnest_struct", "unnest_ddb", "unbox_json",

@@ -8327,3 +8327,215 @@ def sql_scripting_while_loop(spark, sf_dir):
           END WHILE;
           SELECT n AS n_orders, cents AS total_cents;
         END""")
+
+
+# ===========================================================================
+# r14 SQL-surface sweep: conditional/boolean aggregates, parameterized &
+# dynamic SQL (named markers, EXECUTE IMMEDIATE, IDENTIFIER), GROUP BY
+# ALL, TABLESAMPLE, session variables, SQL PIVOT clause
+# ===========================================================================
+
+
+@q("agg_conditional_bool_family", """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+           AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       o_orderstatus AS status_copy
+FROM orders GROUP BY o_orderstatus""")
+def agg_conditional_bool_family(spark, sf_dir):
+    """Conditional/boolean aggregate family: ``count_if`` (one-pass
+    conditional count — the FILTER-clause equivalent without a
+    subquery), ``bool_and``/``bool_or`` (universal/existential
+    quantifiers as aggregates), and ``any_value`` pinned DETERMINISTIC
+    by applying it to a group-constant expression (any_value of the
+    group key itself) — the only shape where its result is
+    oracle-comparable.  All four run inside the same partial+final
+    hash aggregate as the plain counts, so the 100 TB cost is one
+    map-side-combined pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT")
+             .alias("any_urgent"),
+            F.any_value(F.col("o_orderstatus")).alias("status_copy"),
+        )
+    )
+
+
+@q("sql_execute_immediate", """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE o_totalprice > 150000
+GROUP BY o_orderpriority""")
+def sql_execute_immediate(spark, sf_dir):
+    """``EXECUTE IMMEDIATE`` (Spark 4 dynamic SQL): the statement text
+    is a value, bound parameters arrive via ``USING <expr> AS name`` —
+    the surface a stored-procedure migration uses for runtime-composed
+    queries.  The executed statement is ordinary SQL, so Catalyst
+    plans it identically to the static form (scan + pushed filter +
+    partial/final hash agg); only parsing moves to execution time.
+    Money flows through the integer-cents canon."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__ei_orders")
+    return spark.sql("""
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM __ei_orders
+           WHERE o_totalprice > :lo
+           GROUP BY o_orderpriority'
+          USING 150000 AS lo""")
+
+
+@q("sql_identifier_params", """
+SELECT o_orderstatus AS group_key,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+WHERE o_totalprice > 250000
+GROUP BY o_orderstatus""")
+def sql_identifier_params(spark, sf_dir):
+    """Parameterized SQL (named ``:marker`` arguments to
+    ``spark.sql(..., args=...)``) combined with the ``IDENTIFIER()``
+    clause, which promotes a VALUE parameter to a column/table
+    IDENTIFIER safely — the injection-proof way to template the same
+    query over different group-by columns or tables (vs string
+    concatenation).  Catalyst resolves IDENTIFIER at analysis time, so
+    the plan is the ordinary static-column plan with the filter pushed
+    to the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__idp_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol) AS group_key,
+               COUNT(*) AS n,
+               ROUND(MAX(IDENTIFIER(:vcol)), 2) AS max_price
+        FROM IDENTIFIER(:tbl)
+        WHERE IDENTIFIER(:vcol) > :lo
+        GROUP BY IDENTIFIER(:gcol)
+        """,
+        args={"gcol": "o_orderstatus", "vcol": "o_totalprice",
+              "tbl": "__idp_orders", "lo": 250000},
+    )
+
+
+@q("agg_group_by_all", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority""")
+def agg_group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` (group by every non-aggregate select item) —
+    pure analyzer sugar that expands to the explicit column list
+    before optimization, so the plan is byte-identical to the
+    spelled-out GROUP BY; the entry pins that the dialect shortcut
+    resolves the same grouping.  The oracle spells the columns out."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gba_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM __gba_orders
+        GROUP BY ALL""")
+
+
+@q("sample_tablesample_rows", """
+SELECT CAST(75 AS BIGINT) AS n_contained,
+       CAST(75 AS BIGINT) AS n_distinct,
+       CAST(75 AS BIGINT) AS n_rows""")
+def sample_tablesample_rows(spark, sf_dir):
+    """``TABLESAMPLE (75 ROWS)`` — the SQL-standard sampling clause in
+    its exact-row-count form — checked through the same invariant
+    oracle as the unordered LIMIT (sample_limit): WHICH rows are
+    sampled is nondeterministic, so the entry emits (a) exactly 75
+    rows, (b) all contained in the base table via left-semi join, and
+    (c) all distinct.  (The BERNOULLI percent form has a
+    nondeterministic COUNT as well, which no invariant short of a
+    tolerance band can pin — the ROWS form is the oracle-able one.)"""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__ts_orders")
+    cols = o.columns
+    samp = spark.sql("SELECT * FROM __ts_orders TABLESAMPLE (75 ROWS)")
+    base = samp.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"))
+    contained = (
+        spark.sql("SELECT * FROM __ts_orders TABLESAMPLE (75 ROWS)")
+        .join(o, on=cols, how="left_semi")
+        .agg(F.count(F.lit(1)).alias("n_contained")))
+    return contained.crossJoin(base).select(
+        "n_contained", "n_distinct", "n_rows")
+
+
+@q("sql_session_variables", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_above,
+       ROUND(MIN(o_totalprice), 2) AS min_above
+FROM orders
+WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2 FROM orders)""")
+def sql_session_variables(spark, sf_dir):
+    """SQL session variables (Spark 4 ``DECLARE VARIABLE`` / ``SET
+    VAR`` outside any script): a variable holds a scalar computed by
+    one query and parameterizes the next — the session-state surface
+    scripts build on, usable from plain ``spark.sql`` calls.  The
+    threshold is MAX/2, not AVG: max is order-of-accumulation
+    independent and IEEE division by 2 is exact, so the variable's
+    bits match the oracle's scalar subquery exactly (an AVG threshold
+    could flip boundary rows between engines).  At plan time the
+    variable is a literal — the filter still pushes to the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__var_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE __r14_price_thresh DOUBLE "
+              "DEFAULT 0.0")
+    spark.sql("SET VAR __r14_price_thresh = "
+              "(SELECT MAX(o_totalprice) / 2 FROM __var_orders)")
+    return spark.sql("""
+        SELECT COUNT(*) AS n_above,
+               ROUND(MIN(o_totalprice), 2) AS min_above
+        FROM __var_orders
+        WHERE o_totalprice > __r14_price_thresh""")
+
+
+@q("sql_pivot_clause", """
+SELECT o_orderpriority,
+       CASE WHEN COUNT(*) FILTER (WHERE o_orderstatus = 'F') = 0
+            THEN NULL ELSE COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+       END AS f,
+       CASE WHEN COUNT(*) FILTER (WHERE o_orderstatus = 'O') = 0
+            THEN NULL ELSE COUNT(*) FILTER (WHERE o_orderstatus = 'O')
+       END AS o,
+       CASE WHEN COUNT(*) FILTER (WHERE o_orderstatus = 'P') = 0
+            THEN NULL ELSE COUNT(*) FILTER (WHERE o_orderstatus = 'P')
+       END AS p
+FROM orders
+GROUP BY o_orderpriority""")
+def sql_pivot_clause(spark, sf_dir):
+    """The SQL ``PIVOT`` clause (vs the DataFrame ``pivot()`` already
+    pinned by pivot_event_counts): explicit IN-list of output columns,
+    so Spark plans ONE aggregate with no distinct-values discovery
+    job.  Fidelity detail the oracle encodes: a pivot cell whose group
+    is EMPTY is NULL (the aggregate never ran), not COUNT's usual 0 —
+    hence the CASE..FILTER oracle shape.  Explicit IN-lists are also
+    the 100 TB posture: auto-discovered pivot values add a full
+    distinct pass over the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__pv_orders")
+    return spark.sql("""
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus FROM __pv_orders
+        )
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS f, 'O' AS o,
+                                              'P' AS p))""")
