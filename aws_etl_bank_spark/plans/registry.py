@@ -8539,3 +8539,76 @@ def sql_pivot_clause(spark, sf_dir):
         )
         PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS f, 'O' AS o,
                                               'P' AS p))""")
+
+
+@q("udtf_polymorphic_analyze", """
+SELECT o_orderpriority,
+       split_part(o_orderpriority, '-', 1) AS p0,
+       split_part(o_orderpriority, '-', 2) AS p1,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority""")
+def udtf_polymorphic_analyze(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (the Spark 4 ``analyze()`` static
+    method): the output SCHEMA is computed at plan time from the
+    call's constant arguments — here ``split_parts(col, 2)`` derives
+    two string columns from the literal 2 — the table-function
+    counterpart of generics (the earlier UDTF entries use static
+    returnType).  ``AnalyzeArgument.isConstantExpression`` gates the
+    schema-driving arg, so a non-literal width fails at analysis, not
+    mid-job.  Execution is the ordinary Arrow-batched lateral join;
+    the oracle is split_part (priorities are always two-part, so the
+    missing-part NULL path never fires on this data)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitParts:
+        @staticmethod
+        def analyze(s: AnalyzeArgument,
+                    n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise ValueError("split_parts: n must be a literal")
+            return AnalyzeResult(schema=StructType(
+                [StructField(f"p{i}", StringType())
+                 for i in range(int(n.value))]))
+
+        def eval(self, s, n):
+            parts = (s or "").split("-")
+            yield tuple(parts[i] if i < len(parts) else None
+                        for i in range(n))
+
+    spark.udtf.register("__r14_split_parts", udtf(SplitParts))
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__udtfa_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, sp.p0, sp.p1, COUNT(*) AS n
+        FROM __udtfa_orders,
+             LATERAL __r14_split_parts(o_orderpriority, 2) sp
+        GROUP BY o_orderpriority, sp.p0, sp.p1""")
+
+
+@q("sql_distribute_sort_by", """
+SELECT o_orderstatus,
+       o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+WHERE o_totalprice > 300000""")
+def sql_distribute_sort_by(spark, sf_dir):
+    """``DISTRIBUTE BY`` + ``SORT BY`` (the Hive-dialect plan-shaping
+    clauses): hash-partition by one key and sort WITHIN each partition
+    by another — one Exchange plus a partition-local sort, NO global
+    order and therefore no range-exchange/final-merge.  This is the
+    write-preparation shape for clustered output at 100 TB (e.g.
+    per-status files ordered by key for downstream merge joins), where
+    a full ORDER BY would add a pointless global sort.  Content is
+    partitioning-invariant, so the oracle is the plain projection;
+    the partition-local plan shape is what the entry pins."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__dsb_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM __dsb_orders
+        WHERE o_totalprice > 300000
+        DISTRIBUTE BY o_orderstatus SORT BY o_orderkey""")
