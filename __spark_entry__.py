@@ -51,10 +51,13 @@ _PRIORITY = [
     "sql_execute_immediate", "sql_identifier_params",
     "agg_group_by_all", "sample_tablesample_rows",
     "sql_session_variables", "sql_pivot_clause",
-    # slots 12-13: NEW in r14 — polymorphic UDTF (analyze()-derived
-    # schema) and DISTRIBUTE BY / SORT BY partition-local ordering
+    # slots 12-15: NEW in r14 — polymorphic UDTF (analyze()-derived
+    # schema), DISTRIBUTE BY / SORT BY partition-local ordering, the
+    # named WINDOW clause (one shared sort pass), LIMIT..OFFSET
+    # pagination (QUALIFY probed: not in this build's parser)
     "udtf_polymorphic_analyze", "sql_distribute_sort_by",
-    # slots 14-44: the 31 remaining r6-vintage refreshes
+    "sql_named_window_clause", "sql_limit_offset_page",
+    # slots 16-46: the 31 remaining r6-vintage refreshes
     "split_rows_rest", "split_fields_op", "agg_rollup_nation_year",
     "sketch_count_min_estimates", "win_rank_family",
     "quality_metrics_orders", "quality_check_lineitem",
@@ -69,12 +72,13 @@ _PRIORITY = [
     "dedup_semantic_pairs_full", "text_decontaminate_semantic",
     "ann_pq_planted_twin", "stream_cdc_scd2", "text_gopher_filter",
     "ann_ivfpq_planted_twin",
-    # slots 45-50: r7-vintage head (registry order; sample_limit
+    # slots 47-50: r7-vintage head (registry order; sample_limit
     # already holds slot 2)
     "win_lag_delta", "filter_python_predicate", "filter_drop_policy",
-    "map_python_records", "map_error_policy", "drop_null_fields_op",
-    # ---- 50-slot waterline: drop_null_fields_op is slot 50
+    "map_python_records",
+    # ---- 50-slot waterline: map_python_records is slot 50
     # r15 head: remaining r7-vintage, registry order
+    "map_error_policy", "drop_null_fields_op",
     "union_by_name_drift", "union_choice_cast",
     "resolve_choice_make_cols", "subtract_op", "intersect_op",
     "distinct_op", "orderby_topk", "scalar_dates",

@@ -8612,3 +8612,61 @@ def sql_distribute_sort_by(spark, sf_dir):
         FROM __dsb_orders
         WHERE o_totalprice > 300000
         DISTRIBUTE BY o_orderstatus SORT BY o_orderkey""")
+
+
+@q("sql_named_window_clause", """
+SELECT o_orderkey,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+           AS run_cents,
+       CAST(COUNT(*) OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_orderkey) AS BIGINT) AS run_n,
+       CAST(rank() OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_orderkey) AS INT) AS rnk
+FROM orders
+WHERE o_totalprice > 400000""")
+def sql_named_window_clause(spark, sf_dir):
+    """The SQL ``WINDOW`` clause (named window definitions): three
+    window functions share ONE spec by name, which guarantees — at the
+    dialect level, not just by optimizer luck — that they run in a
+    single Window operator over a single sort pass.  The oracle spells
+    each OVER out; DuckDB collapses them the same way.  Money runs
+    through integer cents so the running sum has one bit pattern in
+    any engine (the frame order is total: o_orderkey is unique).  At
+    100 TB the named-window habit is what keeps a 10-metric dashboard
+    query at ONE shuffle+sort instead of ten."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__nwc_orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   OVER w AS run_cents,
+               COUNT(*) OVER w AS run_n,
+               CAST(rank() OVER w AS INT) AS rnk
+        FROM __nwc_orders
+        WHERE o_totalprice > 400000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)""")
+
+
+@q("sql_limit_offset_page", """
+SELECT o_orderkey, o_custkey
+FROM orders
+ORDER BY o_orderkey
+LIMIT 20 OFFSET 40""")
+def sql_limit_offset_page(spark, sf_dir):
+    """``LIMIT .. OFFSET``-style pagination (Spark 3.4+ OFFSET
+    clause): deterministic because the ORDER BY key is unique, so
+    page 3 (rows 41-60) is the same set on any engine.  Spark plans
+    this as a global top-(limit+offset) then skip — fine while
+    limit+offset stays top-k-sized, which is why the docstring flags
+    DEEP paging as the 100 TB anti-pattern (offset 10M sorts and
+    ships 10M rows to skip them; keyset pagination — WHERE key >
+    last_seen ORDER BY key LIMIT n — keeps every page a pushed range
+    scan instead)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__lop_orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey
+        FROM __lop_orders
+        ORDER BY o_orderkey
+        LIMIT 20 OFFSET 40""")
