@@ -321,3 +321,60 @@ def test_interval_overlap_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_distribute_sort_by_plan_is_local_sort(spark):
+    """DISTRIBUTE BY / SORT BY must plan as one hash Exchange plus a
+    partition-LOCAL sort — a global Sort or range Exchange means the
+    dialect lowered to ORDER BY semantics by mistake."""
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    p = REGISTRY["sql_distribute_sort_by"].fn(
+        spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(o_orderstatus" in p
+    assert "rangepartitioning" not in p
+    assert "Sort [o_orderkey" in p and "false, 0" in p  # global=false
+
+
+def test_named_window_clause_single_window_operator(spark):
+    """Three functions over one named WINDOW spec must plan as ONE
+    Window node (one shuffle + one sort), not three."""
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    p = REGISTRY["sql_named_window_clause"].fn(
+        spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Window [") == 1, p
+
+
+def test_udtf_analyze_rejects_non_literal_width(spark):
+    """The polymorphic UDTF's analyze() gates its schema-driving arg on
+    isConstantExpression: a column-valued width must fail at ANALYSIS
+    time (plan construction), never mid-job on an executor."""
+    import pytest
+
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    # registering the UDTF is a side effect of running the entry once
+    REGISTRY["udtf_polymorphic_analyze"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    with pytest.raises(Exception, match="(?i)literal|constant"):
+        spark.sql("""
+            SELECT sp.* FROM __udtfa_orders,
+            LATERAL __r14_split_parts(o_orderpriority,
+                                      CAST(o_orderkey AS INT)) sp
+        """).collect()
+
+
+def test_session_variable_folds_to_pushed_filter(spark):
+    """A session variable used in WHERE must fold to a literal at plan
+    time so the comparison reaches the parquet scan as a pushed
+    filter — if it stayed an unresolved variable node the filter would
+    evaluate post-scan."""
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["sql_session_variables"].fn(
+        spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in p, p
