@@ -8670,3 +8670,64 @@ def sql_limit_offset_page(spark, sf_dir):
         FROM __lop_orders
         ORDER BY o_orderkey
         LIMIT 20 OFFSET 40""")
+
+
+@q("sql_scripting_control_flow", """
+SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_groups,
+       'multi' AS size_class,
+       'caught' AS err_path,
+       'positive' AS sign_class,
+       CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS repeat_steps
+FROM orders""")
+def sql_scripting_control_flow(spark, sf_dir):
+    """SQL scripting CONTROL FLOW (completing the surface
+    sql_scripting_while_loop opened): ``FOR row AS query DO`` cursor
+    iteration over a grouped result, a ``CASE`` statement, ``IF``,
+    labeled ``REPEAT .. UNTIL``, and a nested block with ``DECLARE
+    EXIT HANDLER FOR SQLEXCEPTION`` catching a raise_error() —
+    together the statement set a stored-procedure migration actually
+    exercises.  Money accumulates as integer cents through the FOR
+    cursor so iteration order can't diverge bitwise; the handler path
+    is proven by the literal 'caught' (note: with ANSI off, 1/0 is
+    NULL, not an error — the probe that discovered this is why the
+    script raises explicitly).  Orders has exactly the three statuses
+    F/O/P at every SF, so the CASE outcome is a pinned literal in the
+    oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__cf_orders")
+    return spark.sql("""
+        BEGIN
+          DECLARE total_cents BIGINT DEFAULT 0;
+          DECLARE n_groups INT DEFAULT 0;
+          DECLARE size_class STRING;
+          DECLARE err_path STRING DEFAULT 'none';
+          DECLARE sign_class STRING DEFAULT 'zero';
+          DECLARE repeat_steps INT DEFAULT 0;
+          FOR r AS SELECT o_orderstatus AS s,
+                          SUM(CAST(ROUND(o_totalprice * 100)
+                                   AS BIGINT)) AS cents
+                   FROM __cf_orders GROUP BY o_orderstatus DO
+            SET total_cents = total_cents + r.cents;
+            SET n_groups = n_groups + 1;
+          END FOR;
+          CASE WHEN n_groups >= 3 THEN SET size_class = 'multi';
+               WHEN n_groups = 2 THEN SET size_class = 'pair';
+               ELSE SET size_class = 'single';
+          END CASE;
+          IF total_cents > 0 THEN
+            SET sign_class = 'positive';
+          END IF;
+          BEGIN
+            DECLARE EXIT HANDLER FOR SQLEXCEPTION
+              SET err_path = 'caught';
+            SELECT raise_error('deliberate scripting-handler probe');
+          END;
+          steps: REPEAT
+            SET repeat_steps = repeat_steps + 1;
+            UNTIL repeat_steps >= n_groups
+          END REPEAT steps;
+          SELECT total_cents, n_groups, size_class, err_path,
+                 sign_class, repeat_steps;
+        END""")
