@@ -8731,3 +8731,41 @@ def sql_scripting_control_flow(spark, sf_dir):
           SELECT total_cents, n_groups, size_class, err_path,
                  sign_class, repeat_steps;
         END""")
+
+
+@q("scalar_crypto_roundtrip", """
+SELECT DISTINCT o_orderpriority AS original,
+       o_orderpriority AS roundtrip_gcm,
+       o_orderpriority AS roundtrip_ecb,
+       TRUE AS wrong_key_is_null
+FROM orders""")
+def scalar_crypto_roundtrip(spark, sf_dir):
+    """Column-level encryption family (``aes_encrypt`` /
+    ``aes_decrypt`` / ``try_aes_decrypt``) — the at-rest PII
+    protection shape next to mask(): GCM mode (random IV per call, so
+    ciphertext is non-deterministic but decrypt(encrypt(x)) is the
+    identity — exactly what the oracle checks) and ECB mode
+    (deterministic ciphertext, needed when the encrypted column must
+    still serve as an equi-join/group key; its known
+    pattern-leakage tradeoff is the documented price of joinability).
+    ``try_aes_decrypt`` with the WRONG key yields NULL instead of
+    failing the job — the quarantine-don't-crash posture for mixed-key
+    archives.  DuckDB cannot evaluate AES, so the oracle pins the
+    roundtrip identities and the NULL flag, not ciphertext bits."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.lit("0123456789abcdef")
+    wrong = F.lit("fedcba9876543210")
+    p = F.col("o_orderpriority").cast("binary")
+    return (
+        o.select("o_orderpriority").distinct()
+        .select(
+            F.col("o_orderpriority").alias("original"),
+            F.aes_decrypt(F.aes_encrypt(p, key), key)
+             .cast("string").alias("roundtrip_gcm"),
+            F.aes_decrypt(F.aes_encrypt(p, key, F.lit("ECB")),
+                          key, F.lit("ECB"))
+             .cast("string").alias("roundtrip_ecb"),
+            F.try_aes_decrypt(F.aes_encrypt(p, key), wrong)
+             .isNull().alias("wrong_key_is_null"),
+        )
+    )

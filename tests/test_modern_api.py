@@ -676,3 +676,70 @@ def test_pyds_commit_raises_on_missing_staged_file(tmp_path):
     # empty-partition messages (no staged attr) still commit cleanly
     empty = w.write(iter([]))
     w.commit([empty])
+
+
+def test_pyds_push_filters_property_float_columns_never_claimed(tmp_path):
+    """Property check for the ADVICE r13 NaN fix: for random float data
+    (NaN/inf included) and random comparison predicates on a float
+    column, pushFilters must yield EVERY comparison back (only
+    IsNotNull is claimable), and the reader's output must therefore be
+    the raw data — so Spark's own NaN-ordering evaluation is the only
+    filter semantics ever applied."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.datasource import (EqualTo, GreaterThan, In,
+                                        IsNotNull, LessThanOrEqual)
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetReader
+
+    idx = [0]
+    specials = [float("nan"), float("inf"), float("-inf"), -0.0]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        data=st.lists(
+            st.one_of(st.none(), st.sampled_from(specials),
+                      st.floats(min_value=-50, max_value=50,
+                                allow_nan=False)),
+            min_size=1, max_size=60),
+        kind=st.sampled_from(["eq", "gt", "le", "nn", "in"]),
+        v=st.one_of(st.sampled_from(specials),
+                    st.floats(min_value=-55, max_value=55,
+                              allow_nan=False)),
+    )
+    def check(data, kind, v):
+        idx[0] += 1
+        path = str(tmp_path / f"f{idx[0]}.parquet")
+        pq.write_table(pa.table({"d": pa.array(data, pa.float64())}),
+                       path, row_group_size=16)
+        flt = {"eq": EqualTo(("d",), v), "gt": GreaterThan(("d",), v),
+               "le": LessThanOrEqual(("d",), v),
+               "nn": IsNotNull(("d",)),
+               "in": In(("d",), (v,))}[kind]
+        r = PyArrowParquetReader({"path": path})
+        residual = list(r.pushFilters([flt]))
+        if kind == "nn":
+            # IsNotNull is NaN-safe under both semantics: claimable
+            assert residual == [] and len(r.pushed) == 1
+            expect = [x for x in data if x is not None]
+        else:
+            # every comparison on a float column must come back
+            assert len(residual) == 1 and r.pushed == []
+            expect = data
+        got = []
+        for p in r.partitions():
+            for b in r.read(p):
+                got.extend(b.column(0).to_pylist())
+        def canon(x):
+            if x is None:
+                return "null"
+            if math.isnan(x):
+                return "nan"
+            return repr(x + 0.0)        # -0.0 -> 0.0 canonicalized
+        assert sorted(map(canon, got)) == sorted(map(canon, expect))
+
+    check()
