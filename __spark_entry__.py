@@ -105,7 +105,15 @@ def _registry():
     import aws_etl_bank_spark.plans.registry_llm  # noqa: F401  (populates REGISTRY)
 
     full = reg.REGISTRY
-    ordered = {name: full[name] for name in _PRIORITY if name in full}
+    # a stale/typo'd slot name would otherwise vanish SILENTLY, shifting
+    # every later entry up one slot and costing a round of driver
+    # evidence unnoticed — the counterpart of the @q duplicate guard
+    stale = [name for name in _PRIORITY if name not in full]
+    if stale:
+        raise ValueError(
+            f"_PRIORITY names not in the registry: {stale}; fix the "
+            "rotation queue before the driver evaluates a shifted window")
+    ordered = {name: full[name] for name in _PRIORITY}
     ordered.update(full)
     return ordered
 

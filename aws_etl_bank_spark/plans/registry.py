@@ -783,6 +783,29 @@ def orderby_topk(spark, sf_dir):
     )
 
 
+def _unordered_sample_invariants(sample_factory, base):
+    """Shared invariant oracle for nondeterministic row-subset
+    operators (unordered LIMIT, TABLESAMPLE): WHICH rows come back is
+    nondeterministic, so the checkable properties are (a) the exact
+    row count (``n_rows``), (b) containment — every row a genuine base
+    row via left-semi join back (``n_contained``; a semi join
+    preserves duplicates in the probe side, so a duplicated output row
+    would still need a source match), and (c) all-distinct
+    (``n_distinct``; base rows are unique, so a repeated row reads
+    low).  ``sample_factory`` is called once per branch — independent
+    re-evaluations may pick different rows, which is fine because only
+    the invariant counts are emitted.  Exactness lesson baked in
+    (r13): ``n_distinct`` must count over ALL columns."""
+    cols = base.columns
+    counts = sample_factory().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"))
+    contained = (sample_factory().join(base, on=cols, how="left_semi")
+                 .agg(F.count(F.lit(1)).alias("n_contained")))
+    return contained.crossJoin(counts).select(
+        "n_contained", "n_distinct", "n_rows")
+
+
 @q("sample_limit", """
 SELECT CAST(50 AS BIGINT) AS n_contained,
        CAST(50 AS BIGINT) AS n_distinct,
@@ -790,27 +813,10 @@ SELECT CAST(50 AS BIGINT) AS n_contained,
 def sample_limit(spark, sf_dir):
     """Unordered LIMIT, oracle-checked through its invariants (VERDICT
     r13 task 4, folding in the old ``sample_limit_contained`` from
-    VERDICT r4 item 4a): WHICH 50 rows come back is nondeterministic,
-    so the entry emits the three properties any correct limit must
-    satisfy — (a) exactly 50 rows (``n_rows``), (b) every one a
-    genuine source row via left-semi join back to the base table
-    (``n_contained``; a semi join preserves duplicates in the probe
-    side, so a duplicated output row would still need a source match),
-    and (c) all 50 distinct (``n_distinct``; orders rows are unique,
-    so a limit that repeated a row would read < 50).  Each branch
-    re-evaluates ``limit(50)`` independently — nondeterminism across
-    evaluations is fine because only the invariant counts are
-    emitted."""
+    VERDICT r4 item 4a) — see ``_unordered_sample_invariants`` for the
+    count/containment/distinctness contract."""
     o = load_table(spark, sf_dir, "orders")
-    cols = o.columns
-    lim = o.limit(50)
-    base = lim.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"))
-    contained = (o.limit(50).join(o, on=cols, how="left_semi")
-                 .agg(F.count(F.lit(1)).alias("n_contained")))
-    return contained.crossJoin(base).select(
-        "n_contained", "n_distinct", "n_rows")
+    return _unordered_sample_invariants(lambda: o.limit(50), o)
 
 
 # ===========================================================================
@@ -8303,11 +8309,13 @@ def sql_scripting_while_loop(spark, sf_dir):
     integer-CENTS revenue total and an order count into BIGINT
     variables (cents, not doubles, so the per-iteration accumulation
     order can never diverge bitwise from the oracle's single SUM).
-    Honesty note on the plan: the loop issues one filtered aggregate
-    per year — 7 bounded scans — which is exactly why the docstring
-    points at the single GROUP BY as the recommended form at 100 TB;
-    the entry exists to pin the SCRIPTING surface (control flow,
-    variable state, loop termination), not to recommend the shape.
+    Both accumulators update through ONE multi-assignment ``SET
+    (cents, n) = (SELECT ...)`` per iteration — one filtered aggregate
+    per year, 7 bounded scans total (two separate SETs would scan
+    twice per year).  Honesty note on the plan: even so, the single
+    GROUP BY is the recommended form at 100 TB; the entry exists to
+    pin the SCRIPTING surface (control flow, variable state,
+    multi-assignment, loop termination), not to recommend the shape.
     The oracle is the closed-form aggregate over the same year band."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("__script_orders")
@@ -8317,12 +8325,12 @@ def sql_scripting_while_loop(spark, sf_dir):
           DECLARE cents BIGINT DEFAULT 0;
           DECLARE n BIGINT DEFAULT 0;
           WHILE y <= 2001 DO
-            SET cents = cents + (
-                SELECT COALESCE(SUM(CAST(ROUND(o_totalprice * 100)
-                                         AS BIGINT)), 0)
+            SET (cents, n) = (
+                SELECT cents + COALESCE(SUM(CAST(ROUND(o_totalprice
+                                                       * 100)
+                                                 AS BIGINT)), 0),
+                       n + COUNT(*)
                 FROM __script_orders WHERE year(o_orderdate) = y);
-            SET n = n + (SELECT COUNT(*) FROM __script_orders
-                         WHERE year(o_orderdate) = y);
             SET y = y + 1;
           END WHILE;
           SELECT n AS n_orders, cents AS total_cents;
@@ -8465,20 +8473,14 @@ def sample_tablesample_rows(spark, sf_dir):
     rows, (b) all contained in the base table via left-semi join, and
     (c) all distinct.  (The BERNOULLI percent form has a
     nondeterministic COUNT as well, which no invariant short of a
-    tolerance band can pin — the ROWS form is the oracle-able one.)"""
+    tolerance band can pin — the ROWS form is the oracle-able one.)
+    Invariant construction shared with sample_limit via
+    ``_unordered_sample_invariants``."""
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("__ts_orders")
-    cols = o.columns
-    samp = spark.sql("SELECT * FROM __ts_orders TABLESAMPLE (75 ROWS)")
-    base = samp.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"))
-    contained = (
-        spark.sql("SELECT * FROM __ts_orders TABLESAMPLE (75 ROWS)")
-        .join(o, on=cols, how="left_semi")
-        .agg(F.count(F.lit(1)).alias("n_contained")))
-    return contained.crossJoin(base).select(
-        "n_contained", "n_distinct", "n_rows")
+    return _unordered_sample_invariants(
+        lambda: spark.sql(
+            "SELECT * FROM __ts_orders TABLESAMPLE (75 ROWS)"), o)
 
 
 @q("sql_session_variables", """

@@ -76,23 +76,33 @@ class PyArrowParquetDataSource(DataSource):
 
 class PyArrowParquetReader(DataSourceReader):
     def __init__(self, options):
-        import pyarrow.parquet as pq
-
         self.path = options["path"]
         self.columns = [c for c in options.get("columns", "").split(",")
                         if c] or None
         self.pushed: list = []
-        # floating-point columns by name (driver-side footer read):
-        # Spark's SQL comparison semantics on doubles differ from IEEE
-        # (NaN = NaN is TRUE; NaN sorts GREATER than every double), and
-        # Spark does NOT re-evaluate filters a reader claims — so any
-        # comparison touching a float column (or a NaN literal) must be
-        # yielded back, never claimed (ADVICE r13, medium).
-        sch = pq.read_schema(self.path)
-        self._float_cols = {
-            name for name in sch.names
-            if str(sch.field(name).type) in ("float", "double",
-                                             "halffloat")}
+
+    @property
+    def _float_cols(self) -> set:
+        """Floating-point columns by name, read LAZILY from the footer
+        on the first pushFilters call (an unfiltered scan never pays
+        this read, and a path that only materializes between planning
+        and execution doesn't fail reader construction): Spark's SQL
+        comparison semantics on doubles differ from IEEE (NaN = NaN is
+        TRUE; NaN sorts GREATER than every double), and Spark does NOT
+        re-evaluate filters a reader claims — so any comparison
+        touching a float column (or a NaN literal) must be yielded
+        back, never claimed (ADVICE r13, medium)."""
+        cached = getattr(self, "_float_cols_cache", None)
+        if cached is None:
+            import pyarrow.parquet as pq
+
+            sch = pq.read_schema(self.path)
+            cached = {
+                name for name in sch.names
+                if str(sch.field(name).type) in ("float", "double",
+                                                 "halffloat")}
+            self._float_cols_cache = cached
+        return cached
 
     def pushFilters(self, filters):
         """Filter pushdown (Spark 4.1 ``DataSourceReader.pushFilters``):
@@ -324,6 +334,13 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
     def commit(self, messages):
         import os
 
+        # two-pass publish: FIRST verify every winning attempt's staged
+        # file is present, THEN rename.  Validating mid-rename would
+        # publish the earlier partitions before raising on a missing
+        # later one — reader-visible partial output on a FAILED job
+        # commit, the exact torn state the staging protocol exists to
+        # prevent (ADVICE r13 low + r14 review).
+        to_publish = []
         for m in messages or []:
             staged = getattr(m, "staged", None)
             final = getattr(m, "file", None)
@@ -333,10 +350,11 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
                 # a WINNING attempt's staged file is gone (swept,
                 # lost, external delete): publishing without it would
                 # be silent data loss — fail the job commit instead
-                # (ADVICE r13, low)
                 raise RuntimeError(
                     f"pyarrow_parquet commit: staged file missing for "
                     f"a committed task attempt: {staged}")
+            to_publish.append((staged, final))
+        for staged, final in to_publish:
             os.replace(staged, final)
         self._sweep_staged()                      # losing attempts
 

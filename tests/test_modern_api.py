@@ -743,3 +743,26 @@ def test_pyds_push_filters_property_float_columns_never_claimed(tmp_path):
         assert sorted(map(canon, got)) == sorted(map(canon, expect))
 
     check()
+
+
+def test_pyds_commit_missing_stage_publishes_nothing(tmp_path):
+    """r14 review: a failed job commit must be ALL-or-nothing — when
+    message 2's staged file is missing, message 1 must NOT have been
+    renamed into reader-visible part-*.parquet before the raise."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pytest
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetWriter
+
+    path = str(tmp_path / "out")
+    w = PyArrowParquetWriter({"path": path}, overwrite=True)
+    batch = pa.record_batch({"x": pa.array([1, 2], pa.int64())})
+    m1 = w.write(iter([batch]))
+    m2 = w.write(iter([batch]))
+    os.remove(m2.staged)
+    with pytest.raises(RuntimeError, match="staged file missing"):
+        w.commit([m1, m2])
+    assert glob.glob(os.path.join(path, "part-*.parquet")) == []

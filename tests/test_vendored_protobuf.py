@@ -312,3 +312,16 @@ def test_stale_lazy_child_detached_on_reparse():
     cmd2.CopyFrom(fresh)
     stale2.durationMs = 888
     assert cmd2.ttl.durationMs == 111
+
+
+def test_copyfrom_self_is_noop():
+    """r14 review: real protobuf short-circuits CopyFrom(self); the
+    clear-then-merge implementation would serialize the already-empty
+    message and destroy every field."""
+    sm = _pb2()
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "s"
+    cmd.ttl.durationMs = 42
+    cmd.CopyFrom(cmd)
+    assert cmd.stateName == "s"
+    assert cmd.ttl.durationMs == 42
