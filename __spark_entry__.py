@@ -65,7 +65,11 @@ _PRIORITY = [
     # roundtrip-identity oracle (GCM random-IV + deterministic ECB +
     # try_aes_decrypt wrong-key NULL)
     "scalar_crypto_roundtrip",
-    # slots 18-48: the 31 remaining r6-vintage refreshes
+    # slot 18: NEW in r14 — Spark 4 collations (UTF8_LCASE grouping /
+    # equality; lower(k) output for a deterministic representative,
+    # CAST to plain string for the schema compare)
+    "scalar_collation_group",
+    # slots 19-49: the 31 remaining r6-vintage refreshes
     "split_rows_rest", "split_fields_op", "agg_rollup_nation_year",
     "sketch_count_min_estimates", "win_rank_family",
     "quality_metrics_orders", "quality_check_lineitem",
@@ -80,12 +84,12 @@ _PRIORITY = [
     "dedup_semantic_pairs_full", "text_decontaminate_semantic",
     "ann_pq_planted_twin", "stream_cdc_scd2", "text_gopher_filter",
     "ann_ivfpq_planted_twin",
-    # slots 49-50: r7-vintage head (registry order; sample_limit
+    # slot 50: r7-vintage head (registry order; sample_limit
     # already holds slot 2)
-    "win_lag_delta", "filter_python_predicate",
-    # ---- 50-slot waterline: filter_python_predicate is slot 50
+    "win_lag_delta",
+    # ---- 50-slot waterline: win_lag_delta is slot 50
     # r15 head: remaining r7-vintage, registry order
-    "filter_drop_policy",
+    "filter_python_predicate", "filter_drop_policy",
     "map_python_records", "map_error_policy", "drop_null_fields_op",
     "union_by_name_drift", "union_choice_cast",
     "resolve_choice_make_cols", "subtract_op", "intersect_op",

@@ -8771,3 +8771,44 @@ def scalar_crypto_roundtrip(spark, sf_dir):
              .isNull().alias("wrong_key_is_null"),
         )
     )
+
+
+@q("scalar_collation_group", """
+SELECT lower(CASE WHEN o_orderkey % 3 = 0 THEN lower(o_orderpriority)
+                  WHEN o_orderkey % 3 = 1 THEN upper(o_orderpriority)
+                  ELSE o_orderpriority END) AS priority_ci,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE lower(o_orderpriority) <> '5-low'
+GROUP BY 1""")
+def scalar_collation_group(spark, sf_dir):
+    """String COLLATIONS (the Spark 4 collation framework): a
+    case-mixed token column (each row's priority re-cased by key mod
+    3) is grouped AND filtered under ``UTF8_LCASE`` — grouping,
+    equality, and hashing all follow the collation, so 'api'/'API'/
+    'Api' land in one group with no lower() scattered through the
+    query (the collation is declared once on the column; every
+    downstream comparison inherits it — the governance win over
+    ad-hoc case folding).  Two driver-canon guards baked in: the
+    GROUP-KEY representative under a case-insensitive collation is
+    nondeterministic (whichever variant a partition saw first), so
+    the output key is ``lower(k)`` — deterministic because all
+    representatives are case-variants; and the collated STRING dtype
+    ('string collate UTF8_LCASE') is CAST back to plain string so the
+    schema compare sees the same type as the oracle.  The RTRIM
+    variants (UTF8_BINARY_RTRIM) and ICU collations (UNICODE_CI)
+    share the machinery; UTF8_LCASE is the representative."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__col_orders")
+    return spark.sql("""
+        SELECT CAST(lower(k) AS STRING) AS priority_ci,
+               COUNT(*) AS n
+        FROM (SELECT COLLATE(CASE WHEN o_orderkey % 3 = 0
+                                  THEN lower(o_orderpriority)
+                                  WHEN o_orderkey % 3 = 1
+                                  THEN upper(o_orderpriority)
+                                  ELSE o_orderpriority END,
+                             'UTF8_LCASE') AS k
+              FROM __col_orders)
+        WHERE k <> COLLATE('5-LOW', 'UTF8_LCASE')
+        GROUP BY k""")
