@@ -69,7 +69,10 @@ _PRIORITY = [
     # equality; lower(k) output for a deterministic representative,
     # CAST to plain string for the schema compare)
     "scalar_collation_group",
-    # slots 19-49: the 31 remaining r6-vintage refreshes
+    # slot 19: NEW in r14 — bucket PRUNING on the read path
+    # (SelectedBucketsCount 1-of-8, plan-pinned; autoBucketedScan off)
+    "scale_bucket_pruned_read",
+    # slots 20-50: the 31 remaining r6-vintage refreshes
     "split_rows_rest", "split_fields_op", "agg_rollup_nation_year",
     "sketch_count_min_estimates", "win_rank_family",
     "quality_metrics_orders", "quality_check_lineitem",
@@ -84,11 +87,10 @@ _PRIORITY = [
     "dedup_semantic_pairs_full", "text_decontaminate_semantic",
     "ann_pq_planted_twin", "stream_cdc_scd2", "text_gopher_filter",
     "ann_ivfpq_planted_twin",
-    # slot 50: r7-vintage head (registry order; sample_limit
-    # already holds slot 2)
+    # ---- 50-slot waterline: ann_ivfpq_planted_twin is slot 50 (the
+    # 31 r6-vintage refreshes exactly fill the window this round)
+    # r15 head: the r7-vintage block, registry order
     "win_lag_delta",
-    # ---- 50-slot waterline: win_lag_delta is slot 50
-    # r15 head: remaining r7-vintage, registry order
     "filter_python_predicate", "filter_drop_policy",
     "map_python_records", "map_error_policy", "drop_null_fields_op",
     "union_by_name_drift", "union_choice_cast",

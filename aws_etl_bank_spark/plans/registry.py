@@ -8812,3 +8812,47 @@ def scalar_collation_group(spark, sf_dir):
               FROM __col_orders)
         WHERE k <> COLLATE('5-LOW', 'UTF8_LCASE')
         GROUP BY k""")
+
+
+@q("scale_bucket_pruned_read", """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders WHERE o_custkey = 7""")
+def scale_bucket_pruned_read(spark, sf_dir):
+    """BUCKET PRUNING on the read path (the sibling of the bucketed
+    JOIN entries, which pin the shuffle-free join): an equality filter
+    on the bucket column lets Spark compute the key's bucket from the
+    same hash the writer used and scan ONLY that bucket's files —
+    ``SelectedBucketsCount: 1 out of 8`` in the scan node
+    (plan-pinned in tests/test_scale.py).  At 100 TB a point lookup on
+    a bucketed fact reads 1/n_buckets of the table with no index
+    structure at all; combined with the pushed filter it is the
+    cheapest point-query layout Spark offers.  Results must equal the
+    plain WHERE the oracle runs on the unbucketed parquet.
+
+    Conf note: autoBucketedScan is turned OFF here (and left off — it
+    only ever DISABLES bucketed reading) because its benefit rule
+    considers shuffle removal, not pruning: with it on, a scan with no
+    downstream join/agg is planned ``Bucketed: false`` and the
+    1-of-8-buckets prune is forfeited."""
+    import os as _os
+    import shutil as _shutil
+
+    from aws_etl_bank_spark.functions.scale import (
+        _strip_file_scheme, read_bucketed, write_bucketed)
+
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    sfx = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    t = f"bp_orders_{sfx}"
+    wh = _strip_file_scheme(spark.conf.get("spark.sql.warehouse.dir"))
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _shutil.rmtree(_os.path.join(wh, t), ignore_errors=True)
+    write_bucketed(load_table(spark, sf_dir, "orders")
+                   .select("o_orderkey", "o_custkey", "o_totalprice"),
+                   t, "o_custkey", n_buckets=8)
+    return (read_bucketed(spark, t)
+            .filter(F.col("o_custkey") == 7)
+            .select("o_orderkey", "o_custkey",
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("bigint").alias("cents")))

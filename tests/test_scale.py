@@ -987,3 +987,16 @@ def test_bucketed_cumsum_matches_global_window(spark):
     assert empty.count() == 0
     assert set(empty.columns) == {"x", "a", "b", "cum_a", "cum_b"}
     spark.catalog.clearCache()
+
+
+def test_bucket_pruned_read_scans_one_bucket(spark):
+    """scale_bucket_pruned_read's plan claim: an equality filter on the
+    bucket column must prune the scan to ONE of the 8 buckets
+    (SelectedBucketsCount in the FileScan node) — the no-index point
+    lookup the bucketed layout buys."""
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["scale_bucket_pruned_read"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
