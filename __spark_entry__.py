@@ -119,6 +119,14 @@ def _registry():
         raise ValueError(
             f"_PRIORITY names not in the registry: {stale}; fix the "
             "rotation queue before the driver evaluates a shifted window")
+    if len(set(_PRIORITY)) != len(_PRIORITY):
+        seen: set = set()
+        dups = sorted({n for n in _PRIORITY
+                       if n in seen or seen.add(n)})
+        raise ValueError(
+            f"_PRIORITY lists duplicated names: {dups}; the dict build "
+            "would silently dedupe them and shift every later slot up "
+            "one")
     ordered = {name: full[name] for name in _PRIORITY}
     ordered.update(full)
     return ordered

@@ -171,6 +171,36 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def sf_table_tag(sf_dir: str) -> str:
+    """Sanitize an sf_dir basename into a table-identifier suffix
+    (robust to any non-alphanumeric character, not just dots — an
+    'sf0.01-alt' dir must not produce an invalid identifier)."""
+    import os
+    import re
+
+    return re.sub(r"[^0-9a-zA-Z]", "_",
+                  os.path.basename(os.path.normpath(sf_dir)))
+
+
+def reset_and_write_bucketed(spark: SparkSession, df: DataFrame,
+                             table: str, bucket_col: str,
+                             n_buckets: int,
+                             sort_col: str | None = None) -> None:
+    """Self-resetting bucketed-table create shared by the registry's
+    bucketed entries: DROP the catalog entry AND clear any stale
+    warehouse directory first — a fresh session's in-memory catalog
+    does not know the table, so a bare saveAsTable would trip over the
+    location left by a previous session's run — then write_bucketed."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = _strip_file_scheme(spark.conf.get("spark.sql.warehouse.dir"))
+    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    write_bucketed(df, table, bucket_col, n_buckets=n_buckets,
+                   sort_col=sort_col)
+
+
 def widen_if_underscanned(df: DataFrame, *keys: str | Column,
                           probe: DataFrame | None = None) -> DataFrame:
     """Pre-partition ``df`` on ``keys`` ONLY when the source provides

@@ -2255,26 +2255,19 @@ def scale_bucketed_join_agg(spark, sf_dir):
     asserted in tests/test_scale.py) — the pay-the-shuffle-once layout
     for a fact repeatedly joined on one key at 100 TB.  Results must
     equal the plain shuffle join the oracle runs."""
-    import os as _os
-    import shutil as _shutil
-
     from aws_etl_bank_spark.functions.scale import (
-        _strip_file_scheme, read_bucketed, write_bucketed)
+        read_bucketed, reset_and_write_bucketed, sf_table_tag)
 
-    sfx = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    sfx = sf_table_tag(sf_dir)
     t_orders, t_cust = f"b_orders_{sfx}", f"b_cust_{sfx}"
-    # self-reset: a fresh session's in-memory catalog does not know the
-    # table, so saveAsTable would trip over the stale warehouse location
-    # left by a previous session's run
-    wh = _strip_file_scheme(spark.conf.get("spark.sql.warehouse.dir"))
-    for t in (t_orders, t_cust):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        _shutil.rmtree(_os.path.join(wh, t), ignore_errors=True)
-    write_bucketed(load_table(spark, sf_dir, "orders")
-                   .select("o_orderkey", "o_custkey", "o_totalprice"),
-                   t_orders, "o_custkey", n_buckets=8)
-    write_bucketed(load_table(spark, sf_dir, "customer")
-                   .select("c_custkey"), t_cust, "c_custkey", n_buckets=8)
+    reset_and_write_bucketed(spark,
+                             load_table(spark, sf_dir, "orders")
+                             .select("o_orderkey", "o_custkey",
+                                     "o_totalprice"),
+                             t_orders, "o_custkey", 8)
+    reset_and_write_bucketed(spark,
+                             load_table(spark, sf_dir, "customer")
+                             .select("c_custkey"), t_cust, "c_custkey", 8)
     o, c = read_bucketed(spark, t_orders), read_bucketed(spark, t_cust)
     return (
         o.join(c, o.o_custkey == c.c_custkey)
@@ -3133,17 +3126,18 @@ def scale_bucketed_join(spark, sf_dir):
     exchange-free plan).  Result must equal the plain join, which is
     what the oracle runs.  Table names carry the sf tag so concurrent
     gates at different SFs do not collide."""
-    import re as _re
+    from aws_etl_bank_spark.functions.scale import (
+        read_bucketed, reset_and_write_bucketed, sf_table_tag)
 
-    tag = _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").split("/")[-1])
-    from aws_etl_bank_spark.functions.scale import read_bucketed, write_bucketed
-
+    tag = sf_table_tag(sf_dir)
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0)
     c = load_table(spark, sf_dir, "customer")
-    write_bucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
-                   f"bkt_orders_{tag}", "o_custkey", n_buckets=8)
-    write_bucketed(c.select("c_custkey", "c_name"),
-                   f"bkt_customer_{tag}", "c_custkey", n_buckets=8)
+    reset_and_write_bucketed(spark,
+                             o.select("o_orderkey", "o_custkey",
+                                      "o_totalprice"),
+                             f"bkt_orders_{tag}", "o_custkey", 8)
+    reset_and_write_bucketed(spark, c.select("c_custkey", "c_name"),
+                             f"bkt_customer_{tag}", "c_custkey", 8)
     ob = read_bucketed(spark, f"bkt_orders_{tag}")
     cb = read_bucketed(spark, f"bkt_customer_{tag}")
     return (ob.join(cb, ob.o_custkey == cb.c_custkey)
@@ -8834,23 +8828,25 @@ def scale_bucket_pruned_read(spark, sf_dir):
     only ever DISABLES bucketed reading) because its benefit rule
     considers shuffle removal, not pruning: with it on, a scan with no
     downstream join/agg is planned ``Bucketed: false`` and the
-    1-of-8-buckets prune is forfeited."""
-    import os as _os
-    import shutil as _shutil
-
+    1-of-8-buckets prune is forfeited.  Leaving it off is safe for
+    this engine's other entries: a restore here would be undone by
+    lazy evaluation anyway (the returned DataFrame plans at collect
+    time, after the entry returned), and every bucketed table the
+    engine writes exists precisely to be read bucketed — the
+    co-located-join entries' exchange-free plans hold with the rule on
+    or off (their bucketed reads are 'beneficial' and kept either
+    way)."""
     from aws_etl_bank_spark.functions.scale import (
-        _strip_file_scheme, read_bucketed, write_bucketed)
+        read_bucketed, reset_and_write_bucketed, sf_table_tag)
 
     spark.conf.set(
         "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    sfx = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
-    t = f"bp_orders_{sfx}"
-    wh = _strip_file_scheme(spark.conf.get("spark.sql.warehouse.dir"))
-    spark.sql(f"DROP TABLE IF EXISTS {t}")
-    _shutil.rmtree(_os.path.join(wh, t), ignore_errors=True)
-    write_bucketed(load_table(spark, sf_dir, "orders")
-                   .select("o_orderkey", "o_custkey", "o_totalprice"),
-                   t, "o_custkey", n_buckets=8)
+    t = f"bp_orders_{sf_table_tag(sf_dir)}"
+    reset_and_write_bucketed(spark,
+                             load_table(spark, sf_dir, "orders")
+                             .select("o_orderkey", "o_custkey",
+                                     "o_totalprice"),
+                             t, "o_custkey", 8)
     return (read_bucketed(spark, t)
             .filter(F.col("o_custkey") == 7)
             .select("o_orderkey", "o_custkey",

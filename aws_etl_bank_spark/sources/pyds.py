@@ -61,16 +61,11 @@ class PyArrowParquetDataSource(DataSource):
         return PyArrowParquetReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "PyArrowParquetWriter":
-        # overwrite clears the target dir DRIVER-side before tasks run
-        # (writer() is a driver call), so tasks only ever append their
-        # own uniquely-named files
-        if overwrite:
-            import glob
-            import os
-
-            for f in glob.glob(os.path.join(self.options["path"],
-                                            "part-*.parquet")):
-                os.remove(f)
+        # overwrite is deferred to commit(): deleting the old part
+        # files here (planning time) would destroy the existing data
+        # BEFORE any task ran, so a job that later fails to commit
+        # would leave neither old nor new data — the torn state the
+        # staged-commit protocol exists to prevent (r14 review)
         return PyArrowParquetWriter(self.options, overwrite)
 
 
@@ -335,11 +330,13 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
         import os
 
         # two-pass publish: FIRST verify every winning attempt's staged
-        # file is present, THEN rename.  Validating mid-rename would
+        # file is present, THEN (for overwrite mode) clear the previous
+        # job's part files, THEN rename.  Validating mid-rename would
         # publish the earlier partitions before raising on a missing
-        # later one — reader-visible partial output on a FAILED job
-        # commit, the exact torn state the staging protocol exists to
-        # prevent (ADVICE r13 low + r14 review).
+        # later one; deleting old data before validation (or at
+        # planning time, where overwrite used to happen) would destroy
+        # it even when this commit fails — either way a reader-visible
+        # torn state (ADVICE r13 low + r14 review).
         to_publish = []
         for m in messages or []:
             staged = getattr(m, "staged", None)
@@ -349,11 +346,20 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
             if not os.path.exists(staged):
                 # a WINNING attempt's staged file is gone (swept,
                 # lost, external delete): publishing without it would
-                # be silent data loss — fail the job commit instead
+                # be silent data loss — fail the job commit instead,
+                # leaving any pre-existing data untouched
                 raise RuntimeError(
                     f"pyarrow_parquet commit: staged file missing for "
                     f"a committed task attempt: {staged}")
             to_publish.append((staged, final))
+        if self.overwrite:
+            import glob
+
+            keep = {final for _, final in to_publish}
+            for old in glob.glob(os.path.join(self.path,
+                                              "part-*.parquet")):
+                if old not in keep:
+                    os.remove(old)
         for staged, final in to_publish:
             os.replace(staged, final)
         self._sweep_staged()                      # losing attempts

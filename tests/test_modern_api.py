@@ -766,3 +766,42 @@ def test_pyds_commit_missing_stage_publishes_nothing(tmp_path):
     with pytest.raises(RuntimeError, match="staged file missing"):
         w.commit([m1, m2])
     assert glob.glob(os.path.join(path, "part-*.parquet")) == []
+
+
+def test_pyds_overwrite_preserves_old_data_on_failed_commit(tmp_path):
+    """r14 review: overwrite's delete-old-data step must happen at
+    COMMIT time (after staged-file validation), not at planning time —
+    a failed overwrite commit must leave the previous job's data
+    intact, and a successful one must swap it atomically."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pytest
+
+    from aws_etl_bank_spark.sources.pyds import (PyArrowParquetDataSource,
+                                                 PyArrowParquetWriter)
+
+    path = str(tmp_path / "out")
+    batch = pa.record_batch({"x": pa.array([1, 2], pa.int64())})
+    w1 = PyArrowParquetWriter({"path": path}, overwrite=True)
+    w1.commit([w1.write(iter([batch]))])
+    old = glob.glob(os.path.join(path, "part-*.parquet"))
+    assert len(old) == 1
+
+    # second overwrite job: planning (writer()) must not delete, and a
+    # commit that fails validation must leave the old file in place
+    src = PyArrowParquetDataSource({"path": path})
+    w2 = src.writer(None, overwrite=True)
+    assert glob.glob(os.path.join(path, "part-*.parquet")) == old
+    m = w2.write(iter([batch]))
+    os.remove(m.staged)
+    with pytest.raises(RuntimeError, match="staged file missing"):
+        w2.commit([m])
+    assert glob.glob(os.path.join(path, "part-*.parquet")) == old
+
+    # a successful overwrite commit swaps: old file gone, new published
+    w3 = PyArrowParquetWriter({"path": path}, overwrite=True)
+    w3.commit([w3.write(iter([batch]))])
+    now = glob.glob(os.path.join(path, "part-*.parquet"))
+    assert len(now) == 1 and now != old

@@ -996,7 +996,8 @@ def test_bucket_pruned_read_scans_one_bucket(spark):
     lookup the bucketed layout buys."""
     from aws_etl_bank_spark.plans.registry import REGISTRY
 
-    df = REGISTRY["scale_bucket_pruned_read"].fn(
-        spark, "/root/testdata/sf0.001")
+    from tests.conftest import SF_SMOKE
+
+    df = REGISTRY["scale_bucket_pruned_read"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan
