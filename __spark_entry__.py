@@ -72,7 +72,12 @@ _PRIORITY = [
     # slot 19: NEW in r14 — bucket PRUNING on the read path
     # (SelectedBucketsCount 1-of-8, plan-pinned; autoBucketedScan off)
     "scale_bucket_pruned_read",
-    # slots 20-50: the 31 remaining r6-vintage refreshes
+    # slot 20: NEW in r14 — pandas API on Spark roundtrip
+    # (pandas_api() -> ps groupby/agg -> to_spark(); the reference's
+    # vestigial pyspark.pandas import made deliberate)
+    "ops_pandas_api_roundtrip",
+    # slots 21-50: 30 of the 31 remaining r6-vintage refreshes (the
+    # 31st, ann_ivfpq_planted_twin, heads the r15 queue)
     "split_rows_rest", "split_fields_op", "agg_rollup_nation_year",
     "sketch_count_min_estimates", "win_rank_family",
     "quality_metrics_orders", "quality_check_lineitem",
@@ -86,10 +91,10 @@ _PRIORITY = [
     "text_bm25_rank", "text_bm25_topk", "stream_static_enrich",
     "dedup_semantic_pairs_full", "text_decontaminate_semantic",
     "ann_pq_planted_twin", "stream_cdc_scd2", "text_gopher_filter",
+    # ---- 50-slot waterline: text_gopher_filter is slot 50
+    # r15 head: the displaced last r6 refresh, then the r7-vintage
+    # block in registry order
     "ann_ivfpq_planted_twin",
-    # ---- 50-slot waterline: ann_ivfpq_planted_twin is slot 50 (the
-    # 31 r6-vintage refreshes exactly fill the window this round)
-    # r15 head: the r7-vintage block, registry order
     "win_lag_delta",
     "filter_python_predicate", "filter_drop_policy",
     "map_python_records", "map_error_policy", "drop_null_fields_op",

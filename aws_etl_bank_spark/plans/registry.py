@@ -8852,3 +8852,42 @@ def scale_bucket_pruned_read(spark, sf_dir):
             .select("o_orderkey", "o_custkey",
                     F.round(F.col("o_totalprice") * 100)
                     .cast("bigint").alias("cents")))
+
+
+@q("ops_pandas_api_roundtrip", """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+GROUP BY o_orderstatus""")
+def ops_pandas_api_roundtrip(spark, sf_dir):
+    """pandas API on Spark (``DataFrame.pandas_api()`` →
+    ``pyspark.pandas`` → ``.to_spark()``): a pandas-shaped
+    groupby/agg/reset_index flow that compiles to the SAME Catalyst
+    hash aggregate as the native DataFrame form — the migration
+    surface for pandas-fluent users (the reference itself carries a
+    ``pyspark.pandas`` import, SURVEY §8.7; this entry makes the
+    surface deliberate instead of vestigial).  The money sum is
+    computed Spark-side (integer cents) after ``to_spark()`` rather
+    than in pandas, because pandas ``round`` is half-EVEN while
+    SQL ROUND is half-away — the one semantic seam in the roundtrip,
+    kept out of the oracle-compared path by construction."""
+    import pyspark.pandas as ps  # noqa: F401  (the API under test)
+
+    o = load_table(spark, sf_dir, "orders")
+    psdf = o.pandas_api()
+    agg = (psdf.groupby("o_orderstatus")
+           .agg(n=("o_orderkey", "count"),
+                max_price=("o_totalprice", "max"))
+           .reset_index())
+    sdf = agg.to_spark()
+    cents = (o.groupBy("o_orderstatus")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).cast("bigint").alias("cents")))
+    return (sdf.join(cents, "o_orderstatus")
+            .select("o_orderstatus",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round("max_price", 2).alias("max_price"),
+                    "cents"))
