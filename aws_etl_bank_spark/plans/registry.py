@@ -795,7 +795,15 @@ def _unordered_sample_invariants(sample_factory, base):
     low).  ``sample_factory`` is called once per branch — independent
     re-evaluations may pick different rows, which is fine because only
     the invariant counts are emitted.  Exactness lesson baked in
-    (r13): ``n_distinct`` must count over ALL columns."""
+    (r13): ``n_distinct`` must count over ALL columns.
+
+    PRECONDITION (ADVICE r14): the base table must be NULL-free in
+    every column — ``count_distinct(*cols)`` drops a row when ANY
+    column is NULL, and the left-semi equi-join never matches NULL
+    keys, so a nullable base would read as an n_distinct/n_contained
+    undercount.  Holds for the TPC-H tables this helper is used on;
+    reusing it on nullable data requires hashing the columns into a
+    null-safe struct first."""
     cols = base.columns
     counts = sample_factory().agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -8247,17 +8255,24 @@ def src_pyds_filter_pushdown(spark, sf_dir):
 
 
 @q("canary_driver_hash_types", """
-SELECT o_orderstatus AS status,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS sum_cents,
-       ROUND(AVG(o_totalprice), 2) AS avg_price,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order,
-       CAST(year(MIN(o_orderdate)) AS INTEGER) AS first_year,
-       COUNT(*) > 100 AS is_common
-FROM orders
-GROUP BY o_orderstatus
-ORDER BY o_orderstatus""")
+SELECT status, sum_cents,
+       CAST(SUM(sum_cents) OVER (ORDER BY status) AS BIGINT)
+           AS run_cents,
+       avg_price, n, first_order, first_year, is_common
+FROM (
+    SELECT o_orderstatus AS status,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / (100.0 * COUNT(*)) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order,
+           CAST(year(MIN(o_orderdate)) AS INTEGER) AS first_year,
+           COUNT(*) > 100 AS is_common
+    FROM orders
+    GROUP BY o_orderstatus
+)
+ORDER BY status""")
 def canary_driver_hash_types(spark, sf_dir):
     """DRIVER-ENVIRONMENT CANARY (VERDICT r13 task 2): a deliberately
     cheap 3-row aggregate emitting one column of every value class the
@@ -8265,25 +8280,46 @@ def canary_driver_hash_types(spark, sf_dir):
     integer-CENTS money (the proven-safe canon from the r11-r13
     DECIMAL-divergence incident: the driver environment's pandas hash
     diverges from local on DECIMAL values, so money is summed as
-    ``BIGINT`` cents), a ``ROUND(..., 2)`` DOUBLE, a BIGINT count, a
-    TIMESTAMP min, a ``year()`` INTEGER, and a BOOLEAN.  This entry is
+    ``BIGINT`` cents), a DOUBLE, a BIGINT count, a TIMESTAMP min, a
+    ``year()`` INTEGER, a BOOLEAN, and (since r15) a WINDOWED
+    ``SUM(BIGINT)`` — the class behind the r14 red: DuckDB types a
+    windowed integer sum HUGEINT unless outer-CAST, so this column
+    keeps the cast pattern on permanent display and would read out any
+    future driver drift on windowed sums.  The DOUBLE is derived from
+    the exact integer-cents sum with a single IEEE division
+    (``sum_cents / (100.0 * n)``) rather than ``ROUND(AVG(...))`` —
+    AVG over doubles is accumulation-order dependent and ROUND near a
+    .005 tie can flip bitwise between engines (ADVICE r14); the
+    division form has one bit pattern everywhere.  This entry is
     pinned to slot 1 of the driver's 50-entry window every round: any
     NEW driver-side hash divergence (a pandas/pyarrow upgrade changing
     canonicalization of one of these types) shows up as one red canary
     with a known-good local baseline, instead of a mystery red in a
     load-bearing entry.  Sub-second at sf0.01."""
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders")
-    return (
+    cents = F.sum(F.round(F.col("o_totalprice") * 100)
+                  .cast("bigint")).cast("bigint")
+    agg = (
         o.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100)
-                  .cast("bigint")).cast("bigint").alias("sum_cents"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            cents.alias("sum_cents"),
+            (cents.cast("double")
+             / (F.lit(100.0) * F.count(F.lit(1)))).alias("avg_price"),
             F.count(F.lit(1)).alias("n"),
             F.min("o_orderdate").cast("timestamp").alias("first_order"),
             F.year(F.min("o_orderdate")).cast("int").alias("first_year"),
             (F.count(F.lit(1)) > 100).alias("is_common"),
         )
+    )
+    return (
+        agg.withColumn(
+            "run_cents",
+            F.sum("sum_cents").over(Window.orderBy("status"))
+            .cast("bigint"))
+        .select("status", "sum_cents", "run_cents", "avg_price", "n",
+                "first_order", "first_year", "is_common")
         .orderBy("status")
     )
 
@@ -8612,9 +8648,9 @@ def sql_distribute_sort_by(spark, sf_dir):
 
 @q("sql_named_window_clause", """
 SELECT o_orderkey,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-           OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
-           AS run_cents,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+            AS BIGINT) AS run_cents,
        CAST(COUNT(*) OVER (PARTITION BY o_orderstatus
                            ORDER BY o_orderkey) AS BIGINT) AS run_n,
        CAST(rank() OVER (PARTITION BY o_orderstatus
@@ -8628,9 +8664,14 @@ def sql_named_window_clause(spark, sf_dir):
     single Window operator over a single sort pass.  The oracle spells
     each OVER out; DuckDB collapses them the same way.  Money runs
     through integer cents so the running sum has one bit pattern in
-    any engine (the frame order is total: o_orderkey is unique).  At
-    100 TB the named-window habit is what keeps a 10-metric dashboard
-    query at ONE shuffle+sort instead of ten."""
+    any engine (the frame order is total: o_orderkey is unique).
+    Oracle typing (r14 driver red, fixed r15): DuckDB types a windowed
+    ``SUM(BIGINT)`` as HUGEINT, so the oracle needs the outer
+    ``CAST(... AS BIGINT)`` — same 128-bit bitwise-hash divergence
+    class as the r11-r13 DECIMAL incident; the verify gate now rejects
+    HUGEINT oracle columns outright.  At 100 TB the named-window habit
+    is what keeps a 10-metric dashboard query at ONE shuffle+sort
+    instead of ten."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("__nwc_orders")
     return spark.sql("""
@@ -8824,23 +8865,20 @@ def scale_bucket_pruned_read(spark, sf_dir):
     cheapest point-query layout Spark offers.  Results must equal the
     plain WHERE the oracle runs on the unbucketed parquet.
 
-    Conf note: autoBucketedScan is turned OFF here (and left off — it
-    only ever DISABLES bucketed reading) because its benefit rule
-    considers shuffle removal, not pruning: with it on, a scan with no
-    downstream join/agg is planned ``Bucketed: false`` and the
-    1-of-8-buckets prune is forfeited.  Leaving it off is safe for
-    this engine's other entries: a restore here would be undone by
-    lazy evaluation anyway (the returned DataFrame plans at collect
-    time, after the entry returned), and every bucketed table the
-    engine writes exists precisely to be read bucketed — the
-    co-located-join entries' exchange-free plans hold with the rule on
-    or off (their bucketed reads are 'beneficial' and kept either
-    way)."""
+    Conf note: autoBucketedScan must be OFF (it only ever DISABLES
+    bucketed reading) because its benefit rule considers shuffle
+    removal, not pruning: with it on, a scan with no downstream
+    join/agg is planned ``Bucketed: false`` and the 1-of-8-buckets
+    prune is forfeited.  The conf is pinned off SESSION-WIDE in
+    ``session.RUNTIME_CONFS`` (r15, ADVICE r14: this entry used to
+    flip it mid-session and never restore, making other entries'
+    physical plans execution-order-dependent); ``apply_runtime_confs``
+    below re-asserts it for externally-built sessions so the entry is
+    self-sufficient without mutating shared state mid-registry."""
     from aws_etl_bank_spark.functions.scale import (
         read_bucketed, reset_and_write_bucketed, sf_table_tag)
 
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    apply_runtime_confs(spark)
     t = f"bp_orders_{sf_table_tag(sf_dir)}"
     reset_and_write_bucketed(spark,
                              load_table(spark, sf_dir, "orders")

@@ -38,6 +38,14 @@ RUNTIME_CONFS = {
     # which Spark rejects by default; read them as nano-longs and convert
     # (see sources.testdata.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # autoBucketedScan only ever DISABLES bucketed reading, and its
+    # benefit rule considers shuffle removal, not bucket PRUNING: with
+    # it on, a filtered scan with no downstream join/agg is planned
+    # ``Bucketed: false`` and a 1-of-n-buckets point read degrades to a
+    # full scan.  Pinned OFF session-wide (ADVICE r14: a registry entry
+    # used to flip it mid-session, making later plans order-dependent);
+    # the co-located-join entries' exchange-free plans hold either way.
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
     # At 100 TB, dims (nation/region/payment_type/date) stay broadcast-able;
     # 64 MB covers every dim in the star schema while fact-fact joins
     # correctly fall through to shuffle joins.

@@ -329,14 +329,18 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
     def commit(self, messages):
         import os
 
-        # two-pass publish: FIRST verify every winning attempt's staged
-        # file is present, THEN (for overwrite mode) clear the previous
-        # job's part files, THEN rename.  Validating mid-rename would
+        # three-pass publish: FIRST verify every winning attempt's
+        # staged file is present, THEN rename all staged files to
+        # their final names, and only THEN (for overwrite mode) delete
+        # the previous job's part files.  Validating mid-rename would
         # publish the earlier partitions before raising on a missing
-        # later one; deleting old data before validation (or at
-        # planning time, where overwrite used to happen) would destroy
-        # it even when this commit fails — either way a reader-visible
-        # torn state (ADVICE r13 low + r14 review).
+        # later one; deleting old data before the renames would make a
+        # mid-loop os.replace failure (disk error) lose the old data
+        # with only part of the new published.  Rename-first trades a
+        # brief old+new duplication on crash for no-loss: final names
+        # carry a per-job uuid, so they cannot collide with the
+        # previous job's parts (ADVICE r13 low + r14 review + r14
+        # ADVICE low).
         to_publish = []
         for m in messages or []:
             staged = getattr(m, "staged", None)
@@ -352,16 +356,19 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
                     f"pyarrow_parquet commit: staged file missing for "
                     f"a committed task attempt: {staged}")
             to_publish.append((staged, final))
+        old_parts = []
         if self.overwrite:
             import glob
 
             keep = {final for _, final in to_publish}
-            for old in glob.glob(os.path.join(self.path,
-                                              "part-*.parquet")):
-                if old not in keep:
-                    os.remove(old)
+            old_parts = [old for old in
+                         glob.glob(os.path.join(self.path,
+                                                "part-*.parquet"))
+                         if old not in keep]
         for staged, final in to_publish:
             os.replace(staged, final)
+        for old in old_parts:                     # delete LAST: a failed
+            os.remove(old)                        # rename keeps old data
         self._sweep_staged()                      # losing attempts
 
     def abort(self, messages):

@@ -116,6 +116,24 @@ def _norm_duck_type(code) -> str:
     return _DUCK_TYPES.get(c, c.lower())
 
 
+#: DuckDB type codes the driver's bitwise hash canonicalizes
+#: DIFFERENTLY from the local python-int normalization: 128-bit
+#: integers and fixed-point decimals.  r11-r13 burned on DECIMAL; r14
+#: burned on HUGEINT (a windowed SUM(BIGINT) with no outer CAST — the
+#: round's only driver-red row, sql_named_window_clause).  The r13
+#: sweep grepped DECIMAL only and missed it, so the gate now rejects
+#: the whole class: an oracle-compared output column must be cast down
+#: to BIGINT/DOUBLE before it leaves the oracle SQL.
+def wide_oracle_cols(ocols, otypecodes) -> list[tuple[str, str]]:
+    bad = []
+    for c, t in zip(ocols, otypecodes):
+        u = str(t).upper()
+        if (u.startswith("DECIMAL") or u in ("HUGEINT", "UHUGEINT")
+                or "INT128" in u):
+            bad.append((c, u))
+    return bad
+
+
 def nested_output_cols(dtypes) -> list[str]:
     """Columns the driver's pandas canon cannot hash (raw array/struct/
     map) — any oracle-backed entry emitting one is REJECTED (r9 verdict
@@ -206,6 +224,18 @@ def main():
             failures.append((name, f"ORACLE ERROR: {e}"))
             record[name] = {"status": "fail", "detail": f"oracle error: {e}"}
             print(f"FAIL  {name}: oracle error {e}")
+            continue
+        wide = wide_oracle_cols(ocols, otypecodes)
+        if wide:
+            failures.append((name, f"128-bit oracle cols {wide}"))
+            record[name] = {"status": "fail",
+                            "detail": f"oracle emits 128-bit columns {wide} "
+                                      "— driver bitwise hash diverges on "
+                                      "HUGEINT/DECIMAL; CAST down to "
+                                      "BIGINT/DOUBLE in the oracle SQL"}
+            print(f"FAIL  {name}: oracle emits 128-bit column(s) {wide} — "
+                  "the driver's bitwise hash diverges on HUGEINT/DECIMAL "
+                  "(r11-r14 incident class); add an outer CAST")
             continue
         if sorted(cols) != sorted(ocols):
             failures.append((name, f"columns {sorted(cols)} vs {sorted(ocols)}"))

@@ -157,3 +157,78 @@ def test_duplicate_registry_name_raises():
         @q(existing)
         def shadow(spark, sf_dir):  # pragma: no cover
             return None
+
+
+def test_wide_oracle_cols_flags_128bit_types():
+    """r14 shipped its one driver-red row because a windowed
+    SUM(BIGINT) oracle column is HUGEINT in DuckDB (sql_named_window_
+    clause) and the r13 sweep grepped DECIMAL only.  Pin both facts:
+    DuckDB really does widen a windowed integer sum to HUGEINT, and
+    the gate's classifier rejects the whole 128-bit class."""
+    import duckdb
+
+    from scripts.verify_entry import wide_oracle_cols
+
+    con = duckdb.connect()
+    rel = con.sql(
+        "SELECT SUM(x) OVER (ORDER BY x) AS uncast,"
+        "       CAST(SUM(x) OVER (ORDER BY x) AS BIGINT) AS cast_down,"
+        "       CAST(1.5 AS DECIMAL(10,2)) AS dec_col,"
+        # NOTE: `* 1.0` would NOT be ok — DuckDB types a 1.0 literal
+        # DECIMAL and int*decimal stays decimal; only an explicit
+        # CAST produces DOUBLE
+        "       CAST(SUM(x) OVER (ORDER BY x) AS DOUBLE) AS dbl_ok "
+        "FROM (SELECT CAST(1 AS BIGINT) AS x)")
+    codes = [str(t) for t in rel.types]
+    assert codes[0] == "HUGEINT"  # the r14 incident typing, pinned
+    flagged = wide_oracle_cols(rel.columns, codes)
+    assert ("uncast", "HUGEINT") in flagged
+    assert any(c == "dec_col" for c, _ in flagged)
+    assert all(c not in ("cast_down", "dbl_ok") for c, _ in flagged)
+
+
+def test_registry_oracles_bind_no_128bit_columns():
+    """Static full-registry sweep (r14 verdict task 2): DESCRIBE every
+    oracle_sql() relation against DuckDB views of the smallest testdata
+    and assert no output column binds to a 128-bit type.  Binding is
+    static (no execution), so this covers all ~380 oracles in seconds.
+    Oracles referencing scratch artifacts the Spark side writes first
+    may fail to BIND here — those are exercised by the full verify run
+    instead — but a successful bind with a HUGEINT/DECIMAL column is an
+    outright failure."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from scripts.verify_entry import TABLES, wide_oracle_cols
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad, bound = {}, 0
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            rel = con.sql(sql)
+            codes = [str(t) for t in rel.types]
+        except Exception:
+            continue  # scratch-dependent oracle; full verify covers it
+        bound += 1
+        wide = wide_oracle_cols(rel.columns, codes)
+        if wide:
+            bad[name] = wide
+    assert bad == {}, f"128-bit oracle columns: {bad}"
+    assert bound > 300  # the sweep must actually cover the registry
+
+
+def test_priority_slate_is_oracle_backed():
+    """r14 burned a driver rotation slot on a rows-only entry
+    (dedup_semantic_pairs_full -> err:"no_oracle").  The 50-slot
+    window is attestation budget: every name in it must have an
+    oracle (verdict r14 task 3)."""
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    rows_only = [n for n in entrymod._PRIORITY[:50] if n not in oracles]
+    assert rows_only == [], (
+        f"rows-only entries waste driver slots: {rows_only}")
