@@ -71,12 +71,18 @@ _PRIORITY = [
     "todf_resolve_option_cast", "errors_as_dynamic_frame",
     "agg_cube_type_day", "text_quality_top_fraction",
     "dedup_semantic_full_recall", "llm_dsir_select",
-    # slot 50: the r8-vintage head (registry order)
-    "agg_cube_grouping",
-    # ---- 50-slot waterline: agg_cube_grouping is slot 50
-    # r16 head: the r8-vintage block continues in registry order
-    # (sketch_hll_distinct, pivot_event_counts, agg_percentiles,
-    # scd2_as_of_read, unpivot_melt, scale_bucketed_join_agg, ...)
+    # slot 50: NEW in r15 — Catalyst-native batch session_window (the
+    # highest-value of the round's five new surfaces; the other four
+    # are locally gate-green and head the r16 queue below)
+    "agg_session_window_batch",
+    # ---- 50-slot waterline: agg_session_window_batch is slot 50
+    # r16 head: the remaining r15-new entries, then the r8-vintage
+    # block in registry order
+    # (win_ignore_nulls_family, scalar_luhn_validation,
+    #  sql_cluster_by_ordered, scalar_random_seeded_invariants;
+    #  then agg_cube_grouping, sketch_hll_distinct, pivot_event_counts,
+    #  agg_percentiles, scd2_as_of_read, unpivot_melt,
+    #  scale_bucketed_join_agg, ...)
 ]
 
 

@@ -8929,3 +8929,200 @@ def ops_pandas_api_roundtrip(spark, sf_dir):
                     F.col("n").cast("bigint").alias("n"),
                     F.round("max_price", 2).alias("max_price"),
                     "cents"))
+
+
+# ===========================================================================
+# r15 surfaces: IGNORE NULLS windows, native batch session windows,
+# Luhn validation, CLUSTER BY, seeded random generators
+# ===========================================================================
+
+
+@q("win_ignore_nulls_family", """
+SELECT o_orderkey,
+       lag(cents_n IGNORE NULLS)
+           OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+           AS prev_cents,
+       last_value(cents_n IGNORE NULLS)
+           OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS carry_cents,
+       nth_value(cents_n, 2 IGNORE NULLS)
+           OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+           AS second_cents
+FROM (SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             END AS cents_n
+      FROM orders)""")
+def win_ignore_nulls_family(spark, sf_dir):
+    """``IGNORE NULLS`` window modifiers (lag / last_value /
+    nth_value): the gap-filling idiom — ``last_value(x) IGNORE NULLS``
+    over a running frame is the standard "carry the last observation
+    forward" without a self-join, and ``lag(...) IGNORE NULLS`` skips
+    missing readings instead of returning them.  NULLs are planted
+    deterministically (every 7th order key) so both engines see the
+    same holes; all money is integer cents.  Dialect seam: DuckDB
+    spells the modifier inside the call parens (``lag(x IGNORE
+    NULLS)``), Spark after them (``lag(x) IGNORE NULLS``) — the
+    oracle string uses DuckDB's inner form, the Spark SQL below the
+    postfix form; semantics verified identical on planted probes.
+    At 100 TB this family is one sorted window pass per partition —
+    same cost class as any running sum; the alternative (as-of
+    self-join per row) is a quadratic trap."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__inf_orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               lag(cents_n) IGNORE NULLS
+                   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+                   AS prev_cents,
+               last_value(cents_n) IGNORE NULLS
+                   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS carry_cents,
+               nth_value(cents_n, 2) IGNORE NULLS
+                   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+                   AS second_cents
+        FROM (SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     END AS cents_n
+              FROM __inf_orders)""")
+
+
+@q("agg_session_window_batch", """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, sid""")
+def agg_session_window_batch(spark, sf_dir):
+    """Catalyst-native BATCH ``session_window`` aggregation (the
+    offline twin of streaming/sessionize.py, which pins the streaming
+    side): ``groupBy(session_window(ts, gap), user)`` fuses the
+    sort-merge-and-assign into one operator — one shuffle on the user
+    key, sessions assigned partition-locally, no window-then-regroup
+    double pass.  Boundary semantics pinned by probe: an event at
+    EXACTLY prev_ts + gap still JOINS the session (merge while
+    ``ts - prev <= gap``), so the oracle's new-session mark is the
+    strict ``> gap``; session_end is last_event + gap on both sides.
+    At 100 TB this is the right sessionizer: the hand-rolled
+    lag/cumsum form (the oracle's shape) costs TWO window passes over
+    the same sort, and a driver-side grouper doesn't exist.  Events
+    ts granularity is microseconds, exact on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        e.groupBy(sw, F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events")
+    )
+
+
+@q("scalar_luhn_validation", """
+SELECT o_orderkey, acct,
+       list_sum(list_transform(generate_series(1, 12), i ->
+           CASE WHEN (13 - i) % 2 = 0
+                THEN CASE WHEN CAST(substr(acct, CAST(i AS INT), 1) AS INT) * 2 > 9
+                          THEN CAST(substr(acct, CAST(i AS INT), 1) AS INT) * 2 - 9
+                          ELSE CAST(substr(acct, CAST(i AS INT), 1) AS INT) * 2 END
+                ELSE CAST(substr(acct, CAST(i AS INT), 1) AS INT)
+           END)) % 10 = 0 AS luhn_ok
+FROM (SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS acct
+      FROM orders)""")
+def scalar_luhn_validation(spark, sf_dir):
+    """``luhn_check`` (Spark 3.5+): checksum validation for
+    card/account numbers — the data-quality screen a banking ingest
+    runs on every PAN-shaped column.  Account strings are derived
+    from the order key (zero-padded to 12 digits) so both engines
+    check identical inputs; the oracle re-implements the Luhn
+    algorithm in portable SQL arithmetic (double every second digit
+    from the right, fold >9 by subtracting 9, sum % 10 == 0 —
+    verified digit-for-digit against Spark's builtin on planted
+    valid/invalid probes).  Map-only, codegen'd, no shuffle: at
+    100 TB this is a free pass over the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+            .alias("acct"))
+        .select(
+            "o_orderkey", "acct",
+            F.expr("luhn_check(acct)").alias("luhn_ok"))
+    )
+
+
+@q("sql_cluster_by_ordered", """
+SELECT o_orderstatus, o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+WHERE o_totalprice > 300000""")
+def sql_cluster_by_ordered(spark, sf_dir):
+    """``CLUSTER BY`` — the dialect sugar for ``DISTRIBUTE BY k SORT
+    BY k`` (the sibling entry sql_distribute_sort_by spells the two
+    clauses out): one hash exchange plus a partition-LOCAL sort, no
+    global order.  Content is partitioning-invariant so the oracle is
+    the plain projection; what the entry pins is that the clause
+    parses and the result set is exactly the filtered projection.  At
+    100 TB CLUSTER BY is the cheap way to lay out a write so
+    same-key rows land contiguously (dictionary/RLE-friendly parquet
+    pages) without paying a global ORDER BY."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__cb_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM __cb_orders
+        WHERE o_totalprice > 300000
+        CLUSTER BY o_orderstatus, o_orderkey""")
+
+
+@q("scalar_random_seeded_invariants", """
+SELECT CAST(1000 AS BIGINT) AS n,
+       true AS uniform_in_bounds,
+       true AS uniform_covers_range,
+       true AS randstr_shape_ok""")
+def scalar_random_seeded_invariants(spark, sf_dir):
+    """Seeded random generators (Spark 4.0 ``uniform``/``randstr``,
+    SPARK-46990): WHICH value lands on which row depends on the
+    partitioning (per-partition seeded streams, like ``rand(seed)``),
+    so — exactly like the unordered-sample entries — the oracle
+    checks INVARIANTS: row count, every uniform draw inside its
+    closed bounds, the draws actually spreading over the range (>= 5
+    of 10 possible values seen in 1000 draws — a degenerate
+    constant-output implementation fails this), and every randstr
+    being exactly 8 alphanumeric chars.  Single partition keeps the
+    draw sequence stable for a given Spark version without making
+    the invariants depend on it."""
+    df = (spark.range(0, 1000, 1, 1)
+          .select(F.expr("uniform(0, 9, 42)").alias("u"),
+                  F.expr("randstr(8, 7)").alias("s")))
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bool_and(F.col("u").between(0, 9)).alias("uniform_in_bounds"),
+        (F.count_distinct(F.col("u")) >= 5).alias("uniform_covers_range"),
+        F.bool_and(F.col("s").rlike("^[A-Za-z0-9]{8}$"))
+        .alias("randstr_shape_ok"))
