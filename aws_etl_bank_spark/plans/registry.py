@@ -86,9043 +86,14 @@ def _scratch(sf_dir: str, leaf: str) -> str:
     return path
 
 
-# ===========================================================================
-# Flagship (SURVEY.md §3.1)
-# ===========================================================================
 
-_FLAGSHIP_ORACLE_BODY = """
-WITH transactions AS (
-    SELECT l.l_orderkey * 10 + l.l_linenumber AS trans_id,
-           o.o_custkey AS cust_id,
-           l.l_suppkey AS acc_id,
-           s.s_name AS account_type_name,
-           l.l_extendedprice AS amount,
-           CAST(l.l_shipdate AS DATE) AS transaction_date,
-           pt.type_nm AS payment_type_nm
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN (VALUES ('A','refund_payment'),('N','normal_payment'),('R','return_payment'))
-         pt(type_code, type_nm) ON l.l_returnflag = pt.type_code
-),
-cte_cust_daily AS (
-    SELECT transaction_date, cust_id,
-           COUNT(trans_id) AS cust_no_transaction_daily,
-           SUM(amount) AS cust_daily_spending,
-           array_to_string(list_sort(list(DISTINCT payment_type_nm)), ',') AS cust_daily_payment_type
-    FROM transactions GROUP BY transaction_date, cust_id
-),
-cte_cust_accum AS (
-    SELECT *, SUM(cust_daily_spending) OVER (
-        PARTITION BY cust_id ORDER BY transaction_date) AS cust_accum_spending
-    FROM cte_cust_daily
-),
-cte_acc_daily AS (
-    SELECT transaction_date, cust_id, acc_id, account_type_name,
-           COUNT(DISTINCT trans_id) AS account_no_transactions_daily,
-           SUM(amount) AS account_daily_spending
-    FROM transactions GROUP BY transaction_date, cust_id, acc_id, account_type_name
-),
-cte_acc_accum AS (
-    SELECT *, SUM(account_daily_spending) OVER (
-        PARTITION BY cust_id, acc_id ORDER BY transaction_date) AS account_accum_spending
-    FROM cte_acc_daily
-),
-cte_month_avg AS (
-    SELECT month(transaction_date) AS month_key, AVG(amount) AS avg_monthly_spending
-    FROM transactions GROUP BY month(transaction_date)
-)
-SELECT strftime(a1.transaction_date, '%Y%m%d') AS date_key,
-       a1.transaction_date, a1.cust_id, a1.acc_id, a1.account_type_name,
-       a1.account_no_transactions_daily,
-       ROUND(a1.account_daily_spending, 2) AS account_daily_spending,
-       ROUND(a1.account_accum_spending, 2) AS account_accum_spending,
-       c2.cust_no_transaction_daily,
-       ROUND(c2.cust_daily_spending, 2) AS cust_daily_spending,
-       c2.cust_daily_payment_type,
-       ROUND(c2.cust_accum_spending, 2) AS cust_accum_spending,
-       ROUND(c3.avg_monthly_spending, 2) AS avg_monthly_spending,
-       CASE WHEN dayofweek(a1.transaction_date) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS day_type,
-       ((month(a1.transaction_date) = 1 AND dayofmonth(a1.transaction_date) = 1)
-        OR (month(a1.transaction_date) = 4 AND dayofmonth(a1.transaction_date) = 30)
-        OR (month(a1.transaction_date) = 5 AND dayofmonth(a1.transaction_date) = 1)
-        OR (month(a1.transaction_date) = 9 AND dayofmonth(a1.transaction_date) = 2)) AS is_holiday
-FROM cte_acc_accum a1
-JOIN cte_cust_accum c2 ON c2.cust_id = a1.cust_id {extra}
-JOIN cte_month_avg c3 ON c3.month_key = month(a1.transaction_date)
-"""
-
-
-@q("fact_snapshot", _FLAGSHIP_ORACLE_BODY.format(extra="AND c2.transaction_date = a1.transaction_date"))
-def fact_snapshot(spark, sf_dir):
-    from aws_etl_bank_spark.plans.flagship import build_fact_snapshot
-
-    return build_fact_snapshot(spark, sf_dir, fidelity=False)
-
-
-@q("fact_snapshot_split", _FLAGSHIP_ORACLE_BODY.format(extra="AND c2.transaction_date = a1.transaction_date"))
-def fact_snapshot_split(spark, sf_dir):
-    """Hot-key-split flagship (VERDICT r5 item 7): both running-sum
-    windows go through operators/windows.py running_sum_split with
-    ~90-day buckets, so a whale customer's history spreads across many
-    tasks instead of serializing one window partition.  Shares
-    fact_snapshot's oracle — the split must be value-identical."""
-    from aws_etl_bank_spark.plans.flagship import build_fact_snapshot
-
-    return build_fact_snapshot(spark, sf_dir, fidelity=False,
-                               coarse_bucket_seconds=90 * 86400.0)
-
-
-@q(
-    "fact_snapshot_fidelity",
-    "WITH base AS ({body}) SELECT * FROM base WHERE cust_id < 100".format(
-        body=_FLAGSHIP_ORACLE_BODY.format(extra="")
-    ),
-)
-def fact_snapshot_fidelity(spark, sf_dir):
-    """The reference's row-multiplication quirk (SURVEY.md §8.1): the
-    cust-accum CTE joins on cust_id only.  Scoped to cust_id < 100 to keep
-    the multiplied output bounded at sf0.01."""
-    from aws_etl_bank_spark.plans.flagship import build_fact_snapshot
-
-    return build_fact_snapshot(spark, sf_dir, fidelity=True).filter(F.col("cust_id") < 100)
-
-
-# ===========================================================================
-# Aggregations (SURVEY.md §2.4)
-# ===========================================================================
-
-
-@q("agg_daily_cust", """
-SELECT CAST(o_orderdate AS DATE) AS transaction_date, o_custkey AS cust_id,
-       COUNT(o_orderkey) AS no_trans, ROUND(SUM(o_totalprice), 2) AS daily_spending
-FROM orders GROUP BY 1, 2""")
-def agg_daily_cust(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.to_date("o_orderdate").alias("transaction_date"),
-                  F.col("o_custkey").alias("cust_id"))
-        .agg(F.count("o_orderkey").alias("no_trans"),
-             F.round(F.sum("o_totalprice"), 2).alias("daily_spending"))
-    )
-
-
-@q("agg_payment_types", """
-SELECT o_custkey AS cust_id,
-       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
-FROM orders GROUP BY 1""")
-def agg_payment_types(spark, sf_dir):
-    """collect_list(distinct ...) per group (r2g_account.py:165) — sorted
-    and joined for deterministic comparison (SURVEY.md §8.4)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_custkey").alias("cust_id")).agg(
-        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities")
-    )
-
-
-@q("agg_count_distinct", """
-SELECT l_returnflag, l_linestatus, l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
-       COUNT(DISTINCT l_orderkey) AS n_orders
-FROM lineitem GROUP BY 1, 2, 3, 4""")
-def agg_count_distinct(spark, sf_dir):
-    # widen_if_underscanned A/B'd here: 1.20 vs 1.15 s — noise.  The
-    # (keys + orderkey) distinct pre-aggregation already reduces enough
-    # that 3-way scan parallelism isn't the bottleneck.  Kept plain.
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus", "l_suppkey",
-                   F.to_date("l_shipdate").alias("ship_date"))
-        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    )
-
-
-@q("agg_avg_by_month", """
-SELECT CAST(month(o_orderdate) AS INTEGER) AS month_key,
-       ROUND(AVG(o_totalprice), 2) AS avg_price
-FROM orders GROUP BY 1""")
-def agg_avg_by_month(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy(F.month("o_orderdate").alias("month_key")).agg(
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price")
-    )
-
-
-@q("agg_nested_max", """
-SELECT o_custkey AS cust_id, MAX(o_totalprice) AS max_price
-FROM orders GROUP BY 1""")
-def agg_nested_max(spark, sf_dir):
-    """groupBy on a nested column + agg + rename (the
-    crawler_undo.py:54-57 pattern)."""
-    o = load_table(spark, sf_dir, "orders")
-    nested = o.select(F.struct("o_custkey", "o_totalprice").alias("t"))
-    agged = nested.groupBy(F.col("t.o_custkey").alias("cust_id")).max("t.o_totalprice")
-    # rename the auto-generated agg column, the crawler_undo.py:55 pattern
-    return agged.withColumnRenamed(agged.columns[-1], "max_price")
-
-
-@q("agg_collect_struct_size", """
-SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM orders GROUP BY 1""")
-def agg_collect_struct_size(spark, sf_dir):
-    """collect_list(struct("*")) whole-row nesting (scripts_utils.py:55-63),
-    checked via the collected size."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(F.collect_list(F.struct("*")).alias("rows"))
-        .select("o_orderstatus", F.size("rows").cast("long").alias("n_rows"))
-    )
-
-
-# ===========================================================================
-# Windows (SURVEY.md §2.5)
-# ===========================================================================
-
-
-@q("win_running_sum_cust", """
-WITH daily AS (
-    SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS spend
-    FROM orders GROUP BY 1, 2
-)
-SELECT cust_id, d, ROUND(spend, 2) AS daily_spend,
-       ROUND(SUM(spend) OVER (PARTITION BY cust_id ORDER BY d), 2) AS accum_spend
-FROM daily""")
-def win_running_sum_cust(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.col("o_custkey").alias("cust_id"), F.to_date("o_orderdate").alias("d")
-    ).agg(F.sum("o_totalprice").alias("spend"))
-    w = Window.partitionBy("cust_id").orderBy("d")  # RANGE default frame (§8.2)
-    return daily.select(
-        "cust_id", "d", F.round("spend", 2).alias("daily_spend"),
-        F.round(F.sum("spend").over(w), 2).alias("accum_spend"),
-    )
-
-
-@q("win_running_sum_cust_split", """
-WITH daily AS (
-    SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS spend
-    FROM orders GROUP BY 1, 2
-)
-SELECT cust_id, d, ROUND(spend, 2) AS daily_spend,
-       ROUND(SUM(spend) OVER (PARTITION BY cust_id ORDER BY d), 2) AS accum_spend
-FROM daily""")
-def win_running_sum_cust_split(spark, sf_dir):
-    """Hot-key-split running sum (operators/windows.py running_sum_split):
-    same oracle as win_running_sum_cust — within-bucket RANGE window plus
-    the running total of earlier buckets must be value-identical to the
-    serial per-key window, while each customer's history spreads across
-    ~30-day tasks.  The running-aggregate sibling of
-    ts_rolling_zscore_bucketed's trailing-rows split."""
-    o = load_table(spark, sf_dir, "orders")
-    from aws_etl_bank_spark.operators.windows import running_sum_split
-
-    daily = o.groupBy(
-        F.col("o_custkey").alias("cust_id"), F.to_date("o_orderdate").alias("d")
-    ).agg(F.sum("o_totalprice").alias("spend"))
-    out = running_sum_split(daily, ["cust_id"], "d", "spend", "accum_spend",
-                            coarse_bucket_seconds=30 * 86400.0)
-    return out.select(
-        "cust_id", "d", F.round("spend", 2).alias("daily_spend"),
-        F.round("accum_spend", 2).alias("accum_spend"),
-    )
-
-
-@q("win_running_sum_acct", """
-WITH daily AS (
-    SELECT l_suppkey AS acc_id, l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
-           SUM(l_extendedprice) AS spend
-    FROM lineitem GROUP BY 1, 2, 3
-)
-SELECT acc_id, flag, d,
-       ROUND(SUM(spend) OVER (PARTITION BY acc_id, flag ORDER BY d), 2) AS accum_spend
-FROM daily""")
-def win_running_sum_acct(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    daily = li.groupBy(
-        F.col("l_suppkey").alias("acc_id"), F.col("l_returnflag").alias("flag"),
-        F.to_date("l_shipdate").alias("d"),
-    ).agg(F.sum("l_extendedprice").alias("spend"))
-    w = Window.partitionBy("acc_id", "flag").orderBy("d")
-    return daily.select(
-        "acc_id", "flag", "d", F.round(F.sum("spend").over(w), 2).alias("accum_spend")
-    )
-
-
-@q("win_row_number_topk", """
-SELECT o_custkey AS cust_id, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
-FROM (
-    SELECT o_custkey, o_orderkey, o_totalprice,
-           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-    FROM orders
-) WHERE rn <= 3""")
-def win_row_number_topk(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(F.col("o_custkey").alias("cust_id"), "o_orderkey", "o_totalprice",
-                F.col("rn").cast("long").alias("rn"))
-    )
-
-
-@q("win_lag_delta", """
-WITH daily AS (
-    SELECT o_custkey AS cust_id, CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS spend
-    FROM orders GROUP BY 1, 2
-)
-SELECT cust_id, d,
-       ROUND(spend - COALESCE(LAG(spend) OVER (PARTITION BY cust_id ORDER BY d), 0), 2) + 0 AS delta
-FROM daily""")
-def win_lag_delta(spark, sf_dir):
-    """Day-over-day spend delta per customer via LAG.  The delta is a
-    DIFFERENCE of two floating sums: two days with equal spend can net
-    to ±1e-10 depending on each engine's accumulation order, and
-    ROUND(,2) of a tiny negative is IEEE ``-0.0`` — bitwise-distinct
-    from ``+0.0`` under the driver hash.  Both sides canonicalize
-    (:func:`canon0` / ``+ 0``)."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.col("o_custkey").alias("cust_id"), F.to_date("o_orderdate").alias("d")
-    ).agg(F.sum("o_totalprice").alias("spend"))
-    w = Window.partitionBy("cust_id").orderBy("d")
-    return daily.select(
-        "cust_id", "d",
-        canon0(F.round(F.col("spend") - F.coalesce(F.lag("spend").over(w), F.lit(0.0)), 2)).alias("delta"),
-    )
-
-
-# ===========================================================================
-# Joins & merge (SURVEY.md §2.3)
-# ===========================================================================
-
-
-@q("join_dynamicframe_equi", """
-SELECT c.c_custkey, c.c_name, n.n_name AS nation_name
-FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""")
-def join_dynamicframe_equi(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    c = DynamicFrame.fromDF(load_table(spark, sf_dir, "customer"), None, "customer")
-    n = DynamicFrame.fromDF(load_table(spark, sf_dir, "nation"), None, "nation")
-    joined = c.join(["c_nationkey"], ["n_nationkey"], n)
-    return joined.toDF().select("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
-
-
-@q("join_multiway_sql", """
-SELECT r.r_name AS region_name, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-       CAST(COUNT(*) AS BIGINT) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS revenue
-FROM region r
-JOIN nation n ON n.n_regionkey = r.r_regionkey
-JOIN customer c ON c.c_nationkey = n.n_nationkey
-JOIN orders o ON o.o_custkey = c.c_custkey
-GROUP BY 1, 2""")
-def join_multiway_sql(spark, sf_dir):
-    for t in ("region", "nation", "customer", "orders"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql("""
-        SELECT /*+ BROADCAST(r, n) */ r.r_name AS region_name,
-               year(o.o_orderdate) AS order_year,
-               COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS revenue
-        FROM region r
-        JOIN nation n ON n.n_regionkey = r.r_regionkey
-        JOIN customer c ON c.c_nationkey = n.n_nationkey
-        JOIN orders o ON o.o_custkey = c.c_custkey
-        GROUP BY r.r_name, year(o.o_orderdate)""")
-
-
-@q("join_left_semi", """
-SELECT c_custkey, c_name FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")
-def join_left_semi(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "leftsemi").select("c_custkey", "c_name")
-
-
-@q("join_left_anti", """
-SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")
-def join_left_anti(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
-
-
-@q("join_expr_month", """
-WITH m AS (SELECT month(o_orderdate) AS month_key, AVG(o_totalprice) AS avg_price
-           FROM orders GROUP BY 1)
-SELECT o.o_orderkey, ROUND(o.o_totalprice / m.avg_price, 4) AS price_ratio
-FROM orders o JOIN m ON m.month_key = month(o.o_orderdate)""")
-def join_expr_month(spark, sf_dir):
-    """Join on a date-expression key (the r2g_account.py:206 pattern)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql("""
-        WITH m AS (SELECT month(o_orderdate) AS month_key, AVG(o_totalprice) AS avg_price
-                   FROM orders GROUP BY month(o_orderdate))
-        SELECT o.o_orderkey, ROUND(o.o_totalprice / m.avg_price, 4) AS price_ratio
-        FROM orders o JOIN m ON m.month_key = month(o.o_orderdate)""")
-
-
-@q("merge_upsert", """
-WITH staging AS (
-    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-           ROUND(o_totalprice + 1000, 2) AS o_totalprice
-    FROM orders WHERE o_orderkey % 10 = 0
-)
-SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
-FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staging)
-UNION ALL SELECT * FROM staging""")
-def merge_upsert(spark, sf_dir):
-    """mergeDynamicFrame PK upsert (dynamicframe.py:436-461)."""
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
-    )
-    staging = (
-        o.filter(F.col("o_orderkey") % 10 == 0)
-        .withColumn("o_orderstatus", F.lit("U"))
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1000, 2))
-    )
-    src = DynamicFrame.fromDF(o, None, "src")
-    stg = DynamicFrame.fromDF(staging, None, "stg")
-    return src.mergeDynamicFrame(stg, ["o_orderkey"]).toDF()
-
-
-# ===========================================================================
-# Field transforms (SURVEY.md §2.2)
-# ===========================================================================
-
-
-@q("apply_mapping_cast", """
-SELECT CAST(l_orderkey AS VARCHAR) AS order_id, CAST(l_linenumber AS BIGINT) AS line_no,
-       CAST(l_shipdate AS DATE) AS ship_date, l_returnflag AS flag
-FROM lineitem""")
-def apply_mapping_cast(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    li = DynamicFrame.fromDF(load_table(spark, sf_dir, "lineitem"), None, "li")
-    return li.apply_mapping(
-        [
-            ("l_orderkey", "order_id", "string"),
-            ("l_linenumber", "long", "line_no", "long"),  # 4-tuple form
-            ("l_shipdate", "ship_date", "date"),
-            ("l_returnflag", "flag"),  # 2-tuple form
-        ]
-    ).toDF()
-
-
-@q("select_fields_nested", """
-SELECT c_custkey, c_name AS "info.c_name" FROM customer""")
-def select_fields_nested(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    c = load_table(spark, sf_dir, "customer").withColumn(
-        "info", F.struct("c_name", "c_acctbal")
-    )
-    return DynamicFrame.fromDF(c, None, "c").select_fields(["c_custkey", "info.c_name"]).toDF()
-
-
-@q("drop_fields_op", """
-SELECT p_partkey, p_name, p_size FROM part""")
-def drop_fields_op(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    p = DynamicFrame.fromDF(load_table(spark, sf_dir, "part"), None, "p")
-    return p.drop_fields(["p_brand", "p_type", "p_retailprice"]).toDF()
-
-
-@q("rename_field_op", """
-SELECT p_partkey AS part_id, p_name FROM part""")
-def rename_field_op(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    p = DynamicFrame.fromDF(
-        load_table(spark, sf_dir, "part").select("p_partkey", "p_name"), None, "p"
-    )
-    return p.rename_field("p_partkey", "part_id").toDF()
-
-
-@q("split_rows_match", """
-SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 10 AND p_size <= 30""")
-def split_rows_match(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    p = DynamicFrame.fromDF(
-        load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size"), None, "p"
-    )
-    return p.split_rows({"p_size": {">": 10, "<=": 30}}, "match", "rest").select("match").toDF()
-
-
-@q("split_rows_rest", """
-SELECT p_partkey, p_name, p_size FROM part WHERE NOT (p_size > 10 AND p_size <= 30)""")
-def split_rows_rest(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    p = DynamicFrame.fromDF(
-        load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size"), None, "p"
-    )
-    return p.split_rows({"p_size": {">": 10, "<=": 30}}, "match", "rest").select("rest").toDF()
-
-
-@q("split_fields_op", """
-SELECT p_partkey, p_name FROM part""")
-def split_fields_op(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    p = DynamicFrame.fromDF(load_table(spark, sf_dir, "part"), None, "p")
-    return p.split_fields(["p_partkey", "p_name"], "keys", "attrs").select("keys").toDF()
-
-
-@q("filter_python_predicate", """
-SELECT * FROM orders WHERE o_totalprice > 150000""")
-def filter_python_predicate(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    o = DynamicFrame.fromDF(load_table(spark, sf_dir, "orders"), None, "o")
-    return o.filter(lambda rec: rec["o_totalprice"] > 150000).toDF()
-
-
-@q("filter_drop_policy", """
-SELECT * FROM orders WHERE o_orderstatus != 'O' AND o_totalprice > 150000""")
-def filter_drop_policy(spark, sf_dir):
-    """KeyError/ValueError/TypeError in the predicate silently drop the row
-    (dynamicframe.py:86-90) — here every 'O' row raises ValueError."""
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    o = DynamicFrame.fromDF(load_table(spark, sf_dir, "orders"), None, "o")
-
-    def pred(rec):
-        if rec["o_orderstatus"] == "O":
-            raise ValueError("dropped")
-        return rec["o_totalprice"] > 150000
-
-    return o.filter(pred).toDF()
-
-
-@q("map_python_records", """
-SELECT c_custkey, c_name, UPPER(c_name) AS name_upper, c_acctbal FROM customer""")
-def map_python_records(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    frame = DynamicFrame.fromDF(base, None, "c")
-    out_schema = T.StructType(
-        [
-            T.StructField("c_custkey", T.LongType()),
-            T.StructField("c_name", T.StringType()),
-            T.StructField("name_upper", T.StringType()),
-            T.StructField("c_acctbal", T.DoubleType()),
-        ]
-    )
-
-    def fn(rec):
-        rec["name_upper"] = rec["c_name"].upper()
-        return rec
-
-    return frame.map(fn, schema=out_schema).toDF()
-
-
-@q("map_error_policy", """
-SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal >= 0""")
-def map_error_policy(spark, sf_dir):
-    """Rows whose map callable raises become error records and leave the
-    main frame (dynamicframe.py:104-115)."""
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    frame = DynamicFrame.fromDF(base, None, "c")
-    schema = T.StructType(
-        [T.StructField("c_custkey", T.LongType()), T.StructField("c_acctbal", T.DoubleType())]
-    )
-
-    def fn(rec):
-        if rec["c_acctbal"] < 0:
-            raise RuntimeError("negative balance")
-        return rec
-
-    return frame.map(fn, schema=schema).toDF()
-
-
-@q("drop_null_fields_op", """
-SELECT * FROM part""")
-def drop_null_fields_op(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-    from aws_etl_bank_spark.transforms import DropNullFields
-
-    p = load_table(spark, sf_dir, "part").withColumn("junk", F.lit(None))
-    return DropNullFields.apply(DynamicFrame.fromDF(p, None, "p")).toDF()
-
-
-# ===========================================================================
-# Set ops / choice (SURVEY.md §2.7, §2.9)
-# ===========================================================================
-
-
-@q("union_by_name_drift", """
-SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
-FROM orders
-UNION ALL
-SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus FROM orders""")
-def union_by_name_drift(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    o = load_table(spark, sf_dir, "orders")
-    a = DynamicFrame.fromDF(o.select("o_orderkey", "o_totalprice"), None, "a")
-    b = DynamicFrame.fromDF(o.select("o_orderkey", "o_orderstatus"), None, "b")
-    return a.union(b).toDF()
-
-
-@q("union_choice_cast", """
-SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus IN ('F', 'O')""")
-def union_choice_cast(spark, sf_dir):
-    """Type-conflicted union → ChoiceType → resolveChoice cast:long."""
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    o = load_table(spark, sf_dir, "orders")
-    a = DynamicFrame.fromDF(
-        o.filter("o_orderstatus = 'F'").select(
-            F.col("o_orderkey").cast("string").alias("o_orderkey"), "o_orderstatus"
-        ), None, "a")
-    b = DynamicFrame.fromDF(
-        o.filter("o_orderstatus = 'O'").select("o_orderkey", "o_orderstatus"), None, "b")
-    return a.union(b).resolveChoice(specs=[("o_orderkey", "cast:long")]).toDF()
-
-
-@q("resolve_choice_make_cols", """
-SELECT o_orderstatus,
-       CASE WHEN o_orderstatus = 'O' THEN o_orderkey END AS o_orderkey_long,
-       CASE WHEN o_orderstatus = 'F' THEN CAST(o_orderkey AS VARCHAR) END AS o_orderkey_string
-FROM orders WHERE o_orderstatus IN ('F', 'O')""")
-def resolve_choice_make_cols(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    o = load_table(spark, sf_dir, "orders")
-    a = DynamicFrame.fromDF(
-        o.filter("o_orderstatus = 'F'").select(
-            F.col("o_orderkey").cast("string").alias("o_orderkey"), "o_orderstatus"
-        ), None, "a")
-    b = DynamicFrame.fromDF(
-        o.filter("o_orderstatus = 'O'").select("o_orderkey", "o_orderstatus"), None, "b")
-    out = a.union(b).resolveChoice(specs=[("o_orderkey", "make_cols")]).toDF()
-    return out.select("o_orderstatus", "o_orderkey_long", "o_orderkey_string")
-
-
-@q("subtract_op", """
-SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")
-def subtract_op(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.filter("o_orderstatus = 'F'").select("o_custkey")
-        .subtract(o.filter("o_orderstatus = 'O'").select("o_custkey"))
-    )
-
-
-@q("intersect_op", """
-SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")
-def intersect_op(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.filter("o_orderstatus = 'F'").select("o_custkey")
-        .intersect(o.filter("o_orderstatus = 'O'").select("o_custkey"))
-    )
-
-
-@q("subtract_all_op", """
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")
-def subtract_all_op(spark, sf_dir):
-    """MULTISET difference (``exceptAll`` — §2.7 completion next to the
-    set-semantics subtract entry): each F-status occurrence of a
-    custkey survives once per unmatched multiplicity, the ANSI EXCEPT
-    ALL bag semantics Spark implements with a count-and-replicate
-    rewrite (sum of +1/-1 tags, generate surviving copies) — one
-    shuffle on the key, no distinct.  A dedup-THEN-diff would silently
-    change row counts for repeat customers; bag semantics is what
-    reconciliation reports need."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.filter("o_orderstatus = 'F'").select("o_custkey")
-        .exceptAll(o.filter("o_orderstatus = 'O'").select("o_custkey"))
-    )
-
-
-@q("intersect_all_op", """
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")
-def intersect_all_op(spark, sf_dir):
-    """MULTISET intersection (``intersectAll``): a custkey appearing m
-    times on one side and n on the other yields min(m, n) copies —
-    same single-shuffle count-based physical strategy as exceptAll."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.filter("o_orderstatus = 'F'").select("o_custkey")
-        .intersectAll(o.filter("o_orderstatus = 'O'").select("o_custkey"))
-    )
-
-
-@q("distinct_op", """
-SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""")
-def distinct_op(spark, sf_dir):
-    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
-
-
-@q("orderby_topk", """
-SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")
-def orderby_topk(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .limit(10)
-    )
-
-
-def _unordered_sample_invariants(sample_factory, base):
-    """Shared invariant oracle for nondeterministic row-subset
-    operators (unordered LIMIT, TABLESAMPLE): WHICH rows come back is
-    nondeterministic, so the checkable properties are (a) the exact
-    row count (``n_rows``), (b) containment — every row a genuine base
-    row via left-semi join back (``n_contained``; a semi join
-    preserves duplicates in the probe side, so a duplicated output row
-    would still need a source match), and (c) all-distinct
-    (``n_distinct``; base rows are unique, so a repeated row reads
-    low).  ``sample_factory`` is called once per branch — independent
-    re-evaluations may pick different rows, which is fine because only
-    the invariant counts are emitted.  Exactness lesson baked in
-    (r13): ``n_distinct`` must count over ALL columns.
-
-    PRECONDITION (ADVICE r14): the base table must be NULL-free in
-    every column — ``count_distinct(*cols)`` drops a row when ANY
-    column is NULL, and the left-semi equi-join never matches NULL
-    keys, so a nullable base would read as an n_distinct/n_contained
-    undercount.  Holds for the TPC-H tables this helper is used on;
-    reusing it on nullable data requires hashing the columns into a
-    null-safe struct first."""
-    cols = base.columns
-    counts = sample_factory().agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"))
-    contained = (sample_factory().join(base, on=cols, how="left_semi")
-                 .agg(F.count(F.lit(1)).alias("n_contained")))
-    return contained.crossJoin(counts).select(
-        "n_contained", "n_distinct", "n_rows")
-
-
-@q("sample_limit", """
-SELECT CAST(50 AS BIGINT) AS n_contained,
-       CAST(50 AS BIGINT) AS n_distinct,
-       CAST(50 AS BIGINT) AS n_rows""")
-def sample_limit(spark, sf_dir):
-    """Unordered LIMIT, oracle-checked through its invariants (VERDICT
-    r13 task 4, folding in the old ``sample_limit_contained`` from
-    VERDICT r4 item 4a) — see ``_unordered_sample_invariants`` for the
-    count/containment/distinctness contract."""
-    o = load_table(spark, sf_dir, "orders")
-    return _unordered_sample_invariants(lambda: o.limit(50), o)
-
-
-# ===========================================================================
-# Scalar functions (SURVEY.md §2.8)
-# ===========================================================================
-
-
-@q("scalar_dates", """
-SELECT o_orderkey,
-       CAST(year(o_orderdate) AS INTEGER) AS y,
-       CAST(quarter(o_orderdate) AS INTEGER) AS q,
-       CAST(month(o_orderdate) AS INTEGER) AS m,
-       CAST(dayofmonth(o_orderdate) AS INTEGER) AS d,
-       strftime(o_orderdate, '%Y%m%d') AS ymd,
-       CAST(o_orderdate AS DATE) AS od
-FROM orders""")
-def scalar_dates(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.quarter("o_orderdate").alias("q"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
-        F.date_format("o_orderdate", "yyyyMMdd").alias("ymd"),
-        F.to_date("o_orderdate").alias("od"),
-    )
-
-
-@q("scalar_when_case", """
-SELECT CASE WHEN o_totalprice > 250000 THEN 'high'
-            WHEN o_totalprice > 100000 THEN 'mid'
-            ELSE 'low' END AS tier,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
-            AS DOUBLE) AS total
-FROM orders GROUP BY 1""")
-def scalar_when_case(spark, sf_dir):
-    """when/otherwise tiering over a money sum.  The sum runs in
-    DECIMAL(18,2), not double: a double sum at sf1 magnitude (~3e11)
-    carries ~1e-4 of summation-order noise — enough to flip ROUND(,2)
-    across engines — while decimal aggregation is exact and
-    order-independent at any scale (the first sf1 audit caught exactly
-    this: 281148760675.51 vs .50).  Cast back to double only for the
-    comparison surface."""
-    o = load_table(spark, sf_dir, "orders")
-    tier = (
-        F.when(F.col("o_totalprice") > 250000, F.lit("high"))
-        .when(F.col("o_totalprice") > 100000, F.lit("mid"))
-        .otherwise(F.lit("low"))
-    )
-    return o.groupBy(tier.alias("tier")).agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)").cast("double").alias("total")
-    )
-
-
-@q("scalar_strings", """
-SELECT p_partkey, UPPER(p_brand) AS brand_up, substring(p_name, 1, 5) AS name5,
-       concat_ws('-', p_brand, p_type) AS brand_type,
-       regexp_replace(p_name, 'a+', 'X', 'g') AS name_x
-FROM part""")
-def scalar_strings(spark, sf_dir):
-    p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_brand").alias("brand_up"),
-        F.substring("p_name", 1, 5).alias("name5"),
-        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
-        F.regexp_replace("p_name", "a+", "X").alias("name_x"),
-    )
-
-
-@q("udf_surface", """
-SELECT c_custkey,
-       CAST(c_custkey * 2 AS VARCHAR) AS doubled_str,
-       CAST(length(c_name) AS INTEGER) AS name_len,
-       ROUND(c_acctbal * 2, 2) AS bal_x2
-FROM customer""")
-def udf_surface(spark, sf_dir):
-    """Python UDF surface (§2 row 78): an untyped Glue-style UDF (returns
-    STRING by default — the reference's quirk), a typed row-at-a-time UDF,
-    and an Arrow-batched pandas UDF, side by side on the same frame."""
-    from aws_etl_bank_spark.functions.udf import pandas_scalar_udf, typed_udf, udf
-
-    doubled = udf(lambda k: k * 2)  # untyped → StringType
-
-    @typed_udf(T.IntegerType())
-    def name_len(s):
-        return len(s) if s is not None else None
-
-    @pandas_scalar_udf(T.DoubleType())
-    def bal_x2(s):
-        return (s * 2).round(2)
-
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        doubled(F.col("c_custkey")).alias("doubled_str"),
-        name_len(F.col("c_name")).alias("name_len"),
-        bal_x2(F.col("c_acctbal")).alias("bal_x2"),
-    )
-
-
-@q("filter_sql_expr", """
-SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""")
-def filter_sql_expr(spark, sf_dir):
-    """String-expression filter — ``df.filter("<sql>")`` (§2 row 25), the
-    DataFrame-native predicate form the reference uses alongside the
-    Python-callable Filter transform."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.filter("l_quantity > 45 AND l_returnflag = 'R'").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
-    )
-
-
-@q("string_cleanup", r"""
-SELECT o_orderkey,
-       CASE WHEN o_orderkey % 7 = 0 THEN '\N'
-            ELSE replace(o_orderstatus, chr(10), '\n') END AS status_clean,
-       replace(o_orderpriority, '''', '') AS priority_noquote
-FROM orders""")
-def string_cleanup(spark, sf_dir):
-    """Ingest string cleanup (§2 row 64): null sentinel + newline escape +
-    quote strip, vectorized.  Nulls are synthesized deterministically
-    (every 7th key) since the testdata has none."""
-    from aws_etl_bank_spark.functions.columns import clean_csv_value, strip_quotes
-
-    o = load_table(spark, sf_dir, "orders")
-    nullable = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_orderstatus"))
-    return o.select(
-        "o_orderkey",
-        clean_csv_value(nullable).alias("status_clean"),
-        strip_quotes(F.col("o_orderpriority")).alias("priority_noquote"),
-    )
-
-
-@q("repartition_coalesce", """
-SELECT n_nationkey, n_name, n_regionkey FROM nation""")
-def repartition_coalesce(spark, sf_dir):
-    """repartition(8) → coalesce(2) content preservation (§2 rows 50-52);
-    partition counts themselves are asserted in tests."""
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    n = DynamicFrame.fromDF(load_table(spark, sf_dir, "nation"), None, "n")
-    out = n.repartition(8).coalesce(2)
-    assert out.getNumPartitions() == 2
-    return out.toDF().select("n_nationkey", "n_name", "n_regionkey")
-
-
-@q("explode_split", """
-SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part""")
-def explode_split(spark, sf_dir):
-    p = load_table(spark, sf_dir, "part")
-    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
-
-
-@q("posexplode_index", """
-WITH w AS (
-    SELECT p_partkey, unnest(list_sort(list_distinct(string_split(p_name, ' ')))) AS word
-    FROM part
-)
-SELECT p_partkey,
-       CAST(ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY word) - 1 AS BIGINT) AS idx,
-       word
-FROM w""")
-def posexplode_index(spark, sf_dir):
-    """explodeWithIndex (awsglue/functions.py:28-31) → posexplode."""
-    p = load_table(spark, sf_dir, "part")
-    arr = F.sort_array(F.array_distinct(F.split("p_name", " ")))
-    return p.select(
-        "p_partkey", F.posexplode(arr).alias("idx", "word")
-    ).withColumn("idx", F.col("idx").cast("long"))
-
-
-@q("replace_array_element", """
-SELECT p_partkey, 'X,' || p_type AS replaced FROM part""")
-def replace_array_element(spark, sf_dir):
-    from aws_etl_bank_spark.functions import replaceArrayElement
-
-    p = load_table(spark, sf_dir, "part")
-    arr = F.array("p_brand", "p_type")
-    return p.select(
-        "p_partkey",
-        F.array_join(replaceArrayElement(arr, F.lit("X"), 0), ",").alias("replaced"),
-    )
-
-
-@q("named_struct_op", """
-SELECT p_partkey, p_brand AS brand, p_size AS size FROM part""")
-def named_struct_op(spark, sf_dir):
-    from aws_etl_bank_spark.functions import namedStruct
-
-    p = load_table(spark, sf_dir, "part")
-    s = namedStruct("brand", F.col("p_brand"), "size", F.col("p_size"))
-    return p.select("p_partkey", s.alias("ns")).select(
-        "p_partkey", F.col("ns.brand").alias("brand"), F.col("ns.size").alias("size")
-    )
-
-
-@q("ingestion_time_columns", """
-SELECT o_orderkey,
-       lpad(CAST(year(o_orderdate) AS VARCHAR), 4, '0') AS ingest_year,
-       lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS ingest_month,
-       lpad(CAST(dayofmonth(o_orderdate) AS VARCHAR), 2, '0') AS ingest_day
-FROM orders""")
-def ingestion_time_columns(spark, sf_dir):
-    """Deterministic variant: stamped from o_orderdate instead of
-    current_timestamp so the oracle can check values (context.py:666-674)."""
-    from aws_etl_bank_spark.functions import add_ingestion_time_columns
-
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    return add_ingestion_time_columns(o, "day", ts_col=F.col("o_orderdate")).drop("o_orderdate")
-
-
-@q("csv_allstrings_cast", """
-SELECT l_returnflag AS flag, ROUND(SUM(l_quantity), 2) AS sum_qty,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM lineitem GROUP BY 1""")
-def csv_allstrings_cast(spark, sf_dir):
-    """All-strings CSV read + implicit string→double cast in the aggregate
-    (reference r2g_account.py:72,85,164; SURVEY.md §8.3).  The CSV round
-    trip happens inside the query so both engines see identical source
-    rows."""
-    path = _scratch(sf_dir, "lineitem_csv")
-    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    li.write.mode("overwrite").option("header", "true").csv(path)
-    raw = spark.read.option("header", "true").option("delimiter", ",").csv(path)
-    assert dict(raw.dtypes)["l_quantity"] == "string"
-    return raw.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.count("*").alias("n"),
-    )
-
-
-# ===========================================================================
-# Nested restructuring (SURVEY.md §2.9)
-# ===========================================================================
-
-
-@q("unbox_json", """
-SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events""")
-def unbox_json(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    ev = DynamicFrame.fromDF(load_table(spark, sf_dir, "events"), None, "ev")
-    unboxed = ev.unbox("props", "json")
-    return unboxed.toDF().select("event_id", F.col("props.k").alias("k"))
-
-
-@q("scd2_merge_dim", """
-WITH cur AS (SELECT c_custkey, c_name FROM customer),
-unchanged AS (
-  SELECT c_custkey, c_name, true AS is_active,
-         TIMESTAMP '2020-01-01' AS record_created_time,
-         DATE '3000-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 NOT IN (0, 3)),
-closed AS (
-  SELECT c_custkey, c_name, false AS is_active,
-         TIMESTAMP '2020-01-01' AS record_created_time,
-         DATE '2024-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 IN (0, 3)),
-ins AS (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 10 = 0 THEN upper(c_name) ELSE NULL END AS c_name,
-         true AS is_active,
-         TIMESTAMP '2024-01-01' AS record_created_time,
-         DATE '3000-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 IN (0, 3)),
-newk AS (
-  -- offset by the table max so synthetic keys never collide at any SF
-  SELECT c_custkey + (SELECT max(c_custkey) FROM customer) AS c_custkey,
-         CAST(NULL AS VARCHAR) AS c_name,
-         true AS is_active,
-         TIMESTAMP '2024-01-01' AS record_created_time,
-         DATE '3000-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 = 7)
-SELECT * FROM unchanged UNION ALL SELECT * FROM closed
-UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM newk""")
-def scd2_merge_dim(spark, sf_dir):
-    """Real SCD2 merge (close-out + insert; the reference only stamps —
-    SURVEY.md §8.8).  Three update shapes: every 10th customer's name
-    changes (close + insert), every (10n+3)th changes to NULL — the first
-    business column, exercising presence detection with legitimate NULLs —
-    and brand-new keys arrive carrying a NULL name (insert-only)."""
-    from aws_etl_bank_spark.scd import scd2_merge, scd2_stamp
-
-    snap = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    current = scd2_stamp(snap, "2020-01-01")
-    changed = snap.withColumn(
-        "c_name",
-        F.when(F.col("c_custkey") % 10 == 0, F.upper("c_name"))
-        .when(F.col("c_custkey") % 10 == 3, F.lit(None).cast("string"))
-        .otherwise(F.col("c_name")),
-    )
-    # offset by the table max so synthetic new keys never collide with
-    # real keys at any scale factor (fixed 10M collided from SF >= 67)
-    max_key = snap.agg(F.max("c_custkey")).first()[0]
-    new_keys = snap.filter(F.col("c_custkey") % 10 == 7).select(
-        (F.col("c_custkey") + F.lit(max_key)).alias("c_custkey"),
-        F.lit(None).cast("string").alias("c_name"),
-    )
-    updates = changed.unionByName(new_keys)
-    return scd2_merge(current, updates, ["c_custkey"], as_of="2024-01-01")
-
-
-@q("unbox_csv", """
-SELECT c_custkey, c_name AS name_part,
-       CAST(c_nationkey AS VARCHAR) AS nation_part
-FROM customer""")
-def unbox_csv(spark, sf_dir):
-    """unbox format='csv' with a custom separator (§2 row 66, csv branch):
-    a packed string column is parsed back into typed parts."""
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    c = load_table(spark, sf_dir, "customer").withColumn(
-        "packed", F.concat_ws("|", F.col("c_name"), F.col("c_nationkey"))
-    )
-    dyf = DynamicFrame.fromDF(c, None, "c").unbox("packed", "csv", separator="|")
-    return dyf.toDF().select(
-        "c_custkey",
-        F.col("packed.col0").alias("name_part"),
-        F.col("packed.col1").alias("nation_part"),
-    )
-
-
-@q("unnest_struct", """
-SELECT c_custkey, c_name AS "info.c_name", c_acctbal AS "info.c_acctbal" FROM customer""")
-def unnest_struct(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.struct("c_name", "c_acctbal").alias("info")
-    )
-    return DynamicFrame.fromDF(c, None, "c").unnest().toDF()
-
-
-@q("unnest_ddb", """
-SELECT c_custkey, c_name AS name_w, CAST(c_nationkey AS DOUBLE) AS nation_w FROM customer""")
-def unnest_ddb(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.struct(F.col("c_name").alias("S")).alias("name_w"),
-        F.struct(F.col("c_nationkey").cast("string").alias("N")).alias("nation_w"),
-    )
-    return DynamicFrame.fromDF(c, None, "c").unnest_ddb_json().toDF()
-
-
-@q("relationalize_root", """
-SELECT DISTINCT o_custkey FROM orders""")
-def relationalize_root(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    o = load_table(spark, sf_dir, "orders")
-    grouped = o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys")
-    )
-    coll = DynamicFrame.fromDF(grouped, None, "g").relationalize("r", key_cols=["o_custkey"])
-    return coll.select("r").toDF()
-
-
-@q("relationalize_child", """
-WITH w AS (SELECT o_custkey, o_orderkey FROM orders)
-SELECT o_custkey,
-       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS BIGINT) AS index,
-       o_orderkey AS val
-FROM w""")
-def relationalize_child(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    o = load_table(spark, sf_dir, "orders")
-    grouped = o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys")
-    )
-    coll = DynamicFrame.fromDF(grouped, None, "g").relationalize("r", key_cols=["o_custkey"])
-    child = coll.select("r_order_keys").toDF()
-    return child.withColumn("index", F.col("index").cast("long"))
-
-
-@q("spigot_passthrough", """
-SELECT * FROM part""")
-def spigot_passthrough(spark, sf_dir):
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    p = DynamicFrame.fromDF(load_table(spark, sf_dir, "part"), None, "p")
-    return p.spigot(_scratch(sf_dir, "spigot_out"), {"topk": 10}).toDF()
-
-
-@q("catalog_pushdown", """
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
-FROM orders WHERE o_orderstatus = 'O'""")
-def catalog_pushdown(spark, sf_dir):
-    """Catalog read with push_down_predicate on a partitioned layout —
-    becomes real partition pruning in the scan (context.py:158-188)."""
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.sources.catalog import Catalog
-
-    path = _scratch(sf_dir, "orders_partitioned")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
-        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    ctx = EngineContext(spark, Catalog())
-    ctx.catalog.create_table("golden", "orders_p", path, "parquet",
-                             partition_keys=["o_orderstatus"])
-    frame = ctx.create_dynamic_frame_from_catalog(
-        "golden", "orders_p", push_down_predicate="o_orderstatus = 'O'")
-    return frame.toDF().select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-
-
-# ===========================================================================
-# API-surface operators promoted to oracle checks (SURVEY.md §2.1, §2.4,
-# §2.6, §2.9-§2.13 rows previously tests-only)
-# ===========================================================================
-
-
-@q("src_getsource_csv_getframe", """
-SELECT c_custkey, c_name, c_acctbal FROM customer""")
-def src_getsource_csv_getframe(spark, sf_dir):
-    """getSource('file', csv) → DataSource.getFrame (§2 rows 3-4): the
-    generic source dispatch + all-strings CSV read, cast back to typed
-    columns for the compare."""
-    from aws_etl_bank_spark.context import EngineContext
-
-    path = _scratch(sf_dir, "cust_csv_src")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    cust.write.mode("overwrite").option("header", "true").csv(path)
-    ctx = EngineContext(spark)
-    src = ctx.getSource("file", format="csv", paths=[path])
-    raw = src.getFrame(glue_ctx=ctx, name="cust_csv").toDF()
-    assert dict(raw.dtypes)["c_acctbal"] == "string"
-    return raw.select(
-        F.col("c_custkey").cast("long").alias("c_custkey"),
-        "c_name",
-        F.col("c_acctbal").cast("double").alias("c_acctbal"),
-    )
-
-
-@q("src_parquet_sink_catalog_roundtrip", """
-SELECT * FROM nation""")
-def src_parquet_sink_catalog_roundtrip(spark, sf_dir):
-    """getSink + DataSink.write + setCatalogInfo (§2 rows 2, 10, 11): the
-    sink writes parquet AND registers the table in the catalog; the read
-    back goes through create_dynamic_frame_from_catalog."""
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-    from aws_etl_bank_spark.sources.catalog import Catalog
-
-    path = _scratch(sf_dir, "nation_sink")
-    ctx = EngineContext(spark, Catalog())
-    sink = ctx.getSink("file", format="parquet", path=path)
-    sink.setCatalogInfo("golden", "nation_sink")
-    sink.write(DynamicFrame.fromDF(load_table(spark, sf_dir, "nation"), ctx, "n"))
-    return ctx.create_dynamic_frame_from_catalog("golden", "nation_sink").toDF()
-
-
-@q("src_sample_frame_full", """
-SELECT * FROM nation""")
-def src_sample_frame_full(spark, sf_dir):
-    """getSampleFrame (§2 row 5) with num above the table size, so the
-    sample is the whole table and stays oracle-comparable."""
-    from aws_etl_bank_spark.context import EngineContext
-
-    ctx = EngineContext(spark)
-    src = ctx.getSource("file", format="parquet",
-                        paths=[os.path.join(sf_dir, "nation.parquet")])
-    return src.getSampleFrame(100_000, glue_ctx=ctx, name="nation_sample").toDF()
-
-
-@q("todf_resolve_option_cast", """
-SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS v FROM customer""")
-def todf_resolve_option_cast(spark, sf_dir):
-    """toDF(ResolveOption) (§2 row 71): a drift union makes ``v`` a real
-    choice(long, string) column; the DataFrame conversion then applies the
-    per-path cast resolution."""
-    from aws_etl_bank_spark import gluetypes as gt
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame, ResolveOption
-
-    c = load_table(spark, sf_dir, "customer")
-    evens = DynamicFrame.fromDF(
-        c.filter(F.col("c_custkey") % 2 == 0).select(
-            "c_custkey", F.col("c_nationkey").cast("long").alias("v")), None, "evens")
-    odds = DynamicFrame.fromDF(
-        c.filter(F.col("c_custkey") % 2 == 1).select(
-            "c_custkey", F.col("c_nationkey").cast("string").alias("v")), None, "odds")
-    u = evens.union(odds)
-    assert "v" in u._choices  # drift produced a genuine choice column
-    return u.toDF([ResolveOption("v", "cast", gt.LongType())])
-
-
-@q("errors_as_dynamic_frame", """
-SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0""")
-def errors_as_dynamic_frame(spark, sf_dir):
-    """errorsAsDynamicFrame (§2 row 75): rows whose map callable raised
-    land in the error channel with the original record as JSON; the query
-    returns the failed keys parsed back out of the error records."""
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-
-    def fn(rec):
-        if rec["c_custkey"] % 5 == 0:
-            raise ValueError("planted failure")
-        return rec
-
-    dyf = DynamicFrame.fromDF(cust, None, "c")
-    out = dyf.map(fn, schema=T.StructType([
-        T.StructField("c_custkey", T.LongType()),
-        T.StructField("c_name", T.StringType()),
-    ]))
-    errs = out.errorsAsDynamicFrame().toDF()
-    return errs.select(
-        F.get_json_object("record", "$.c_custkey").cast("long").alias("c_custkey")
-    )
-
-
-@q("job_bookmark_increment", """
-SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1""")
-def job_bookmark_increment(spark, sf_dir):
-    """Job bookmarks (§2 row 81): run 1 processes batch1 and commits; the
-    second filter_new_files call sees only batch2 — the query returns
-    exactly the increment."""
-    import shutil
-
-    from aws_etl_bank_spark.jobstate import Job
-
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    base = _scratch(sf_dir, "bookmark_src")
-    state_dir = _scratch(sf_dir, "bookmark_state")
-    shutil.rmtree(base, ignore_errors=True)
-    shutil.rmtree(state_dir, ignore_errors=True)
-    cust.filter(F.col("c_custkey") % 2 == 0).write.parquet(os.path.join(base, "batch1"))
-
-    job = Job(state_dir=state_dir)
-    job.init("bkjob", {"job_bookmark_option": "job-bookmark-enable"})
-    pattern = os.path.join(base, "*", "*.parquet")
-    first = job.bookmarks.filter_new_files("src", pattern)
-    assert spark.read.parquet(*first).count() > 0  # "process" run 1
-    job.commit()
-
-    cust.filter(F.col("c_custkey") % 2 == 1).write.parquet(os.path.join(base, "batch2"))
-    second = job.bookmarks.filter_new_files("src", pattern)
-    return spark.read.parquet(*second).select("c_custkey", "c_name")
-
-
-@q("collection_select_map", """
-SELECT c_custkey, c_name FROM customer""")
-def collection_select_map(spark, sf_dir):
-    """DynamicFrameCollection select/map (§2 row 74): split_fields yields a
-    collection, map applies a per-frame transform, select picks one frame."""
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    coll = DynamicFrame.fromDF(cust, None, "c").split_fields(
-        ["c_custkey", "c_name"], "keys", "vals")
-    mapped = coll.map(lambda fr, ctx: fr.repartition(4))
-    return mapped.select("keys").toDF()
-
-
-@q("partitions_after_repartition", """
-SELECT CAST(8 AS BIGINT) AS num_partitions""")
-def partitions_after_repartition(spark, sf_dir):
-    """repartition + getNumPartitions actions (§2 rows 50, 52): the
-    partition count after an explicit repartition is exact."""
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    dyf = DynamicFrame.fromDF(load_table(spark, sf_dir, "nation"), None, "n")
-    n = dyf.repartition(8).getNumPartitions()
-    return spark.createDataFrame([(n,)], "num_partitions long")
-
-
-@q("catalog_schema_fetch", """
-SELECT * FROM (VALUES
-  ('c_custkey', 'bigint'), ('c_name', 'string'), ('c_nationkey', 'int'),
-  ('c_acctbal', 'double'), ('c_mktsegment', 'string'))
-AS t(col_name, col_type)""")
-def catalog_schema_fetch(spark, sf_dir):
-    """Catalog schema fetch (§2 row 7): crawl registers the table with its
-    inferred schema; get_catalog_schema_as_spark_schema returns it as a
-    Spark StructType."""
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.sources.catalog import Catalog
-
-    ctx = EngineContext(spark, Catalog())
-    ctx.catalog.crawl(spark, "golden", "customer_c",
-                      os.path.join(sf_dir, "customer.parquet"))
-    schema = ctx.get_catalog_schema_as_spark_schema("golden", "customer_c")
-    rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
-    return spark.createDataFrame(rows, "col_name string, col_type string")
-
-
-# ===========================================================================
-# JDBC over embedded Derby (the driver ships in Spark's own jars dir), RDD
-# source, and count-action promotions (SURVEY.md §2.1 rows 8/9/13/14/46,
-# §2.4 row 38)
-# ===========================================================================
-
-_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
-
-
-@q("jdbc_conf_roundtrip", """
-SELECT n_nationkey, n_name, n_regionkey FROM nation""")
-def jdbc_conf_roundtrip(spark, sf_dir):
-    """from_jdbc_conf write + partitioned fetchsize read (§2 rows 9, 46)
-    against embedded Derby: the connection config is resolved from the
-    registered-connection store (reference context.py:407-436,451-459),
-    and the read uses a full 4-way partition spec so no single cursor
-    carries the table."""
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-    from aws_etl_bank_spark.sources.jdbc import jdbc_read
-
-    url = f"jdbc:derby:{_scratch(sf_dir, 'derby_rt')};create=true"
-    ctx = EngineContext(spark)
-    ctx.register_jdbc_connection("derby", {"url": url, "driver": _DERBY_DRIVER})
-    nation = load_table(spark, sf_dir, "nation")
-    ctx.write_dynamic_frame_from_jdbc_conf(
-        DynamicFrame.fromDF(nation, ctx, "n"), "derby",
-        {"dbtable": "nation_rt", "mode": "overwrite", "numPartitions": "1"})
-    return jdbc_read(spark, url, "nation_rt", driver=_DERBY_DRIVER,
-                     fetchsize=1000, partition_column="n_nationkey",
-                     lower_bound=0, upper_bound=30, num_partitions=4)
-
-
-@q("jdbc_extract_csv_ingest", """
-SELECT c_custkey, c_name, c_acctbal FROM customer""")
-def jdbc_extract_csv_ingest(spark, sf_dir):
-    """jdbc_bulk_write (batched COPY-equivalent, §2 row 14) then
-    jdbc_extract_to_csv (table→CSV ingest, §2 row 13), read back through
-    the engine's all-strings CSV scan and cast to typed columns."""
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.sources.jdbc import jdbc_bulk_write, jdbc_extract_to_csv
-
-    url = f"jdbc:derby:{_scratch(sf_dir, 'derby_ext')};create=true"
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_acctbal")
-    jdbc_bulk_write(cust, url, "cust_src", mode="overwrite",
-                    driver=_DERBY_DRIVER, batchsize=500, num_partitions=1)
-    hi = cust.agg(F.max("c_custkey")).first()[0]
-    out = _scratch(sf_dir, "derby_ext_csv")
-    jdbc_extract_to_csv(spark, url, "cust_src", out, driver=_DERBY_DRIVER,
-                        partition_column="c_custkey", lower_bound=1,
-                        upper_bound=int(hi) + 1, num_partitions=4)
-    ctx = EngineContext(spark)
-    raw = ctx.getSource("file", format="csv", paths=[out]).getFrame(
-        glue_ctx=ctx, name="cust_csv").toDF()
-    return raw.select(
-        F.col("c_custkey").cast("long").alias("c_custkey"),
-        "c_name",
-        F.col("c_acctbal").cast("double").alias("c_acctbal"),
-    )
-
-
-@q("rdd_source_frame", """
-SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation""")
-def rdd_source_frame(spark, sf_dir):
-    """create_dynamic_frame.from_rdd (§2 row 8): rows arrive as a plain
-    Python RDD and become a DynamicFrame (reference context.py:152-156).
-    nation is 25 rows at every SF, so the driver-side list is bounded."""
-    from aws_etl_bank_spark.context import EngineContext
-
-    rows = [(int(r.n_nationkey), r.n_name)
-            for r in load_table(spark, sf_dir, "nation").collect()]
-    rdd = spark.sparkContext.parallelize(rows, 4)
-    ctx = EngineContext(spark)
-    dyf = ctx.create_dynamic_frame.from_rdd(
-        rdd, "nations", schema="n_nationkey long, n_name string")
-    return dyf.toDF()
-
-
-@q("count_actions", """
-SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 <> 0) AS ok_count,
-       (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 = 0)  AS errors_count,
-       (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 = 0)  AS stage_errors_count""")
-def count_actions(spark, sf_dir):
-    """count / errorsCount / stageErrorsCount actions (§2 row 38) after a
-    map with planted per-record failures: failed records leave the frame
-    and land in the error channel."""
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-
-    def fn(rec):
-        if rec["c_custkey"] % 7 == 0:
-            raise ValueError("planted failure")
-        return rec
-
-    out = DynamicFrame.fromDF(cust, None, "c").map(
-        fn, schema=T.StructType([T.StructField("c_custkey", T.LongType())]))
-    return spark.createDataFrame(
-        [(out.count(), out.errorsCount(), out.stageErrorsCount())],
-        "ok_count long, errors_count long, stage_errors_count long")
-
-
-@q("sink_collection_write", """
-SELECT c_custkey, c_acctbal,
-       CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bucket
-FROM customer""")
-def sink_collection_write(spark, sf_dir):
-    """DataSink.write on a DynamicFrameCollection (§2 row 10): split_rows
-    routes customers into two frames, the sink writes each frame under its
-    name as a leaf dir (useFrameName, reference data_sink.py:38-49), and
-    the query reads both leaves back and tags them by leaf."""
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    base = _scratch(sf_dir, "coll_sink")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    coll = DynamicFrame.fromDF(cust, None, "c").split_rows(
-        {"c_acctbal": {">=": 0}}, "pos", "neg")
-    ctx = EngineContext(spark)
-    sink = ctx.getSink("file", format="parquet", path=base, mode="overwrite")
-    sink.write(coll)
-    pos = spark.read.parquet(os.path.join(base, "pos")).withColumn("bucket", F.lit("pos"))
-    neg = spark.read.parquet(os.path.join(base, "neg")).withColumn("bucket", F.lit("neg"))
-    return pos.unionByName(neg)
-
-
-@q("catalog_purge_partitions", """
-SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(o_totalprice), 2) AS total
-FROM orders WHERE o_orderstatus <> 'F'
-GROUP BY o_orderstatus""")
-def catalog_purge_partitions(spark, sf_dir):
-    """purge_table with partitionPredicate (§2 row 15): orders written
-    partitioned by status and registered in the catalog; the purge drops
-    the 'F' partition directories via metadata-scale partition-value
-    evaluation (reference context.py:461-516), and the query aggregates
-    what survives."""
-    import shutil
-
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.sources.catalog import Catalog
-
-    path = _scratch(sf_dir, "orders_purge")
-    shutil.rmtree(path, ignore_errors=True)
-    load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    ctx = EngineContext(spark, Catalog())
-    ctx.catalog.create_table("golden", "orders_purge", path, "parquet",
-                             partition_keys=["o_orderstatus"])
-    removed = ctx.purge_table("golden", "orders_purge",
-                              {"partitionPredicate": "o_orderstatus = 'F'"})
-    assert removed, "purge must drop the F partition"
-    survived = ctx.create_dynamic_frame_from_catalog("golden", "orders_purge").toDF()
-    return survived.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-    )
-
-
-@q("governed_txn_write", """
-SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY n_regionkey""")
-def governed_txn_write(spark, sf_dir):
-    """Governed-table transaction surface (§2 row 16): begin → write via
-    the catalog sink → commit → read back (reference context.py:676-683;
-    locally the tokens are no-ops that a Delta/Iceberg deployment would
-    bind to real table transactions).  A second, cancelled transaction
-    must leave the committed data untouched."""
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-    from aws_etl_bank_spark.sources.catalog import Catalog
-
-    path = _scratch(sf_dir, "nation_txn")
-    ctx = EngineContext(spark, Catalog())
-    txn = ctx.start_transaction()
-    sink = ctx.getSink("file", format="parquet", path=path,
-                       additional_options={"transactionId": txn})
-    sink.setCatalogInfo("golden", "nation_txn")
-    sink.write(DynamicFrame.fromDF(load_table(spark, sf_dir, "nation"), ctx, "n"))
-    assert ctx.commit_transaction(txn)
-    txn2 = ctx.start_transaction(read_only=True)
-    assert ctx.cancel_transaction(txn2)
-    back = ctx.create_dynamic_frame_from_catalog("golden", "nation_txn").toDF()
-    return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
-
-
-@q("ts_bucket_rollup", """
-SELECT event_type,
-       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
-FROM events GROUP BY 1, 2""")
-def ts_bucket_rollup(spark, sf_dir):
-    """Hypertable-style rollup (functions/timeseries.py): events into
-    6-hour epoch-aligned buckets per type — one shuffle, map-side
-    partial agg.  The oracle uses the same epoch arithmetic, so bucket
-    alignment is pinned rather than delegated to an engine builtin."""
-    from aws_etl_bank_spark.functions.timeseries import rollup_time_bucket
-
-    ev = load_table(spark, sf_dir, "events")
-    return rollup_time_bucket(
-        ev, "ts", 6 * 3600, ["event_type"],
-        [F.count(F.lit(1)).alias("n_events"),
-         F.round(F.sum("value"), 2).alias("sum_value")],
-    )
-
-
-@q("ts_gapfill_hourly", """
-WITH rolled AS (
-  SELECT event_type,
-         CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM events WHERE event_type IN ('signup', 'error') GROUP BY 1, 2),
-bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM rolled),
-spine AS (
-  SELECT k.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
-  FROM (SELECT DISTINCT event_type FROM rolled) k, bounds b)
-SELECT s.event_type, s.bucket,
-       CAST(coalesce(r.n_events, 0) AS BIGINT) AS n_events
-FROM spine s LEFT JOIN rolled r USING (event_type, bucket)""")
-def ts_gapfill_hourly(spark, sf_dir):
-    """Gap-filled hourly rollup (functions/timeseries.py): every
-    (event_type, hour) over the global span gets a row, absent hours
-    filled with 0 — the continuous-aggregate densify step.  Spine =
-    distinct keys x sequence(min, max) — exactly the output size; the
-    bounds row broadcasts."""
-    from aws_etl_bank_spark.functions.timeseries import (
-        gap_fill, rollup_time_bucket)
-
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("signup", "error"))
-    rolled = rollup_time_bucket(
-        ev, "ts", 3600, ["event_type"],
-        [F.count(F.lit(1)).alias("n_events")])
-    return gap_fill(rolled, "bucket", 3600, ["event_type"],
-                    {"n_events": F.lit(0).cast("long")})
-
-
-@q("agg_cube_grouping", """
-SELECT CAST(grouping(event_type) AS INT) AS g_type,
-       CAST(grouping(d) AS INT) AS g_day,
-       event_type, d AS event_day,
-       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
-FROM (SELECT event_type, CAST(day(ts) AS INT) AS d, value FROM events)
-GROUP BY CUBE (event_type, d)""")
-def agg_cube_grouping(spark, sf_dir):
-    """CUBE aggregation with grouping flags: all 2^2 subtotal layers in
-    one pass (Spark expands grouping sets inside a single hash-agg +
-    one exchange, not one scan per layer)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.dayofmonth("ts").cast("int").alias("event_day"), "value")
-    return (
-        ev.cube("event_type", "event_day")
-        .agg(F.grouping("event_type").cast("int").alias("g_type"),
-             F.grouping("event_day").cast("int").alias("g_day"),
-             F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
-        .select("g_type", "g_day", "event_type", "event_day", "n",
-                "sum_value")
-    )
-
-
-@q("agg_rollup_nation_year", """
-SELECT coalesce(n.n_name, 'ALL') AS nation,
-       coalesce(CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT), -1) AS year,
-       CAST(GROUPING(n.n_name) * 2 + GROUPING(EXTRACT(YEAR FROM o.o_orderdate))
-            AS BIGINT) AS gid,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM orders o
-JOIN customer c ON c.c_custkey = o.o_custkey
-JOIN nation n ON n.n_nationkey = c.c_nationkey
-GROUP BY ROLLUP(n.n_name, EXTRACT(YEAR FROM o.o_orderdate))""")
-def agg_rollup_nation_year(spark, sf_dir):
-    """Hierarchical ROLLUP aggregate — (nation, year), (nation), ()
-    subtotals in ONE pass: Spark's Expand node emits each input row once
-    per grouping set BELOW the partial aggregation, so map-side combine
-    still applies and the shuffle carries pre-combined rows per set — no
-    re-scan per subtotal level, the property that matters when the fact
-    is 100 TB.  grouping_id() disambiguates a rollup NULL from a data
-    NULL on both engines (same bit order: Spark's grouping_id ==
-    GROUPING(a)*2 + GROUPING(b) in DuckDB).  Dims broadcast.  Money
-    sums in DECIMAL(18,2) (the tpch_q1 exactness rule): the grand-total
-    row sums the WHOLE table, where a double's ULP noise at sf1
-    magnitudes (~1e11) flips cents between engines — caught by the r6
-    sf1 audit."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    yr = F.year("o_orderdate").cast("int")
-    joined = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-              .select(F.col("n_name"), yr.alias("__y"), "o_totalprice"))
-    return (
-        joined.rollup("n_name", "__y")
-        .agg(F.grouping_id().alias("gid"),
-             F.count(F.lit(1)).alias("n_orders"),
-             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-             .cast("double").alias("revenue"))
-        .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
-                F.coalesce("__y", F.lit(-1)).alias("year"),
-                "gid", "n_orders", "revenue")
-    )
-
-
-@q("agg_cube_type_day", """
-SELECT coalesce(event_type, 'ALL') AS event_type,
-       coalesce(CAST(EXTRACT(ISODOW FROM ts) AS INT), -1) AS dow,
-       CAST(GROUPING(event_type) * 2
-            + GROUPING(EXTRACT(ISODOW FROM ts)) AS BIGINT) AS gid,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-FROM events
-GROUP BY CUBE(event_type, EXTRACT(ISODOW FROM ts))""")
-def agg_cube_type_day(spark, sf_dir):
-    """CUBE — all four grouping sets of (event_type, day-of-week) from
-    one scan: the ROLLUP entry's sibling exercising the full-lattice
-    Expand (4 sets vs rollup's hierarchy).  Spark's dayofweek is
-    Sunday=1; ISO day-of-week = ((dayofweek + 5) % 7) + 1 matches
-    DuckDB's ISODOW.  Same gid bit order as agg_rollup_nation_year.
-    Money sums in DECIMAL(18,2) (the tpch_q1/rollup exactness rule, r6
-    ADVICE): the grand-total CUBE row sums the whole events table,
-    where double ULP noise at sf1 magnitudes flips cents between
-    engines — exact decimal accumulation is also the -0.0-proof form."""
-    ev = load_table(spark, sf_dir, "events")
-    dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
-    return (
-        ev.select("event_type", dow.alias("__d"), "value")
-        .cube("event_type", "__d")
-        .agg(F.grouping_id().alias("gid"),
-             F.count(F.lit(1)).alias("n"),
-             F.sum(F.col("value").cast("decimal(18,2)"))
-             .cast("double").alias("total"))
-        .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-                F.coalesce("__d", F.lit(-1)).alias("dow"),
-                "gid", "n", "total")
-    )
-
-
-_CMS_ROWS_SQL = ("(VALUES (0, 131, 737), (1, 1009, 62875), "
-                 "(2, 75321, 19), (3, 42643, 80917)) r(row, a, b)")
-_CMS_BUCKET_SQL = ("((((({k} % 1000003 + 1000003) % 1000003) * a + b) "
-                   "% 1000003) % 1024)")
-
-
-@q("sketch_count_min_estimates", f"""
-WITH cells AS (
-  SELECT r.row AS row, {_CMS_BUCKET_SQL.format(k='e.user_id')} AS bucket
-  FROM events e, {_CMS_ROWS_SQL}
-),
-sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket),
-probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 110),
-pc AS (SELECT p.user_id, r.row AS row,
-              {_CMS_BUCKET_SQL.format(k='p.user_id')} AS bucket
-       FROM probes p, {_CMS_ROWS_SQL}),
-est AS (SELECT user_id, MIN(coalesce(cnt, 0)) AS estimate
-        FROM pc LEFT JOIN sketch USING (row, bucket) GROUP BY user_id),
-tru AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
-        FROM events WHERE user_id < 110 GROUP BY user_id)
-SELECT e.user_id, t.true_cnt, e.estimate
-FROM est e JOIN tru t USING (user_id)""")
-def sketch_count_min_estimates(spark, sf_dir):
-    """Count-Min sketch frequency estimation (functions/scale.py
-    count_min_sketch / cms_estimate): a depth-4 x 1024 sketch of the
-    events key, probed for every user below 110, next to the exact
-    counts.  The sketch is ONE hash-aggregation producing depth·width
-    rows regardless of input size (mergeable, broadcastable — the
-    heavy-hitter/streaming-frequency tool when exact per-key counts
-    would be another full shuffle); the engine-reproducible bounded
-    hash family makes the whole construction SQL-expressible, so the
-    oracle pins every counter, not just the estimate's >= true_cnt
-    property (tests pin that)."""
-    from aws_etl_bank_spark.functions.scale import (cms_estimate,
-                                                    count_min_sketch)
-
-    ev = load_table(spark, sf_dir, "events")
-    sketch = count_min_sketch(ev, "user_id", depth=4, width=1024)
-    probes = ev.filter(F.col("user_id") < 110).select("user_id").distinct()
-    est = cms_estimate(sketch, probes, "user_id", depth=4, width=1024)
-    tru = (ev.filter(F.col("user_id") < 110).groupBy("user_id")
-           .agg(F.count(F.lit(1)).alias("true_cnt")))
-    return est.join(tru, "user_id").select("user_id", "true_cnt", "estimate")
-
-
-_HLL_RANK_CASE = ("CASE ({h2} & -({h2})) "
-                  + " ".join(f"WHEN {1 << t} THEN {t + 1}"
-                             for t in range(20))
-                  + " ELSE 21 END")
-#: affine pre-hash, then the quadratic (mid-square) step — mirrors
-#: functions/scale.py _hll_hash exactly; the affine columns are named
-#: h_<a> and computed once in an inner projection
-_HLL_AFFINE_SQL = ("(((({k} % 1000003 + 1000003) % 1000003) * {a} + {b}) "
-                   "% 1000003)")
-_HLL_QUAD_SQL = "((h_{a} * h_{a} + {c} * h_{a} + {d}) % 1000003)"
-_HLL_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 256) * 256 * 256)
-
-
-def _hll_oracle_scope(where: str) -> str:
-    h2 = _HLL_QUAD_SQL.format(a=76003, c=4391, d=9973)
-    reg = _HLL_QUAD_SQL.format(a=4391, c=76003, d=51349) + " % 256"
-    affines = (_HLL_AFFINE_SQL.format(k="user_id", a=4391, b=9973)
-               + " AS h_4391, "
-               + _HLL_AFFINE_SQL.format(k="user_id", a=76003, b=51349)
-               + " AS h_76003")
-    return f"""
-SELECT '{{scope}}' AS scope, t.true_distinct, a.n_set,
-       a.s + (256 - a.n_set) AS sum_inv,
-       ROUND({_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)), 4) AS est_raw,
-       ROUND(CASE WHEN {_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)) <= 640.0
-                       AND a.n_set < 256
-                  THEN 256.0 * ln(256.0 / (256 - a.n_set))
-                  ELSE {_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)) END,
-             4) AS estimate
-FROM (SELECT CAST(count(*) AS BIGINT) AS n_set,
-             SUM(power(2.0, -max_rank)) AS s
-      FROM (SELECT register, MAX(rank) AS max_rank
-            FROM (SELECT {reg} AS register, {_HLL_RANK_CASE.format(h2=h2)} AS rank
-                  FROM (SELECT {affines} FROM events WHERE {{where}}))
-            GROUP BY register)) a,
-     (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
-      FROM events WHERE {{where}}) t""".replace("{where}", where).replace(
-        "{scope}", "all" if where == "1=1" else "small")
-
-
-@q("sketch_hll_distinct",
-   _hll_oracle_scope("1=1") + "\nUNION ALL" + _hll_oracle_scope("user_id < 110"))
-def sketch_hll_distinct(spark, sf_dir):
-    """HyperLogLog cardinality estimation (functions/scale.py
-    hll_sketch / hll_merge / hll_estimate) — the mergeable
-    DISTINCT-count sibling of the Count-Min frequency sketch directly
-    above: 256 registers, each the max trailing-zero rank routed to it;
-    merge = cell-wise MAX, so per-partition/per-day sketches roll up
-    without re-touching raw keys (an exact count-distinct must reshuffle
-    the keys every time).  Two scopes in one result: the full corpus
-    (harmonic-mean regime) and the <110-key slice (small-range
-    linear-counting regime), each next to its exact distinct count.
-    The bounded-integer hash/rank family (no float log in the rank)
-    makes every register SQL-expressible, so the oracle reproduces the
-    sketch counter-for-counter and the estimate to 4 decimals; the
-    merge-equals-union property and the 1.04/sqrt(m) error bound are
-    pinned in tests/test_scale.py."""
-    from aws_etl_bank_spark.functions.scale import hll_estimate, hll_sketch
-
-    ev = load_table(spark, sf_dir, "events")
-    out = []
-    for scope, frame in [("all", ev),
-                         ("small", ev.filter(F.col("user_id") < 110))]:
-        est = hll_estimate(hll_sketch(frame, "user_id", m=256), m=256)
-        tru = frame.agg(F.count_distinct("user_id").alias("true_distinct"))
-        out.append(est.crossJoin(F.broadcast(tru))
-                   .select(F.lit(scope).alias("scope"), "true_distinct",
-                           "n_set", "sum_inv", "est_raw", "estimate"))
-    return out[0].unionByName(out[1])
-
-
-@q("pivot_event_counts", """
-SELECT user_id,
-       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
-       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
-       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
-       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
-       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
-FROM events GROUP BY user_id""")
-def pivot_event_counts(spark, sf_dir):
-    """Pivot: per-user event counts, one column per event type.  The
-    pivot values are passed explicitly — with an explicit list Spark
-    skips the extra distinct-values job and plans a single aggregation;
-    missing combinations coalesce to 0 to match the oracle's FILTER
-    counts."""
-    types = ["click", "error", "purchase", "signup", "view"]
-    ev = load_table(spark, sf_dir, "events")
-    piv = ev.groupBy("user_id").pivot("event_type", types).count()
-    return piv.select(
-        "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types])
-
-
-@q("agg_percentiles", """
-SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 4) AS p50,
-       ROUND(quantile_cont(value, 0.9), 4) AS p90,
-       ROUND(median(value), 4) AS med
-FROM events GROUP BY event_type""")
-def agg_percentiles(spark, sf_dir):
-    """EXACT interpolated percentiles (Spark's percentile / median
-    aggregate = DuckDB quantile_cont): the distribution-stats building
-    block.  Exact percentile sorts per group in the agg buffer — at
-    100 TB swap in approx_percentile (t-digest, mergeable partial aggs)
-    when 1e-3 relative error is acceptable; the exact form stays the
-    oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.5), 4).alias("p50"),
-        F.round(F.percentile("value", 0.9), 4).alias("p90"),
-        F.round(F.median("value"), 4).alias("med"),
-    )
-
-
-@q("scd2_as_of_read", """
-WITH cur AS (SELECT c_custkey, c_name FROM customer),
-unchanged AS (
-  SELECT c_custkey, c_name, true AS is_active,
-         TIMESTAMP '2020-01-01' AS record_created_time,
-         DATE '3000-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 NOT IN (0, 3)),
-closed AS (
-  SELECT c_custkey, c_name, false AS is_active,
-         TIMESTAMP '2020-01-01' AS record_created_time,
-         DATE '2024-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 IN (0, 3)),
-ins AS (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 10 = 0 THEN upper(c_name) ELSE NULL END AS c_name,
-         true AS is_active,
-         TIMESTAMP '2024-01-01' AS record_created_time,
-         DATE '3000-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 IN (0, 3)),
-newk AS (
-  SELECT c_custkey + (SELECT max(c_custkey) FROM customer) AS c_custkey,
-         CAST(NULL AS VARCHAR) AS c_name,
-         true AS is_active,
-         TIMESTAMP '2024-01-01' AS record_created_time,
-         DATE '3000-01-01' AS record_updated_time
-  FROM cur WHERE c_custkey % 10 = 7),
-merged AS (
-  SELECT * FROM unchanged UNION ALL SELECT * FROM closed
-  UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM newk)
-SELECT c_custkey, c_name, is_active FROM merged
-WHERE record_created_time <= TIMESTAMP '2022-06-15'
-  AND record_updated_time > DATE '2022-06-15'""")
-def scd2_as_of_read(spark, sf_dir):
-    """Point-in-time dim read (scd.py scd2_as_of): the same merged SCD2
-    dim as scd2_merge_dim, viewed as of a date BETWEEN the original load
-    and the merge — so the query must surface the since-closed 2020
-    versions and exclude every 2024 insert.  Time travel over plain
-    parquet via effective-dating, no table format required."""
-    from aws_etl_bank_spark.scd import scd2_as_of, scd2_merge, scd2_stamp
-
-    snap = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    current = scd2_stamp(snap, "2020-01-01")
-    changed = snap.withColumn(
-        "c_name",
-        F.when(F.col("c_custkey") % 10 == 0, F.upper("c_name"))
-        .when(F.col("c_custkey") % 10 == 3, F.lit(None).cast("string"))
-        .otherwise(F.col("c_name")),
-    )
-    max_key = snap.agg(F.max("c_custkey")).first()[0]
-    new_keys = snap.filter(F.col("c_custkey") % 10 == 7).select(
-        (F.col("c_custkey") + F.lit(max_key)).alias("c_custkey"),
-        F.lit(None).cast("string").alias("c_name"),
-    )
-    merged = scd2_merge(current, changed.unionByName(new_keys),
-                        ["c_custkey"], as_of="2024-01-01")
-    return scd2_as_of(merged, "2022-06-15").select(
-        "c_custkey", "c_name", "is_active")
-
-
-@q("unpivot_melt", """
-SELECT c_custkey, kind, val FROM
-  (SELECT c_custkey, c_acctbal AS balance,
-          CAST(c_nationkey AS DOUBLE) AS nation FROM customer)
-UNPIVOT (val FOR kind IN (balance, nation))""")
-def unpivot_melt(spark, sf_dir):
-    """Unpivot/melt — wide-to-long, the inverse of pivot: a map-only
-    Expand node (each input row fans out to one row per value column),
-    no shuffle at any scale."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_acctbal").alias("balance"),
-        F.col("c_nationkey").cast("double").alias("nation"))
-    return cust.unpivot("c_custkey", ["balance", "nation"], "kind", "val")
-
-
-@q("win_rank_family", """
-SELECT event_id, event_type,
-       rank()         OVER w AS rnk,
-       dense_rank()   OVER w AS drnk,
-       ntile(4)       OVER w AS quartile,
-       ROUND(percent_rank() OVER w, 6) AS pct_rank,
-       ROUND(cume_dist()    OVER w, 6) AS cume
-FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")
-def win_rank_family(spark, sf_dir):
-    """The full ranking-window family in one sorted pass: rank,
-    dense_rank, ntile, percent_rank, cume_dist all share a single
-    (event_type, value) sort — one exchange, five functions.  The
-    event_id tiebreak makes every rank deterministic."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id", "event_type",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    )
-
-
-_EXPECTED_SCHEMA = [
-    ("region", "r_regionkey", "int"), ("region", "r_name", "string"),
-    ("nation", "n_nationkey", "int"), ("nation", "n_name", "string"),
-    ("nation", "n_regionkey", "int"),
-    ("customer", "c_custkey", "bigint"), ("customer", "c_name", "string"),
-    ("customer", "c_nationkey", "int"), ("customer", "c_acctbal", "double"),
-    ("customer", "c_mktsegment", "string"),
-    ("supplier", "s_suppkey", "bigint"), ("supplier", "s_name", "string"),
-    ("supplier", "s_nationkey", "int"), ("supplier", "s_acctbal", "double"),
-    ("part", "p_partkey", "bigint"), ("part", "p_name", "string"),
-    ("part", "p_brand", "string"), ("part", "p_type", "string"),
-    ("part", "p_size", "int"), ("part", "p_retailprice", "double"),
-    ("orders", "o_orderkey", "bigint"), ("orders", "o_custkey", "bigint"),
-    ("orders", "o_orderstatus", "string"), ("orders", "o_totalprice", "double"),
-    ("orders", "o_orderdate", "timestamp"),
-    ("orders", "o_orderpriority", "string"),
-    ("lineitem", "l_orderkey", "bigint"), ("lineitem", "l_partkey", "bigint"),
-    ("lineitem", "l_suppkey", "bigint"), ("lineitem", "l_linenumber", "int"),
-    ("lineitem", "l_quantity", "double"),
-    ("lineitem", "l_extendedprice", "double"),
-    ("lineitem", "l_discount", "double"), ("lineitem", "l_tax", "double"),
-    ("lineitem", "l_returnflag", "string"),
-    ("lineitem", "l_linestatus", "string"),
-    ("lineitem", "l_shipdate", "timestamp"),
-    ("events", "event_id", "bigint"), ("events", "ts", "timestamp"),
-    ("events", "user_id", "bigint"), ("events", "event_type", "string"),
-    ("events", "value", "double"), ("events", "props", "string"),
-    ("documents", "doc_id", "bigint"), ("documents", "text", "string"),
-    ("documents", "lang", "string"), ("documents", "source", "string"),
-    ("documents", "n_chars", "bigint"),
-    ("embeddings", "vec_id", "bigint"),
-    ("embeddings", "embedding", "array<float>"),
-    ("embeddings", "label", "int"),
-]
-
-_SCHEMA_SMOKE_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
-    f"('{t}', '{c}', '{d}')" for t, c, d in _EXPECTED_SCHEMA
-) + ") AS v(table_name, column_name, dtype)"
-
-
-@q("testdata_schema_smoke", _SCHEMA_SMOKE_ORACLE)
-def testdata_schema_smoke(spark, sf_dir):
-    """Environment-drift tripwire (run FIRST in _PRIORITY): the observed
-    post-``load_table`` schema of every testdata table, compared against
-    a PINNED literal oracle.  A driver testdata regeneration that the
-    dtype-guarded accessors cannot absorb (new/removed column, a type
-    outside the naive-timestamp family) fails loudly in this ONE row
-    instead of surfacing as N confusing downstream failures — the
-    round-3 drift (events.ts TIMESTAMP(NANOS) → timestamp[us]) crashed
-    five streaming entries before this existed.  Naive-timestamp flavors
-    (TIMESTAMP vs TIMESTAMP_NTZ) collapse to 'timestamp' because the
-    accessors normalize them.  Schema-only parquet footer reads — no
-    data scan."""
-    from aws_etl_bank_spark.sources.testdata import TABLES, load_table
-
-    rows = []
-    for t in TABLES:
-        for c, dt in load_table(spark, sf_dir, t).dtypes:
-            norm = "timestamp" if dt in ("timestamp", "timestamp_ntz") else dt
-            rows.append((t, c, norm))
-    return spark.createDataFrame(
-        rows, "table_name string, column_name string, dtype string")
-
-
-@q("funnel_view_click_purchase", """
-WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
-           WHERE event_type = 'view' GROUP BY user_id),
-c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e JOIN v USING (user_id)
-      WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY e.user_id),
-p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e JOIN c USING (user_id)
-      WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY e.user_id)
-SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
-FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")
-def funnel_view_click_purchase(spark, sf_dir):
-    """Ordered 3-stage funnel (functions/eventstream.py): per user the
-    earliest view, the earliest click at-or-after it, the earliest
-    purchase at-or-after that — conversion attribution as N-1 same-key
-    shuffles with per-user state bounded by one timestamp per stage."""
-    from aws_etl_bank_spark.functions.eventstream import funnel_stages
-
-    ev = load_table(spark, sf_dir, "events")
-    return funnel_stages(ev, ["view", "click", "purchase"])
-
-
-@q("ts_rolling_zscore", """
-SELECT event_id, event_type, ts, value,
-       ROUND((value - AVG(value) OVER w)
-             / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) + 0 AS zscore
-FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-             ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)""")
-def ts_rolling_zscore(spark, sf_dir):
-    """Rolling z-score anomaly scoring (functions/eventstream.py): each
-    event's value against the trailing-100 window of its type, the row
-    itself excluded so an outlier cannot mask itself.  One sorted window
-    pass; NULL until a type has 2 trailing rows."""
-    from aws_etl_bank_spark.functions.eventstream import rolling_zscore
-
-    ev = load_table(spark, sf_dir, "events")
-    return rolling_zscore(
-        ev.select("event_id", "event_type", "ts", "value"),
-        "value", ["event_type"], ["ts", "event_id"], window_rows=100,
-    ).withColumn("zscore", F.round("zscore", 4) + F.lit(0.0))
-
-
-@q("ts_rolling_zscore_bucketed", """
-SELECT event_id, event_type, ts, value,
-       ROUND((value - AVG(value) OVER w)
-             / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) + 0 AS zscore
-FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-             ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)""")
-def ts_rolling_zscore_bucketed(spark, sf_dir):
-    """Hot-key-split rolling z-score (operators/windows.py via
-    functions/eventstream.py): same oracle as ts_rolling_zscore — the
-    row-bucketed window with boundary-carry must be value-identical to
-    the serial per-key window, while each event_type (5 hot keys across
-    the whole table) spreads over ~bucket_rows-row tasks instead of one.
-    This is the 100 TB mitigation VERDICT r4 flagged as missing."""
-    from aws_etl_bank_spark.functions.eventstream import rolling_zscore
-
-    ev = load_table(spark, sf_dir, "events")
-    return rolling_zscore(
-        ev.select("event_id", "event_type", "ts", "value"),
-        "value", ["event_type"], ["ts", "event_id"], window_rows=100,
-        coarse_bucket_seconds=3600.0, bucket_rows=2000,
-    ).withColumn("zscore", F.round("zscore", 4) + F.lit(0.0))
-
-
-@q("agg_salted_event_totals", """
-SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
-FROM events GROUP BY event_type""")
-def agg_salted_event_totals(spark, sf_dir):
-    """Two-phase salted aggregation (functions/scale.py salted_agg) on a
-    deliberately hot key space (5 event types across the whole table):
-    partials within (key, salt) cap per-task state at n_salts rows per
-    hot key, the combine phase re-aggregates — results must be EXACTLY
-    the plain GROUP BY the oracle runs.  Content-derived salt
-    (xxhash64 of event_id) keeps retries deterministic.  The 100 TB
-    answer to a grouping key that AQE cannot split because partial
-    aggregation already collapsed it into one fat task."""
-    from aws_etl_bank_spark.functions.scale import salted_agg
-
-    ev = load_table(spark, sf_dir, "events")
-    return salted_agg(
-        ev, ["event_type"],
-        partials=[F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")],
-        aggs=[F.sum("pn").alias("n_events"),
-              F.round(F.sum("pv"), 2).alias("sum_value")],
-        n_salts=16, salt_by="event_id",
-    )
-
-
-@q("agg_approx_distinct_ratio", """
-SELECT event_type, CAST(1.0 AS DOUBLE) AS accuracy_band
-FROM events GROUP BY event_type""")
-def agg_approx_distinct_ratio(spark, sf_dir):
-    """The 100 TB COUNT(DISTINCT) swap-in, accuracy-checked: per event
-    type, approx_count_distinct(user_id) at rsd=0.02 (HyperLogLog++)
-    divided by the exact distinct count, rounded to one decimal — a
-    driver-checkable assertion that the sketch stays within ±5% of
-    truth (the oracle expects literally 1.0 per group); the default
-    rsd=0.05 sketch realized a 7% error at sf0.1's ~30k distinct users,
-    so the band pins the tighter sketch at every SF.  At scale the
-    approx runs map-side with fixed sketch memory while exact distinct
-    needs a two-phase expand shuffle."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg((F.approx_count_distinct("user_id", rsd=0.02)
-              / F.count_distinct("user_id")).alias("ratio"))
-        .select("event_type",
-                F.round("ratio", 1).cast("double").alias("accuracy_band"))
-    )
-
-
-@q("cohort_retention_weekly", """
-WITH first_seen AS (
-  SELECT user_id, min(ts) AS first_ts FROM events
-  WHERE event_type = 'signup' GROUP BY user_id),
-cohorts AS (
-  SELECT user_id,
-         CAST(floor(epoch(first_ts) / 604800) AS BIGINT) AS cohort_bucket
-  FROM first_seen),
-activity AS (
-  SELECT DISTINCT c.cohort_bucket,
-         CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - c.cohort_bucket
-             AS bucket_offset,
-         e.user_id
-  FROM events e JOIN cohorts c USING (user_id))
-SELECT cohort_bucket, bucket_offset, CAST(COUNT(*) AS BIGINT) AS n_active
-FROM activity WHERE bucket_offset >= 0 GROUP BY 1, 2""")
-def cohort_retention_weekly(spark, sf_dir):
-    """Weekly cohort retention triangle (functions/eventstream.py):
-    users cohorted by first-signup week, distinct-counted per (cohort,
-    week offset) of any later activity."""
-    from aws_etl_bank_spark.functions.eventstream import cohort_retention
-
-    ev = load_table(spark, sf_dir, "events")
-    return cohort_retention(ev, "signup")
-
-
-@q("stream_sliding_counts", """
-WITH e AS (SELECT event_type, value, epoch(ts) AS t FROM events),
-x AS (
-  SELECT event_type, value,
-         unnest(range(CAST(floor(t / 7200) AS BIGINT) - 2,
-                      CAST(floor(t / 7200) AS BIGINT) + 1)) AS k
-  FROM e)
-SELECT CAST(to_timestamp(k * 7200) AS TIMESTAMP) AS window_start,
-       event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
-FROM x GROUP BY 1, 2""")
-def stream_sliding_counts(spark, sf_dir):
-    """SLIDING windowed aggregation (streaming/runner.py
-    windowed_event_counts with slide): 6-hour windows every 2 hours, so
-    each event lands in 3 overlapping windows — Spark's window() Expand
-    against a DuckDB per-event covering-window unnest.  Batch mode here
-    (the operator is stream/batch-identical; the streaming path is
-    exercised by stream_window_counts and the late-data test)."""
-    from aws_etl_bank_spark.streaming import windowed_event_counts
-
-    ev = load_table(spark, sf_dir, "events")
-    return windowed_event_counts(ev, "6 hours", slide="2 hours")
-
-
-@q("scale_bucketed_join_agg", """
-SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o.o_totalprice), 2) AS total
-FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-GROUP BY o.o_custkey""")
-def scale_bucketed_join_agg(spark, sf_dir):
-    """Bucketed co-located join + same-key AGGREGATION (the sibling of
-    ``scale_bucketed_join``, which projects; this one proves the
-    aggregate after the join also runs exchange-free): both sides
-    persisted bucketBy(custkey) with the same bucket count, so the join
-    and the following same-key aggregation run with NO exchange (plan
-    asserted in tests/test_scale.py) — the pay-the-shuffle-once layout
-    for a fact repeatedly joined on one key at 100 TB.  Results must
-    equal the plain shuffle join the oracle runs."""
-    from aws_etl_bank_spark.functions.scale import (
-        read_bucketed, reset_and_write_bucketed, sf_table_tag)
-
-    sfx = sf_table_tag(sf_dir)
-    t_orders, t_cust = f"b_orders_{sfx}", f"b_cust_{sfx}"
-    reset_and_write_bucketed(spark,
-                             load_table(spark, sf_dir, "orders")
-                             .select("o_orderkey", "o_custkey",
-                                     "o_totalprice"),
-                             t_orders, "o_custkey", 8)
-    reset_and_write_bucketed(spark,
-                             load_table(spark, sf_dir, "customer")
-                             .select("c_custkey"), t_cust, "c_custkey", 8)
-    o, c = read_bucketed(spark, t_orders), read_bucketed(spark, t_cust)
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total"))
-    )
-
-
-@q("scale_range_clustered_read", """
-SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total,
-       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
-FROM orders WHERE o_totalprice BETWEEN 1000 AND 5000""")
-def scale_range_clustered_read(spark, sf_dir):
-    """Range-clustered layout roundtrip (functions/scale.py
-    write_range_clustered): orders re-laid-out by o_totalprice
-    (repartitionByRange + sortWithinPartitions → non-overlapping
-    per-file min/max footers, asserted in tests/test_scale.py), then a
-    range predicate reads it back — parquet file-level stats prune
-    whole files, and the numbers must match the unclustered oracle
-    scan."""
-    from aws_etl_bank_spark.functions.scale import write_range_clustered
-
-    path = _scratch(sf_dir, "orders_range_clustered")
-    write_range_clustered(
-        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
-        path, ["o_totalprice"], n_files=8)
-    back = spark.read.parquet(path).filter(
-        F.col("o_totalprice").between(1000, 5000))
-    return back.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.round(F.min("o_totalprice"), 2).alias("lo"),
-        F.round(F.max("o_totalprice"), 2).alias("hi"),
-    )
-
-
-@q("quality_metrics_orders", """
-WITH m AS (
-  SELECT round(CAST(count(*) AS DOUBLE), 4) AS c,
-         round(avg(CASE WHEN o_orderstatus IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS comp,
-         round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 4) AS uniq_key,
-         round(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 4) AS uniq_cust,
-         round(avg(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END), 4) AS price_pos,
-         round(CAST(min(o_totalprice) AS DOUBLE), 4) AS mn,
-         round(CAST(max(o_totalprice) AS DOUBLE), 4) AS mx,
-         round(avg(o_totalprice), 4) AS av
-  FROM orders)
-SELECT 'count(*)' AS metric, c AS value FROM m
-UNION ALL SELECT 'completeness(o_orderstatus)', comp FROM m
-UNION ALL SELECT 'uniqueness(o_orderkey)', uniq_key FROM m
-UNION ALL SELECT 'uniqueness(o_custkey)', uniq_cust FROM m
-UNION ALL SELECT 'compliance(totalprice>0)', price_pos FROM m
-UNION ALL SELECT 'min(o_totalprice)', mn FROM m
-UNION ALL SELECT 'max(o_totalprice)', mx FROM m
-UNION ALL SELECT 'mean(o_totalprice)', av FROM m""")
-def quality_metrics_orders(spark, sf_dir):
-    """Deequ-style metric suite (functions/quality.py): 8 constraint
-    metrics over orders in ONE aggregation pass (single scan + global
-    agg; the two exact distincts share the Expand).  Long-format
-    (metric, value) output; doubles rounded to 4 on both sides."""
-    from aws_etl_bank_spark.functions import quality as Q
-
-    orders = load_table(spark, sf_dir, "orders")
-    return Q.profile(orders, [
-        Q.row_count(),
-        Q.completeness("o_orderstatus"),
-        Q.uniqueness("o_orderkey"),
-        Q.uniqueness("o_custkey"),
-        Q.compliance("totalprice>0", F.col("o_totalprice") > 0),
-        Q.minimum("o_totalprice"),
-        Q.maximum("o_totalprice"),
-        Q.mean("o_totalprice"),
-    ], round_to=4)
-
-
-@q("quality_check_lineitem", """
-WITH m AS (
-  SELECT round(avg(CASE WHEN l_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS comp,
-         round(avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END), 4) AS qty,
-         round(avg(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1.0 ELSE 0.0 END), 4) AS disc,
-         round(CAST(count(DISTINCT l_orderkey) AS DOUBLE) / count(*), 4) AS uniq
-  FROM lineitem)
-SELECT 'orderkey complete' AS "check", 'completeness(l_orderkey)' AS metric,
-       comp AS value, comp = 1.0 AS passed FROM m
-UNION ALL SELECT 'quantity in [1,50]', 'compliance(qty in [1,50])', qty, qty = 1.0 FROM m
-UNION ALL SELECT 'discount in [0,0.1]', 'compliance(disc in [0,0.1])', disc, disc >= 0.99 FROM m
-UNION ALL SELECT 'orderkey not unique', 'uniqueness(l_orderkey)', uniq, uniq < 1.0 FROM m""")
-def quality_check_lineitem(spark, sf_dir):
-    """Constraint suite with assertions (functions/quality.py check):
-    (check, metric, value, passed) rows, still one aggregation pass —
-    the pass/fail layer is map-side arithmetic over the wide agg row."""
-    from aws_etl_bank_spark.functions import quality as Q
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return Q.check(li, [
-        ("orderkey complete", Q.completeness("l_orderkey"),
-         lambda v: v == 1.0),
-        ("quantity in [1,50]",
-         Q.compliance("qty in [1,50]", F.col("l_quantity").between(1, 50)),
-         lambda v: v == 1.0),
-        ("discount in [0,0.1]",
-         Q.compliance("disc in [0,0.1]",
-                      (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)),
-         lambda v: v >= 0.99),
-        ("orderkey not unique", Q.uniqueness("l_orderkey"),
-         lambda v: v < 1.0),
-    ], round_to=4)
-
-
-@q("agg_approx_percentile_band", """
-SELECT event_type, CAST(1.0 AS DOUBLE) AS p50_band, CAST(1.0 AS DOUBLE) AS p90_band
-FROM events GROUP BY event_type""")
-def agg_approx_percentile_band(spark, sf_dir):
-    """The 100 TB percentile swap-in, accuracy-checked like
-    agg_approx_distinct_ratio: per event type, approx_percentile
-    (Greenwald-Khanna, accuracy=10000, mergeable partial aggs — no
-    per-group sort buffer) divided by the exact interpolated percentile
-    (agg_percentiles' oracle form), rounded to one decimal.  The oracle
-    expects literally 1.0: the sketch's rank error is ≤ n/accuracy rows,
-    which stays within the ±5% band through sf10-scale group sizes (the
-    GK guarantee degrades linearly in n — raise accuracy with SF, the
-    memory cost is O(accuracy), not O(n))."""
-    ev = load_table(spark, sf_dir, "events")
-    approx = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10000)
-    return (
-        ev.groupBy("event_type")
-        .agg(approx.alias("ap"),
-             F.percentile("value", 0.5).alias("x50"),
-             F.percentile("value", 0.9).alias("x90"))
-        .select("event_type",
-                F.round(F.col("ap")[0] / F.col("x50"), 1).cast("double").alias("p50_band"),
-                F.round(F.col("ap")[1] / F.col("x90"), 1).cast("double").alias("p90_band"))
-    )
-
-
-@q("join_bloom_prefilter", """
-SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS total,
-       c.c_name
-FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-WHERE c.c_nationkey = 3""")
-def join_bloom_prefilter(spark, sf_dir):
-    """Explicit Bloom runtime filter ahead of a fact⋈dim join
-    (functions/scale.py bloom_prefilter_join): the dim's key set (one
-    nation's customers, ~4% of orders match) is compressed to a ≤32 KiB
-    bitmap built from xxhash64 positions, broadcast as ONE row, and
-    probed JVM-side to drop non-matching fact rows BEFORE the join — the
-    exact join then makes false positives free, so the result is
-    byte-identical to the plain join (the oracle is the plain join).
-
-    At 100 TB this prunes the fact's shuffle write by the dim's
-    selectivity even when the dim itself is broadcast-too-big: the
-    bitmap's size is fixed by m_bits regardless of key count, unlike a
-    broadcast hash table.  tests/test_scale.py proves no false
-    negatives and bounds the false-positive rate."""
-    from aws_etl_bank_spark.functions.scale import bloom_prefilter_join
-
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer").where(F.col("c_nationkey") == 3)
-    joined = bloom_prefilter_join(o, c, "o_custkey", "c_custkey")
-    return joined.select(
-        "o_orderkey", "o_custkey",
-        F.round("o_totalprice", 2).alias("total"), "c_name")
-
-
-def _rev_dec():
-    """Line revenue as an EXACT decimal: price and discount carry ≤ 2
-    decimals, so DECIMAL(18,2) × (1 − DECIMAL(4,2)) is exact at scale 4
-    and its SUM is exact and summation-order-independent — unlike a
-    double sum, whose ULP noise at sf1 magnitudes (~1e11) flips cent
-    rounding between engines, and unlike ROUND-ing the decimal to 2,
-    where a sum ending in .xx5 rounds HALF_UP in Spark but HALF_EVEN in
-    DuckDB (both observed in sf1 audits).  The exact scale-4 value casts
-    to the identical double on both engines."""
-    one = F.lit(1.00).cast("decimal(4,2)")
-    return (F.col("l_extendedprice").cast("decimal(18,2)")
-            * (one - F.col("l_discount").cast("decimal(4,2)")))
-
-
-@q("tpch_q1_pricing_summary", """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                * (CAST(1.00 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
-            AS VARCHAR) AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
-       CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus""")
-def tpch_q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 (pricing summary report) — the canonical scan-heavy
-    single-pass aggregation: one lineitem scan with the shipdate
-    predicate pushed to parquet, every aggregate a mergeable partial
-    (map-side combine), grouped on a 6-value key.  The plan IS the
-    100 TB plan: no join, one exchange of 6 rows worth of partials.
-
-    Money aggregates run in EXACT decimals (see _rev_dec's rationale);
-    sum_charge carries scale 6, whose integer representation exceeds
-    2^53 at sf1 — the decimal→double conversion then disagrees across
-    engines in the last ULP — so it is emitted as the canonical decimal
-    STRING (identical rendering incl. trailing zeros on both engines).
-    The scale-2/4 sums stay exact as doubles through ~sf10."""
-    li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1.00).cast("decimal(4,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    dsc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
-    disc = price * (one - dsc)
-    n = F.count(F.lit(1))
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum(qty).cast("double").alias("sum_qty"),
-             F.sum(price).cast("double").alias("sum_base_price"),
-             F.sum(disc).cast("double").alias("sum_disc_price"),
-             F.sum(disc * (one + tax)).cast("string").alias("sum_charge"),
-             F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
-             F.round(F.sum(price).cast("double") / n, 4).alias("avg_price"),
-             F.round(F.sum(dsc).cast("double") / n, 4).alias("avg_disc"),
-             n.alias("count_order"))
-    )
-
-
-@q("tpch_q3_shipping_priority", """
-SELECT l.l_orderkey,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS revenue,
-       o.o_orderdate
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1999-03-15'
-  AND l.l_shipdate > TIMESTAMP '1999-03-15'
-GROUP BY l.l_orderkey, o.o_orderdate
-ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
-LIMIT 10""")
-def tpch_q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 (shipping priority): selective dim filter (one market
-    segment) broadcast into the orders⋈lineitem chain, aggregate by
-    order, global top-10.  Both date predicates push to the scans; the
-    final sort sees only the aggregated orders, and the row_number-free
-    ORDER BY+LIMIT compiles to TakeOrderedAndProject (per-partition
-    top-10, merge on the driver — never a full sort at scale).  The
-    l_orderkey tiebreak makes the cut deterministic for the oracle."""
-    c = load_table(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp"))
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
-
-
-@q("tpch_q5_local_supplier_volume", """
-SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS revenue
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'ASIA'
-  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o.o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY n.n_name""")
-def tpch_q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 (local supplier volume): the 6-table join with the
-    customer-nation = supplier-nation co-membership condition.  Every
-    dim (supplier/nation/region/filtered customer) broadcasts; the only
-    shuffle-sized join is orders⋈lineitem, and the region filter prunes
-    nation/supplier BEFORE they reach the fact — Catalyst pushes it
-    through the join chain."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
-              & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
-    )
-
-
-@q("tpch_q18_large_volume_customer", """
-WITH big AS (
-  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(l_quantity) > 300
-)
-SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-       ROUND(o.o_totalprice, 2) AS o_totalprice,
-       ROUND(SUM(l.l_quantity), 2) AS total_qty
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
-GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice""")
-def tpch_q18_large_volume_customer(spark, sf_dir):
-    """TPC-H Q18 (large-volume customers): the HAVING-filtered order
-    shortlist computed as a WINDOW sum over the fact's own orderkey —
-    the aggregate-plus-semi-join-back form scanned lineitem twice; the
-    window form scans once, and its exchange leaves the fact hash-
-    partitioned by l_orderkey, which the orders join then reuses
-    (EnsureRequirements adds no second lineitem shuffle).  Per-order
-    groups are line-count bounded, so the window carries no skew."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    order_qty = F.sum("l_quantity").over(Window.partitionBy("l_orderkey"))
-    return (
-        li.withColumn("__oq", order_qty).where(F.col("__oq") > 300)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
-    )
-
-
-@q("src_orc_roundtrip", """
-SELECT n_nationkey, n_name, n_regionkey FROM nation""")
-def src_orc_roundtrip(spark, sf_dir):
-    """ORC source/sink through the same format-dispatched DataSource /
-    DataSink path as parquet (SPARK_SQL_FORMATS includes orc —
-    sources/datasource.py:23): nation written as ORC, read back via
-    getSource("file", format="orc").  Spark's native ORC reader keeps
-    predicate pushdown and column pruning, so everything the plan audit
-    says about parquet scans holds for ORC lakes too."""
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    path = _scratch(sf_dir, "nation_orc")
-    ctx = EngineContext(spark)
-    sink = ctx.getSink("file", format="orc", path=path)
-    sink.write(DynamicFrame.fromDF(
-        load_table(spark, sf_dir, "nation"), ctx, "n"))
-    src = ctx.getSource("file", format="orc", paths=[path])
-    return (src.getFrame(glue_ctx=ctx, name="nation_orc").toDF()
-            .select("n_nationkey", "n_name", "n_regionkey"))
-
-
-@q("src_xml_roundtrip", """
-SELECT n_nationkey, n_name, n_regionkey FROM nation""")
-def src_xml_roundtrip(spark, sf_dir):
-    """XML source/sink through the format-dispatched DataSource/DataSink
-    path — Spark 4's NATIVE xml datasource (rowTag option), no external
-    jar: nation written as <nation> row elements, read back via
-    getSource("file", format="xml").  Element order within a row is not
-    positional, so columns are re-selected by name; values and schema
-    must round-trip exactly (the XML reader infers longs for the int
-    columns — cast back to the table's types)."""
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    path = _scratch(sf_dir, "nation_xml")
-    ctx = EngineContext(spark)
-    sink = ctx.getSink("file", format="xml", path=path,
-                       format_options={"rowTag": "nation"})
-    sink.write(DynamicFrame.fromDF(
-        load_table(spark, sf_dir, "nation"), ctx, "n"))
-    src = ctx.getSource("file", format="xml", paths=[path],
-                        format_options={"rowTag": "nation"})
-    nat = load_table(spark, sf_dir, "nation")
-    types = dict(nat.select("n_nationkey", "n_name", "n_regionkey").dtypes)
-    return (src.getFrame(glue_ctx=ctx, name="nation_xml").toDF()
-            .select(*[F.col(c).cast(t) for c, t in types.items()]))
-
-
-@q("src_jsonl_roundtrip", """
-SELECT n_nationkey, n_name, n_regionkey FROM nation""")
-def src_jsonl_roundtrip(spark, sf_dir):
-    """JSON-lines source/sink through the dispatched DataSource path:
-    nation written as newline-delimited JSON, read back via
-    getSource("file", format="json") with long-vs-double numeric types
-    restored by an explicit projection cast (JSON erases int width —
-    the read infers bigint here, matching the source)."""
-    from aws_etl_bank_spark.context import EngineContext
-    from aws_etl_bank_spark.operators.dynamicframe import DynamicFrame
-
-    path = _scratch(sf_dir, "nation_jsonl")
-    ctx = EngineContext(spark)
-    sink = ctx.getSink("file", format="json", path=path)
-    sink.write(DynamicFrame.fromDF(
-        load_table(spark, sf_dir, "nation"), ctx, "n"))
-    src = ctx.getSource("file", format="json", paths=[path])
-    return (src.getFrame(glue_ctx=ctx, name="nation_jsonl").toDF()
-            .select(F.col("n_nationkey").cast("int").alias("n_nationkey"),
-                    "n_name",
-                    F.col("n_regionkey").cast("int").alias("n_regionkey")))
-
-
-@q("maintenance_compact_roundtrip", """
-SELECT c_custkey, c_name, c_nationkey FROM customer""")
-def maintenance_compact_roundtrip(spark, sf_dir):
-    """Small-file compaction (functions/scale.py compact_small_files):
-    the customer table exploded into 64 tiny files, compacted back to
-    ~target-size files with an atomic directory swap, read back and
-    compared against the source — proving the maintenance pass is
-    content-preserving.  The compaction itself is coalesce (no
-    shuffle); file-count assertions live in tests/test_scale.py."""
-    from aws_etl_bank_spark.functions.scale import compact_small_files
-
-    path = _scratch(sf_dir, "cust_small_files")
-    src = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey")
-    src.repartition(64).write.mode("overwrite").parquet(path)
-    compact_small_files(spark, path, target_file_bytes=64 * 1024 * 1024)
-    return spark.read.parquet(path)
-
-
-@q("scale_skew_report", """
-WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-           FROM events GROUP BY event_type),
-t AS (SELECT SUM(n) AS tot FROM c)
-SELECT event_type, n, ROUND(n / (SELECT tot FROM t), 6) AS share,
-       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, event_type) AS INT) AS rank
-FROM c ORDER BY n DESC, event_type LIMIT 5""")
-def scale_skew_report(spark, sf_dir):
-    """Skew diagnostics (functions/scale.py skew_report): the heaviest
-    key values with row share and rank from ONE aggregated pass — the
-    measurement that picks between plain AQE, salted_agg and
-    salted_join before a straggler burns an hour at 100 TB.  The
-    row_number+filter compiles to a window group limit, so the rank cut
-    happens before rows concentrate."""
-    from aws_etl_bank_spark.functions.scale import skew_report
-
-    ev = load_table(spark, sf_dir, "events")
-    return skew_report(ev, "event_type", top=5)
-
-
-@q("ts_trend_slope", """
-SELECT user_id,
-       ROUND(regr_slope(value, floor(epoch(ts))), 6) + 0 AS slope,
-       ROUND(corr(value, floor(epoch(ts))), 4) + 0 AS r,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY user_id HAVING COUNT(*) >= 50""")
-def ts_trend_slope(spark, sf_dir):
-    """Per-key linear trend (least-squares slope of value over time) +
-    correlation — drift/trend detection as ONE hash aggregation: Spark's
-    regr_slope/corr aggregates are mergeable partials (sums of x, y, xy,
-    x², count), so the whole fit shuffles a constant per key no matter
-    how many points feed it.  No window, no sort, no Python.  The time
-    axis is floored to whole seconds on BOTH sides (Spark's
-    unix_timestamp truncates; DuckDB's epoch keeps fractions — without
-    the floor the regression inputs silently differ sub-second).  Both
-    rounded columns add ``+ 0`` on BOTH engines: a slope that rounds to
-    zero can carry IEEE ``-0.0`` in one engine and ``+0.0`` in the other
-    (bit patterns differ, bitwise value-hash mismatches — the r5 driver
-    failure); ``x + 0.0`` canonicalizes either zero to ``+0.0``."""
-    ev = load_table(spark, sf_dir, "events")
-    x = F.unix_timestamp("ts").cast("double")
-    return (
-        ev.groupBy("user_id")
-        .agg((F.round(F.regr_slope(F.col("value"), x), 6)
-              + F.lit(0.0)).alias("slope"),
-             (F.round(F.corr(F.col("value"), x), 4)
-              + F.lit(0.0)).alias("r"),
-             F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 50)
-    )
-
-
-@q("tpch_q7_volume_shipping", """
-SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS revenue
-FROM supplier s
-JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
-    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
-  AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
-GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l.l_shipdate)""")
-def tpch_q7_volume_shipping(spark, sf_dir):
-    """TPC-H Q7 (volume shipping between two nations): the
-    disjunctive cross-nation predicate (the testdata's synthetic
-    NATION_9/NATION_10 in place of the spec's FRANCE/GERMANY) over two
-    aliases of the SAME dim
-    — both nation sides broadcast, the pair filter applies after the
-    chain, and only orders⋈lineitem is shuffle-sized.  Ship-year comes
-    from the pushed-down shipdate range."""
-    s = load_table(spark, sf_dir, "supplier")
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00"))
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n1 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
-    n2 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
-    pair = (((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
-            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9")))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
-        .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
-        .where(pair)
-        .groupBy("supp_nation", "cust_nation",
-                 F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
-    )
-
-
-@q("tpch_q10_returned_items", """
-SELECT c.c_custkey, c.c_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS revenue,
-       ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
-  AND o.o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-ORDER BY revenue DESC, c.c_custkey LIMIT 20""")
-def tpch_q10_returned_items(spark, sf_dir):
-    """TPC-H Q10 (returned-item reporting): quarter of orders ⋈ returned
-    lines ⋈ customer dim, top-20 customers by lost revenue.  The
-    returnflag and date predicates push to the two fact scans;
-    ORDER BY+LIMIT compiles to TakeOrderedAndProject.  The c_custkey
-    tiebreak makes the cut deterministic for the oracle."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
-        .select("c_custkey", "c_name", "revenue",
-                F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
-        .orderBy(F.col("revenue").desc(), "c_custkey")
-        .limit(20)
-    )
-
-
-@q("tpch_q4_order_priority", """
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
-  AND o.o_orderdate < TIMESTAMP '1996-10-01'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate)
-GROUP BY o_orderpriority""")
-def tpch_q4_order_priority(spark, sf_dir):
-    """TPC-H Q4 (order-priority checking): EXISTS over a correlated
-    line-level condition — expressed as a LEFT-SEMI join of the filtered
-    quarter of orders against late-shipping lines, then a 5-group
-    count.  The semi join deduplicates BEFORE the aggregate, so no
-    order is counted per matching line."""
-    o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        o.join(li, (o.o_orderkey == li.l_orderkey)
-               & (li.l_shipdate > o.o_orderdate), "leftsemi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@q("tpch_q6_forecast_revenue", """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24""")
-def tpch_q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6 (forecasting revenue change): the purest predicate-
-    pushdown benchmark — three ANDed scan filters, one global sum, zero
-    joins; at 100 TB the whole query is whatever fraction of row groups
-    the parquet min/max stats cannot skip."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-                 & F.col("l_discount").between(0.05, 0.07)
-                 & (F.col("l_quantity") < 24))
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-                   * F.col("l_discount").cast("decimal(4,2)"))
-             .cast("double").alias("revenue"))
-    )
-
-
-@q("tpch_q13_customer_distribution", """
-WITH co AS (
-  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-  GROUP BY c.c_custkey
-)
-SELECT CAST(c_count AS BIGINT) AS c_count,
-       CAST(COUNT(*) AS BIGINT) AS custdist
-FROM co GROUP BY c_count""")
-def tpch_q13_customer_distribution(spark, sf_dir):
-    """TPC-H Q13 (customer order distribution): LEFT OUTER join so
-    zero-order customers survive with count 0, then the
-    histogram-of-counts double aggregation.  COUNT(o_orderkey) — not
-    COUNT(*) — is what makes the outer join's null rows count as zero."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy(c.c_custkey)
-        .agg(F.count("o_orderkey").alias("c_count"))
-        .groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-    )
-
-
-@q("tpch_q14_promo_revenue", """
-SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                                       * (CAST(1.00 AS DECIMAL(4,2))
-                                          - CAST(l.l_discount AS DECIMAL(4,2))) END)
-                         AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                        * (CAST(1.00 AS DECIMAL(4,2))
-                           - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE),
-             4) AS promo_pct
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
-  AND l.l_shipdate < TIMESTAMP '1996-10-01'""")
-def tpch_q14_promo_revenue(spark, sf_dir):
-    """TPC-H Q14 (promotion effect): conditional-ratio aggregate over a
-    month of lines broadcast-joined to the part dim (the testdata's
-    categorical p_type = 'PROMO' in place of the spec's LIKE 'PROMO%').
-    One scan, one broadcast, one agg row."""
-    li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
-    p = load_table(spark, sf_dir, "part")
-    rev = _rev_dec()
-    promo = F.when(F.col("p_type") == "PROMO", rev)
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo).cast("double")
-                     / F.sum(rev).cast("double"), 4).alias("promo_pct"))
-    )
-
-
-@q("tpch_q8_market_share", """
-SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-       ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_9'
-                           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                                * (CAST(1.00 AS DECIMAL(4,2))
-                                   - CAST(l.l_discount AS DECIMAL(4,2))) END)
-                  AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                        * (CAST(1.00 AS DECIMAL(4,2))
-                           - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE),
-             6) AS mkt_share
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-JOIN region r ON n1.n_regionkey = r.r_regionkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
-  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
-GROUP BY EXTRACT(YEAR FROM o.o_orderdate)""")
-def tpch_q8_market_share(spark, sf_dir):
-    """TPC-H Q8 (national market share): the deepest TPC-H join tree
-    expressible on this schema — 8 tables, nation joined TWICE (customer
-    region gate vs supplier nationality), share computed as a
-    conditional-ratio aggregate per order year.  Every dim broadcasts;
-    lineitem⋈orders is the only shuffle pair."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate").between("1996-01-01", "1997-12-31 00:00:00"))
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
-    n1 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
-    n2 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
-    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    rev = _rev_dec()
-    target = F.when(F.col("supp_nation") == "NATION_9", rev)
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), c.c_nationkey == F.col("nk1"))
-        .join(F.broadcast(r), F.col("rk1") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n2), s.s_nationkey == F.col("nk2"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(target).cast("double")
-                     / F.sum(rev).cast("double"), 6).alias("mkt_share"))
-    )
-
-
-@q("tpch_q15_top_supplier", """
-WITH rev AS (
-  SELECT l_suppkey AS supplier_no,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * (CAST(1.00 AS DECIMAL(4,2))
-                     - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1996-04-01'
-  GROUP BY l_suppkey
-)
-SELECT s.s_suppkey, s.s_name, r.total_revenue
-FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""")
-def tpch_q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 (top supplier): the revenue "view" joined against its
-    own 1-row max aggregate (broadcast) — the decorrelated scalar-
-    subquery form.  Spark recomputes the shared rev subtree on both
-    sides (2 lineitem scans in the executed plan; column pruning makes
-    the subtrees differ, defeating ReuseExchange).  Kept DELIBERATELY
-    over the single-scan alternative — a global (partitionBy-less)
-    window max — because that funnels the entire supplier-grain rollup
-    through ONE task at 100 TB, whereas the second scan is pruned to 3
-    columns, date-filtered, and fully parallel."""
-    li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
-    s = load_table(spark, sf_dir, "supplier")
-    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-           .agg(F.sum(_rev_dec()).cast("double").alias("total_revenue")))
-    mx = rev.agg(F.max("total_revenue").alias("__mx"))
-    return (
-        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-@q("tpch_q17_small_quantity", """
-SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
-       AS avg_yearly
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
-      FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
-WHERE p.p_brand = (SELECT MIN(p_brand) FROM part)
-  AND l.l_quantity < a.qty_cut""")
-def tpch_q17_small_quantity(spark, sf_dir):
-    """TPC-H Q17 (small-quantity-order revenue): the brand slice is
-    broadcast-semi-filtered onto the fact FIRST, then the correlated
-    per-part AVG cut is a WINDOW over the surviving rows — every
-    lineitem of a brand part survives the filter, so the window avg
-    equals the whole-table per-part avg.  The earlier
-    aggregate-plus-join-back form scanned lineitem twice AND broadcast
-    a cuts frame keyed by ALL parts — part-count sized, which does not
-    broadcast at 100 TB; the window form scans once and shuffles only
-    the brand slice (|parts|/|brands| of the fact).  Brand chosen as
-    MIN(p_brand) to stay fixture-agnostic."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    brand = p.agg(F.min("p_brand").alias("__b"))
-    pb = (p.join(F.broadcast(brand), p.p_brand == F.col("__b"))
-          .select("p_partkey"))
-    cut_w = (0.2 * F.avg("l_quantity").over(Window.partitionBy("l_partkey")))
-    return (
-        li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey, "left_semi")
-        .withColumn("qty_cut", cut_w)
-        .where(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                     .cast("double") / 7.0, 2).alias("avg_yearly"))
-    )
-
-
-@q("ts_rollup_incremental_merge", """
-SELECT event_type,
-       CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 86400) * 86400 AS BIGINT) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
-FROM events GROUP BY 1, 2""")
-def ts_rollup_incremental_merge(spark, sf_dir):
-    """Materialized-rollup incremental refresh (functions/timeseries.py
-    merge_rollup): history and the "new" tail are aggregated separately
-    (as a stored rollup and a delta would be), then combined by their
-    decomposable aggregates — count as sum, sum as sum — and the result
-    must equal the full recompute, which is exactly what the oracle
-    runs.  O(|rollup| + |delta|) per refresh instead of O(|history|)."""
-    from aws_etl_bank_spark.functions.timeseries import (merge_rollup,
-                                                         rollup_time_bucket)
-
-    ev = load_table(spark, sf_dir, "events")
-    cutoff = "1997-01-01"
-    aggs = [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")]
-    hist = rollup_time_bucket(
-        ev.where(F.col("ts") < cutoff), "ts", 86400, ["event_type"], aggs)
-    delta = rollup_time_bucket(
-        ev.where(F.col("ts") >= cutoff), "ts", 86400, ["event_type"], aggs)
-    merged = merge_rollup(hist, delta, ["event_type", "bucket"],
-                          {"n": "sum", "total": "sum"})
-    return merged.select("event_type", F.col("bucket").cast("long"),
-                         F.col("n").cast("long").alias("n"),
-                         F.round("total", 2).alias("total"))
-
-
-@q("scale_bucketed_join", """
-SELECT o.o_orderkey, o.o_custkey, c.c_name,
-       ROUND(o.o_totalprice, 2) AS total
-FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-WHERE o.o_orderkey % 4 = 0""")
-def scale_bucketed_join(spark, sf_dir):
-    """Bucketed co-located join (functions/scale.py write_bucketed /
-    read_bucketed): both sides persisted bucketed on the join key, so
-    the recurring join needs NO exchange on either side — the shuffle
-    is paid once at write time (tests/test_scale.py asserts the
-    exchange-free plan).  Result must equal the plain join, which is
-    what the oracle runs.  Table names carry the sf tag so concurrent
-    gates at different SFs do not collide."""
-    from aws_etl_bank_spark.functions.scale import (
-        read_bucketed, reset_and_write_bucketed, sf_table_tag)
-
-    tag = sf_table_tag(sf_dir)
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0)
-    c = load_table(spark, sf_dir, "customer")
-    reset_and_write_bucketed(spark,
-                             o.select("o_orderkey", "o_custkey",
-                                      "o_totalprice"),
-                             f"bkt_orders_{tag}", "o_custkey", 8)
-    reset_and_write_bucketed(spark, c.select("c_custkey", "c_name"),
-                             f"bkt_customer_{tag}", "c_custkey", 8)
-    ob = read_bucketed(spark, f"bkt_orders_{tag}")
-    cb = read_bucketed(spark, f"bkt_customer_{tag}")
-    return (ob.join(cb, ob.o_custkey == cb.c_custkey)
-            .select("o_orderkey", "o_custkey", "c_name",
-                    F.round("o_totalprice", 2).alias("total")))
-
-
-@q("win_rank_family_by_user", """
-SELECT user_id, event_id,
-       CAST(rank()       OVER w AS BIGINT) AS rnk,
-       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-       ROUND(percent_rank() OVER w, 6) AS prnk,
-       ROUND(cume_dist()    OVER w, 6) AS cdist,
-       CAST(ntile(4) OVER w AS INT) AS quartile
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""")
-def win_rank_family_by_user(spark, sf_dir):
-    """The complete rank family per key — rank, dense_rank,
-    percent_rank, cume_dist, ntile — in ONE window pass (all five share
-    the same (user, value-order) windowspec, so Spark plans one sort +
-    one Window node).  Keyed partitions → fully parallel; the tie-break
-    on event_id makes every function's output deterministic, which is
-    what lets the oracle hash-match rather than rows-only."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("value", "event_id")
-    return ev.select(
-        "user_id", "event_id",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.ntile(4).over(w).alias("quartile"),
-    )
-
-
-@q("win_first_last_nth", """
-SELECT DISTINCT user_id,
-       first_value(event_type) OVER w AS first_ev,
-       last_value(event_type) OVER w AS last_ev,
-       nth_value(event_type, 3) OVER w AS third_ev
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")
-def win_first_last_nth(spark, sf_dir):
-    """first_value / last_value / nth_value over a whole-partition frame
-    (the default RANGE-to-current frame makes last_value useless — the
-    classic window gotcha; the explicit unbounded ROWS frame is the
-    correct form).  (ts, event_id) ordering makes the positional picks
-    deterministic; DISTINCT collapses to one row per user."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    return (
-        ev.select("user_id",
-                  F.first("event_type").over(w).alias("first_ev"),
-                  F.last("event_type").over(w).alias("last_ev"),
-                  F.nth_value("event_type", 3).over(w).alias("third_ev"))
-        .distinct()
-    )
-
-
-@q("scalar_string_suite", """
-SELECT c_custkey,
-       split_part(c_name, '#', 2) AS cust_num,
-       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
-       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS seg_dist,
-       lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nat_pad,
-       repeat('*', CAST(c_nationkey AS INT) % 4) AS stars,
-       regexp_extract(c_name, '([0-9]+)$', 1) AS trailing_digits
-FROM customer""")
-def scalar_string_suite(spark, sf_dir):
-    """String-function breadth in one projection: split_part, translate,
-    levenshtein, lpad, repeat, regexp_extract — all JVM expressions with
-    exact DuckDB twins, all inside one whole-stage-codegen'd map."""
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
-        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lower_vowels"),
-        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("int").alias("seg_dist"),
-        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nat_pad"),
-        F.repeat(F.lit("*"), (F.col("c_nationkey") % 4).cast("int")).alias("stars"),
-        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("trailing_digits"),
-    )
-
-
-@q("scalar_hof_suite", r"""
-WITH t AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'),
-                     x -> x <> '') AS toks
-  FROM documents)
-SELECT doc_id,
-       CAST(len(list_filter(toks, x -> length(x) > 5)) AS INT) AS n_long,
-       COALESCE(CAST(list_aggregate(list_transform(toks,
-                     x -> length(x)), 'sum') AS BIGINT), 0) AS total_chars,
-       len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) > 0
-         AS has_digit,
-       len(list_filter(toks, x -> length(x) >= 30)) = 0 AS all_short,
-       array_to_string(list_transform(toks[1:3], x -> upper(x)), ',')
-         AS first3_upper,
-       array_to_string(list_transform(toks[1:2],
-                       x -> concat(x, '#', length(x))), ',') AS len_tagged
-FROM t""")
-def scalar_hof_suite(spark, sf_dir):
-    """Higher-order array functions in one projection (§2.8 depth):
-    ``filter``, ``transform``, ``aggregate`` (fold), ``exists``,
-    ``forall``, ``slice`` and ``zip_with`` over the tokenized document
-    corpus — every lambda runs INSIDE the JVM expression engine (no
-    Python, no explode/re-group shuffle: the per-row array never leaves
-    its row, which is the whole point of HOFs at 100 TB vs the
-    explode→groupBy rewrite).  Array outputs are array_join-serialized
-    (driver canon).  The oracle recomputes each lambda with DuckDB's
-    list_* twins; zip_with's token#length tagging is recomputed as a
-    single list_transform there — same values, proving the zipped form.
-    Empty token lists agree by construction (fold seed 0 vs
-    COALESCE'd list_aggregate; exists=false, forall=true on empty)."""
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
-                    lambda x: x != F.lit(""))
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
-        F.aggregate(toks, F.lit(0).cast("long"),
-                    lambda acc, x: acc + F.length(x)).alias("total_chars"),
-        F.exists(toks, lambda x: x.rlike("[0-9]")).alias("has_digit"),
-        F.forall(toks, lambda x: F.length(x) < 30).alias("all_short"),
-        F.array_join(F.transform(F.slice(toks, 1, 3), F.upper), ",")
-        .alias("first3_upper"),
-        F.array_join(
-            F.slice(F.zip_with(toks, F.transform(toks, F.length),
-                               lambda t, n: F.concat(t, F.lit("#"),
-                                                     n.cast("string"))),
-                    1, 2), ",").alias("len_tagged"),
-    )
-
-
-@q("scalar_json_suite", """
-WITH j AS (
-  SELECT o_orderkey,
-         '{"status":"' || o_orderstatus || '","price":' ||
-         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) ||
-         ',"tags":["a","b"]}' AS doc
-  FROM orders
-)
-SELECT o_orderkey,
-       json_extract_string(doc, '$.status') AS status,
-       CAST(json_extract(doc, '$.price') AS DOUBLE) AS price,
-       json_extract_string(doc, '$.tags[1]') AS second_tag
-FROM j""")
-def scalar_json_suite(spark, sf_dir):
-    """JSON path extraction parity: a JSON document built from columns,
-    fields pulled back out with get_json_object (string + numeric +
-    array index paths).  Prices render through DECIMAL(18,2) so the
-    document text is identical on both engines.  Stays a map-only
-    projection — at 100 TB, extracting two fields from a JSON column
-    must not deserialize the whole document into a struct first."""
-    o = load_table(spark, sf_dir, "orders")
-    doc = F.concat(
-        F.lit('{"status":"'), F.col("o_orderstatus"), F.lit('","price":'),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-        F.lit(',"tags":["a","b"]}'))
-    j = o.select("o_orderkey", doc.alias("doc"))
-    return j.select(
-        "o_orderkey",
-        F.get_json_object("doc", "$.status").alias("status"),
-        F.get_json_object("doc", "$.price").cast("double").alias("price"),
-        F.get_json_object("doc", "$.tags[1]").alias("second_tag"),
-    )
-
-
-@q("scalar_datetime_suite", """
-SELECT o_orderkey,
-       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
-       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
-       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
-         AS days_since_epoch_start,
-       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow
-FROM orders""")
-def scalar_datetime_suite(spark, sf_dir):
-    """Datetime-function breadth: date_trunc, last_day, add_months,
-    datediff, dayofweek in one map-only projection.  Cross-engine
-    notes are part of the point: DuckDB's dayofweek is 0=Sunday where
-    Spark's is 1=Sunday (the oracle adds 1), and month addition is
-    add_months vs + INTERVAL — same clamping semantics on
-    month-end dates."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
-        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
-        F.datediff(F.col("o_orderdate").cast("date"),
-                   F.lit("1995-01-01").cast("date")).cast("int")
-        .alias("days_since_epoch_start"),
-        F.dayofweek(F.col("o_orderdate").cast("date")).cast("int").alias("dow"),
-    )
-
-
-@q("join_null_safe_equality", """
-WITH l AS (SELECT c_custkey,
-                  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_nationkey END AS k
-           FROM customer),
-r AS (SELECT DISTINCT CASE WHEN n_nationkey % 7 = 0 THEN NULL
-                           ELSE n_nationkey END AS k
-      FROM nation)
-SELECT l.c_custkey, CAST(l.k AS INT) AS k
-FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""")
-def join_null_safe_equality(spark, sf_dir):
-    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
-    MATCH each other instead of vanishing — three-valued-logic parity
-    that plain equi-joins silently get wrong.  Still a hash join in the
-    plan (null-safe equality is a valid equi-key), not a filterless
-    nested loop."""
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    left = c.select("c_custkey", F.when(
-        F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(
-        F.col("c_nationkey")).alias("k"))
-    right = n.select(F.when(F.col("n_nationkey") % 7 == 0, F.lit(None))
-                     .otherwise(F.col("n_nationkey")).alias("k")).distinct()
-    return (left.join(right, left.k.eqNullSafe(right.k))
-            .select("c_custkey", left.k.cast("int").alias("k")))
-
-
-@q("ts_moving_median", """
-SELECT event_id, user_id,
-       ROUND(quantile_cont(value, 0.5) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 100 PRECEDING AND CURRENT ROW), 6) AS med100
-FROM events WHERE user_id < 50""")
-def ts_moving_median(spark, sf_dir):
-    """Moving median per key (trailing 101-row window): the robust
-    rolling statistic that mean-based smoothing can't give you — one
-    sorted window pass, Spark's interpolated percentile as a window
-    aggregate = DuckDB's quantile_cont.  Exact windowed percentile
-    keeps the frame's values in the window buffer; at 100 TB prefer the
-    hot-key-split helper (operators/windows.py) for skewed keys and
-    approx_percentile for wide frames."""
-    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(-100, Window.currentRow))
-    return ev.select(
-        "event_id", "user_id",
-        F.round(F.percentile("value", 0.5).over(w), 6).alias("med100"))
-
-
-@q("ts_ewma_smoothing", """
-WITH l AS (
-  SELECT event_id, user_id,
-         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
-  FROM events WHERE user_id < 50
-)
-SELECT event_id, user_id,
-       ROUND(list_dot_product(vals,
-               list_transform(range(1, len(vals) + 1),
-                              i -> pow(0.8, len(vals) - i)))
-             / list_sum(list_transform(range(1, len(vals) + 1),
-                              i -> pow(0.8, len(vals) - i))), 6) AS ewma
-FROM l""")
-def ts_ewma_smoothing(spark, sf_dir):
-    """Exponentially-weighted moving average over a trailing 20-row
-    window, per key: the infinite-history EWMA recurrence is inherently
-    sequential, but truncating at 20 rows (weight (1-α)^20 ≈ 1% at
-    α=0.2) turns it into a PARALLEL window computation — collect the
-    frame, dot it with the geometric weights, normalize.  One sorted
-    window pass; the frame list is bounded (20 doubles), so state per
-    row is constant.  The oracle computes the identical finite-window
-    dot product with DuckDB list arithmetic."""
-    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(-19, Window.currentRow))
-    vals = F.collect_list("value").over(w)
-    m = F.size("vals")
-    weights = F.transform(F.sequence(F.lit(1), m),
-                          lambda i: F.pow(F.lit(0.8), (m - i).cast("double")))
-    num = F.aggregate(F.zip_with(F.col("vals"), weights, lambda v, wt: v * wt),
-                      F.lit(0.0), lambda a, x: a + x)
-    den = F.aggregate(weights, F.lit(0.0), lambda a, x: a + x)
-    return (ev.select("event_id", "user_id", vals.alias("vals"))
-            .select("event_id", "user_id",
-                    F.round(num / den, 6).alias("ewma")))
-
-
-@q("fraud_benford_digits", """
-WITH d AS (
-  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
-              AS INT) AS digit
-  FROM orders WHERE o_totalprice >= 1
-)
-SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM d), 6) AS observed,
-       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_expected
-FROM d GROUP BY digit""")
-def fraud_benford_digits(spark, sf_dir):
-    """Benford's-law first-digit screen over transaction amounts — the
-    classic fraud/fabrication tripwire (organic amounts follow
-    P(d)=log10(1+1/d); invented ones usually don't).  One hash-agg plus
-    a one-row total broadcast; amounts render through DECIMAL so the
-    leading digit is extracted from identical text on both engines."""
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
-    d = o.select(F.substring(F.col("o_totalprice").cast("decimal(18,2)")
-                             .cast("string"), 1, 1).cast("int").alias("digit"))
-    total = d.agg(F.count(F.lit(1)).cast("double").alias("__t"))
-    return (
-        d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(total))
-        .select("digit", "n",
-                F.round(F.col("n") / F.col("__t"), 6).alias("observed"),
-                F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
-                .alias("benford_expected"))
-    )
-
-
-@q("rfm_segmentation", """
-WITH m AS (
-  SELECT o_custkey,
-         MAX(o_orderdate) AS last_order,
-         CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
-  FROM orders GROUP BY o_custkey
-)
-SELECT o_custkey,
-       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INT) AS r,
-       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f,
-       CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS mq
-FROM m""")
-def rfm_segmentation(spark, sf_dir):
-    """RFM customer segmentation (recency / frequency / monetary
-    quartiles) — the banking-analytics staple, built to survive
-    hundreds of millions of customers: one aggregation to the
-    per-customer metric row, then each quartile assignment comes from
-    ``bucketed_global_rank`` (histogram-cell offsets + per-cell
-    row_number — functions/scale.py) + the exact ``ntile_from_rank``
-    formula, so NO metric ever funnels through an unpartitioned
-    ntile window (the r8 verdict's one flagged plan: three
-    customer-sized single-task sorts).  o_custkey tiebreaks make every
-    assignment deterministic and oracle-equal to SQL ntile(4); recency
-    ranks on days-since-epoch (monotone in the date).  The monetary
-    metric sums in DECIMAL per the money-exactness rule.  The metric
-    frame persists across the rank passes; the verify harness's
-    clearCache releases it."""
-    from pyspark import StorageLevel
-
-    from aws_etl_bank_spark.functions.scale import (bucketed_global_rank,
-                                                    ntile_from_rank)
-
-    o = load_table(spark, sf_dir, "orders")
-    m = (o.groupBy("o_custkey")
-         .agg(F.max("o_orderdate").alias("last_order"),
-              F.count(F.lit(1)).alias("frequency"),
-              F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-              .cast("double").alias("monetary"))
-         ).persist(StorageLevel.MEMORY_AND_DISK)
-    n = m.count()
-    recency_days = F.datediff(
-        F.col("last_order"), F.lit("1970-01-01").cast("date")).cast("long")
-    t = bucketed_global_rank(m, recency_days, ["o_custkey"],
-                             out_col="__rk_r", descending=True, cache=False)
-    t = bucketed_global_rank(t, "frequency", ["o_custkey"],
-                             out_col="__rk_f", descending=True)
-    t = bucketed_global_rank(t, "monetary", ["o_custkey"],
-                             out_col="__rk_m", descending=True)
-    return t.select(
-        "o_custkey",
-        ntile_from_rank(F.col("__rk_r"), n, 4).alias("r"),
-        ntile_from_rank(F.col("__rk_f"), n, 4).alias("f"),
-        ntile_from_rank(F.col("__rk_m"), n, 4).alias("mq"))
-
-
-@q("loan_amortization_schedule", """
-WITH loans AS (
-  SELECT o_orderkey AS loan_id,
-         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS principal
-  FROM orders WHERE o_orderkey % 100 = 0
-),
-sched AS (
-  SELECT loan_id, principal, unnest(range(1, 13)) AS k FROM loans
-)
-SELECT loan_id, CAST(k AS INT) AS month,
-       ROUND(principal * (pow(1.005, 12) - pow(1.005, k))
-             / (pow(1.005, 12) - 1), 2) AS balance,
-       ROUND(principal * 0.005 * pow(1.005, 12)
-             / (pow(1.005, 12) - 1), 2) AS payment
-FROM sched""")
-def loan_amortization_schedule(spark, sf_dir):
-    """12-month amortization schedule per loan at 0.5%/month — the
-    banking calc done RIGHT for a cluster: the balance recurrence
-    B_k = B_{k-1}(1+r) − pmt is sequential, but its closed form
-    B_k = P·((1+r)^n − (1+r)^k)/((1+r)^n − 1) is a pure map expression,
-    so the schedule is explode(12) + arithmetic — no window, no
-    iteration, no state.  Identical pow() arithmetic on both engines;
-    amounts enter through the decimal rendering rule."""
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
-    loans = o.select(
-        F.col("o_orderkey").alias("loan_id"),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("principal"))
-    r, n = 0.005, 12
-    g = (1 + r) ** n
-    sched = loans.select(
-        "loan_id", "principal",
-        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("k"))
-    gk = F.pow(F.lit(1 + r), F.col("k").cast("double"))
-    return sched.select(
-        "loan_id", F.col("k").cast("int").alias("month"),
-        F.round(F.col("principal") * (F.lit(g) - gk) / F.lit(g - 1), 2)
-        .alias("balance"),
-        F.round(F.col("principal") * F.lit(r * g / (g - 1)), 2).alias("payment"))
-
-
-@q("tpch_q12_late_shipment_priority", """
-SELECT o.o_orderpriority,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o.o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY o.o_orderpriority""")
-def tpch_q12_late_shipment_priority(spark, sf_dir):
-    """TPC-H Q12 adapted (the schema carries no l_shipmode/receiptdate,
-    so lateness is ship > order + 90 days and the class column is the
-    order priority): the conditional-count-by-class shape — one
-    fact⋈fact join with both date predicates pushed down, CASE sums
-    inside a single hash-agg."""
-    o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
-    li = load_table(spark, sf_dir, "lineitem")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .groupBy("o_orderpriority")
-        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
-    )
-
-
-@q("tpch_q16_supplier_counts_by_part", """
-SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
-       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
-WHERE p.p_brand <> 'BRAND_1' AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
-GROUP BY p.p_brand, p.p_type, p.p_size""")
-def tpch_q16_supplier_counts_by_part(spark, sf_dir):
-    """TPC-H Q16 adapted (no partsupp table — lineitem is the
-    part⋈supplier bridge): distinct-supplier counts per part attribute
-    triple, the count-distinct-after-join shape with a NOT-equal dim
-    filter and an IN-list pushed to the part scan."""
-    p = load_table(spark, sf_dir, "part").where(
-        (F.col("p_brand") != "BRAND_1")
-        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
-        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-@q("tpch_q22_dormant_high_balance", """
-WITH avg_bal AS (
-  SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
-)
-SELECT c.c_nationkey,
-       CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-FROM customer c
-WHERE c.c_acctbal > (SELECT a FROM avg_bal)
-  AND NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-GROUP BY c.c_nationkey""")
-def tpch_q22_dormant_high_balance(spark, sf_dir):
-    """TPC-H Q22 adapted (no c_phone — grouped by nation instead of
-    country code): above-average-balance customers with NO recent
-    orders — a scalar-subquery threshold (one-row broadcast, the
-    decorrelated form) composed with an anti-join, the
-    sales-opportunity shape.  Balance totals in decimal per the
-    money-exactness rule."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
-    avg_bal = (c.where(F.col("c_acctbal") > 0)
-               .agg(F.avg("c_acctbal").alias("__a")))
-    return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("__a"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("numcust"),
-             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-             .cast("double").alias("totacctbal"))
-    )
-
-
-@q("tpch_q2_min_cost_supplier", """
-WITH cost AS (
-  SELECT l_partkey, l_suppkey,
-         CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supply_cost
-  FROM lineitem GROUP BY 1, 2
-),
-eligible AS (
-  SELECT c.l_partkey, c.supply_cost, s.s_acctbal, s.s_name, n.n_name
-  FROM cost c
-  JOIN supplier s ON c.l_suppkey = s.s_suppkey
-  JOIN nation n ON s.s_nationkey = n.n_nationkey
-  JOIN region r ON n.n_regionkey = r.r_regionkey
-  WHERE r.r_name = 'EUROPE'
-),
-best AS (SELECT l_partkey, MIN(supply_cost) AS min_cost FROM eligible GROUP BY 1)
-SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, e.supply_cost
-FROM eligible e
-JOIN best b ON e.l_partkey = b.l_partkey AND e.supply_cost = b.min_cost
-JOIN part p ON p.p_partkey = e.l_partkey
-WHERE p.p_size = 15 AND p.p_type LIKE 'S%'""")
-def tpch_q2_min_cost_supplier(spark, sf_dir):
-    """TPC-H Q2 adapted (no partsupp table in this schema — supply cost
-    derived as each supplier's minimum observed line price per part):
-    the correlated MIN-subquery ("supplier whose cost equals the
-    regional minimum for that part") evaluated as a WINDOW min over the
-    per-(part,supplier) cost rollup — the aggregate-plus-join-back form
-    re-scanned lineitem twice and sort-merge joined part-sized sides;
-    the window form does one scan, one extra exchange by l_partkey,
-    and groups bounded by suppliers-per-part.  Region / size / type
-    filters prune the dims BEFORE the fact aggregate's output joins
-    them.  Reference capability: the multi-dim lookup queries in
-    glue-jobs/src (SURVEY.md §2.3)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    p = load_table(spark, sf_dir, "part").where(
-        (F.col("p_size") == 15) & F.col("p_type").like("S%"))
-    cost = (li.groupBy("l_partkey", "l_suppkey")
-            .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
-                 .cast("double").alias("supply_cost")))
-    eligible = (
-        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("l_partkey", "supply_cost", "s_acctbal", "s_name", "n_name"))
-    min_w = F.min("supply_cost").over(Window.partitionBy("l_partkey"))
-    return (
-        eligible.withColumn("__min_cost", min_w)
-        .where(F.col("supply_cost") == F.col("__min_cost"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
-    )
-
-
-@q("tpch_q9_product_type_profit", """
-SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
-              - CAST(0.80 AS DECIMAL(3,2))
-                * (CAST(p.p_retailprice AS DECIMAL(12,2))
-                   * CAST(l.l_quantity AS DECIMAL(4,0)))) AS DOUBLE)
-       AS sum_profit
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-JOIN nation n ON n.n_nationkey = s.s_nationkey
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-WHERE p.p_name LIKE '%red%'
-GROUP BY 1, 2""")
-def tpch_q9_product_type_profit(spark, sf_dir):
-    """TPC-H Q9 adapted (no ps_supplycost — cost modeled as 80% of
-    p_retailprice per unit): profit by supplier nation × order year
-    over a 5-table join with a substring filter on part name.  All
-    decimal arithmetic is EXACT (scale-4 revenue minus scale-4 cost;
-    see _rev_dec) so the cross-engine sum is bit-identical before the
-    final double cast — no ROUND, whose HALF_UP-vs-HALF_EVEN split on
-    .xx5 sums was observed at sf1.  part/supplier/nation broadcast;
-    the only shuffle join is lineitem⋈orders on orderkey."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
-    profit = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1.00).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
-        - F.lit(0.80).cast("decimal(3,2)")
-        * (F.col("p_retailprice").cast("decimal(12,2)")
-           * F.col("l_quantity").cast("decimal(4,0)")))
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(F.col("n_name").alias("nation"),
-                 F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.sum(profit).cast("double").alias("sum_profit"))
-    )
-
-
-@q("tpch_q11_important_stock", """
-WITH nat AS (SELECT n_nationkey FROM nation
-             WHERE n_name = (SELECT MIN(n_name) FROM nation)),
-val AS (
-  SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS v
-  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nat ON s.s_nationkey = nat.n_nationkey
-  GROUP BY 1
-)
-SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
-FROM val WHERE v > (SELECT SUM(v) * 0.001 FROM val)""")
-def tpch_q11_important_stock(spark, sf_dir):
-    """TPC-H Q11 adapted (no partsupp — part "value" held by one
-    nation's suppliers is the decimal sum of their line prices): the
-    HAVING-against-global-scalar-subquery shape.  The per-part value
-    frame is computed ONCE and reused for both the threshold (one-row
-    aggregate, broadcast crossJoin — the decorrelated form) and the
-    filter, mirroring Q15's view-reuse pattern.  Nation chosen as
-    MIN(n_name) to stay fixture-agnostic."""
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    nat = (n.join(F.broadcast(n.agg(F.min("n_name").alias("__mn"))),
-                  F.col("n_name") == F.col("__mn"))
-           .select("n_nationkey"))
-    val = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey)
-        .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("v")))
-    thresh = val.agg((F.sum("v") * F.lit(0.001).cast("decimal(4,3)"))
-                     .alias("__t"))
-    return (
-        val.crossJoin(F.broadcast(thresh))
-        .where(F.col("v") > F.col("__t"))
-        .select(F.col("l_partkey").alias("p_partkey"),
-                F.col("v").cast("double").alias("part_value"))
-    )
-
-
-@q("tpch_q19_disjunctive_revenue", """
-SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-             * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-             AS DOUBLE), 2) AS revenue
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
-       AND l.l_quantity BETWEEN 1 AND 11 AND p.p_type IN ('SMALL','MEDIUM'))
-   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
-       AND l.l_quantity BETWEEN 10 AND 20 AND p.p_type IN ('ECONOMY','STANDARD'))
-   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
-       AND l.l_quantity BETWEEN 20 AND 30 AND p.p_type IN ('PROMO','LARGE'))""")
-def tpch_q19_disjunctive_revenue(spark, sf_dir):
-    """TPC-H Q19 adapted (p_type stands in for the missing
-    p_container): the OR-of-ANDs join predicate mixing build-side
-    (brand/size/type) and probe-side (quantity) conditions.  The
-    brand disjunction is pushed to the part scan as a derived
-    single-table filter (brand IN (...)) — the classic Q19
-    optimization — while the full disjunct evaluates after the
-    broadcast join; only the 3-brand slice of part ships."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(
-        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
-    cond = (
-        ((p.p_brand == "Brand#12") & F.col("p_size").between(1, 5)
-         & F.col("l_quantity").between(1, 11)
-         & F.col("p_type").isin("SMALL", "MEDIUM"))
-        | ((p.p_brand == "Brand#23") & F.col("p_size").between(1, 10)
-           & F.col("l_quantity").between(10, 20)
-           & F.col("p_type").isin("ECONOMY", "STANDARD"))
-        | ((p.p_brand == "Brand#3") & F.col("p_size").between(1, 15)
-           & F.col("l_quantity").between(20, 30)
-           & F.col("p_type").isin("PROMO", "LARGE")))
-    return (
-        li.join(F.broadcast(p), (li.l_partkey == p.p_partkey) & cond)
-        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
-    )
-
-
-@q("tpch_q20_potential_promotion", """
-WITH nat AS (SELECT n_nationkey FROM nation
-             WHERE n_name = (SELECT MIN(n_name) FROM nation)),
-shipped AS (
-  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1997-01-01'
-  GROUP BY 1, 2
-),
-tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1),
-qual AS (
-  SELECT DISTINCT sh.l_suppkey
-  FROM shipped sh
-  JOIN tot t ON sh.l_partkey = t.l_partkey
-  JOIN part p ON p.p_partkey = sh.l_partkey AND p.p_name LIKE 'small%'
-  WHERE sh.qty > 0.5 * t.total_qty
-)
-SELECT s.s_suppkey, s.s_name FROM supplier s
-JOIN qual q ON s.s_suppkey = q.l_suppkey
-JOIN nat ON s.s_nationkey = nat.n_nationkey""")
-def tpch_q20_potential_promotion(spark, sf_dir):
-    """TPC-H Q20 adapted (no ps_availqty — "excess stock" becomes a
-    supplier who shipped more than half of a part's 1996 volume): the
-    nested semi-join chain (supplier IN ... part IN ... correlated
-    half-of-total subquery) flattened into ONE aggregate plus a window
-    total over the same rows — the per-part total is a window sum over
-    the per-(part,supplier) rollup, replacing a second aggregate and a
-    part-sized sort-merge join with a single re-partition by l_partkey
-    (group sizes bounded by suppliers-per-part, so no skew at 100 TB) —
-    then a distinct semi-join up to suppliers of one nation."""
-    li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
-    nat = (n.join(F.broadcast(n.agg(F.min("n_name").alias("__mn"))),
-                  F.col("n_name") == F.col("__mn"))
-           .select("n_nationkey"))
-    shipped = (li.groupBy("l_partkey", "l_suppkey")
-               .agg(F.sum("l_quantity").alias("qty")))
-    total_w = F.sum("qty").over(Window.partitionBy("l_partkey"))
-    qual = (
-        shipped.withColumn("total_qty", total_w)
-        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
-        .where(F.col("qty") > 0.5 * F.col("total_qty"))
-        .select("l_suppkey").distinct())
-    return (
-        # qual is supplier-count bounded (distinct suppkeys), so it
-        # broadcasts at any SF even though its post-agg size is unknown
-        # to the planner.
-        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
-        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey,
-              "left_semi")
-        .select("s_suppkey", "s_name")
-    )
-
-
-@q("tpch_q21_waiting_supplier", """
-WITH lo AS (
-  SELECT l.l_orderkey, l.l_suppkey,
-         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-                  THEN 1 ELSE 0 END) AS late
-  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-  WHERE o.o_orderstatus = 'F'
-  GROUP BY 1, 2
-),
-om AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
-       FROM lo GROUP BY 1)
-SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-FROM lo JOIN om ON lo.l_orderkey = om.l_orderkey
-JOIN supplier s ON s.s_suppkey = lo.l_suppkey
-WHERE lo.late = 1 AND om.n_supp > 1 AND om.n_late = 1
-GROUP BY 1""")
-def tpch_q21_waiting_supplier(spark, sf_dir):
-    """TPC-H Q21 adapted (no commit/receipt dates — "late" means
-    shipped >90 days after the order date): suppliers who were the
-    SOLE late shipper on a multi-supplier finalized order.  The spec's
-    EXISTS / NOT-EXISTS self-join pair is rewritten as per-order WINDOW
-    counts (supplier count, late-supplier count) over the per-(order,
-    supplier) rollup — one re-partition by orderkey instead of two more
-    fact-sized self-joins, the form that survives 100 TB (per-order
-    groups are line-count bounded, so no skew).  Oracle mirrors the
-    same rewrite, which is semantically identical to the spec's
-    correlated form."""
-    o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderstatus") == "F")
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    lo = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(
-            F.when(F.col("l_shipdate")
-                   > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
-                   1).otherwise(0)).alias("late")))
-    w = Window.partitionBy("l_orderkey")
-    return (
-        lo.withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn("n_late", F.sum("late").over(w))
-        .where((F.col("late") == 1) & (F.col("n_supp") > 1)
-               & (F.col("n_late") == 1))
-        .join(F.broadcast(s), lo.l_suppkey == s.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-    )
-
-
-@q("scale_zorder_clustered_read", """
-SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total,
-       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
-FROM orders
-WHERE o_custkey BETWEEN 100 AND 400 AND o_totalprice BETWEEN 1000 AND 5000""")
-def scale_zorder_clustered_read(spark, sf_dir):
-    """Z-order layout roundtrip (functions/scale.py
-    write_zorder_clustered): orders re-laid-out on the interleaved
-    (o_custkey, o_totalprice) key — per-file footer stats then prune on
-    EITHER column (asserted file-by-file in tests/test_scale.py::
-    test_zorder_roundtrip_and_2d_pruning, where 1-D range clustering
-    hits 32/32 files on the second dimension and Z-order ≤16/32) — and
-    a 2-D box predicate reads it back; values must match the
-    unclustered oracle scan."""
-    from aws_etl_bank_spark.functions.scale import write_zorder_clustered
-
-    path = _scratch(sf_dir, "orders_zorder_clustered")
-    write_zorder_clustered(
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice"),
-        path, ["o_custkey", "o_totalprice"], bits=12, n_files=8)
-    back = spark.read.parquet(path).filter(
-        F.col("o_custkey").between(100, 400)
-        & F.col("o_totalprice").between(1000, 5000))
-    return back.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.countDistinct("o_custkey").alias("n_cust"),
-    )
-
-
-@q("sketch_quantile_binned", """
-WITH h AS (
-  SELECT CAST(least(greatest(floor((value - 0.0) / 2.0), 0), 249) AS BIGINT) AS bin,
-         COUNT(*) AS cnt
-  FROM events WHERE value IS NOT NULL GROUP BY 1),
-c AS (
-  SELECT bin, cnt,
-         SUM(cnt) OVER (ORDER BY bin) AS cum,
-         SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_before,
-         SUM(cnt) OVER () AS n
-  FROM h),
-qs AS (SELECT CAST(unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
-probe AS (
-  SELECT q, CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS r,
-         bin, cnt, cum, cum_before
-  FROM qs CROSS JOIN c)
-SELECT q, r, bin,
-       ROUND(0.0 + 2.0 * (bin + (r - cum_before) / CAST(cnt AS DOUBLE)), 6) AS est
-FROM probe WHERE cum >= r AND cum_before < r""")
-def sketch_quantile_binned(spark, sf_dir):
-    """Binned-histogram quantile sketch (functions/scale.py
-    quantile_sketch / quantile_estimate) — the rank member of the
-    mergeable-sketch family (CMS: frequency, HLL: distinct, KMV: set
-    overlap): 250 fixed bins over events.value, seven quantiles read
-    off the cumulative histogram with within-bin linear interpolation.
-    ONE hash aggregation with map-side combine builds it (≤ 250 rows
-    out at ANY input size); per-day/per-partition histograms merge by
-    summing bins — an exact percentile is a global sort every time.
-    Error is bounded by the bin width (deterministic, unlike sampling).
-    All arithmetic is integer + IEEE double in the same op order on
-    both engines, so the oracle pins every estimate to 6 decimals;
-    merge-equals-direct is pinned in tests/test_scale.py."""
-    from aws_etl_bank_spark.functions.scale import (quantile_estimate,
-                                                    quantile_sketch)
-
-    ev = load_table(spark, sf_dir, "events")
-    sk = quantile_sketch(ev, "value", 0.0, 500.0, n_bins=250)
-    return quantile_estimate(
-        sk, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99], 0.0, 500.0, n_bins=250)
-
-
-_KMV_SQL_HASH = """(
-  ((event_id % 1000003) * 7001 + 104729) % 1000003 *
-   (((event_id % 1000003) * 7001 + 104729) % 1000003)
-  + 1223 * (((event_id % 1000003) * 7001 + 104729) % 1000003)
-  + 514229) % 1000003"""
-
-
-@q("sketch_kmv_jaccard", f"""
-WITH ha AS (SELECT DISTINCT {_KMV_SQL_HASH} AS h
-            FROM events WHERE value < 300 ORDER BY h LIMIT 256),
-     hb AS (SELECT DISTINCT {_KMV_SQL_HASH} AS h
-            FROM events WHERE value BETWEEN 150 AND 450 ORDER BY h LIMIT 256),
-     ea AS (SELECT COUNT(*) AS n_a_kept,
-                   CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
-                        ELSE 255.0 * 1000003.0 / CAST(MAX(h) AS DOUBLE) END AS est_a
-            FROM ha),
-     eb AS (SELECT COUNT(*) AS n_b_kept,
-                   CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
-                        ELSE 255.0 * 1000003.0 / CAST(MAX(h) AS DOUBLE) END AS est_b
-            FROM hb),
-     u AS (SELECT COALESCE(a.h, b.h) AS h,
-                  CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
-                  CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
-           FROM ha a FULL OUTER JOIN hb b ON a.h = b.h
-           ORDER BY h LIMIT 256),
-     j AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
-                  CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
-                  ROUND(SUM(CAST(in_a * in_b AS DOUBLE)) / COUNT(*), 6) AS jaccard_est
-           FROM u)
-SELECT CAST(n_a_kept AS BIGINT) AS n_a_kept, ROUND(est_a, 4) AS est_a,
-       CAST(n_b_kept AS BIGINT) AS n_b_kept, ROUND(est_b, 4) AS est_b,
-       n_union_sketch, n_both, jaccard_est
-FROM ea CROSS JOIN eb CROSS JOIN j""")
-def sketch_kmv_jaccard(spark, sf_dir):
-    """K-minimum-values sketch (functions/scale.py kmv_sketch /
-    kmv_estimate / kmv_jaccard): bottom-256 hash values of two
-    overlapping event-id sets (value < 300 vs value in [150, 450]) give
-    BOTH cardinalities and their Jaccard similarity from ≤ 512 retained
-    rows — the set-INTERSECTION estimate HLL cannot produce, and the
-    100 TB way to ask "how much do these two crawls overlap" without
-    ever joining the raw sets.  Build = distinct + TakeOrdered (never a
-    global sort); sketches merge by union→distinct→bottom-k.  The hash
-    is the same bounded quadratic family as HLL's (all intermediates
-    < P² < 2^63), reproduced verbatim by the oracle, so every retained
-    hash, both estimates and the Jaccard are pinned to the digit."""
-    from aws_etl_bank_spark.functions.scale import (kmv_estimate,
-                                                    kmv_jaccard, kmv_sketch)
-
-    ev = load_table(spark, sf_dir, "events")
-    a = kmv_sketch(ev.where(F.col("value") < 300), "event_id", k=256)
-    b = kmv_sketch(ev.where(F.col("value").between(150, 450)), "event_id",
-                   k=256)
-    ea = kmv_estimate(a, k=256).select(
-        F.col("n_kept").alias("n_a_kept"), F.col("estimate").alias("est_a"))
-    eb = kmv_estimate(b, k=256).select(
-        F.col("n_kept").alias("n_b_kept"), F.col("estimate").alias("est_b"))
-    return (ea.crossJoin(eb).crossJoin(kmv_jaccard(a, b, k=256)))
-
-
-@q("join_salted_skew", """
-SELECT e.event_id, e.user_id, e.event_type, c.c_name,
-       ROUND(e.value, 2) AS value
-FROM events e JOIN customer c ON e.user_id = c.c_custkey""")
-def join_salted_skew(spark, sf_dir):
-    """Structurally salted skew join (functions/scale.py salted_join):
-    the fact side takes a content-derived salt in [0, 16), the
-    customer dim is exploded across ALL 16 salts, and the join runs on
-    (user_id, _salt) — each hot user's rows spread over 16 tasks
-    instead of one straggler.  This is the STRUCTURAL answer for when a
-    known-hot key defeats even AQE's runtime skew split (AQE can only
-    split what partial aggregation/join buffering hasn't already
-    concentrated).  The dim grows 16× — bounded, it's the small side —
-    and the result is EXACTLY the plain equi-join, which is what the
-    oracle runs.  The salted-agg sibling is agg_salted_event_totals."""
-    from aws_etl_bank_spark.functions.scale import salted_join
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    out = salted_join(ev, cust.withColumnRenamed("c_custkey", "user_id"),
-                      "user_id", n_salts=16)
-    return out.select("event_id", "user_id", "event_type", "c_name",
-                      F.round("value", 2).alias("value"))
-
-
-@q("sessionize_gap_batch", """
-WITH l AS (
-  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-         lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev
-  FROM events),
-f AS (
-  SELECT user_id, ts, us,
-         CASE WHEN prev IS NULL OR us - prev > 21600000000
-              THEN 1 ELSE 0 END AS new_s,
-         event_id
-  FROM l),
-s AS (
-  SELECT user_id, ts, us,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) AS session_idx
-  FROM f)
-SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-       MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
-FROM s GROUP BY user_id, session_idx""")
-def sessionize_gap_batch(spark, sf_dir):
-    """Batch gap-based sessionization (functions/eventstream.py
-    sessionize_gap) — the offline twin of the streaming session_window
-    entry (stream_sessionize): a 6-hour silence starts a new session.
-    lag → flag → running count → same-key aggregation, every shuffle
-    hashed on the user (parallelism = users, nothing global); duration
-    is exact epoch-microsecond integer arithmetic on both engines."""
-    from aws_etl_bank_spark.functions.eventstream import sessionize_gap
-
-    ev = load_table(spark, sf_dir, "events")
-    return sessionize_gap(ev, gap_seconds=21600)
-
-
-@q("ts_anomaly_mad", """
-WITH v AS (SELECT user_id, event_id, value FROM events
-           WHERE value IS NOT NULL),
-r AS (SELECT user_id, event_id, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY value) AS rr,
-             COUNT(*) OVER (PARTITION BY user_id) AS n
-      FROM v),
-med AS (SELECT user_id, (MIN(value) + MAX(value)) / 2.0 AS med
-        FROM r WHERE rr = floor((n + 1) / 2) OR rr = ceil((n + 1) / 2)
-        GROUP BY user_id),
-d AS (SELECT v.user_id, v.event_id, v.value, med,
-             abs(v.value - med) AS adev
-      FROM v JOIN med USING (user_id)),
-r2 AS (SELECT user_id, adev,
-              row_number() OVER (PARTITION BY user_id ORDER BY adev) AS rr,
-              COUNT(*) OVER (PARTITION BY user_id) AS n
-       FROM d),
-mad AS (SELECT user_id, (MIN(adev) + MAX(adev)) / 2.0 AS mad
-        FROM r2 WHERE rr = floor((n + 1) / 2) OR rr = ceil((n + 1) / 2)
-        GROUP BY user_id),
-sc AS (SELECT d.user_id, d.event_id, d.value, d.med, mad.mad,
-              0.6745 * (d.value - d.med) / mad.mad AS mz
-       FROM d JOIN mad USING (user_id) WHERE mad.mad > 0)
-SELECT event_id, user_id, ROUND(value, 2) AS value, ROUND(med, 4) AS med,
-       ROUND(mad, 4) AS mad, ROUND(mz, 4) AS mz
-FROM sc WHERE abs(mz) > 3.5""")
-def ts_anomaly_mad(spark, sf_dir):
-    """Robust outlier screen via the modified z-score (Iglewicz–Hoaglin
-    0.6745·(x−median)/MAD, |M| > 3.5) per user — the data-quality
-    anomaly pass whose median/MAD resist the very outliers that drag a
-    mean/stddev z-score (its rolling sibling is ts_rolling_zscore).
-
-    The per-group median is computed WITHOUT an engine median()
-    (functions/eventstream.py grouped_median: rank + pick ⌊(n+1)/2⌋ /
-    ⌈(n+1)/2⌉ + one fixed (lo+hi)/2 expression) because engine-native
-    percentile interpolation is allowed to differ in the last ulp —
-    this way both engines run bit-identical arithmetic.  Two keyed
-    window+agg passes, group-sized broadcast join-backs, map-only flag;
-    med/mad round at 4 decimals (inputs have 2, so the half-sum has at
-    most 3 — no half-tie for the engines to disagree on)."""
-    from aws_etl_bank_spark.functions.eventstream import mad_anomalies
-
-    ev = load_table(spark, sf_dir, "events")
-    out = mad_anomalies(ev, ["user_id"], "value",
-                        id_cols=["event_id"], threshold=3.5)
-    return out.select("event_id", "user_id",
-                      F.round("value", 2).alias("value"),
-                      F.round("med", 4).alias("med"),
-                      F.round("mad", 4).alias("mad"),
-                      F.round("mz", 4).alias("mz"))
-
-
-@q("ts_cusum_drift", """
-WITH p AS (
-  SELECT user_id, event_id, ts, value,
-         SUM(value - 60.0) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS pre
-  FROM events),
-s AS (
-  SELECT user_id, event_id, value,
-         pre - least(MIN(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW), 0) AS cs
-  FROM p)
-SELECT user_id, event_id, value, ROUND(cs, 2) AS cusum
-FROM s WHERE cs > 500.0""")
-def ts_cusum_drift(spark, sf_dir):
-    """One-sided CUSUM change detection (functions/timeseries.py
-    cusum_drift): alarm when the per-user cumulative exceedance over
-    reference k=60 crosses h=500 — the sequential "running high lately"
-    statistic a point z-score cannot see.  The serial-looking recursion
-    S_i = max(0, S_{i-1} + x_i - k) is computed in CLOSED windows-only
-    form (S_i = P_i - min(0, running-min P)): a running sum and a
-    running min over the same keyed window — one shuffle, no
-    applyInPandas, parallelism = number of users.  The oracle replays
-    the identical two windows."""
-    from aws_etl_bank_spark.functions.timeseries import cusum_drift
-
-    ev = load_table(spark, sf_dir, "events")
-    return cusum_drift(ev, "value", ["user_id"], "ts", k=60.0, h=500.0)
-
-
-@q("quality_fk_orphans", """
-WITH rel AS (
-  SELECT 'lineitem->orders' AS relation,
-         (SELECT COUNT(*) FROM lineitem) AS n_child,
-         (SELECT COUNT(*) FROM lineitem l
-          WHERE l.l_orderkey IS NOT NULL
-            AND NOT EXISTS (SELECT 1 FROM orders o
-                            WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
-  UNION ALL
-  SELECT 'orders->customer',
-         (SELECT COUNT(*) FROM orders),
-         (SELECT COUNT(*) FROM orders o
-          WHERE o.o_custkey IS NOT NULL
-            AND NOT EXISTS (SELECT 1 FROM customer c
-                            WHERE c.c_custkey = o.o_custkey))
-  UNION ALL
-  SELECT 'lineitem->part',
-         (SELECT COUNT(*) FROM lineitem),
-         (SELECT COUNT(*) FROM lineitem l
-          WHERE l.l_partkey IS NOT NULL
-            AND NOT EXISTS (SELECT 1 FROM part p
-                            WHERE p.p_partkey = l.l_partkey))
-  UNION ALL
-  SELECT 'lineitem->supplier',
-         (SELECT COUNT(*) FROM lineitem),
-         (SELECT COUNT(*) FROM lineitem l
-          WHERE l.l_suppkey IS NOT NULL
-            AND NOT EXISTS (SELECT 1 FROM supplier s
-                            WHERE s.s_suppkey = l.l_suppkey)))
-SELECT relation, CAST(n_child AS BIGINT) AS n_child,
-       CAST(n_orphans AS BIGINT) AS n_orphans,
-       ROUND(n_orphans / CAST(n_child AS DOUBLE), 6) AS orphan_frac
-FROM rel""")
-def quality_fk_orphans(spark, sf_dir):
-    """Referential-integrity audit (functions/quality.py
-    fk_orphan_report) over the warehouse's four FK relations: each is
-    ONE child aggregation with the parent's distinct keys broadcast —
-    the cross-table Deequ-style check next to the single-table metric
-    suite (quality_metrics_orders).  NULL FKs are "unknown", not
-    orphans (the completeness metric's job).  Detection of planted
-    orphans is pinned in tests/test_quality.py; the testdata itself is
-    referentially clean, which this entry proves every round."""
-    from aws_etl_bank_spark.functions.quality import fk_orphan_report
-
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    return fk_orphan_report([
-        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
-        ("orders->customer", o, "o_custkey",
-         load_table(spark, sf_dir, "customer"), "c_custkey"),
-        ("lineitem->part", li, "l_partkey",
-         load_table(spark, sf_dir, "part"), "p_partkey"),
-        ("lineitem->supplier", li, "l_suppkey",
-         load_table(spark, sf_dir, "supplier"), "s_suppkey"),
-    ])
-
-
-def _hll_grouped_oracle() -> str:
-    h2 = _HLL_QUAD_SQL.format(a=76003, c=4391, d=9973)
-    reg = _HLL_QUAD_SQL.format(a=4391, c=76003, d=51349) + " % 256"
-    affines = (_HLL_AFFINE_SQL.format(k="user_id", a=4391, b=9973)
-               + " AS h_4391, "
-               + _HLL_AFFINE_SQL.format(k="user_id", a=76003, b=51349)
-               + " AS h_76003")
-    return f"""
-WITH raw AS (SELECT event_type, {affines} FROM events),
-regs AS (SELECT event_type, {reg} AS register,
-                {_HLL_RANK_CASE.format(h2=h2)} AS rank FROM raw),
-sk AS (SELECT event_type, register, MAX(rank) AS max_rank
-       FROM regs GROUP BY 1, 2),
-a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_set,
-             SUM(power(2.0, -max_rank)) AS s FROM sk GROUP BY 1),
-t AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
-             AS true_distinct FROM events GROUP BY 1)
-SELECT a.event_type, t.true_distinct, a.n_set,
-       a.s + (256 - a.n_set) AS sum_inv,
-       ROUND({_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)), 4) AS est_raw,
-       ROUND(CASE WHEN {_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)) <= 640.0
-                       AND a.n_set < 256
-                  THEN 256.0 * ln(256.0 / (256 - a.n_set))
-                  ELSE {_HLL_ALPHA_M2} / (a.s + (256 - a.n_set)) END,
-             4) AS estimate
-FROM a JOIN t USING (event_type)"""
-
-
-@q("sketch_hll_grouped", _hll_grouped_oracle())
-def sketch_hll_grouped(spark, sf_dir):
-    """Per-GROUP HyperLogLog (functions/scale.py hll_sketch_grouped /
-    hll_estimate_grouped): distinct users per event type from ≤ 256
-    rows per group — the "distinct per segment" dashboard shape where
-    an exact grouped COUNT(DISTINCT) reshuffles raw keys on every
-    refresh, while per-day grouped sketches roll up by (group, cell)
-    MAX.  One (group, register) hash-agg with map-side combine; the
-    oracle reproduces every group's registers and estimate to 4
-    decimals, next to the exact count for the accuracy story."""
-    from aws_etl_bank_spark.functions.scale import (hll_estimate_grouped,
-                                                    hll_sketch_grouped)
-
-    ev = load_table(spark, sf_dir, "events")
-    est = hll_estimate_grouped(
-        hll_sketch_grouped(ev, ["event_type"], "user_id", m=256),
-        ["event_type"], m=256)
-    tru = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("true_distinct"))
-    return (est.join(tru, "event_type")
-            .select("event_type", "true_distinct", "n_set", "sum_inv",
-                    "est_raw", "estimate"))
-
-
-_KMV_USER_SQL_HASH = """(
-  ((user_id % 1000003) * 7001 + 104729) % 1000003 *
-   (((user_id % 1000003) * 7001 + 104729) % 1000003)
-  + 1223 * (((user_id % 1000003) * 7001 + 104729) % 1000003)
-  + 514229) % 1000003"""
-
-
-@q("stream_kmv_distinct", f"""
-WITH hs AS (SELECT DISTINCT {_KMV_USER_SQL_HASH} AS h FROM events
-            ORDER BY h LIMIT 256)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
-       ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
-                  ELSE 255.0 * 1000003.0 / CAST(MAX(h) AS DOUBLE) END,
-             4) AS estimate,
-       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
-         AS true_distinct
-FROM hs""")
-def stream_kmv_distinct(spark, sf_dir):
-    """Streaming distinct-count via the MERGEABLE KMV sketch
-    (functions/scale.py): each micro-batch keeps only its bottom-256
-    user-id hashes; cross-batch state is the union's bottom-256 — never
-    the raw id set — and the final estimate reads off the merged
-    sketch.  Because bottom-k-of-union == bottom-k-of-concatenation
-    exactly (pinned in tests/test_scale.py), the streamed result equals
-    the batch computation bit-for-bit: the shared batch oracle is the
-    proof, exactly like stream_quantile_sketch.  The `true_distinct`
-    column rides along for the accuracy story."""
-    import time as _time
-
-    import pyspark.sql.types as T
-
-    from aws_etl_bank_spark.functions.scale import kmv_estimate, kmv_sketch
-    from aws_etl_bank_spark.sources.testdata import events_stream
-    from aws_etl_bank_spark.streaming import for_each_batch
-
-    from aws_etl_bank_spark.plans.registry_llm import _events_stream_dir
-
-    stream = events_stream(spark, _events_stream_dir(sf_dir))
-    collected: list = []
-
-    def handle(batch_df, batch_id):
-        rows = kmv_sketch(batch_df, "user_id", k=256).collect()
-        collected.extend([(r["h"],) for r in rows])
-
-    for_each_batch(stream, handle, {
-        "windowSize": "1 seconds",
-        "checkpointLocation": _scratch(
-            sf_dir, f"kmv_ckpt_{int(_time.time() * 1000)}"),
-        "availableNow": True,
-    })
-    schema = T.StructType([T.StructField("h", T.LongType())])
-    merged = (spark.createDataFrame(collected, schema)
-              .distinct().orderBy("h").limit(256))
-    est = kmv_estimate(merged, k=256)
-    tru = (load_table(spark, sf_dir, "events")
-           .agg(F.count_distinct("user_id").alias("true_distinct")))
-    return est.crossJoin(F.broadcast(tru))
-
-
-@q("ts_ohlc_bucket", """
-WITH r AS (
-  SELECT event_type, epoch_us(ts) // 86400000000 AS bucket, value,
-         row_number() OVER (PARTITION BY event_type,
-                                         epoch_us(ts) // 86400000000
-                            ORDER BY ts, event_id) AS rn
-  FROM events)
-SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
-       ROUND(min_by(value, rn), 2) AS open,
-       ROUND(MAX(value), 2) AS high,
-       ROUND(MIN(value), 2) AS low,
-       ROUND(max_by(value, rn), 2) AS close,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM r GROUP BY event_type, bucket""")
-def ts_ohlc_bucket(spark, sf_dir):
-    """OHLC candle rollup: per (event_type, day) open/high/low/close/
-    count — the financial time-series compaction (ts_bucket_rollup's
-    sibling with ORDER-dependent endpoints).  One keyed window assigns
-    the within-bucket sequence (deterministic (ts, event_id) order),
-    and the same-key aggregation REUSES the window's exchange — one
-    shuffle total; open/close are min_by/max_by over the unique rank,
-    identical semantics on both engines.  Day buckets are exact
-    epoch-microsecond integer division (no float epoch)."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    bucket = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
-    w = (Window.partitionBy("event_type", "bucket")
-         .orderBy("ts", "event_id"))
-    r = (ev.withColumn("bucket", bucket)
-         .withColumn("rn", F.row_number().over(w)))
-    return (r.groupBy("event_type", "bucket")
-            .agg(F.round(F.expr("min_by(value, rn)"), 2).alias("open"),
-                 F.round(F.max("value"), 2).alias("high"),
-                 F.round(F.min("value"), 2).alias("low"),
-                 F.round(F.expr("max_by(value, rn)"), 2).alias("close"),
-                 F.count(F.lit(1)).alias("n"))
-            .select("event_type", F.col("bucket").cast("long"),
-                    "open", "high", "low", "close",
-                    F.col("n").cast("long").alias("n")))
-
-
-@q("ts_active_users_7d", """
-WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-days AS (SELECT DISTINCT day FROM du),
-wau AS (
-  SELECT d.day AS day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
-  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
-  GROUP BY d.day),
-dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day)
-SELECT w.day AS day, dau.dau AS dau, w.active_7d AS active_7d
-FROM wau w JOIN dau ON dau.day = w.day""")
-def ts_active_users_7d(spark, sf_dir):
-    """Rolling 7-day distinct active users per day (the DAU/WAU
-    engagement rollup) WITHOUT a range join: count-distinct composes
-    with neither window frames nor partial aggregation, so the naive
-    forms — a RANGE-interval window over users, or a days×events
-    interval join — are respectively impossible and a broadcast-
-    nested-loop.  The scalable shape: dedupe events to (day, user)
-    FIRST (one hash-agg — the 100 TB row count drops to
-    days×actives), then explode each pair to the ≤7 report days it
-    feeds (bounded 7× of the DEDUPED frame, never of raw events), and
-    count-distinct per report day.  All equi-shuffles keyed by
-    (day, user); the report-day membership join broadcasts the tiny
-    day dimension."""
-    ev = load_table(spark, sf_dir, "events")
-    # the deduped (day, user) frame feeds the explode, the day
-    # dimension and the DAU agg — persist or pay three event scans
-    du = (ev.select(F.to_date("ts").alias("day"), "user_id")
-          .distinct().persist())
-    days = du.select("day").distinct()
-    exp = (du.select("user_id", "day",
-                     F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"))
-           .select("user_id", F.expr("date_add(day, off)").alias("day")))
-    wau = (exp.join(F.broadcast(days), "day")
-           .groupBy("day")
-           .agg(F.countDistinct("user_id").alias("active_7d")))
-    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    return (wau.join(dau, "day")
-            .select("day", F.col("dau").cast("long").alias("dau"),
-                    F.col("active_7d").cast("long").alias("active_7d")))
-
-
-@q("label_churn_window", """
-WITH cm AS (
-  SELECT DISTINCT o_custkey,
-         CAST(date_trunc('month', o_orderdate) AS DATE) AS month
-  FROM orders),
-nxt AS (
-  SELECT o_custkey,
-         CAST(month - INTERVAL 1 MONTH AS DATE) AS month, 1 AS act
-  FROM cm)
-SELECT c.o_custkey AS o_custkey, c.month AS month,
-       CAST(CASE WHEN n.act IS NULL THEN 1 ELSE 0 END AS INTEGER) AS churned
-FROM cm c
-LEFT JOIN nxt n ON n.o_custkey = c.o_custkey AND n.month = c.month
-WHERE c.month < (SELECT MAX(month) FROM cm)""")
-def label_churn_window(spark, sf_dir):
-    """Churn-label generation — the supervised-learning labeling op:
-    for every (customer, month) with activity, did the customer place
-    NO order in the following month?  The scalable shape is
-    dedupe-then-self-equi-join: orders collapse to distinct
-    (customer, month) first (one hash-agg; the 100 TB fact becomes a
-    customers×months frame), the "future" is that same frame shifted
-    back one month and equi-joined — never a per-row interval probe
-    or a correlated EXISTS.  The final month is excluded (its label
-    window is unobserved — the right-censoring rule every churn
-    dataset needs); the max-month scalar rides a 1-row broadcast."""
-    o = load_table(spark, sf_dir, "orders")
-    # cm feeds three consumers (labels, shifted future, max month):
-    # persist so the fact scans + dedup-shuffles once, not thrice
-    cm = (o.select("o_custkey",
-                   F.trunc(F.col("o_orderdate").cast("date"), "month")
-                   .alias("month"))
-          .distinct().persist())
-    nxt = cm.select("o_custkey", F.add_months("month", -1).alias("month"),
-                    F.lit(1).alias("act"))
-    mx = cm.agg(F.max("month").alias("__mx"))
-    return (cm.join(nxt, ["o_custkey", "month"], "left")
-            .join(F.broadcast(mx))
-            .filter(F.col("month") < F.col("__mx"))
-            .select("o_custkey", "month",
-                    F.when(F.col("act").isNull(), 1).otherwise(0)
-                    .cast("int").alias("churned")))
-
-
-@q("assoc_copurchase_lift", """
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-ok AS (SELECT l_orderkey FROM li GROUP BY l_orderkey HAVING COUNT(*) <= 50),
-b AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN ok USING (l_orderkey)),
-n AS (SELECT COUNT(*) AS n_orders FROM ok),
-ic AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY l_partkey),
-pc AS (
-  SELECT a.l_partkey AS p1, b2.l_partkey AS p2, COUNT(*) AS c_ab
-  FROM b a
-  JOIN b b2 ON b2.l_orderkey = a.l_orderkey
-           AND a.l_partkey < b2.l_partkey
-  GROUP BY 1, 2)
-SELECT p1, p2, CAST(c_ab AS BIGINT) AS c_ab,
-       CAST(c_ab * n_orders AS DOUBLE)
-         / CAST(i1.c * i2.c AS DOUBLE) AS lift
-FROM pc, n
-JOIN ic i1 ON i1.l_partkey = p1
-JOIN ic i2 ON i2.l_partkey = p2
-ORDER BY c_ab DESC, p1, p2
-LIMIT 50""")
-def assoc_copurchase_lift(spark, sf_dir):
-    """Market-basket association: top co-purchased part pairs by
-    support, with lift = P(ab)/(P(a)·P(b)).  The quadratic hazard is
-    the within-basket pair join — bounded here the way production
-    basket analysis bounds it: dedupe to (order, part), CAP the basket
-    size (≤50; one hash-agg + semi-join — a single pathological
-    999-item basket would otherwise emit half a million pairs), then
-    the pair self-join is equi on orderkey with per-order work ≤ k²/2.
-    Lift is computed as ONE IEEE-exact division of exact int64
-    products (counts ≤ 10⁷ ⇒ products ≤ 10¹⁴, no overflow), so no
-    rounding is needed for cross-engine equality; top-50 by
-    (support DESC, p1, p2) compiles to TakeOrdered, never a global
-    sort."""
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    ok = (li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__k"))
-          .filter(F.col("__k") <= 50).select("l_orderkey"))
-    # the capped basket frame is read four ways (order count, item
-    # counts, both pair-join sides) — but all four consumers share the
-    # identical (distinct → join) subtree inside ONE action, which
-    # Catalyst collapses via ReusedExchange (4 in the executed plan,
-    # A/B-measured faster than an explicit persist at sf0.1)
-    b = li.join(ok, "l_orderkey")
-    n = b.select("l_orderkey").distinct() \
-         .agg(F.count(F.lit(1)).alias("__n"))
-    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__c"))
-    a2, b2 = b.alias("a"), b.alias("b2")
-    pc = (a2.join(b2, (F.col("a.l_orderkey") == F.col("b2.l_orderkey"))
-                  & (F.col("a.l_partkey") < F.col("b2.l_partkey")))
-          .groupBy(F.col("a.l_partkey").alias("p1"),
-                   F.col("b2.l_partkey").alias("p2"))
-          .agg(F.count(F.lit(1)).alias("c_ab")))
-    i1 = ic.select(F.col("l_partkey").alias("p1"), F.col("__c").alias("c1"))
-    i2 = ic.select(F.col("l_partkey").alias("p2"), F.col("__c").alias("c2"))
-    return (pc.join(i1, "p1").join(i2, "p2").join(F.broadcast(n))
-            .select("p1", "p2", F.col("c_ab").cast("long").alias("c_ab"),
-                    ((F.col("c_ab") * F.col("__n")).cast("double")
-                     / (F.col("c1") * F.col("c2")).cast("double"))
-                    .alias("lift"))
-            .orderBy(F.desc("c_ab"), "p1", "p2").limit(50))
-
-
-@q("ts_seasonal_strength", """
-WITH c AS (
-  SELECT event_type,
-         CAST(epoch_us(ts) // 3600000000 AS BIGINT) % 168 AS how,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
-  FROM events),
-g AS (SELECT event_type, how, COUNT(*) AS ng,
-             CAST(SUM(v) AS BIGINT) AS sg
-      FROM c GROUP BY 1, 2),
-t AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
-             CAST(SUM(v * v) AS BIGINT) AS ss
-      FROM c GROUP BY 1),
-w AS (SELECT event_type,
-             SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) AS sw
-      FROM g GROUP BY 1)
-SELECT t.event_type AS event_type, CAST(n AS BIGINT) AS n,
-  ROUND((ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n / 10000.0,
-        4) + 0 AS var_total,
-  ROUND((ss - sw) / n / 10000.0, 4) + 0 AS var_within,
-  ROUND(1.0 - (ss - sw)
-            / GREATEST(ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n,
-                       0.000000000001), 4) + 0 AS strength
-FROM t JOIN w ON w.event_type = t.event_type""")
-def ts_seasonal_strength(spark, sf_dir):
-    """Hour-of-week seasonal decomposition strength per event type —
-    "how much of this series' variance is weekly seasonality?"
-    (1 − var(residual)/var(total), the STL-style strength statistic,
-    with the seasonal component the hour-of-week group mean).  Exact
-    sufficient statistics all the way: values become int64 cents, the
-    per-(type, hour) partials are exact integer (n, Σv) and the totals
-    exact (n, Σv, Σv²) — so the heavy pass is TWO map-side-combined
-    hash-aggs over exact ints (engine-order-independent, the class
-    the r6 sf1 audit taught us to use), and floating point enters
-    only in the final 168-term combine and divisions, masked by the
-    canon-zero 4-decimal round.  Hour-of-week is pure epoch-µs
-    integer division — no timezone/dayofweek calendar calls to
-    diverge between engines."""
-    ev = load_table(spark, sf_dir, "events")
-    c = ev.select(
-        "event_type",
-        F.expr("pmod(unix_micros(cast(ts as timestamp)) div 3600000000, 168)")
-        .alias("how"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"))
-    g = (c.groupBy("event_type", "how")
-         .agg(F.count(F.lit(1)).alias("ng"), F.sum("v").alias("sg")))
-    t = (c.groupBy("event_type")
-         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
-              F.sum(F.col("v") * F.col("v")).alias("ss")))
-    w = (g.groupBy("event_type")
-         .agg(F.sum(F.col("sg").cast("double") * F.col("sg").cast("double")
-                    / F.col("ng")).alias("sw")))
-    tot = (F.col("ss") - F.col("s").cast("double") * F.col("s").cast("double")
-           / F.col("n"))
-    return (t.join(w, "event_type")
-            .select("event_type", F.col("n").cast("long").alias("n"),
-                    (F.round(tot / F.col("n") / 10000.0, 4) + 0)
-                    .alias("var_total"),
-                    (F.round((F.col("ss") - F.col("sw")) / F.col("n")
-                             / 10000.0, 4) + 0).alias("var_within"),
-                    (F.round(1.0 - (F.col("ss") - F.col("sw"))
-                             / F.greatest(tot, F.lit(1e-12)), 4) + 0)
-                    .alias("strength")))
-
-
-@q("feature_velocity_windows", """
-WITH e AS (
-  SELECT user_id, event_id,
-         epoch_us(ts) AS us,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
-  FROM events)
-SELECT user_id, event_id,
-  CAST(COUNT(*) OVER w1 AS BIGINT) AS n_1h,
-  CAST(SUM(v) OVER w1 AS BIGINT) AS cents_1h,
-  CAST(COUNT(*) OVER w24 AS BIGINT) AS n_24h,
-  CAST(SUM(v) OVER w24 AS BIGINT) AS cents_24h
-FROM e
-WINDOW
-  w1 AS (PARTITION BY user_id ORDER BY us
-         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
-  w24 AS (PARTITION BY user_id ORDER BY us
-          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""")
-def feature_velocity_windows(spark, sf_dir):
-    """Point-in-time-correct velocity features — trailing 1 h / 24 h
-    per-user event counts and amount sums AS OF each event (the
-    feature-store primitive behind fraud velocity rules and any
-    leakage-free training set: a feature may only see events ≤ its own
-    timestamp).  Expressed as RANGE-frame windows over exact
-    epoch-microsecond integers — the frame bound is data-defined, so
-    Catalyst evaluates it per row with ONE sort per user partition and
-    zero self-joins (the naive form is an events×events interval join).
-    Both window frames share one partitioning+sort (a single Exchange,
-    one Sort in the plan); amounts are int64 cents so the running sums
-    are engine-order-independent.  Skew: a hot user serializes its
-    partition — the running_sum_split hot-key treatment
-    (operators/windows.py) applies unchanged if a user exceeds executor
-    memory; at the events table's fan-out it is not needed."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id", "event_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"))
-    w1 = (Window.partitionBy("user_id").orderBy("us")
-          .rangeBetween(-3_600_000_000, 0))
-    w24 = (Window.partitionBy("user_id").orderBy("us")
-           .rangeBetween(-86_400_000_000, 0))
-    return e.select(
-        "user_id", "event_id",
-        F.count(F.lit(1)).over(w1).cast("long").alias("n_1h"),
-        F.sum("v").over(w1).cast("long").alias("cents_1h"),
-        F.count(F.lit(1)).over(w24).cast("long").alias("n_24h"),
-        F.sum("v").over(w24).cast("long").alias("cents_24h"))
-
-
-@q("session_markov_transitions", """
-WITH s AS (
-  SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id
-  FROM events),
-tr AS (
-  SELECT event_type AS to_type,
-         lag(event_type) OVER (PARTITION BY user_id, day
-                               ORDER BY ts, event_id) AS from_type
-  FROM s),
-c AS (
-  SELECT from_type, to_type, COUNT(*) AS cnt
-  FROM tr WHERE from_type IS NOT NULL
-  GROUP BY from_type, to_type),
-tot AS (SELECT from_type, SUM(cnt) AS t FROM c GROUP BY from_type)
-SELECT c.from_type AS from_type, c.to_type AS to_type,
-       CAST(cnt AS BIGINT) AS cnt,
-       CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE) AS p
-FROM c JOIN tot ON tot.from_type = c.from_type""")
-def session_markov_transitions(spark, sf_dir):
-    """First-order Markov transition matrix of user behavior: within
-    each (user, day) session, count consecutive event-type bigrams and
-    normalize per source state — the behavioral-analytics /
-    next-action-model primitive.  One keyed window (deterministic
-    (ts, event_id) order) emits the lag pairs, then two hash-aggs; the
-    per-source normalizer joins back on the tiny state set.
-    Transition probability is ONE IEEE-exact division of exact counts
-    — no rounding needed for cross-engine equality."""
-    ev = load_table(spark, sf_dir, "events")
-    s = ev.select("user_id", F.to_date("ts").alias("day"),
-                  "event_type", "ts", "event_id")
-    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    tr = (s.select(F.col("event_type").alias("to_type"),
-                   F.lag("event_type").over(w).alias("from_type"))
-          .filter(F.col("from_type").isNotNull()))
-    c = tr.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = c.groupBy("from_type").agg(F.sum("cnt").alias("t"))
-    return (c.join(tot, "from_type")
-            .select("from_type", "to_type",
-                    F.col("cnt").cast("long").alias("cnt"),
-                    (F.col("cnt").cast("double") / F.col("t").cast("double"))
-                    .alias("p")))
-
-
-@q("score_psi_drift", """
-WITH e AS (
-  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
-              THEN 'ref' ELSE 'cur' END AS pop,
-         LEAST(CAST(FLOOR(value / 60.0) AS BIGINT), 9) AS bin
-  FROM events),
-c AS (SELECT pop, bin, COUNT(*) AS n FROM e GROUP BY pop, bin),
-n AS (SELECT pop, SUM(n) AS tot FROM c GROUP BY pop),
-bins AS (SELECT range AS bin FROM range(10)),
-pq AS (
-  SELECT b.bin,
-    (COALESCE(r.n, 0) + 0.5)
-      / ((SELECT tot FROM n WHERE pop = 'ref') + 5.0) AS p,
-    (COALESCE(u.n, 0) + 0.5)
-      / ((SELECT tot FROM n WHERE pop = 'cur') + 5.0) AS q
-  FROM bins b
-  LEFT JOIN c r ON r.bin = b.bin AND r.pop = 'ref'
-  LEFT JOIN c u ON u.bin = b.bin AND u.pop = 'cur')
-SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
-       ROUND(SUM((p - q) * ln(p / q)), 6) + 0 AS psi
-FROM pq""")
-def score_psi_drift(spark, sf_dir):
-    """Population Stability Index between the month's first- and
-    second-half score distributions — the model-monitoring drift
-    metric every deployed banking model is watched with
-    (PSI = Σ (p−q)·ln(p/q) over score bins; > 0.2 conventionally
-    triggers retraining).  Scale shape: ONE hash-agg over
-    (population, bin) — the 100 TB scan reduces to 20 rows — then the
-    10-bin spine (a literal range, so empty bins are present, with
-    add-half smoothing keeping ln finite) assembles driver-light.
-    Counts and totals are exact ints; ln enters only on 10 final
-    terms, masked by the canon-zero 6-decimal round."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), "ref")
-        .otherwise("cur").alias("pop"),
-        F.least(F.floor(F.col("value") / 60.0).cast("long"), F.lit(9))
-        .alias("bin"))
-    # Collect the ≤20-row (pop, bin) agg ONCE — it feeds both the
-    # totals scalar and the spine join, and a driver copy of a bounded
-    # histogram is cheaper than persist()-and-forget (the r8 advice:
-    # persisted intermediates leaked for the session's lifetime).  The
-    # 100 TB scan still happens exactly once, distributed.
-    c_rows = (e.groupBy("pop", "bin")
-              .agg(F.count(F.lit(1)).alias("n")).collect())
-    tots: dict[str, int] = {}
-    for row in c_rows:
-        tots[row["pop"]] = tots.get(row["pop"], 0) + row["n"]
-    c = spark.createDataFrame(
-        [(row["pop"], int(row["bin"]), int(row["n"])) for row in c_rows],
-        "pop string, bin long, n long")
-    bins = spark.range(10).select(F.col("id").alias("bin"))
-    r = (c.filter(F.col("pop") == "ref")
-         .select("bin", F.col("n").alias("rn")))
-    u = (c.filter(F.col("pop") == "cur")
-         .select("bin", F.col("n").alias("un")))
-    pq = (bins.join(r, "bin", "left").join(u, "bin", "left")
-          .select(
-              ((F.coalesce(F.col("rn"), F.lit(0)) + 0.5)
-               / F.lit(float(tots.get("ref", 0)) + 5.0)).alias("p"),
-              ((F.coalesce(F.col("un"), F.lit(0)) + 0.5)
-               / F.lit(float(tots.get("cur", 0)) + 5.0)).alias("q")))
-    return pq.agg(
-        F.count(F.lit(1)).cast("long").alias("n_bins"),
-        (F.round(F.sum((F.col("p") - F.col("q"))
-                       * F.log(F.col("p") / F.col("q"))), 6) + 0)
-        .alias("psi"))
-
-
-@q("stream_heavy_hitters", """
-WITH kk AS (
-  SELECT CASE WHEN event_id % 3 = 0 THEN user_id % 10
-              ELSE event_id + 10000000 END AS key
-  FROM events)
-SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM kk GROUP BY key ORDER BY cnt DESC, key LIMIT 10""")
-def stream_heavy_hitters(spark, sf_dir):
-    """Streaming top-10 heavy hitters — the real-time "who is hammering
-    us right now" op: each micro-batch runs the distributed
-    Misra–Gries candidate pass (functions/scale.py heavy_hitters_topk,
-    so per-batch driver traffic is ≤ counters candidate rows, never
-    the batch's key cardinality), the driver merges batch summaries
-    with the MG trim (summary merge keeps the additive-error
-    guarantee: any key with total count > N/counters survives to the
-    end of the stream), and a final exact recount over the stored
-    table verifies the candidates — the same sketch-then-verify shape
-    as the batch entry, with the sketch half running incrementally.
-    The planted fixture (a third of events collapse onto 10 hub keys,
-    the rest near-unique) puts the hubs far above the guarantee
-    threshold, so the streamed result equals the batch oracle's
-    brute-force top-10 exactly."""
-    import time as _time
-
-    from aws_etl_bank_spark.functions.scale import heavy_hitters_topk
-    from aws_etl_bank_spark.plans.registry_llm import _events_stream_dir
-    from aws_etl_bank_spark.sources.testdata import events_stream
-    from aws_etl_bank_spark.streaming import for_each_batch
-
-    counters = 128
-
-    def keyed(df):
-        return df.select(
-            F.when(F.col("event_id") % 3 == 0, F.col("user_id") % 10)
-            .otherwise(F.col("event_id") + 10_000_000).alias("key"))
-
-    state: dict = {}
-
-    def handle(batch_df, batch_id):
-        rows = heavy_hitters_topk(keyed(batch_df), "key",
-                                  k=counters, counters=counters).collect()
-        for r in rows:
-            state[r.key] = state.get(r.key, 0) + r.cnt
-        if len(state) > counters:
-            cut = sorted(state.values(), reverse=True)[counters]
-            for k2 in list(state):
-                state[k2] -= cut
-                if state[k2] <= 0:
-                    del state[k2]
-
-    stream = events_stream(spark, _events_stream_dir(sf_dir))
-    for_each_batch(stream, handle, {
-        "windowSize": "1 seconds",
-        "checkpointLocation": _scratch(
-            sf_dir, f"hh_ckpt_{int(_time.time() * 1000)}"),
-        "availableNow": True,
-    })
-    cand = spark.createDataFrame([(int(k),) for k in state], "key long")
-    exact = (keyed(load_table(spark, sf_dir, "events"))
-             .join(F.broadcast(cand), "key", "left_semi")
-             .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
-    return (exact.orderBy(F.desc("cnt"), "key").limit(10)
-            .select("key", F.col("cnt").cast("long").alias("cnt")))
-
-
-@q("feature_decayed_velocity", """
-WITH e AS (
-  SELECT user_id, event_id, value,
-         CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE)
-           / 3600000000.0 AS t
-  FROM events),
-s AS (
-  SELECT user_id, event_id, t,
-         SUM(exp(t / 24.0)) OVER w AS s1,
-         SUM(value * exp(t / 24.0)) OVER w AS s2
-  FROM e
-  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-SELECT user_id, event_id,
-       ROUND(exp(-t / 24.0) * s1, 4) + 0 AS decayed_n,
-       ROUND(exp(-t / 24.0) * s2, 4) + 0 AS decayed_amt
-FROM s""")
-def feature_decayed_velocity(spark, sf_dir):
-    """Exponentially time-decayed running features AS OF each event
-    (24 h e-folding): decayed count Σe^{−λΔt} and decayed amount
-    Σ value·e^{−λΔt} — the recency-weighted sibling of the hard-window
-    velocity features, and the classic fraud/engagement feature a
-    feature store serves.  The recursion s_i = x_i + e^{−λδ}·s_{i−1}
-    is SERIAL as written; the scalable form factorizes it —
-    e^{−λt_i} · Σ_{j≤i} x_j·e^{+λt_j} — turning it into TWO cumulative
-    window sums over one keyed sort (the CUSUM trick: closed windows
-    only, no applyInPandas, no serial scan).  Time is exact integer
-    epoch-µs shifted to the data's base year before ONE IEEE division
-    (keeps e^{+λt} ≤ e^{30} — factorization overflows if t is raw
-    epoch), and both engines evaluate the prefix sums in the same
-    deterministic (t, event_id) order, so the only cross-engine slack
-    is exp()'s last ulp — masked by the canon-zero 4-decimal round."""
-    ev = load_table(spark, sf_dir, "events")
-    lam = 1.0 / 24.0
-    t = ((F.expr("unix_micros(cast(ts as timestamp))")
-          - F.lit(1704067200000000)).cast("double") / 3.6e9)
-    e = ev.select("user_id", "event_id", "value", t.alias("t"))
-    w = (Window.partitionBy("user_id").orderBy("t", "event_id")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    s1 = F.sum(F.exp(F.col("t") * lam)).over(w)
-    s2 = F.sum(F.col("value") * F.exp(F.col("t") * lam)).over(w)
-    return e.select(
-        "user_id", "event_id",
-        (F.round(F.exp(-F.col("t") * lam) * s1, 4) + 0).alias("decayed_n"),
-        (F.round(F.exp(-F.col("t") * lam) * s2, 4) + 0).alias("decayed_amt"))
-
-
-@q("quality_entropy_profile", """
-WITH lng AS (
-  SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS val
-  FROM orders
-  UNION ALL
-  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
-  UNION ALL
-  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
-c AS (SELECT col, val, COUNT(*) AS n FROM lng GROUP BY col, val),
-t AS (SELECT col, SUM(n) AS tot, COUNT(*) AS n_distinct FROM c GROUP BY col)
-SELECT c.col AS col,
-       CAST(t.n_distinct AS BIGINT) AS n_distinct,
-       CAST(t.tot AS BIGINT) AS n_rows,
-       ROUND(-SUM((CAST(n AS DOUBLE) / tot)
-                  * ln(CAST(n AS DOUBLE) / tot)), 6) + 0 AS entropy
-FROM c JOIN t ON t.col = c.col
-GROUP BY c.col, t.n_distinct, t.tot""")
-def quality_entropy_profile(spark, sf_dir):
-    """Per-column Shannon entropy + distinct-count profile for
-    categorical columns — the data-profiling statistic that flags both
-    constant columns (entropy 0: a broken upstream writing one value)
-    and exploding-cardinality columns (entropy ≈ log n — o_custkey is
-    profiled as the planted example of an id leaking into a dimension)
-    before they hit a model.  Scale shape: the wide
-    table UNPIVOTS map-side to (col, val) — one fact scan for ALL
-    profiled columns — then two hash-aggs (value counts map-side
-    combine; per-column totals on the tiny count frame).  Counts and
-    totals are exact ints; p·ln p runs only over the distinct-value
-    frame, masked by the canon-zero 6-decimal round."""
-    o = load_table(spark, sf_dir, "orders")
-    lng = o.select(
-        F.explode(F.map_from_arrays(
-            F.array(F.lit("o_orderstatus"), F.lit("o_orderpriority"),
-                    F.lit("o_custkey")),
-            F.array(F.col("o_orderstatus").cast("string"),
-                    F.col("o_orderpriority").cast("string"),
-                    F.col("o_custkey").cast("string"))))
-        .alias("col", "val"))
-    c = lng.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
-    t = (c.groupBy("col")
-         .agg(F.sum("n").alias("tot"),
-              F.count(F.lit(1)).alias("n_distinct")))
-    p = F.col("n").cast("double") / F.col("tot")
-    return (c.join(t, "col")
-            .groupBy("col", "n_distinct", "tot")
-            .agg((F.round(-F.sum(p * F.log(p)), 6) + 0).alias("entropy"))
-            .select("col", F.col("n_distinct").cast("long").alias("n_distinct"),
-                    F.col("tot").cast("long").alias("n_rows"), "entropy"))
-
-
-@q("scale_bitmap_retention", """
-WITH e AS (
-  SELECT CAST(ts AS DATE) AS day,
-         CAST(user_id // 62 AS BIGINT) AS word,
-         1::BIGINT << CAST(user_id % 62 AS INT) AS mask
-  FROM events),
-bm AS (SELECT day, word, bit_or(mask) AS bits FROM e GROUP BY day, word),
-dau AS (SELECT day, CAST(SUM(bit_count(bits)) AS BIGINT) AS dau
-        FROM bm GROUP BY day),
-ret AS (
-  SELECT a.day AS day,
-         CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS returned
-  FROM bm a JOIN bm b ON b.word = a.word AND b.day = a.day + 1
-  GROUP BY a.day)
-SELECT d.day AS day, d.dau,
-       COALESCE(r.returned, 0) AS returned_next_day
-FROM dau d LEFT JOIN ret r ON r.day = d.day""")
-def scale_bitmap_retention(spark, sf_dir):
-    """Bitmap-index distinct rollup — the Druid/ClickHouse groupBitmap
-    pattern in pure DataFrame algebra: user presence per day compresses
-    to 62-bit words via bit_or (one map-side-combined hash-agg; the
-    per-day state is ≤ max_user/62 words, NOT a user set), DAU is a
-    bit_count sum over the bitmap, and next-day retention is a bitmap
-    AND — an equi-join on (word, day+1) followed by popcount, with NO
-    count-distinct shuffle anywhere.  This is the shape that replaces
-    COUNT(DISTINCT) entirely for dense integer ids at 100 TB: bitmaps
-    merge associatively (incremental days just OR in), intersect
-    cheaply (any cohort overlap is AND+popcount), and the whole state
-    is int64 columns any engine can store.  62 bits per word, not 64:
-    a shift into the sign bit is int64 overflow on engines that check
-    (DuckDB raises).  The tiny bitmap frame persists — its three
-    consumers (DAU, both retention sides) would otherwise rescan the
-    fact."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        F.to_date("ts").alias("day"),
-        F.expr("user_id div 62").alias("word"),
-        F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))").alias("mask"))
-    bm = (e.groupBy("day", "word")
-          .agg(F.expr("bit_or(mask)").alias("bits")).persist())
-    dau = (bm.groupBy("day")
-           .agg(F.sum(F.bit_count("bits")).cast("long").alias("dau")))
-    a, b = bm.alias("a"), bm.alias("b")
-    ret = (a.join(b, (F.col("b.word") == F.col("a.word"))
-                  & (F.col("b.day") == F.date_add(F.col("a.day"), 1)))
-           .groupBy(F.col("a.day").alias("day"))
-           .agg(F.sum(F.bit_count(
-               F.col("a.bits").bitwiseAND(F.col("b.bits"))))
-               .cast("long").alias("returned")))
-    return (dau.join(ret, "day", "left")
-            .select("day", "dau",
-                    F.coalesce(F.col("returned"), F.lit(0)).cast("long")
-                    .alias("returned_next_day")))
-
-
-@q("session_top_paths", """
-WITH s AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id
-           FROM events),
-p AS (SELECT user_id, day,
-             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-      FROM s GROUP BY user_id, day),
-c AS (SELECT path, COUNT(*) AS n FROM p GROUP BY path)
-SELECT path, CAST(n AS BIGINT) AS n
-FROM c ORDER BY n DESC, path LIMIT 20""")
-def session_top_paths(spark, sf_dir):
-    """Top-20 user journey paths — each (user, day) session's ordered
-    event-type sequence as a '>'-joined path string, counted and
-    ranked (the clickstream "common paths" report; the full-sequence
-    sibling of session_markov_transitions' bigrams).  Scale shape: ONE
-    hash-agg builds every session's path via collect_list +
-    array_sort(struct(ts, event_id, type)) — sorting happens inside
-    the aggregation buffer per session (bounded by session length),
-    not as a corpus-wide sort — then a path-keyed count and a
-    TakeOrdered finish.  Deterministic: the struct sort pins
-    (ts, event_id) order identically to the oracle's ordered
-    string_agg."""
-    ev = load_table(spark, sf_dir, "events")
-    s = ev.select("user_id", F.to_date("ts").alias("day"),
-                  "event_type", "ts", "event_id")
-    p = (s.groupBy("user_id", "day")
-         .agg(F.array_join(
-             F.transform(
-                 F.array_sort(F.collect_list(
-                     F.struct("ts", "event_id", "event_type"))),
-                 lambda x: x["event_type"]),
-             ">").alias("path")))
-    return (p.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), "path").limit(20)
-            .select("path", F.col("n").cast("long").alias("n")))
-
-
-@q("scd_snapshot_diff", """
-WITH oldt AS (
-  SELECT o_orderkey, o_totalprice, o_orderstatus
-  FROM orders WHERE o_orderkey % 97 <> 0),
-newt AS (
-  SELECT o_orderkey,
-         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
-              ELSE o_totalprice END AS o_totalprice,
-         o_orderstatus
-  FROM orders WHERE o_orderkey % 89 <> 0),
-j AS (
-  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-         o.o_totalprice AS op, o.o_orderstatus AS os,
-         n.o_totalprice AS np, n.o_orderstatus AS ns,
-         o.o_orderkey IS NOT NULL AS ino,
-         n.o_orderkey IS NOT NULL AS inn
-  FROM oldt o FULL OUTER JOIN newt n ON n.o_orderkey = o.o_orderkey)
-SELECT o_orderkey,
-       CASE WHEN NOT ino THEN 'I' WHEN NOT inn THEN 'D'
-            ELSE 'U' END AS change_type,
-       CASE WHEN ino AND inn THEN array_to_string(list_sort(list_filter(
-              [CASE WHEN op IS DISTINCT FROM np
-                    THEN 'o_totalprice' END,
-               CASE WHEN os IS DISTINCT FROM ns
-                    THEN 'o_orderstatus' END],
-              x -> x IS NOT NULL)), ',')
-            ELSE '' END AS changed_cols,
-       np AS o_totalprice, ns AS o_orderstatus
-FROM j
-WHERE NOT (ino AND inn AND op IS NOT DISTINCT FROM np
-           AND os IS NOT DISTINCT FROM ns)""")
-def scd_snapshot_diff(spark, sf_dir):
-    """Changeset generation between two daily extracts
-    (aws_etl_bank_spark/scd.py:snapshot_diff) — the CDC-feed-from-
-    full-extract pattern: yesterday's snapshot (keys %97 removed
-    simulate not-yet-inserted rows) diffed against today's (keys %89
-    dropped = deletes, %13 repriced = updates) in ONE null-safe
-    full-outer join; I/D fall out of join-side nullness, U out of a
-    null-safe column compare, per-column change flags are array
-    expressions on the same row.  The +1.5 reprice is an IEEE-exact
-    double op, so both engines see identical update values.  The
-    changed-column list is sorted and serialized with ``array_join``
-    (house convention — the driver's pandas canon cannot hash raw
-    arrays; same as agg_payment_types)."""
-    from aws_etl_bank_spark.scd import snapshot_diff
-
-    o = load_table(spark, sf_dir, "orders")
-    old = (o.filter(F.col("o_orderkey") % 97 != 0)
-           .select("o_orderkey", "o_totalprice", "o_orderstatus"))
-    new = (o.filter(F.col("o_orderkey") % 89 != 0)
-           .select("o_orderkey",
-                   F.when(F.col("o_orderkey") % 13 == 0,
-                          F.col("o_totalprice") + 1.5)
-                   .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
-                   "o_orderstatus"))
-    d = snapshot_diff(old, new, ["o_orderkey"],
-                      ["o_totalprice", "o_orderstatus"])
-    return d.withColumn("changed_cols",
-                        F.array_join(F.array_sort("changed_cols"), ","))
-
-
-@q("ts_lateness_profile", """
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-l AS (
-  SELECT user_id,
-         GREATEST(0, COALESCE(
-             max(us) OVER (PARTITION BY user_id ORDER BY event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND 1 PRECEDING) - us, 0)) AS late_us
-  FROM e)
-SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_late,
-       CAST(MAX(late_us) AS BIGINT) AS max_late_us
-FROM l GROUP BY user_id""")
-def ts_lateness_profile(spark, sf_dir):
-    """Event-time lateness profile — the diagnostic that SIZES
-    WATERMARKS: per key, how many events arrived behind an
-    already-seen later timestamp (arrival order = the monotonic
-    ingest id) and by at most how much.  The streaming suite's
-    `withWatermark` thresholds are exactly this table's max/quantiles;
-    running it on the batch mirror of the stream is how the threshold
-    is chosen rather than guessed.  Shape: one KEYED running-max
-    window (the global-watermark variant would be a single-partition
-    ORDER BY event_id window — the anti-pattern; compute per key and
-    aggregate the per-key maxima instead) + one hash-agg; lateness is
-    exact epoch-µs integer arithmetic."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select("user_id", "event_id",
-                  F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
-    w = (Window.partitionBy("user_id").orderBy("event_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    late = F.greatest(
-        F.lit(0), F.coalesce(F.max("us").over(w) - F.col("us"), F.lit(0)))
-    return (e.withColumn("late_us", late)
-            .groupBy("user_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-                 F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
-                 .cast("long").alias("n_late"),
-                 F.max("late_us").cast("long").alias("max_late_us")))
-
-
-@q("ts_rollup_cascade", """
-WITH c AS (
-  SELECT event_type,
-         epoch_us(ts) // 86400000000 AS day,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
-  FROM events)
-SELECT event_type,
-       CAST(day // 30 AS BIGINT) AS period,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(v) AS BIGINT) AS sum_cents,
-       CAST(MIN(v) AS BIGINT) AS min_cents,
-       CAST(MAX(v) AS BIGINT) AS max_cents
-FROM c GROUP BY event_type, day // 30""")
-def ts_rollup_cascade(spark, sf_dir):
-    """Rollup CASCADE: the 30-day-period rollup computed FROM the
-    daily rollup — never re-touching raw events — checked against an
-    oracle that aggregates the raw data directly.  This is the
-    continuous-aggregate maintenance contract at 100 TB: day → week →
-    month each re-aggregates the previous (decomposable) level, so
-    coarser grains cost |days| rows, not |events|; the oracle equality
-    IS the proof that (count, sum, min, max) compose losslessly
-    through the cascade (avg deliberately re-derives from sum/count —
-    averaging averages is the classic cascade bug, kept out by
-    construction).  Two map-side-combined hash-aggs; exact int cents
-    and epoch-µs day buckets throughout."""
-    ev = load_table(spark, sf_dir, "events")
-    c = ev.select(
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
-        .alias("day"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"))
-    daily = (c.groupBy("event_type", "day")
-             .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
-                  F.min("v").alias("mn"), F.max("v").alias("mx")))
-    return (daily.groupBy("event_type",
-                          F.expr("day div 30").cast("long").alias("period"))
-            .agg(F.sum("n").cast("long").alias("n"),
-                 F.sum("s").cast("long").alias("sum_cents"),
-                 F.min("mn").cast("long").alias("min_cents"),
-                 F.max("mx").cast("long").alias("max_cents")))
-
-
-@q("feature_impute_group", """
-WITH e AS (
-  SELECT event_id, event_type,
-         CASE WHEN event_id % 7 = 0 THEN NULL
-              ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS v
-  FROM events),
-p AS (
-  SELECT event_type, v,
-         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
-         COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM e WHERE v IS NOT NULL),
-medx AS (
-  SELECT p.event_type,
-         (CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS DOUBLE)
-          + MAX(CASE WHEN rn = (n + 2) // 2 THEN v END)) / 2.0 AS med
-  FROM p GROUP BY p.event_type)
-SELECT e.event_id, e.event_type,
-       COALESCE(CAST(e.v AS DOUBLE), medx.med) AS v_imputed,
-       CAST(CASE WHEN e.v IS NULL THEN 1 ELSE 0 END AS INTEGER)
-           AS was_imputed
-FROM e JOIN medx ON medx.event_type = e.event_type""")
-def feature_impute_group(spark, sf_dir):
-    """Group-median NULL imputation — the ML-preprocessing step with
-    the grouped-median trap: engine `median()` interpolation rules
-    differ, so the median is rank-picked exactly
-    ((⌊(n+1)/2⌋-th + ⌈(n+1)/2⌉-th)/2 over int cents — the
-    ts_anomaly_mad recipe), making imputed values engine-identical by
-    arithmetic, not by luck.  NULLs are planted deterministically
-    (event_id % 7) so the imputation path is oracle-covered for every
-    group.  Shape: one rank window per group over NON-NULL rows only
-    + a group-sized broadcast join-back; the imputed flag rides along
-    for downstream leakage audits."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "event_id", "event_type",
-        F.when(F.col("event_id") % 7 == 0, F.lit(None))
-        .otherwise(F.floor(F.col("value") * 100 + 0.5).cast("long"))
-        .alias("v"))
-    nn = e.filter(F.col("v").isNotNull())
-    w = Window.partitionBy("event_type").orderBy("v")
-    p = (nn.withColumn("rn", F.row_number().over(w))
-         .withColumn("n", F.count(F.lit(1)).over(
-             Window.partitionBy("event_type"))))
-    med = (p.groupBy("event_type")
-           .agg(((F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
-                               F.col("v")).otherwise(None)
-                        .cast("double"))
-                  + F.max(F.when(F.col("rn") == F.expr("(n + 2) div 2"),
-                                 F.col("v")).otherwise(None)))
-                 / 2.0).alias("med")))
-    return (e.join(F.broadcast(med), "event_type")
-            .select("event_id", "event_type",
-                    F.coalesce(F.col("v").cast("double"), F.col("med"))
-                    .alias("v_imputed"),
-                    F.when(F.col("v").isNull(), 1).otherwise(0)
-                    .cast("int").alias("was_imputed")))
-
-
-@q("feature_target_encode_loo", """
-WITH e AS (
-  SELECT o_orderkey, o_orderpriority AS cat,
-         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
-  FROM orders),
-g AS (SELECT cat, SUM(y) AS s, COUNT(*) AS n FROM e GROUP BY cat)
-SELECT o_orderkey, cat,
-       CASE WHEN n > 1 THEN CAST(s - y AS DOUBLE) / (n - 1) END AS te_loo
-FROM e JOIN g USING (cat)""")
-def feature_target_encode_loo(spark, sf_dir):
-    """Leave-one-out target encoding — the high-cardinality-categorical
-    feature with the leakage correction done in closed form: each
-    row's encoding is (Σ_group y − y_own)/(n_group − 1), so a row
-    never sees its own target (the naive group-mean join leaks and
-    overfits; the naive per-row recompute is O(N·groups)).  ONE
-    hash-agg to group sufficient stats + a group-sized broadcast
-    join-back; the encoding is exact int cents and one IEEE division,
-    engine-identical without rounding.  Singleton groups yield NULL
-    (no peer signal) rather than a leaked self-mean."""
-    o = load_table(spark, sf_dir, "orders")
-    e = o.select("o_orderkey", F.col("o_orderpriority").alias("cat"),
-                 F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-                 .alias("y"))
-    g = e.groupBy("cat").agg(F.sum("y").alias("s"),
-                             F.count(F.lit(1)).alias("n"))
-    return (e.join(F.broadcast(g), "cat")
-            .select("o_orderkey", "cat",
-                    F.when(F.col("n") > 1,
-                           (F.col("s") - F.col("y")).cast("double")
-                           / (F.col("n") - 1)).alias("te_loo")))
-
-
-@q("sample_class_balanced", """
-WITH e AS (
-  SELECT event_id, event_type,
-         (((event_id % 1000003 + 1000003) % 1000003) * 2654435761)
-           % 1000003 AS hk
-  FROM events),
-cc AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY event_type),
-nm AS (SELECT MIN(n) AS n_min FROM cc),
-r AS (SELECT event_id, event_type,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY hk, event_id) AS rn
-      FROM e)
-SELECT r.event_id, r.event_type
-FROM r, nm WHERE r.rn <= nm.n_min""")
-def sample_class_balanced(spark, sf_dir):
-    """Deterministic class-balanced downsample — every label keeps
-    exactly n_min rows (the minority-class count), selected by the
-    corpus-stable Knuth hash so membership is a pure function of the
-    id (reproducible across reruns/partitionings/engines; rand()-based
-    balancing is not).  The per-class rank filter rides the
-    WindowGroupLimit pattern of sample_per_group_bottomk — except the
-    limit is data-dependent (n_min via a 1-row broadcast), so the
-    filter applies post-window; the window is still keyed per class,
-    never a global sort."""
-    ev = load_table(spark, sf_dir, "events")
-    hk = F.pmod(F.pmod(F.col("event_id").cast("long"), F.lit(1000003))
-                * F.lit(2654435761 % 1000003), F.lit(1000003))
-    e = ev.select("event_id", "event_type", hk.alias("__hk"))
-    nm = (e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-          .agg(F.min("n").alias("__n_min")))
-    w = Window.partitionBy("event_type").orderBy("__hk", "event_id")
-    return (e.withColumn("__rn", F.row_number().over(w))
-            .join(F.broadcast(nm))
-            .filter(F.col("__rn") <= F.col("__n_min"))
-            .select("event_id", "event_type"))
-
-
-@q("split_temporal_purged", """
-WITH e AS (
-  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-18' THEN 'train'
-              WHEN CAST(ts AS DATE) >= DATE '2024-01-20' THEN 'test'
-              ELSE 'purged' END AS split,
-         epoch_us(ts) AS us
-  FROM events)
-SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(MIN(us) AS BIGINT) AS min_us,
-       CAST(MAX(us) AS BIGINT) AS max_us
-FROM e GROUP BY split""")
-def split_temporal_purged(spark, sf_dir):
-    """Purged temporal train/test split — the financial-ML split
-    discipline (de Prado's purging): a 2-day embargo BETWEEN train and
-    test is dropped so that features with trailing windows (the
-    velocity/decay entries) cannot straddle the boundary and leak
-    test-period information into training rows.  Map-only labeling;
-    the oracle pins each split's row count and exact epoch-µs
-    boundaries, which is the property that matters (no event on the
-    wrong side).  The summary shape keeps the entry compact; the
-    per-row labeling is the same CASE expression."""
-    ev = load_table(spark, sf_dir, "events")
-    day = F.to_date("ts")
-    split = (F.when(day < F.lit("2024-01-18").cast("date"), "train")
-             .when(day >= F.lit("2024-01-20").cast("date"), "test")
-             .otherwise("purged"))
-    return (ev.select(split.alias("split"),
-                      F.expr("unix_micros(cast(ts as timestamp))")
-                      .alias("us"))
-            .groupBy("split")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                 F.min("us").cast("long").alias("min_us"),
-                 F.max("us").cast("long").alias("max_us")))
-
-
-@q("ml_ols_closed_form", """
-WITH f AS (
-  SELECT CAST(epoch_us(ts) // 86400000000 - 19723 AS BIGINT) AS x1,
-         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS x2,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
-  FROM events),
-s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
-         CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
-         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
-         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
-         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
-         CAST(SUM(x2 * y) AS BIGINT) AS s2y
-  FROM f),
-d AS (
-  SELECT n, s1, s2, sy, s11, s12, s22, s1y, s2y,
-    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22
-                         - CAST(s12 AS DOUBLE) * s12)
-    - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22
-                            - CAST(s12 AS DOUBLE) * s2)
-    + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12
-                            - CAST(s11 AS DOUBLE) * s2) AS det
-  FROM s)
-SELECT CAST(n AS BIGINT) AS n,
-  ROUND((CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22
-                               - CAST(s12 AS DOUBLE) * s12)
-         - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
-                                 - CAST(s12 AS DOUBLE) * s2y)
-         + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12
-                                 - CAST(s11 AS DOUBLE) * s2y))
-        / det, 6) + 0 AS beta0,
-  ROUND((CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
-                              - CAST(s12 AS DOUBLE) * s2y)
-         - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22
-                                 - CAST(s12 AS DOUBLE) * s2)
-         + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
-                                 - CAST(s1y AS DOUBLE) * s2))
-        / det, 6) + 0 AS beta1,
-  ROUND((CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y
-                              - CAST(s1y AS DOUBLE) * s12)
-         - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
-                                 - CAST(s1y AS DOUBLE) * s2)
-         + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12
-                                 - CAST(s11 AS DOUBLE) * s2))
-        / det, 6) + 0 AS beta2
-FROM d""")
-def ml_ols_closed_form(spark, sf_dir):
-    """Distributed ordinary least squares in closed form — cents ~
-    day-index + hour-of-day: the 100 TB regression shape is ONE
-    map-side-combined aggregation to the 9 exact-int64 sufficient
-    statistics (n, Σx, Σxxᵀ, Σxy — feature magnitudes bound every sum
-    far below 2⁶³), then the 3×3 normal equations solve by CRAMER'S
-    RULE as a row-local expression — no driver linear algebra, no
-    iterations, no collect beyond the single stats row.  Cross-engine
-    exactness: the determinant expressions are WRITTEN IDENTICALLY on
-    both sides over identical exact ints, so the doubles agree to the
-    last ulp before the canon-zero 6-decimal round.  (The d×d general
-    case is embed_pca_planted_axis's Gram machinery + a driver solve;
-    Cramer is the no-driver special case every fixed-small-d
-    regression should use.)"""
-    ev = load_table(spark, sf_dir, "events")
-    f = ev.select(
-        (F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
-         - 19723).alias("x1"),
-        F.expr("pmod(unix_micros(cast(ts as timestamp)) div 3600000000, 24)")
-        .alias("x2"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"))
-    s = f.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
-        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
-        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
-        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).alias("s2y"))
-    c = {k: F.col(k).cast("double") for k in
-         ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")}
-    det = (c["n"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
-           - c["s1"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
-           + c["s2"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"]))
-    b0 = (c["sy"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
-          - c["s1"] * (c["s1y"] * c["s22"] - c["s12"] * c["s2y"])
-          + c["s2"] * (c["s1y"] * c["s12"] - c["s11"] * c["s2y"]))
-    b1 = (c["n"] * (c["s1y"] * c["s22"] - c["s12"] * c["s2y"])
-          - c["sy"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
-          + c["s2"] * (c["s1"] * c["s2y"] - c["s1y"] * c["s2"]))
-    b2 = (c["n"] * (c["s11"] * c["s2y"] - c["s1y"] * c["s12"])
-          - c["s1"] * (c["s1"] * c["s2y"] - c["s1y"] * c["s2"])
-          + c["sy"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"]))
-    return s.select(
-        F.col("n").cast("long").alias("n"),
-        (F.round(b0 / det, 6) + 0).alias("beta0"),
-        (F.round(b1 / det, 6) + 0).alias("beta1"),
-        (F.round(b2 / det, 6) + 0).alias("beta2"))
-
-
-@q("stream_batch_unified", """
-SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY day""")
-def stream_batch_unified(spark, sf_dir):
-    """Kappa-style stream/batch unification: history is a batch read
-    (days before the cutover), the live path REPLAYS the stream from
-    one day BEFORE the cutover (the deliberate overlap every
-    at-least-once handoff has) through a real foreachBatch parquet
-    sink, and the unified view dedups the overlap by event id
-    (first-arrival) before aggregating.  The oracle is the plain
-    batch aggregate over the WHOLE table — equality proves the
-    handoff loses nothing and double-counts nothing, the two failure
-    modes of a batch→stream cutover.  The live path stays distributed
-    end-to-end (micro-batches append to files; nothing corpus-sized
-    crosses the driver)."""
-    import time as _time
-
-    from aws_etl_bank_spark.plans.registry_llm import _events_stream_dir
-    from aws_etl_bank_spark.sources.testdata import events_stream
-    from aws_etl_bank_spark.streaming import for_each_batch
-
-    cut = F.lit("2024-01-16").cast("date")
-    ev = load_table(spark, sf_dir, "events")
-    hist = (ev.filter(F.to_date("ts") < cut)
-            .select("event_id", F.to_date("ts").alias("day")))
-    sink = _scratch(sf_dir, f"kappa_sink_{int(_time.time() * 1000)}")
-
-    def handle(batch_df, batch_id):
-        (batch_df.filter(F.to_date("ts") >= F.date_sub(cut, 1))
-         .select("event_id", F.to_date("ts").alias("day"))
-         .write.mode("append").parquet(sink))
-
-    stream = events_stream(spark, _events_stream_dir(sf_dir))
-    for_each_batch(stream, handle, {
-        "windowSize": "1 seconds",
-        "checkpointLocation": _scratch(
-            sf_dir, f"kappa_ckpt_{int(_time.time() * 1000)}"),
-        "availableNow": True,
-    })
-    live = spark.read.parquet(sink)
-    return (hist.unionByName(live)
-            .dropDuplicates(["event_id"])
-            .groupBy("day")
-            .agg(F.count(F.lit(1)).cast("long").alias("n")))
-
-
-@q("agg_mode_per_group", """
-WITH c AS (
-  SELECT user_id, event_type, COUNT(*) AS n
-  FROM events GROUP BY user_id, event_type),
-r AS (
-  SELECT user_id, event_type, n,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY n DESC, event_type) AS rn
-  FROM c)
-SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
-FROM r WHERE rn = 1""")
-def agg_mode_per_group(spark, sf_dir):
-    """Exact per-group mode with a DETERMINISTIC tie-break — each
-    user's most frequent event type, ties to the lexicographically
-    first (engine `mode()` tie behavior is undefined, which is why it
-    never appears here).  Two-level shape: value counts first (one
-    map-side-combined hash-agg — the (group, value) frame is the
-    small one), then max_by over the counted rows; the rank filter
-    rides WindowGroupLimit so only one row per group survives the
-    second exchange."""
-    ev = load_table(spark, sf_dir, "events")
-    c = (ev.groupBy("user_id", "event_type")
-         .agg(F.count(F.lit(1)).alias("n")))
-    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
-    return (c.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("user_id", F.col("event_type").alias("mode_type"),
-                    F.col("n").cast("long").alias("n")))
-
-
-@q("join_interval_overlap", """
-WITH s AS (
-  SELECT user_id, CAST(ts AS DATE) AS day,
-         MIN(epoch_us(ts)) AS lo,
-         MIN(epoch_us(ts)) + 300000000 AS hi
-  FROM events GROUP BY user_id, CAST(ts AS DATE)),
-p AS (
-  SELECT a.day AS day, a.user_id AS u1, b.user_id AS u2
-  FROM s a JOIN s b
-    ON b.day = a.day AND a.user_id < b.user_id
-   AND a.lo <= b.hi AND b.lo <= a.hi)
-SELECT day, CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs
-FROM p GROUP BY day""")
-def join_interval_overlap(spark, sf_dir):
-    """INTERVAL × INTERVAL overlap join — which users' 5-minute
-    session-start windows were concurrently active each day — the
-    two-sided generalization of
-    the point-probe range join (operators/joins.py range_join): both
-    sides are intervals, so neither can be bucketized away
-    one-sidedly.  Scale shape: each day-session explodes to the HOUR
-    BUCKETS it covers (bounded ≤ 24× — the banding trick), candidate
-    pairs come from an equi-join on (day, bucket), duplicates from
-    multi-bucket overlaps collapse with a distinct, and the exact
-    lo ≤ hi' ∧ lo' ≤ hi predicate verifies candidates — never a
-    non-equi nested-loop over sessions² (no BNLJ, plan-asserted in
-    tests).  The oracle does the naive quadratic interval join —
-    checking the banded plan against the definition.  The 5-minute
-    fixture keeps the TRUE overlap density sparse at every SF (a
-    whole-day-interval fixture degenerates to all-pairs — output
-    quadratic in users, which no join strategy can save; interval
-    joins are only meaningful when overlap is selective)."""
-    ev = load_table(spark, sf_dir, "events")
-    s = (ev.select("user_id", F.to_date("ts").alias("day"),
-                   F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
-         .groupBy("user_id", "day")
-         .agg(F.min("us").alias("lo"),
-              (F.min("us") + 300_000_000).alias("hi")))
-    hour = 3_600_000_000
-    b = s.select(
-        "user_id", "day", "lo", "hi",
-        F.explode(F.sequence(F.expr(f"lo div {hour}"),
-                             F.expr(f"hi div {hour}"))).alias("bucket"))
-    a2, b2 = b.alias("a"), b.alias("b")
-    cand = (a2.join(b2, (F.col("b.day") == F.col("a.day"))
-                    & (F.col("b.bucket") == F.col("a.bucket"))
-                    & (F.col("a.user_id") < F.col("b.user_id")))
-            .filter((F.col("a.lo") <= F.col("b.hi"))
-                    & (F.col("b.lo") <= F.col("a.hi")))
-            .select(F.col("a.day").alias("day"),
-                    F.col("a.user_id").alias("u1"),
-                    F.col("b.user_id").alias("u2"))
-            .distinct())
-    return (cand.groupBy("day")
-            .agg(F.count(F.lit(1)).cast("long")
-                 .alias("n_overlapping_pairs")))
-
-
-@q("agg_weighted_median", """
-WITH e AS (
-  SELECT event_type,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
-         CAST(1 + user_id % 5 AS BIGINT) AS w
-  FROM events),
-r AS (
-  SELECT event_type, v, w,
-         SUM(w) OVER (PARTITION BY event_type ORDER BY v, w
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cw,
-         SUM(w) OVER (PARTITION BY event_type) AS tw
-  FROM e)
-SELECT event_type,
-       CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
-           AS weighted_median_cents,
-       CAST(MAX(tw) AS BIGINT) AS total_weight
-FROM r GROUP BY event_type""")
-def agg_weighted_median(spark, sf_dir):
-    """Exact weighted median per group — the lower weighted median
-    (smallest v whose cumulative weight reaches half the total), the
-    definition that needs NO interpolation and therefore no
-    engine-specific percentile semantics: one keyed sort window for
-    the running weight, one whole-group window for the total (both
-    share the partition exchange), and a conditional-min aggregate
-    picks the answer.  All arithmetic exact int64 (cents, integer
-    weights, 2·cw ≥ tw instead of cw ≥ tw/2 — no division at all).
-    Deterministic under ties via the (v, w) sort; weights here derive
-    from user_id so the fixture is reproducible."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
-        (1 + F.col("user_id") % 5).cast("long").alias("w"))
-    wcum = (Window.partitionBy("event_type").orderBy("v", "w")
-            .rowsBetween(Window.unboundedPreceding, 0))
-    wtot = Window.partitionBy("event_type")
-    r = (e.withColumn("cw", F.sum("w").over(wcum))
-         .withColumn("tw", F.sum("w").over(wtot)))
-    return (r.groupBy("event_type")
-            .agg(F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
-                 .cast("long").alias("weighted_median_cents"),
-                 F.max("tw").cast("long").alias("total_weight")))
-
-
-@q("ts_autocorrelation", """
-WITH h AS (
-  SELECT event_type,
-         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
-         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
-  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000),
-p AS (
-  SELECT event_type, s AS x,
-         lead(s) OVER (PARTITION BY event_type ORDER BY hr) AS y
-  FROM h),
-st AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y * y) AS BIGINT) AS syy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
-  FROM p WHERE y IS NOT NULL GROUP BY event_type)
-SELECT event_type, n,
-  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-        / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-               * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
-        6) + 0 AS acf_lag1
-FROM st""")
-def ts_autocorrelation(spark, sf_dir):
-    """Lag-1 autocorrelation of each event type's hourly totals — the
-    first statistic of any forecasting/seasonality screen ("is this
-    series even autocorrelated?"), computed the cross-engine-exact
-    way: hourly cent sums are exact int64, the lag pairs come from one
-    keyed window, and the Pearson correlation is assembled from exact
-    integer sufficient statistics (N·Σxy − ΣxΣy form — the same
-    no-streaming-variance rule as ts_seasonal_strength), with floats
-    only in the final per-group expression (IEEE mult/sub/div/sqrt —
-    no libm), canon-zero rounded.  Two map-side-combined hash-aggs +
-    one keyed sort shared by the lag window."""
-    ev = load_table(spark, sf_dir, "events")
-    h = (ev.select("event_type",
-                   F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
-                   .alias("hr"),
-                   F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"))
-         .groupBy("event_type", "hr").agg(F.sum("v").alias("s")))
-    w = Window.partitionBy("event_type").orderBy("hr")
-    p = (h.select("event_type", F.col("s").alias("x"),
-                  F.lead("s").over(w).alias("y"))
-         .filter(F.col("y").isNotNull()))
-    st = p.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"))
-    c = {k: F.col(k).cast("double")
-         for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
-    acf = ((c["n"] * c["sxy"] - c["sx"] * c["sy"])
-           / F.sqrt((c["n"] * c["sxx"] - c["sx"] * c["sx"])
-                    * (c["n"] * c["syy"] - c["sy"] * c["sy"])))
-    return st.select("event_type", F.col("n").cast("long").alias("n"),
-                     (F.round(acf, 6) + 0).alias("acf_lag1"))
-
-
-@q("stream_ohlc_incremental", """
-WITH r AS (
-  SELECT event_type, epoch_us(ts) // 86400000000 AS bucket, value,
-         row_number() OVER (PARTITION BY event_type,
-                                         epoch_us(ts) // 86400000000
-                            ORDER BY ts, event_id) AS rn
-  FROM events)
-SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
-       ROUND(min_by(value, rn), 2) AS open,
-       ROUND(MAX(value), 2) AS high,
-       ROUND(MIN(value), 2) AS low,
-       ROUND(max_by(value, rn), 2) AS close,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM r GROUP BY event_type, bucket""")
-def stream_ohlc_incremental(spark, sf_dir):
-    """Streaming OHLC candles — ts_ohlc_bucket's mergeable form:
-    open/close look order-dependent (the disqualifier for naive
-    incremental aggregation), but each micro-batch's partial
-    (argmin/argmax of value OVER THE EVENT-TIME KEY (ts, event_id),
-    plus min/max/count) IS decomposable: cross-batch merge is the
-    same min_by/max_by over the partials' keys, so candles stream
-    with per-(type, bucket) state of five scalars — no raw-row state,
-    no arrival-order dependence (proof: events arrive in file order,
-    not time order, and the result still hash-matches the BATCH
-    oracle, shared verbatim with ts_ohlc_bucket)."""
-    import time as _time
-
-    import pyspark.sql.types as T
-
-    from aws_etl_bank_spark.plans.registry_llm import _events_stream_dir
-    from aws_etl_bank_spark.sources.testdata import events_stream
-    from aws_etl_bank_spark.streaming import for_each_batch
-
-    def partials(df):
-        bucket = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
-        key = F.struct(F.col("ts"), F.col("event_id"))
-        return (df.withColumn("bucket", bucket)
-                .groupBy("event_type", "bucket")
-                .agg(F.expr("min_by(struct(ts, event_id, value), "
-                            "struct(ts, event_id))").alias("o"),
-                     F.max("value").alias("high"),
-                     F.min("value").alias("low"),
-                     F.expr("max_by(struct(ts, event_id, value), "
-                            "struct(ts, event_id))").alias("c"),
-                     F.count(F.lit(1)).alias("n")))
-
-    collected: list = []
-
-    def handle(batch_df, batch_id):
-        collected.extend(partials(batch_df).collect())
-
-    stream = events_stream(spark, _events_stream_dir(sf_dir))
-    for_each_batch(stream, handle, {
-        "windowSize": "1 seconds",
-        "checkpointLocation": _scratch(
-            sf_dir, f"ohlc_ckpt_{int(_time.time() * 1000)}"),
-        "availableNow": True,
-    })
-    key_t = T.StructType([T.StructField("ts", T.TimestampType()),
-                          T.StructField("event_id", T.LongType()),
-                          T.StructField("value", T.DoubleType())])
-    schema = T.StructType([
-        T.StructField("event_type", T.StringType()),
-        T.StructField("bucket", T.LongType()),
-        T.StructField("o", key_t), T.StructField("high", T.DoubleType()),
-        T.StructField("low", T.DoubleType()), T.StructField("c", key_t),
-        T.StructField("n", T.LongType())])
-    parts = spark.createDataFrame(collected, schema)
-    merged = (parts.groupBy("event_type", "bucket")
-              .agg(F.expr("min_by(o, struct(o.ts, o.event_id))").alias("o"),
-                   F.max("high").alias("high"), F.min("low").alias("low"),
-                   F.expr("max_by(c, struct(c.ts, c.event_id))").alias("c"),
-                   F.sum("n").alias("n")))
-    return merged.select(
-        "event_type", F.col("bucket").cast("long").alias("bucket"),
-        F.round(F.col("o.value"), 2).alias("open"),
-        F.round("high", 2).alias("high"), F.round("low", 2).alias("low"),
-        F.round(F.col("c.value"), 2).alias("close"),
-        F.col("n").cast("long").alias("n"))
-
-
-@q("csv_malformed_policy", """
-SELECT
-  CAST((SELECT COUNT(*) FROM customer WHERE c_custkey <= 1000)
-       AS BIGINT) AS n_permissive,
-  CAST((SELECT COUNT(*) FROM customer
-        WHERE c_custkey <= 1000 AND c_custkey % 10 = 0)
-       AS BIGINT) AS n_corrupt,
-  CAST((SELECT COUNT(*) FROM customer
-        WHERE c_custkey <= 1000 AND c_custkey % 10 <> 0)
-       AS BIGINT) AS n_dropmalformed,
-  CAST((SELECT SUM(c_custkey * 2) FROM customer
-        WHERE c_custkey <= 1000 AND c_custkey % 10 <> 0)
-       AS BIGINT) AS sum_amount_good""")
-def csv_malformed_policy(spark, sf_dir):
-    """CSV malformed-record policies end-to-end (the mode= /
-    columnNameOfCorruptRecord contract of the CSV source): a landing
-    file is written DISTRIBUTED (lines via write.text — no driver
-    loop) with every 10th record's numeric field corrupted, then read
-    back under an enforced schema in PERMISSIVE mode (row count
-    preserved, corrupt originals captured in the rescue column — the
-    audit-trail the banking raw zone wants) and DROPMALFORMED mode
-    (bad rows vanish).  The oracle derives all four counts and the
-    good-row checksum from the source table — a policy regression
-    (silent row loss in PERMISSIVE, leakage in DROPMALFORMED, a
-    miscounted rescue column) moves a number."""
-    import time as _time
-
-    cust = (load_table(spark, sf_dir, "customer")
-            .filter(F.col("c_custkey") <= 1000))
-    lines = cust.select(F.when(
-        F.col("c_custkey") % 10 == 0,
-        F.concat_ws(",", F.col("c_custkey").cast("string"),
-                    F.lit("not-a-number")))
-        .otherwise(F.concat_ws(",", F.col("c_custkey").cast("string"),
-                               (F.col("c_custkey") * 2).cast("string")))
-        .alias("value"))
-    path = _scratch(sf_dir, f"csv_malformed_{int(_time.time() * 1000)}")
-    lines.write.mode("overwrite").text(path)
-    schema = "id long, amount long, _corrupt string"
-    # Spark forbids referencing the rescue column on the raw CSV
-    # relation (it would need a second parse with different semantics);
-    # the documented contract is to cache the parsed rows first
-    perm = (spark.read.schema(schema)
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", "_corrupt")
-            .csv(path).cache())
-    perm_agg = perm.agg(
-        F.count(F.lit(1)).alias("n_permissive"),
-        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
-        .alias("n_corrupt"))
-    drop = (spark.read.schema("id long, amount long")
-            .option("mode", "DROPMALFORMED").csv(path))
-    drop_agg = drop.agg(F.count(F.lit(1)).alias("n_dropmalformed"),
-                        F.sum("amount").alias("sum_amount_good"))
-    return (perm_agg.crossJoin(drop_agg)
-            .select(F.col("n_permissive").cast("long"),
-                    F.col("n_corrupt").cast("long"),
-                    F.col("n_dropmalformed").cast("long"),
-                    F.col("sum_amount_good").cast("long")))
-
-
-@q("funnel_time_to_convert", """
-WITH v AS (
-  SELECT user_id, MIN(epoch_us(ts)) AS v_us
-  FROM events WHERE event_type = 'view' GROUP BY user_id),
-p AS (
-  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
-  FROM events e JOIN v ON v.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
-  GROUP BY e.user_id),
-d AS (
-  SELECT (p.p_us - v.v_us) // 1000000 AS ttc_s
-  FROM v JOIN p ON p.user_id = v.user_id),
-r AS (
-  SELECT ttc_s,
-         row_number() OVER (ORDER BY ttc_s) AS rn,
-         COUNT(*) OVER () AS n
-  FROM d)
-SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
-  CAST((MAX(CASE WHEN rn = (n + 1) // 2 THEN ttc_s END)
-        + MAX(CASE WHEN rn = (n + 2) // 2 THEN ttc_s END)) / 2.0
-       AS DOUBLE) AS median_ttc_s,
-  CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN ttc_s END) AS BIGINT)
-      AS p90_ttc_s
-FROM r""")
-def funnel_time_to_convert(spark, sf_dir):
-    """Funnel latency — seconds from a user's FIRST view to their first
-    purchase at-or-after it, summarized as median and p90 (both
-    rank-picked over exact integer seconds — the engine-independent
-    percentile recipe, no interpolation semantics).  Shape: two
-    filtered aggregations joined per user (the funnel_stages chained-
-    min pattern), epoch-µs integer arithmetic, then one bounded
-    ranking over the CONVERTED-USERS frame (users-sized, not
-    events-sized; at 100 TB the rank window keys would move to the
-    two-pass top_fraction histogram if converters outgrew a
-    partition).  The p90 pick is ⌈0.9·n⌉ = (9n+9)//10 — closed-form
-    integer rank on both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    us = F.expr("unix_micros(cast(ts as timestamp))")
-    v = (ev.filter(F.col("event_type") == "view")
-         .select("user_id", us.alias("us"))
-         .groupBy("user_id").agg(F.min("us").alias("v_us")))
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .select("user_id", us.alias("us"))
-         .join(v, "user_id")
-         .filter(F.col("us") >= F.col("v_us"))
-         .groupBy("user_id").agg(F.min("us").alias("p_us")))
-    d = (v.join(p, "user_id")
-         .select(F.expr("(p_us - v_us) div 1000000").alias("ttc_s")))
-    w = Window.orderBy("ttc_s")
-    r = (d.withColumn("rn", F.row_number().over(w))
-         .withColumn("n", F.count(F.lit(1)).over(
-             Window.partitionBy())))
-    return r.agg(
-        F.max("n").cast("long").alias("n_converted"),
-        ((F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
-                       F.col("ttc_s")))
-          + F.max(F.when(F.col("rn") == F.expr("(n + 2) div 2"),
-                         F.col("ttc_s")))) / 2.0)
-        .cast("double").alias("median_ttc_s"),
-        F.max(F.when(F.col("rn") == F.expr("(n * 9 + 9) div 10"),
-                     F.col("ttc_s"))).cast("long").alias("p90_ttc_s"))
-
-
-@q("agg_gini_concentration", """
-WITH x AS (
-  SELECT o_custkey,
-         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-              AS BIGINT) AS v
-  FROM orders GROUP BY o_custkey),
-r AS (
-  SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS i FROM x),
-s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(v) AS BIGINT) AS sv,
-         CAST(SUM(i * v) AS BIGINT) AS siv
-  FROM r)
-SELECT n,
-       ROUND((2.0 * CAST(siv AS DOUBLE)
-              / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)))
-             - (CAST(n AS DOUBLE) + 1.0) / n, 6) + 0 AS gini
-FROM s""")
-def agg_gini_concentration(spark, sf_dir):
-    """Gini coefficient of customer spending — the concentration /
-    inequality metric behind exposure and AML reporting ("what share
-    of volume sits with the top accounts?").  Exact closed form over
-    sorted ranks: G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n with x ascending —
-    rank and both sums are exact int64 (i·v ≤ 10⁵·10¹⁰ per term),
-    floats only in the final expression, canon-zero rounded.  The
-    rank is a single global sort window over the CUSTOMER aggregate
-    (customers-sized, not orders-sized — the bounded-window
-    exception); ``agg_gini_concentration_hist`` is the PROVEN
-    billions-of-customers form — identical output, rank from the
-    two-pass histogram machinery instead of one task."""
-    o = load_table(spark, sf_dir, "orders")
-    x = (o.groupBy("o_custkey")
-         .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
-                    .cast("long")).alias("v")))
-    w = Window.orderBy("v", "o_custkey")
-    r = x.withColumn("i", F.row_number().over(w))
-    s = r.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
-              F.sum(F.col("i") * F.col("v")).alias("siv"))
-    gini = ((2.0 * F.col("siv").cast("double")
-             / (F.col("n").cast("double") * F.col("sv").cast("double")))
-            - (F.col("n").cast("double") + 1.0) / F.col("n"))
-    return s.select(F.col("n").cast("long").alias("n"),
-                    (F.round(gini, 6) + 0).alias("gini"))
-
-
-@q("agg_gini_concentration_hist", """
-WITH x AS (
-  SELECT o_custkey,
-         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-              AS BIGINT) AS v
-  FROM orders GROUP BY o_custkey),
-r AS (
-  SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS i FROM x),
-s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(v) AS BIGINT) AS sv,
-         CAST(SUM(i * v) AS BIGINT) AS siv
-  FROM r)
-SELECT n,
-       ROUND((2.0 * CAST(siv AS DOUBLE)
-              / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)))
-             - (CAST(n AS DOUBLE) + 1.0) / n, 6) + 0 AS gini
-FROM s""")
-def agg_gini_concentration_hist(spark, sf_dir):
-    """The billions-of-customers Gini — identical output to
-    ``agg_gini_concentration`` (same oracle), but the ascending rank
-    comes from ``bucketed_global_rank`` (functions/scale.py): an
-    equi-width histogram of the cent totals prefix-sums to per-cell
-    rank offsets (≤4096 driver rows, never data) and ``row_number``
-    runs per cell in parallel — no single-task corpus sort anywhere in
-    the plan.  The sibling proves the scale path the plain entry's
-    docstring names, the way ``fact_snapshot_split`` proves the
-    flagship's (r8 verdict item 4).  Rank and both sums stay exact
-    int64; floats only in the final expression, canon-zero rounded."""
-    from aws_etl_bank_spark.functions.scale import bucketed_global_rank
-
-    o = load_table(spark, sf_dir, "orders")
-    x = (o.groupBy("o_custkey")
-         .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
-                    .cast("long")).alias("v")))
-    r = bucketed_global_rank(x, "v", ["o_custkey"], out_col="i",
-                             descending=False)
-    s = r.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
-              F.sum(F.col("i") * F.col("v")).alias("siv"))
-    gini = ((2.0 * F.col("siv").cast("double")
-             / (F.col("n").cast("double") * F.col("sv").cast("double")))
-            - (F.col("n").cast("double") + 1.0) / F.col("n"))
-    return s.select(F.col("n").cast("long").alias("n"),
-                    (F.round(gini, 6) + 0).alias("gini"))
-
-
-@q("src_avro_datum_roundtrip", """
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
-FROM orders WHERE o_orderkey % 10 = 0""")
-def src_avro_datum_roundtrip(spark, sf_dir):
-    """Avro DATUM encode→decode roundtrip over the orders slice — the
-    Kafka/Glue ``unbox(format="avro")`` surface, newly REAL in this
-    sandbox: spark-avro's jar is absent, so sources/avro.py implements
-    the binary datum codec in pure Python (cross-checked byte-for-byte
-    against the org.apache.avro JVM reference in tests/test_avro.py)
-    and runs it Arrow-batched inside mapInPandas.  Each row serializes
-    to schema-less avro bytes, then decodes back through the same
-    jsonFormatSchema contract ``from_avro`` uses; the oracle sees the
-    identity, so any codec asymmetry (zigzag, unions, utf-8 lengths)
-    fails the hash.  Scale shape: two map-only Arrow passes, no
-    shuffle, no driver data."""
-    import json as _json
-
-    from aws_etl_bank_spark.sources.avro import (from_avro_datum,
-                                                 to_avro_datum)
-
-    schema = _json.dumps({
-        "type": "record", "name": "order", "fields": [
-            {"name": "o_orderkey", "type": "long"},
-            {"name": "o_custkey", "type": "long"},
-            {"name": "o_totalprice", "type": "double"},
-            {"name": "o_orderstatus", "type": ["null", "string"]}]})
-    o = (load_table(spark, sf_dir, "orders")
-         .filter(F.col("o_orderkey") % 10 == 0)
-         .select("o_orderkey", "o_custkey", "o_totalprice",
-                 "o_orderstatus"))
-    enc = to_avro_datum(
-        o, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
-        schema, out_col="payload")
-    dec = from_avro_datum(enc.select("payload"), "payload", schema,
-                          out_col="rec")
-    return dec.select(
-        F.col("rec.o_orderkey").alias("o_orderkey"),
-        F.col("rec.o_custkey").alias("o_custkey"),
-        F.col("rec.o_totalprice").alias("o_totalprice"),
-        F.col("rec.o_orderstatus").alias("o_orderstatus"))
-
-
-@q("src_avro_ocf_roundtrip", """
-SELECT s_suppkey, s_nationkey, s_acctbal, s_name
-FROM supplier""")
-def src_avro_ocf_roundtrip(spark, sf_dir):
-    """Avro Object Container File write→read through sources/avro.py:
-    ``write_avro`` emits one deflate-compressed OCF per partition via
-    mapInPandas (distributed, nothing collects), ``read_avro`` lists
-    the files with Spark's built-in binaryFile source and decodes each
-    partition Arrow-batched — per-file parallelism, the same split
-    granularity spark-avro itself achieves on deflate containers.  The
-    oracle is the identity on supplier, so header/metadata/sync-marker
-    or block-framing bugs fail the roundtrip, not just datum bugs."""
-    from aws_etl_bank_spark.sources.avro import read_avro, write_avro
-
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey", "s_acctbal", "s_name")
-    path = _scratch(sf_dir, "supplier_ocf")
-    write_avro(s.repartition(4), path, codec="deflate")
-    return read_avro(spark, path)
-
-
-@q("src_avro_logical_types", """
-SELECT event_id,
-       ts AS ts_us,
-       make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts_ms,
-       CAST(ts AS DATE) AS d
-FROM events WHERE event_id % 20 = 0""")
-def src_avro_logical_types(spark, sf_dir):
-    """Avro LOGICAL-type decode (r9 verdict task 6): timestamp-micros /
-    timestamp-millis (long) and date (int) roundtrip through the pure-
-    Python datum codec (sources/avro.py) as primitives, then
-    ``avro_logical_casts`` decorates them back to TIMESTAMP/DATE with
-    built-in JVM expressions (timestamp_micros / timestamp_millis /
-    date_from_unix_date) — the spark-avro decode-time mapping,
-    re-expressed as a codegen-friendly column cast so the codec stays
-    primitive.  The oracle recomputes the same truncations with DuckDB
-    epoch integer math (`// 1000` millis truncation; epoch micros stay
-    well inside int64).  Scale shape: two map-only Arrow passes + pure
-    expressions, no shuffle."""
-    import json as _json
-
-    from aws_etl_bank_spark.sources.avro import (avro_logical_casts,
-                                                 from_avro_datum,
-                                                 to_avro_datum)
-
-    schema_d = {
-        "type": "record", "name": "ev", "fields": [
-            {"name": "event_id", "type": "long"},
-            {"name": "ts_us",
-             "type": {"type": "long", "logicalType": "timestamp-micros"}},
-            {"name": "ts_ms",
-             "type": {"type": "long", "logicalType": "timestamp-millis"}},
-            {"name": "d", "type": {"type": "int", "logicalType": "date"}}]}
-    schema = _json.dumps(schema_d)
-    ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("event_id") % 20 == 0)
-          .select("event_id",
-                  F.col("ts").cast("timestamp").alias("t")))
-    src = ev.select(
-        "event_id",
-        F.unix_micros("t").alias("ts_us"),
-        F.expr("unix_micros(t) DIV 1000").alias("ts_ms"),
-        F.datediff(F.col("t").cast("date"),
-                   F.lit("1970-01-01").cast("date")).cast("int").alias("d"))
-    enc = to_avro_datum(src, ["event_id", "ts_us", "ts_ms", "d"],
-                        schema, out_col="payload")
-    dec = from_avro_datum(enc.select("payload"), "payload", schema,
-                          out_col="rec")
-    flat = dec.select("rec.event_id", "rec.ts_us", "rec.ts_ms", "rec.d")
-    return avro_logical_casts(flat, schema_d)
-
-
-@q("feature_quantile_normalize", """
-WITH r AS (
-  SELECT event_id, value,
-         row_number() OVER (ORDER BY value, event_id) AS rk
-  FROM events),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r)
-SELECT event_id, value,
-       ROUND((CAST(rk AS DOUBLE) - 1.0)
-             / (CAST(n.n AS DOUBLE) - 1.0), 6) + 0 AS q
-FROM r, n""")
-def feature_quantile_normalize(spark, sf_dir):
-    """Quantile (rank-gauss style) normalization of a feature over the
-    WHOLE corpus — the ML-preprocessing staple that naively needs
-    ``percent_rank() OVER ()``: a single-task window at 100 TB.  Here
-    the exact global rank comes from ``bucketed_global_rank``
-    (functions/scale.py: histogram cells → driver prefix-sum offsets →
-    per-cell row_number), so the output is bit-identical to the SQL
-    window form while every sort stays cell-local.  q = (rank−1)/(n−1)
-    is an IEEE-exact integer division, canon-zero rounded."""
-    from aws_etl_bank_spark.functions.scale import bucketed_global_rank
-
-    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    ranked = bucketed_global_rank(ev, "value", ["event_id"], out_col="rk")
-    n = ranked.agg(F.count(F.lit(1)).alias("n"))
-    return (ranked.crossJoin(F.broadcast(n))
-            .select("event_id", "value",
-                    (F.round((F.col("rk").cast("double") - 1.0)
-                             / (F.col("n").cast("double") - 1.0), 6) + 0)
-                    .alias("q")))
-
-
-@q("agg_rollup_hierarchy", """
-SELECT r_name, n_name,
-       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS lvl,
-       CAST(COUNT(c_custkey) AS BIGINT) AS n_cust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-FROM customer
-JOIN nation ON n_nationkey = c_nationkey
-JOIN region ON r_regionkey = n_regionkey
-GROUP BY ROLLUP(r_name, n_name)""")
-def agg_rollup_hierarchy(spark, sf_dir):
-    """ROLLUP along the region→nation hierarchy (the drill-down
-    companion of ``agg_cube_grouping``'s CUBE): per-nation, per-region
-    subtotal, and grand-total rows in ONE aggregation pass —
-    Catalyst expands the rollup into a single Expand+HashAggregate, so
-    the fact is scanned once however many levels roll up.  The two dims
-    broadcast; money sums in DECIMAL per the exactness rule;
-    grouping_id's bit layout (first rollup column = high bit) matches
-    GROUPING(r)*2+GROUPING(n) on the oracle side."""
-    c = load_table(spark, sf_dir, "customer")
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region")
-    j = (c.join(F.broadcast(nat),
-                c["c_nationkey"] == nat["n_nationkey"])
-         .join(F.broadcast(reg),
-               nat["n_regionkey"] == reg["r_regionkey"]))
-    return (j.rollup("r_name", "n_name")
-            .agg(F.grouping_id().cast("int").alias("lvl"),
-                 F.count("c_custkey").alias("n_cust"),
-                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-                 .cast("double").alias("total_bal"))
-            .select("r_name", "n_name", "lvl", "n_cust", "total_bal"))
-
-
-@q("label_time_to_event", """
-WITH u AS (
-  SELECT user_id,
-         MIN(ts) AS t0,
-         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
-  FROM events GROUP BY user_id)
-SELECT user_id,
-       CAST((epoch_us(CAST(COALESCE(tp, TIMESTAMP '2024-02-01') AS TIMESTAMP))
-             - epoch_us(CAST(t0 AS TIMESTAMP))) AS BIGINT) AS duration_us,
-       (tp IS NOT NULL) AS observed
-FROM u""")
-def label_time_to_event(spark, sf_dir):
-    """Survival-analysis label extraction: per user, the time from
-    first activity to first PURCHASE, right-censored at the horizon
-    (2024-02-01) when no purchase happened — the (duration, observed)
-    pair every churn/conversion hazard model trains on.  One hash-agg
-    over the fact (two conditional MINs — no sessionize, no window);
-    durations are unix_micros integer math (the engine-safe epoch
-    form), never second-truncating timestamp subtraction."""
-    ev = load_table(spark, sf_dir, "events")
-    u = (ev.groupBy("user_id")
-         .agg(F.min("ts").alias("t0"),
-              F.min(F.when(F.col("event_type") == "purchase",
-                           F.col("ts"))).alias("tp")))
-    horizon = F.lit("2024-02-01 00:00:00").cast("timestamp")
-    dur = (F.unix_micros(F.coalesce(F.col("tp").cast("timestamp"), horizon))
-           - F.unix_micros(F.col("t0").cast("timestamp")))
-    return u.select("user_id", dur.cast("long").alias("duration_us"),
-                    F.col("tp").isNotNull().alias("observed"))
-
-
-@q("fraud_round_amount_share", """
-WITH c AS (
-  SELECT o_custkey,
-         CAST(COUNT(*) AS BIGINT) AS n_orders,
-         CAST(SUM(CASE WHEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
-                            % 10000 = 0
-                       THEN 1 ELSE 0 END) AS BIGINT) AS n_round
-  FROM orders GROUP BY o_custkey)
-SELECT o_custkey, n_orders, n_round,
-       ROUND(CAST(n_round AS DOUBLE) / n_orders + 0.000000001, 4)
-         AS round_share,
-       (CAST(n_round AS DOUBLE) / n_orders >= 0.3) AS flagged
-FROM c""")
-def fraud_round_amount_share(spark, sf_dir):
-    """Round-amount structuring screen — the AML heuristic that flags
-    customers whose orders cluster on whole-hundred amounts (classic
-    smurfing tell).  Cents via the house ``floor(x·100+0.5)`` money
-    canon make "round" an exact integer predicate; the FLAG compares
-    the raw IEEE-exact ratio (never the rounded rendering — the
-    containment-fix convention), the displayed share gets the 1e-9
-    half-tie nudge.  One hash-agg, map-side combinable."""
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-    c = (o.groupBy("o_custkey")
-         .agg(F.count(F.lit(1)).alias("n_orders"),
-              F.sum(F.when(cents % 10000 == 0, 1).otherwise(0))
-              .cast("long").alias("n_round")))
-    raw = F.col("n_round").cast("double") / F.col("n_orders")
-    return c.select(
-        "o_custkey", "n_orders", "n_round",
-        F.round(raw + F.lit(1e-9), 4).alias("round_share"),
-        (raw >= 0.3).alias("flagged"))
-
-
-@q("agg_partial_merge", """
-SELECT o_custkey,
-       CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS cents,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM orders GROUP BY 1, 2""")
-def agg_partial_merge(spark, sf_dir):
-    """Re-aggregatable partial aggregates — the incremental-pipeline
-    pattern: DAILY (custkey, day) partials roll up to the MONTHLY
-    answer by summing sums and summing counts, proving the partial
-    state is mergeable (what lets a 100 TB daily job feed monthly
-    marts without rescanning the fact; the batch mirror of the
-    streaming OHLC/KMV incremental entries).  The oracle aggregates
-    the fact directly — any non-decomposable leak (an avg taken too
-    early, a count double-merged) breaks the hash.  Cents int64 per
-    the money canon."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = (o.groupBy("o_custkey",
-                       F.to_date("o_orderdate").alias("day"))
-             .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
-                        .cast("long")).alias("cents"),
-                  F.count(F.lit(1)).alias("n")))
-    return (daily.groupBy("o_custkey",
-                          F.trunc("day", "month").alias("month"))
-            .agg(F.sum("cents").cast("long").alias("cents"),
-                 F.sum("n").cast("long").alias("n")))
-
-
-@q("feature_quantile_normalize_grouped", """
-WITH r AS (
-  SELECT event_id, event_type, value,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY value, event_id) AS rk,
-         COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events)
-SELECT event_id, event_type, value,
-       ROUND((CAST(rk AS DOUBLE) - 1.0)
-             / (CAST(n AS DOUBLE) - 1.0), 6) + 0 AS q
-FROM r""")
-def feature_quantile_normalize_grouped(spark, sf_dir):
-    """PER-GROUP quantile normalization (value → within-event-type
-    quantile) via ``bucketed_rank_by_group`` (functions/scale.py): the
-    grouped rank machinery where per-group histogram offsets
-    prefix-sum in a ≤n_buckets-row window and row_number runs per
-    (group, cell) — so a HOT group's sort splits across its cells
-    instead of serializing one task, and NOTHING collects to the
-    driver (billions of groups are fine).  Group sizes come from the
-    same cell counts at zero extra cost.  Bit-identical to the
-    PARTITION BY window form the oracle runs."""
-    from pyspark.sql import Window as W
-
-    from aws_etl_bank_spark.functions.scale import bucketed_rank_by_group
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value")
-    ranked = bucketed_rank_by_group(ev, ["event_type"], "value",
-                                    ["event_id"], out_col="rk")
-    n = (ev.groupBy("event_type")
-         .agg(F.count(F.lit(1)).alias("n")))
-    # null-safe count join: groupBy (and the oracle's PARTITION BY)
-    # keep NULL event_type as a real group, a plain equi-join would
-    # drop its rows (r9 ADVICE, medium — same hole as the stats join
-    # inside bucketed_rank_by_group, fixed there too)
-    return (ranked.join(n, ranked["event_type"].eqNullSafe(n["event_type"]))
-            .select(ranked["event_id"], ranked["event_type"],
-                    ranked["value"],
-                    (F.round((F.col("rk").cast("double") - 1.0)
-                             / (F.col("n").cast("double") - 1.0), 6) + 0)
-                    .alias("q")))
-
-
-@q("win_dist_family_by_user", """
-SELECT event_id, user_id,
-       ROUND(percent_rank() OVER w + 0.000000001, 6) AS pr,
-       ROUND(cume_dist() OVER w + 0.000000001, 6) AS cd,
-       CAST(ntile(3) OVER w AS INT) AS tercile,
-       first_value(event_id) OVER w AS first_ev,
-       nth_value(event_id, 2) OVER w AS second_ev
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""")
-def win_dist_family_by_user(spark, sf_dir):
-    """The DISTRIBUTION window family (§2.5 completion next to the
-    rank/lead-lag family entry): percent_rank, cume_dist, ntile,
-    first_value and nth_value over per-user frames — one Window node,
-    one shuffle on user_id, every function sharing the same sort.
-    percent_rank/cume_dist are exact small-int divisions; the 1e-9
-    half-tie nudge canon applies to their 6-decimal rendering.
-    nth_value uses the default frame (unbounded preceding → current
-    row) on BOTH engines, so rows before the 2nd of their user are
-    NULL — frame semantics, not a quirk."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("value", "event_id")
-    return ev.select(
-        "event_id", "user_id",
-        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("pr"),
-        F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("cd"),
-        F.ntile(3).over(w).cast("int").alias("tercile"),
-        F.first("event_id").over(w).alias("first_ev"),
-        F.nth_value("event_id", 2).over(w).alias("second_ev"))
-
-
-@q("maintenance_compact_small_files", """
-SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier""")
-def maintenance_compact_small_files(spark, sf_dir):
-    """Small-files compaction — the table-maintenance chore every
-    100 TB lake runs nightly: a fragmented write (64 shards of a
-    supplier snapshot — the many-small-files pathology that slows
-    every downstream scan's task scheduling and footer reads) is
-    compacted by a size-targeted coalesce (ceil(bytes/128 MiB),
-    floor 1: coalesce NARROWS — no shuffle, files merge within
-    executors) and read back.  The oracle is the identity, so a
-    dropped or duplicated row in either write fails the hash; the
-    file counts before/after are asserted in tests, not here, to keep
-    the result deterministic."""
-    import math
-
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-    frag_path = _scratch(sf_dir, "supplier_fragmented")
-    s.repartition(64).write.mode("overwrite").parquet(frag_path)
-    frag = spark.read.parquet(frag_path)
-    total_bytes = sum(
-        f.stat().st_size for f in os.scandir(frag_path)
-        if f.name.endswith(".parquet"))
-    target = max(1, math.ceil(total_bytes / (128 * 1024 * 1024)))
-    out_path = _scratch(sf_dir, "supplier_compacted")
-    frag.coalesce(target).write.mode("overwrite").parquet(out_path)
-    return spark.read.parquet(out_path)
-
-
-@q("ts_rolling_median_k7", """
-WITH l AS (
-  SELECT event_id, user_id, ts, value,
-         list_sort(list(value) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id
-                                     ROWS BETWEEN 6 PRECEDING
-                                              AND CURRENT ROW)) AS win
-  FROM events)
-SELECT event_id, user_id,
-       CAST(len(win) AS INT) AS k,
-       CAST(win[(len(win) + 1) // 2] AS DOUBLE) AS rolling_median
-FROM l""")
-def ts_rolling_median_k7(spark, sf_dir):
-    """Rolling LOWER median of the last ≤7 events per user — the
-    robust-smoothing alternative to the rolling mean every
-    fraud/telemetry screen wants (one outlier can't move it).  Spark
-    has no percentile over sliding frames, but a BOUNDED frame makes
-    the array form exact and cheap: collect_list over the 7-row frame,
-    array_sort, pick element (k+1)/2 — per-row work is O(k log k) with
-    k pinned at 7, and the only shuffle is the user_id window's.  The
-    lower median is a VALUE PICK, never interpolation arithmetic, so
-    both engines agree bit-for-bit on doubles (the rank-picked canon
-    from the percentile entries)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(-6, 0))
-    arr = F.array_sort(F.collect_list("value").over(w))
-    k = F.size(arr)
-    return (ev.select(
-        "event_id", "user_id", arr.alias("win"), k.alias("k"))
-        .select("event_id", "user_id", F.col("k").cast("int").alias("k"),
-                F.element_at("win", F.floor((F.col("k") + 1) / 2)
-                             .cast("int"))
-                .cast("double").alias("rolling_median")))
-
-
-@q("quality_k_anonymity", """
-WITH g AS (
-  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS grp_n
-  FROM customer GROUP BY 1, 2)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-       CAST(MIN(grp_n) AS BIGINT) AS min_group,
-       CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
-         AS n_below_k,
-       ROUND(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
-             / CAST(SUM(grp_n) AS DOUBLE) + 0.000000001, 6)
-         AS share_below_k
-FROM g""")
-def quality_k_anonymity(spark, sf_dir):
-    """k-anonymity audit over the (nation, market-segment)
-    quasi-identifier — the privacy gate a bank runs before sharing a
-    dataset: how many customers sit in equivalence classes smaller
-    than k=5 (each one re-identifiable by the QI combination alone).
-    Two hash-aggs — QI-class counts, then a 1-row scorecard — the
-    100 TB scan reduces immediately; share rendered with the house
-    nudge-round."""
-    c = load_table(spark, sf_dir, "customer")
-    g = (c.groupBy("c_nationkey", "c_mktsegment")
-         .agg(F.count(F.lit(1)).alias("grp_n")))
-    below = F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)
-    return g.agg(
-        F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.min("grp_n").cast("long").alias("min_group"),
-        F.sum(below).cast("long").alias("n_below_k"),
-        F.round(F.sum(below).cast("double") / F.sum("grp_n")
-                + F.lit(1e-9), 6).alias("share_below_k"))
-
-
-@q("stream_avro_ingest", """
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS cents
-FROM events GROUP BY event_type""")
-def stream_avro_ingest(spark, sf_dir):
-    """Streaming ingest of Avro DATUM payloads — the Kafka topology
-    every bank runs (schema-less avro value bytes per message),
-    minus the broker: events serialize to avro payload files (our
-    pure-Python codec, sources/avro.py), a file stream replays them
-    in micro-batches, and each batch decodes via ``from_avro_datum``
-    inside foreachBatch before appending to the bronze sink.  The
-    oracle aggregates the ORIGINAL table, so the equality proves the
-    encode→stream→decode loop is lossless end-to-end, micro-batch
-    boundaries included.  Decode is Arrow-batched per micro-batch;
-    nothing corpus-sized crosses the driver."""
-    import json as _json
-    import time as _time
-
-    from aws_etl_bank_spark.sources.avro import (from_avro_datum,
-                                                 to_avro_datum)
-    from aws_etl_bank_spark.streaming import for_each_batch
-
-    schema = _json.dumps({
-        "type": "record", "name": "ev", "fields": [
-            {"name": "event_id", "type": "long"},
-            {"name": "event_type", "type": ["null", "string"]},
-            {"name": "value", "type": "double"}]})
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value")
-    src = _scratch(sf_dir, "avro_stream_src")
-    (to_avro_datum(ev, ["event_id", "event_type", "value"], schema,
-                   out_col="payload")
-     .select("payload").repartition(3)
-     .write.mode("overwrite").parquet(src))
-    sink = _scratch(sf_dir, f"avro_stream_sink_{int(_time.time() * 1000)}")
-
-    def handle(batch_df, batch_id):
-        dec = from_avro_datum(batch_df, "payload", schema, out_col="rec")
-        (dec.select(F.col("rec.event_type").alias("event_type"),
-                    F.col("rec.value").alias("value"))
-         .write.mode("append").parquet(sink))
-
-    stream = (spark.readStream.schema("payload binary")
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    for_each_batch(stream, handle, {
-        "windowSize": "1 seconds",
-        "checkpointLocation": _scratch(
-            sf_dir, f"avro_stream_ckpt_{int(_time.time() * 1000)}"),
-        "availableNow": True,
-    })
-    out = spark.read.parquet(sink)
-    return (out.groupBy("event_type")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
-                 .cast("long").alias("cents")))
-
-
-@q("catalog_analyze_columns", """
-WITH s AS (
-  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS v FROM orders
-  UNION ALL
-  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
-  UNION ALL
-  SELECT 'o_orderstatus', o_orderstatus FROM orders
-  UNION ALL
-  SELECT 'o_orderpriority', o_orderpriority FROM orders)
-SELECT col, CAST(COUNT(v) AS BIGINT) AS n_nonnull,
-       CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv
-FROM s GROUP BY col""")
-def catalog_analyze_columns(spark, sf_dir):
-    """ANALYZE-style column statistics (non-null count + exact NDV per
-    column) — what a catalog's cost-based optimizer feeds on and what
-    every data-quality dashboard trends.  ONE scan: ``stack`` unpivots
-    the four profiled columns to (col, value) rows — versus the naive
-    four-count-distinct aggregate, whose Expand inflates the SHUFFLE
-    by the column count too; here the expand feeds a map-side-combined
-    (col, v) dedup agg, so the exchange carries distinct values only.
-    Discrete columns keyed as strings (injective render — doubles are
-    deliberately absent: their engine-specific rendering isn't)."""
-    o = load_table(spark, sf_dir, "orders")
-    s = o.select(F.expr(
-        "stack(4, 'o_orderkey', CAST(o_orderkey AS STRING), "
-        "'o_custkey', CAST(o_custkey AS STRING), "
-        "'o_orderstatus', o_orderstatus, "
-        "'o_orderpriority', o_orderpriority) AS (col, v)"))
-    d = s.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
-    return (d.groupBy("col")
-            .agg(F.sum(F.when(F.col("v").isNotNull(), F.col("c"))
-                       .otherwise(0)).cast("long").alias("n_nonnull"),
-                 F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
-                 .cast("long").alias("ndv")))
-
-
-@q("join_null_safe_equi", """
-WITH l AS (
-  SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS k,
-         CAST(COUNT(*) AS BIGINT) AS n_orders
-  FROM orders GROUP BY 1),
-r AS (
-  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k,
-         c_name
-  FROM customer)
-SELECT l.k, l.n_orders, r.c_name
-FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""")
-def join_null_safe_equi(spark, sf_dir):
-    """NULL-safe equi-join (``<=>`` / IS NOT DISTINCT FROM) — the
-    join every late-arriving-dimension pipeline needs when "unknown"
-    keys must MATCH each other instead of silently dropping (a plain
-    equi-join's NULL never equals NULL).  Spark plans ``<=>`` as a
-    hash-join key like any other (NULLs hash to one partition — which
-    is also why the null group is the canonical skew key at 100 TB:
-    the aggregate-before-join here keeps it one row on the left).
-    Oracle: the same join under DuckDB's IS NOT DISTINCT FROM."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    null_if = lambda col: F.when(F.col(col) % 97 == 0,  # noqa: E731
-                                 F.lit(None)).otherwise(F.col(col))
-    left = (o.select(null_if("o_custkey").alias("k"))
-            .groupBy("k").agg(F.count(F.lit(1)).cast("long")
-                              .alias("n_orders")))
-    right = c.select(null_if("c_custkey").alias("k"), "c_name")
-    return (left.join(right, left["k"].eqNullSafe(right["k"]))
-            .select(left["k"].alias("k"), "n_orders", "c_name"))
-
-
-@q("ops_schema_merge_evolution", """
-SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS s_acctbal,
-       CAST(NULL AS INTEGER) AS s_nationkey
-FROM supplier
-UNION ALL
-SELECT s_suppkey, CAST(NULL AS VARCHAR), s_acctbal, s_nationkey
-FROM supplier""")
-def ops_schema_merge_evolution(spark, sf_dir):
-    """Schema evolution on read (``mergeSchema``) — the lake reality
-    that a table's files were written by DIFFERENT pipeline versions:
-    generation 1 wrote (suppkey, name), generation 2 added
-    (acctbal, nationkey) and dropped name; a merged read must union
-    the schemas and NULL-pad each generation's missing columns, never
-    error and never silently project to the first footer.  Spark's
-    parquet mergeSchema does exactly that from the file footers alone
-    (no catalog); the oracle constructs the same union explicitly.
-    Footer merging is a driver-side metadata pass over file FOOTERS,
-    not data — at 100 TB you cap it with a catalog schema instead,
-    which is why the entry documents both."""
-    s = load_table(spark, sf_dir, "supplier")
-    base = _scratch(sf_dir, "evolving_table")
-    (s.select("s_suppkey", "s_name")
-     .write.mode("overwrite").parquet(os.path.join(base, "gen=1")))
-    (s.select("s_suppkey", "s_acctbal", "s_nationkey")
-     .write.mode("overwrite").parquet(os.path.join(base, "gen=2")))
-    merged = (spark.read.option("mergeSchema", "true")
-              .option("recursiveFileLookup", "true").parquet(base))
-    return merged.select("s_suppkey", "s_name", "s_acctbal",
-                         "s_nationkey")
-
-
-@q("ops_observe_metrics", """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents,
-       CAST(COUNT(*) FILTER (WHERE l_quantity > 10) AS BIGINT) AS n_big
-FROM lineitem""")
-def ops_observe_metrics(spark, sf_dir):
-    """Pipeline-embedded metrics via ``DataFrame.observe`` +
-    ``Observation`` — the production pattern for row-count / checksum
-    telemetry WITHOUT a second scan: the observed aggregates ride the
-    same physical plan as the real job (here a downstream filter+count
-    action) and surface on the driver when the action finishes, so a
-    100 TB job gets its reconciliation totals for free instead of
-    re-reading the table.  The quantity checksum uses exact int64
-    cents (the money canon).  The oracle recomputes all three metrics
-    declaratively; the driver-side work is ONE bounded metrics row."""
-    from pyspark.sql import Observation
-
-    li = load_table(spark, sf_dir, "lineitem")
-    obs = Observation("lineitem_metrics")
-    observed = li.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum((F.col("l_quantity") * 100).cast("long")).alias("qty_cents"))
-    n_big = observed.filter(F.col("l_quantity") > 10).count()
-    m = obs.get
-    return spark.createDataFrame(
-        [(m["n_rows"], m["qty_cents"], n_big)],
-        "n_rows long, qty_cents long, n_big long")
-
-
-@q("udaf_grouped_weighted_mean", """
-WITH w AS (
-  SELECT event_type,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
-         event_id % 5 + 1 AS wt
-  FROM events)
-SELECT event_type,
-       CAST(SUM(cents * wt) AS BIGINT) AS ws,
-       CAST(SUM(wt) AS BIGINT) AS tw,
-       ROUND(CAST(SUM(cents * wt) AS DOUBLE) / SUM(wt), 6) AS wmean_cents
-FROM w GROUP BY event_type""")
-def udaf_grouped_weighted_mean(spark, sf_dir):
-    """The Python UDAF surface (grouped-agg pandas UDF, §2.12's
-    documented upgrade path) doing a weighted mean over exact int64
-    cents — the weighted sum flows through the Arrow UDAF, the weight
-    total through a built-in SUM in the SAME aggregation, and the mean
-    is one IEEE-exact division.  The oracle computes the identical
-    SUM(v·w)/SUM(w) natively: equality proves the UDAF path is exact,
-    and the docstring (functions/udf.py) records why built-ins win
-    when the aggregate IS decomposable — a grouped-agg UDF sees the
-    whole group in memory, no map-side combine."""
-    from aws_etl_bank_spark.functions.udf import weighted_cents_udaf
-
-    wc, int_sum = weighted_cents_udaf()
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
-        (F.col("event_id") % 5 + 1).alias("wt"))
-    return (ev.groupBy("event_type")
-            .agg(wc("cents", "wt").alias("ws"),
-                 int_sum("wt").alias("tw"))
-            .select("event_type", "ws", "tw",
-                    F.round(F.col("ws").cast("double") / F.col("tw"), 6)
-                    .alias("wmean_cents")))
-
-
-@q("udtf_sentence_split", r"""
-WITH p AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\.\s+'),
-                     x -> x <> '') AS pieces
-  FROM documents WHERE doc_id % 20 = 0),
-s AS (
-  SELECT doc_id,
-         unnest(pieces) AS sentence,
-         CAST(unnest(range(len(pieces))) AS INT) AS sent_idx
-  FROM p)
-SELECT doc_id, sent_idx, sentence,
-       CAST(len(list_filter(string_split_regex(sentence, '\s+'),
-                            w -> w <> '')) AS INT) AS n_words
-FROM s""")
-def udtf_sentence_split(spark, sf_dir):
-    """The Python UDTF surface (§2.12's other upgrade path): a lateral
-    table function fanning each document into per-sentence rows with
-    index and word count — the row-generating shape (parse trees,
-    chunkers, tokenizers) that scalar UDFs can't express and explode
-    can only fake by materializing the whole array per row first.
-    Runs as a generator per partition under Arrow; the LATERAL join
-    keeps everything distributed.  Oracle mirrors the split + filter
-    conventions exactly."""
-    from aws_etl_bank_spark.functions.udf import sentence_split_udtf
-
-    SentenceSplit = sentence_split_udtf()
-    spark.udtf.register("sent_split_r9", SentenceSplit)
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 20 == 0)
-    docs.createOrReplaceTempView("__udtf_docs")
-    return spark.sql(
-        "SELECT doc_id, s.sent_idx, s.sentence, s.n_words "
-        "FROM __udtf_docs, LATERAL sent_split_r9(text) s")
-
-
-@q("quality_l_diversity", """
-WITH g AS (
-  SELECT c_nationkey, c_mktsegment,
-         CAST(COUNT(*) AS BIGINT) AS grp_n,
-         CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT))
-              AS BIGINT) AS n_sensitive
-  FROM customer GROUP BY 1, 2)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-       CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity,
-       CAST(SUM(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
-         AS groups_below_l,
-       CAST(SUM(CASE WHEN n_sensitive < 3 THEN grp_n ELSE 0 END) AS BIGINT)
-         AS rows_below_l
-FROM g""")
-def quality_l_diversity(spark, sf_dir):
-    """l-diversity audit — k-anonymity's stronger sibling
-    (quality_k_anonymity): a QI class can be large yet still leak if
-    every member shares the SAME sensitive value, so the gate is
-    distinct-sensitive-values per (nation, segment) class, l=3, with
-    balance band floor(acctbal/2000) as the sensitive attribute.  Two
-    hash-aggs and a 1-row scorecard; the count-distinct is per-group
-    (bounded by band cardinality), so the 100 TB scan reduces
-    immediately and nothing skews."""
-    c = load_table(spark, sf_dir, "customer")
-    band = F.floor(F.col("c_acctbal") / 2000).cast("long")
-    g = (c.groupBy("c_nationkey", "c_mktsegment")
-         .agg(F.count(F.lit(1)).alias("grp_n"),
-              F.countDistinct(band).alias("n_sensitive")))
-    below = F.col("n_sensitive") < 3
-    return g.agg(
-        F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.min("n_sensitive").cast("long").alias("min_diversity"),
-        F.sum(F.when(below, 1).otherwise(0)).cast("long")
-        .alias("groups_below_l"),
-        F.sum(F.when(below, F.col("grp_n")).otherwise(0)).cast("long")
-        .alias("rows_below_l"))
-
-
-@q("score_ks_statistic", """
-WITH s AS (
-  SELECT o_totalprice AS x,
-         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS a,
-         CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END AS b
-  FROM orders),
-g AS (SELECT x, CAST(SUM(a) AS BIGINT) AS da,
-             CAST(SUM(b) AS BIGINT) AS db
-      FROM s GROUP BY x),
-c AS (SELECT x,
-             CAST(SUM(da) OVER (ORDER BY x) AS BIGINT) AS ca,
-             CAST(SUM(db) OVER (ORDER BY x) AS BIGINT) AS cb
-      FROM g),
-n AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
-             CAST(SUM(b) AS BIGINT) AS nb FROM s)
-SELECT x AS threshold,
-       CAST(ABS(ca * nb - cb * na) AS BIGINT) AS diff_units,
-       ROUND(ABS(ca * nb - cb * na) / CAST(na * nb AS DOUBLE)
-             + 0.000000001, 6) AS ks
-FROM c, n
-ORDER BY ABS(ca * nb - cb * na) DESC, x LIMIT 1""")
-def score_ks_statistic(spark, sf_dir):
-    """Exact two-sample Kolmogorov-Smirnov statistic (open vs
-    non-open order price distributions) — the model-monitoring /
-    population-drift metric next to score_psi_drift, computed with
-    INTEGER math end to end: per-threshold cumulative counts come
-    from ``bucketed_cumsum`` (functions/scale.py — the running-sum
-    sibling of bucketed_global_rank: per-cell totals prefix-summed on
-    the driver, within-cell window partitioned by cell, NO
-    single-task ORDER BY window), the sup statistic compares
-    |ca*nb − cb*na| in int64 (association-free), and the only float
-    op is the final division, rendered with the house nudge-round.
-    The oracle is the plain window-SQL form."""
-    from aws_etl_bank_spark.functions.scale import bucketed_cumsum
-
-    o = load_table(spark, sf_dir, "orders")
-    s = o.select(
-        F.col("o_totalprice").alias("x"),
-        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("a"),
-        F.when(F.col("o_orderstatus") != "O", 1).otherwise(0).alias("b"))
-    g = (s.groupBy("x")
-         .agg(F.sum("a").cast("long").alias("da"),
-              F.sum("b").cast("long").alias("db")))
-    c = bucketed_cumsum(g, "x", ["da", "db"])
-    n = s.agg(F.sum("a").cast("long").alias("na"),
-              F.sum("b").cast("long").alias("nb"))
-    diff = F.abs(F.col("cum_da") * F.col("nb")
-                 - F.col("cum_db") * F.col("na"))
-    return (c.crossJoin(F.broadcast(n))
-            .select(F.col("x").alias("threshold"),
-                    diff.cast("long").alias("diff_units"),
-                    F.round(diff / (F.col("na") * F.col("nb"))
-                            .cast("double") + F.lit(1e-9), 6).alias("ks"))
-            .orderBy(F.desc("diff_units"), "threshold").limit(1))
-
-
-@q("ops_partition_file_stats", """
-SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(1 AS BIGINT) AS n_files
-FROM supplier GROUP BY 1""")
-def ops_partition_file_stats(spark, sf_dir):
-    """Partition-layout introspection via the hidden ``_metadata``
-    column — the ops view a lake needs before compaction/pruning
-    decisions: write supplier hive-partitioned by nation (one file per
-    partition via repartition on the partition key), read it back, and
-    aggregate rows + DISTINCT physical files per partition from
-    ``_metadata.file_path`` (no directory listing in user code; the
-    source exposes its own layout).  The oracle recomputes rows per
-    nation declaratively and pins the 1-file-per-partition layout the
-    repartition guarantees.  Partition values surface as the read
-    schema's partition column; counts prove discovery saw every file."""
-    s = load_table(spark, sf_dir, "supplier")
-    path = _scratch(sf_dir, "supplier_hive")
-    (s.repartition("s_nationkey")
-     .write.mode("overwrite").partitionBy("s_nationkey").parquet(path))
-    back = spark.read.parquet(path)
-    return (back.select(F.col("s_nationkey").cast("int").alias("s_nationkey"),
-                        F.col("_metadata.file_path").alias("fp"))
-            .groupBy("s_nationkey")
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.countDistinct("fp").alias("n_files"))
-            .select("s_nationkey",
-                    F.col("n_rows").cast("long").alias("n_rows"),
-                    F.col("n_files").cast("long").alias("n_files")))
-
-
-@q("ops_table_reconcile_buckets", """
-WITH a AS (
-  SELECT o_orderkey % 64 AS bucket,
-         CAST('0x' || substr(md5(
-             CAST(o_orderkey AS VARCHAR) || '|' ||
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
-             o_orderstatus), 1, 15) AS BIGINT) AS h
-  FROM orders),
-b AS (
-  SELECT o_orderkey % 64 AS bucket,
-         CAST('0x' || substr(md5(
-             CAST(o_orderkey AS VARCHAR) || '|' ||
-             CAST(CAST(CASE WHEN o_orderkey % 13 = 0
-                            THEN o_totalprice + 1.5
-                            ELSE o_totalprice END
-                       AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
-             o_orderstatus), 1, 15) AS BIGINT) AS h
-  FROM orders WHERE o_orderkey % 89 <> 0),
-ga AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
-              CAST(bit_xor(h) AS BIGINT) AS x_a
-       FROM a GROUP BY bucket),
-gb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
-              CAST(bit_xor(h) AS BIGINT) AS x_b
-       FROM b GROUP BY bucket)
-SELECT CAST(COALESCE(ga.bucket, gb.bucket) AS BIGINT) AS bucket,
-       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
-FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket
-WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
-   OR COALESCE(x_a, 0) <> COALESCE(x_b, 0)""")
-def ops_table_reconcile_buckets(spark, sf_dir):
-    """Hash-bucket table reconciliation — how two 100 TB table copies
-    are compared WITHOUT moving rows: each side reduces to 64 bucket
-    fingerprints (row count + bit_xor of a canonical row hash — XOR is
-    order-free and overflow-free, unlike a SUM of 60-bit hashes), and
-    only fingerprint-mismatched buckets surface for row-level digging.
-    The row hash is the engine-portable md5→int64 canon
-    (conv(substr(md5,1,15))) over key|price|status with the price
-    rendered through DECIMAL(18,2) so both engines hash identical
-    bytes; side B injects %13 reprices and %89 deletes.  Two scans,
-    two 64-row hash-aggs, one 64-row join."""
-    o = load_table(spark, sf_dir, "orders")
-
-    def hashed(price_col):
-        s = F.concat_ws(
-            "|", F.col("o_orderkey").cast("string"),
-            price_col.cast("decimal(18,2)").cast("string"),
-            F.col("o_orderstatus"))
-        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-
-    a = o.select((F.col("o_orderkey") % 64).alias("bucket"),
-                 hashed(F.col("o_totalprice")).alias("h"))
-    newprice = F.when(F.col("o_orderkey") % 13 == 0,
-                      F.col("o_totalprice") + 1.5) \
-        .otherwise(F.col("o_totalprice"))
-    b = (o.filter(F.col("o_orderkey") % 89 != 0)
-         .select((F.col("o_orderkey") % 64).alias("bucket"),
-                 hashed(newprice).alias("h")))
-    ga = a.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_a"),
-                                 F.bit_xor("h").alias("x_a"))
-    gb = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_b"),
-                                 F.bit_xor("h").alias("x_b"))
-    # FULL OUTER on bucket (r10 ADVICE): a bucket entirely absent from
-    # one copy (all its rows deleted) must surface as a mismatch, not
-    # vanish from the report — an inner join hides exactly the worst
-    # diff.  COALESCE counts/xors to 0 so the one-sided comparison is
-    # well-defined (the USING-column join coalesces bucket itself).
-    zero = F.lit(0).cast("long")
-    return (ga.join(gb, "bucket", "full_outer")
-            .withColumn("n_a", F.coalesce("n_a", zero))
-            .withColumn("n_b", F.coalesce("n_b", zero))
-            .filter((F.col("n_a") != F.col("n_b"))
-                    | (F.coalesce("x_a", zero) != F.coalesce("x_b", zero)))
-            .select(F.col("bucket").cast("long").alias("bucket"),
-                    "n_a", "n_b"))
-
-
-@q("catalog_equidepth_histogram", """
-WITH r AS (
-  SELECT o_totalprice,
-         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk
-  FROM orders),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders),
-t AS (SELECT unnest(range(1, 9)) AS i)
-SELECT CAST(t.i AS INT) AS q,
-       CAST(r.rk AS BIGINT) AS rk,
-       r.o_totalprice AS boundary
-FROM r, n, t
-WHERE r.rk = (t.i * n.c + 7) // 8""")
-def catalog_equidepth_histogram(spark, sf_dir):
-    """Equi-depth histogram boundaries (the CBO statistics a catalog's
-    ANALYZE collects, next to catalog_analyze_columns' NDV): the order
-    price at ranks ceil(i·n/8), i=1..8, EXACT — ranks come from
-    ``bucketed_global_rank`` (histogram cells + per-cell row_number,
-    no single-task ORDER BY window), boundary targets from integer
-    math ((i·n+7) div 8), and the 8 target ranks broadcast-join
-    against the ranked frame.  The oracle is the plain window form.
-    One corpus scan + the rank machinery's two bounded passes."""
-    from aws_etl_bank_spark.functions.scale import bucketed_global_rank
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_totalprice", "o_orderkey")
-    ranked = bucketed_global_rank(o, "o_totalprice", ["o_orderkey"],
-                                  out_col="rk")
-    n = o.count()
-    targets = [(i, (i * n + 7) // 8) for i in range(1, 9)]
-    t = spark.createDataFrame(targets, "q int, rk long")
-    return (ranked.join(F.broadcast(t), "rk")
-            .select("q", F.col("rk").cast("long").alias("rk"),
-                    F.col("o_totalprice").alias("boundary")))
-
-
-@q("src_python_datasource", """
-SELECT s_suppkey, s_nationkey, s_acctbal, s_name FROM supplier""")
-def src_python_datasource(spark, sf_dir):
-    """Custom PYTHON DataSource (Spark 4 ``pyspark.sql.datasource``) —
-    the modern form of the reference's custom-connector dispatch
-    (getSource(connection_type=...)): sources/pyds.py registers a
-    pyarrow-backed parquet reader whose ``partitions()`` lists the
-    file's ROW GROUPS (driver reads only the footer) and whose tasks
-    yield Arrow RecordBatches for just their row group — a
-    Python-defined connector that still parallelizes like a native
-    scan and never builds Python row objects.  Identity oracle over
-    supplier, so framing/typing bugs in the connector fail the hash."""
-    import os
-
-    from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
-
-    try:
-        spark.dataSource.register(PyArrowParquetDataSource)
-    except Exception:
-        pass  # already registered in this session
-    return (spark.read.format("pyarrow_parquet")
-            .option("path", os.path.join(sf_dir, "supplier.parquet"))
-            .option("columns", "s_suppkey,s_nationkey,s_acctbal,s_name")
-            .load())
-
-
-@q("src_python_datasource_writer", """
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
-FROM orders WHERE o_orderkey % 7 = 0""")
-def src_python_datasource_writer(spark, sf_dir):
-    """WRITER half of the custom Python DataSource (the Spark 4
-    ``DataSourceArrowWriter`` API, sources/pyds.py): each task streams
-    its Arrow RecordBatches into one parquet file (write-then-rename,
-    atomic per task; abort deletes the files named in the commit
-    messages), so the Python-defined sink parallelizes like a native
-    write and never materializes Python rows.  Round-trip through the
-    native parquet reader with an identity oracle — framing/typing
-    bugs in the writer fail the hash."""
-    from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
-
-    try:
-        spark.dataSource.register(PyArrowParquetDataSource)
-    except Exception:
-        pass  # already registered in this session
-    df = (load_table(spark, sf_dir, "orders")
-          .where(F.col("o_orderkey") % 7 == 0)
-          .select("o_orderkey", "o_custkey", "o_totalprice",
-                  "o_orderstatus"))
-    path = _scratch(sf_dir, "pyds_writer")
-    (df.repartition(4).write.format("pyarrow_parquet")
-       .mode("overwrite").option("path", path).save())
-    return spark.read.parquet(path)
-
-
-@q("arrow_grouped_apply", """
-WITH c AS (
-  SELECT o_orderkey, o_custkey,
-         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders),
-g AS (
-  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
-         CAST(SUM(cents) AS BIGINT) AS total
-  FROM c GROUP BY o_custkey)
-SELECT c.o_orderkey, c.o_custkey,
-       CAST(c.cents * g.cnt - g.total AS BIGINT) AS scaled_delta
-FROM c JOIN g USING (o_custkey)""")
-def arrow_grouped_apply(spark, sf_dir):
-    """``groupBy().applyInArrow`` (Spark 4): the grouped-map surface
-    with the whole group handed to Python as ONE ``pyarrow.Table`` —
-    no pandas conversion, integer kernels run on Arrow buffers.  The
-    kernel emits each order's mean-free spend as the exact-integer
-    form cents·n − Σcents (no division, so the SQL oracle reproduces
-    it bit-for-bit).  Grouping key is o_custkey — per-group size is
-    orders-per-customer (~10), so groups stay cache-sized at any SF;
-    the shuffle is the same hash-partition an aggregate would do."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    c = (load_table(spark, sf_dir, "orders")
-         .select("o_orderkey", "o_custkey",
-                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-                 .cast("long").alias("cents")))
-
-    def kernel(table: pa.Table) -> pa.Table:
-        cents = table.column("cents")
-        total = pc.sum(cents).as_py() or 0
-        n = table.num_rows
-        delta = pc.subtract(
-            pc.multiply(cents, pa.scalar(n, pa.int64())),
-            pa.scalar(total, pa.int64()))
-        return pa.table({"o_orderkey": table.column("o_orderkey"),
-                         "o_custkey": table.column("o_custkey"),
-                         "scaled_delta": delta})
-
-    return c.groupBy("o_custkey").applyInArrow(
-        kernel, "o_orderkey bigint, o_custkey bigint, scaled_delta bigint")
-
-
-@q("arrow_udf_scalar", """
-WITH c AS (
-  SELECT o_orderkey,
-         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-         o_orderpriority
-  FROM orders)
-SELECT o_orderkey,
-       CAST(cents + cents // 10 AS BIGINT) AS with_surcharge,
-       UPPER(o_orderpriority) AS pri
-FROM c""")
-def arrow_udf_scalar(spark, sf_dir):
-    """``F.arrow_udf`` (Spark 4.1): scalar UDFs whose batches arrive
-    as ``pyarrow.Array`` — the Arrow-native tier above pandas_udf
-    (no pandas materialization at all).  Integer surcharge math and a
-    utf8 upper both run as single pyarrow.compute kernel calls per
-    batch; values are exact ints/strings, so the SQL oracle
-    hash-checks the whole path.  Map-only plan: zero exchanges,
-    the UDF sits inside the scan's project."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    from pyspark.sql.functions import arrow_udf
-
-    # NOTE: real pa.Array annotations, not strings — registry.py runs
-    # under `from __future__ import annotations`, which would turn
-    # hints into strings and trip arrow_udf's signature check, so the
-    # hints are attached explicitly.
-    def _with_surcharge(cents):
-        # pyarrow integer divide truncates; inputs are positive cents
-        # so truncation == floor == DuckDB's // semantics
-        return pc.add(cents, pc.divide(cents, pa.scalar(10, pa.int64())))
-
-    def _upper(s):
-        return pc.utf8_upper(s)
-
-    _with_surcharge.__annotations__ = {"cents": pa.Array,
-                                       "return": pa.Array}
-    _upper.__annotations__ = {"s": pa.Array, "return": pa.Array}
-    with_surcharge = arrow_udf(_with_surcharge, "long")
-    upper = arrow_udf(_upper, "string")
-
-    o = load_table(spark, sf_dir, "orders")
-    cents = (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-             .cast("long"))
-    return o.select(
-        "o_orderkey",
-        with_surcharge(cents).alias("with_surcharge"),
-        upper(F.col("o_orderpriority")).alias("pri"))
-
-
-@q("udf_sql_scalar", """
-SELECT o_orderkey,
-       CASE WHEN o_totalprice < 50000 THEN 'low'
-            WHEN o_totalprice < 150000 THEN 'mid'
-            ELSE 'high' END AS band,
-       FLOOR(o_totalprice * 1.5 + 0.5) / 100 AS fee
-FROM orders""")
-def udf_sql_scalar(spark, sf_dir):
-    """SQL scalar UDFs (Spark 4 ``CREATE FUNCTION ... RETURNS ...
-    RETURN expr``) — the §2.12 surface done RIGHT for 100 TB: unlike a
-    Python UDF the body is inlined into the Catalyst plan (stays
-    inside whole-stage codegen, vectorizes, costs zero serialization),
-    so shared business logic (price banding, fee schedules) lives in
-    one catalog definition instead of N copied expressions.  Two
-    functions defined once, used in one projection; the oracle inlines
-    the same expressions."""
-    spark.sql("""
-        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
-        RETURNS STRING
-        RETURN CASE WHEN p < 50000 THEN 'low'
-                    WHEN p < 150000 THEN 'mid'
-                    ELSE 'high' END""")
-    spark.sql("""
-        CREATE OR REPLACE TEMPORARY FUNCTION fee(p DOUBLE)
-        RETURNS DOUBLE
-        RETURN FLOOR(p * 1.5 + 0.5) / 100""")
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__udfsql_orders")
-    return spark.sql("""
-        SELECT o_orderkey, price_band(o_totalprice) AS band,
-               fee(o_totalprice) AS fee
-        FROM __udfsql_orders""")
-
-
-@q("scalar_variant_suite", """
-WITH j AS (
-  SELECT o_orderkey,
-         '{"status":"' || o_orderstatus || '","price":' ||
-         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) ||
-         ',"nums":[3,7,11]}' AS doc
-  FROM orders)
-SELECT o_orderkey,
-       json_extract_string(doc, '$.status') AS status,
-       CAST(json_extract(doc, '$.price') AS DOUBLE) AS price,
-       CAST(json_extract(doc, '$.nums[2]') AS INT) AS third_num,
-       CAST(json_extract(doc, '$.missing') IS NULL AS BOOLEAN) AS miss
-FROM j""")
-def scalar_variant_suite(spark, sf_dir):
-    """The VARIANT semi-structured type (Spark 4 ``parse_json`` +
-    ``variant_get``) — the shredded-binary successor to
-    string-JSON-with-get_json_object (scalar_json_suite): parse once
-    into VARIANT, then typed path extraction per field.  At 100 TB the
-    difference is structural: VARIANT decodes the document ONCE into a
-    binary form whose fields extract without re-parsing, and the
-    encoding is columnar-shreddable.  try_variant_get on a missing
-    path yields NULL (checked).  The oracle runs the same paths with
-    DuckDB's JSON extraction."""
-    o = load_table(spark, sf_dir, "orders")
-    doc = F.concat(
-        F.lit('{"status":"'), F.col("o_orderstatus"), F.lit('","price":'),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-        F.lit(',"nums":[3,7,11]}'))
-    v = o.select("o_orderkey", F.parse_json(doc).alias("v"))
-    return v.select(
-        "o_orderkey",
-        F.variant_get(F.col("v"), "$.status", "string").alias("status"),
-        F.variant_get(F.col("v"), "$.price", "double").alias("price"),
-        F.variant_get(F.col("v"), "$.nums[2]", "int").alias("third_num"),
-        F.try_variant_get(F.col("v"), "$.missing", "string").isNull()
-        .alias("miss"))
-
-
-@q("agg_grouping_sets", """
-SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
-       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-       o_orderstatus, o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-            AS BIGINT) AS cents
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                        (o_orderstatus), ())""")
-def agg_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS (the custom-combination form next to the
-    CUBE and ROLLUP entries — a CUBE would also emit the
-    (priority)-only layer this report does NOT want): three chosen
-    layers in ONE pass — Spark plans a single Expand below one
-    partial hash-agg, so map-side combine stays intact and the fact
-    is read once, not once per layer.  Money in exact int64 cents."""
-    ev = load_table(spark, sf_dir, "orders")
-    ev.createOrReplaceTempView("__gsets_orders")
-    return spark.sql("""
-        SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
-               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-               o_orderstatus, o_orderpriority,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS cents
-        FROM __gsets_orders
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), ())""")
-
-
-@q("quality_completeness_profile", """
-SELECT 'c_name' AS col,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_null,
-       CAST(SUM(CASE WHEN trim(COALESCE(c_name, '')) = ''
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
-FROM customer
-UNION ALL
-SELECT 'c_mktsegment',
-       CAST(COUNT(*) AS BIGINT),
-       CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
-            AS BIGINT),
-       CAST(SUM(CASE WHEN trim(COALESCE(c_mktsegment, '')) = ''
-                     THEN 1 ELSE 0 END) AS BIGINT)
-FROM customer
-UNION ALL
-SELECT 'c_acctbal',
-       CAST(COUNT(*) AS BIGINT),
-       CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(0 AS BIGINT)
-FROM customer""")
-def quality_completeness_profile(spark, sf_dir):
-    """Deequ-style completeness profile (null + blank rates per
-    column) in ONE scan — the unpivot trick catalog_analyze_columns
-    uses for NDV, here for completeness: per-column indicator sums
-    ride a single aggregation instead of one scan per column (the
-    naive loop is C scans of a 100 TB table).  The oracle spells the
-    same sums column by column."""
-    c = load_table(spark, sf_dir, "customer")
-    # one scan, one aggregate row carrying all the sums, then a
-    # 1-row → 3-row driver-free reshape via stack
-    a = c.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0))
-        .cast("long").alias("null_name"),
-        F.sum(F.when(F.trim(F.coalesce(F.col("c_name"), F.lit(""))) == "",
-                     1).otherwise(0)).cast("long").alias("blank_name"),
-        F.sum(F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0))
-        .cast("long").alias("null_seg"),
-        F.sum(F.when(F.trim(F.coalesce(F.col("c_mktsegment"), F.lit("")))
-                     == "", 1).otherwise(0)).cast("long")
-        .alias("blank_seg"),
-        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0))
-        .cast("long").alias("null_bal"))
-    return a.selectExpr("""stack(3,
-        'c_name', n, null_name, blank_name,
-        'c_mktsegment', n, null_seg, blank_seg,
-        'c_acctbal', n, null_bal, CAST(0 AS BIGINT))
-        AS (col, n, n_null, n_blank)""")
-
-
-@q("src_fixed_width_ingest", """
-SELECT o_orderkey,
-       o_orderstatus,
-       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
-       o_orderpriority
-FROM orders WHERE o_orderkey % 25 = 0""")
-def src_fixed_width_ingest(spark, sf_dir):
-    """Fixed-width (COBOL-extract style) file ingestion — the bank
-    batch format the reference's CSV jobs eventually meet: write a
-    deterministic fixed-width rendering of an orders slice (key 12 |
-    status 1 | price 16 zero-padded decimal | priority 15), read it
-    back with ``spark.read.text`` + pure substring/trim/cast
-    projections — ALL whole-stage-codegen expressions, no UDF, and
-    the text source splits by line so the parse parallelizes like any
-    scan.  Price goes through DECIMAL(18,2) text both ways, so the
-    roundtrip is exact; the oracle recomputes the slice from orders."""
-    o = (load_table(spark, sf_dir, "orders")
-         .filter(F.col("o_orderkey") % 25 == 0))
-    line = F.concat(
-        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
-        F.col("o_orderstatus"),
-        F.lpad(F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-               16, "0"),
-        F.rpad(F.col("o_orderpriority"), 15, " "))
-    path = _scratch(sf_dir, "orders_fixed_width")
-    o.select(line.alias("value")).write.mode("overwrite").text(path)
-    raw = spark.read.text(path)
-    return raw.select(
-        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
-        F.substring("value", 13, 1).alias("o_orderstatus"),
-        F.substring("value", 14, 16).cast("decimal(18,2)")
-        .cast("double").alias("price"),
-        F.rtrim(F.substring("value", 30, 15)).alias("o_orderpriority"))
-
-
-@q("src_csv_multiline_quoted", """
-SELECT c_custkey, c_name || chr(10) || c_mktsegment AS note, c_acctbal
-FROM customer WHERE c_custkey % 10 = 0""")
-def src_csv_multiline_quoted(spark, sf_dir):
-    """Quoted-newline CSV roundtrip (``multiLine=true``) — the reader
-    behavior that separates a toy CSV parser from a real one: records
-    whose quoted fields EMBED newlines span physical lines, so the
-    reader must parse quote state across line boundaries.  (Scale
-    note, documented trade-off: multiLine CSV files are not
-    line-splittable — Spark reads each file whole, so the writer's
-    partitioning sets the read parallelism; keep multiline extracts
-    in many small files.)  The oracle recomputes the embedded-newline
-    note from customer."""
-    c = (load_table(spark, sf_dir, "customer")
-         .filter(F.col("c_custkey") % 10 == 0)
-         .select("c_custkey",
-                 F.concat(F.col("c_name"), F.lit("\n"),
-                          F.col("c_mktsegment")).alias("note"),
-                 "c_acctbal"))
-    path = _scratch(sf_dir, "customer_multiline_csv")
-    (c.repartition(4).write.mode("overwrite")
-     .option("header", "true").option("quoteAll", "true").csv(path))
-    return (spark.read.option("header", "true").option("multiLine", "true")
-            .option("inferSchema", "false").csv(path)
-            .select(F.col("c_custkey").cast("long").alias("c_custkey"),
-                    F.col("note"),
-                    F.col("c_acctbal").cast("double").alias("c_acctbal")))
-
-
-@q("udf_cogroup_apply", """
-WITH o AS (
-  SELECT o_custkey, COUNT(*) AS n_orders,
-         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-              AS BIGINT) AS cents
-  FROM orders GROUP BY o_custkey)
-SELECT c.c_custkey,
-       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
-       CAST(COALESCE(o.cents, 0) AS BIGINT) AS cents,
-       c.c_acctbal
-FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey""")
-def udf_cogroup_apply(spark, sf_dir):
-    """The COGROUP Python surface (§2.12's last uncovered shape):
-    ``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` hands
-    each key's rows from BOTH frames to one Arrow-batched pandas
-    callable — the escape hatch for per-key merge logic SQL can't
-    express (custom asof/interleave).  Here the callable computes a
-    per-customer order rollup joined to the customer row, and the
-    oracle is the equivalent LEFT JOIN + GROUP BY — proving the
-    cogroup path exact (int64 cents, no float accumulation in
-    Python).  Scale shape: ONE co-partitioned shuffle of both sides
-    on the key (exactly what a join would shuffle), Arrow transfer,
-    state bounded by one key's rows."""
-    import pandas as pd
-
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-        .alias("cents"))
-
-    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:          # order rows for a custkey not in customer
-            return pd.DataFrame(columns=["c_custkey", "n_orders",
-                                         "cents", "c_acctbal"])
-        return pd.DataFrame({
-            "c_custkey": [int(left["c_custkey"].iloc[0])],
-            "n_orders": [int(len(right))],
-            "cents": [int(right["cents"].sum()) if len(right) else 0],
-            "c_acctbal": [float(left["c_acctbal"].iloc[0])]})
-
-    return (c.groupBy("c_custkey").cogroup(o.groupBy("o_custkey"))
-            .applyInPandas(merge, "c_custkey long, n_orders long, "
-                                  "cents long, c_acctbal double"))
-
-
-@q("scalar_na_suite", """
-WITH s AS (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END
-           AS seg,
-         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END
-           AS bal
-  FROM customer)
-SELECT c_custkey,
-       COALESCE(seg, 'UNKNOWN') AS seg_filled,
-       COALESCE(bal, 0.0) AS bal_filled,
-       CASE WHEN COALESCE(seg, 'UNKNOWN') = 'BUILDING'
-            THEN 'CONSTRUCTION' ELSE COALESCE(seg, 'UNKNOWN') END
-         AS seg_replaced,
-       (seg IS NOT NULL AND bal IS NOT NULL) AS complete
-FROM s""")
-def scalar_na_suite(spark, sf_dir):
-    """The DataFrameNaFunctions surface (``df.na.fill`` / ``na.replace``)
-    — the missing-data API layer over the COALESCE/CASE expressions it
-    compiles to (planted NULLs on %7/%11 keys so both branches carry
-    rows): typed per-column fills in one pass, a value-level replace,
-    and a row-completeness flag.  Everything stays a map-only
-    projection; the oracle writes the compiled-to expressions
-    directly."""
-    c = load_table(spark, sf_dir, "customer")
-    s = c.select(
-        "c_custkey",
-        F.when(F.col("c_custkey") % 7 == 0, None)
-        .otherwise(F.col("c_mktsegment")).alias("seg"),
-        F.when(F.col("c_custkey") % 11 == 0, None)
-        .otherwise(F.col("c_acctbal")).alias("bal"))
-    complete = (F.col("seg").isNotNull()
-                & F.col("bal").isNotNull()).alias("complete")
-    s = s.select("*", complete)
-    # fill, then replace on a COPY of the filled column — both na.*
-    # surfaces exercised with zero joins (the whole entry stays one
-    # map-only projection; a self-join here would be pure waste at
-    # any scale)
-    filled = (s.na.fill({"seg": "UNKNOWN", "bal": 0.0})
-              .withColumn("seg_replaced", F.col("seg")))
-    replaced = filled.na.replace("BUILDING", "CONSTRUCTION",
-                                 subset=["seg_replaced"])
-    return replaced.select(
-        "c_custkey", F.col("seg").alias("seg_filled"),
-        F.col("bal").alias("bal_filled"), "seg_replaced", "complete")
-
-
-@q("scalar_map_suite", """
-WITH t AS (
-  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY user_id, event_type)
-SELECT user_id,
-       string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
-                  ORDER BY event_type) AS type_counts,
-       string_agg(CASE WHEN n >= 3
-                       THEN event_type || ':' || CAST(n * 10 AS VARCHAR)
-                  END, ',' ORDER BY event_type) AS hot_scaled,
-       CAST(MAX(n) AS BIGINT) AS max_n
-FROM t GROUP BY user_id""")
-def scalar_map_suite(spark, sf_dir):
-    """MAP higher-order functions (§2.8 completion next to the array
-    HOF suite): per-user event-type counts built into a real
-    ``map<string,bigint>`` with ``map_from_entries``, then
-    ``map_filter`` (keep hot types), ``transform_values`` (scale),
-    ``map_entries`` + sort + serialize (the driver canon cannot hash
-    maps, so entries render as ordered ``k:v`` strings — empty maps
-    as NULL to match SQL's empty string_agg), and ``array_max`` over
-    ``map_values``.  All lambdas JVM-side; one shuffle for the
-    (user, type) agg, one for the per-user map build."""
-    ev = load_table(spark, sf_dir, "events")
-    t = (ev.groupBy("user_id", "event_type")
-         .agg(F.count(F.lit(1)).alias("n")))
-    m = (t.groupBy("user_id")
-         .agg(F.map_from_entries(
-             F.array_sort(F.collect_list(F.struct("event_type", "n"))))
-             .alias("mp")))
-
-    def render(mp):
-        ent = F.array_sort(F.map_entries(mp))
-        joined = F.array_join(
-            F.transform(ent, lambda e: F.concat(
-                e["key"], F.lit(":"), e["value"].cast("string"))), ",")
-        return F.when(F.size(F.map_entries(mp)) == 0, F.lit(None)) \
-            .otherwise(joined)
-
-    hot = F.transform_values(
-        F.map_filter(F.col("mp"), lambda k, v: v >= 3),
-        lambda k, v: v * 10)
-    return m.select(
-        "user_id",
-        render(F.col("mp")).alias("type_counts"),
-        render(hot).alias("hot_scaled"),
-        F.array_max(F.map_values("mp")).cast("long").alias("max_n"))
-
-
-@q("join_lateral_topk", """
-SELECT c.c_custkey, c.c_name, l.o_orderkey, l.o_totalprice
-FROM customer c, LATERAL (
-  SELECT o_orderkey, o_totalprice FROM orders
-  WHERE o_custkey = c.c_custkey
-  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l""")
-def join_lateral_topk(spark, sf_dir):
-    """Correlated LATERAL join (the Spark 4 ``DataFrame.lateralJoin``
-    API): top-2 orders per customer written as a per-row correlated
-    subquery with ORDER BY + LIMIT.  The scale story is the plan, not
-    the API: Catalyst DECORRELATES it — the executed plan is
-    WindowGroupLimit (partial top-k per key BEFORE the shuffle, final
-    after) + one broadcast hash join, i.e. exactly the
-    row_number()-filter rewrite a careful engineer would hand-write,
-    never a per-customer nested loop.  Plan shape pinned in
-    tests/test_modern_api.py; the oracle is DuckDB's native LATERAL."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    o = load_table(spark, sf_dir, "orders")
-    sub = (o.where(F.col("o_custkey") == F.col("c_custkey").outer())
-           .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(2)
-           .select("o_orderkey", "o_totalprice"))
-    return c.lateralJoin(sub)
-
-
-@q("scalar_exists_subqueries", """
-SELECT c.c_custkey,
-       (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS BIGINT)
-        FROM orders WHERE o_custkey = c.c_custkey) AS total_spend_cents,
-       EXISTS (SELECT 1 FROM orders
-               WHERE o_custkey = c.c_custkey
-                 AND o_totalprice > 300000) AS has_big
-FROM customer c""")
-def scalar_exists_subqueries(spark, sf_dir):
-    """Correlated SCALAR and EXISTS subqueries through the Spark 4
-    column-builder APIs (``DataFrame.scalar()`` / ``.exists()``) —
-    the declarative form of per-row lookups.  Catalyst decorrelates
-    both into aggregate-then-join (one hash-agg over orders + left
-    joins), so the plan scales as two shuffles regardless of customer
-    count — never a per-row probe.
-
-    The money sum is emitted through the INTEGER-CENTS canon
-    (``floor(x*100 + 0.5)`` summed as BIGINT — identical double
-    arithmetic on both engines): the r12 bisection proved the driver
-    environment's bitwise hash diverges on DECIMAL *values* (decimal
-    and NULL-free-decimal probes red, bool and cents probes green,
-    all four locally repr-identical vs DuckDB), so a DECIMAL(18,2)
-    output column can never be driver-hash-safe regardless of engine
-    agreement.  Customers with no orders surface NULL cents and FALSE
-    exists on both engines."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    corr = F.col("c_custkey").outer()
-    spend = (o.where(F.col("o_custkey") == corr)
-             .select(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
-                           .cast("long")).cast("long").alias("s")))
-    big = o.where((F.col("o_custkey") == corr)
-                  & (F.col("o_totalprice") > 300000))
-    return c.select("c_custkey",
-                    spend.scalar().alias("total_spend_cents"),
-                    big.exists().alias("has_big"))
-
-
-@q("ops_transpose_metrics", """
-WITH m AS (
-  SELECT o_orderstatus,
-         CAST(COUNT(*) AS DOUBLE) AS n_orders,
-         CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_custs
-  FROM orders GROUP BY o_orderstatus)
-SELECT 'n_orders' AS key,
-       MAX(CASE WHEN o_orderstatus = 'F' THEN n_orders END) AS F,
-       MAX(CASE WHEN o_orderstatus = 'O' THEN n_orders END) AS O,
-       MAX(CASE WHEN o_orderstatus = 'P' THEN n_orders END) AS P
-FROM m
-UNION ALL
-SELECT 'n_custs',
-       MAX(CASE WHEN o_orderstatus = 'F' THEN n_custs END),
-       MAX(CASE WHEN o_orderstatus = 'O' THEN n_custs END),
-       MAX(CASE WHEN o_orderstatus = 'P' THEN n_custs END)
-FROM m""")
-def ops_transpose_metrics(spark, sf_dir):
-    """``DataFrame.transpose()`` (Spark 4) flipping a BOUNDED metrics
-    frame — the profile-report reshape (metrics as rows, groups as
-    columns).  Transpose derives column names from DATA (first
-    column's values), so it is a driver-bounded operation by
-    construction: legal only on frames already reduced to
-    group-cardinality size (here 3 order statuses × 2 metrics from
-    one hash-agg); the big-data reshape remains pivot/groupBy.  The
-    oracle builds the transposed layout with conditional aggregation."""
-    o = load_table(spark, sf_dir, "orders")
-    m = (o.groupBy("o_orderstatus")
-         .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
-              F.countDistinct("o_custkey").cast("double").alias("n_custs"))
-         .orderBy("o_orderstatus"))
-    return m.transpose()
-
-
-@q("arrow_native_quantized_norm", """
-SELECT vec_id,
-       CAST(list_sum(list_transform(embedding,
-            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
-                 * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
-            AS BIGINT) AS q_norm2
-FROM embeddings""")
-def arrow_native_quantized_norm(spark, sf_dir):
-    """``DataFrame.mapInArrow`` — the zero-copy Arrow-native batch
-    path UNDER mapInPandas (no pandas materialization, no NaN→null
-    masking, list columns stay Arrow buffers): per-vector squared
-    norm over component values quantized to int64 with the
-    floor(x·1000+0.5) canon, so the per-row sum is exact integer
-    arithmetic on both engines (the k-means recipe).  The UDF slices
-    the FixedSizeList/List child buffer directly into one numpy
-    reshape+einsum per RecordBatch — columnar end to end, map-only,
-    no shuffle."""
-    from aws_etl_bank_spark.llm.arrowops import quantized_norms
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return quantized_norms(emb, "embedding", "vec_id", scale=1000)
-
-
-@q("scalar_try_suite", """
-SELECT o_orderkey,
-       CASE WHEN o_orderkey % 5 = 0 THEN NULL
-            ELSE floor(o_totalprice / (o_orderkey % 5) * 10000 + 0.5)
-                 / 10000 END AS safe_ratio,
-       CASE WHEN o_orderkey % 2 = 1 THEN NULL
-            ELSE 9223372036854775807 END AS add_sat,
-       CASE o_orderkey % 4 WHEN 0 THEN 0
-            WHEN 1 THEN 4611686018427387904 ELSE NULL END AS mul_sat,
-       CASE WHEN o_orderkey % 3 = 0 THEN NULL
-            ELSE o_orderkey END AS cast_back,
-       CASE o_orderkey % 3
-            WHEN 0 THEN string_split(o_orderpriority, '-')[1]
-            WHEN 1 THEN string_split(o_orderpriority, '-')[2]
-            ELSE NULL END AS prio_part
-FROM orders""")
-def scalar_try_suite(spark, sf_dir):
-    """The ANSI error-safe ``try_*`` function family (§2.8 next to the
-    na/map/HOF suites): try_divide (NULL on zero divisor), try_add /
-    try_multiply (NULL on int64 overflow — exercised with literals at
-    the saturation boundary), try_cast (NULL on a non-numeric string,
-    the ingest-coercion workhorse), and try_element_at (NULL on an
-    out-of-bounds index, where plain element_at raises; index 0 is a
-    hard INVALID_INDEX_OF_ZERO error even under try_, pinned in tests).  The oracle
-    states each expected value directly (CASE over the same key
-    arithmetic), so a behavior change in any try_ fallback — e.g. an
-    overflow wrapping instead of NULLing — breaks the hash.  Pure
-    projection: map-only, whole-stage codegen, no shuffle."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.selectExpr(
-        "o_orderkey",
-        "floor(try_divide(CAST(o_totalprice AS DOUBLE),"
-        "       CAST(o_orderkey % 5 AS DOUBLE)) * 10000 + 0.5) / 10000"
-        " AS safe_ratio",
-        "try_add(9223372036854775807, o_orderkey % 2) AS add_sat",
-        "try_multiply(4611686018427387904, o_orderkey % 4) AS mul_sat",
-        "try_cast(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus"
-        "              ELSE CAST(o_orderkey AS STRING) END AS BIGINT)"
-        " AS cast_back",
-        "try_element_at(split(o_orderpriority, '-'),"
-        "               1 + CAST(o_orderkey % 3 AS INT)) AS prio_part")
-
-
-@q("agg_listagg_ordered", """
-SELECT o_orderpriority,
-       string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS status_seq,
-       string_agg(DISTINCT o_orderstatus, ','
-                  ORDER BY o_orderstatus) AS status_set,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM orders WHERE o_orderkey % 97 = 0
-GROUP BY o_orderpriority""")
-def agg_listagg_ordered(spark, sf_dir):
-    """``listagg(...) WITHIN GROUP (ORDER BY ...)`` (Spark 4's ANSI
-    ordered string aggregation, §2.4/§2.8) in both plain and DISTINCT
-    forms against DuckDB's ``string_agg(... ORDER BY ...)``.  The
-    WITHIN GROUP ordering makes the concatenation deterministic — the
-    whole point of the surface vs. collect_list+array_join, whose
-    order is partition-dependent.  Driven on a key-sampled subset
-    (%97) so group strings stay KB-bounded at any SF: unbounded
-    per-group concatenation is an anti-pattern at 100 TB — the scale
-    form caps with slice(sort_array(collect_list(...)), 1, k)."""
-    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 97 = 0")
-    o.createOrReplaceTempView("__listagg_src")
-    return spark.sql("""
-        SELECT o_orderpriority,
-               listagg(o_orderstatus, ',')
-                   WITHIN GROUP (ORDER BY o_orderkey) AS status_seq,
-               listagg(DISTINCT o_orderstatus, ',')
-                   WITHIN GROUP (ORDER BY o_orderstatus) AS status_set,
-               COUNT(*) AS n
-        FROM __listagg_src GROUP BY o_orderpriority""")
-
-
-@q("agg_hll_sketch_bound", """
-SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
-       TRUE AS est_ok
-FROM orders""")
-def agg_hll_sketch_bound(spark, sf_dir):
-    """The BUILT-IN Apache DataSketches HLL surface (Spark 3.5+:
-    hll_sketch_agg → hll_union_agg → hll_sketch_estimate) next to the
-    from-scratch HLL in functions/scale.py: per-status sketches union
-    into a global distinct-customer estimate.  HLL registers are
-    max-per-bucket, so the estimate is a pure function of the value
-    SET — deterministic under any partitioning — and DuckDB cannot
-    reproduce the DataSketches estimator bit-for-bit, so the oracle
-    checks the ACCURACY CONTRACT instead: at lgK=14 (σ≈0.8%) the
-    estimate must sit within ±3% of the exact count, asserted as a
-    hashed boolean next to the exact count itself.  Mergeability
-    (union of per-group sketches == sketch of the union) is exactly
-    what makes sketches the 100 TB path: partial aggregation
-    map-side, constant-size state per group."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__hll_src")
-    return spark.sql("""
-        WITH s AS (SELECT o_orderstatus, hll_sketch_agg(o_custkey, 14) AS sk
-                   FROM __hll_src GROUP BY o_orderstatus),
-             e AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est
-                   FROM s),
-             x AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact
-                   FROM __hll_src)
-        SELECT CAST(x.n_exact AS BIGINT) AS n_exact,
-               abs(CAST(e.est AS DOUBLE) / x.n_exact - 1.0) <= 0.03
-                   AS est_ok
-        FROM e, x""")
-
-
-@q("agg_kll_quantile_bound", """
-WITH x AS (
-  SELECT quantile_cont(o_totalprice, 0.50) AS q50_exact,
-         quantile_cont(o_totalprice, 0.95) AS q95_exact,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM orders)
-SELECT n, TRUE AS q50_ok, TRUE AS q95_ok FROM x""")
-def agg_kll_quantile_bound(spark, sf_dir):
-    """The BUILT-IN Apache DataSketches KLL quantile sketch (Spark
-    3.5+: kll_sketch_agg_double → kll_sketch_merge_double →
-    kll_sketch_get_quantile_double) — the MERGEABLE quantile path that
-    replaces a global sort at 100 TB: per-status sketches (map-side
-    partials, O(k) state) merge into global p50/p95 estimates.  KLL's
-    guarantee is on RANK, not value: at the default k=200 the rank
-    error is ≤ ~1.65% (two-sided, 99% conf; Karnin-Lang-Liberty 2016),
-    so the oracle checks the accuracy CONTRACT — the estimated
-    quantile's exact rank must sit within ±2.5% of the target rank —
-    as hashed booleans next to the row count.  Merge order is pinned
-    by sorting the per-group sketches on the group key before the
-    fold, so the final sketch bytes — and the booleans — are
-    deterministic under any partitioning."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__kll_src")
-    return spark.sql("""
-        WITH s AS (SELECT o_orderstatus,
-                          kll_sketch_agg_double(o_totalprice) AS sk
-                   FROM __kll_src GROUP BY o_orderstatus),
-             m AS (SELECT aggregate(
-                            slice(sks, 2, size(sks) - 1),
-                            element_at(sks, 1),
-                            (acc, x) -> kll_sketch_merge_double(acc, x))
-                          AS sk
-                   -- sort by group key so the merge ORDER (and thus
-                   -- the exact sketch bytes) is deterministic, not
-                   -- collect_list arrival order
-                   FROM (SELECT transform(
-                           array_sort(collect_list(
-                             struct(o_orderstatus, sk))),
-                           p -> p.sk) AS sks
-                         FROM s)),
-             q AS (SELECT
-                     kll_sketch_get_quantile_double(sk, 0.50) AS q50,
-                     kll_sketch_get_quantile_double(sk, 0.95) AS q95
-                   FROM m),
-             r AS (SELECT
-                     CAST(COUNT(*) AS BIGINT) AS n,
-                     SUM(CASE WHEN o_totalprice <= q.q50
-                              THEN 1 ELSE 0 END) / COUNT(*) AS rank50,
-                     SUM(CASE WHEN o_totalprice <= q.q95
-                              THEN 1 ELSE 0 END) / COUNT(*) AS rank95
-                   FROM __kll_src, q GROUP BY q.q50, q.q95)
-        SELECT n,
-               abs(rank50 - 0.50) <= 0.025 AS q50_ok,
-               abs(rank95 - 0.95) <= 0.025 AS q95_ok
-        FROM r""")
-
-
-@q("sql_recursive_cte_walk", """
-WITH RECURSIVE walk(vec_id, head, depth) AS (
-  SELECT vec_id, vec_id AS head, 0 AS depth
-  FROM embeddings WHERE vec_id % 100 = 0
-  UNION ALL
-  SELECT e.vec_id, w.head, w.depth + 1
-  FROM walk w JOIN embeddings e ON e.vec_id = w.vec_id + 1
-  WHERE w.depth < 40)
-SELECT CAST(head AS BIGINT) AS head,
-       CAST(COUNT(*) AS BIGINT) AS n_reached,
-       CAST(MAX(depth) AS INT) AS max_depth
-FROM walk GROUP BY head""")
-def sql_recursive_cte_walk(spark, sf_dir):
-    """``WITH RECURSIVE`` (new in this Spark 4 build — probed and
-    adopted r11): a bounded successor-chain walk from every 100th
-    vec_id, UNION ALL recursion with a per-step equi-join and an
-    explicit depth < 40 guard (the engine's recursion-level limit
-    defaults to 100; unbounded linear recursion is the wrong tool on
-    a cluster anyway — diameter-scale traversals belong to the
-    pointer-doubling / star-contraction entries, which this entry's
-    docstring exists to contrast).  Output is per-head reach counts,
-    identical recursion semantics on DuckDB's native recursive CTE."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    emb.createOrReplaceTempView("__rcte_emb")
-    return spark.sql("""
-        WITH RECURSIVE walk(vec_id, head, depth) AS (
-          SELECT vec_id, vec_id AS head, 0 AS depth
-          FROM __rcte_emb WHERE vec_id % 100 = 0
-          UNION ALL
-          SELECT e.vec_id, w.head, w.depth + 1
-          FROM walk w JOIN __rcte_emb e ON e.vec_id = w.vec_id + 1
-          WHERE w.depth < 40)
-        SELECT CAST(head AS BIGINT) AS head,
-               COUNT(*) AS n_reached,
-               CAST(MAX(depth) AS INT) AS max_depth
-        FROM walk GROUP BY head""")
-
-
-@q("udtf_table_argument_agg", """
-SELECT o_orderstatus,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-            AS BIGINT) AS total_cents
-FROM orders GROUP BY o_orderstatus""")
-def udtf_table_argument_agg(spark, sf_dir):
-    """Python UDTF with a TABLE argument + PARTITION BY (the Spark 4
-    polymorphic table function surface, next to the lateral-view UDTF
-    udtf_sentence_split): each o_orderstatus partition streams through
-    one UDTF instance (eval per row, terminate yields the partition
-    aggregate), Arrow-batched.  Money is folded as exact integer cents
-    (floor(p·100+0.5)) so the Python accumulation matches the SQL
-    oracle bit-for-bit.  Scale shape: PARTITION BY is one shuffle with
-    |groups| parallelism — legal here (3 statuses × bounded state);
-    the general high-cardinality aggregate stays groupBy/agg."""
-    from pyspark.sql.functions import udtf
-
-    @udtf(returnType="o_orderstatus string, n bigint, total_cents bigint")
-    class StatusAgg:
-        def __init__(self):
-            self.key = None
-            self.n = 0
-            self.cents = 0
-
-        def eval(self, row):
-            import math
-            self.key = row["o_orderstatus"]
-            self.n += 1
-            self.cents += int(math.floor(row["o_totalprice"] * 100 + 0.5))
-
-        def terminate(self):
-            if self.n:
-                yield self.key, self.n, self.cents
-
-    spark.udtf.register("__status_agg", StatusAgg)
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__udtf_orders")
-    return spark.sql("""
-        SELECT * FROM __status_agg(
-          TABLE(SELECT o_orderstatus, o_totalprice FROM __udtf_orders)
-          PARTITION BY o_orderstatus)""")
-
-
-@q("agg_theta_sketch_setops", """
-WITH a AS (SELECT DISTINCT o_custkey % 2000 AS v FROM orders
-           WHERE o_orderstatus = 'F'),
-     b AS (SELECT DISTINCT o_custkey % 2000 AS v FROM orders
-           WHERE o_orderstatus = 'O')
-SELECT CAST((SELECT COUNT(*) FROM (SELECT v FROM a UNION SELECT v FROM b))
-            AS BIGINT) AS n_union,
-       CAST((SELECT COUNT(*) FROM (SELECT v FROM a INTERSECT
-                                   SELECT v FROM b)) AS BIGINT) AS n_inter,
-       CAST((SELECT COUNT(*) FROM (SELECT v FROM a EXCEPT
-                                   SELECT v FROM b)) AS BIGINT) AS n_diff""")
-def agg_theta_sketch_setops(spark, sf_dir):
-    """Apache DataSketches THETA sketches — the sketch family that
-    supports full SET ALGEBRA (union / intersection / A-not-B), i.e.
-    audience-overlap analytics without ever materializing the sets:
-    per-status customer-id sketches combine with theta_union /
-    theta_intersection / theta_difference.  The value domain is
-    projected to % 2000 so both sketches stay in EXACT mode (< k=4096
-    retained hashes) — estimates are then exact integers and the
-    oracle is plain distinct set algebra; above k the same plan
-    degrades gracefully to ±1.6% estimates at CONSTANT memory, which
-    is the 100 TB story (set intersection of two 10-billion-row
-    audiences in two sketch scans + a driver-side combine)."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__theta_src")
-    return spark.sql("""
-        WITH a AS (SELECT theta_sketch_agg(o_custkey % 2000) AS sk
-                   FROM __theta_src WHERE o_orderstatus = 'F'),
-             b AS (SELECT theta_sketch_agg(o_custkey % 2000) AS sk
-                   FROM __theta_src WHERE o_orderstatus = 'O')
-        SELECT CAST(theta_sketch_estimate(theta_union(a.sk, b.sk))
-                    AS BIGINT) AS n_union,
-               CAST(theta_sketch_estimate(theta_intersection(a.sk, b.sk))
-                    AS BIGINT) AS n_inter,
-               CAST(theta_sketch_estimate(theta_difference(a.sk, b.sk))
-                    AS BIGINT) AS n_diff
-        FROM a, b""")
-
-
-@q("agg_bitmap_distinct_exact", """
-SELECT o_orderpriority,
-       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
-FROM orders GROUP BY o_orderpriority""")
-def agg_bitmap_distinct_exact(spark, sf_dir):
-    """The built-in BITMAP aggregate surface (Spark 3.5:
-    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
-    / bitmap_count) doing EXACT distinct counts as two cheap
-    hash-aggs: keys bucket into fixed 32k-bit bitmap rows, per-bucket
-    bitmaps OR together map-side, and the per-group distinct count is
-    the SUM of per-bucket popcounts — the roaring-bitmap pattern next
-    to functions/scale.py's custom bitmap retention entry.  Exact at
-    every scale (no estimate), shuffle volume = populated buckets ×
-    4 KiB, never the raw key stream."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__bm_src")
-    return spark.sql("""
-        WITH per_bucket AS (
-          SELECT o_orderpriority,
-                 bitmap_bucket_number(o_custkey) AS bk,
-                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
-          FROM __bm_src GROUP BY o_orderpriority, bk)
-        SELECT o_orderpriority,
-               SUM(bitmap_count(bm)) AS n_cust
-        FROM per_bucket GROUP BY o_orderpriority""")
-
-
-@q("agg_regr_family", """
-WITH t AS (SELECT o_orderkey % 1000 AS x,
-                  2 * (o_orderkey % 1000) + (o_orderkey % 7) AS y
-           FROM orders)
-SELECT ROUND(regr_slope(y, x), 6) + 0 AS slope,
-       ROUND(regr_intercept(y, x), 6) + 0 AS intercept,
-       ROUND(regr_r2(y, x), 6) + 0 AS r2,
-       CAST(regr_count(y, x) AS BIGINT) AS n,
-       ROUND(regr_avgx(y, x), 6) + 0 AS avgx,
-       ROUND(regr_avgy(y, x), 6) + 0 AS avgy
-FROM t""")
-def agg_regr_family(spark, sf_dir):
-    """ANSI linear-regression aggregates (regr_slope / intercept / r2
-    / count / avgx / avgy) over integer-valued x,y derived from the
-    order key (y = 2x + key%7 noise, so the fit is strong but not
-    perfect and r² is a real fraction).  Integer inputs keep every
-    raw sum exact in double; the final ratios differ between engines
-    only in the last ulps (each engine's own streaming accumulation),
-    absorbed by the ROUND(...,6)+0 canon — output-only, never a key
-    (the standing libm/tie rule).  One combineable hash-agg, the
-    sufficient-statistics shape that scales to any row count."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__regr_src")
-    return spark.sql("""
-        WITH t AS (SELECT o_orderkey % 1000 AS x,
-                          2 * (o_orderkey % 1000) + (o_orderkey % 7) AS y
-                   FROM __regr_src)
-        SELECT ROUND(regr_slope(y, x), 6) + 0 AS slope,
-               ROUND(regr_intercept(y, x), 6) + 0 AS intercept,
-               ROUND(regr_r2(y, x), 6) + 0 AS r2,
-               regr_count(y, x) AS n,
-               ROUND(regr_avgx(y, x), 6) + 0 AS avgx,
-               ROUND(regr_avgy(y, x), 6) + 0 AS avgy
-        FROM t""")
-
-
-@q("quality_mask_pii", """
-SELECT c_custkey,
-       regexp_replace(regexp_replace(regexp_replace(c_name,
-           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
-           AS masked_default,
-       regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
-           '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', 'D', 'g'),
-           '[^UlD]', '*', 'g') AS masked_custom
-FROM customer""")
-def quality_mask_pii(spark, sf_dir):
-    """The ``mask()`` PII-redaction function (§2.8 / the governance
-    surface next to quality_k_anonymity and l_diversity): default
-    masking (upper→X, lower→x, digit→n, other kept) and fully-custom
-    masking (U/l/D and '*' for separators).  The oracle rebuilds both
-    maskings with regexp chains — character-class coverage, not just
-    row counts, is hash-checked.  Pure projection, codegen, no
-    shuffle."""
-    c = load_table(spark, sf_dir, "customer")
-    return c.selectExpr(
-        "c_custkey",
-        "mask(c_name) AS masked_default",
-        "mask(c_name, 'U', 'l', 'D', '*') AS masked_custom")
-
-
-@q("scalar_xml_suite", """
-SELECT o_orderkey,
-       o_orderpriority AS xp_prio,
-       o_orderkey AS xml_key,
-       o_orderstatus AS xml_status,
-       CAST(2 AS INT) AS n_children
-FROM orders WHERE o_orderkey % 11 = 0""")
-def scalar_xml_suite(spark, sf_dir):
-    """XML scalar functions (§2.8, next to the JSON/VARIANT suites;
-    the reference's getSource dispatch lists XML as an ingest format):
-    documents are BUILT from row data (concat), then re-extracted
-    with xpath_string, from_xml (schema'd struct), and xpath counting
-    — the oracle is the identity on the original columns, so any
-    parse/escape/extraction defect breaks the hash.  Key-sampled
-    (%11) to keep the Python-free codegen path the dominant cost."""
-    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 11 = 0")
-    o.createOrReplaceTempView("__xml_src")
-    return spark.sql("""
-        WITH x AS (
-          SELECT o_orderkey,
-                 concat('<o><k>', o_orderkey, '</k><p>', o_orderpriority,
-                        '</p><s>', o_orderstatus, '</s></o>') AS doc
-          FROM __xml_src)
-        SELECT o_orderkey,
-               xpath_string(doc, '/o/p') AS xp_prio,
-               from_xml(doc, 'k BIGINT, p STRING, s STRING').k AS xml_key,
-               from_xml(doc, 'k BIGINT, p STRING, s STRING').s
-                   AS xml_status,
-               CAST(size(xpath(doc, '/o/*[self::k or self::s]/text()'))
-                    AS INT) AS n_children
-        FROM x""")
-
-
-@q("text_url_parse", """
-SELECT o_orderkey,
-       'h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com' AS host,
-       '/p/' || CAST(o_orderkey AS VARCHAR) AS path,
-       o_orderstatus AS q_status,
-       o_orderpriority AS dec_roundtrip
-FROM orders WHERE o_orderkey % 13 = 0""")
-def text_url_parse(spark, sf_dir):
-    """URL parsing/encoding (parse_url HOST/PATH/QUERY-key,
-    url_encode/url_decode) — the domain-extraction step every
-    web-corpus curation pipeline runs before per-host dedup and
-    filtering.  URLs are BUILT from row data, re-parsed, and the
-    encode→decode roundtrip re-surfaces the raw priority string, so
-    the oracle is the identity on the constructing columns.
-    Key-sampled; pure codegen projection."""
-    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 13 = 0")
-    o.createOrReplaceTempView("__url_src")
-    return spark.sql("""
-        WITH u AS (
-          SELECT o_orderkey, o_orderpriority,
-                 concat('https://h', o_custkey % 50, '.example.com/p/',
-                        o_orderkey, '?s=', o_orderstatus) AS url
-          FROM __url_src)
-        SELECT o_orderkey,
-               parse_url(url, 'HOST') AS host,
-               parse_url(url, 'PATH') AS path,
-               parse_url(url, 'QUERY', 's') AS q_status,
-               url_decode(url_encode(o_orderpriority)) AS dec_roundtrip
-        FROM u""")
-
-
-@q("scalar_digest_suite", """
-SELECT c_custkey,
-       sha256(c_name) AS sha_hex,
-       to_base64(CAST(c_name AS BLOB)) AS b64,
-       lower(hex(c_name)) AS hex_bytes,
-       c_name AS b64_roundtrip
-FROM customer""")
-def scalar_digest_suite(spark, sf_dir):
-    """Content-digest and binary-encoding functions (§2.8, the
-    fingerprint primitives under every dedup/caching scheme): SHA-256
-    (cross-engine-identical hex), base64/unbase64 (RFC 4648, asserted
-    by the decode roundtrip), and hex byte dumps (case-normalized —
-    Spark upper-cases, DuckDB's hex() differs).  md5→int64 is already
-    the house join-hash canon (feature_hash_text); this pins the rest
-    of the digest surface.  Pure codegen projection."""
-    c = load_table(spark, sf_dir, "customer")
-    return c.selectExpr(
-        "c_custkey",
-        "sha2(c_name, 256) AS sha_hex",
-        "base64(c_name) AS b64",
-        "lower(hex(c_name)) AS hex_bytes",
-        "CAST(unbase64(base64(c_name)) AS STRING) AS b64_roundtrip")
-
-
-@q("scalar_timezone_suite", """
-WITH t AS (
-  SELECT o_orderkey AS k,
-         make_timestamp(CAST(year(o_orderdate) AS BIGINT),
-                        CAST(month(o_orderdate) AS BIGINT),
-                        CAST(day(o_orderdate) AS BIGINT),
-                        CAST(o_orderkey % 24 AS BIGINT),
-                        CAST(o_orderkey % 60 AS BIGINT),
-                        CAST(o_orderkey % 60 AS DOUBLE)) AS base
-  FROM orders WHERE o_orderkey % 17 = 0)
-SELECT k, base,
-       base + INTERVAL '330 minutes' AS ist,
-       base + INTERVAL '8 hours' AS utc_from_pst,
-       CAST(epoch(base) AS BIGINT) AS epoch_s
-FROM t""")
-def scalar_timezone_suite(spark, sf_dir):
-    """Timezone arithmetic with FIXED-OFFSET zones (make_timestamp,
-    convert_timezone, to_utc_timestamp, unix epoch extraction) — the
-    deterministic core of timestamp handling.  Fixed offsets
-    ('+05:30', '-08:00') are deliberate: they are pure interval
-    shifts both engines agree on byte-for-byte, whereas NAMED zones
-    drag in tz-database vintage skew (Java tzdb vs ICU) that no canon
-    can reconcile — exactly the distinction a cross-engine pipeline
-    must respect.  Session timezone is pinned UTC (session.py), so
-    NTZ↔instant casts are identity and the epoch check is pure
-    integer math.  Key-sampled; map-only projection."""
-    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 17 = 0")
-    o.createOrReplaceTempView("__tz_src")
-    return spark.sql("""
-        WITH t AS (
-          SELECT o_orderkey AS k,
-                 CAST(make_timestamp(year(o_orderdate), month(o_orderdate),
-                                     day(o_orderdate), o_orderkey % 24,
-                                     o_orderkey % 60,
-                                     CAST(o_orderkey % 60 AS DECIMAL(8,6)))
-                      AS TIMESTAMP_NTZ) AS base
-          FROM __tz_src)
-        SELECT k, base,
-               convert_timezone('UTC', '+05:30', base) AS ist,
-               CAST(to_utc_timestamp(base, '-08:00') AS TIMESTAMP_NTZ)
-                   AS utc_from_pst,
-               unix_seconds(CAST(base AS TIMESTAMP)) AS epoch_s
-        FROM t""")
-
-
-@q("scalar_posexplode_outer", """
-WITH t AS (SELECT o_orderkey AS k, CAST(o_orderkey % 4 AS INT) AS n
-           FROM orders WHERE o_orderkey % 7 = 0)
-SELECT k,
-       CASE WHEN n = 0 THEN NULL ELSE CAST(g.i - 1 AS INT) END AS pos,
-       CASE WHEN n = 0 THEN NULL ELSE CAST(g.i AS INT) END AS v
-FROM t LEFT JOIN LATERAL (SELECT unnest(range(1, n + 1)) AS i) AS g
-       ON TRUE""")
-def scalar_posexplode_outer(spark, sf_dir):
-    """NULL-preserving generators (§2.8/§2.9): posexplode_outer emits
-    a (NULL, NULL) row for an EMPTY array where plain posexplode
-    silently drops the parent row — the row-count-preserving contract
-    ETL joins rely on after array expansion.  Empty arrays come from
-    the data (key % 4 == 0); the oracle reproduces outer semantics
-    with a LEFT LATERAL unnest.  One generate, no shuffle."""
-    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 7 = 0")
-    o.createOrReplaceTempView("__gen_src")
-    return spark.sql("""
-        SELECT o_orderkey AS k, pos, v
-        FROM __gen_src
-        LATERAL VIEW OUTER posexplode(
-          CASE WHEN o_orderkey % 4 = 0 THEN array()
-               ELSE sequence(1, CAST(o_orderkey % 4 AS INT)) END)
-          AS pos, v""")
-
-
-@q("src_warc_roundtrip", """
-SELECT CAST(doc_id AS VARCHAR) AS record_id,
-       'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
-           AS target_uri,
-       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
-           AS content_length,
-       text AS payload
-FROM documents WHERE doc_id < 400""")
-def src_warc_roundtrip(spark, sf_dir):
-    """WARC ingestion (sources/warc.py — ISO 28500 / the Common Crawl
-    ``.warc.gz`` container, implemented from the public spec since no
-    WARC library ships here): documents become per-record-gzipped
-    WARC responses (one member per record, the range-fetchable
-    layout), written one segment per partition, then read back
-    through the binaryFile source and parsed by Content-Length
-    framing (never delimiter scanning).  The oracle is the identity
-    on the source rows — record ids, URIs, byte lengths, and full
-    payload text must survive the container — so header parsing,
-    member walking (zlib unused_data loop), and UTF-8 framing are all
-    hash-checked.  Parallelism = segments on both sides, the shape
-    real crawl processing uses."""
-    from aws_etl_bank_spark.sources.warc import read_warc, write_warc
-
-    docs = (load_table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 400)
-            .select("doc_id",
-                    F.concat(F.lit("https://corpus.example/doc/"),
-                             F.col("doc_id").cast("string")).alias("uri"),
-                    "text"))
-    path = _scratch(sf_dir, "warc_roundtrip")
-    write_warc(docs.repartition(4), path, "doc_id", "uri", "text")
-    return read_warc(spark, path)
-
-
-@q("sql_pipe_syntax_pricing", """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
-                           + 0.5) AS BIGINT)) AS BIGINT)
-           AS revenue_cents,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
-                           + 0.5) AS BIGINT)) AS BIGINT) / 100.0
-           AS revenue
-FROM lineitem
-WHERE l_shipdate <= DATE '1998-09-02'
-GROUP BY l_returnflag, l_linestatus""")
-def sql_pipe_syntax_pricing(spark, sf_dir):
-    """SQL pipe syntax (Spark 4's ``|>`` operator chain, SPARK-49555 —
-    the linear FROM-first form of nested SQL): a pricing summary
-    written as WHERE |> EXTEND |> AGGREGATE ... GROUP BY |> EXTEND.
-    Pipe syntax is pure PARSER surface — each ``|>`` stage lowers to
-    the same Catalyst operators as the nested form, so the plan (one
-    scan with pushed filter, partial+final hash aggregate) and the
-    100 TB posture are identical to tpch_q1's; the entry pins that the
-    dialect itself round-trips the engine.  Money flows through the
-    integer-cents canon (r12: DECIMAL output columns are never
-    driver-hash-safe); the derived double is bigint/100.0, identical
-    IEEE division on both engines."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    lineitem.createOrReplaceTempView("__pipe_lineitem")
-    return spark.sql("""
-        FROM __pipe_lineitem
-        |> WHERE l_shipdate <= DATE '1998-09-02'
-        |> EXTEND CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
-                             + 0.5) AS BIGINT) AS disc_cents
-        |> AGGREGATE CAST(SUM(disc_cents) AS BIGINT) AS revenue_cents,
-                     CAST(COUNT(*) AS BIGINT) AS n_rows
-           GROUP BY l_returnflag, l_linestatus
-        |> EXTEND CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue""")
-
-
-@q("agg_approx_top_k_merge", """
-SELECT o_orderpriority AS priority,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM orders GROUP BY o_orderpriority""")
-def agg_approx_top_k_merge(spark, sf_dir):
-    """Built-in heavy-hitters sketch (Spark 4.1's Apache DataSketches
-    frequent-items family) through its MERGEABLE three-phase path:
-    approx_top_k_accumulate per order-status group (map-side partial,
-    O(maxItemsTracked) state) -> approx_top_k_combine into one global
-    sketch -> approx_top_k_estimate.  This is the 100 TB shape — a
-    fixed-size sketch per partition merges associatively, never a
-    global shuffle of raw values.  The accuracy contract here is
-    EXACTNESS by capacity: maxItemsTracked=8 exceeds the 5 distinct
-    priorities, and the DataSketches frequent-items guarantee is
-    zero count error while nothing is evicted, so the estimate equals
-    the exact histogram and every row hash-checks against the plain
-    GROUP BY oracle (the KLL entry's contract style, applied to
-    frequencies).  Emitting ALL tracked items (k = distinct count)
-    makes tie order irrelevant under the order-insensitive compare."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__atk_src")
-    return spark.sql("""
-        WITH s AS (SELECT o_orderstatus,
-                          approx_top_k_accumulate(o_orderpriority, 8) AS sk
-                   FROM __atk_src GROUP BY o_orderstatus),
-             m AS (SELECT approx_top_k_combine(sk, 8) AS sk FROM s),
-             e AS (SELECT explode(approx_top_k_estimate(sk, 5)) AS p
-                   FROM m)
-        SELECT p.item AS priority, CAST(p.count AS BIGINT) AS n FROM e""")
-
-
-@q("stream_state_reader", """
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events GROUP BY user_id""")
-def stream_state_reader(spark, sf_dir):
-    """The state DATA SOURCE (Spark 4's ``statestore`` batch format,
-    SPARK-45511) — reading a Structured Streaming checkpoint's state
-    store as a DataFrame, the ops surface every production streaming
-    pipeline needs for state inspection, debugging, and migration.  A
-    real streaming aggregation (per-user counts over the events feed,
-    availableNow) commits RocksDB/HDFS-backed state; the entry then
-    reads the checkpoint BACK via ``spark.read.format("statestore")``
-    and flattens key/value structs to (user_id, n_events).  The state
-    rows — not the sink — are what's hash-checked: they must equal the
-    batch GROUP BY, pinning that checkpointed state is complete and
-    readable offline.  Scale: the state read is partitioned by the
-    store's shuffle partitions, O(keys) rows."""
-    import time as _time
-
-    from aws_etl_bank_spark.plans.registry_llm import _events_stream_dir
-    from aws_etl_bank_spark.sources.testdata import events_stream
-
-    stream = events_stream(spark, _events_stream_dir(sf_dir))
-    counts = stream.groupBy("user_id").count()
-    ck = _scratch(sf_dir, f"state_reader_ck_{int(_time.time() * 1000)}")
-    name = f"state_reader_{int(_time.time() * 1000) % 10_000_000}"
-    query = (counts.writeStream.format("memory").queryName(name)
-             .outputMode("update").option("checkpointLocation", ck)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
-    state = spark.read.format("statestore").load(ck)
-    return state.select(F.col("key.user_id").alias("user_id"),
-                        F.col("value.count").cast("long").alias("n_events"))
-
-
-@q("src_pyds_filter_pushdown", """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
-  AND o_orderkey >= 1000""")
-def src_pyds_filter_pushdown(spark, sf_dir):
-    """FILTER PUSHDOWN through the custom Python DataSource (Spark
-    4.1's ``DataSourceReader.pushFilters``, sources/pyds.py): the
-    string-equality and integer-range predicates are claimed by the
-    connector, which (a) prunes whole ROW GROUPS from the plan using
-    footer min/max statistics — the same skip native parquet scans
-    get — and (b) applies the residual mask with Arrow compute inside
-    the task.  The DOUBLE comparison (`o_totalprice > 200000`) is
-    deliberately YIELDED BACK to Spark (ADVICE r13): Spark's NaN
-    semantics (NaN = NaN true; NaN > every double) differ from IEEE
-    pyarrow.compute, and Spark never re-evaluates claimed filters, so
-    float-column comparisons are never claimable.  At 100 TB this is
-    the difference between a connector that ships every row to Spark
-    and one that reads only qualifying row groups.  Identity columns
-    make the oracle a plain WHERE."""
-    import os
-
-    from aws_etl_bank_spark.sources.pyds import PyArrowParquetDataSource
-
-    try:
-        spark.dataSource.register(PyArrowParquetDataSource)
-    except Exception:
-        pass  # already registered in this session
-    return (spark.read.format("pyarrow_parquet")
-            .option("path", os.path.join(sf_dir, "orders.parquet"))
-            .load()
-            .filter("o_totalprice > 200000 AND o_orderstatus = 'F' "
-                    "AND o_orderkey >= 1000")
-            .select("o_orderkey", "o_custkey", "o_totalprice"))
-
-
-@q("canary_driver_hash_types", """
-SELECT status, sum_cents,
-       CAST(SUM(sum_cents) OVER (ORDER BY status) AS BIGINT)
-           AS run_cents,
-       avg_price, n, first_order, first_year, is_common
-FROM (
-    SELECT o_orderstatus AS status,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS sum_cents,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
-               / (100.0 * COUNT(*)) AS avg_price,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order,
-           CAST(year(MIN(o_orderdate)) AS INTEGER) AS first_year,
-           COUNT(*) > 100 AS is_common
-    FROM orders
-    GROUP BY o_orderstatus
-)
-ORDER BY status""")
-def canary_driver_hash_types(spark, sf_dir):
-    """DRIVER-ENVIRONMENT CANARY (VERDICT r13 task 2): a deliberately
-    cheap 3-row aggregate emitting one column of every value class the
-    driver's bitwise hash canon has to handle — STRING key,
-    integer-CENTS money (the proven-safe canon from the r11-r13
-    DECIMAL-divergence incident: the driver environment's pandas hash
-    diverges from local on DECIMAL values, so money is summed as
-    ``BIGINT`` cents), a DOUBLE, a BIGINT count, a TIMESTAMP min, a
-    ``year()`` INTEGER, a BOOLEAN, and (since r15) a WINDOWED
-    ``SUM(BIGINT)`` — the class behind the r14 red: DuckDB types a
-    windowed integer sum HUGEINT unless outer-CAST, so this column
-    keeps the cast pattern on permanent display and would read out any
-    future driver drift on windowed sums.  The DOUBLE is derived from
-    the exact integer-cents sum with a single IEEE division
-    (``sum_cents / (100.0 * n)``) rather than ``ROUND(AVG(...))`` —
-    AVG over doubles is accumulation-order dependent and ROUND near a
-    .005 tie can flip bitwise between engines (ADVICE r14); the
-    division form has one bit pattern everywhere.  This entry is
-    pinned to slot 1 of the driver's 50-entry window every round: any
-    NEW driver-side hash divergence (a pandas/pyarrow upgrade changing
-    canonicalization of one of these types) shows up as one red canary
-    with a known-good local baseline, instead of a mystery red in a
-    load-bearing entry.  Sub-second at sf0.01."""
-    from pyspark.sql import Window
-
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.sum(F.round(F.col("o_totalprice") * 100)
-                  .cast("bigint")).cast("bigint")
-    agg = (
-        o.groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(
-            cents.alias("sum_cents"),
-            (cents.cast("double")
-             / (F.lit(100.0) * F.count(F.lit(1)))).alias("avg_price"),
-            F.count(F.lit(1)).alias("n"),
-            F.min("o_orderdate").cast("timestamp").alias("first_order"),
-            F.year(F.min("o_orderdate")).cast("int").alias("first_year"),
-            (F.count(F.lit(1)) > 100).alias("is_common"),
-        )
-    )
-    return (
-        agg.withColumn(
-            "run_cents",
-            F.sum("sum_cents").over(Window.orderBy("status"))
-            .cast("bigint"))
-        .select("status", "sum_cents", "run_cents", "avg_price", "n",
-                "first_order", "first_year", "is_common")
-        .orderBy("status")
-    )
-
-
-@q("sql_scripting_while_loop", """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS total_cents
-FROM orders
-WHERE year(o_orderdate) BETWEEN 1995 AND 2001""")
-def sql_scripting_while_loop(spark, sf_dir):
-    """SQL SCRIPTING (Spark 4.1 ``BEGIN ... END`` blocks, probed and
-    adopted r14): session variables (``DECLARE``/``SET``), a ``WHILE``
-    loop, and scalar-subquery assignment — the procedural surface a
-    migration from stored-procedure warehouses needs.  The script
-    walks the order years 1995-2001, accumulating an exact
-    integer-CENTS revenue total and an order count into BIGINT
-    variables (cents, not doubles, so the per-iteration accumulation
-    order can never diverge bitwise from the oracle's single SUM).
-    Both accumulators update through ONE multi-assignment ``SET
-    (cents, n) = (SELECT ...)`` per iteration — one filtered aggregate
-    per year, 7 bounded scans total (two separate SETs would scan
-    twice per year).  Honesty note on the plan: even so, the single
-    GROUP BY is the recommended form at 100 TB; the entry exists to
-    pin the SCRIPTING surface (control flow, variable state,
-    multi-assignment, loop termination), not to recommend the shape.
-    The oracle is the closed-form aggregate over the same year band."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__script_orders")
-    return spark.sql("""
-        BEGIN
-          DECLARE y INT DEFAULT 1995;
-          DECLARE cents BIGINT DEFAULT 0;
-          DECLARE n BIGINT DEFAULT 0;
-          WHILE y <= 2001 DO
-            SET (cents, n) = (
-                SELECT cents + COALESCE(SUM(CAST(ROUND(o_totalprice
-                                                       * 100)
-                                                 AS BIGINT)), 0),
-                       n + COUNT(*)
-                FROM __script_orders WHERE year(o_orderdate) = y);
-            SET y = y + 1;
-          END WHILE;
-          SELECT n AS n_orders, cents AS total_cents;
-        END""")
-
-
-# ===========================================================================
-# r14 SQL-surface sweep: conditional/boolean aggregates, parameterized &
-# dynamic SQL (named markers, EXECUTE IMMEDIATE, IDENTIFIER), GROUP BY
-# ALL, TABLESAMPLE, session variables, SQL PIVOT clause
-# ===========================================================================
-
-
-@q("agg_conditional_bool_family", """
-SELECT o_orderstatus AS status,
-       CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
-           AS n_big,
-       bool_and(o_totalprice > 0) AS all_positive,
-       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-       o_orderstatus AS status_copy
-FROM orders GROUP BY o_orderstatus""")
-def agg_conditional_bool_family(spark, sf_dir):
-    """Conditional/boolean aggregate family: ``count_if`` (one-pass
-    conditional count — the FILTER-clause equivalent without a
-    subquery), ``bool_and``/``bool_or`` (universal/existential
-    quantifiers as aggregates), and ``any_value`` pinned DETERMINISTIC
-    by applying it to a group-constant expression (any_value of the
-    group key itself) — the only shape where its result is
-    oracle-comparable.  All four run inside the same partial+final
-    hash aggregate as the plain counts, so the 100 TB cost is one
-    map-side-combined pass."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(
-            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
-            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
-            F.bool_or(F.col("o_orderpriority") == "1-URGENT")
-             .alias("any_urgent"),
-            F.any_value(F.col("o_orderstatus")).alias("status_copy"),
-        )
-    )
-
-
-@q("sql_execute_immediate", """
-SELECT o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS cents
-FROM orders
-WHERE o_totalprice > 150000
-GROUP BY o_orderpriority""")
-def sql_execute_immediate(spark, sf_dir):
-    """``EXECUTE IMMEDIATE`` (Spark 4 dynamic SQL): the statement text
-    is a value, bound parameters arrive via ``USING <expr> AS name`` —
-    the surface a stored-procedure migration uses for runtime-composed
-    queries.  The executed statement is ordinary SQL, so Catalyst
-    plans it identically to the static form (scan + pushed filter +
-    partial/final hash agg); only parsing moves to execution time.
-    Money flows through the integer-cents canon."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__ei_orders")
-    return spark.sql("""
-        EXECUTE IMMEDIATE
-          'SELECT o_orderpriority,
-                  COUNT(*) AS n,
-                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                       AS BIGINT) AS cents
-           FROM __ei_orders
-           WHERE o_totalprice > :lo
-           GROUP BY o_orderpriority'
-          USING 150000 AS lo""")
-
-
-@q("sql_identifier_params", """
-SELECT o_orderstatus AS group_key,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(MAX(o_totalprice), 2) AS max_price
-FROM orders
-WHERE o_totalprice > 250000
-GROUP BY o_orderstatus""")
-def sql_identifier_params(spark, sf_dir):
-    """Parameterized SQL (named ``:marker`` arguments to
-    ``spark.sql(..., args=...)``) combined with the ``IDENTIFIER()``
-    clause, which promotes a VALUE parameter to a column/table
-    IDENTIFIER safely — the injection-proof way to template the same
-    query over different group-by columns or tables (vs string
-    concatenation).  Catalyst resolves IDENTIFIER at analysis time, so
-    the plan is the ordinary static-column plan with the filter pushed
-    to the scan."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__idp_orders")
-    return spark.sql(
-        """
-        SELECT IDENTIFIER(:gcol) AS group_key,
-               COUNT(*) AS n,
-               ROUND(MAX(IDENTIFIER(:vcol)), 2) AS max_price
-        FROM IDENTIFIER(:tbl)
-        WHERE IDENTIFIER(:vcol) > :lo
-        GROUP BY IDENTIFIER(:gcol)
-        """,
-        args={"gcol": "o_orderstatus", "vcol": "o_totalprice",
-              "tbl": "__idp_orders", "lo": 250000},
-    )
-
-
-@q("agg_group_by_all", """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS cents
-FROM orders
-GROUP BY o_orderstatus, o_orderpriority""")
-def agg_group_by_all(spark, sf_dir):
-    """``GROUP BY ALL`` (group by every non-aggregate select item) —
-    pure analyzer sugar that expands to the explicit column list
-    before optimization, so the plan is byte-identical to the
-    spelled-out GROUP BY; the entry pins that the dialect shortcut
-    resolves the same grouping.  The oracle spells the columns out."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__gba_orders")
-    return spark.sql("""
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                    AS BIGINT) AS cents
-        FROM __gba_orders
-        GROUP BY ALL""")
-
-
-@q("sample_tablesample_rows", """
-SELECT CAST(75 AS BIGINT) AS n_contained,
-       CAST(75 AS BIGINT) AS n_distinct,
-       CAST(75 AS BIGINT) AS n_rows""")
-def sample_tablesample_rows(spark, sf_dir):
-    """``TABLESAMPLE (75 ROWS)`` — the SQL-standard sampling clause in
-    its exact-row-count form — checked through the same invariant
-    oracle as the unordered LIMIT (sample_limit): WHICH rows are
-    sampled is nondeterministic, so the entry emits (a) exactly 75
-    rows, (b) all contained in the base table via left-semi join, and
-    (c) all distinct.  (The BERNOULLI percent form has a
-    nondeterministic COUNT as well, which no invariant short of a
-    tolerance band can pin — the ROWS form is the oracle-able one.)
-    Invariant construction shared with sample_limit via
-    ``_unordered_sample_invariants``."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__ts_orders")
-    return _unordered_sample_invariants(
-        lambda: spark.sql(
-            "SELECT * FROM __ts_orders TABLESAMPLE (75 ROWS)"), o)
-
-
-@q("sql_session_variables", """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_above,
-       ROUND(MIN(o_totalprice), 2) AS min_above
-FROM orders
-WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2 FROM orders)""")
-def sql_session_variables(spark, sf_dir):
-    """SQL session variables (Spark 4 ``DECLARE VARIABLE`` / ``SET
-    VAR`` outside any script): a variable holds a scalar computed by
-    one query and parameterizes the next — the session-state surface
-    scripts build on, usable from plain ``spark.sql`` calls.  The
-    threshold is MAX/2, not AVG: max is order-of-accumulation
-    independent and IEEE division by 2 is exact, so the variable's
-    bits match the oracle's scalar subquery exactly (an AVG threshold
-    could flip boundary rows between engines).  At plan time the
-    variable is a literal — the filter still pushes to the scan."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__var_orders")
-    spark.sql("DECLARE OR REPLACE VARIABLE __r14_price_thresh DOUBLE "
-              "DEFAULT 0.0")
-    spark.sql("SET VAR __r14_price_thresh = "
-              "(SELECT MAX(o_totalprice) / 2 FROM __var_orders)")
-    return spark.sql("""
-        SELECT COUNT(*) AS n_above,
-               ROUND(MIN(o_totalprice), 2) AS min_above
-        FROM __var_orders
-        WHERE o_totalprice > __r14_price_thresh""")
-
-
-@q("sql_pivot_clause", """
-SELECT o_orderpriority,
-       CASE WHEN COUNT(*) FILTER (WHERE o_orderstatus = 'F') = 0
-            THEN NULL ELSE COUNT(*) FILTER (WHERE o_orderstatus = 'F')
-       END AS f,
-       CASE WHEN COUNT(*) FILTER (WHERE o_orderstatus = 'O') = 0
-            THEN NULL ELSE COUNT(*) FILTER (WHERE o_orderstatus = 'O')
-       END AS o,
-       CASE WHEN COUNT(*) FILTER (WHERE o_orderstatus = 'P') = 0
-            THEN NULL ELSE COUNT(*) FILTER (WHERE o_orderstatus = 'P')
-       END AS p
-FROM orders
-GROUP BY o_orderpriority""")
-def sql_pivot_clause(spark, sf_dir):
-    """The SQL ``PIVOT`` clause (vs the DataFrame ``pivot()`` already
-    pinned by pivot_event_counts): explicit IN-list of output columns,
-    so Spark plans ONE aggregate with no distinct-values discovery
-    job.  Fidelity detail the oracle encodes: a pivot cell whose group
-    is EMPTY is NULL (the aggregate never ran), not COUNT's usual 0 —
-    hence the CASE..FILTER oracle shape.  Explicit IN-lists are also
-    the 100 TB posture: auto-discovered pivot values add a full
-    distinct pass over the fact."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__pv_orders")
-    return spark.sql("""
-        SELECT * FROM (
-            SELECT o_orderpriority, o_orderstatus FROM __pv_orders
-        )
-        PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS f, 'O' AS o,
-                                              'P' AS p))""")
-
-
-@q("udtf_polymorphic_analyze", """
-SELECT o_orderpriority,
-       split_part(o_orderpriority, '-', 1) AS p0,
-       split_part(o_orderpriority, '-', 2) AS p1,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM orders
-GROUP BY o_orderpriority""")
-def udtf_polymorphic_analyze(spark, sf_dir):
-    """POLYMORPHIC Python UDTF (the Spark 4 ``analyze()`` static
-    method): the output SCHEMA is computed at plan time from the
-    call's constant arguments — here ``split_parts(col, 2)`` derives
-    two string columns from the literal 2 — the table-function
-    counterpart of generics (the earlier UDTF entries use static
-    returnType).  ``AnalyzeArgument.isConstantExpression`` gates the
-    schema-driving arg, so a non-literal width fails at analysis, not
-    mid-job.  Execution is the ordinary Arrow-batched lateral join;
-    the oracle is split_part (priorities are always two-part, so the
-    missing-part NULL path never fires on this data)."""
-    from pyspark.sql.functions import udtf
-    from pyspark.sql.types import StringType, StructField, StructType
-    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
-
-    class SplitParts:
-        @staticmethod
-        def analyze(s: AnalyzeArgument,
-                    n: AnalyzeArgument) -> AnalyzeResult:
-            if not n.isConstantExpression:
-                raise ValueError("split_parts: n must be a literal")
-            return AnalyzeResult(schema=StructType(
-                [StructField(f"p{i}", StringType())
-                 for i in range(int(n.value))]))
-
-        def eval(self, s, n):
-            parts = (s or "").split("-")
-            yield tuple(parts[i] if i < len(parts) else None
-                        for i in range(n))
-
-    spark.udtf.register("__r14_split_parts", udtf(SplitParts))
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__udtfa_orders")
-    return spark.sql("""
-        SELECT o_orderpriority, sp.p0, sp.p1, COUNT(*) AS n
-        FROM __udtfa_orders,
-             LATERAL __r14_split_parts(o_orderpriority, 2) sp
-        GROUP BY o_orderpriority, sp.p0, sp.p1""")
-
-
-@q("sql_distribute_sort_by", """
-SELECT o_orderstatus,
-       o_orderkey,
-       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-FROM orders
-WHERE o_totalprice > 300000""")
-def sql_distribute_sort_by(spark, sf_dir):
-    """``DISTRIBUTE BY`` + ``SORT BY`` (the Hive-dialect plan-shaping
-    clauses): hash-partition by one key and sort WITHIN each partition
-    by another — one Exchange plus a partition-local sort, NO global
-    order and therefore no range-exchange/final-merge.  This is the
-    write-preparation shape for clustered output at 100 TB (e.g.
-    per-status files ordered by key for downstream merge joins), where
-    a full ORDER BY would add a pointless global sort.  Content is
-    partitioning-invariant, so the oracle is the plain projection;
-    the partition-local plan shape is what the entry pins."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__dsb_orders")
-    return spark.sql("""
-        SELECT o_orderstatus, o_orderkey,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM __dsb_orders
-        WHERE o_totalprice > 300000
-        DISTRIBUTE BY o_orderstatus SORT BY o_orderkey""")
-
-
-@q("sql_named_window_clause", """
-SELECT o_orderkey,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
-            AS BIGINT) AS run_cents,
-       CAST(COUNT(*) OVER (PARTITION BY o_orderstatus
-                           ORDER BY o_orderkey) AS BIGINT) AS run_n,
-       CAST(rank() OVER (PARTITION BY o_orderstatus
-                         ORDER BY o_orderkey) AS INT) AS rnk
-FROM orders
-WHERE o_totalprice > 400000""")
-def sql_named_window_clause(spark, sf_dir):
-    """The SQL ``WINDOW`` clause (named window definitions): three
-    window functions share ONE spec by name, which guarantees — at the
-    dialect level, not just by optimizer luck — that they run in a
-    single Window operator over a single sort pass.  The oracle spells
-    each OVER out; DuckDB collapses them the same way.  Money runs
-    through integer cents so the running sum has one bit pattern in
-    any engine (the frame order is total: o_orderkey is unique).
-    Oracle typing (r14 driver red, fixed r15): DuckDB types a windowed
-    ``SUM(BIGINT)`` as HUGEINT, so the oracle needs the outer
-    ``CAST(... AS BIGINT)`` — same 128-bit bitwise-hash divergence
-    class as the r11-r13 DECIMAL incident; the verify gate now rejects
-    HUGEINT oracle columns outright.  At 100 TB the named-window habit
-    is what keeps a 10-metric dashboard query at ONE shuffle+sort
-    instead of ten."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__nwc_orders")
-    return spark.sql("""
-        SELECT o_orderkey,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                   OVER w AS run_cents,
-               COUNT(*) OVER w AS run_n,
-               CAST(rank() OVER w AS INT) AS rnk
-        FROM __nwc_orders
-        WHERE o_totalprice > 400000
-        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)""")
-
-
-@q("sql_limit_offset_page", """
-SELECT o_orderkey, o_custkey
-FROM orders
-ORDER BY o_orderkey
-LIMIT 20 OFFSET 40""")
-def sql_limit_offset_page(spark, sf_dir):
-    """``LIMIT .. OFFSET``-style pagination (Spark 3.4+ OFFSET
-    clause): deterministic because the ORDER BY key is unique, so
-    page 3 (rows 41-60) is the same set on any engine.  Spark plans
-    this as a global top-(limit+offset) then skip — fine while
-    limit+offset stays top-k-sized, which is why the docstring flags
-    DEEP paging as the 100 TB anti-pattern (offset 10M sorts and
-    ships 10M rows to skip them; keyset pagination — WHERE key >
-    last_seen ORDER BY key LIMIT n — keeps every page a pushed range
-    scan instead)."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__lop_orders")
-    return spark.sql("""
-        SELECT o_orderkey, o_custkey
-        FROM __lop_orders
-        ORDER BY o_orderkey
-        LIMIT 20 OFFSET 40""")
-
-
-@q("sql_scripting_control_flow", """
-SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS total_cents,
-       CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_groups,
-       'multi' AS size_class,
-       'caught' AS err_path,
-       'positive' AS sign_class,
-       CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS repeat_steps
-FROM orders""")
-def sql_scripting_control_flow(spark, sf_dir):
-    """SQL scripting CONTROL FLOW (completing the surface
-    sql_scripting_while_loop opened): ``FOR row AS query DO`` cursor
-    iteration over a grouped result, a ``CASE`` statement, ``IF``,
-    labeled ``REPEAT .. UNTIL``, and a nested block with ``DECLARE
-    EXIT HANDLER FOR SQLEXCEPTION`` catching a raise_error() —
-    together the statement set a stored-procedure migration actually
-    exercises.  Money accumulates as integer cents through the FOR
-    cursor so iteration order can't diverge bitwise; the handler path
-    is proven by the literal 'caught' (note: with ANSI off, 1/0 is
-    NULL, not an error — the probe that discovered this is why the
-    script raises explicitly).  Orders has exactly the three statuses
-    F/O/P at every SF, so the CASE outcome is a pinned literal in the
-    oracle."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__cf_orders")
-    return spark.sql("""
-        BEGIN
-          DECLARE total_cents BIGINT DEFAULT 0;
-          DECLARE n_groups INT DEFAULT 0;
-          DECLARE size_class STRING;
-          DECLARE err_path STRING DEFAULT 'none';
-          DECLARE sign_class STRING DEFAULT 'zero';
-          DECLARE repeat_steps INT DEFAULT 0;
-          FOR r AS SELECT o_orderstatus AS s,
-                          SUM(CAST(ROUND(o_totalprice * 100)
-                                   AS BIGINT)) AS cents
-                   FROM __cf_orders GROUP BY o_orderstatus DO
-            SET total_cents = total_cents + r.cents;
-            SET n_groups = n_groups + 1;
-          END FOR;
-          CASE WHEN n_groups >= 3 THEN SET size_class = 'multi';
-               WHEN n_groups = 2 THEN SET size_class = 'pair';
-               ELSE SET size_class = 'single';
-          END CASE;
-          IF total_cents > 0 THEN
-            SET sign_class = 'positive';
-          END IF;
-          BEGIN
-            DECLARE EXIT HANDLER FOR SQLEXCEPTION
-              SET err_path = 'caught';
-            SELECT raise_error('deliberate scripting-handler probe');
-          END;
-          steps: REPEAT
-            SET repeat_steps = repeat_steps + 1;
-            UNTIL repeat_steps >= n_groups
-          END REPEAT steps;
-          SELECT total_cents, n_groups, size_class, err_path,
-                 sign_class, repeat_steps;
-        END""")
-
-
-@q("scalar_crypto_roundtrip", """
-SELECT DISTINCT o_orderpriority AS original,
-       o_orderpriority AS roundtrip_gcm,
-       o_orderpriority AS roundtrip_ecb,
-       TRUE AS wrong_key_is_null
-FROM orders""")
-def scalar_crypto_roundtrip(spark, sf_dir):
-    """Column-level encryption family (``aes_encrypt`` /
-    ``aes_decrypt`` / ``try_aes_decrypt``) — the at-rest PII
-    protection shape next to mask(): GCM mode (random IV per call, so
-    ciphertext is non-deterministic but decrypt(encrypt(x)) is the
-    identity — exactly what the oracle checks) and ECB mode
-    (deterministic ciphertext, needed when the encrypted column must
-    still serve as an equi-join/group key; its known
-    pattern-leakage tradeoff is the documented price of joinability).
-    ``try_aes_decrypt`` with the WRONG key yields NULL instead of
-    failing the job — the quarantine-don't-crash posture for mixed-key
-    archives.  DuckDB cannot evaluate AES, so the oracle pins the
-    roundtrip identities and the NULL flag, not ciphertext bits."""
-    o = load_table(spark, sf_dir, "orders")
-    key = F.lit("0123456789abcdef")
-    wrong = F.lit("fedcba9876543210")
-    p = F.col("o_orderpriority").cast("binary")
-    return (
-        o.select("o_orderpriority").distinct()
-        .select(
-            F.col("o_orderpriority").alias("original"),
-            F.aes_decrypt(F.aes_encrypt(p, key), key)
-             .cast("string").alias("roundtrip_gcm"),
-            F.aes_decrypt(F.aes_encrypt(p, key, F.lit("ECB")),
-                          key, F.lit("ECB"))
-             .cast("string").alias("roundtrip_ecb"),
-            F.try_aes_decrypt(F.aes_encrypt(p, key), wrong)
-             .isNull().alias("wrong_key_is_null"),
-        )
-    )
-
-
-@q("scalar_collation_group", """
-SELECT lower(CASE WHEN o_orderkey % 3 = 0 THEN lower(o_orderpriority)
-                  WHEN o_orderkey % 3 = 1 THEN upper(o_orderpriority)
-                  ELSE o_orderpriority END) AS priority_ci,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM orders
-WHERE lower(o_orderpriority) <> '5-low'
-GROUP BY 1""")
-def scalar_collation_group(spark, sf_dir):
-    """String COLLATIONS (the Spark 4 collation framework): a
-    case-mixed token column (each row's priority re-cased by key mod
-    3) is grouped AND filtered under ``UTF8_LCASE`` — grouping,
-    equality, and hashing all follow the collation, so 'api'/'API'/
-    'Api' land in one group with no lower() scattered through the
-    query (the collation is declared once on the column; every
-    downstream comparison inherits it — the governance win over
-    ad-hoc case folding).  Two driver-canon guards baked in: the
-    GROUP-KEY representative under a case-insensitive collation is
-    nondeterministic (whichever variant a partition saw first), so
-    the output key is ``lower(k)`` — deterministic because all
-    representatives are case-variants; and the collated STRING dtype
-    ('string collate UTF8_LCASE') is CAST back to plain string so the
-    schema compare sees the same type as the oracle.  The RTRIM
-    variants (UTF8_BINARY_RTRIM) and ICU collations (UNICODE_CI)
-    share the machinery; UTF8_LCASE is the representative."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__col_orders")
-    return spark.sql("""
-        SELECT CAST(lower(k) AS STRING) AS priority_ci,
-               COUNT(*) AS n
-        FROM (SELECT COLLATE(CASE WHEN o_orderkey % 3 = 0
-                                  THEN lower(o_orderpriority)
-                                  WHEN o_orderkey % 3 = 1
-                                  THEN upper(o_orderpriority)
-                                  ELSE o_orderpriority END,
-                             'UTF8_LCASE') AS k
-              FROM __col_orders)
-        WHERE k <> COLLATE('5-LOW', 'UTF8_LCASE')
-        GROUP BY k""")
-
-
-@q("scale_bucket_pruned_read", """
-SELECT o_orderkey, o_custkey,
-       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-FROM orders WHERE o_custkey = 7""")
-def scale_bucket_pruned_read(spark, sf_dir):
-    """BUCKET PRUNING on the read path (the sibling of the bucketed
-    JOIN entries, which pin the shuffle-free join): an equality filter
-    on the bucket column lets Spark compute the key's bucket from the
-    same hash the writer used and scan ONLY that bucket's files —
-    ``SelectedBucketsCount: 1 out of 8`` in the scan node
-    (plan-pinned in tests/test_scale.py).  At 100 TB a point lookup on
-    a bucketed fact reads 1/n_buckets of the table with no index
-    structure at all; combined with the pushed filter it is the
-    cheapest point-query layout Spark offers.  Results must equal the
-    plain WHERE the oracle runs on the unbucketed parquet.
-
-    Conf note: autoBucketedScan must be OFF (it only ever DISABLES
-    bucketed reading) because its benefit rule considers shuffle
-    removal, not pruning: with it on, a scan with no downstream
-    join/agg is planned ``Bucketed: false`` and the 1-of-8-buckets
-    prune is forfeited.  The conf is pinned off SESSION-WIDE in
-    ``session.RUNTIME_CONFS`` (r15, ADVICE r14: this entry used to
-    flip it mid-session and never restore, making other entries'
-    physical plans execution-order-dependent); ``apply_runtime_confs``
-    below re-asserts it for externally-built sessions so the entry is
-    self-sufficient without mutating shared state mid-registry."""
-    from aws_etl_bank_spark.functions.scale import (
-        read_bucketed, reset_and_write_bucketed, sf_table_tag)
-
-    apply_runtime_confs(spark)
-    t = f"bp_orders_{sf_table_tag(sf_dir)}"
-    reset_and_write_bucketed(spark,
-                             load_table(spark, sf_dir, "orders")
-                             .select("o_orderkey", "o_custkey",
-                                     "o_totalprice"),
-                             t, "o_custkey", 8)
-    return (read_bucketed(spark, t)
-            .filter(F.col("o_custkey") == 7)
-            .select("o_orderkey", "o_custkey",
-                    F.round(F.col("o_totalprice") * 100)
-                    .cast("bigint").alias("cents")))
-
-
-@q("ops_pandas_api_roundtrip", """
-SELECT o_orderstatus,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(MAX(o_totalprice), 2) AS max_price,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS cents
-FROM orders
-GROUP BY o_orderstatus""")
-def ops_pandas_api_roundtrip(spark, sf_dir):
-    """pandas API on Spark (``DataFrame.pandas_api()`` →
-    ``pyspark.pandas`` → ``.to_spark()``): a pandas-shaped
-    groupby/agg/reset_index flow that compiles to the SAME Catalyst
-    hash aggregate as the native DataFrame form — the migration
-    surface for pandas-fluent users (the reference itself carries a
-    ``pyspark.pandas`` import, SURVEY §8.7; this entry makes the
-    surface deliberate instead of vestigial).  The money sum is
-    computed Spark-side (integer cents) after ``to_spark()`` rather
-    than in pandas, because pandas ``round`` is half-EVEN while
-    SQL ROUND is half-away — the one semantic seam in the roundtrip,
-    kept out of the oracle-compared path by construction."""
-    import pyspark.pandas as ps  # noqa: F401  (the API under test)
-
-    o = load_table(spark, sf_dir, "orders")
-    psdf = o.pandas_api()
-    agg = (psdf.groupby("o_orderstatus")
-           .agg(n=("o_orderkey", "count"),
-                max_price=("o_totalprice", "max"))
-           .reset_index())
-    sdf = agg.to_spark()
-    cents = (o.groupBy("o_orderstatus")
-             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
-                        .cast("bigint")).cast("bigint").alias("cents")))
-    return (sdf.join(cents, "o_orderstatus")
-            .select("o_orderstatus",
-                    F.col("n").cast("bigint").alias("n"),
-                    F.round("max_price", 2).alias("max_price"),
-                    "cents"))
-
-
-# ===========================================================================
-# r15 surfaces: IGNORE NULLS windows, native batch session windows,
-# Luhn validation, CLUSTER BY, seeded random generators
-# ===========================================================================
-
-
-@q("win_ignore_nulls_family", """
-SELECT o_orderkey,
-       lag(cents_n IGNORE NULLS)
-           OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
-           AS prev_cents,
-       last_value(cents_n IGNORE NULLS)
-           OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS carry_cents,
-       nth_value(cents_n, 2 IGNORE NULLS)
-           OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND UNBOUNDED FOLLOWING)
-           AS second_cents
-FROM (SELECT o_orderkey, o_orderstatus,
-             CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
-             END AS cents_n
-      FROM orders)""")
-def win_ignore_nulls_family(spark, sf_dir):
-    """``IGNORE NULLS`` window modifiers (lag / last_value /
-    nth_value): the gap-filling idiom — ``last_value(x) IGNORE NULLS``
-    over a running frame is the standard "carry the last observation
-    forward" without a self-join, and ``lag(...) IGNORE NULLS`` skips
-    missing readings instead of returning them.  NULLs are planted
-    deterministically (every 7th order key) so both engines see the
-    same holes; all money is integer cents.  Dialect seam: DuckDB
-    spells the modifier inside the call parens (``lag(x IGNORE
-    NULLS)``), Spark after them (``lag(x) IGNORE NULLS``) — the
-    oracle string uses DuckDB's inner form, the Spark SQL below the
-    postfix form; semantics verified identical on planted probes.
-    At 100 TB this family is one sorted window pass per partition —
-    same cost class as any running sum; the alternative (as-of
-    self-join per row) is a quadratic trap."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__inf_orders")
-    return spark.sql("""
-        SELECT o_orderkey,
-               lag(cents_n) IGNORE NULLS
-                   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
-                   AS prev_cents,
-               last_value(cents_n) IGNORE NULLS
-                   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
-                         ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) AS carry_cents,
-               nth_value(cents_n, 2) IGNORE NULLS
-                   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
-                         ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND UNBOUNDED FOLLOWING)
-                   AS second_cents
-        FROM (SELECT o_orderkey, o_orderstatus,
-                     CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                          ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                     END AS cents_n
-              FROM __inf_orders)""")
-
-
-@q("agg_session_window_batch", """
-WITH marked AS (
-    SELECT user_id, ts,
-           CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                THEN 1 ELSE 0 END AS new_s
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-), numbered AS (
-    SELECT user_id, ts,
-           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS sid
-    FROM marked
-)
-SELECT user_id,
-       MIN(ts) AS session_start,
-       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-       CAST(COUNT(*) AS BIGINT) AS n_events
-FROM numbered
-GROUP BY user_id, sid""")
-def agg_session_window_batch(spark, sf_dir):
-    """Catalyst-native BATCH ``session_window`` aggregation (the
-    offline twin of streaming/sessionize.py, which pins the streaming
-    side): ``groupBy(session_window(ts, gap), user)`` fuses the
-    sort-merge-and-assign into one operator — one shuffle on the user
-    key, sessions assigned partition-locally, no window-then-regroup
-    double pass.  Boundary semantics pinned by probe: an event at
-    EXACTLY prev_ts + gap still JOINS the session (merge while
-    ``ts - prev <= gap``), so the oracle's new-session mark is the
-    strict ``> gap``; session_end is last_event + gap on both sides.
-    At 100 TB this is the right sessionizer: the hand-rolled
-    lag/cumsum form (the oracle's shape) costs TWO window passes over
-    the same sort, and a driver-side grouper doesn't exist.  Events
-    ts granularity is microseconds, exact on both engines."""
-    e = load_table(spark, sf_dir, "events")
-    sw = F.session_window(F.col("ts"), "30 minutes")
-    return (
-        e.groupBy(sw, F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events")
-    )
-
-
-@q("scalar_luhn_validation", """
-SELECT o_orderkey, acct,
-       list_sum(list_transform(generate_series(1, 12), i ->
-           CASE WHEN (13 - i) % 2 = 0
-                THEN CASE WHEN CAST(substr(acct, CAST(i AS INT), 1) AS INT) * 2 > 9
-                          THEN CAST(substr(acct, CAST(i AS INT), 1) AS INT) * 2 - 9
-                          ELSE CAST(substr(acct, CAST(i AS INT), 1) AS INT) * 2 END
-                ELSE CAST(substr(acct, CAST(i AS INT), 1) AS INT)
-           END)) % 10 = 0 AS luhn_ok
-FROM (SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS acct
-      FROM orders)""")
-def scalar_luhn_validation(spark, sf_dir):
-    """``luhn_check`` (Spark 3.5+): checksum validation for
-    card/account numbers — the data-quality screen a banking ingest
-    runs on every PAN-shaped column.  Account strings are derived
-    from the order key (zero-padded to 12 digits) so both engines
-    check identical inputs; the oracle re-implements the Luhn
-    algorithm in portable SQL arithmetic (double every second digit
-    from the right, fold >9 by subtracting 9, sum % 10 == 0 —
-    verified digit-for-digit against Spark's builtin on planted
-    valid/invalid probes).  Map-only, codegen'd, no shuffle: at
-    100 TB this is a free pass over the scan."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.select(
-            "o_orderkey",
-            F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
-            .alias("acct"))
-        .select(
-            "o_orderkey", "acct",
-            F.expr("luhn_check(acct)").alias("luhn_ok"))
-    )
-
-
-@q("sql_cluster_by_ordered", """
-SELECT o_orderstatus, o_orderkey,
-       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-FROM orders
-WHERE o_totalprice > 300000""")
-def sql_cluster_by_ordered(spark, sf_dir):
-    """``CLUSTER BY`` — the dialect sugar for ``DISTRIBUTE BY k SORT
-    BY k`` (the sibling entry sql_distribute_sort_by spells the two
-    clauses out): one hash exchange plus a partition-LOCAL sort, no
-    global order.  Content is partitioning-invariant so the oracle is
-    the plain projection; what the entry pins is that the clause
-    parses and the result set is exactly the filtered projection.  At
-    100 TB CLUSTER BY is the cheap way to lay out a write so
-    same-key rows land contiguously (dictionary/RLE-friendly parquet
-    pages) without paying a global ORDER BY."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__cb_orders")
-    return spark.sql("""
-        SELECT o_orderstatus, o_orderkey,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM __cb_orders
-        WHERE o_totalprice > 300000
-        CLUSTER BY o_orderstatus, o_orderkey""")
-
-
-@q("scalar_random_seeded_invariants", """
-SELECT CAST(1000 AS BIGINT) AS n,
-       true AS uniform_in_bounds,
-       true AS uniform_covers_range,
-       true AS randstr_shape_ok""")
-def scalar_random_seeded_invariants(spark, sf_dir):
-    """Seeded random generators (Spark 4.0 ``uniform``/``randstr``,
-    SPARK-46990): WHICH value lands on which row depends on the
-    partitioning (per-partition seeded streams, like ``rand(seed)``),
-    so — exactly like the unordered-sample entries — the oracle
-    checks INVARIANTS: row count, every uniform draw inside its
-    closed bounds, the draws actually spreading over the range (>= 5
-    of 10 possible values seen in 1000 draws — a degenerate
-    constant-output implementation fails this), and every randstr
-    being exactly 8 alphanumeric chars.  Single partition keeps the
-    draw sequence stable for a given Spark version without making
-    the invariants depend on it."""
-    df = (spark.range(0, 1000, 1, 1)
-          .select(F.expr("uniform(0, 9, 42)").alias("u"),
-                  F.expr("randstr(8, 7)").alias("s")))
-    return df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bool_and(F.col("u").between(0, 9)).alias("uniform_in_bounds"),
-        (F.count_distinct(F.col("u")) >= 5).alias("uniform_covers_range"),
-        F.bool_and(F.col("s").rlike("^[A-Za-z0-9]{8}$"))
-        .alias("randstr_shape_ok"))
+# Entry definitions live in four part modules (pure mechanical split,
+# r15, VERDICT r14 task 8) imported here IN ORIGINAL LINE ORDER so
+# REGISTRY's insertion order — which the driver rotation window and
+# the COVERAGE.md ledger reference — is identical to the single-file
+# layout.  The @q duplicate guard makes any accidental double
+# registration loud.
+from aws_etl_bank_spark.plans import registry_core  # noqa: E402,F401
+from aws_etl_bank_spark.plans import registry_sources_sketches  # noqa: E402,F401
+from aws_etl_bank_spark.plans import registry_analytics  # noqa: E402,F401
+from aws_etl_bank_spark.plans import registry_dialect  # noqa: E402,F401
