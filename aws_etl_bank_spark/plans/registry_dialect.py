@@ -783,3 +783,49 @@ def scalar_random_seeded_invariants(spark, sf_dir):
         (F.count_distinct(F.col("u")) >= 5).alias("uniform_covers_range"),
         F.bool_and(F.col("s").rlike("^[A-Za-z0-9]{8}$"))
         .alias("randstr_shape_ok"))
+
+
+@q("variant_explode_lateral", """
+SELECT o_orderkey, CAST(u.pos AS INT) AS pos, u.val
+FROM (SELECT o_orderkey,
+             '[' || CAST(o_orderkey % 97 AS VARCHAR) || ',' ||
+                    CAST(o_custkey % 89 AS VARCHAR) || ',' ||
+                    CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) % 83
+                         AS VARCHAR) || ']' AS js
+      FROM orders
+      WHERE o_orderkey % 50 = 0) t,
+LATERAL (SELECT generate_subscripts(CAST(js AS JSON)::BIGINT[], 1) - 1
+                    AS pos,
+                unnest(CAST(js AS JSON)::BIGINT[]) AS val) u""")
+def variant_explode_lateral(spark, sf_dir):
+    """``variant_explode`` — the builtin generator TVF over the
+    VARIANT type (Spark 4), correlated through ``LATERAL``: each row's
+    JSON array parses to a variant ONCE and fans out to (pos, value)
+    rows, the open-schema ingestion shape (scalar_variant_suite covers
+    the scalar accessors; this is the explode side).  Array payloads
+    are derived from order columns so both engines build identical
+    JSON; values cast from variant to BIGINT on the Spark side and the
+    oracle unnests DuckDB's ``JSON -> BIGINT[]`` with
+    ``generate_subscripts`` ordinality.  Generator TVFs run inside the
+    scan stage (no shuffle); at 100 TB variant_explode beats
+    from_json(schema)+explode when the array element type varies,
+    because the variant parse is schema-free and binary-encoded
+    once."""
+    o = load_table(spark, sf_dir, "orders")
+    t = (o.filter(F.col("o_orderkey") % 50 == 0)
+         .select(
+             "o_orderkey",
+             F.concat(
+                 F.lit("["),
+                 (F.col("o_orderkey") % 97).cast("string"), F.lit(","),
+                 (F.col("o_custkey") % 89).cast("string"), F.lit(","),
+                 (F.round(F.col("o_totalprice") * 100).cast("bigint")
+                  % 83).cast("string"),
+                 F.lit("]")).alias("js")))
+    t.createOrReplaceTempView("__ve_orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               CAST(v.pos AS INT) AS pos,
+               CAST(v.value AS BIGINT) AS val
+        FROM __ve_orders,
+        LATERAL variant_explode(parse_json(js)) v""")
