@@ -36,8 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (overwrite commit reordered rename-first/delete-last, ADVICE r14).
 # Slot 5 is the r6 refresh displaced from the r14 window; slots 6-49
 # are ALL 44 remaining r7-vintage oracle-backed entries (registry
-# order) and slot 50 the r8 head — after this round the oldest driver
-# evidence is r8.  Rotation policy change (r14 verdict task 3):
+# order); slot 50 went to the round's highest-value NEW surface
+# (agg_session_window_batch) rather than the r8 head — r8-vintage
+# entries keep their standing r8 evidence, so the oldest driver
+# evidence after this round is still r8.  Rotation policy change (r14
+# verdict task 3):
 # rows-only entries are EXCLUDED from the window (a slot spent on one
 # reports err:"no_oracle" — wasted attestation; ann_pq_topk's planted
 # companion ann_pq_planted_twin and dedup_semantic_pairs_full's
@@ -110,8 +113,11 @@ def _registry():
             "one")
     # r14 verdict task 3: the driver window is attestation budget — a
     # rows-only entry in it burns a slot to report err:"no_oracle"
+    # truthiness, not `is None`: oracle_sql() filters on `if
+    # spec.oracle`, so an empty-string placeholder oracle would pass
+    # an is-None guard yet still reach the driver as no_oracle
     rows_only = [name for name in _PRIORITY
-                 if full[name].oracle is None]
+                 if not full[name].oracle]
     if rows_only:
         raise ValueError(
             f"_PRIORITY lists rows-only entries: {rows_only}; the "

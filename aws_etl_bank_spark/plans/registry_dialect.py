@@ -21,8 +21,11 @@ from aws_etl_bank_spark.sources.testdata import load_table  # noqa: F401
 from aws_etl_bank_spark.plans.registry import (  # noqa: F401
     REGISTRY, SCRATCH, canon0, q, _scratch)
 
-from aws_etl_bank_spark.plans.registry_core import (  # noqa: F401
-    _unordered_sample_invariants)
+# _unordered_sample_invariants (defined in registry_core) is imported
+# LAZILY inside the one entry that uses it: a module-level import here
+# would make a direct `import registry_core` crash mid-chain on the
+# partially-initialized module (core -> registry tail -> dialect ->
+# back into still-executing core).
 
 # ===========================================================================
 # r14 SQL-surface sweep: conditional/boolean aggregates, parameterized &
@@ -163,6 +166,9 @@ def sample_tablesample_rows(spark, sf_dir):
     tolerance band can pin — the ROWS form is the oracle-able one.)
     Invariant construction shared with sample_limit via
     ``_unordered_sample_invariants``."""
+    from aws_etl_bank_spark.plans.registry_core import (
+        _unordered_sample_invariants)
+
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("__ts_orders")
     return _unordered_sample_invariants(
@@ -529,13 +535,13 @@ def scale_bucket_pruned_read(spark, sf_dir):
     prune is forfeited.  The conf is pinned off SESSION-WIDE in
     ``session.RUNTIME_CONFS`` (r15, ADVICE r14: this entry used to
     flip it mid-session and never restore, making other entries'
-    physical plans execution-order-dependent); ``apply_runtime_confs``
-    below re-asserts it for externally-built sessions so the entry is
-    self-sufficient without mutating shared state mid-registry."""
+    physical plans execution-order-dependent); the ``@q`` wrapper
+    applies RUNTIME_CONFS on every entry invocation, so
+    externally-built sessions get the pin too — no per-entry conf
+    code needed."""
     from aws_etl_bank_spark.functions.scale import (
         read_bucketed, reset_and_write_bucketed, sf_table_tag)
 
-    apply_runtime_confs(spark)
     t = f"bp_orders_{sf_table_tag(sf_dir)}"
     reset_and_write_bucketed(spark,
                              load_table(spark, sf_dir, "orders")
