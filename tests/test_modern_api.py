@@ -805,3 +805,57 @@ def test_pyds_overwrite_preserves_old_data_on_failed_commit(tmp_path):
     w3.commit([w3.write(iter([batch]))])
     now = glob.glob(os.path.join(path, "part-*.parquet"))
     assert len(now) == 1 and now != old
+
+
+def test_pyds_overwrite_keeps_old_data_on_midloop_rename_failure(
+        tmp_path, monkeypatch):
+    """ADVICE r14 low: old part files must be deleted LAST — if an
+    os.replace fails mid-loop (disk error), the previous job's data
+    must still be on disk (brief old+new duplication is the accepted
+    trade; silent loss is not)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pytest
+
+    from aws_etl_bank_spark.sources.pyds import PyArrowParquetWriter
+
+    path = str(tmp_path / "out")
+    batch = pa.record_batch({"x": pa.array([1, 2], pa.int64())})
+    w1 = PyArrowParquetWriter({"path": path}, overwrite=True)
+    w1.commit([w1.write(iter([batch]))])
+    old = glob.glob(os.path.join(path, "part-*.parquet"))
+    assert len(old) == 1
+
+    w2 = PyArrowParquetWriter({"path": path}, overwrite=True)
+    msgs = [w2.write(iter([batch])), w2.write(iter([batch]))]
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def failing_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("disk error mid-publish")
+        return real_replace(src, dst)
+
+    # commit() does a function-local `import os`, so patch the global
+    # os module attribute
+    monkeypatch.setattr(os, "replace", failing_replace)
+    with pytest.raises(OSError, match="disk error"):
+        w2.commit(msgs)
+    survivors = glob.glob(os.path.join(path, "part-*.parquet"))
+    # the old part survived (delete-last), plus the one new file that
+    # made it through before the failure
+    assert old[0] in survivors
+    assert len(survivors) == 2
+
+
+def test_session_pins_auto_bucketed_scan_off():
+    """ADVICE r14 low: autoBucketedScan=false moved from a mid-entry
+    conf mutation into RUNTIME_CONFS — other entries' physical plans
+    must not depend on whether scale_bucket_pruned_read ran first."""
+    from aws_etl_bank_spark.session import RUNTIME_CONFS
+
+    assert RUNTIME_CONFS[
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled"] == "false"
