@@ -4095,3 +4095,52 @@ def stream_pyds_arrow_sink(spark, sf_dir):
     return (back.groupBy("user_id")
             .agg(F.count("*").alias("n_events"),
                  F.sum("cents").alias("cents")))
+
+
+@q("stream_state_store_read", """
+SELECT CAST(user_id % 101 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1""")
+def stream_state_store_read(spark, sf_dir):
+    """The STATE STORE READER data source (``spark.read.format(
+    "statestore")``, Spark 4): offline introspection of a streaming
+    query's checkpointed state — the ops surface for debugging state
+    growth, validating a migration, or repairing a poisoned key
+    without replaying the stream.  A deterministic availableNow
+    aggregation (count by user_id % 101) runs to completion, then the
+    entry reads its state DIRECTLY from the checkpoint; for a
+    completed bounded stream that state IS the batch aggregate, which
+    makes the oracle a plain GROUP BY — the reader is hash-checked,
+    not just smoke-tested.  The companion ``state-metadata`` format is
+    asserted inline (operator name + exactly one stateful operator).
+    Value-struct field names are resolved from the read schema (the
+    agg buffer column is version-internal).  At 100 TB state reads
+    are per-partition parallel scans of the store files — no stream
+    replay, no driver fan-in."""
+    import time as _time
+
+    from aws_etl_bank_spark.plans.registry import _scratch
+
+    stamp = int(_time.time() * 1000)
+    ck = _scratch(sf_dir, f"state_reader_ck_{stamp}")
+    stream = events_stream(spark, _events_stream_dir(sf_dir))
+    agg = (stream
+           .select((F.col("user_id") % 101).cast("bigint").alias("k"))
+           .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+    name = f"ssr_mem_{stamp % 10_000_000}"
+    query = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+
+    meta = spark.read.format("state-metadata").load(ck)
+    ops = [r.operatorName for r in meta.select("operatorName").collect()]
+    assert ops == ["stateStoreSave"], ops  # exactly one stateful op
+
+    st = spark.read.format("statestore").load(ck)
+    value_field = st.schema["value"].dataType.names[0]
+    return (st.select(
+        F.col("key.k").alias("k"),
+        F.col(f"value.{value_field}").cast("bigint").alias("n")))
