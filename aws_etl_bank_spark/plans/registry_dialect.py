@@ -835,3 +835,32 @@ def variant_explode_lateral(spark, sf_dir):
                CAST(v.value AS BIGINT) AS val
         FROM __ve_orders,
         LATERAL variant_explode(parse_json(js)) v""")
+
+
+@q("ops_toarrow_roundtrip", """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+GROUP BY o_orderstatus""")
+def ops_toarrow_roundtrip(spark, sf_dir):
+    """``DataFrame.toArrow()`` → ``pyarrow.Table`` →
+    ``spark.createDataFrame(table)`` (both Spark 4 API surfaces): the
+    zero-copy hand-off into the Arrow ecosystem (polars, duckdb,
+    pandas-free tooling) and back.  BOUNDED by construction — the
+    frame is aggregated to 3 rows BEFORE leaving the JVM, because
+    toArrow() is a driver-side collect; the docstring rule for this
+    surface at 100 TB is aggregate-first or don't call it.  The
+    roundtrip pins the Arrow type mapping (string/int64) both
+    directions; money stays integer cents."""
+    import pyarrow as pa
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100)
+                      .cast("bigint")).cast("bigint").alias("cents")))
+    tbl = agg.toArrow()
+    assert isinstance(tbl, pa.Table) and tbl.num_rows <= 10
+    return spark.createDataFrame(tbl)
