@@ -4140,7 +4140,12 @@ def stream_state_store_read(spark, sf_dir):
     assert ops == ["stateStoreSave"], ops  # exactly one stateful op
 
     st = spark.read.format("statestore").load(ck)
-    value_field = st.schema["value"].dataType.names[0]
+    # exactly ONE buffer field expected (stateFormatVersion 2 stores
+    # the key-free agg buffer; v1 would prepend the grouping key and
+    # names[0] would silently be the wrong column — fail loud instead)
+    names = st.schema["value"].dataType.names
+    assert len(names) == 1, names
+    value_field = names[0]
     return (st.select(
         F.col("key.k").alias("k"),
         F.col(f"value.{value_field}").cast("bigint").alias("n")))
