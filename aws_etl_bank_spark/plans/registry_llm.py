@@ -264,12 +264,67 @@ def ann_bruteforce_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
-@q("ann_ivf_topk")  # approximate by construction: rows-only
+#: shared oracle text for the approximate-top-k shape contracts: 5
+#: query vectors (vec_id < 5), k=10 rows each, every neighbor a real
+#: corpus id, ranks exactly 1..k, neighbors distinct, scores in range
+_ANN_TOPK_INVARIANT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) * 10 AS BIGINT) AS n_rows,
+       CAST(COUNT(*) * 10 AS BIGINT) AS n_contained,
+       true AS k_rows_each,
+       true AS ranks_complete,
+       true AS neighbors_distinct,
+       true AS scores_in_range
+FROM embeddings WHERE vec_id < 5"""
+
+
+def _ann_topk_invariants(result, corpus_ids, k, score_pred):
+    """Invariant oracle for approximate top-k results (r15, extending
+    the sample_limit precedent to the ANN family): WHICH neighbors an
+    IVF/PQ index returns is not SQL-reproducible (that's what the
+    planted-twin companions pin), but the result SHAPE is a hard
+    contract — exactly k rows per query with ranks 1..k, every
+    neighbor a genuine corpus id (left-semi join back), no neighbor
+    repeated within a query, and every score inside its metric's
+    valid range (``score_pred``).  All checks are computed FROM the
+    result, none from the ranking sort itself, so a bug that drops,
+    duplicates, or fabricates candidates reads out as a false flag."""
+    per_q = result.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rank").alias("rsum"),
+        F.count_distinct("neighbor_id").alias("nd"))
+    flags = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.bool_and(F.col("n") == k).alias("k_rows_each"),
+        F.bool_and(F.col("rsum") == k * (k + 1) // 2)
+        .alias("ranks_complete"),
+        F.bool_and(F.col("nd") == k).alias("neighbors_distinct"))
+    ranged = result.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bool_and(score_pred).alias("scores_in_range"))
+    contained = (result.join(
+        corpus_ids.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_contained")))
+    return (flags.crossJoin(ranged).crossJoin(contained)
+            .select("n_queries", "n_rows", "n_contained", "k_rows_each",
+                    "ranks_complete", "neighbors_distinct",
+                    "scores_in_range"))
+
+
+@q("ann_ivf_topk", _ANN_TOPK_INVARIANT_ORACLE)
 def ann_ivf_topk(spark, sf_dir):
+    """IVF top-10 over the full embeddings table, converted from
+    rows-only to the shape-contract invariant oracle (see
+    ``_ann_topk_invariants``); neighbor-level recall is pinned by the
+    planted-twin companion ann_ivf_planted_twin."""
     from aws_etl_bank_spark.llm import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter("vec_id < 5"), 10, n_cells=16, nprobe=4)
+    out = ivf_topk(emb, emb.filter("vec_id < 5"), 10, n_cells=16, nprobe=4)
+    return _ann_topk_invariants(
+        out, emb.select("vec_id"), 10,
+        F.col("cosine").between(-1.0, 1.0))
 
 
 #: the quality-score model as DuckDB CTEs — shared by the stats entry
@@ -430,12 +485,44 @@ def text_langid(spark, sf_dir):
     return language_id(docs).select("doc_id", "lang", "predicted_lang", "lang_score")
 
 
-@q("text_fingerprint")  # hash-family: rows-only
+@q("text_fingerprint", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       true AS fp_functional,
+       true AS fp_discriminates,
+       true AS fp_nonnull
+FROM documents""")
 def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting (whole-text xxhash64 + winnowing-style
+    min n-gram hash), converted from rows-only to an INVARIANT oracle
+    (r15, the sample_limit precedent): the hash VALUES are not
+    SQL-reproducible, but their contract is — (a) one fingerprint row
+    per document, (b) FUNCTIONAL over normalized text (identical
+    normalized content ⇒ identical fingerprint pair; the property that
+    makes fingerprints usable as dedup keys), (c) DISCRIMINATING on
+    this corpus (distinct text classes ⇒ distinct fingerprint pairs —
+    a 64-bit birthday collision at sf1's 1.5M docs has probability
+    ~1e-7, accepted), and (d) non-null everywhere.  The normalization
+    here mirrors llm.text.fingerprint's exactly (lower + whitespace
+    collapse), so (b)/(c) test the real implementation, not a
+    tautology."""
     from aws_etl_bank_spark.llm import fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    return fingerprint(docs)
+    fp = fingerprint(docs)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    joined = (docs.select("doc_id", norm.alias("__norm"))
+              .join(fp, "doc_id"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count_distinct("__norm")
+         == F.count_distinct("__norm", "content_hash", "min_gram_hash"))
+        .alias("fp_functional"),
+        (F.count_distinct("__norm")
+         == F.count_distinct(F.struct("content_hash", "min_gram_hash")))
+        .alias("fp_discriminates"),
+        (F.count_if(F.col("content_hash").isNull()
+                    | F.col("min_gram_hash").isNull()) == 0)
+        .alias("fp_nonnull"))
 
 
 def _planted_corpus(spark, sf_dir):
@@ -1397,20 +1484,24 @@ def llm_curation_pipeline(spark, sf_dir):
     ).drop("text")
 
 
-@q("ann_ivf_trained_topk")  # approximate by construction: rows-only
+@q("ann_ivf_trained_topk", _ANN_TOPK_INVARIANT_ORACLE)
 def ann_ivf_trained_topk(spark, sf_dir):
     """IVF top-k with k-means|| trained centroids (the scale path's real
     configuration): distributed training returns only n_cells centers to
-    the driver; the corpus shuffles once on cell id.  Approximate →
-    rows-only, but the training job itself runs under the driver gate.
-    Recall vs brute force measured in PERF.md."""
+    the driver; the corpus shuffles once on cell id.  Converted from
+    rows-only to the shape-contract invariant oracle (r15, see
+    ``_ann_topk_invariants``); the training job itself still runs under
+    the driver gate, and recall vs brute force is measured in PERF.md."""
     from aws_etl_bank_spark.llm import ivf_topk
     from aws_etl_bank_spark.llm.similarity import train_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, n_cells=16, seed=7)
-    return ivf_topk(emb, emb.filter("vec_id < 5"), 10, n_cells=16, nprobe=4,
-                    centroids=cents)
+    out = ivf_topk(emb, emb.filter("vec_id < 5"), 10, n_cells=16, nprobe=4,
+                   centroids=cents)
+    return _ann_topk_invariants(
+        out, emb.select("vec_id"), 10,
+        F.col("cosine").between(-1.0, 1.0))
 
 
 @q("text_chunking", r"""
@@ -2064,18 +2155,23 @@ def ann_pq_planted_twin(spark, sf_dir):
     return pq_topk(corpus, queries, k=1, codebooks=cb)
 
 
-@q("ann_pq_topk")  # approximate by construction: rows-only; the
-# oracle-checked projection is ann_pq_planted_twin
+@q("ann_pq_topk", _ANN_TOPK_INVARIANT_ORACLE)
 def ann_pq_topk(spark, sf_dir):
     """PQ-ADC top-10 over the full embeddings table: corpus compressed
     to m=8 one-byte codes per vector (32x smaller than the raw floats),
     scored by m lookup-table reads per candidate.  The scale path when
-    even IVF's probed cells are too wide to scan as raw floats."""
+    even IVF's probed cells are too wide to scan as raw floats.
+    Converted from rows-only to the shape-contract invariant oracle
+    (r15, see ``_ann_topk_invariants``; ADC squared-L2 is
+    non-negative); neighbor-level exactness is pinned by the
+    planted-twin companion ann_pq_planted_twin."""
     from aws_etl_bank_spark.llm.similarity import pq_codebooks, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cb = pq_codebooks(emb, dim=64, m=8, n_codes=16)
-    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), 10, cb)
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 5), 10, cb)
+    return _ann_topk_invariants(
+        out, emb.select("vec_id"), 10, F.col("adc_dist") >= 0.0)
 
 
 @q("stream_cdc_scd2", """

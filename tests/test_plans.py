@@ -378,3 +378,17 @@ def test_session_variable_folds_to_pushed_filter(spark):
         spark, "/root/testdata/sf0.001")
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in p, p
+
+
+def test_session_window_batch_plan_single_exchange(spark):
+    """agg_session_window_batch (r15): the Catalyst-native batch
+    session_window must plan as ONE hash exchange on the grouping key
+    with a map-side partial aggregate — the whole point over the
+    window-then-regroup double pass.  At 100 TB a second exchange here
+    would dominate the query."""
+    from aws_etl_bank_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["agg_session_window_batch"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
