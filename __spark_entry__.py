@@ -55,7 +55,9 @@ _PRIORITY = [
     # slot 5: the r6 refresh displaced from the r14 window
     "ann_ivfpq_planted_twin",
     # slots 6-49: every remaining r7-vintage oracle-backed entry, in
-    # registry order (ann_pq_topk skipped: rows-only)
+    # registry order (ann_pq_topk skipped: it was rows-only when this
+    # slate was fixed; converted to the shape-contract oracle late in
+    # r15 and queued for r16 with the other conversions)
     "win_lag_delta",
     "filter_python_predicate", "filter_drop_policy",
     "map_python_records", "map_error_policy", "drop_null_fields_op",

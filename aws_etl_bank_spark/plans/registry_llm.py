@@ -264,13 +264,18 @@ def ann_bruteforce_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+#: the shared top-k depth — interpolated into BOTH the oracle literal
+#: and the helper's call sites so they cannot drift (a reused oracle
+#: with a different k would otherwise fail as a bare count mismatch)
+_ANN_K = 10
+
 #: shared oracle text for the approximate-top-k shape contracts: 5
-#: query vectors (vec_id < 5), k=10 rows each, every neighbor a real
+#: query vectors (vec_id < 5), k rows each, every neighbor a real
 #: corpus id, ranks exactly 1..k, neighbors distinct, scores in range
-_ANN_TOPK_INVARIANT_ORACLE = """
+_ANN_TOPK_INVARIANT_ORACLE = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-       CAST(COUNT(*) * 10 AS BIGINT) AS n_rows,
-       CAST(COUNT(*) * 10 AS BIGINT) AS n_contained,
+       CAST(COUNT(*) * {_ANN_K} AS BIGINT) AS n_rows,
+       CAST(COUNT(*) * {_ANN_K} AS BIGINT) AS n_contained,
        true AS k_rows_each,
        true AS ranks_complete,
        true AS neighbors_distinct,
@@ -278,38 +283,45 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
 FROM embeddings WHERE vec_id < 5"""
 
 
-def _ann_topk_invariants(result, corpus_ids, k, score_pred):
+def _ann_topk_invariants(result, corpus_ids, k, score_col, score_pred):
     """Invariant oracle for approximate top-k results (r15, extending
     the sample_limit precedent to the ANN family): WHICH neighbors an
     IVF/PQ index returns is not SQL-reproducible (that's what the
     planted-twin companions pin), but the result SHAPE is a hard
-    contract — exactly k rows per query with ranks 1..k, every
-    neighbor a genuine corpus id (left-semi join back), no neighbor
-    repeated within a query, and every score inside its metric's
-    valid range (``score_pred``).  All checks are computed FROM the
-    result, none from the ranking sort itself, so a bug that drops,
-    duplicates, or fabricates candidates reads out as a false flag."""
-    per_q = result.groupBy("query_id").agg(
+    contract — exactly k rows per query with ranks EXACTLY 1..k (k
+    distinct ranks with min 1 and max k — a sum check alone would
+    accept compensating duplicates), every neighbor a genuine corpus
+    id, no neighbor repeated within a query, and every score NON-NULL
+    and inside its metric's valid range (``bool_and`` alone skips
+    NULLs, so the non-null conjunct is explicit).  All checks are
+    computed FROM the result in ONE aggregation pass (containment via
+    a left-join marker, not a separate semi-join branch), so a bug
+    that drops, duplicates, or fabricates candidates reads out as a
+    false flag without re-executing the ranking plan per branch."""
+    marked = result.join(
+        corpus_ids.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("__in_corpus", F.lit(1)),
+        "neighbor_id", "left")
+    per_q = marked.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rank").alias("rsum"),
-        F.count_distinct("neighbor_id").alias("nd"))
-    flags = per_q.agg(
+        F.count_distinct("rank").alias("n_ranks"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+        F.count_distinct("neighbor_id").alias("nd"),
+        F.count_if(F.col("__in_corpus").isNotNull()).alias("n_in"),
+        F.bool_and(score_pred & F.col(score_col).isNotNull())
+        .alias("score_ok"))
+    return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("n_in").cast("bigint").alias("n_contained"),
         F.bool_and(F.col("n") == k).alias("k_rows_each"),
-        F.bool_and(F.col("rsum") == k * (k + 1) // 2)
-        .alias("ranks_complete"),
-        F.bool_and(F.col("nd") == k).alias("neighbors_distinct"))
-    ranged = result.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.bool_and(score_pred).alias("scores_in_range"))
-    contained = (result.join(
-        corpus_ids.withColumnRenamed("vec_id", "neighbor_id"),
-        "neighbor_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_contained")))
-    return (flags.crossJoin(ranged).crossJoin(contained)
-            .select("n_queries", "n_rows", "n_contained", "k_rows_each",
-                    "ranks_complete", "neighbors_distinct",
-                    "scores_in_range"))
+        F.bool_and((F.col("n_ranks") == k) & (F.col("rmin") == 1)
+                   & (F.col("rmax") == k)).alias("ranks_complete"),
+        F.bool_and(F.col("nd") == k).alias("neighbors_distinct"),
+        F.bool_and(F.col("score_ok")).alias("scores_in_range")
+    ).select("n_queries", "n_rows", "n_contained", "k_rows_each",
+             "ranks_complete", "neighbors_distinct", "scores_in_range")
 
 
 @q("ann_ivf_topk", _ANN_TOPK_INVARIANT_ORACLE)
@@ -321,9 +333,10 @@ def ann_ivf_topk(spark, sf_dir):
     from aws_etl_bank_spark.llm import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = ivf_topk(emb, emb.filter("vec_id < 5"), 10, n_cells=16, nprobe=4)
+    out = ivf_topk(emb, emb.filter("vec_id < 5"), _ANN_K,
+                   n_cells=16, nprobe=4)
     return _ann_topk_invariants(
-        out, emb.select("vec_id"), 10,
+        out, emb.select("vec_id"), _ANN_K, "cosine",
         F.col("cosine").between(-1.0, 1.0))
 
 
@@ -509,7 +522,13 @@ def text_fingerprint(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     fp = fingerprint(docs)
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    # coalesce to a sentinel so a NULL-text doc counts as ONE class on
+    # BOTH sides of the functional/discriminating compare (count_distinct
+    # drops NULL norms but keeps the never-null fingerprint struct —
+    # asymmetric without this; latent, current generators emit no NULLs)
+    norm = F.coalesce(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "),
+        F.lit("\x00__null_text__"))
     joined = (docs.select("doc_id", norm.alias("__norm"))
               .join(fp, "doc_id"))
     return joined.agg(
@@ -1497,10 +1516,10 @@ def ann_ivf_trained_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, n_cells=16, seed=7)
-    out = ivf_topk(emb, emb.filter("vec_id < 5"), 10, n_cells=16, nprobe=4,
-                   centroids=cents)
+    out = ivf_topk(emb, emb.filter("vec_id < 5"), _ANN_K,
+                   n_cells=16, nprobe=4, centroids=cents)
     return _ann_topk_invariants(
-        out, emb.select("vec_id"), 10,
+        out, emb.select("vec_id"), _ANN_K, "cosine",
         F.col("cosine").between(-1.0, 1.0))
 
 
@@ -2169,9 +2188,10 @@ def ann_pq_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cb = pq_codebooks(emb, dim=64, m=8, n_codes=16)
-    out = pq_topk(emb, emb.filter(F.col("vec_id") < 5), 10, cb)
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 5), _ANN_K, cb)
     return _ann_topk_invariants(
-        out, emb.select("vec_id"), 10, F.col("adc_dist") >= 0.0)
+        out, emb.select("vec_id"), _ANN_K, "adc_dist",
+        F.col("adc_dist") >= 0.0)
 
 
 @q("stream_cdc_scd2", """
