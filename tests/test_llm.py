@@ -1905,3 +1905,68 @@ def test_cc_star_long_chain_and_parity(spark):
     got2 = sorted((r["id"], r["component"])
                   for r in connected_components_star(df2).collect())
     assert got2 == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)]
+
+
+def _mk_topk(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rank long, cosine double")
+
+
+def test_ann_topk_invariants_pass_on_well_formed_result(spark):
+    """r15: the shape-contract helper behind the converted ANN entries
+    must read all-true on a correct top-k result."""
+    from aws_etl_bank_spark.plans.registry_llm import _ann_topk_invariants
+
+    k = 3
+    rows = [(q, 100 + q * 10 + r, r, 1.0 - 0.1 * r)
+            for q in (0, 1) for r in (1, 2, 3)]
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(100, 140)], "vec_id long")
+    out = _ann_topk_invariants(
+        _mk_topk(spark, rows), corpus, k, "cosine",
+        F.col("cosine").between(-1.0, 1.0)).collect()[0]
+    assert out.n_queries == 2 and out.n_rows == 6 and out.n_contained == 6
+    assert (out.k_rows_each and out.ranks_complete
+            and out.neighbors_distinct and out.scores_in_range)
+
+
+def test_ann_topk_invariants_catch_each_violation_class(spark):
+    """The review scenarios: compensating duplicate ranks, NULL scores,
+    fabricated neighbors, and out-of-range scores must each flip their
+    flag — the contract is only worth a driver slot if it can fail."""
+    from aws_etl_bank_spark.plans.registry_llm import _ann_topk_invariants
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(100, 140)], "vec_id long")
+    pred = F.col("cosine").between(-1.0, 1.0)
+
+    # ranks [1,1,4]: 3 rows, sum 6 == 1+2+3 (the old sum check passed),
+    # but not 1..3 — ranks_complete must be false
+    bad_ranks = _mk_topk(spark, [(0, 101, 1, 0.9), (0, 102, 1, 0.8),
+                                 (0, 103, 4, 0.7)])
+    r = _ann_topk_invariants(bad_ranks, corpus, 3, "cosine", pred).collect()[0]
+    assert not r.ranks_complete and r.k_rows_each
+
+    # NULL score: bool_and would skip it without the non-null conjunct
+    null_score = _mk_topk(spark, [(0, 101, 1, 0.9), (0, 102, 2, None),
+                                  (0, 103, 3, 0.7)])
+    r = _ann_topk_invariants(null_score, corpus, 3, "cosine", pred).collect()[0]
+    assert not r.scores_in_range
+
+    # fabricated neighbor id (999 not in corpus): containment short
+    foreign = _mk_topk(spark, [(0, 101, 1, 0.9), (0, 999, 2, 0.8),
+                               (0, 103, 3, 0.7)])
+    r = _ann_topk_invariants(foreign, corpus, 3, "cosine", pred).collect()[0]
+    assert r.n_rows == 3 and r.n_contained == 2
+
+    # duplicate neighbor within a query
+    dup = _mk_topk(spark, [(0, 101, 1, 0.9), (0, 101, 2, 0.8),
+                           (0, 103, 3, 0.7)])
+    r = _ann_topk_invariants(dup, corpus, 3, "cosine", pred).collect()[0]
+    assert not r.neighbors_distinct
+
+    # out-of-range score
+    oob = _mk_topk(spark, [(0, 101, 1, 1.7), (0, 102, 2, 0.8),
+                           (0, 103, 3, 0.7)])
+    r = _ann_topk_invariants(oob, corpus, 3, "cosine", pred).collect()[0]
+    assert not r.scores_in_range
