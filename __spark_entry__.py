@@ -86,7 +86,8 @@ _PRIORITY = [
     # (win_ignore_nulls_family, scalar_luhn_validation,
     #  sql_cluster_by_ordered, scalar_random_seeded_invariants,
     #  variant_explode_lateral, stream_state_store_read,
-    #  ops_toarrow_roundtrip, and the four rows-only-to-invariant
+    #  ops_toarrow_roundtrip, agg_moments_family,
+    #  sketch_kll_quantile_band, and the four rows-only-to-invariant
     #  conversions text_fingerprint, ann_ivf_topk,
     #  ann_ivf_trained_topk, ann_pq_topk;
     #  then agg_cube_grouping, sketch_hll_distinct, pivot_event_counts,

@@ -864,3 +864,80 @@ def ops_toarrow_roundtrip(spark, sf_dir):
     tbl = agg.toArrow()
     assert isinstance(tbl, pa.Table) and tbl.num_rows <= 10
     return spark.createDataFrame(tbl)
+
+
+@q("agg_moments_family", """
+WITH m AS (SELECT o_orderstatus, AVG(o_totalprice) AS mu,
+                  stddev_pop(o_totalprice) AS sd
+           FROM orders GROUP BY o_orderstatus)
+SELECT o.o_orderstatus AS status,
+       ROUND(stddev_pop(o.o_totalprice), 2) AS sd_pop,
+       ROUND(var_pop(o.o_totalprice) / 1000000.0, 2) AS var_pop_m,
+       ROUND(AVG(POW(o.o_totalprice - m.mu, 3)) / POW(m.sd, 3), 4)
+           AS skew_pop,
+       ROUND(AVG(POW(o.o_totalprice - m.mu, 4)) / POW(m.sd, 4) - 3.0, 4)
+           AS kurt_pop,
+       ROUND(covar_pop(o.o_totalprice, CAST(o.o_custkey AS DOUBLE))
+             / 1000000.0, 4) AS cov_pop_m
+FROM orders o JOIN m USING (o_orderstatus)
+GROUP BY o.o_orderstatus, m.mu, m.sd""")
+def agg_moments_family(spark, sf_dir):
+    """Higher statistical moments as built-in aggregates: stddev_pop /
+    var_pop / skewness / kurtosis / covar_pop — the profiling
+    aggregates a data-quality pass runs per column.  Definition seam
+    pinned by probe: Spark's skewness/kurtosis are POPULATION (excess)
+    moments while DuckDB's builtins are sample-corrected (g1/g2), so
+    the oracle recomputes the population definitions through a
+    two-pass CTE (mean/sd join, then central-moment averages) rather
+    than calling DuckDB's skewness()/kurtosis().  All five agree to
+    the rounded digits on every group (verified both engines).  One
+    partial+final hash aggregate per pass at 100 TB; the moments
+    family shares the scan with any other profiling aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.stddev_pop("o_totalprice"), 2).alias("sd_pop"),
+            F.round(F.var_pop("o_totalprice") / 1e6, 2).alias("var_pop_m"),
+            F.round(F.skewness("o_totalprice"), 4).alias("skew_pop"),
+            F.round(F.kurtosis("o_totalprice"), 4).alias("kurt_pop"),
+            F.round(F.covar_pop("o_totalprice",
+                                F.col("o_custkey").cast("double")) / 1e6, 4)
+            .alias("cov_pop_m"))
+    )
+
+
+@q("sketch_kll_quantile_band", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       true AS median_in_band,
+       true AS p90_in_band
+FROM orders""")
+def sketch_kll_quantile_band(spark, sf_dir):
+    """The built-in Apache DataSketches KLL quantile aggregates
+    (kll_sketch_agg_bigint / get_n / get_quantile, Spark 4.1):
+    mergeable constant-size quantile state — the 100 TB quantile path
+    when approx_percentile's accuracy knob is not enough and the
+    sketch itself must be persisted/merged across jobs.  The estimate
+    is PARTITIONING-DEPENDENT (probed: two partition counts give
+    different medians — KLL compaction is merge-order sensitive), so
+    exact values are not hash-comparable; the oracle checks the KLL
+    CONTRACT instead, banding each estimate between the EXACT rank-
+    neighborhood quantiles (p45..p55 for the median, p85..p95 for
+    p90 — vastly wider than the sketch's ~1.3% rank error) computed
+    by Spark's exact percentile() in the same query, plus the exact
+    item count get_n.  Same pattern as agg_approx_percentile_band."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select(cents.alias("cents")).agg(
+        F.expr("kll_sketch_agg_bigint(cents)").alias("sk"),
+        F.expr("percentile(cents, array(0.45, 0.55, 0.85, 0.95))")
+        .alias("bands"),
+        F.count(F.lit(1)).alias("n_exact"))
+    return base.select(
+        F.expr("kll_sketch_get_n_bigint(sk)").cast("bigint").alias("n"),
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.5)")
+        .between(F.col("bands")[0], F.col("bands")[1])
+        .alias("median_in_band"),
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.9)")
+        .between(F.col("bands")[2], F.col("bands")[3])
+        .alias("p90_in_band"))
