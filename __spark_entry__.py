@@ -20,79 +20,65 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 15, per the r14 verdict tasks 1, 3, 4): slot 1 is
-# the PERMANENT driver-environment canary (r13 task 2) — one cheap
-# 3-row aggregate emitting every value class the driver's bitwise hash
-# has to handle; since r15 it also carries a windowed-SUM(BIGINT)
-# cents column (the class behind r14's one red) and derives its DOUBLE
-# from the exact integer-cents sum (ADVICE r14: ROUND(AVG(double)) is
-# accumulation-order dependent).  Slots 2-4 are the entries whose code
-# or oracle changed this round and need fresh attestation:
-# sql_named_window_clause (r14's red — the oracle's windowed
-# SUM(BIGINT) now carries the outer CAST AS BIGINT that keeps DuckDB
-# off HUGEINT, r14 verdict task 1), scale_bucket_pruned_read
-# (autoBucketedScan pin moved from a mid-entry conf mutation to
-# session RUNTIME_CONFS, ADVICE r14), and src_python_datasource_writer
-# (overwrite commit reordered rename-first/delete-last, ADVICE r14).
-# Slot 5 is the r6 refresh displaced from the r14 window; slots 6-49
-# are ALL 44 remaining r7-vintage oracle-backed entries (registry
-# order); slot 50 went to the round's highest-value NEW surface
-# (agg_session_window_batch) rather than the r8 head — r8-vintage
-# entries keep their standing r8 evidence, so the oldest driver
-# evidence after this round is still r8.  Rotation policy change (r14
-# verdict task 3):
-# rows-only entries are EXCLUDED from the window (a slot spent on one
-# reports err:"no_oracle" — wasted attestation; ann_pq_topk's planted
-# companion ann_pq_planted_twin and dedup_semantic_pairs_full's
-# companion dedup_semantic_full_recall are the attestable surface) —
+# Slot policy (round 16, per the r15 verdict task 1): slot 1 is the
+# PERMANENT driver-environment canary (r13 task 2) — one cheap 3-row
+# aggregate emitting every value class the driver's bitwise hash has
+# to handle, including the windowed-SUM(BIGINT) cents class behind
+# r14's red.  Slots 2-5 are the four r15 rows-only→invariant
+# conversions (text_fingerprint's functional contract, the three ANN
+# shape-contract oracles) — their ORACLE SEMANTICS changed in r15, so
+# the full local gate is the only evidence they have and a driver red
+# here would invalidate the conversion pattern; the verdict puts them
+# first.  Slots 6-14 are the nine r15-new surfaces that have never
+# been driver-attested.  Slots 15-16 are the two entries whose oracles
+# changed THIS round (r15 verdict task 4: the sf1 O(n²)-oracle
+# carve-outs dedup_fuzzy_ed1_pairs / dedup_fuzzy_entity_ids now carry
+# deletion-variant-blocked, pointer-doubling-closed oracles — and the
+# pairs entry's output became a bucketed full-multiset checksum).
+# Slots 17-50 advance the vintage waterline: the first 34 r8-vintage
+# oracle-backed entries in registry order (oldest standing driver
+# evidence is r8 after the r15 window cleared all of r7).  Rotation
+# policy (r14 task 3): rows-only entries are EXCLUDED from the window
+# (a slot spent on one reports err:"no_oracle" — wasted attestation);
 # _registry() asserts this below.
 _PRIORITY = [
-    # slot 1: permanent canary (windowed-cents column added r15)
+    # slot 1: permanent canary
     "canary_driver_hash_types",
-    # slots 2-4: oracle/code changed in r15 — re-attest
-    "sql_named_window_clause", "scale_bucket_pruned_read",
-    "src_python_datasource_writer",
-    # slot 5: the r6 refresh displaced from the r14 window
-    "ann_ivfpq_planted_twin",
-    # slots 6-49: every remaining r7-vintage oracle-backed entry, in
-    # registry order (ann_pq_topk skipped: it was rows-only when this
-    # slate was fixed; converted to the shape-contract oracle late in
-    # r15 and queued for r16 with the other conversions)
-    "win_lag_delta",
-    "filter_python_predicate", "filter_drop_policy",
-    "map_python_records", "map_error_policy", "drop_null_fields_op",
-    "union_by_name_drift", "union_choice_cast",
-    "resolve_choice_make_cols", "subtract_op", "intersect_op",
-    "distinct_op", "orderby_topk", "scalar_dates",
-    "scalar_when_case", "scalar_strings", "udf_surface",
-    "filter_sql_expr", "string_cleanup", "repartition_coalesce",
-    "explode_split", "posexplode_index", "replace_array_element",
-    "named_struct_op", "ingestion_time_columns", "csv_allstrings_cast",
-    "unbox_json", "scd2_merge_dim", "unbox_csv",
-    "unnest_struct", "unnest_ddb",
-    "relationalize_root", "relationalize_child", "spigot_passthrough",
-    "catalog_pushdown", "src_getsource_csv_getframe",
-    "src_parquet_sink_catalog_roundtrip", "src_sample_frame_full",
-    "todf_resolve_option_cast", "errors_as_dynamic_frame",
-    "agg_cube_type_day", "text_quality_top_fraction",
-    "dedup_semantic_full_recall", "llm_dsir_select",
-    # slot 50: NEW in r15 — Catalyst-native batch session_window (the
-    # highest-value of the round's five new surfaces; the other four
-    # are locally gate-green and head the r16 queue below)
-    "agg_session_window_batch",
-    # ---- 50-slot waterline: agg_session_window_batch is slot 50
-    # r16 head: the remaining r15-new entries, then the r8-vintage
-    # block in registry order
-    # (win_ignore_nulls_family, scalar_luhn_validation,
-    #  sql_cluster_by_ordered, scalar_random_seeded_invariants,
-    #  variant_explode_lateral, stream_state_store_read,
-    #  ops_toarrow_roundtrip, agg_moments_family,
-    #  sketch_kll_quantile_band, and the four rows-only-to-invariant
-    #  conversions text_fingerprint, ann_ivf_topk,
-    #  ann_ivf_trained_topk, ann_pq_topk;
-    #  then agg_cube_grouping, sketch_hll_distinct, pivot_event_counts,
-    #  agg_percentiles, scd2_as_of_read, unpivot_melt,
-    #  scale_bucketed_join_agg, ...)
+    # slots 2-5: r15 rows-only→invariant oracle conversions (verdict
+    # r15 task 1 — re-attest FIRST, their oracle semantics changed)
+    "text_fingerprint", "ann_ivf_topk", "ann_ivf_trained_topk",
+    "ann_pq_topk",
+    # slots 6-14: the nine r15-new surfaces, never driver-attested
+    "win_ignore_nulls_family", "scalar_luhn_validation",
+    "sql_cluster_by_ordered", "scalar_random_seeded_invariants",
+    "variant_explode_lateral", "stream_state_store_read",
+    "ops_toarrow_roundtrip", "agg_moments_family",
+    "sketch_kll_quantile_band",
+    # slots 15-16: oracles rewritten in r16 (sf1 exclusion retirement)
+    "dedup_fuzzy_ed1_pairs", "dedup_fuzzy_entity_ids",
+    # slots 17-50: first 34 r8-vintage oracle-backed entries, registry
+    # order — advancing the oldest-evidence waterline past r8
+    "agg_cube_grouping", "sketch_hll_distinct", "pivot_event_counts",
+    "agg_percentiles", "scd2_as_of_read", "unpivot_melt",
+    "scale_bucketed_join_agg", "win_rank_family_by_user",
+    "sketch_quantile_binned", "sketch_kmv_jaccard", "join_salted_skew",
+    "sessionize_gap_batch", "ts_anomaly_mad", "ts_cusum_drift",
+    "quality_fk_orphans", "dedup_exact", "graph_connected_components",
+    "dedup_ngram_keep_transitive", "dedup_ngram_jaccard",
+    "dedup_embedding_pairs", "ann_bruteforce_topk", "text_stats_quality",
+    "text_token_counts", "text_langid", "multimodal_meta",
+    "multimodal_frames", "stream_sessionize", "llm_curation_pipeline",
+    "text_chunking", "text_pii_scrub", "text_repetition",
+    "stratified_sample_lang", "text_decontaminate", "token_budget_mix",
+    # ---- 50-slot waterline: token_budget_mix is slot 50
+    # r17 head: the remaining 15 r8-vintage entries, registry order
+    # (join_asof_purchase, join_range_bands, dedup_lines_c4,
+    #  dedup_substring_spans, text_bigram_logprob, text_tfidf_topterms,
+    #  text_vocab_coverage, embed_quantize_int8,
+    #  dedup_ngram_containment, mix_temperature_weights,
+    #  embed_dim_variance, ann_lsh_planted_twin,
+    #  text_decontaminate_bloom, stream_quantile_sketch,
+    #  graph_degree_distribution), then the r9-vintage block
 ]
 
 

@@ -2317,25 +2317,67 @@ def ann_ivfpq_planted_twin(spark, sf_dir):
 
 
 @q("dedup_fuzzy_ed1_pairs", """
-SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-       a.c_name AS text_a, b.c_name AS text_b,
-       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-WHERE levenshtein(a.c_name, b.c_name) <= 1""")
+WITH n AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+var AS (
+  SELECT id, name,
+         unnest(list_prepend(name,
+            list_transform(generate_series(1, length(name)),
+                           i -> substr(name, 1, i-1) || substr(name, i+1)))) AS v
+  FROM n),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM var a JOIN var b ON a.v = b.v AND a.id < b.id),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         levenshtein(na.name, nb.name) AS dist
+  FROM cand c JOIN n na ON na.id = c.id_a JOIN n nb ON nb.id = c.id_b
+  WHERE levenshtein(na.name, nb.name) <= 1)
+SELECT id_a % 997 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       CAST(SUM(id_a) AS BIGINT) AS sum_ida,
+       CAST(SUM(id_b) AS BIGINT) AS sum_idb,
+       CAST(SUM((id_a * 31 + id_b) % 1000003) AS BIGINT) AS chk
+FROM pairs GROUP BY bucket""")
 def dedup_fuzzy_ed1_pairs(spark, sf_dir):
-    """Fuzzy string self-join at edit distance ≤ 1 (llm/dedup.py
-    fuzzy_pairs_ed1): SymSpell symmetric-delete blocking — each name
-    expands to its single-deletion variants, pairs meet in a variant-hash
-    equi-join, the exact levenshtein verify removes hash-block false
-    positives.  Candidate generation is provably lossless for ed ≤ 1, so
-    the result equals the oracle's O(n²) levenshtein self-join while
-    shuffling only O(rows × len) variant keys — the difference between a
-    quadratic scan and a banded join at 100 TB key cardinalities."""
+    """Fuzzy string self-join at edit distance ≤ 1 over the FULL corpus
+    (llm/dedup.py fuzzy_pairs_ed1): SymSpell symmetric-delete blocking —
+    each name expands to its single-deletion variants, pairs meet in a
+    variant-hash equi-join, the exact levenshtein verify removes
+    hash-block false positives.  Candidate generation is provably
+    lossless for ed ≤ 1 (delete the edited position from both sides),
+    so the blocked join equals an O(n²) levenshtein self-join while
+    shuffling only O(rows × len) variant keys.
+
+    r15 verdict task 4 (retiring the sf1 audit exclusion): the oracle
+    used to BE that O(n²) self-join — 2.25 B levenshtein calls at sf1 —
+    so this entry was the standing audit carve-out.  It now mirrors the
+    same provably-lossless deletion-variant blocking in DuckDB SQL
+    (list_transform/generate_series; exact `levenshtein ≤ 1` verify
+    kept), and tests/test_llm_dedup.py pins blocked-oracle ≡
+    brute-force-oracle inside DuckDB at sf0.001/sf0.01, so the ground
+    truth stays anchored to the quadratic definition while the audit
+    runs the full corpus at every SF.  Output is a bucketed multiset
+    checksum of ALL pairs (count / exact-dup count / distance mass /
+    id sums / a positional hash per `id_a % 997` bucket) rather than
+    the 26.9 M literal sf1 pair rows — the gate's exact-compare stays
+    O(buckets) while any single dropped, extra, or altered pair still
+    flips `chk`; the literal-pair surface with row-level compare is
+    the bounded companion ``dedup_fuzzy_ed1_planted``."""
     from aws_etl_bank_spark.llm.dedup import fuzzy_pairs_ed1
 
     c = load_table(spark, sf_dir, "customer")
-    return fuzzy_pairs_ed1(c, "c_name", "c_custkey").select(
-        "id_a", "id_b", "text_a", "text_b", F.col("dist").cast("int").alias("dist"))
+    p = fuzzy_pairs_ed1(c, "c_name", "c_custkey")
+    return (p.groupBy((F.col("id_a") % 997).alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+                  .cast("long").alias("n_exact"),
+                 F.sum("dist").cast("long").alias("sum_dist"),
+                 F.sum("id_a").cast("long").alias("sum_ida"),
+                 F.sum("id_b").cast("long").alias("sum_idb"),
+                 F.sum((F.col("id_a") * 31 + F.col("id_b")) % 1000003)
+                  .cast("long").alias("chk")))
 
 
 @q("text_pack_sequences", """
@@ -2372,31 +2414,122 @@ def text_pack_sequences(spark, sf_dir):
 
 
 @q("dedup_fuzzy_entity_ids", """
-WITH RECURSIVE nodes AS (
-  SELECT c_custkey AS id, c_name AS name FROM customer WHERE c_custkey % 3 = 0
-),
-edges AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM nodes a JOIN nodes b ON levenshtein(a.name, b.name) <= 1
-),
-reach AS (
-  SELECT id, id AS lbl FROM nodes
-  UNION
-  SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.id
-)
-SELECT CAST(id AS BIGINT) AS id, CAST(MIN(lbl) AS BIGINT) AS component
-FROM reach GROUP BY id""")
+WITH nodes AS MATERIALIZED (
+  SELECT c_custkey AS id, c_name AS name FROM customer WHERE c_custkey % 3 = 0),
+var AS (
+  SELECT id, name,
+         unnest(list_prepend(name,
+            list_transform(generate_series(1, length(name)),
+                           i -> substr(name, 1, i-1) || substr(name, i+1)))) AS v
+  FROM nodes),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM var a JOIN var b ON a.v = b.v AND a.id < b.id),
+ed0 AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN nodes na ON na.id = c.id_a JOIN nodes nb ON nb.id = c.id_b
+  WHERE levenshtein(na.name, nb.name) <= 1),
+ed AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM ed0
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM ed0),
+l0 AS MATERIALIZED (SELECT id, id AS lb FROM nodes),
+l1 AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lb, coalesce(nb.m, v.lb), coalesce(j.lb, v.lb)) AS lb
+  FROM l0 v
+  LEFT JOIN (SELECT e.src AS id, MIN(l.lb) AS m
+             FROM ed e JOIN l0 l ON l.id = e.dst GROUP BY e.src) nb
+    ON nb.id = v.id
+  LEFT JOIN l0 j ON j.id = v.lb),
+l2 AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lb, coalesce(nb.m, v.lb), coalesce(j.lb, v.lb)) AS lb
+  FROM l1 v
+  LEFT JOIN (SELECT e.src AS id, MIN(l.lb) AS m
+             FROM ed e JOIN l1 l ON l.id = e.dst GROUP BY e.src) nb
+    ON nb.id = v.id
+  LEFT JOIN l1 j ON j.id = v.lb),
+l3 AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lb, coalesce(nb.m, v.lb), coalesce(j.lb, v.lb)) AS lb
+  FROM l2 v
+  LEFT JOIN (SELECT e.src AS id, MIN(l.lb) AS m
+             FROM ed e JOIN l2 l ON l.id = e.dst GROUP BY e.src) nb
+    ON nb.id = v.id
+  LEFT JOIN l2 j ON j.id = v.lb),
+l4 AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lb, coalesce(nb.m, v.lb), coalesce(j.lb, v.lb)) AS lb
+  FROM l3 v
+  LEFT JOIN (SELECT e.src AS id, MIN(l.lb) AS m
+             FROM ed e JOIN l3 l ON l.id = e.dst GROUP BY e.src) nb
+    ON nb.id = v.id
+  LEFT JOIN l3 j ON j.id = v.lb),
+l5 AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lb, coalesce(nb.m, v.lb), coalesce(j.lb, v.lb)) AS lb
+  FROM l4 v
+  LEFT JOIN (SELECT e.src AS id, MIN(l.lb) AS m
+             FROM ed e JOIN l4 l ON l.id = e.dst GROUP BY e.src) nb
+    ON nb.id = v.id
+  LEFT JOIN l4 j ON j.id = v.lb),
+l6 AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lb, coalesce(nb.m, v.lb), coalesce(j.lb, v.lb)) AS lb
+  FROM l5 v
+  LEFT JOIN (SELECT e.src AS id, MIN(l.lb) AS m
+             FROM ed e JOIN l5 l ON l.id = e.dst GROUP BY e.src) nb
+    ON nb.id = v.id
+  LEFT JOIN l5 j ON j.id = v.lb),
+l7 AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lb, coalesce(nb.m, v.lb), coalesce(j.lb, v.lb)) AS lb
+  FROM l6 v
+  LEFT JOIN (SELECT e.src AS id, MIN(l.lb) AS m
+             FROM ed e JOIN l6 l ON l.id = e.dst GROUP BY e.src) nb
+    ON nb.id = v.id
+  LEFT JOIN l6 j ON j.id = v.lb),
+l8 AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lb, coalesce(nb.m, v.lb), coalesce(j.lb, v.lb)) AS lb
+  FROM l7 v
+  LEFT JOIN (SELECT e.src AS id, MIN(l.lb) AS m
+             FROM ed e JOIN l7 l ON l.id = e.dst GROUP BY e.src) nb
+    ON nb.id = v.id
+  LEFT JOIN l7 j ON j.id = v.lb),
+l9 AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lb, coalesce(nb.m, v.lb), coalesce(j.lb, v.lb)) AS lb
+  FROM l8 v
+  LEFT JOIN (SELECT e.src AS id, MIN(l.lb) AS m
+             FROM ed e JOIN l8 l ON l.id = e.dst GROUP BY e.src) nb
+    ON nb.id = v.id
+  LEFT JOIN l8 j ON j.id = v.lb),
+l10 AS MATERIALIZED (
+  SELECT v.id, LEAST(v.lb, coalesce(nb.m, v.lb), coalesce(j.lb, v.lb)) AS lb
+  FROM l9 v
+  LEFT JOIN (SELECT e.src AS id, MIN(l.lb) AS m
+             FROM ed e JOIN l9 l ON l.id = e.dst GROUP BY e.src) nb
+    ON nb.id = v.id
+  LEFT JOIN l9 j ON j.id = v.lb)
+SELECT CAST(id AS BIGINT) AS id, CAST(lb AS BIGINT) AS component FROM l10""")
 def dedup_fuzzy_entity_ids(spark, sf_dir):
     """Entity resolution end-to-end: SymSpell ed≤1 fuzzy pairs
     (llm/dedup.py fuzzy_pairs_ed1) fed into iterative connected
     components, one canonical entity id (min member id) per transitive
     similarity cluster — the record-linkage composition
     (block → match → cluster) on real name data, where the cluster
-    structure is data-driven rather than planted.  The oracle computes
-    ground truth with a recursive min-label closure over the exact
-    O(n²) levenshtein graph; the engine never materializes n² — blocked
-    candidate pairs plus a fixpoint of bounded label-propagation
-    rounds."""
+    structure is data-driven rather than planted.
+
+    r15 verdict task 4 (retiring the sf1 audit exclusion): the old
+    oracle built the edge list with an O(n²) levenshtein cross join and
+    closed it with a recursive min-label CTE whose `reach` set is
+    |component|² rows — at sf1 the graph fuses into ONE 50 k-node
+    component (measured), i.e. 2.5 B reach rows on top of 2.25 B
+    levenshtein calls.  The oracle now (a) generates edges with the
+    same provably-lossless deletion-variant blocking as the pairs
+    entry (exact `levenshtein ≤ 1` verify kept; tests pin blocked ≡
+    brute-force edge sets in DuckDB), and (b) closes labels with 10
+    unrolled MATERIALIZED min-label rounds, each round taking
+    `LEAST(own, min-over-neighbours, label-of-label)` — the
+    pointer-doubling step makes convergence logarithmic in component
+    diameter (sf0.01 converges in 7 rounds, sf1 in 8 — measured; two
+    spare rounds of margin, and tests/test_llm_dedup.py pins
+    round-9 ≡ round-10 at the driver SF so a non-converged oracle
+    cannot ship).  `AS MATERIALIZED` is load-bearing: DuckDB 1.0
+    inlines multiply-referenced CTEs, which re-expands the whole
+    chain 3^10 times without it."""
     from aws_etl_bank_spark.llm.dedup import connected_components, fuzzy_pairs_ed1
 
     c = (load_table(spark, sf_dir, "customer")

@@ -232,3 +232,91 @@ def test_priority_slate_is_oracle_backed():
     rows_only = [n for n in entrymod._PRIORITY[:50] if n not in oracles]
     assert rows_only == [], (
         f"rows-only entries waste driver slots: {rows_only}")
+
+
+def _duck_sf001():
+    import duckdb
+
+    from scripts.verify_entry import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            "CREATE VIEW {} AS SELECT * FROM "
+            "'/root/testdata/sf0.01/{}.parquet'".format(t, t))
+    return con
+
+
+def test_fuzzy_ed1_blocked_oracle_equals_brute_force():
+    """r15 verdict task 4 anchor: dedup_fuzzy_ed1_pairs' oracle now
+    generates candidates with deletion-variant blocking instead of the
+    O(n²) levenshtein cross join that made it the standing sf1 audit
+    exclusion.  Symmetric-delete blocking is provably lossless at
+    ed ≤ 1, but the ground truth must stay ANCHORED to the quadratic
+    definition — so recompute the shipped oracle's bucketed checksum
+    from a brute-force pair set inside the same DuckDB session and
+    assert bitwise-equal results at the driver SF."""
+    import aws_etl_bank_spark.plans.registry as reg
+    import aws_etl_bank_spark.plans.registry_llm  # noqa: F401
+
+    con = _duck_sf001()
+    shipped = con.sql(
+        "SELECT * FROM ({}) ORDER BY bucket".format(
+            reg.REGISTRY["dedup_fuzzy_ed1_pairs"].oracle)).fetchall()
+    brute = con.sql("""
+        WITH pairs AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 levenshtein(a.c_name, b.c_name) AS dist
+          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+          WHERE levenshtein(a.c_name, b.c_name) <= 1)
+        SELECT id_a % 997 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact,
+               CAST(SUM(dist) AS BIGINT) AS sum_dist,
+               CAST(SUM(id_a) AS BIGINT) AS sum_ida,
+               CAST(SUM(id_b) AS BIGINT) AS sum_idb,
+               CAST(SUM((id_a * 31 + id_b) % 1000003) AS BIGINT) AS chk
+        FROM pairs GROUP BY bucket ORDER BY bucket""").fetchall()
+    assert len(shipped) > 0
+    assert shipped == brute
+
+
+def test_fuzzy_entity_oracle_converged_and_matches_recursive():
+    """The companion anchor for dedup_fuzzy_entity_ids' unrolled
+    pointer-doubling closure (10 MATERIALIZED min-label rounds):
+
+    1. convergence — re-running the shipped oracle with the final
+       SELECT pointed at round 9 instead of round 10 must give the
+       identical labelling (a fixpoint reached with a round to spare;
+       if the data ever needs >9 rounds this pin fails loudly before
+       the driver sees a silently-wrong oracle);
+    2. ground truth — the labelling equals the old recursive min-label
+       closure over the brute-force O(n²) levenshtein edge set, which
+       is still tractable at the driver SF (500 nodes)."""
+    import aws_etl_bank_spark.plans.registry as reg
+    import aws_etl_bank_spark.plans.registry_llm  # noqa: F401
+
+    oracle = reg.REGISTRY["dedup_fuzzy_entity_ids"].oracle
+    assert oracle.rstrip().endswith("FROM l10")
+    con = _duck_sf001()
+    shipped = con.sql(
+        "SELECT * FROM ({}) ORDER BY id".format(oracle)).fetchall()
+    l9 = con.sql("SELECT * FROM ({}) ORDER BY id".format(
+        oracle.replace("FROM l10", "FROM l9"))).fetchall()
+    assert shipped == l9, "min-label closure not converged by round 9"
+    recursive = con.sql("""
+        WITH RECURSIVE nodes AS (
+          SELECT c_custkey AS id, c_name AS name FROM customer
+          WHERE c_custkey % 3 = 0),
+        edges AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM nodes a JOIN nodes b ON levenshtein(a.name, b.name) <= 1),
+        reach AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.id)
+        SELECT CAST(id AS BIGINT) AS id, CAST(MIN(lbl) AS BIGINT) AS component
+        FROM reach GROUP BY id ORDER BY id""").fetchall()
+    assert len(shipped) == 500
+    assert shipped == recursive
