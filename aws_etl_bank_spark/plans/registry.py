@@ -93,7 +93,18 @@ def _scratch(sf_dir: str, leaf: str) -> str:
 # the COVERAGE.md ledger reference — is identical to the single-file
 # layout.  The @q duplicate guard makes any accidental double
 # registration loud.
+#
+# _LOADING_PARTS is the direct-import tripwire (ADVICE r15): importing
+# a part module directly (e.g. ``import ...registry_dialect``) before
+# this module finishes would still WORK — the part pulls this module
+# in, the other three parts register during that pull, and the
+# directly-imported part then appends its own entries LAST, silently
+# reordering REGISTRY against the rotation window and the ledger.
+# Each part module raises ImportError unless this flag is True, which
+# it only is while the four imports below are executing.
+_LOADING_PARTS = True
 from aws_etl_bank_spark.plans import registry_core  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_sources_sketches  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_analytics  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_dialect  # noqa: E402,F401
+_LOADING_PARTS = False

@@ -21,6 +21,20 @@ from aws_etl_bank_spark.sources.testdata import load_table  # noqa: F401
 from aws_etl_bank_spark.plans.registry import (  # noqa: F401
     REGISTRY, SCRATCH, canon0, q, _scratch)
 
+# Direct-import tripwire (ADVICE r15): registering this part outside
+# registry.py's fixed four-import sequence would append its entries
+# after the other parts' and silently reorder REGISTRY, which the
+# driver rotation window and the COVERAGE.md ledger index into.  The
+# docstring prohibition alone proved too quiet — fail loudly instead.
+from aws_etl_bank_spark.plans import registry as _registry_mod  # noqa: E402
+
+if not getattr(_registry_mod, "_LOADING_PARTS", False):
+    raise ImportError(
+        f"{__name__} must not be imported directly: its entries would "
+        "register after the other part modules' and reorder REGISTRY "
+        "against the driver rotation window; import "
+        "aws_etl_bank_spark.plans.registry instead")
+
 
 @q("ts_ohlc_bucket", """
 WITH r AS (

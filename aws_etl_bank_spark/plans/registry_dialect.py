@@ -21,6 +21,20 @@ from aws_etl_bank_spark.sources.testdata import load_table  # noqa: F401
 from aws_etl_bank_spark.plans.registry import (  # noqa: F401
     REGISTRY, SCRATCH, canon0, q, _scratch)
 
+# Direct-import tripwire (ADVICE r15): registering this part outside
+# registry.py's fixed four-import sequence would append its entries
+# after the other parts' and silently reorder REGISTRY, which the
+# driver rotation window and the COVERAGE.md ledger index into.  The
+# docstring prohibition alone proved too quiet — fail loudly instead.
+from aws_etl_bank_spark.plans import registry as _registry_mod  # noqa: E402
+
+if not getattr(_registry_mod, "_LOADING_PARTS", False):
+    raise ImportError(
+        f"{__name__} must not be imported directly: its entries would "
+        "register after the other part modules' and reorder REGISTRY "
+        "against the driver rotation window; import "
+        "aws_etl_bank_spark.plans.registry instead")
+
 # _unordered_sample_invariants (defined in registry_core) is imported
 # LAZILY inside the one entry that uses it: a module-level import here
 # would make a direct `import registry_core` crash mid-chain on the
@@ -862,7 +876,14 @@ def ops_toarrow_roundtrip(spark, sf_dir):
                 F.sum(F.round(F.col("o_totalprice") * 100)
                       .cast("bigint")).cast("bigint").alias("cents")))
     tbl = agg.toArrow()
-    assert isinstance(tbl, pa.Table) and tbl.num_rows <= 10
+    # explicit raises, not asserts: PYTHONOPTIMIZE strips asserts and
+    # these contract guards are load-bearing (ADVICE r15)
+    if not isinstance(tbl, pa.Table):
+        raise ValueError(f"toArrow returned {type(tbl).__name__}, not a pyarrow.Table")
+    if tbl.num_rows > 10:
+        raise ValueError(
+            f"toArrow materialized {tbl.num_rows} rows driver-side; the"
+            " roundtrip entry is bounded to the <=10-row aggregate")
     return spark.createDataFrame(tbl)
 
 

@@ -2355,7 +2355,7 @@ def dedup_fuzzy_ed1_pairs(spark, sf_dir):
     so this entry was the standing audit carve-out.  It now mirrors the
     same provably-lossless deletion-variant blocking in DuckDB SQL
     (list_transform/generate_series; exact `levenshtein ≤ 1` verify
-    kept), and tests/test_llm_dedup.py pins blocked-oracle ≡
+    kept), and tests/test_verify_gate.py pins blocked-oracle ≡
     brute-force-oracle inside DuckDB at sf0.001/sf0.01, so the ground
     truth stays anchored to the quadratic definition while the audit
     runs the full corpus at every SF.  Output is a bucketed multiset
@@ -2525,7 +2525,7 @@ def dedup_fuzzy_entity_ids(spark, sf_dir):
     `LEAST(own, min-over-neighbours, label-of-label)` — the
     pointer-doubling step makes convergence logarithmic in component
     diameter (sf0.01 converges in 7 rounds, sf1 in 8 — measured; two
-    spare rounds of margin, and tests/test_llm_dedup.py pins
+    spare rounds of margin, and tests/test_verify_gate.py pins
     round-9 ≡ round-10 at the driver SF so a non-converged oracle
     cannot ship).  `AS MATERIALIZED` is load-bearing: DuckDB 1.0
     inlines multiply-referenced CTEs, which re-expands the whole
@@ -4367,12 +4367,31 @@ def stream_state_store_read(spark, sf_dir):
     agg buffer column is version-internal).  At 100 TB state reads
     are per-partition parallel scans of the store files — no stream
     replay, no driver fan-in."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
     import time as _time
 
     from aws_etl_bank_spark.plans.registry import _scratch
 
     stamp = int(_time.time() * 1000)
     ck = _scratch(sf_dir, f"state_reader_ck_{stamp}")
+    # ADVICE r15: the stamped checkpoint leaf made every invocation
+    # leave a dir behind — unbounded .scratch growth across verify and
+    # bench runs.  The leaf cannot simply be deleted in a finally block
+    # (the returned DataFrame reads the store LAZILY, after this
+    # function exits) nor reused as a fixed name (two verify processes
+    # at the same SF would race), so each invocation instead sweeps
+    # SIBLING checkpoints older than 30 minutes: growth is bounded by
+    # the number of concurrent runs, and a live concurrent run's dir
+    # is never touched.
+    for old in _glob.glob(os.path.join(os.path.dirname(ck),
+                                       "state_reader_ck_*")):
+        try:
+            if old != ck and os.path.getmtime(old) < _time.time() - 1800:
+                _shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent sweep — another run owns it
     stream = events_stream(spark, _events_stream_dir(sf_dir))
     agg = (stream
            .select((F.col("user_id") % 101).cast("bigint").alias("k"))
@@ -4386,14 +4405,26 @@ def stream_state_store_read(spark, sf_dir):
 
     meta = spark.read.format("state-metadata").load(ck)
     ops = [r.operatorName for r in meta.select("operatorName").collect()]
-    assert ops == ["stateStoreSave"], ops  # exactly one stateful op
+    # explicit raise, not assert: PYTHONOPTIMIZE strips asserts and
+    # these guards are load-bearing (ADVICE r15) — exactly one
+    # stateful operator must own the checkpoint
+    if ops != ["stateStoreSave"]:
+        raise ValueError(
+            f"state-metadata lists operators {ops}; expected exactly "
+            "['stateStoreSave'] — the checkpoint is not the single "
+            "streaming aggregation this entry wrote")
 
     st = spark.read.format("statestore").load(ck)
     # exactly ONE buffer field expected (stateFormatVersion 2 stores
     # the key-free agg buffer; v1 would prepend the grouping key and
     # names[0] would silently be the wrong column — fail loud instead)
     names = st.schema["value"].dataType.names
-    assert len(names) == 1, names
+    if len(names) != 1:
+        raise ValueError(
+            f"statestore value struct has fields {names}; expected a "
+            "single agg-buffer field (stateFormatVersion 2) — a v1 "
+            "layout would make names[0] the grouping key, silently "
+            "reading the wrong column")
     value_field = names[0]
     return (st.select(
         F.col("key.k").alias("k"),

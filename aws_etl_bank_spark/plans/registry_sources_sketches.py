@@ -21,6 +21,20 @@ from aws_etl_bank_spark.sources.testdata import load_table  # noqa: F401
 from aws_etl_bank_spark.plans.registry import (  # noqa: F401
     REGISTRY, SCRATCH, canon0, q, _scratch)
 
+# Direct-import tripwire (ADVICE r15): registering this part outside
+# registry.py's fixed four-import sequence would append its entries
+# after the other parts' and silently reorder REGISTRY, which the
+# driver rotation window and the COVERAGE.md ledger index into.  The
+# docstring prohibition alone proved too quiet — fail loudly instead.
+from aws_etl_bank_spark.plans import registry as _registry_mod  # noqa: E402
+
+if not getattr(_registry_mod, "_LOADING_PARTS", False):
+    raise ImportError(
+        f"{__name__} must not be imported directly: its entries would "
+        "register after the other part modules' and reorder REGISTRY "
+        "against the driver rotation window; import "
+        "aws_etl_bank_spark.plans.registry instead")
+
 # ===========================================================================
 # JDBC over embedded Derby (the driver ships in Spark's own jars dir), RDD
 # source, and count-action promotions (SURVEY.md §2.1 rows 8/9/13/14/46,
@@ -174,7 +188,9 @@ def catalog_purge_partitions(spark, sf_dir):
                              partition_keys=["o_orderstatus"])
     removed = ctx.purge_table("golden", "orders_purge",
                               {"partitionPredicate": "o_orderstatus = 'F'"})
-    assert removed, "purge must drop the F partition"
+    if not removed:  # load-bearing guard (ADVICE r15)
+        raise ValueError("purge_table removed nothing; the survivors"
+                         " aggregate below would equal the full table")
     survived = ctx.create_dynamic_frame_from_catalog("golden", "orders_purge").toDF()
     return survived.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -201,9 +217,11 @@ def governed_txn_write(spark, sf_dir):
                        additional_options={"transactionId": txn})
     sink.setCatalogInfo("golden", "nation_txn")
     sink.write(DynamicFrame.fromDF(load_table(spark, sf_dir, "nation"), ctx, "n"))
-    assert ctx.commit_transaction(txn)
+    if not ctx.commit_transaction(txn):
+        raise ValueError(f"commit_transaction({txn!r}) reported failure")
     txn2 = ctx.start_transaction(read_only=True)
-    assert ctx.cancel_transaction(txn2)
+    if not ctx.cancel_transaction(txn2):
+        raise ValueError(f"cancel_transaction({txn2!r}) reported failure")
     back = ctx.create_dynamic_frame_from_catalog("golden", "nation_txn").toDF()
     return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
 

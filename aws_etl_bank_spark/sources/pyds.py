@@ -341,6 +341,17 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
         # carry a per-job uuid, so they cannot collide with the
         # previous job's parts (ADVICE r13 low + r14 review + r14
         # ADVICE low).
+        #
+        # READER CONTRACT (ADVICE r15, acknowledged trade): between the
+        # first rename and the last delete — and, after a crash inside
+        # that window, until the next successful overwrite — a reader
+        # that lists the directory sees old AND new part files, i.e.
+        # doubled rows (never lost rows).  Readers must not list
+        # concurrently with an overwrite commit; a crashed commit is
+        # repaired by re-running the overwrite.  A _SUCCESS-manifest
+        # read filter would close the window but requires every
+        # consumer (including plain spark.read.parquet) to honor the
+        # manifest, which this directory layout cannot force.
         to_publish = []
         for m in messages or []:
             staged = getattr(m, "staged", None)

@@ -320,3 +320,34 @@ def test_fuzzy_entity_oracle_converged_and_matches_recursive():
         FROM reach GROUP BY id ORDER BY id""").fetchall()
     assert len(shipped) == 500
     assert shipped == recursive
+
+
+def test_registry_part_modules_reject_direct_import():
+    """ADVICE r15: importing a part module directly still *worked* but
+    registered its entries after the other parts', silently reordering
+    REGISTRY (which the driver rotation window and COVERAGE.md ledger
+    index into).  The prohibition was docstring-only; now each part
+    raises ImportError unless registry.py's _LOADING_PARTS sentinel is
+    set.  Needs a clean interpreter (the modules are already imported
+    in this test process), hence the subprocess."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo'); "
+         "import aws_etl_bank_spark.plans.registry_dialect"],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode != 0
+    assert "must not be imported directly" in proc.stderr
+
+    # and the sanctioned path still yields the full registry
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo'); "
+         "import aws_etl_bank_spark.plans.registry as r; "
+         "import aws_etl_bank_spark.plans.registry_llm; "
+         "print(len(r.REGISTRY))"],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-500:]
+    assert int(proc.stdout.strip()) >= 395
