@@ -140,6 +140,25 @@ HEADLINE = [
     "agg_approx_top_k_merge",
 ]
 
+#: SECOND frozen subset (r16, VERDICT r15 task 3): the post-r11
+#: surfaces the 54-query set above predates — recorded ALONGSIDE it
+#: (own passes, own probe fence, own totals under *2 keys), never
+#: mixed in, so the 54-query trend line keeps its r2→r16 meaning while
+#: the newer surfaces get a comparable series of their own starting
+#: here.  FROZEN from r16 on; additions get a third set, not edits.
+HEADLINE2 = [
+    "variant_explode_lateral",       # VARIANT parse + lateral explode
+    "agg_session_window_batch",      # native batch session_window
+    "stream_state_store_read",       # statestore reader over checkpoint
+    "win_ignore_nulls_family",       # IGNORE NULLS lag/lead/nth
+    "agg_moments_family",            # skew/kurt/corr/covar bundle
+    "sketch_kll_quantile_band",      # KLL sketch vs exact percentile
+    "multimodal_decode_png",         # from-scratch PNG decode (Python path)
+    "agg_bitmap_distinct_exact",     # bitmap exact-distinct rollup
+    "sql_recursive_cte_walk",        # recursive CTE graph walk
+    "dedup_fuzzy_entity_ids",        # blocked ed1 pairs → iterative CC
+]
+
 #: interleaved full-suite passes; per-query MEDIAN is reported (r5 —
 #: best-of-2 min on a ±2 s box gave a ~10% error bar; the median of
 #: interleaved rounds is drift-robust and what the trend tables quote)
@@ -189,10 +208,11 @@ def main():
     subset = [s for s in
               os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if s]
     headline = [n for n in HEADLINE if n in subset] if subset else HEADLINE
+    headline2 = [n for n in HEADLINE2 if n in subset] if subset else HEADLINE2
     # Warmup: one tiny-sf pass per headline query primes the JVM, codegen
     # cache, and file-source metadata so the timed numbers reflect
     # steady-state execution rather than first-query startup cost.
-    for name in headline:
+    for name in headline + headline2:
         try:
             qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         except Exception:
@@ -219,13 +239,35 @@ def main():
             samples[name].append(time.time() - start)
         pass_totals.append(round(time.time() - t_pass, 3))
         probes.append(calibration_probe(spark))
-    timings: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    for name, ts in samples.items():
-        ts.sort()
-        timings[name] = round(ts[len(ts) // 2], 3)
-        spread[name] = round(ts[-1] - ts[0], 3)
+    # Second frozen subset: its own interleaved passes AFTER the main
+    # suite, bracketed by its own probe fence (starting from the main
+    # fence's last probe), so neither set's pass totals absorb the
+    # other's contention.
+    samples2: dict[str, list[float]] = {name: [] for name in headline2}
+    pass_totals2: list[float] = []
+    probes2 = [probes[-1]]
+    for _ in range(RUNS if headline2 else 0):
+        t_pass = time.time()
+        for name in headline2:
+            start = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples2[name].append(time.time() - start)
+        pass_totals2.append(round(time.time() - t_pass, 3))
+        probes2.append(calibration_probe(spark))
+
+    def _medians(samps):
+        t, s = {}, {}
+        for name, ts in samps.items():
+            ts.sort()
+            t[name] = round(ts[len(ts) // 2], 3)
+            s[name] = round(ts[-1] - ts[0], 3)
+        return t, s
+
+    timings, spread = _medians(samples)
+    timings2, spread2 = _medians(samples2)
     total = round(sum(timings.values()), 3)
+    total2 = round(sum(timings2.values()), 3)
     calibration_pre = probes[0]
     calibration = probes[-1]
     calibration_post = calibration
@@ -243,6 +285,14 @@ def main():
         "calibration_sec": calibration,
         "calibration_pre": calibration_pre,
         "calibration_post": calibration_post,
+        # second frozen subset (r16+): post-r11 surfaces, own series
+        "value2": total2,
+        "queries2": timings2,
+        "spread2": spread2,
+        "samples2": {n: [round(t, 3) for t in ts]
+                     for n, ts in samples2.items()},
+        "pass_totals2": pass_totals2,
+        "probes2": probes2,
     }
     # Full result (per-query samples + spreads) goes to a repo file: the
     # driver's stdout tail capture is ~2000 chars and r5's line outgrew
@@ -264,6 +314,12 @@ def main():
         # queries the 3-decimal worst case outgrew the ~2000-char
         # driver tail capture.
         "queries": {n: round(t, 2) for n, t in timings.items()},
+        # The second frozen subset (value2/queries2/probes2) is NOT on
+        # this line: the 54-query worst case already sits 7 chars under
+        # the 1900-char budget (tests pin it), and r5's clipped BENCH
+        # artifact is what happens when the line outgrows the driver's
+        # tail capture.  Both sets + probe fences live in the full
+        # artifact below, committed per round as BENCH_local_r{N}.json.
         "runs": RUNS,
         "sf": float(sf),
         # probe fence: pass i sits between probes[i] and probes[i+1],

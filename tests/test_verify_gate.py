@@ -54,6 +54,10 @@ def test_bench_stdout_line_fits_driver_capture():
         # compact line carries 2-decimal medians (bench.py rounds);
         # worst case is 4-digit seconds
         "queries": {n: 9999.99 for n in bench.HEADLINE},
+        # the second frozen subset (r16) does NOT ride the compact line:
+        # worst case here is 1893/1900 chars with set 1 alone — set 2's
+        # series lives in bench_out/BENCH_local.json (committed per
+        # round), keeping the r5 clipping class impossible
         "runs": 3,
         "sf": 0.1,
         # per-pass "samples" moved to BENCH_local.json in r13 when the
@@ -89,6 +93,13 @@ def test_bench_headline_queries_all_registered():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert missing == [], missing
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    # the second frozen subset (r16) gets the same protection, and the
+    # two sets must stay disjoint — a shared name would double-run and
+    # make "alongside, never mixed" ambiguous in the artifact
+    missing2 = [n for n in bench.HEADLINE2 if n not in qs]
+    assert missing2 == [], missing2
+    assert len(bench.HEADLINE2) == len(set(bench.HEADLINE2))
+    assert not set(bench.HEADLINE) & set(bench.HEADLINE2)
 
 
 def test_priority_slate_all_registered():
