@@ -86,6 +86,64 @@ def _scratch(sf_dir: str, leaf: str) -> str:
     return path
 
 
+def require_part_loading(part_name: str, orchestrator, flag: str) -> None:
+    """Shared direct-import tripwire body (ADVICE r15; deduplicated
+    from nine copy-pasted blocks per the r16 review): every registry
+    part/subpart module calls this right after its imports and aborts
+    unless its orchestrator is currently executing its fixed import
+    sequence.  A directly-imported part would otherwise register its
+    entries after the other parts' and silently reorder REGISTRY,
+    which the driver rotation window and the COVERAGE.md ledger index
+    into."""
+    if not getattr(orchestrator, flag, False):
+        raise ImportError(
+            f"{part_name} must not be imported directly: its entries "
+            "would register out of order; import "
+            "aws_etl_bank_spark.plans.registry instead")
+
+
+def check_parts_registered(module_names: list[str],
+                           registry_id: int) -> None:
+    """Post-import completeness check (r16 review finding 1): a part
+    import that was aborted mid-execution (tripwire, syntax error,
+    import-probe `except ImportError: pass`) leaves a PARTIAL module
+    in sys.modules; an orchestrator that then finishes would be cached
+    complete-but-truncated — later imports would silently get a
+    REGISTRY missing that part's entries.  Every part stamps
+    ``_REGISTERED_INTO = id(REGISTRY)`` as its LAST statement; a
+    missing or stale stamp (a part cached from a previous failed
+    attempt registered into a dead dict) fails the orchestrator load
+    itself, so the truncated state can never be cached."""
+    import sys as _sys
+
+    for name in module_names:
+        mod = _sys.modules.get(name)
+        if mod is None or getattr(mod, "_REGISTERED_INTO", None) != registry_id:
+            raise ImportError(
+                f"{name} did not finish registering into this REGISTRY "
+                "(partial import or stale residue from a failed "
+                "direct-import attempt); restart the process and import "
+                "aws_etl_bank_spark.plans.registry first")
+
+
+def reject_partial_parts(module_names: list[str]) -> None:
+    """Pre-import guard (r16 review finding 2): if a part module is
+    ALREADY mid-execution when the orchestrator starts, the user
+    imported that part directly and the orchestrator's own import of a
+    sibling part would die on a confusing partially-initialized-module
+    error (the sibling's cross-part import of names the partial module
+    has not defined yet).  Detect the state up front and raise the
+    intended diagnostic instead."""
+    import sys as _sys
+
+    for name in module_names:
+        mod = _sys.modules.get(name)
+        if mod is not None and getattr(mod, "_REGISTERED_INTO", None) is None:
+            raise ImportError(
+                f"{name} is mid-import: part modules must not be "
+                "imported directly; import "
+                "aws_etl_bank_spark.plans.registry instead")
+
 
 # Entry definitions live in four part modules (pure mechanical split,
 # r15, VERDICT r14 task 8) imported here IN ORIGINAL LINE ORDER so
@@ -94,17 +152,25 @@ def _scratch(sf_dir: str, leaf: str) -> str:
 # layout.  The @q duplicate guard makes any accidental double
 # registration loud.
 #
-# _LOADING_PARTS is the direct-import tripwire (ADVICE r15): importing
-# a part module directly (e.g. ``import ...registry_dialect``) before
-# this module finishes would still WORK — the part pulls this module
-# in, the other three parts register during that pull, and the
-# directly-imported part then appends its own entries LAST, silently
-# reordering REGISTRY against the rotation window and the ledger.
-# Each part module raises ImportError unless this flag is True, which
-# it only is while the four imports below are executing.
+# _LOADING_PARTS is the direct-import tripwire (ADVICE r15): each part
+# module calls require_part_loading() and aborts unless this flag is
+# True, which it only is while the imports below are executing.  The
+# reject_partial_parts / check_parts_registered pair (r16 review)
+# makes the failure mode loud and uncacheable in BOTH directions: a
+# part already mid-import fails fast with the intended message, and a
+# part that aborted mid-execution fails the orchestrator load itself
+# instead of leaving a truncated REGISTRY cached in sys.modules.
+_PART_MODULES = [
+    "aws_etl_bank_spark.plans.registry_core",
+    "aws_etl_bank_spark.plans.registry_sources_sketches",
+    "aws_etl_bank_spark.plans.registry_analytics",
+    "aws_etl_bank_spark.plans.registry_dialect",
+]
+reject_partial_parts(_PART_MODULES)
 _LOADING_PARTS = True
 from aws_etl_bank_spark.plans import registry_core  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_sources_sketches  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_analytics  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_dialect  # noqa: E402,F401
 _LOADING_PARTS = False
+check_parts_registered(_PART_MODULES, id(REGISTRY))

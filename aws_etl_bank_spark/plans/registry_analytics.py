@@ -21,19 +21,11 @@ from aws_etl_bank_spark.sources.testdata import load_table  # noqa: F401
 from aws_etl_bank_spark.plans.registry import (  # noqa: F401
     REGISTRY, SCRATCH, canon0, q, _scratch)
 
-# Direct-import tripwire (ADVICE r15): registering this part outside
-# registry.py's fixed four-import sequence would append its entries
-# after the other parts' and silently reorder REGISTRY, which the
-# driver rotation window and the COVERAGE.md ledger index into.  The
-# docstring prohibition alone proved too quiet — fail loudly instead.
+# Direct-import tripwire (ADVICE r15; shared body since r16) — see
+# registry.require_part_loading.
 from aws_etl_bank_spark.plans import registry as _registry_mod  # noqa: E402
 
-if not getattr(_registry_mod, "_LOADING_PARTS", False):
-    raise ImportError(
-        f"{__name__} must not be imported directly: its entries would "
-        "register after the other part modules' and reorder REGISTRY "
-        "against the driver rotation window; import "
-        "aws_etl_bank_spark.plans.registry instead")
+_registry_mod.require_part_loading(__name__, _registry_mod, "_LOADING_PARTS")
 
 
 # Entry definitions live in two subpart modules (pure mechanical
@@ -41,7 +33,16 @@ if not getattr(_registry_mod, "_LOADING_PARTS", False):
 # ORDER so REGISTRY's insertion order is identical to the single-file
 # layout.  _LOADING_SUBPARTS is the same direct-import tripwire the
 # parent registry.py uses for this module.
+_SUBPART_MODULES = [
+    "aws_etl_bank_spark.plans.registry_analytics_core",
+    "aws_etl_bank_spark.plans.registry_analytics_ext",
+]
+_registry_mod.reject_partial_parts(_SUBPART_MODULES)
 _LOADING_SUBPARTS = True
 from aws_etl_bank_spark.plans import registry_analytics_core  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_analytics_ext  # noqa: E402,F401
 _LOADING_SUBPARTS = False
+_registry_mod.check_parts_registered(_SUBPART_MODULES, id(REGISTRY))
+
+# terminal registration stamp — see registry.check_parts_registered
+_REGISTERED_INTO = id(REGISTRY)

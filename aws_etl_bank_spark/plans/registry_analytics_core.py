@@ -21,17 +21,12 @@ from aws_etl_bank_spark.sources.testdata import load_table  # noqa: F401
 from aws_etl_bank_spark.plans.registry import (  # noqa: F401
     REGISTRY, SCRATCH, canon0, q, _scratch)
 
-# Direct-import tripwire (ADVICE r15 pattern): registering this
-# subpart outside registry_analytics.py's fixed import sequence would
-# append its entries after the other parts' and silently reorder
-# REGISTRY.
+# Direct-import tripwire (shared body) — see
+# registry.require_part_loading.
+from aws_etl_bank_spark.plans import registry as _registry_mod  # noqa: E402
 from aws_etl_bank_spark.plans import registry_analytics as _an_mod  # noqa: E402
 
-if not getattr(_an_mod, "_LOADING_SUBPARTS", False):
-    raise ImportError(
-        f"{__name__} must not be imported directly: its entries would "
-        "register out of order; import "
-        "aws_etl_bank_spark.plans.registry instead")
+_registry_mod.require_part_loading(__name__, _an_mod, "_LOADING_SUBPARTS")
 
 @q("ts_ohlc_bucket", """
 WITH r AS (
@@ -2012,3 +2007,6 @@ def maintenance_compact_small_files(spark, sf_dir):
     frag.coalesce(target).write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
 
+# terminal registration stamp — see registry.check_parts_registered
+from aws_etl_bank_spark.plans.registry import REGISTRY as _REGISTRY_DICT  # noqa: E402
+_REGISTERED_INTO = id(_REGISTRY_DICT)

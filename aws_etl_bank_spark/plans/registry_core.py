@@ -21,19 +21,11 @@ from aws_etl_bank_spark.sources.testdata import load_table  # noqa: F401
 from aws_etl_bank_spark.plans.registry import (  # noqa: F401
     REGISTRY, SCRATCH, canon0, q, _scratch)
 
-# Direct-import tripwire (ADVICE r15): registering this part outside
-# registry.py's fixed four-import sequence would append its entries
-# after the other parts' and silently reorder REGISTRY, which the
-# driver rotation window and the COVERAGE.md ledger index into.  The
-# docstring prohibition alone proved too quiet — fail loudly instead.
+# Direct-import tripwire (ADVICE r15; shared body since r16) — see
+# registry.require_part_loading.
 from aws_etl_bank_spark.plans import registry as _registry_mod  # noqa: E402
 
-if not getattr(_registry_mod, "_LOADING_PARTS", False):
-    raise ImportError(
-        f"{__name__} must not be imported directly: its entries would "
-        "register after the other part modules' and reorder REGISTRY "
-        "against the driver rotation window; import "
-        "aws_etl_bank_spark.plans.registry instead")
+_registry_mod.require_part_loading(__name__, _registry_mod, "_LOADING_PARTS")
 
 # ===========================================================================
 # Flagship (SURVEY.md §3.1)
@@ -1382,4 +1374,6 @@ def catalog_schema_fetch(spark, sf_dir):
     rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
     return spark.createDataFrame(rows, "col_name string, col_type string")
 
-
+# terminal registration stamp — see registry.check_parts_registered
+from aws_etl_bank_spark.plans.registry import REGISTRY as _REGISTRY_DICT  # noqa: E402
+_REGISTERED_INTO = id(_REGISTRY_DICT)

@@ -12,11 +12,24 @@ ImportError if imported directly (_LOADING_PARTS tripwire below).
 
 from __future__ import annotations
 
+from aws_etl_bank_spark.plans import registry as _registry_mod  # noqa: E402
+
+_PART_MODULES = [
+    "aws_etl_bank_spark.plans.registry_llm_corpus",
+    "aws_etl_bank_spark.plans.registry_llm_stream",
+    "aws_etl_bank_spark.plans.registry_llm_scale",
+]
+_registry_mod.reject_partial_parts(_PART_MODULES)
 _LOADING_PARTS = True
 from aws_etl_bank_spark.plans import registry_llm_corpus  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_llm_stream  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_llm_scale  # noqa: E402,F401
 _LOADING_PARTS = False
+_registry_mod.check_parts_registered(_PART_MODULES,
+                                     id(_registry_mod.REGISTRY))
+
+# terminal registration stamp (symmetry with the registry.py parts)
+_REGISTERED_INTO = id(_registry_mod.REGISTRY)
 
 # re-export for the lazy cross-module imports in registry_analytics /
 # registry_sources_sketches (`from ...registry_llm import

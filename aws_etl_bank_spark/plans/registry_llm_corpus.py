@@ -15,17 +15,12 @@ from aws_etl_bank_spark.plans.registry import q  # noqa: F401
 from aws_etl_bank_spark.sources.testdata import (  # noqa: F401
     events_stream, load_table)
 
-# Direct-import tripwire (ADVICE r15 pattern, same as the
-# registry.py part modules): registering this part outside
-# registry_llm.py's fixed import sequence would append its entries
-# after the other parts' and silently reorder REGISTRY.
+# Direct-import tripwire (shared body) — see
+# registry.require_part_loading.
+from aws_etl_bank_spark.plans import registry as _registry_mod  # noqa: E402
 from aws_etl_bank_spark.plans import registry_llm as _llm_mod  # noqa: E402
 
-if not getattr(_llm_mod, "_LOADING_PARTS", False):
-    raise ImportError(
-        f"{__name__} must not be imported directly: its entries would "
-        "register out of order; import "
-        "aws_etl_bank_spark.plans.registry_llm instead")
+_registry_mod.require_part_loading(__name__, _llm_mod, "_LOADING_PARTS")
 
 _EN = "('the','a','of','and','to','in','is','it','that','for')"
 
@@ -984,3 +979,6 @@ def multimodal_decode_gif(spark, sf_dir):
         canon("mean_g").alias("mean_g"),
         canon("mean_b").alias("mean_b"))
 
+# terminal registration stamp — see registry.check_parts_registered
+from aws_etl_bank_spark.plans.registry import REGISTRY as _REGISTRY_DICT  # noqa: E402
+_REGISTERED_INTO = id(_REGISTRY_DICT)

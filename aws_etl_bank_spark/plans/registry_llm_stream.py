@@ -13,17 +13,12 @@ from aws_etl_bank_spark.plans.registry import q  # noqa: F401
 from aws_etl_bank_spark.sources.testdata import (  # noqa: F401
     events_stream, load_table)
 
-# Direct-import tripwire (ADVICE r15 pattern, same as the
-# registry.py part modules): registering this part outside
-# registry_llm.py's fixed import sequence would append its entries
-# after the other parts' and silently reorder REGISTRY.
+# Direct-import tripwire (shared body) — see
+# registry.require_part_loading.
+from aws_etl_bank_spark.plans import registry as _registry_mod  # noqa: E402
 from aws_etl_bank_spark.plans import registry_llm as _llm_mod  # noqa: E402
 
-if not getattr(_llm_mod, "_LOADING_PARTS", False):
-    raise ImportError(
-        f"{__name__} must not be imported directly: its entries would "
-        "register out of order; import "
-        "aws_etl_bank_spark.plans.registry_llm instead")
+_registry_mod.require_part_loading(__name__, _llm_mod, "_LOADING_PARTS")
 
 from aws_etl_bank_spark.plans.registry_llm_corpus import (  # noqa: E402,F401
     _ANN_K, _ANN_TOPK_INVARIANT_ORACLE, _EN, _ann_topk_invariants)
@@ -1414,7 +1409,7 @@ def dedup_fuzzy_ed1_pairs(spark, sf_dir):
     same provably-lossless deletion-variant blocking in DuckDB SQL
     (list_transform/generate_series; exact `levenshtein ≤ 1` verify
     kept), and tests/test_verify_gate.py pins blocked-oracle ≡
-    brute-force-oracle inside DuckDB at sf0.001/sf0.01, so the ground
+    brute-force-oracle inside DuckDB at the driver SF, so the ground
     truth stays anchored to the quadratic definition while the audit
     runs the full corpus at every SF.  Output is a bucketed multiset
     checksum of ALL pairs (count / exact-dup count / distance mass /
@@ -1583,9 +1578,12 @@ def dedup_fuzzy_entity_ids(spark, sf_dir):
     `LEAST(own, min-over-neighbours, label-of-label)` — the
     pointer-doubling step makes convergence logarithmic in component
     diameter (sf0.01 converges in 7 rounds, sf1 in 8 — measured; two
-    spare rounds of margin, and tests/test_verify_gate.py pins
-    round-9 ≡ round-10 at the driver SF so a non-converged oracle
-    cannot ship).  `AS MATERIALIZED` is load-bearing: DuckDB 1.0
+    spare rounds of margin).  tests/test_verify_gate.py pins
+    round-9 ≡ round-10 at the driver SF, and a companion test
+    re-checks the same fixpoint against the regenerated .scratch/sf1
+    audit fixture whenever it exists — so a non-converged oracle is
+    caught at BOTH the driver scale and the audit scale before it
+    ships.  `AS MATERIALIZED` is load-bearing: DuckDB 1.0
     inlines multiply-referenced CTEs, which re-expands the whole
     chain 3^10 times without it."""
     from aws_etl_bank_spark.llm.dedup import connected_components, fuzzy_pairs_ed1
@@ -1671,3 +1669,6 @@ def dedup_fuzzy_entity_planted(spark, sf_dir):
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"))
 
+# terminal registration stamp — see registry.check_parts_registered
+from aws_etl_bank_spark.plans.registry import REGISTRY as _REGISTRY_DICT  # noqa: E402
+_REGISTERED_INTO = id(_REGISTRY_DICT)
