@@ -86,7 +86,9 @@ def _scratch(sf_dir: str, leaf: str) -> str:
     return path
 
 
-def require_part_loading(part_name: str, orchestrator, flag: str) -> None:
+def require_part_loading(part_name: str, orchestrator, flag: str,
+                         sanctioned: str =
+                         "aws_etl_bank_spark.plans.registry") -> None:
     """Shared direct-import tripwire body (ADVICE r15; deduplicated
     from nine copy-pasted blocks per the r16 review): every registry
     part/subpart module calls this right after its imports and aborts
@@ -94,16 +96,18 @@ def require_part_loading(part_name: str, orchestrator, flag: str) -> None:
     sequence.  A directly-imported part would otherwise register its
     entries after the other parts' and silently reorder REGISTRY,
     which the driver rotation window and the COVERAGE.md ledger index
-    into."""
+    into.  ``sanctioned`` names the import the message should steer
+    the user to — registry_llm parts load via plans.registry_llm, NOT
+    plans.registry (whose load would silently omit every llm entry)."""
     if not getattr(orchestrator, flag, False):
         raise ImportError(
             f"{part_name} must not be imported directly: its entries "
-            "would register out of order; import "
-            "aws_etl_bank_spark.plans.registry instead")
+            f"would register out of order; import {sanctioned} instead")
 
 
-def check_parts_registered(module_names: list[str],
-                           registry_id: int) -> None:
+def check_parts_registered(module_names: list[str], registry_id: int,
+                           sanctioned: str =
+                           "aws_etl_bank_spark.plans.registry") -> None:
     """Post-import completeness check (r16 review finding 1): a part
     import that was aborted mid-execution (tripwire, syntax error,
     import-probe `except ImportError: pass`) leaves a PARTIAL module
@@ -123,10 +127,12 @@ def check_parts_registered(module_names: list[str],
                 f"{name} did not finish registering into this REGISTRY "
                 "(partial import or stale residue from a failed "
                 "direct-import attempt); restart the process and import "
-                "aws_etl_bank_spark.plans.registry first")
+                f"{sanctioned} first")
 
 
-def reject_partial_parts(module_names: list[str]) -> None:
+def reject_partial_parts(module_names: list[str],
+                         sanctioned: str =
+                         "aws_etl_bank_spark.plans.registry") -> None:
     """Pre-import guard (r16 review finding 2): if a part module is
     ALREADY mid-execution when the orchestrator starts, the user
     imported that part directly and the orchestrator's own import of a
@@ -141,8 +147,7 @@ def reject_partial_parts(module_names: list[str]) -> None:
         if mod is not None and getattr(mod, "_REGISTERED_INTO", None) is None:
             raise ImportError(
                 f"{name} is mid-import: part modules must not be "
-                "imported directly; import "
-                "aws_etl_bank_spark.plans.registry instead")
+                f"imported directly; import {sanctioned} instead")
 
 
 # Entry definitions live in four part modules (pure mechanical split,

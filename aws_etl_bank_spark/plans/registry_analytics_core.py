@@ -2008,5 +2008,4 @@ def maintenance_compact_small_files(spark, sf_dir):
     return spark.read.parquet(out_path)
 
 # terminal registration stamp — see registry.check_parts_registered
-from aws_etl_bank_spark.plans.registry import REGISTRY as _REGISTRY_DICT  # noqa: E402
-_REGISTERED_INTO = id(_REGISTRY_DICT)
+_REGISTERED_INTO = id(REGISTRY)

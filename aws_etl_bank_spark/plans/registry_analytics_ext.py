@@ -2032,5 +2032,4 @@ def sql_scripting_while_loop(spark, sf_dir):
         END""")
 
 # terminal registration stamp — see registry.check_parts_registered
-from aws_etl_bank_spark.plans.registry import REGISTRY as _REGISTRY_DICT  # noqa: E402
-_REGISTERED_INTO = id(_REGISTRY_DICT)
+_REGISTERED_INTO = id(REGISTRY)

@@ -1375,5 +1375,4 @@ def catalog_schema_fetch(spark, sf_dir):
     return spark.createDataFrame(rows, "col_name string, col_type string")
 
 # terminal registration stamp — see registry.check_parts_registered
-from aws_etl_bank_spark.plans.registry import REGISTRY as _REGISTRY_DICT  # noqa: E402
-_REGISTERED_INTO = id(_REGISTRY_DICT)
+_REGISTERED_INTO = id(REGISTRY)

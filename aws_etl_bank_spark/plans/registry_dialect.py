@@ -956,5 +956,4 @@ def sketch_kll_quantile_band(spark, sf_dir):
         .alias("p90_in_band"))
 
 # terminal registration stamp — see registry.check_parts_registered
-from aws_etl_bank_spark.plans.registry import REGISTRY as _REGISTRY_DICT  # noqa: E402
-_REGISTERED_INTO = id(_REGISTRY_DICT)
+_REGISTERED_INTO = id(REGISTRY)

@@ -19,14 +19,16 @@ _PART_MODULES = [
     "aws_etl_bank_spark.plans.registry_llm_stream",
     "aws_etl_bank_spark.plans.registry_llm_scale",
 ]
-_registry_mod.reject_partial_parts(_PART_MODULES)
+_registry_mod.reject_partial_parts(
+    _PART_MODULES, sanctioned="aws_etl_bank_spark.plans.registry_llm")
 _LOADING_PARTS = True
 from aws_etl_bank_spark.plans import registry_llm_corpus  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_llm_stream  # noqa: E402,F401
 from aws_etl_bank_spark.plans import registry_llm_scale  # noqa: E402,F401
 _LOADING_PARTS = False
-_registry_mod.check_parts_registered(_PART_MODULES,
-                                     id(_registry_mod.REGISTRY))
+_registry_mod.check_parts_registered(
+    _PART_MODULES, id(_registry_mod.REGISTRY),
+    sanctioned="aws_etl_bank_spark.plans.registry_llm")
 
 # terminal registration stamp (symmetry with the registry.py parts)
 _REGISTERED_INTO = id(_registry_mod.REGISTRY)

@@ -18,7 +18,9 @@ from aws_etl_bank_spark.sources.testdata import (  # noqa: F401
 from aws_etl_bank_spark.plans import registry as _registry_mod  # noqa: E402
 from aws_etl_bank_spark.plans import registry_llm as _llm_mod  # noqa: E402
 
-_registry_mod.require_part_loading(__name__, _llm_mod, "_LOADING_PARTS")
+_registry_mod.require_part_loading(
+    __name__, _llm_mod, "_LOADING_PARTS",
+    sanctioned="aws_etl_bank_spark.plans.registry_llm")
 
 from aws_etl_bank_spark.plans.registry_llm_corpus import (  # noqa: E402,F401
     _planted_corpus)

@@ -2990,5 +2990,4 @@ def stream_kmv_distinct(spark, sf_dir):
     return est.crossJoin(F.broadcast(tru))
 
 # terminal registration stamp — see registry.check_parts_registered
-from aws_etl_bank_spark.plans.registry import REGISTRY as _REGISTRY_DICT  # noqa: E402
-_REGISTERED_INTO = id(_REGISTRY_DICT)
+_REGISTERED_INTO = id(REGISTRY)

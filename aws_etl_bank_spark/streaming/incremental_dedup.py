@@ -58,15 +58,26 @@ def stream_dedup_against_index(stream: DataFrame, state_dir: str,
                                text_col: str = "text", id_col: str = "doc_id",
                                num_perm: int = 64, bands: int = 16,
                                shingle_n: int = 3,
-                               checkpoint: str | None = None) -> DataFrame:
+                               checkpoint: str | None = None,
+                               observer=None) -> DataFrame:
     """Run a document stream to completion (availableNow); every
     micro-batch is deduped against the kept corpus, survivors join it,
     and their band-index rows extend the index.  Returns the final kept
-    (id, text) corpus."""
+    (id, text) corpus.
+
+    ``observer(batch_id, n_rows, wall_s)``, when given, is called after
+    each non-empty micro-batch commits its state version — the hook
+    scripts/incdedup_throughput.py uses so the decade-scale latency
+    audit measures THIS function rather than a drift-prone replica of
+    it (r16 review).  The per-batch ``count()`` is only paid when an
+    observer is attached."""
+    import time as _time
+
     spark = stream.sparkSession
     versions: list[str] = []
 
     def handle(batch_df: DataFrame, batch_id: int):
+        t0 = _time.time()
         if batch_df.isEmpty():
             return
         batch = batch_df.select(id_col, text_col)
@@ -86,6 +97,8 @@ def stream_dedup_against_index(stream: DataFrame, state_dir: str,
         new_kept.write.mode("overwrite").parquet(os.path.join(out, "kept"))
         new_index.write.mode("overwrite").parquet(os.path.join(out, "index"))
         versions.append(out)
+        if observer is not None:
+            observer(batch_id, batch.count(), _time.time() - t0)
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

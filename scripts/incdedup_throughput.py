@@ -49,7 +49,6 @@ def main():
     spark = get_spark("incdedup_throughput")
 
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n_base = base.count()
 
     # corpus = `copies` stripes of the base table: stripe c re-ids docs
     # at c*10M and makes texts UNIQUE per stripe ("v<c> " prefix) except
@@ -79,9 +78,17 @@ def main():
                            "incdedup_tp_%dx_%s" % (
                                copies,
                                os.path.basename(sf_dir.rstrip("/"))))
-    feed = os.path.join(scratch, "feed")
+    feed = os.path.join(scratch, "feed_%db" % n_batches)
     success = os.path.join(feed, "_SUCCESS")
-    if not os.path.exists(success):
+    # staleness guard (r16 review; mirrors the registry entry's): a
+    # regenerated source table must invalidate the cached feed, or the
+    # stream replays last round's documents against THIS round's
+    # expected_kept.  The batch count is part of the feed path above
+    # for the same reason.
+    src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    stale = (os.path.exists(success) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(success))
+    if not os.path.exists(success) or stale:
         (corpus.repartitionByRange(n_batches, "doc_id")
          .write.mode("overwrite").parquet(feed))
         # the file source replays files in MODIFICATION-TIME order —
@@ -98,55 +105,28 @@ def main():
     tag = int(time.time())
     state_dir = os.path.join(scratch, f"state_{tag}")
 
-    # Instrumented replica of streaming/incremental_dedup.py
-    # stream_dedup_against_index's foreachBatch body (that function
-    # blocks to completion and returns only the final corpus, so the
-    # per-batch wall times have to be taken HERE): identical state
-    # layout and dedup_batch_against_kept call, plus one timer and a
-    # row counter per micro-batch.
-    from aws_etl_bank_spark.llm.dedup import minhash_band_index
+    # Drive the REAL operator (r16 review: an instrumented replica
+    # would silently drift from shipped code); the observer hook feeds
+    # per-batch rows + wall time back out of the foreachBatch body.
     from aws_etl_bank_spark.streaming.incremental_dedup import (
-        dedup_batch_against_kept)
+        stream_dedup_against_index)
 
-    versions: list[str] = []
     lat: list[float] = []
     batch_rows: list[int] = []
 
-    def handle(batch_df, batch_id):
-        tb = time.time()
-        if batch_df.isEmpty():
-            return
-        batch = batch_df.select("doc_id", "text")
-        if versions:
-            kept0 = spark.read.parquet(os.path.join(versions[-1], "kept"))
-            index0 = spark.read.parquet(os.path.join(versions[-1], "index"))
-        else:
-            kept0 = index0 = None
-        survivors = dedup_batch_against_kept(
-            batch, kept0, index0, "text", "doc_id", 64, 16, 3)
-        new_kept = (survivors if kept0 is None
-                    else kept0.unionByName(survivors))
-        new_rows = minhash_band_index(survivors, "text", "doc_id",
-                                      64, 16, 3)
-        new_index = (new_rows if index0 is None
-                     else index0.unionByName(new_rows))
-        out = os.path.join(state_dir, f"v{len(versions)}")
-        new_kept.write.mode("overwrite").parquet(os.path.join(out, "kept"))
-        new_index.write.mode("overwrite").parquet(os.path.join(out, "index"))
-        versions.append(out)
-        batch_rows.append(batch.count())
-        lat.append(time.time() - tb)
+    def observe(batch_id, n_rows, wall_s):
+        batch_rows.append(n_rows)
+        lat.append(wall_s)
 
     t0 = time.time()
-    q = (stream.writeStream.foreachBatch(handle)
-         .option("checkpointLocation", os.path.join(scratch, f"ck_{tag}"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    kept = stream_dedup_against_index(
+        stream, state_dir,
+        checkpoint=os.path.join(scratch, f"ck_{tag}"),
+        observer=observe)
     wall = time.time() - t0
 
     rows = sum(batch_rows)
-    n_kept = spark.read.parquet(
-        os.path.join(versions[-1], "kept")).count()
+    n_kept = kept.count()
     out = {
         "metric": "incremental_dedup_throughput",
         "sf_dir": sf_dir,
