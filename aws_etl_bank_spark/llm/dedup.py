@@ -1022,7 +1022,20 @@ def minhash_incremental_matches(batch: DataFrame, index: DataFrame,
     (a re-ingested document meeting its own index rows) are kept — the
     caller decides whether identity collisions mean "already ingested".
     Verification against raw text requires the corpus texts and is the
-    caller's second join, exactly as in ``minhash_lsh_pairs``."""
+    caller's second join, exactly as in ``minhash_lsh_pairs``.
+
+    Join strategy (r16 decade audit, measured at 500 k docs): the
+    batch's band rows outgrow the auto-broadcast threshold at 16
+    bands, so this is a shuffle join whose index-side cost grows with
+    the corpus — ~0.7 s/batch at the decade scale.  An explicit
+    ``F.broadcast`` on the batch side was TRIED and measured 2.5×
+    WORSE end-to-end: broadcast materialization removes the shuffle
+    files that otherwise let Spark reuse the band-hash subtree across
+    the candidate/verify/index-append consumers, so the whole MinHash
+    lineage recomputes per consumer.  The production-scale mitigation
+    is co-location instead: persist the index with ``write_bucketed``
+    on (band, band_hash) and the equi-join prunes to bucket pairs
+    without either shuffle."""
     b = minhash_band_index(batch, text_col, id_col, num_perm, bands,
                            shingle_n)
     return (

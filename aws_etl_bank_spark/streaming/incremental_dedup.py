@@ -14,8 +14,9 @@ feed is ordered by id.
 Scale shape per batch: one window over the batch (within-batch keep), a
 banded equi-join batch⋈index (both sides keyed on (band, band_hash)),
 one id-join text verify against the kept table, and append-shaped state
-growth — state is rewritten versioned here (replay-safe, inspectable,
-atomic by rename) where a transactional table format would append.
+growth — each batch persists ONLY its survivors and their band rows to
+a batch-id-keyed dir (O(delta) writes; see stream_dedup_against_index),
+where a transactional table format would be a plain append.
 """
 
 from __future__ import annotations
@@ -54,6 +55,26 @@ def dedup_batch_against_kept(batch: DataFrame, kept: DataFrame | None,
     return local.join(dup_ids, id_col, "left_anti")
 
 
+def _committed_state_dirs(state_dir: str,
+                          below_batch: int | None = None) -> list[str]:
+    """Batch-id-keyed state dirs (``b<id>/``) whose write COMPLETED
+    (Spark's ``_SUCCESS`` marker under ``kept/``), optionally
+    restricted to ids strictly below ``below_batch`` — on a replay of
+    batch b after a mid-write crash, b's own partial dir must not be
+    part of the state b dedups against."""
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        if not (d.startswith("b") and d[1:].isdigit()):
+            continue
+        if below_batch is not None and int(d[1:]) >= below_batch:
+            continue
+        if os.path.exists(os.path.join(state_dir, d, "kept", "_SUCCESS")):
+            out.append(os.path.join(state_dir, d))
+    return sorted(out, key=lambda p: int(os.path.basename(p)[1:]))
+
+
 def stream_dedup_against_index(stream: DataFrame, state_dir: str,
                                text_col: str = "text", id_col: str = "doc_id",
                                num_perm: int = 64, bands: int = 16,
@@ -65,8 +86,23 @@ def stream_dedup_against_index(stream: DataFrame, state_dir: str,
     and their band-index rows extend the index.  Returns the final kept
     (id, text) corpus.
 
+    State is APPEND-SHAPED (r16 decade audit): each batch writes ONLY
+    its survivors and their band rows to a batch-id-keyed dir
+    (``b<id>/kept``, ``b<id>/index``); the state a batch dedups
+    against is the union of all completed earlier dirs.  The previous
+    design rewrote the ENTIRE corpus+index as a new version every
+    batch — the decade run measured the resulting O(corpus)-per-batch
+    latency growing ~1 s/batch at 500 k docs, while the dedup join
+    itself is bounded by the batch's band rows.  Append-shaped state
+    is also strictly more replay-safe: the old in-memory version list
+    meant a restart from the checkpoint saw EMPTY state, while the
+    batch-id scheme reconstructs it from disk — a replayed batch
+    overwrites its own dir idempotently, and a mid-write crash leaves
+    no ``_SUCCESS`` marker, so ``_committed_state_dirs`` excludes the
+    partial dir on replay.
+
     ``observer(batch_id, n_rows, wall_s)``, when given, is called after
-    each non-empty micro-batch commits its state version — the hook
+    each non-empty micro-batch commits its state dir — the hook
     scripts/incdedup_throughput.py uses so the decade-scale latency
     audit measures THIS function rather than a drift-prone replica of
     it (r16 review).  The per-batch ``count()`` is only paid when an
@@ -74,29 +110,31 @@ def stream_dedup_against_index(stream: DataFrame, state_dir: str,
     import time as _time
 
     spark = stream.sparkSession
-    versions: list[str] = []
 
     def handle(batch_df: DataFrame, batch_id: int):
         t0 = _time.time()
         if batch_df.isEmpty():
             return
         batch = batch_df.select(id_col, text_col)
-        if versions:
-            kept = spark.read.parquet(os.path.join(versions[-1], "kept"))
-            index = spark.read.parquet(os.path.join(versions[-1], "index"))
+        prior = _committed_state_dirs(state_dir, below_batch=batch_id)
+        if prior:
+            kept = spark.read.parquet(
+                *[os.path.join(p, "kept") for p in prior])
+            index = spark.read.parquet(
+                *[os.path.join(p, "index") for p in prior])
         else:
             kept = index = None
         survivors = dedup_batch_against_kept(
             batch, kept, index, text_col, id_col, num_perm, bands, shingle_n)
-        new_kept = survivors if kept is None else kept.unionByName(survivors)
         new_index_rows = minhash_band_index(survivors, text_col, id_col,
                                             num_perm, bands, shingle_n)
-        new_index = (new_index_rows if index is None
-                     else index.unionByName(new_index_rows))
-        out = os.path.join(state_dir, f"v{len(versions)}")
-        new_kept.write.mode("overwrite").parquet(os.path.join(out, "kept"))
-        new_index.write.mode("overwrite").parquet(os.path.join(out, "index"))
-        versions.append(out)
+        out = os.path.join(state_dir, f"b{batch_id}")
+        # index FIRST, kept LAST: kept/_SUCCESS is the commit marker
+        # _committed_state_dirs keys on, so a crash between the two
+        # writes leaves the dir invisible to later batches
+        new_index_rows.write.mode("overwrite").parquet(
+            os.path.join(out, "index"))
+        survivors.write.mode("overwrite").parquet(os.path.join(out, "kept"))
         if observer is not None:
             observer(batch_id, batch.count(), _time.time() - t0)
 
@@ -105,6 +143,7 @@ def stream_dedup_against_index(stream: DataFrame, state_dir: str,
         writer = writer.option("checkpointLocation", checkpoint)
     query = writer.trigger(availableNow=True).start()
     query.awaitTermination()
-    if not versions:
+    final = _committed_state_dirs(state_dir)
+    if not final:
         raise ValueError("document stream produced no batches")
-    return spark.read.parquet(os.path.join(versions[-1], "kept"))
+    return spark.read.parquet(*[os.path.join(p, "kept") for p in final])
