@@ -55,10 +55,37 @@ def dedup_batch_against_kept(batch: DataFrame, kept: DataFrame | None,
     return local.join(dup_ids, id_col, "left_anti")
 
 
+#: our OWN per-batch commit marker (r16 review): keying commit
+#: detection on Spark's ``_SUCCESS`` would break under
+#: ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` (fully
+#: written state invisible → every batch sees empty history), and a
+#: replay's ``mode("overwrite")`` would rewrite ``index`` while the
+#: prior attempt's ``_SUCCESS`` still marked the dir committed.  The
+#: marker is written LAST and removed FIRST on replay, so a dir is
+#: visible iff both halves of its most recent write attempt finished.
+_COMMIT_MARKER = "_COMMITTED"
+
+
+def _require_local_dir(state_dir: str) -> None:
+    """This state layout is driver-local-filesystem only (r16 review):
+    the parquet reads/writes go through Spark and would accept any
+    Hadoop URI, but discovery/markers use ``os`` — an ``s3a://`` or
+    ``hdfs://`` state_dir would SILENTLY disable all cross-batch dedup
+    (every batch would see empty history).  Fail loudly instead; a
+    cluster deployment should back this state with a transactional
+    table format rather than a marker scheme."""
+    if "://" in state_dir:
+        raise NotImplementedError(
+            f"stream_dedup_against_index state_dir {state_dir!r} is not a "
+            "local path: state discovery and commit markers are "
+            "driver-local os operations; use a local directory, or back "
+            "the kept/index state with a transactional table")
+
+
 def _committed_state_dirs(state_dir: str,
                           below_batch: int | None = None) -> list[str]:
     """Batch-id-keyed state dirs (``b<id>/``) whose write COMPLETED
-    (Spark's ``_SUCCESS`` marker under ``kept/``), optionally
+    (our ``_COMMITTED`` marker — see ``_COMMIT_MARKER``), optionally
     restricted to ids strictly below ``below_batch`` — on a replay of
     batch b after a mid-write crash, b's own partial dir must not be
     part of the state b dedups against."""
@@ -70,7 +97,7 @@ def _committed_state_dirs(state_dir: str,
             continue
         if below_batch is not None and int(d[1:]) >= below_batch:
             continue
-        if os.path.exists(os.path.join(state_dir, d, "kept", "_SUCCESS")):
+        if os.path.exists(os.path.join(state_dir, d, _COMMIT_MARKER)):
             out.append(os.path.join(state_dir, d))
     return sorted(out, key=lambda p: int(os.path.basename(p)[1:]))
 
@@ -93,13 +120,20 @@ def stream_dedup_against_index(stream: DataFrame, state_dir: str,
     design rewrote the ENTIRE corpus+index as a new version every
     batch — the decade run measured the resulting O(corpus)-per-batch
     latency growing ~1 s/batch at 500 k docs, while the dedup join
-    itself is bounded by the batch's band rows.  Append-shaped state
-    is also strictly more replay-safe: the old in-memory version list
-    meant a restart from the checkpoint saw EMPTY state, while the
-    batch-id scheme reconstructs it from disk — a replayed batch
-    overwrites its own dir idempotently, and a mid-write crash leaves
-    no ``_SUCCESS`` marker, so ``_committed_state_dirs`` excludes the
-    partial dir on replay.
+    itself is bounded by the batch's band rows.
+
+    Replay contract (r16 review — sharper than the first draft's
+    claim): crash recovery holds only WITH a ``checkpoint`` — that is
+    what makes a restart replay the same batch ids, so the id-keyed
+    dirs line up; each replayed dir drops its ``_COMMITTED`` marker
+    before rewriting and re-adds it after, and an uncommitted dir is
+    invisible to ``_committed_state_dirs``.  Without a checkpoint a
+    restart re-reads the source with ids from 0, which is why a
+    PRE-POPULATED ``state_dir`` with no checkpoint is REJECTED below —
+    the function cannot tell a resume from a collision with a previous
+    run's state (whose stale tail dirs would union into the result).
+    ``state_dir`` must be a fresh local directory, or the same
+    (state_dir, checkpoint) pair as the run being resumed.
 
     ``observer(batch_id, n_rows, wall_s)``, when given, is called after
     each non-empty micro-batch commits its state dir — the hook
@@ -108,6 +142,15 @@ def stream_dedup_against_index(stream: DataFrame, state_dir: str,
     it (r16 review).  The per-batch ``count()`` is only paid when an
     observer is attached."""
     import time as _time
+
+    _require_local_dir(state_dir)
+    if checkpoint is None and _committed_state_dirs(state_dir):
+        raise ValueError(
+            f"state_dir {state_dir!r} already holds committed batch state "
+            "but no checkpoint was given: without one, batch ids restart "
+            "at 0 and this run would overwrite some of the existing dirs "
+            "while unioning the stale rest into its result; pass the "
+            "original checkpoint to resume, or use a fresh state_dir")
 
     spark = stream.sparkSession
 
@@ -129,12 +172,16 @@ def stream_dedup_against_index(stream: DataFrame, state_dir: str,
         new_index_rows = minhash_band_index(survivors, text_col, id_col,
                                             num_perm, bands, shingle_n)
         out = os.path.join(state_dir, f"b{batch_id}")
-        # index FIRST, kept LAST: kept/_SUCCESS is the commit marker
-        # _committed_state_dirs keys on, so a crash between the two
-        # writes leaves the dir invisible to later batches
+        # marker protocol: remove FIRST (a replay rewriting the dir must
+        # not look committed mid-rewrite), write both halves, add LAST —
+        # a crash anywhere in between leaves the dir invisible
+        marker = os.path.join(out, _COMMIT_MARKER)
+        if os.path.exists(marker):
+            os.remove(marker)
         new_index_rows.write.mode("overwrite").parquet(
             os.path.join(out, "index"))
         survivors.write.mode("overwrite").parquet(os.path.join(out, "kept"))
+        open(marker, "w").close()
         if observer is not None:
             observer(batch_id, batch.count(), _time.time() - t0)
 

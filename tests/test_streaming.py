@@ -486,6 +486,49 @@ def test_incremental_dedup_batches_equal_global_exact_dedup(spark, tmp_path):
     assert got == [1, 2, 4, 7]
 
 
+def test_incremental_dedup_state_contract(spark, tmp_path):
+    """The r16 append-state machinery's guard rails (r16 review — the
+    happy-path test above exercises none of them):
+
+    1. an UNCOMMITTED state dir (kept/index written, no _COMMITTED
+       marker — a mid-write crash) is invisible to discovery;
+    2. a committed dir is visible, and the below_batch replay filter
+       excludes a batch's own dir;
+    3. a pre-populated state_dir with NO checkpoint is rejected (batch
+       ids would restart at 0 and mix this run's dirs with the stale
+       remainder);
+    4. a non-local state_dir URI is rejected loudly (discovery and
+       markers are driver-local os operations — an s3a:// path would
+       silently disable all cross-batch dedup)."""
+    import os
+
+    import pytest
+
+    from aws_etl_bank_spark.streaming.incremental_dedup import (
+        _COMMIT_MARKER, _committed_state_dirs, stream_dedup_against_index)
+
+    state = tmp_path / "state"
+    b0 = state / "b0"
+    for leaf in ("kept", "index"):
+        (b0 / leaf).mkdir(parents=True)
+        (b0 / leaf / "part-0.parquet").write_bytes(b"")
+        (b0 / leaf / "_SUCCESS").write_bytes(b"")  # Spark's marker is NOT ours
+    assert _committed_state_dirs(str(state)) == []          # (1)
+    (b0 / _COMMIT_MARKER).write_bytes(b"")
+    assert _committed_state_dirs(str(state)) == [str(b0)]   # (2)
+    assert _committed_state_dirs(str(state), below_batch=0) == []
+    assert _committed_state_dirs(str(state), below_batch=1) == [str(b0)]
+
+    df = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    feed = str(tmp_path / "feed")
+    df.write.parquet(feed)
+    stream = (spark.readStream.schema(df.schema).parquet(feed))
+    with pytest.raises(ValueError, match="already holds committed"):
+        stream_dedup_against_index(stream, str(state))      # (3)
+    with pytest.raises(NotImplementedError, match="not a local path"):
+        stream_dedup_against_index(stream, "s3a://bucket/state")  # (4)
+
+
 def test_tws_runs_with_vendored_protobuf(spark, tmp_path):
     """transformWithStateInPandas (streaming/tws.py) END-TO-END: the
     container ships no protobuf wheel, so ensure_worker_protobuf ships
