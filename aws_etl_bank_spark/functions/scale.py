@@ -104,12 +104,20 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     return out.drop("_salt")
 
 
-def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 32,
-                   sort_col: str | None = None, mode: str = "overwrite") -> None:
+def write_bucketed(df: DataFrame, table: str,
+                   bucket_col: str | list[str], n_buckets: int = 32,
+                   sort_col: str | list[str] | None = None,
+                   mode: str = "overwrite") -> None:
     """Persist bucketed (and optionally sorted) by the join key: every
     later equi-join or aggregation on ``bucket_col`` between tables with
     the same bucket count is shuffle-free (and sort-free when sorted).
     The shuffle is paid once here instead of on every downstream query.
+    ``bucket_col``/``sort_col`` accept a list for COMPOSITE join keys
+    (r16): a table bucketed on a strict subset of the join keys does
+    not qualify for exchange elimination, so e.g. the MinHash band
+    index must be bucketed on BOTH (band, band_hash) for the
+    incremental-dedup join to leave the index side shuffle-free
+    (pinned in tests/test_scale.py).
 
     Self-healing against orphaned warehouse paths: with the in-memory
     catalog, a managed-table DIRECTORY can outlive the session that
@@ -136,9 +144,12 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 
         if os.path.exists(stale):
             aside = f"{stale}.__stale__{uuid.uuid4().hex[:8]}"
             os.rename(stale, aside)
-    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    bcols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = (df.write.format("parquet").mode(mode)
+         .bucketBy(n_buckets, bcols[0], *bcols[1:]))
     if sort_col is not None:
-        w = w.sortBy(sort_col)
+        scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        w = w.sortBy(scols[0], *scols[1:])
     w.saveAsTable(table)
     if aside is not None:
         shutil.rmtree(aside, ignore_errors=True)

@@ -1034,8 +1034,10 @@ def minhash_incremental_matches(batch: DataFrame, index: DataFrame,
     the candidate/verify/index-append consumers, so the whole MinHash
     lineage recomputes per consumer.  The production-scale mitigation
     is co-location instead: persist the index with ``write_bucketed``
-    on (band, band_hash) and the equi-join prunes to bucket pairs
-    without either shuffle."""
+    on BOTH (band, band_hash) and the join leaves the index side
+    entirely Exchange-free — only the O(batch) side re-partitions
+    into the bucket layout (plan shape pinned in
+    tests/test_scale.py::test_bucketed_minhash_index_join_leaves_index_side_shuffle_free)."""
     b = minhash_band_index(batch, text_col, id_col, num_perm, bands,
                            shingle_n)
     return (

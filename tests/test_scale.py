@@ -1001,3 +1001,59 @@ def test_bucket_pruned_read_scans_one_bucket(spark):
     df = REGISTRY["scale_bucket_pruned_read"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+def test_bucketed_minhash_index_join_leaves_index_side_shuffle_free(spark):
+    """The production co-location claimed by llm/dedup.py's
+    minhash_incremental_matches docstring, pinned as a plan shape: a
+    band index persisted with write_bucketed on BOTH join keys
+    (band, band_hash) joins a fresh batch's band rows with NO Exchange
+    on the index branch — only the O(batch) side shuffles into the
+    bucket partitioning, so the growing history is scanned in place
+    every ingest step instead of being re-shuffled (the measured
+    per-batch latency growth in the r16 decade audit).  Broadcast is
+    disabled for the probe because at production index sizes the
+    broadcast path is unavailable anyway (and was measured slower —
+    see the dedup.py docstring)."""
+    import pyspark.sql.functions as F
+
+    from aws_etl_bank_spark.functions import scale
+    from aws_etl_bank_spark.llm.dedup import (minhash_band_index,
+                                              minhash_incremental_matches)
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), (F.col("id") % 500).cast("string"))
+        .alias("text"))
+    idx = minhash_band_index(docs, "text", "doc_id")
+    scale.write_bucketed(idx, "bkt_band_idx", ["band", "band_hash"],
+                         n_buckets=8, sort_col=["band", "band_hash"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = spark.range(3000, 3400).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text "), (F.col("id") % 500).cast("string"))
+            .alias("text"))
+        cand = minhash_incremental_matches(
+            batch, spark.table("bkt_band_idx"))
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    lines = plan.splitlines()
+    scan_i = next(i for i, ln in enumerate(lines) if "bkt_band_idx" in ln)
+    assert "Bucketed: true" in lines[scan_i]
+    join_i = max(i for i, ln in enumerate(lines)
+                 if "SortMergeJoin" in ln and i < scan_i)
+    # between the join and the bucketed scan exactly ONE Exchange may
+    # appear — the BATCH branch's re-partitioning into the bucket
+    # layout; the index branch (which ends at the scan) must reach the
+    # scan Exchange-free
+    sub = lines[join_i:scan_i + 1]
+    exch_is = [i for i, ln in enumerate(sub) if "Exchange" in ln]
+    assert len(exch_is) == 1, (
+        f"expected only the batch-side Exchange between join and "
+        f"bucketed scan, got {len(exch_is)}:\n" + "\n".join(sub))
+    assert "hashpartitioning" in sub[exch_is[0]]
+    # whole plan: batch-side Exchange + the distinct's — nothing else
+    assert plan.count("Exchange") == 2
