@@ -20,65 +20,56 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Slot policy (round 16, per the r15 verdict task 1): slot 1 is the
+# Slot policy (round 17, per the r16 verdict task 2): slot 1 is the
 # PERMANENT driver-environment canary (r13 task 2) — one cheap 3-row
 # aggregate emitting every value class the driver's bitwise hash has
 # to handle, including the windowed-SUM(BIGINT) cents class behind
-# r14's red.  Slots 2-5 are the four r15 rows-only→invariant
-# conversions (text_fingerprint's functional contract, the three ANN
-# shape-contract oracles) — their ORACLE SEMANTICS changed in r15, so
-# the full local gate is the only evidence they have and a driver red
-# here would invalidate the conversion pattern; the verdict puts them
-# first.  Slots 6-14 are the nine r15-new surfaces that have never
-# been driver-attested.  Slots 15-16 are the two entries whose oracles
-# changed THIS round (r15 verdict task 4: the sf1 O(n²)-oracle
-# carve-outs dedup_fuzzy_ed1_pairs / dedup_fuzzy_entity_ids now carry
-# deletion-variant-blocked, pointer-doubling-closed oracles — and the
-# pairs entry's output became a bucketed full-multiset checksum).
-# Slots 17-50 advance the vintage waterline: the first 34 r8-vintage
-# oracle-backed entries in registry order (oldest standing driver
-# evidence is r8 after the r15 window cleared all of r7).  Rotation
-# policy (r14 task 3): rows-only entries are EXCLUDED from the window
-# (a slot spent on one reports err:"no_oracle" — wasted attestation);
-# _registry() asserts this below.
+# r14's red.  Slots 2-16 are the 15 remaining r8-vintage entries (the
+# whole r8 waterline clears this round — oldest standing driver
+# evidence advances to r9).  Slots 17-50 are the first 34 of the 48
+# r9-vintage oracle-backed entries in registry order; the remaining 14
+# are the r18 head (comment below).  Rotation policy (r14 task 3):
+# rows-only entries are EXCLUDED from the window (a slot spent on one
+# reports err:"no_oracle" — wasted attestation); _registry() asserts
+# this below.
 _PRIORITY = [
     # slot 1: permanent canary
     "canary_driver_hash_types",
-    # slots 2-5: r15 rows-only→invariant oracle conversions (verdict
-    # r15 task 1 — re-attest FIRST, their oracle semantics changed)
-    "text_fingerprint", "ann_ivf_topk", "ann_ivf_trained_topk",
-    "ann_pq_topk",
-    # slots 6-14: the nine r15-new surfaces, never driver-attested
-    "win_ignore_nulls_family", "scalar_luhn_validation",
-    "sql_cluster_by_ordered", "scalar_random_seeded_invariants",
-    "variant_explode_lateral", "stream_state_store_read",
-    "ops_toarrow_roundtrip", "agg_moments_family",
-    "sketch_kll_quantile_band",
-    # slots 15-16: oracles rewritten in r16 (sf1 exclusion retirement)
-    "dedup_fuzzy_ed1_pairs", "dedup_fuzzy_entity_ids",
-    # slots 17-50: first 34 r8-vintage oracle-backed entries, registry
-    # order — advancing the oldest-evidence waterline past r8
-    "agg_cube_grouping", "sketch_hll_distinct", "pivot_event_counts",
-    "agg_percentiles", "scd2_as_of_read", "unpivot_melt",
-    "scale_bucketed_join_agg", "win_rank_family_by_user",
-    "sketch_quantile_binned", "sketch_kmv_jaccard", "join_salted_skew",
-    "sessionize_gap_batch", "ts_anomaly_mad", "ts_cusum_drift",
-    "quality_fk_orphans", "dedup_exact", "graph_connected_components",
-    "dedup_ngram_keep_transitive", "dedup_ngram_jaccard",
-    "dedup_embedding_pairs", "ann_bruteforce_topk", "text_stats_quality",
-    "text_token_counts", "text_langid", "multimodal_meta",
-    "multimodal_frames", "stream_sessionize", "llm_curation_pipeline",
-    "text_chunking", "text_pii_scrub", "text_repetition",
-    "stratified_sample_lang", "text_decontaminate", "token_budget_mix",
-    # ---- 50-slot waterline: token_budget_mix is slot 50
-    # r17 head: the remaining 15 r8-vintage entries, registry order
-    # (join_asof_purchase, join_range_bands, dedup_lines_c4,
-    #  dedup_substring_spans, text_bigram_logprob, text_tfidf_topterms,
-    #  text_vocab_coverage, embed_quantize_int8,
-    #  dedup_ngram_containment, mix_temperature_weights,
-    #  embed_dim_variance, ann_lsh_planted_twin,
-    #  text_decontaminate_bloom, stream_quantile_sketch,
-    #  graph_degree_distribution), then the r9-vintage block
+    # slots 2-16: the 15 remaining r8-vintage entries, registry order —
+    # clearing the r8 waterline entirely (verdict r16 task 2)
+    "join_asof_purchase", "join_range_bands", "dedup_lines_c4",
+    "dedup_substring_spans", "text_bigram_logprob",
+    "text_tfidf_topterms", "text_vocab_coverage", "embed_quantize_int8",
+    "dedup_ngram_containment", "mix_temperature_weights",
+    "embed_dim_variance", "ann_lsh_planted_twin",
+    "text_decontaminate_bloom", "stream_quantile_sketch",
+    "graph_degree_distribution",
+    # slots 17-50: first 34 r9-vintage oracle-backed entries, registry
+    # order — advancing the oldest-evidence waterline into r9
+    "sketch_hll_grouped", "stream_kmv_distinct", "ts_ohlc_bucket",
+    "ts_active_users_7d", "label_churn_window", "assoc_copurchase_lift",
+    "ts_seasonal_strength", "feature_velocity_windows",
+    "session_markov_transitions", "score_psi_drift",
+    "stream_heavy_hitters", "feature_decayed_velocity",
+    "quality_entropy_profile", "scale_bitmap_retention",
+    "session_top_paths", "ts_lateness_profile", "ts_rollup_cascade",
+    "feature_impute_group", "feature_target_encode_loo",
+    "sample_class_balanced", "split_temporal_purged",
+    "ml_ols_closed_form", "stream_batch_unified", "agg_mode_per_group",
+    "join_interval_overlap", "agg_weighted_median", "ts_autocorrelation",
+    "stream_ohlc_incremental", "csv_malformed_policy",
+    "funnel_time_to_convert", "agg_gini_concentration",
+    "multimodal_decode_ppm", "multimodal_thumbnail_vec",
+    "sample_bottomk_hash",
+    # ---- 50-slot waterline: sample_bottomk_hash is slot 50
+    # r18 head: the remaining 14 r9-vintage entries, registry order
+    # (graph_triangle_count, sample_weighted_priority,
+    #  feature_hash_text, scale_heavy_hitters, embed_pca_planted_axis,
+    #  sample_per_group_bottomk, multimodal_decode_wav,
+    #  embed_jl_projection, dedup_substring_remove,
+    #  ann_ivf_index_persisted, text_word_pmi,
+    #  multimodal_audio_spectrum, graph_common_neighbors,
+    #  dedup_cluster_sizes), then the r10-vintage block
 ]
 
 
