@@ -1040,8 +1040,20 @@ def minhash_incremental_matches(batch: DataFrame, index: DataFrame,
     tests/test_scale.py::test_bucketed_minhash_index_join_leaves_index_side_shuffle_free)."""
     b = minhash_band_index(batch, text_col, id_col, num_perm, bands,
                            shingle_n)
+    return band_rows_matches(b, index, id_col)
+
+
+def band_rows_matches(batch_bands: DataFrame, index: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """The banded candidate equi-join of :func:`minhash_incremental_matches`
+    for PRE-COMPUTED batch band rows (``minhash_band_index`` output).
+    Split out (r17) so a caller joining one batch against SEVERAL index
+    slices — e.g. the streaming dedup's bucketed compacted history plus
+    its small uncompacted tail — hashes the batch once, persists the
+    band rows, and reuses them across every slice join instead of
+    re-running the MinHash lineage per slice."""
     return (
-        b.alias("b").join(
+        batch_bands.alias("b").join(
             index.alias("i"),
             (F.col("b.band") == F.col("i.band"))
             & (F.col("b.band_hash") == F.col("i.band_hash")))

@@ -529,6 +529,114 @@ def test_incremental_dedup_state_contract(spark, tmp_path):
         stream_dedup_against_index(stream, "s3a://bucket/state")  # (4)
 
 
+def test_incremental_dedup_compaction_preserves_exact_dedup(spark, tmp_path):
+    """The r17 LSM-style state compaction end-to-end: a 6-batch feed
+    with ``compact_every=2`` triggers three compactions (v0 absorbs
+    b0-b1, v1 absorbs v0+b2-b3, v2 absorbs v1+b4-b5).  The kept set
+    must still equal global exact dedup with lowest-id-wins — in
+    particular duplicates of documents whose batch dirs were ALREADY
+    absorbed into a compacted version must be rejected via the
+    bucketed compacted slice — and the absorbed inputs (batch dirs,
+    superseded versions) must be garbage-collected so state size stays
+    bounded."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from aws_etl_bank_spark.streaming.incremental_dedup import (
+        _latest_compact, stream_dedup_against_index)
+
+    rows = [(1, "aa bb cc"), (2, "dd ee ff"),                 # batch 0
+            (11, "gg hh ii"), (12, "aa bb cc"),               # batch 1
+            (21, "jj kk ll"), (22, "dd ee ff"),               # batch 2 (dup of absorbed b0)
+            (31, "mm nn oo"), (32, "mm nn oo"),               # batch 3 (within-batch dup)
+            (41, "aa bb cc"), (42, "pp qq rr"),               # batch 4 (dup of v1-absorbed)
+            (51, "gg hh ii"), (52, "jj kk ll")]               # batch 5 (both dups)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feed = str(tmp_path / "feed")
+    df.repartitionByRange(6, "doc_id").write.parquet(feed)
+    parts = sorted(f for f in os.listdir(feed) if f.endswith(".parquet"))
+    assert len(parts) == 6
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(feed, f), (1_000_000 + i, 1_000_000 + i))
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    state = str(tmp_path / "state")
+    kept = stream_dedup_against_index(stream, state, compact_every=2,
+                                      n_buckets=4)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [1, 2, 11, 21, 31, 42]
+    cur = _latest_compact(state)
+    assert cur is not None and cur[1] == 2 and cur[2] == 5
+    leftovers = sorted(d for d in os.listdir(state))
+    assert leftovers == ["compact_v2"], leftovers
+    # the compacted slices re-register as BUCKETED external tables (the
+    # Exchange-free history join this layout exists for) — from catalog
+    # metadata alone, as a resumed fresh session would
+    from aws_etl_bank_spark.streaming.incremental_dedup import (
+        _register_bucketed_over, _table_name)
+
+    spark.sql(f"DROP TABLE IF EXISTS `{_table_name(state, 2, 'index')}`")
+    idx = _register_bucketed_over(
+        spark, _table_name(state, 2, "index"),
+        os.path.join(cur[0], "index"), ["band", "band_hash"], cur[3],
+        spark.createDataFrame([], "doc_id long, band int, band_hash long")
+        .schema)
+    assert sorted(r["doc_id"] for r in idx.select("doc_id").distinct()
+                  .collect()) == [1, 2, 11, 21, 31, 42]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = idx.limit(10).select("band", "band_hash").withColumn(
+            "doc_id", F.lit(999).cast("long"))
+        plan = (probe.join(idx, ["band", "band_hash"])
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+
+
+def test_incremental_dedup_fresh_checkpoint_over_state_rejected(
+        spark, tmp_path):
+    """r16 advice: the pre-populated-state guard must also fire when a
+    checkpoint IS passed but records no progress — a fresh checkpoint
+    restarts batch ids at 0 over the existing dirs, the exact collision
+    the checkpoint-less guard exists to prevent."""
+    import os
+
+    import pytest
+
+    from aws_etl_bank_spark.streaming.incremental_dedup import (
+        _COMMIT_MARKER, stream_dedup_against_index)
+
+    state = tmp_path / "state"
+    b0 = state / "b0"
+    for leaf in ("kept", "index"):
+        (b0 / leaf).mkdir(parents=True)
+    (b0 / _COMMIT_MARKER).write_bytes(b"")
+    df = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    feed = str(tmp_path / "feed")
+    df.write.parquet(feed)
+    stream = spark.readStream.schema(df.schema).parquet(feed)
+    ck = tmp_path / "ck_fresh"
+    ck.mkdir()
+    with pytest.raises(ValueError, match="records no progress"):
+        stream_dedup_against_index(stream, str(state), checkpoint=str(ck))
+    # a checkpoint WITH recorded offsets is a genuine resume and passes
+    # the guard (checked on the predicate — driving a real resume needs
+    # a checkpoint Spark itself wrote, which the happy-path test's
+    # stream_incremental_dedup runs exercise)
+    from aws_etl_bank_spark.streaming.incremental_dedup import (
+        _checkpoint_has_progress)
+
+    assert not _checkpoint_has_progress(str(ck))
+    (ck / "offsets").mkdir()
+    (ck / "offsets" / "0").write_text("v1")
+    assert _checkpoint_has_progress(str(ck))
+    assert _checkpoint_has_progress("file://" + str(ck))
+    assert _checkpoint_has_progress("s3a://bucket/ck")  # uninspectable
+
+
 def test_tws_runs_with_vendored_protobuf(spark, tmp_path):
     """transformWithStateInPandas (streaming/tws.py) END-TO-END: the
     container ships no protobuf wheel, so ensure_worker_protobuf ships
