@@ -224,7 +224,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         on_nonconverged: str = "warn") -> DataFrame:
     """(id, component) for every node of the pair graph; ``component`` is
     the smallest id reachable through pair edges (full transitive closure).
 
@@ -241,7 +242,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     round a loud warning is emitted: convergence is unverified — labels
     MAY be an under-merged over-approximation (some components appear
     split; they are complete only if the last round happened to apply the
-    final updates), never wrongly merged."""
+    final updates), never wrongly merged.  ``on_nonconverged="raise"``
+    (r16 advice) escalates that warning to a ValueError for callers whose
+    downstream contract depends on the full closure — an oracle-checked
+    registry entry would otherwise surface a larger-diameter fixture as
+    an opaque value-hash mismatch instead of a loud operator error."""
+    if on_nonconverged not in ("warn", "raise"):
+        raise ValueError(
+            f"on_nonconverged must be 'warn' or 'raise', got "
+            f"{on_nonconverged!r}")
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     edges = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     edges = edges.persist()
@@ -268,14 +277,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             break
     edges.unpersist()
     if not converged:
-        log.warning(
+        msg = (
             "connected_components: no zero-change round within "
-            "max_iterations=%d — convergence unverified; components with "
-            "diameter > %d may still be split (labels are complete only "
-            "if the final round applied the last updates). Raise "
-            "max_iterations for chain-heavy graphs.",
-            max_iterations, max_iterations,
-        )
+            f"max_iterations={max_iterations} — convergence unverified; "
+            f"components with diameter > {max_iterations} may still be "
+            "split (labels are complete only if the final round applied "
+            "the last updates). Raise max_iterations for chain-heavy "
+            "graphs, or use connected_components_star (round count "
+            "diameter-independent).")
+        if on_nonconverged == "raise":
+            raise ValueError(msg)
+        log.warning(msg)
     return labels.select("id", F.col("comp").alias("component"))
 
 

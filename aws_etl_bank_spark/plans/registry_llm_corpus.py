@@ -76,7 +76,7 @@ def graph_connected_components(spark, sf_dir):
         .filter(F.col("k") % 10 <= 2)
     )
     pairs = src.select(F.col("k").alias("id_a"), (F.col("k") + 1).alias("id_b"))
-    return connected_components(pairs)
+    return connected_components(pairs, on_nonconverged="raise")
 
 
 @q("dedup_ngram_keep_transitive", r"""

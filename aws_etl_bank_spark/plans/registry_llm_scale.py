@@ -1407,7 +1407,8 @@ def dedup_cluster_sizes(spark, sf_dir):
              .select("id_a", "id_b"))
     selfp = docs.select(F.col("doc_id").alias("id_a"),
                         F.col("doc_id").alias("id_b"))
-    comp = connected_components(pairs.unionByName(selfp))
+    comp = connected_components(pairs.unionByName(selfp),
+                                on_nonconverged="raise")
     cs = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (cs.groupBy("cluster_size")
             .agg(F.count(F.lit(1)).alias("n_clusters"))

@@ -1595,7 +1595,8 @@ def dedup_fuzzy_entity_ids(spark, sf_dir):
     pairs = fuzzy_pairs_ed1(c, "c_name", "c_custkey").select("id_a", "id_b")
     selfp = c.select(F.col("c_custkey").alias("id_a"),
                      F.col("c_custkey").alias("id_b"))
-    return connected_components(pairs.unionByName(selfp)).select(
+    return connected_components(pairs.unionByName(selfp),
+                                on_nonconverged="raise").select(
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"))
 
@@ -1667,7 +1668,8 @@ def dedup_fuzzy_entity_planted(spark, sf_dir):
     pairs = fuzzy_pairs_ed1(c, "c_name", "c_custkey").select("id_a", "id_b")
     selfp = c.select(F.col("c_custkey").alias("id_a"),
                      F.col("c_custkey").alias("id_b"))
-    return connected_components(pairs.unionByName(selfp)).select(
+    return connected_components(pairs.unionByName(selfp),
+                                on_nonconverged="raise").select(
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"))
 

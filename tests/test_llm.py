@@ -368,6 +368,27 @@ def test_connected_components_multi_hop_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_raise_on_nonconvergence(spark):
+    """r16 advice: callers whose downstream contract needs the FULL
+    closure (the oracle-backed entity/cluster registry entries) opt
+    into a loud ValueError when min-label propagation runs out of
+    rounds, instead of a warning plus silently under-merged labels.
+    A 6-node chain cannot converge in 1 round (its diameter is 5 and
+    the convergence probe itself needs a zero-change round)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="no zero-change round"):
+        dedup.connected_components(chain, max_iterations=1,
+                                   on_nonconverged="raise")
+    # default stays warn-only (labels returned, possibly under-merged)
+    out = dedup.connected_components(chain, max_iterations=1)
+    assert out.count() == 6
+    with pytest.raises(ValueError, match="must be 'warn' or 'raise'"):
+        dedup.connected_components(chain, on_nonconverged="abort")
+
+
 def test_transitive_keep_beats_greedy_on_min_only_as_smaller(spark):
     # pairs (2,3) and (1,3): node 2 never appears as the larger id, so the
     # greedy pass keeps it — the transitive closure must not
