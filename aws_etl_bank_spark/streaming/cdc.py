@@ -80,22 +80,54 @@ def _batch_as_of(upd: DataFrame, ts_col: str) -> str:
 def cdc_apply_scd2(stream: DataFrame, state_dir: str, key: str,
                    value_cols: list[str], ts_col: str = "ts",
                    seq_col: str = "event_id",
-                   checkpoint: str | None = None) -> DataFrame:
+                   checkpoint: str | None = None,
+                   keep_versions: int | None = None,
+                   observer=None) -> DataFrame:
     """Run a change stream to completion (availableNow), merging each
     micro-batch into a versioned SCD2 dim under ``state_dir``; returns
     the final dim.  Each batch writes ``state_dir/v{n}`` and the next
-    batch reads the previous version — replay-safe and inspectable."""
+    batch reads the previous version — replay-safe and inspectable.
+
+    ``keep_versions`` (r17) bounds state-dir disk to the newest N
+    version dirs — without it a long feed stores O(batches × dim)
+    parquet (every historical dim snapshot); older versions are removed
+    only AFTER the new version's write completes, so the latest dim is
+    never the one being deleted.  Default None keeps every version (the
+    inspectable-audit shape the registry entry uses on 3 batches).
+
+    ``observer(batch_id, n_rows, wall_s)`` is the same per-batch hook
+    as stream_dedup_against_index's — scripts/cdc_throughput.py drives
+    THIS function with it for the decade-scale latency audit; the
+    per-batch ``count()`` is only paid when an observer is attached,
+    and doubles as the emptiness probe."""
+    import shutil
+    import time as _time
+
     spark = stream.sparkSession
     versions: list[str] = []
 
     def handle(batch_df: DataFrame, batch_id: int):
-        if batch_df.isEmpty():
+        t0 = _time.time()
+        if observer is not None:
+            n_rows = batch_df.count()
+            if n_rows == 0:
+                return
+        elif batch_df.isEmpty():
             return
         current = spark.read.parquet(versions[-1]) if versions else None
         merged = apply_cdc_batch(current, batch_df, key, ts_col, seq_col, value_cols)
-        out = os.path.join(state_dir, f"v{len(versions)}")
+        # named by batch_id (monotonic per checkpoint), NOT len(versions):
+        # after a keep_versions trim the list length falls behind and a
+        # length-derived name would overwrite the live newest version
+        out = os.path.join(state_dir, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(out)
         versions.append(out)
+        if keep_versions is not None and len(versions) > keep_versions:
+            for old in versions[:-keep_versions]:
+                shutil.rmtree(old, ignore_errors=True)
+            del versions[:-keep_versions]
+        if observer is not None:
+            observer(batch_id, n_rows, _time.time() - t0)
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

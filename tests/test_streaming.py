@@ -459,6 +459,47 @@ class TestCdcScd2:
         for r in closed:
             assert r.value < active[r.user_id]
 
+    def test_keep_versions_bounds_state_and_observer_reports(
+            self, spark, scratch):
+        """r17: ``keep_versions=2`` leaves only the newest two version
+        dirs on disk (older snapshots GC'd AFTER the new write lands),
+        the returned dim is still the full merge, and the observer hook
+        sees one (batch_id, n_rows, wall) triple per non-empty batch."""
+        import datetime as dt
+        import os
+        import uuid
+
+        import pyspark.sql.functions as F
+
+        from aws_etl_bank_spark.streaming.cdc import cdc_apply_scd2
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        rows = [(i, t(i), 100 + (i % 3), float(i)) for i in range(30)]
+        feed = self._batch(spark, rows)
+        tag = uuid.uuid4().hex[:8]
+        src = f"{scratch}/cdc_feed_{tag}"
+        for b in range(3):
+            (feed.filter((F.col("event_id") >= b * 10)
+                         & (F.col("event_id") < (b + 1) * 10))
+             .coalesce(1).write.mode("append").parquet(src))
+        stream = (spark.readStream.schema(feed.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        seen = []
+        state = f"{scratch}/cdc_state_{tag}"
+        dim = cdc_apply_scd2(
+            stream, state, key="user_id", value_cols=["value"],
+            checkpoint=f"{scratch}/cdc_ckpt_{tag}", keep_versions=2,
+            observer=lambda bid, n, w: seen.append((bid, n, w)))
+        active = {r.user_id: r.value
+                  for r in dim.filter("is_active").collect()}
+        assert active == {100: 27.0, 101: 28.0, 102: 29.0}
+        vdirs = sorted(d for d in os.listdir(state) if d.startswith("v"))
+        assert len(vdirs) == 2, vdirs
+        assert sum(n for _, n, _ in seen) == 30
+        assert [bid for bid, _, _ in seen] == sorted(
+            bid for bid, _, _ in seen)
+        assert all(w >= 0 for _, _, w in seen)
+
 
 def test_incremental_dedup_batches_equal_global_exact_dedup(spark, tmp_path):
     """Three id-ordered batches with within-batch and cross-batch exact
