@@ -26,9 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # to handle, including the windowed-SUM(BIGINT) cents class behind
 # r14's red.  Slots 2-16 are the 15 remaining r8-vintage entries (the
 # whole r8 waterline clears this round — oldest standing driver
-# evidence advances to r9).  Slots 17-50 are the first 34 of the 48
-# r9-vintage oracle-backed entries in registry order; the remaining 14
-# are the r18 head (comment below).  Rotation policy (r14 task 3):
+# evidence advances to r9).  Slots 17-46 are the first 30 of the 48
+# r9-vintage oracle-backed entries in registry order.  Slots 47-50 are
+# the four entries whose ORACLES changed THIS round (the r15-conversion
+# precedent: re-attest first the entries whose oracle semantics are
+# new): the last rows-only family — dedup_minhash_pairs/keep,
+# dedup_simhash_pairs, dedup_semantic_pairs_full — converted to
+# invariant-contract oracles in r17, making the registry 395/395
+# oracle-backed.  The 4 displaced r9 entries join the remaining 14 as
+# the r18 head (comment below).  Rotation policy (r14 task 3):
 # rows-only entries are EXCLUDED from the window (a slot spent on one
 # reports err:"no_oracle" — wasted attestation); _registry() asserts
 # this below.
@@ -58,12 +64,17 @@ _PRIORITY = [
     "ml_ols_closed_form", "stream_batch_unified", "agg_mode_per_group",
     "join_interval_overlap", "agg_weighted_median", "ts_autocorrelation",
     "stream_ohlc_incremental", "csv_malformed_policy",
-    "funnel_time_to_convert", "agg_gini_concentration",
-    "multimodal_decode_ppm", "multimodal_thumbnail_vec",
-    "sample_bottomk_hash",
-    # ---- 50-slot waterline: sample_bottomk_hash is slot 50
-    # r18 head: the remaining 14 r9-vintage entries, registry order
-    # (graph_triangle_count, sample_weighted_priority,
+    "funnel_time_to_convert",
+    # slots 47-50: the four rows-only→invariant conversions of r17 —
+    # their oracle semantics are NEW this round, so the driver gets
+    # first look (r15-conversion precedent)
+    "dedup_minhash_pairs", "dedup_minhash_keep", "dedup_simhash_pairs",
+    "dedup_semantic_pairs_full",
+    # ---- 50-slot waterline: dedup_semantic_pairs_full is slot 50
+    # r18 head: the 4 displaced + remaining 14 r9-vintage entries,
+    # registry order (agg_gini_concentration, multimodal_decode_ppm,
+    #  multimodal_thumbnail_vec, sample_bottomk_hash,
+    #  graph_triangle_count, sample_weighted_priority,
     #  feature_hash_text, scale_heavy_hitters, embed_pca_planted_axis,
     #  sample_per_group_bottomk, multimodal_decode_wav,
     #  embed_jl_projection, dedup_substring_remove,

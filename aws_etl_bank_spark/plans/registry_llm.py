@@ -35,8 +35,10 @@ _REGISTERED_INTO = id(_registry_mod.REGISTRY)
 
 # re-export for the lazy cross-module imports in registry_analytics /
 # registry_sources_sketches (`from ...registry_llm import
-# _events_stream_dir` inside entry bodies)
+# _events_stream_dir` inside entry bodies) and for the invariant-helper
+# unit tests (the part modules reject direct import)
 from aws_etl_bank_spark.plans.registry_llm_corpus import (  # noqa: E402,F401
-    _ann_topk_invariants)
+    _ann_topk_invariants, _dedup_keep_invariants, _minhash_pair_invariants,
+    _simhash_pair_invariants)
 from aws_etl_bank_spark.plans.registry_llm_stream import (  # noqa: E402,F401
-    _events_stream_dir)
+    _events_stream_dir, _semantic_pair_invariants)

@@ -37,22 +37,142 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(docs, ["text"], "doc_id")
 
 
-@q("dedup_minhash_pairs")  # hash-family op: rows-only check
+#: DuckDB shingle-set recipe shared with the dedup_ngram_* oracles —
+#: lowercase whitespace words, distinct word-3-grams (whole text when
+#: shorter), here list_sort'ed so shingle SETS compare as values
+_SHSET = r"""list_sort(CASE WHEN len(words) >= 3 THEN
+      list_distinct([array_to_string(words[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+                     for i in range(1, len(words) - 1)])
+    ELSE [array_to_string(words, ' ')] END)"""
+
+
+def _minhash_pair_invariants(pairs, docs):
+    """Invariant contract for banded MinHash candidate pairs (r17,
+    extending the _ann_topk_invariants pattern to the LSH family):
+    WHICH near-dup pairs collide in ≥1 of 16 bands is hash-family
+    dependent and not SQL-reproducible, but (a) every returned pair
+    must survive an INDEPENDENT exact shingle-Jaccard recompute at the
+    entry's threshold with the returned jaccard value matching at 4 dp,
+    (b) pairs are canonical (id_a < id_b), distinct, and both ends real
+    corpus ids, (c) recall on jaccard-exactly-1.0 pairs is TOTAL by LSH
+    construction (equal shingle sets ⇒ equal signatures ⇒ collide in
+    every band; byte-identical texts ⇒ star edges), so the count of
+    returned perfect pairs must equal the closed-form expected count
+    the DuckDB oracle derives from the corpus alone: Σ(class_size − 1)
+    star edges over identical-text classes + C(k, 2) over each group of
+    k representatives sharing a shingle set.  One aggregation pass over
+    the (small) result; a dropped star edge, fabricated pair, below-
+    threshold pair, or wrong jaccard value each flips its own column."""
+    from aws_etl_bank_spark.llm.dedup import _shingle_frame
+
+    sh = _shingle_frame(docs, "text", "doc_id", 3, alias="sh")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
+    j = (pairs.join(a, "id_a", "left").join(b, "id_b", "left")
+         .withColumn("__raw",
+                     F.size(F.array_intersect("__sa", "__sb"))
+                     / F.size(F.array_union("__sa", "__sb"))))
+    return j.agg(
+        F.count_if(F.col("__raw") == 1.0).cast("bigint").alias("n_perfect"),
+        (F.count(F.lit(1)) > 0).alias("nonempty"),
+        F.bool_and(F.col("id_a") < F.col("id_b")).alias("canonical"),
+        (F.count(F.lit(1))
+         == F.count_distinct(F.struct("id_a", "id_b"))).alias("pairs_distinct"),
+        F.bool_and(F.col("__sa").isNotNull()
+                   & F.col("__sb").isNotNull()).alias("ids_in_corpus"),
+        F.bool_and(F.col("__raw").isNotNull()
+                   & (F.round("__raw", 4) >= 0.5)
+                   & (F.abs(F.round("__raw", 4) - F.col("jaccard"))
+                      <= 1e-4)).alias("jaccard_verified"))
+
+
+@q("dedup_minhash_pairs", f"""
+WITH cls AS (SELECT text, MIN(doc_id) AS rep, COUNT(*) AS n
+             FROM documents GROUP BY text),
+w AS (SELECT c.rep AS doc_id, string_split_regex(lower(d.text), '\\s+') AS words
+      FROM cls c JOIN documents d ON d.doc_id = c.rep),
+s AS (SELECT doc_id, {_SHSET} AS shset FROM w),
+g AS (SELECT COUNT(*) AS k FROM s GROUP BY shset HAVING COUNT(*) > 1)
+SELECT CAST((SELECT COALESCE(SUM(n - 1), 0) FROM cls)
+          + (SELECT COALESCE(SUM(k * (k - 1) // 2), 0) FROM g)
+       AS BIGINT) AS n_perfect,
+       true AS nonempty, true AS canonical, true AS pairs_distinct,
+       true AS ids_in_corpus, true AS jaccard_verified""")
 def dedup_minhash_pairs(spark, sf_dir):
+    """Banded MinHash-LSH near-dup pairs under the invariant-contract
+    oracle (r17 — the last rows-only family converted; see
+    _minhash_pair_invariants for what is checkable and why the raw
+    pair list is not).  The pair GENERATION path is unchanged; the
+    result feeds one extra aggregation pass over the returned pairs."""
     from aws_etl_bank_spark.llm import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=16,
-                             jaccard_threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=16,
+                              jaccard_threshold=0.5)
+    return _minhash_pair_invariants(pairs, docs)
 
 
-@q("dedup_minhash_keep")  # rows-only
+def _dedup_keep_invariants(kept, docs):
+    """Invariant contract for the greedy MinHash keep set (r17):
+    which near-dup SINGLETONS survive is hash-family dependent, but
+    (a) survivors are real corpus rows, one per doc_id, (b) an
+    identical-text class can keep AT MOST one member and any survivor
+    it has is the class MIN id (every non-min member is the larger end
+    of a star edge, so greedy always drops it), and (c) at least
+    Σ(class_size − 1) rows were dropped corpus-wide.  n_docs and
+    n_class_extras are corpus-derived anchors recomputed by the DuckDB
+    oracle, so the flags cannot pass vacuously on a corpus that has
+    duplicate classes."""
+    cls = docs.groupBy("text").agg(F.min("doc_id").alias("__rep"),
+                                   F.count(F.lit(1)).alias("__n"))
+    corpus = cls.agg(
+        F.sum("__n").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+        .cast("bigint").alias("n_class_extras"))
+    k = kept.select("doc_id", "text")
+    base = (k.join(docs.select("doc_id", F.col("text").alias("__dt")),
+                   "doc_id", "left")
+            .agg(F.count(F.lit(1)).alias("__n_kept"),
+                 (F.count(F.lit(1)) > 0).alias("nonempty"),
+                 F.bool_and(F.col("__dt").isNotNull()
+                            & (F.col("__dt") == F.col("text")))
+                 .alias("kept_subset"),
+                 (F.count(F.lit(1)) == F.count_distinct("doc_id"))
+                 .alias("kept_distinct")))
+    per_cls = (k.groupBy("text")
+               .agg(F.count(F.lit(1)).alias("__c"),
+                    F.min("doc_id").alias("__kmin"))
+               .join(cls, "text", "left")
+               .agg(F.bool_and(F.col("__c") <= 1).alias("one_per_class"),
+                    F.bool_and(F.col("__kmin") == F.col("__rep"))
+                    .alias("survivor_is_class_min")))
+    return (corpus.crossJoin(base).crossJoin(per_cls)  # three 1-row sides
+            .select("n_docs", "n_class_extras", "nonempty", "kept_subset",
+                    "kept_distinct", "one_per_class",
+                    "survivor_is_class_min",
+                    ((F.col("n_docs") - F.col("__n_kept"))
+                     >= F.col("n_class_extras"))
+                    .alias("drops_cover_classes")))
+
+
+@q("dedup_minhash_keep", """
+WITH cls AS (SELECT text, MIN(doc_id) AS rep, COUNT(*) AS n
+             FROM documents GROUP BY text)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT COALESCE(SUM(n - 1), 0) FROM cls) AS BIGINT)
+         AS n_class_extras,
+       true AS nonempty, true AS kept_subset, true AS kept_distinct,
+       true AS one_per_class, true AS survivor_is_class_min,
+       true AS drops_cover_classes""")
 def dedup_minhash_keep(spark, sf_dir):
+    """Greedy MinHash near-dup keep under the invariant-contract
+    oracle (r17 — see _dedup_keep_invariants)."""
     from aws_etl_bank_spark.llm import minhash_dedup_keep
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_keep(docs, "text", "doc_id", num_perm=64, bands=16,
+    kept = minhash_dedup_keep(docs, "text", "doc_id", num_perm=64, bands=16,
                               jaccard_threshold=0.5)
+    return _dedup_keep_invariants(kept, docs)
 
 
 @q("graph_connected_components", """
@@ -124,12 +244,62 @@ def dedup_ngram_keep_transitive(spark, sf_dir):
     return dedup_keep_transitive(docs, pairs, "doc_id").select("doc_id")
 
 
-@q("dedup_simhash_pairs")  # rows-only
+def _simhash_pair_invariants(pairs, docs, max_hamming):
+    """Invariant contract for SimHash LSH pairs (r17): which non-exact
+    near-dups share a 16-bit chunk is hash-family dependent, but every
+    returned pair's hamming distance must match an INDEPENDENT
+    signature recompute (restricted to the docs the result names) and
+    respect the entry's bound; pairs are canonical/distinct/in-corpus;
+    and the identical-TEXT star edges are exactly enumerable from the
+    corpus (identical texts ⇒ identical fingerprints ⇒ hamming 0, and
+    the exact-class collapse emits exactly class_size − 1 star edges
+    per class, never the clique), so the count of returned same-text
+    pairs must equal the oracle's Σ(class_size − 1)."""
+    from aws_etl_bank_spark.llm.dedup import simhash_signatures
+
+    ids = (pairs.select(F.col("id_a").alias("doc_id"))
+           .union(pairs.select(F.col("id_b").alias("doc_id"))).distinct())
+    sub = docs.join(ids, "doc_id", "left_semi")
+    sigs = simhash_signatures(sub, "text", "doc_id")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("__ba"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("__bb"))
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    j = (pairs.join(a, "id_a", "left").join(b, "id_b", "left")
+         .join(ta, "id_a", "left").join(tb, "id_b", "left")
+         .withColumn("__h", F.aggregate(
+             F.zip_with("__ba", "__bb",
+                        lambda x, y: (x != y).cast("int")),
+             F.lit(0), lambda acc, x: acc + x)))
+    return j.agg(
+        F.count_if(F.col("__ta") == F.col("__tb")).cast("bigint")
+        .alias("n_exact_edges"),
+        (F.count(F.lit(1)) > 0).alias("nonempty"),
+        F.bool_and(F.col("id_a") < F.col("id_b")).alias("canonical"),
+        (F.count(F.lit(1))
+         == F.count_distinct(F.struct("id_a", "id_b"))).alias("pairs_distinct"),
+        F.bool_and(F.col("__ta").isNotNull()
+                   & F.col("__tb").isNotNull()).alias("ids_in_corpus"),
+        F.bool_and(F.col("__h").isNotNull()
+                   & (F.col("__h") == F.col("hamming"))
+                   & (F.col("hamming") <= max_hamming))
+        .alias("hamming_verified"))
+
+
+@q("dedup_simhash_pairs", """
+WITH cls AS (SELECT text, COUNT(*) AS n FROM documents GROUP BY text)
+SELECT CAST((SELECT COALESCE(SUM(n - 1), 0) FROM cls) AS BIGINT)
+         AS n_exact_edges,
+       true AS nonempty, true AS canonical, true AS pairs_distinct,
+       true AS ids_in_corpus, true AS hamming_verified""")
 def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash LSH near-dup pairs under the invariant-contract oracle
+    (r17 — see _simhash_pair_invariants)."""
     from aws_etl_bank_spark.llm import simhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_lsh_pairs(docs, "text", "doc_id", max_hamming=8)
+    pairs = simhash_lsh_pairs(docs, "text", "doc_id", max_hamming=8)
+    return _simhash_pair_invariants(pairs, docs, max_hamming=8)
 
 
 @q("dedup_ngram_jaccard", r"""

@@ -1083,9 +1083,42 @@ def stream_static_enrich(spark, sf_dir):
     return spark.createDataFrame(result, spark.table(name).schema)
 
 
-@q("dedup_semantic_pairs_full")  # rows-only: near-dup recall is
-# cell-assignment-dependent (SemDeDup semantics); the oracle-checked
-# planted projection is dedup_semantic_pairs
+def _semantic_pair_invariants(pairs, emb):
+    """Invariant contract for SemDeDup within-cell cosine pairs (r17 —
+    the last rows-only entry converted): which near-dups share a
+    k-means cell is assignment-dependent (the oracle-checked planted
+    companion dedup_semantic_full_recall pins found == co-cell), but
+    every returned pair must survive an INDEPENDENT cosine recompute
+    from the fixture vectors — ≥ the 0.95 threshold with the returned
+    value matching at 4 dp — and be canonical, distinct, and between
+    real fixture ids; the jittered planted slice guarantees the result
+    is non-empty at every SF, so the flags cannot pass vacuously."""
+    from aws_etl_bank_spark.llm.similarity import _dot, _norm
+
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("__vb"))
+    j = (pairs.join(a, "id_a", "left").join(b, "id_b", "left")
+         .withColumn("__raw",
+                     _dot(F.col("__va"), F.col("__vb"))
+                     / (_norm(F.col("__va")) * _norm(F.col("__vb")))))
+    return j.agg(
+        (F.count(F.lit(1)) > 0).alias("nonempty"),
+        F.bool_and(F.col("id_a") < F.col("id_b")).alias("canonical"),
+        (F.count(F.lit(1))
+         == F.count_distinct(F.struct("id_a", "id_b"))).alias("pairs_distinct"),
+        F.bool_and(F.col("__va").isNotNull()
+                   & F.col("__vb").isNotNull()).alias("ids_in_corpus"),
+        F.bool_and(F.col("__raw").isNotNull()
+                   & (F.round("__raw", 4) >= 0.95)
+                   & (F.abs(F.round("__raw", 4) - F.col("cosine"))
+                      <= 1e-4)).alias("cosine_verified"))
+
+
+@q("dedup_semantic_pairs_full", """
+SELECT true AS nonempty, true AS canonical, true AS pairs_distinct,
+       true AS ids_in_corpus, true AS cosine_verified""")
 def dedup_semantic_pairs_full(spark, sf_dir):
     """Whole-table semantic near-dup pairs (no copy-0 pin, so on
     make_sf-upscaled data the ~0.997-cosine cross-copy near-dups are
@@ -1107,8 +1140,9 @@ def dedup_semantic_pairs_full(spark, sf_dir):
     emb = _semantic_full_fixture(spark, sf_dir)
     n = emb.count()
     n_cells = max(16, n // 250)
-    return semantic_dedup_pairs(emb, "embedding", "vec_id",
-                                n_cells=n_cells, cosine_threshold=0.95)
+    pairs = semantic_dedup_pairs(emb, "embedding", "vec_id",
+                                 n_cells=n_cells, cosine_threshold=0.95)
+    return _semantic_pair_invariants(pairs, emb)
 
 
 def _semantic_full_fixture(spark, sf_dir):

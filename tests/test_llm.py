@@ -1991,3 +1991,165 @@ def test_ann_topk_invariants_catch_each_violation_class(spark):
                            (0, 103, 3, 0.7)])
     r = _ann_topk_invariants(oob, corpus, 3, "cosine", pred).collect()[0]
     assert not r.scores_in_range
+
+
+def _planted_dup_docs(spark):
+    """8 docs: one identical-text class of 3 (ids 1,2,3), a near-dup
+    pair sharing most shingles (4,5), and unique docs — enough to
+    exercise star edges, verified near-dup pairs, and keep logic."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "the quick brown fox jumps over the lazy dog near the river bend"
+    rows = [(1, base), (2, base), (3, base), (4, near),
+            (5, near + " x"), (6, "completely different text about spark"),
+            (7, "another unrelated document body here"),
+            (8, "yet more unique filler content words")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_pair_invariants_pass_and_catch_violations(spark):
+    """r17 conversion of the last rows-only LSH family: the invariant
+    helper must read all-true (with the closed-form perfect-pair count)
+    on the REAL operator's output, and each corruption class must flip
+    its own column."""
+    from aws_etl_bank_spark.llm import minhash_lsh_pairs
+    from aws_etl_bank_spark.plans.registry_llm import _minhash_pair_invariants
+
+    docs = _planted_dup_docs(spark)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64,
+                              bands=16, jaccard_threshold=0.5)
+    r = _minhash_pair_invariants(pairs, docs).collect()[0]
+    # identical class {1,2,3} -> 2 star edges; no distinct-text equal
+    # shingle sets in the fixture
+    assert r.n_perfect == 2
+    assert (r.nonempty and r.canonical and r.pairs_distinct
+            and r.ids_in_corpus and r.jaccard_verified)
+
+    def one(rows_, field, expect_false=True, schema="id_a long, id_b long, jaccard double"):
+        bad = pairs.unionByName(spark.createDataFrame(rows_, schema))
+        v = _minhash_pair_invariants(bad, docs).collect()[0]
+        assert getattr(v, field) is False, field
+
+    one([(6, 7, 1.0)], "jaccard_verified")        # fabricated pair, j~0
+    one([(999, 6, 1.0)], "ids_in_corpus")         # foreign id
+    one([(7, 6, 1.0)], "canonical")               # wrong order
+    dup_row = pairs.limit(1)
+    v = _minhash_pair_invariants(pairs.unionByName(dup_row), docs).collect()[0]
+    assert v.pairs_distinct is False
+    # wrong reported jaccard on a real pair
+    tampered = pairs.withColumn(
+        "jaccard", F.col("jaccard") - F.lit(0.3))
+    v = _minhash_pair_invariants(tampered, docs).collect()[0]
+    assert v.jaccard_verified is False
+    # empty result cannot pass vacuously
+    v = _minhash_pair_invariants(pairs.limit(0), docs).collect()[0]
+    assert v.nonempty is False and v.n_perfect == 0
+
+
+def test_dedup_keep_invariants_pass_and_catch_violations(spark):
+    from aws_etl_bank_spark.llm import minhash_dedup_keep
+    from aws_etl_bank_spark.plans.registry_llm import _dedup_keep_invariants
+
+    docs = _planted_dup_docs(spark)
+    kept = minhash_dedup_keep(docs, "text", "doc_id", num_perm=64,
+                              bands=16, jaccard_threshold=0.5)
+    r = _dedup_keep_invariants(kept, docs).collect()[0]
+    assert r.n_docs == 8 and r.n_class_extras == 2
+    assert (r.nonempty and r.kept_subset and r.kept_distinct
+            and r.one_per_class and r.survivor_is_class_min
+            and r.drops_cover_classes)
+
+    sub = kept.select("doc_id", "text")
+    mk = lambda rows_: spark.createDataFrame(rows_, "doc_id long, text string")
+    base_text = docs.collect()[0].text
+    # a SECOND survivor from the identical class (a non-min member):
+    # the min survivor is still present, so only the at-most-one flag
+    # flips
+    v = _dedup_keep_invariants(sub.unionByName(mk([(2, base_text)])),
+                               docs).collect()[0]
+    assert v.one_per_class is False and v.survivor_is_class_min is True
+    # the min survivor REPLACED by a member: exactly one survivor, but
+    # it is not the class min
+    swapped = (sub.filter(F.col("doc_id") != 1)
+               .unionByName(mk([(2, base_text)])))
+    v = _dedup_keep_invariants(swapped, docs).collect()[0]
+    assert v.survivor_is_class_min is False and v.one_per_class is True
+    # fabricated row not in the corpus
+    v = _dedup_keep_invariants(sub.unionByName(mk([(99, "ghost doc")])),
+                               docs).collect()[0]
+    assert v.kept_subset is False
+    # duplicated survivor row
+    v = _dedup_keep_invariants(sub.unionByName(sub.limit(1)), docs).collect()[0]
+    assert v.kept_distinct is False
+    # nothing dropped at all, despite duplicate classes existing
+    v = _dedup_keep_invariants(docs.select("doc_id", "text"), docs).collect()[0]
+    assert v.drops_cover_classes is False and v.one_per_class is False
+
+
+def test_simhash_pair_invariants_pass_and_catch_violations(spark):
+    from aws_etl_bank_spark.llm import simhash_lsh_pairs
+    from aws_etl_bank_spark.plans.registry_llm import _simhash_pair_invariants
+
+    docs = _planted_dup_docs(spark)
+    pairs = simhash_lsh_pairs(docs, "text", "doc_id", max_hamming=8)
+    r = _simhash_pair_invariants(pairs, docs, max_hamming=8).collect()[0]
+    assert r.n_exact_edges == 2  # star edges of the {1,2,3} class
+    assert (r.nonempty and r.canonical and r.pairs_distinct
+            and r.ids_in_corpus and r.hamming_verified)
+
+    mk = lambda rows_: spark.createDataFrame(
+        rows_, "id_a long, id_b long, hamming int")
+    # fabricated pair whose claimed hamming disagrees with a recompute
+    v = _simhash_pair_invariants(pairs.unionByName(mk([(6, 7, 0)])), docs,
+                                 max_hamming=8).collect()[0]
+    assert v.hamming_verified is False
+    # over-bound hamming on a fabricated row
+    v = _simhash_pair_invariants(pairs.unionByName(mk([(6, 7, 40)])), docs,
+                                 max_hamming=8).collect()[0]
+    assert v.hamming_verified is False
+    # foreign id
+    v = _simhash_pair_invariants(pairs.unionByName(mk([(999, 6, 0)])), docs,
+                                 max_hamming=8).collect()[0]
+    assert v.ids_in_corpus is False
+    # tampered hamming on the real rows
+    v = _simhash_pair_invariants(
+        pairs.withColumn("hamming", F.col("hamming") + 1), docs,
+        max_hamming=8).collect()[0]
+    assert v.hamming_verified is False
+
+
+def test_semantic_pair_invariants_pass_and_catch_violations(spark):
+    from aws_etl_bank_spark.llm import semantic_dedup_pairs
+    from aws_etl_bank_spark.plans.registry_llm import _semantic_pair_invariants
+
+    import math
+    rows = []
+    for i in range(40):
+        v = [math.cos(0.1 * i + 0.01 * j) for j in range(8)]
+        rows.append((i, [float(x) for x in v]))
+    # planted twin: id 100 ~ id 0 (tiny jitter, cosine ~ 1)
+    rows.append((100, [float(x * 1.0001) for x in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = semantic_dedup_pairs(emb, "embedding", "vec_id", n_cells=4,
+                                 cosine_threshold=0.95)
+    r = _semantic_pair_invariants(pairs, emb).collect()[0]
+    assert (r.nonempty and r.canonical and r.pairs_distinct
+            and r.ids_in_corpus and r.cosine_verified)
+
+    mk = lambda rows_: spark.createDataFrame(
+        rows_, "id_a long, id_b long, cosine double")
+    # fabricated pair between dissimilar vectors
+    v = _semantic_pair_invariants(pairs.unionByName(mk([(0, 20, 0.99)])),
+                                  emb).collect()[0]
+    assert v.cosine_verified is False
+    # foreign id
+    v = _semantic_pair_invariants(pairs.unionByName(mk([(0, 9999, 0.99)])),
+                                  emb).collect()[0]
+    assert v.ids_in_corpus is False
+    # tampered cosine on real pairs
+    v = _semantic_pair_invariants(
+        pairs.withColumn("cosine", F.col("cosine") - F.lit(0.02)),
+        emb).collect()[0]
+    assert v.cosine_verified is False
+    # empty result cannot pass vacuously
+    v = _semantic_pair_invariants(pairs.limit(0), emb).collect()[0]
+    assert v.nonempty is False
