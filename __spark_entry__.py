@@ -50,7 +50,7 @@ _PRIORITY = [
     "embed_dim_variance", "ann_lsh_planted_twin",
     "text_decontaminate_bloom", "stream_quantile_sketch",
     "graph_degree_distribution",
-    # slots 17-50: first 34 r9-vintage oracle-backed entries, registry
+    # slots 17-46: first 30 r9-vintage oracle-backed entries, registry
     # order — advancing the oldest-evidence waterline into r9
     "sketch_hll_grouped", "stream_kmv_distinct", "ts_ohlc_bucket",
     "ts_active_users_7d", "label_churn_window", "assoc_copurchase_lift",

@@ -46,7 +46,7 @@ _SHSET = r"""list_sort(CASE WHEN len(words) >= 3 THEN
     ELSE [array_to_string(words, ' ')] END)"""
 
 
-def _minhash_pair_invariants(pairs, docs):
+def _minhash_pair_invariants(pairs, docs, threshold):
     """Invariant contract for banded MinHash candidate pairs (r17,
     extending the _ann_topk_invariants pattern to the LSH family):
     WHICH near-dup pairs collide in ≥1 of 16 bands is hash-family
@@ -59,13 +59,21 @@ def _minhash_pair_invariants(pairs, docs):
     every band; byte-identical texts ⇒ star edges), so the count of
     returned perfect pairs must equal the closed-form expected count
     the DuckDB oracle derives from the corpus alone: Σ(class_size − 1)
-    star edges over identical-text classes + C(k, 2) over each group of
-    k representatives sharing a shingle set.  One aggregation pass over
-    the (small) result; a dropped star edge, fabricated pair, below-
-    threshold pair, or wrong jaccard value each flips its own column."""
+    star edges over identical-text classes (keyed on coalesce(text,'')
+    — the operator's _exact_class_split merges NULL with empty) +
+    C(k, 2) over each group of k representatives sharing a shingle
+    set.  The shingle recompute is restricted to the docs the result
+    NAMES (O(result), not a second corpus pass — this entry is in the
+    frozen bench set); a fabricated id still reads as null shingles
+    because the left joins find no row for it.  A dropped star edge,
+    fabricated pair, below-threshold pair, or wrong jaccard value each
+    flips its own column."""
     from aws_etl_bank_spark.llm.dedup import _shingle_frame
 
-    sh = _shingle_frame(docs, "text", "doc_id", 3, alias="sh")
+    ids = (pairs.select(F.col("id_a").alias("doc_id"))
+           .union(pairs.select(F.col("id_b").alias("doc_id"))).distinct())
+    sh = _shingle_frame(docs.join(ids, "doc_id", "left_semi"),
+                        "text", "doc_id", 3, alias="sh")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
     j = (pairs.join(a, "id_a", "left").join(b, "id_b", "left")
@@ -81,15 +89,17 @@ def _minhash_pair_invariants(pairs, docs):
         F.bool_and(F.col("__sa").isNotNull()
                    & F.col("__sb").isNotNull()).alias("ids_in_corpus"),
         F.bool_and(F.col("__raw").isNotNull()
-                   & (F.round("__raw", 4) >= 0.5)
+                   & (F.round("__raw", 4) >= threshold)
                    & (F.abs(F.round("__raw", 4) - F.col("jaccard"))
                       <= 1e-4)).alias("jaccard_verified"))
 
 
 @q("dedup_minhash_pairs", f"""
-WITH cls AS (SELECT text, MIN(doc_id) AS rep, COUNT(*) AS n
-             FROM documents GROUP BY text),
-w AS (SELECT c.rep AS doc_id, string_split_regex(lower(d.text), '\\s+') AS words
+WITH cls AS (SELECT coalesce(text, '') AS ctext, MIN(doc_id) AS rep,
+                    COUNT(*) AS n
+             FROM documents GROUP BY coalesce(text, '')),
+w AS (SELECT c.rep AS doc_id,
+             string_split_regex(lower(coalesce(d.text, '')), '\\s+') AS words
       FROM cls c JOIN documents d ON d.doc_id = c.rep),
 s AS (SELECT doc_id, {_SHSET} AS shset FROM w),
 g AS (SELECT COUNT(*) AS k FROM s GROUP BY shset HAVING COUNT(*) > 1)
@@ -109,7 +119,7 @@ def dedup_minhash_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=16,
                               jaccard_threshold=0.5)
-    return _minhash_pair_invariants(pairs, docs)
+    return _minhash_pair_invariants(pairs, docs, threshold=0.5)
 
 
 def _dedup_keep_invariants(kept, docs):
@@ -122,9 +132,12 @@ def _dedup_keep_invariants(kept, docs):
     Σ(class_size − 1) rows were dropped corpus-wide.  n_docs and
     n_class_extras are corpus-derived anchors recomputed by the DuckDB
     oracle, so the flags cannot pass vacuously on a corpus that has
-    duplicate classes."""
-    cls = docs.groupBy("text").agg(F.min("doc_id").alias("__rep"),
-                                   F.count(F.lit(1)).alias("__n"))
+    duplicate classes.  Classes are keyed on coalesce(text, '') to
+    match the operator's _exact_class_split (NULL merges with empty);
+    the subset check compares the raw text null-safely."""
+    ckey = F.coalesce(F.col("text"), F.lit("")).alias("__ct")
+    cls = docs.groupBy(ckey).agg(F.min("doc_id").alias("__rep"),
+                                 F.count(F.lit(1)).alias("__n"))
     corpus = cls.agg(
         F.sum("__n").cast("bigint").alias("n_docs"),
         F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
@@ -134,15 +147,15 @@ def _dedup_keep_invariants(kept, docs):
                    "doc_id", "left")
             .agg(F.count(F.lit(1)).alias("__n_kept"),
                  (F.count(F.lit(1)) > 0).alias("nonempty"),
-                 F.bool_and(F.col("__dt").isNotNull()
-                            & (F.col("__dt") == F.col("text")))
+                 F.bool_and(F.col("__dt").eqNullSafe(F.col("text"))
+                            & F.col("doc_id").isNotNull())
                  .alias("kept_subset"),
                  (F.count(F.lit(1)) == F.count_distinct("doc_id"))
                  .alias("kept_distinct")))
-    per_cls = (k.groupBy("text")
+    per_cls = (k.groupBy(ckey)
                .agg(F.count(F.lit(1)).alias("__c"),
                     F.min("doc_id").alias("__kmin"))
-               .join(cls, "text", "left")
+               .join(cls, "__ct", "left")
                .agg(F.bool_and(F.col("__c") <= 1).alias("one_per_class"),
                     F.bool_and(F.col("__kmin") == F.col("__rep"))
                     .alias("survivor_is_class_min")))
@@ -156,8 +169,8 @@ def _dedup_keep_invariants(kept, docs):
 
 
 @q("dedup_minhash_keep", """
-WITH cls AS (SELECT text, MIN(doc_id) AS rep, COUNT(*) AS n
-             FROM documents GROUP BY text)
+WITH cls AS (SELECT coalesce(text, '') AS ctext, COUNT(*) AS n
+             FROM documents GROUP BY coalesce(text, ''))
 SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
        CAST((SELECT COALESCE(SUM(n - 1), 0) FROM cls) AS BIGINT)
          AS n_class_extras,
@@ -173,6 +186,12 @@ def dedup_minhash_keep(spark, sf_dir):
     kept = minhash_dedup_keep(docs, "text", "doc_id", num_perm=64, bands=16,
                               jaccard_threshold=0.5)
     return _dedup_keep_invariants(kept, docs)
+
+
+# NOTE: _dedup_keep_invariants verifies the keep against the SAME
+# threshold-0.5 pair semantics via the class anchors only — the
+# near-dup drops themselves are hash-family dependent and not
+# SQL-checkable (the planted companions pin them).
 
 
 @q("graph_connected_components", """
@@ -263,8 +282,15 @@ def _simhash_pair_invariants(pairs, docs, max_hamming):
     sigs = simhash_signatures(sub, "text", "doc_id")
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("__ba"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("__bb"))
-    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
-    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    # membership marker, NOT text non-nullness: a genuine corpus doc
+    # with NULL text must still count as in-corpus; texts compare
+    # through the operator's coalesce(text, '') class key
+    ta = docs.select(F.col("doc_id").alias("id_a"),
+                     F.coalesce(F.col("text"), F.lit("")).alias("__ta"),
+                     F.lit(1).alias("__ma"))
+    tb = docs.select(F.col("doc_id").alias("id_b"),
+                     F.coalesce(F.col("text"), F.lit("")).alias("__tb"),
+                     F.lit(1).alias("__mb"))
     j = (pairs.join(a, "id_a", "left").join(b, "id_b", "left")
          .join(ta, "id_a", "left").join(tb, "id_b", "left")
          .withColumn("__h", F.aggregate(
@@ -278,8 +304,8 @@ def _simhash_pair_invariants(pairs, docs, max_hamming):
         F.bool_and(F.col("id_a") < F.col("id_b")).alias("canonical"),
         (F.count(F.lit(1))
          == F.count_distinct(F.struct("id_a", "id_b"))).alias("pairs_distinct"),
-        F.bool_and(F.col("__ta").isNotNull()
-                   & F.col("__tb").isNotNull()).alias("ids_in_corpus"),
+        F.bool_and(F.col("__ma").isNotNull()
+                   & F.col("__mb").isNotNull()).alias("ids_in_corpus"),
         F.bool_and(F.col("__h").isNotNull()
                    & (F.col("__h") == F.col("hamming"))
                    & (F.col("hamming") <= max_hamming))
@@ -287,7 +313,8 @@ def _simhash_pair_invariants(pairs, docs, max_hamming):
 
 
 @q("dedup_simhash_pairs", """
-WITH cls AS (SELECT text, COUNT(*) AS n FROM documents GROUP BY text)
+WITH cls AS (SELECT coalesce(text, '') AS ctext, COUNT(*) AS n
+             FROM documents GROUP BY coalesce(text, ''))
 SELECT CAST((SELECT COALESCE(SUM(n - 1), 0) FROM cls) AS BIGINT)
          AS n_exact_edges,
        true AS nonempty, true AS canonical, true AS pairs_distinct,

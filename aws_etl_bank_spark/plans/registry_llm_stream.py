@@ -1083,7 +1083,7 @@ def stream_static_enrich(spark, sf_dir):
     return spark.createDataFrame(result, spark.table(name).schema)
 
 
-def _semantic_pair_invariants(pairs, emb):
+def _semantic_pair_invariants(pairs, emb, threshold):
     """Invariant contract for SemDeDup within-cell cosine pairs (r17 —
     the last rows-only entry converted): which near-dups share a
     k-means cell is assignment-dependent (the oracle-checked planted
@@ -1092,13 +1092,17 @@ def _semantic_pair_invariants(pairs, emb):
     from the fixture vectors — ≥ the 0.95 threshold with the returned
     value matching at 4 dp — and be canonical, distinct, and between
     real fixture ids; the jittered planted slice guarantees the result
-    is non-empty at every SF, so the flags cannot pass vacuously."""
-    from aws_etl_bank_spark.llm.similarity import _dot, _norm
+    is non-empty at every SF, so the flags cannot pass vacuously.
+    Vectors are cast to double BEFORE the dot/norm recompute — the
+    operator computes cosine on the double arrays assign_cells
+    produces, and a single-precision recompute could flip a
+    near-boundary pair."""
+    from aws_etl_bank_spark.llm.similarity import _dot, _norm, _to_double
 
     a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("__va"))
+                   _to_double(F.col("embedding")).alias("__va"))
     b = emb.select(F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("__vb"))
+                   _to_double(F.col("embedding")).alias("__vb"))
     j = (pairs.join(a, "id_a", "left").join(b, "id_b", "left")
          .withColumn("__raw",
                      _dot(F.col("__va"), F.col("__vb"))
@@ -1111,7 +1115,7 @@ def _semantic_pair_invariants(pairs, emb):
         F.bool_and(F.col("__va").isNotNull()
                    & F.col("__vb").isNotNull()).alias("ids_in_corpus"),
         F.bool_and(F.col("__raw").isNotNull()
-                   & (F.round("__raw", 4) >= 0.95)
+                   & (F.round("__raw", 4) >= threshold)
                    & (F.abs(F.round("__raw", 4) - F.col("cosine"))
                       <= 1e-4)).alias("cosine_verified"))
 
@@ -1142,7 +1146,7 @@ def dedup_semantic_pairs_full(spark, sf_dir):
     n_cells = max(16, n // 250)
     pairs = semantic_dedup_pairs(emb, "embedding", "vec_id",
                                  n_cells=n_cells, cosine_threshold=0.95)
-    return _semantic_pair_invariants(pairs, emb)
+    return _semantic_pair_invariants(pairs, emb, threshold=0.95)
 
 
 def _semantic_full_fixture(spark, sf_dir):

@@ -2002,7 +2002,11 @@ def _planted_dup_docs(spark):
     rows = [(1, base), (2, base), (3, base), (4, near),
             (5, near + " x"), (6, "completely different text about spark"),
             (7, "another unrelated document body here"),
-            (8, "yet more unique filler content words")]
+            (8, "yet more unique filler content words"),
+            # DISTINCT texts with EQUAL shingle sets ({'p q p','q p q'})
+            # — exercises the C(k,2) rep-clique term of the minhash
+            # perfect-pair anchor, which no organic fixture reaches
+            (9, "p q p q p"), (10, "q p q p q")]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
@@ -2017,31 +2021,33 @@ def test_minhash_pair_invariants_pass_and_catch_violations(spark):
     docs = _planted_dup_docs(spark)
     pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64,
                               bands=16, jaccard_threshold=0.5)
-    r = _minhash_pair_invariants(pairs, docs).collect()[0]
-    # identical class {1,2,3} -> 2 star edges; no distinct-text equal
-    # shingle sets in the fixture
-    assert r.n_perfect == 2
+    r = _minhash_pair_invariants(pairs, docs, threshold=0.5).collect()[0]
+    # identical class {1,2,3} -> 2 star edges, plus the one
+    # equal-shingle-set rep pair (9,10) -> 3 perfect pairs
+    assert r.n_perfect == 3
     assert (r.nonempty and r.canonical and r.pairs_distinct
             and r.ids_in_corpus and r.jaccard_verified)
 
-    def one(rows_, field, expect_false=True, schema="id_a long, id_b long, jaccard double"):
+    def one(rows_, field, schema="id_a long, id_b long, jaccard double"):
         bad = pairs.unionByName(spark.createDataFrame(rows_, schema))
-        v = _minhash_pair_invariants(bad, docs).collect()[0]
+        v = _minhash_pair_invariants(bad, docs, threshold=0.5).collect()[0]
         assert getattr(v, field) is False, field
 
     one([(6, 7, 1.0)], "jaccard_verified")        # fabricated pair, j~0
     one([(999, 6, 1.0)], "ids_in_corpus")         # foreign id
     one([(7, 6, 1.0)], "canonical")               # wrong order
     dup_row = pairs.limit(1)
-    v = _minhash_pair_invariants(pairs.unionByName(dup_row), docs).collect()[0]
+    v = _minhash_pair_invariants(pairs.unionByName(dup_row), docs,
+                                 threshold=0.5).collect()[0]
     assert v.pairs_distinct is False
     # wrong reported jaccard on a real pair
     tampered = pairs.withColumn(
         "jaccard", F.col("jaccard") - F.lit(0.3))
-    v = _minhash_pair_invariants(tampered, docs).collect()[0]
+    v = _minhash_pair_invariants(tampered, docs, threshold=0.5).collect()[0]
     assert v.jaccard_verified is False
     # empty result cannot pass vacuously
-    v = _minhash_pair_invariants(pairs.limit(0), docs).collect()[0]
+    v = _minhash_pair_invariants(pairs.limit(0), docs,
+                                 threshold=0.5).collect()[0]
     assert v.nonempty is False and v.n_perfect == 0
 
 
@@ -2053,7 +2059,7 @@ def test_dedup_keep_invariants_pass_and_catch_violations(spark):
     kept = minhash_dedup_keep(docs, "text", "doc_id", num_perm=64,
                               bands=16, jaccard_threshold=0.5)
     r = _dedup_keep_invariants(kept, docs).collect()[0]
-    assert r.n_docs == 8 and r.n_class_extras == 2
+    assert r.n_docs == 10 and r.n_class_extras == 2
     assert (r.nonempty and r.kept_subset and r.kept_distinct
             and r.one_per_class and r.survivor_is_class_min
             and r.drops_cover_classes)
@@ -2131,7 +2137,7 @@ def test_semantic_pair_invariants_pass_and_catch_violations(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = semantic_dedup_pairs(emb, "embedding", "vec_id", n_cells=4,
                                  cosine_threshold=0.95)
-    r = _semantic_pair_invariants(pairs, emb).collect()[0]
+    r = _semantic_pair_invariants(pairs, emb, threshold=0.95).collect()[0]
     assert (r.nonempty and r.canonical and r.pairs_distinct
             and r.ids_in_corpus and r.cosine_verified)
 
@@ -2139,17 +2145,18 @@ def test_semantic_pair_invariants_pass_and_catch_violations(spark):
         rows_, "id_a long, id_b long, cosine double")
     # fabricated pair between dissimilar vectors
     v = _semantic_pair_invariants(pairs.unionByName(mk([(0, 20, 0.99)])),
-                                  emb).collect()[0]
+                                  emb, threshold=0.95).collect()[0]
     assert v.cosine_verified is False
     # foreign id
     v = _semantic_pair_invariants(pairs.unionByName(mk([(0, 9999, 0.99)])),
-                                  emb).collect()[0]
+                                  emb, threshold=0.95).collect()[0]
     assert v.ids_in_corpus is False
     # tampered cosine on real pairs
     v = _semantic_pair_invariants(
         pairs.withColumn("cosine", F.col("cosine") - F.lit(0.02)),
-        emb).collect()[0]
+        emb, threshold=0.95).collect()[0]
     assert v.cosine_verified is False
     # empty result cannot pass vacuously
-    v = _semantic_pair_invariants(pairs.limit(0), emb).collect()[0]
+    v = _semantic_pair_invariants(pairs.limit(0), emb,
+                                  threshold=0.95).collect()[0]
     assert v.nonempty is False
