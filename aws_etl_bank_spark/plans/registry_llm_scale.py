@@ -165,22 +165,17 @@ def stream_incremental_dedup(spark, sf_dir):
     from aws_etl_bank_spark.streaming.incremental_dedup import (
         stream_dedup_against_index)
 
+    from aws_etl_bank_spark.sources.testdata import write_ordered_feed
+
     docs = _planted_corpus(spark, sf_dir)
-    feed_dir = _scratch(sf_dir, "dedup_feed_planted")
     import os as _os
-    success = _os.path.join(feed_dir, "_SUCCESS")
-    src = _os.path.realpath(_os.path.join(sf_dir, "documents.parquet"))
-    if (not _os.path.exists(success)
-            or (_os.path.exists(src)
-                and _os.path.getmtime(src) > _os.path.getmtime(success))):
-        docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(feed_dir)
-        # the file source replays files in MODIFICATION-TIME order, not
-        # path order — stamp the range files with increasing mtimes so
-        # the feed arrives in id order (what lowest-id-wins needs)
-        parts = sorted(f for f in _os.listdir(feed_dir) if f.endswith(".parquet"))
-        base = _os.path.getmtime(success)
-        for i, f in enumerate(parts):
-            _os.utime(_os.path.join(feed_dir, f), (base + i + 1, base + i + 1))
+    # id-ordered replay is what lowest-id-wins needs (shared helper
+    # stamps the range files' mtimes — the file source replays in
+    # modification-time order)
+    feed_dir = write_ordered_feed(
+        docs, _scratch(sf_dir, "dedup_feed_planted"), 3, ["doc_id"],
+        src_path=_os.path.realpath(
+            _os.path.join(sf_dir, "documents.parquet")))
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1).parquet(feed_dir))
     tag = int(_time.time() * 1000)

@@ -1307,20 +1307,17 @@ def stream_cdc_scd2(spark, sf_dir):
     from aws_etl_bank_spark.plans.registry import _scratch
     from aws_etl_bank_spark.streaming.cdc import cdc_apply_scd2
 
+    from aws_etl_bank_spark.sources.testdata import write_ordered_feed
+
     events = load_table(spark, sf_dir, "events")
-    feed_dir = _scratch(sf_dir, "cdc_feed")
     import os as _os
-    success = _os.path.join(feed_dir, "_SUCCESS")
-    src = _os.path.realpath(_os.path.join(sf_dir, "events.parquet"))
-    stale = (not _os.path.exists(success)
-             or (_os.path.exists(src)
-                 and _os.path.getmtime(src) > _os.path.getmtime(success)))
-    if stale:
-        # the 3-file ts-ranged feed is a deterministic function of the
-        # source table — write it once per sf_dir (re-written only when
-        # the source parquet's mtime moves, e.g. a driver testdata
-        # regeneration), not once per run
-        events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(feed_dir)
+    # 3-file ts-ranged feed, written once per sf_dir behind the shared
+    # helper's staleness guard; the helper also stamps replay order
+    # (ts-ascending), which this entry tolerates either way — the
+    # stale-change guard makes the result arrival-order-invariant
+    feed_dir = write_ordered_feed(
+        events, _scratch(sf_dir, "cdc_feed"), 3, ["ts"],
+        src_path=_os.path.realpath(_os.path.join(sf_dir, "events.parquet")))
     stream = (spark.readStream.schema(events.schema)
               .option("maxFilesPerTrigger", 1).parquet(feed_dir))
     run_tag = int(_time.time() * 1000)

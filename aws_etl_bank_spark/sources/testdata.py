@@ -62,3 +62,35 @@ def events_stream(spark: SparkSession, stream_dir: str) -> DataFrame:
         elif dtypes.get(col) == "timestamp_ntz":
             stream = stream.withColumn(col, F.col(col).cast("timestamp"))
     return stream
+
+
+def write_ordered_feed(df: DataFrame, feed_dir: str, n_parts: int,
+                       order_cols: list[str],
+                       src_path: str | None = None) -> str:
+    """Write ``df`` as an ``n_parts`` range-partitioned parquet feed
+    for ``maxFilesPerTrigger=1`` replay, then stamp the range files
+    with increasing mtimes so the file source — which replays files in
+    MODIFICATION-TIME order, not path order — delivers them in range
+    order.  Cached behind the feed's ``_SUCCESS``: rebuilt only when
+    absent or when ``src_path`` (the source table file) has a newer
+    mtime (a driver testdata regeneration must invalidate the cached
+    feed, or a stream replays last round's rows against this round's
+    expectations).  Shared by the stream_incremental_dedup /
+    stream_cdc_scd2 registry fixtures and the decade-audit harnesses
+    (r17 review: four hand-rolled copies had already drifted)."""
+    import os
+
+    success = os.path.join(feed_dir, "_SUCCESS")
+    stale = (src_path is not None and os.path.exists(success)
+             and os.path.exists(src_path)
+             and os.path.getmtime(src_path) > os.path.getmtime(success))
+    if os.path.exists(success) and not stale:
+        return feed_dir
+    (df.repartitionByRange(n_parts, *order_cols)
+     .write.mode("overwrite").parquet(feed_dir))
+    parts = sorted(f for f in os.listdir(feed_dir)
+                   if f.endswith(".parquet"))
+    base = os.path.getmtime(success)
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(feed_dir, f), (base + i + 1, base + i + 1))
+    return feed_dir

@@ -99,12 +99,41 @@ def cdc_apply_scd2(stream: DataFrame, state_dir: str, key: str,
     as stream_dedup_against_index's — scripts/cdc_throughput.py drives
     THIS function with it for the decade-scale latency audit; the
     per-batch ``count()`` is only paid when an observer is attached,
-    and doubles as the emptiness probe."""
+    and doubles as the emptiness probe.
+
+    Checkpointed RESUME (r17 review): a restart replays the same batch
+    ids, but the in-memory ``versions`` list starts empty — the first
+    handled batch therefore recovers the newest COMPLETE on-disk
+    version with id strictly below its own (Spark's ``_SUCCESS`` marks
+    completeness; a replayed batch's own half-written dir is excluded
+    by the strict bound) instead of silently re-stamping a fresh dim
+    over the prior run's history."""
     import shutil
     import time as _time
 
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError(
+            f"keep_versions must be >= 1 (got {keep_versions}): 0 would "
+            "silently keep everything and a negative value would delete "
+            "the just-written live version")
+
     spark = stream.sparkSession
     versions: list[str] = []
+
+    def _disk_versions(below_batch: int) -> list[str]:
+        """COMPLETE version dirs (v<id>/_SUCCESS) with id < below_batch,
+        oldest first — the recoverable lineage a resumed run sees."""
+        if not os.path.isdir(state_dir):
+            return []
+        out = []
+        for d in os.listdir(state_dir):
+            if not (d.startswith("v") and d[1:].isdigit()):
+                continue
+            if int(d[1:]) >= below_batch:
+                continue
+            if os.path.exists(os.path.join(state_dir, d, "_SUCCESS")):
+                out.append(os.path.join(state_dir, d))
+        return sorted(out, key=lambda p: int(os.path.basename(p)[1:]))
 
     def handle(batch_df: DataFrame, batch_id: int):
         t0 = _time.time()
@@ -114,6 +143,8 @@ def cdc_apply_scd2(stream: DataFrame, state_dir: str, key: str,
                 return
         elif batch_df.isEmpty():
             return
+        if not versions:
+            versions.extend(_disk_versions(below_batch=batch_id))
         current = spark.read.parquet(versions[-1]) if versions else None
         merged = apply_cdc_batch(current, batch_df, key, ts_col, seq_col, value_cols)
         # named by batch_id (monotonic per checkpoint), NOT len(versions):
@@ -134,6 +165,9 @@ def cdc_apply_scd2(stream: DataFrame, state_dir: str, key: str,
         writer = writer.option("checkpointLocation", checkpoint)
     query = writer.trigger(availableNow=True).start()
     query.awaitTermination()
+    if not versions:
+        # a resume that found nothing new to replay still has a dim
+        versions.extend(_disk_versions(below_batch=2**63))
     if not versions:
         raise ValueError("change stream produced no batches")
     return spark.read.parquet(versions[-1])

@@ -49,28 +49,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from aws_etl_bank_spark.llm.dedup import band_rows_matches, minhash_band_index
 
 
-def dedup_batch_against_kept(batch: DataFrame, kept: DataFrame | None,
-                             index: DataFrame | None, text_col: str,
-                             id_col: str, num_perm: int, bands: int,
-                             shingle_n: int) -> DataFrame:
-    """One ingest step: within-batch exact dedup (lowest id wins), then
-    drop rows whose text already exists in the kept corpus — candidates
-    from the band index, decided by exact text equality.  Single-slice
-    convenience wrapper (the registry's ``dedup_minhash_incremental``
-    shape); the streaming loop below runs the same steps against its
-    compact+tail slices with the band rows hashed once."""
-    w = Window.partitionBy(text_col).orderBy(id_col)
-    local = (batch.withColumn("__rn", F.row_number().over(w))
-             .filter(F.col("__rn") == 1).drop("__rn"))
-    if kept is None or index is None:
-        return local
-    b_rows = minhash_band_index(local, text_col, id_col, num_perm, bands,
-                                shingle_n)
-    dup_ids = _verified_dup_ids(local, b_rows, [(index, kept)], text_col,
-                                id_col)
-    return local.join(dup_ids, id_col, "left_anti")
-
-
 def _verified_dup_ids(local: DataFrame, batch_bands: DataFrame,
                       slices: list[tuple[DataFrame, DataFrame]],
                       text_col: str, id_col: str) -> DataFrame:
@@ -197,7 +175,10 @@ def _latest_compact(state_dir: str) -> tuple[str, int, int, int] | None:
             with open(marker) as f:
                 m = json.load(f)
             upto, nb = int(m["upto_batch"]), int(m["n_buckets"])
-        except (ValueError, KeyError, OSError):
+        except (ValueError, KeyError, OSError, TypeError):
+            # TypeError: marker JSON parsed but is not a dict (e.g. a
+            # corrupt `null`) — reads as absent like any half-written
+            # marker, per the docstring contract
             continue
         if best is None or v > best[1]:
             best = (os.path.join(state_dir, d), v, upto, nb)
@@ -250,7 +231,13 @@ def _compact(spark: SparkSession, state_dir: str, upto_batch: int,
     attempt clears; absorbed batch dirs are only removed AFTER the new
     marker is durable, and a replayed batch whose dir was absorbed
     dedups against state that already contains its own survivors, so
-    it rewrites an empty dir above the waterline — no loss, no dupes."""
+    it rewrites an empty dir AT its old id (at-or-below the waterline,
+    invisible to tails and swept by the next compaction) — no loss, no
+    dupes.  GC is a full sweep of everything at-or-below the new
+    waterline, not just this round's inputs, so dirs orphaned by a
+    crash between a previous marker commit and its GC (or by such a
+    replay) are reclaimed on the next compaction instead of leaking
+    forever."""
     cur = _latest_compact(state_dir)
     prev_upto = cur[2] if cur else -1
     tail = _committed_state_dirs(state_dir, below_batch=upto_batch + 1,
@@ -284,31 +271,43 @@ def _compact(spark: SparkSession, state_dir: str, upto_batch: int,
     _write_marker(os.path.join(vdir, _COMMIT_MARKER),
                   json.dumps({"upto_batch": upto_batch,
                               "n_buckets": n_buckets}))
-    # GC the absorbed inputs: marker removed FIRST so a crash mid-rmtree
-    # leaves an invisible (not half-visible) dir
-    victims = list(tail)
-    if cur is not None:
-        victims.append(cur[0])
-        for leaf in ("index", "kept"):
-            spark.sql(
-                f"DROP TABLE IF EXISTS `{_table_name(state_dir, cur[1], leaf)}`")
-    for p in victims:
+    # GC: full sweep of everything at-or-below the new waterline —
+    # this round's inputs AND anything a crashed earlier GC or an
+    # absorbed-batch replay left behind.  Marker removed FIRST so a
+    # crash mid-rmtree leaves an invisible (not half-visible) dir.
+    for d in os.listdir(state_dir):
+        p = os.path.join(state_dir, d)
+        if d.startswith("b") and d[1:].isdigit():
+            if int(d[1:]) > upto_batch:
+                continue
+        elif (d.startswith(_COMPACT_PREFIX)
+              and d[len(_COMPACT_PREFIX):].isdigit()):
+            v = int(d[len(_COMPACT_PREFIX):])
+            if v >= version:
+                continue
+            for leaf in ("index", "kept"):
+                spark.sql(
+                    f"DROP TABLE IF EXISTS `{_table_name(state_dir, v, leaf)}`")
+        else:
+            continue
         m = os.path.join(p, _COMMIT_MARKER)
         if os.path.exists(m):
             os.remove(m)
         shutil.rmtree(p, ignore_errors=True)
 
 
-def _checkpoint_has_progress(checkpoint: str) -> bool:
+def _checkpoint_has_progress(checkpoint: str) -> bool | None:
     """Whether ``checkpoint`` looks like a GENUINE resume point — a
     structured-streaming checkpoint with at least one recorded offset.
-    Non-file URIs can't be inspected with driver-local os calls; they
-    are trusted (the state_dir itself is already required to be
-    local)."""
+    Returns ``None`` for a non-file URI: it cannot be inspected with
+    driver-local os calls, and the caller must FAIL rather than trust
+    it (r17 review — trusting it silently bypassed the
+    fresh-checkpoint-over-existing-state guard, the exact collision the
+    guard exists to reject)."""
     p = checkpoint
     if "://" in p:
         if not p.startswith("file:"):
-            return True
+            return None
         from urllib.parse import urlparse
 
         p = urlparse(p).path
@@ -353,8 +352,9 @@ def stream_dedup_against_index(stream: DataFrame, state_dir: str,
     before rewriting and re-adds it after, and an uncommitted dir is
     invisible to ``_committed_state_dirs``.  A replayed batch whose dir
     was already absorbed by a compaction sees its own survivors in the
-    compacted state and rewrites an empty dir above the waterline —
-    still exact.  Without a checkpoint a restart re-reads the source
+    compacted state and rewrites an empty dir at its old id — at or
+    below the waterline, so it never re-enters a tail and the next
+    compaction's sweep reclaims it — still exact.  Without a checkpoint a restart re-reads the source
     with ids from 0, which is why a PRE-POPULATED ``state_dir`` is
     REJECTED unless the checkpoint shows recorded progress (r16 advice:
     a fresh/empty checkpoint path over existing state is a collision,
@@ -384,14 +384,23 @@ def stream_dedup_against_index(stream: DataFrame, state_dir: str,
             "at 0 and this run would overwrite some of the existing dirs "
             "while unioning the stale rest into its result; pass the "
             "original checkpoint to resume, or use a fresh state_dir")
-    if pre_existing and not _checkpoint_has_progress(checkpoint):
-        raise ValueError(
-            f"state_dir {state_dir!r} already holds committed batch state "
-            f"but checkpoint {checkpoint!r} records no progress: a fresh "
-            "checkpoint restarts batch ids at 0, overwriting some "
-            "existing dirs while unioning the stale rest into the "
-            "result; pass the checkpoint of the run that wrote this "
-            "state, or use a fresh state_dir")
+    if pre_existing:
+        progress = _checkpoint_has_progress(checkpoint)
+        if progress is None:
+            raise ValueError(
+                f"state_dir {state_dir!r} already holds committed batch "
+                f"state and checkpoint {checkpoint!r} is not a local "
+                "path, so whether it records progress cannot be "
+                "verified; resume with the local checkpoint of the run "
+                "that wrote this state, or use a fresh state_dir")
+        if not progress:
+            raise ValueError(
+                f"state_dir {state_dir!r} already holds committed batch "
+                f"state but checkpoint {checkpoint!r} records no "
+                "progress: a fresh checkpoint restarts batch ids at 0, "
+                "overwriting some existing dirs while unioning the stale "
+                "rest into the result; pass the checkpoint of the run "
+                "that wrote this state, or use a fresh state_dir")
 
     spark = stream.sparkSession
     from pyspark.sql.types import (IntegerType, LongType, StructField,

@@ -75,26 +75,17 @@ def main():
                            "cdc_tp_%dx_%s" % (
                                copies,
                                os.path.basename(sf_dir.rstrip("/"))))
-    feed = os.path.join(scratch, "feed_%db" % n_batches)
-    success = os.path.join(feed, "_SUCCESS")
-    # staleness guard: a regenerated source table must invalidate the
-    # cached feed (batch count is part of the feed path for the same
-    # reason)
-    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
-    stale = (os.path.exists(success) and os.path.exists(src)
-             and os.path.getmtime(src) > os.path.getmtime(success))
-    if not os.path.exists(success) or stale:
-        (corpus.repartitionByRange(n_batches, "ts", "event_id")
-         .write.mode("overwrite").parquet(feed))
-        # file source replays in MODIFICATION-TIME order — stamp the
-        # ts-range files with increasing mtimes so the feed arrives in
-        # change order (not required for correctness — the stale-change
-        # guard is order-invariant — but it makes every batch churn)
-        parts = sorted(f for f in os.listdir(feed)
-                       if f.endswith(".parquet"))
-        t_base = os.path.getmtime(success)
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(feed, f), (t_base + i + 1, t_base + i + 1))
+    from aws_etl_bank_spark.sources.testdata import write_ordered_feed
+
+    # ts-ordered replay via the shared helper (not required for
+    # correctness — the stale-change guard is order-invariant — but it
+    # makes every batch churn); its staleness guard rebuilds the feed
+    # when the source table regenerates, and the batch count is part
+    # of the feed path for the same reason.
+    feed = write_ordered_feed(
+        corpus, os.path.join(scratch, "feed_%db" % n_batches),
+        n_batches, ["ts", "event_id"],
+        src_path=os.path.realpath(os.path.join(sf_dir, "events.parquet")))
 
     stream = (spark.readStream.schema(corpus.schema)
               .option("maxFilesPerTrigger", 1).parquet(feed))

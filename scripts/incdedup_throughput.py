@@ -78,27 +78,17 @@ def main():
                            "incdedup_tp_%dx_%s" % (
                                copies,
                                os.path.basename(sf_dir.rstrip("/"))))
-    feed = os.path.join(scratch, "feed_%db" % n_batches)
-    success = os.path.join(feed, "_SUCCESS")
-    # staleness guard (r16 review; mirrors the registry entry's): a
-    # regenerated source table must invalidate the cached feed, or the
-    # stream replays last round's documents against THIS round's
-    # expected_kept.  The batch count is part of the feed path above
-    # for the same reason.
-    src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    stale = (os.path.exists(success) and os.path.exists(src)
-             and os.path.getmtime(src) > os.path.getmtime(success))
-    if not os.path.exists(success) or stale:
-        (corpus.repartitionByRange(n_batches, "doc_id")
-         .write.mode("overwrite").parquet(feed))
-        # the file source replays files in MODIFICATION-TIME order —
-        # stamp range files with increasing mtimes so the feed arrives
-        # in id order (stripe-0 originals strictly before the copies)
-        parts = sorted(f for f in os.listdir(feed)
-                       if f.endswith(".parquet"))
-        t_base = os.path.getmtime(success)
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(feed, f), (t_base + i + 1, t_base + i + 1))
+    from aws_etl_bank_spark.sources.testdata import write_ordered_feed
+
+    # id-ordered replay (stripe-0 originals strictly before the copies)
+    # via the shared helper, whose _SUCCESS-mtime staleness guard also
+    # rebuilds the feed when the source table regenerates; the batch
+    # count is part of the feed path for the same reason.
+    feed = write_ordered_feed(
+        corpus, os.path.join(scratch, "feed_%db" % n_batches),
+        n_batches, ["doc_id"],
+        src_path=os.path.realpath(
+            os.path.join(sf_dir, "documents.parquet")))
 
     stream = (spark.readStream.schema(corpus.schema)
               .option("maxFilesPerTrigger", 1).parquet(feed))

@@ -459,6 +459,63 @@ class TestCdcScd2:
         for r in closed:
             assert r.value < active[r.user_id]
 
+    def test_resume_recovers_dim_from_disk(self, spark, scratch):
+        """r17 review: a checkpointed restart replays batch ids with an
+        empty in-memory versions list — the first handled batch must
+        recover the newest COMPLETE on-disk version below its own id,
+        not silently re-stamp a fresh dim over the prior run's history.
+        Simulated by pre-seeding state_dir with a v0 dim (as a crashed
+        prior run would leave) and streaming a feed whose single batch
+        replays as id 1 via a hand-advanced checkpoint... simpler and
+        equivalent: call cdc_apply_scd2 twice over a growing source dir
+        with the SAME state_dir and checkpoint — the second run resumes
+        and must retain the first run's keys."""
+        import datetime as dt
+        import uuid
+
+        from aws_etl_bank_spark.streaming.cdc import cdc_apply_scd2
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        tag = uuid.uuid4().hex[:8]
+        src = f"{scratch}/cdc_feed_{tag}"
+        state = f"{scratch}/cdc_state_{tag}"
+        ck = f"{scratch}/cdc_ckpt_{tag}"
+        first = self._batch(spark, [(1, t(1), 100, 1.0), (2, t(2), 101, 2.0)])
+        first.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(first.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        dim1 = cdc_apply_scd2(stream, state, key="user_id",
+                              value_cols=["value"], checkpoint=ck)
+        assert {r.user_id for r in dim1.filter("is_active").collect()} \
+            == {100, 101}
+        # second run: NEW process would have versions=[]; new change for
+        # a NEW key arrives — key 100/101 history must survive
+        more = self._batch(spark, [(3, t(3), 102, 3.0)])
+        more.coalesce(1).write.mode("append").parquet(src)
+        stream2 = (spark.readStream.schema(first.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+        dim2 = cdc_apply_scd2(stream2, state, key="user_id",
+                              value_cols=["value"], checkpoint=ck)
+        active = {r.user_id: r.value for r in dim2.filter("is_active").collect()}
+        assert active == {100: 1.0, 101: 2.0, 102: 3.0}
+
+    def test_keep_versions_validation(self, spark, scratch):
+        import pytest
+
+        from aws_etl_bank_spark.streaming.cdc import cdc_apply_scd2
+
+        df = spark.createDataFrame(
+            [(1, None, 1, 1.0)],
+            "event_id long, ts timestamp, user_id long, value double")
+        feed = f"{scratch}/kv_feed"
+        df.write.mode("overwrite").parquet(feed)
+        stream = spark.readStream.schema(df.schema).parquet(feed)
+        for bad in (0, -1):
+            with pytest.raises(ValueError, match="keep_versions"):
+                cdc_apply_scd2(stream, f"{scratch}/kv_state",
+                               key="user_id", value_cols=["value"],
+                               keep_versions=bad)
+
     def test_keep_versions_bounds_state_and_observer_reports(
             self, spark, scratch):
         """r17: ``keep_versions=2`` leaves only the newest two version
@@ -670,12 +727,17 @@ def test_incremental_dedup_fresh_checkpoint_over_state_rejected(
     from aws_etl_bank_spark.streaming.incremental_dedup import (
         _checkpoint_has_progress)
 
-    assert not _checkpoint_has_progress(str(ck))
+    assert _checkpoint_has_progress(str(ck)) is False
     (ck / "offsets").mkdir()
     (ck / "offsets" / "0").write_text("v1")
-    assert _checkpoint_has_progress(str(ck))
-    assert _checkpoint_has_progress("file://" + str(ck))
-    assert _checkpoint_has_progress("s3a://bucket/ck")  # uninspectable
+    assert _checkpoint_has_progress(str(ck)) is True
+    assert _checkpoint_has_progress("file://" + str(ck)) is True
+    # uninspectable non-file URI: None, and the guard REJECTS it over
+    # pre-existing state instead of trusting it (r17 review)
+    assert _checkpoint_has_progress("s3a://bucket/ck") is None
+    with pytest.raises(ValueError, match="cannot be verified"):
+        stream_dedup_against_index(stream, str(state),
+                                   checkpoint="s3a://bucket/ck")
 
 
 def test_tws_runs_with_vendored_protobuf(spark, tmp_path):
