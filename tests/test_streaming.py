@@ -685,13 +685,40 @@ def test_incremental_dedup_compaction_preserves_exact_dedup(spark, tmp_path):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        probe = idx.limit(10).select("band", "band_hash").withColumn(
-            "doc_id", F.lit(999).cast("long"))
-        plan = (probe.join(idx, ["band", "band_hash"])
-                ._jdf.queryExecution().executedPlan().toString())
+        # the EXACT candidate join handle() runs against the compacted
+        # slice: fresh batch band rows vs the registered bucketed index
+        # — the history branch must reach its scan Exchange-free (the
+        # one Exchange below the join is the O(batch) side
+        # repartitioning into the bucket layout)
+        from aws_etl_bank_spark.llm.dedup import (band_rows_matches,
+                                                  minhash_band_index)
+
+        batch = spark.createDataFrame(
+            [(100, "aa bb cc"), (101, "zz yy xx")],
+            "doc_id long, text string")
+        b_rows = minhash_band_index(batch, "text", "doc_id")
+        cand = band_rows_matches(b_rows, idx)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    assert "Bucketed: true" in plan
+    lines = plan.splitlines()
+    scan_i = next(i for i, ln in enumerate(lines)
+                  if "incdedup_" in ln and "Scan" in ln)
+    assert "Bucketed: true" in lines[scan_i]
+    join_i = max(i for i, ln in enumerate(lines)
+                 if "SortMergeJoin" in ln and i < scan_i)
+    # between the join and the bucketed scan, the INDEX branch (the
+    # join's second child — its lines carry no ':' continuation marker,
+    # unlike the batch-branch subtree) must be Exchange-free; the batch
+    # branch is allowed its repartition into the bucket layout (plus
+    # the MinHash lineage's own internal exchanges)
+    sub = lines[join_i + 1:scan_i + 1]
+    index_branch = [ln for ln in sub
+                    if ":" not in ln.split("+-")[0]]
+    assert not any("Exchange" in ln for ln in index_branch), index_branch
+    batch_branch = [ln for ln in sub if ln not in index_branch]
+    assert any("Exchange hashpartitioning(band" in ln
+               for ln in batch_branch), batch_branch
 
 
 def test_incremental_dedup_fresh_checkpoint_over_state_rejected(
