@@ -65,11 +65,16 @@ def _minhash_pair_invariants(pairs, docs, threshold):
     set.  The shingle recompute is restricted to the docs the result
     NAMES (O(result), not a second corpus pass — this entry is in the
     frozen bench set); a fabricated id still reads as null shingles
-    because the left joins find no row for it.  A dropped star edge,
-    fabricated pair, below-threshold pair, or wrong jaccard value each
-    flips its own column."""
+    because the left joins find no row for it.  The pair list is
+    localCheckpoint'ed FIRST: the ids derivation and the verify join
+    consume it three times, and without materialization each
+    consumption re-evaluates the whole LSH generation DAG — measured
+    4.4 s vs 1.9 s at sf0.1 (the A/B is in PERF.md).  A dropped star
+    edge, fabricated pair, below-threshold pair, or wrong jaccard
+    value each flips its own column."""
     from aws_etl_bank_spark.llm.dedup import _shingle_frame
 
+    pairs = pairs.localCheckpoint(eager=False)
     ids = (pairs.select(F.col("id_a").alias("doc_id"))
            .union(pairs.select(F.col("id_b").alias("doc_id"))).distinct())
     sh = _shingle_frame(docs.join(ids, "doc_id", "left_semi"),
@@ -276,6 +281,10 @@ def _simhash_pair_invariants(pairs, docs, max_hamming):
     pairs must equal the oracle's Σ(class_size − 1)."""
     from aws_etl_bank_spark.llm.dedup import simhash_signatures
 
+    # materialize once — ids + the verify join would otherwise
+    # re-evaluate the LSH generation DAG per consumption (see the
+    # minhash helper's A/B)
+    pairs = pairs.localCheckpoint(eager=False)
     ids = (pairs.select(F.col("id_a").alias("doc_id"))
            .union(pairs.select(F.col("id_b").alias("doc_id"))).distinct())
     sub = docs.join(ids, "doc_id", "left_semi")
