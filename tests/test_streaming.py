@@ -584,6 +584,80 @@ def test_incremental_dedup_batches_equal_global_exact_dedup(spark, tmp_path):
     assert got == [1, 2, 4, 7]
 
 
+def test_compaction_crash_leftovers_and_corrupt_manifests(spark, tmp_path):
+    """The crash paths of the r17 LSM compaction the end-to-end test
+    never reaches:
+
+    1. an UNCOMMITTED ``compact_v<N>`` dir (data written, no marker —
+       a crash mid-compaction) is invisible to ``_latest_compact`` and
+       is CLEARED by the next compaction attempt at that version;
+    2. a manifest marker that parses but is not a dict (a corrupt
+       ``null``) also reads as absent — and never breaks discovery;
+    3. after a direct ``_compact`` over committed batch dirs the new
+       version carries the manifest (upto_batch, n_buckets), the
+       absorbed batch dirs are GC'd, and the compacted kept slice
+       still equals the exact-dedup survivor set."""
+    import os
+
+    from aws_etl_bank_spark.streaming.incremental_dedup import (
+        _COMMIT_MARKER, _compact, _latest_compact,
+        stream_dedup_against_index)
+
+    rows = [(1, "aa bb cc"), (2, "dd ee ff"),      # batch 0
+            (11, "aa bb cc"), (12, "gg hh ii")]    # batch 1 (11 is a dup)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feed = str(tmp_path / "feed")
+    df.repartitionByRange(2, "doc_id").write.parquet(feed)
+    parts = sorted(f for f in os.listdir(feed) if f.endswith(".parquet"))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(feed, f), (1_000_000 + i, 1_000_000 + i))
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    state = str(tmp_path / "state")
+    kept = stream_dedup_against_index(stream, state, compact_every=99,
+                                      n_buckets=4)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 12]
+
+    # (1) crashed attempt: data, no marker
+    v0 = os.path.join(state, "compact_v0")
+    os.makedirs(os.path.join(v0, "index"))
+    with open(os.path.join(v0, "index", "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    # (2) corrupt manifest: parses as JSON null, not a dict
+    v5 = os.path.join(state, "compact_v5")
+    os.makedirs(v5)
+    with open(os.path.join(v5, _COMMIT_MARKER), "w") as f:
+        f.write("null")
+    assert _latest_compact(state) is None
+
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    kept_schema = StructType([StructField("doc_id", LongType()),
+                              StructField("text", StringType())])
+    index_schema = StructType([StructField("doc_id", LongType()),
+                               StructField("band", IntegerType()),
+                               StructField("band_hash", LongType())])
+    _compact(spark, state, upto_batch=1, id_col="doc_id", n_buckets=4,
+             kept_schema=kept_schema, index_schema=index_schema)
+
+    cur = _latest_compact(state)
+    assert cur is not None
+    vdir, version, upto, n_buckets = cur
+    # the crashed v0 was cleared and REWRITTEN at version 0 (cur was
+    # None, so numbering restarts there), with the manifest intact
+    assert (version, upto, n_buckets) == (0, 1, 4)
+    assert not os.path.exists(os.path.join(vdir, "index",
+                                           "part-junk.parquet"))
+    # (3) absorbed batch dirs GC'd; corrupt v5 is invisible but only
+    # reclaimed when compaction reaches version 5 (GC sweeps v < new)
+    left = sorted(os.listdir(state))
+    assert left == ["compact_v0", "compact_v5"], left
+    got = (spark.read.schema(kept_schema)
+           .parquet(os.path.join(vdir, "kept")))
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2, 12]
+
+
 def test_incremental_dedup_state_contract(spark, tmp_path):
     """The r16 append-state machinery's guard rails (r16 review — the
     happy-path test above exercises none of them):
