@@ -148,6 +148,22 @@ def rolling_zscore(df: DataFrame, value_col: str, keys: list[str],
     """
     if window_rows < 2:
         raise ValueError("window_rows must be >= 2")
+    # __mu/__sd are materialized as columns BEFORE the when(): inlining
+    # `sd` into both the predicate and the division makes Catalyst emit
+    # the stddev window expression TWICE (no CSE across extracted window
+    # expressions — the r17 plan showed three _we slots for two distinct
+    # aggregates), and a sliding ROWS frame re-aggregates its whole
+    # frame per row, so the duplicate costs a full extra O(window_rows)
+    # scan per row.  Same IEEE values either way (guide §1.2 step 2).
+    def _combine(d: DataFrame, w) -> DataFrame:
+        d = (d.withColumn("__mu", F.avg(value_col).over(w))
+             .withColumn("__sd", F.stddev_samp(value_col).over(w)))
+        return d.withColumn(
+            out_col,
+            F.when(F.col("__sd") != 0,
+                   (F.col(value_col) - F.col("__mu")) / F.col("__sd"))
+        ).drop("__mu", "__sd")
+
     if coarse_bucket_seconds is not None:
         from aws_etl_bank_spark.operators.windows import (
             HELPER_COLS, trailing_rows_window_split)
@@ -155,19 +171,11 @@ def rolling_zscore(df: DataFrame, value_col: str, keys: list[str],
         split, w = trailing_rows_window_split(
             df, keys, order_cols, window_rows,
             coarse_bucket_seconds, bucket_rows)
-        mu = F.avg(value_col).over(w)
-        sd = F.stddev_samp(value_col).over(w)
-        return (
-            split.withColumn(
-                out_col, F.when(sd != 0, (F.col(value_col) - mu) / sd))
-            .filter(F.col("__own")).drop(*HELPER_COLS)
-        )
+        return (_combine(split, w)
+                .filter(F.col("__own")).drop(*HELPER_COLS))
     w = (Window.partitionBy(*keys).orderBy(*order_cols)
          .rowsBetween(-window_rows, -1))
-    mu = F.avg(value_col).over(w)
-    sd = F.stddev_samp(value_col).over(w)
-    return df.withColumn(
-        out_col, F.when(sd != 0, (F.col(value_col) - mu) / sd))
+    return _combine(df, w)
 
 
 def sessionize_gap(df: DataFrame, gap_seconds: int = 21600,

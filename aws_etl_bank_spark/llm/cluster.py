@@ -57,7 +57,6 @@ def lloyd_assign(corpus: DataFrame, k: int = 4, iters: int = 2,
     smallest-id vectors as seeds, then a FINAL assignment with the
     resulting centroids → (id, cid).  Deterministic end to end: seed
     choice by id, integer component sums, tie-broken argmin."""
-    spark = corpus.sparkSession
     q = corpus.select(F.col(id_col).alias("__km_id"),
                       _quantize(F.col(vec_col), scale).alias("__km_v"))
     from pyspark import StorageLevel
@@ -69,19 +68,29 @@ def lloyd_assign(corpus: DataFrame, k: int = 4, iters: int = 2,
     cents = [(i, [float(x) for x in r["__km_v"]])
              for i, r in enumerate(seed_rows)]
 
-    def assign(cent_df):
-        return (q.join(F.broadcast(cent_df), F.lit(True))
-                .withColumn("__km_d",
-                            _l2sq_ordered(F.col("__km_v"), F.col("__km_c")))
-                .groupBy("__km_id")
-                .agg(F.min(F.struct("__km_d", "__km_cid"))["__km_cid"]
-                     .alias("cid"),
-                     F.first("__km_v").alias("__km_v")))
+    def assign(cent_list):
+        # centroids are driver-known between iterations, so the argmin
+        # is a pure MAP-SIDE expression: one (dist, cid) struct per
+        # centroid, F.least = the same lexicographic (dist, cid) min as
+        # the former min(struct) aggregate.  The previous form — a
+        # k-way broadcast cross join + groupBy(__km_id) struct-min —
+        # shuffled the whole (id, vector) corpus once per iteration for
+        # an argmin that needs no data movement at all (r17, guide
+        # §2.4); distances still fold left-to-right via _l2sq_ordered,
+        # so every value is bit-identical to the joined form.
+        scored = [
+            F.struct(
+                _l2sq_ordered(
+                    F.col("__km_v"),
+                    F.array(*[F.lit(float(x)) for x in c])).alias("__km_d"),
+                F.lit(int(cid)).alias("__km_cid"))
+            for cid, c in cent_list
+        ]
+        arg = scored[0] if len(scored) == 1 else F.least(*scored)
+        return q.select("__km_id", "__km_v", arg["__km_cid"].alias("cid"))
 
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            cents, "__km_cid int, __km_c array<double>")
-        a = assign(cent_df)
+        a = assign(cents)
         upd = (a.select("cid", F.posexplode("__km_v")
                         .alias("__km_pos", "__km_comp"))
                .groupBy("cid", "__km_pos")
@@ -99,9 +108,7 @@ def lloyd_assign(corpus: DataFrame, k: int = 4, iters: int = 2,
         cents = [(r["cid"], [float(x) for x in r["__km_c"]])
                  for r in sorted(mean_rows, key=lambda r: r["cid"])]
 
-    cent_df = spark.createDataFrame(
-        cents, "__km_cid int, __km_c array<double>")
-    out = assign(cent_df).select(F.col("__km_id").alias(id_col),
-                                 F.col("cid").cast("int").alias("cid"))
+    out = assign(cents).select(F.col("__km_id").alias(id_col),
+                               F.col("cid").cast("int").alias("cid"))
     q.unpersist()
     return out

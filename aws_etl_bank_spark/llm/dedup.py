@@ -255,7 +255,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     edges = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     edges = edges.persist()
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
-    labels = labels.localCheckpoint()
+    # lazy: materialized by round 1's convergence count in the same job
+    # (an eager checkpoint would spend a dedicated job per round — r17)
+    labels = labels.localCheckpoint(eager=False)
     converged = False
     for it in range(max_iterations):
         neighbor_min = (
@@ -268,7 +270,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
             (F.coalesce("ncomp", "comp") < F.col("comp")).alias("_changed"),
         )
-        new_labels = new_labels.localCheckpoint()
+        new_labels = new_labels.localCheckpoint(eager=False)
+        # the round's ONE job: materializes the lazy checkpoint blocks
+        # and counts the changed flags off them in the same pass
         changed = new_labels.filter("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -1349,14 +1353,20 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     lineage per round."""
     raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # nodes BEFORE the self-loop filter: a node whose only edge is a
-    # self-loop is still a (singleton) component, like min-label CC
+    # self-loop is still a (singleton) component, like min-label CC.
+    # LAZY checkpoints throughout (r17): an eager localCheckpoint runs a
+    # dedicated materialization job, then the next action re-reads the
+    # cached blocks — with eager=False the first real action (the round's
+    # convergence-signature collect, or the caller's final action for
+    # `nodes`) materializes the blocks in the same job, halving the
+    # job count of every round at identical lineage-truncation safety.
     nodes = (raw.select(F.col("a").alias("id"))
              .union(raw.select(F.col("b").alias("id")))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint(eager=False))
     e0 = raw.filter(F.col("a") != F.col("b"))
     edges = (e0.select(F.least("a", "b").alias("a"),
                        F.greatest("a", "b").alias("b"))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint(eager=False))
     prev_sig, converged = None, False
     for _ in range(max_rounds):
         both = edges.union(edges.select(F.col("b").alias("a"),
@@ -1374,7 +1384,9 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         edges_new = (em1.union(em2).filter(F.col("a") != F.col("b"))
                      .select(F.least("a", "b").alias("a"),
                              F.greatest("a", "b").alias("b"))
-                     .distinct().localCheckpoint())
+                     .distinct().localCheckpoint(eager=False))
+        # this collect is the round's ONE job: it materializes the lazy
+        # checkpoint blocks and folds them into the 2-value signature
         s = edges_new.agg(F.count(F.lit(1)).alias("n"),
                           F.sum(F.xxhash64("a", "b")).alias("h")).collect()[0]
         sig = (s["n"], s["h"])

@@ -109,6 +109,92 @@ def running_sum_split(
             .drop("__tb", "__in", "__off"))
 
 
+def running_sums_split_nested(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    order_col: str,
+    value_col: str,
+    fine_out: str,
+    coarse_out: str,
+    coarse_bucket_seconds: float,
+    nullsafe: bool = True,
+) -> DataFrame:
+    """Both running sums of a NESTED key pair — ``SUM(value) OVER
+    (PARTITION BY fine_keys ORDER BY order_col)`` and the same over
+    ``coarse_keys`` — in ONE pass, where ``coarse_keys`` is a strict
+    subset of ``fine_keys`` (the flagship's (cust, acc) / (cust) pair).
+
+    Two chained :func:`running_sum_split` calls shuffle the data once
+    per inner window plus once per join-back side, and the second
+    call's offsets branch re-executes the first call's join (r17 plan:
+    five data-sized Exchanges + two sort-merge joins).  The nested form
+    exploits three structural facts (guide §2.4 — remove shuffles
+    outright):
+
+    - the work is interleaved as two stages — [fine window, fine
+      offset join] then [coarse window, coarse offset join] — so the
+      exchange EnsureRequirements inserts for each stage's window is
+      on exactly that stage's join keys and the join reuses it (the
+      co-partitioning rule requires ALL join keys in the partitioning
+      — ``spark.sql.requireAllClusterKeysForCoPartition`` — so a
+      single shared subset-key repartition would be re-shuffled at
+      both joins, measured r17): the data crosses the wire twice,
+      versus five data exchanges for the chained calls;
+    - the coarse per-bucket totals are the fine totals re-aggregated
+      (associative re-grouping; the combined sums feed the same
+      downstream rounding the plain/split equivalence already relies
+      on), so ONE totals scan serves both offset tables;
+    - the offset join-backs are aggregate-sized and, with plain ``=``
+      equality, a SHUFFLE_HASH hint keeps the big side unsorted
+      (``nullsafe=True`` falls back to ``<=>`` joins, which repartition
+      both sides on the null-safe key form: exact for NULL keys, two
+      extra data exchanges — pass ``nullsafe=False`` when every key
+      and the order column are provably non-null).
+
+    Column order is preserved; ``fine_out`` then ``coarse_out`` are
+    appended, matching the chained-call shape.
+    """
+    if coarse_bucket_seconds <= 0:
+        raise ValueError("coarse_bucket_seconds must be positive")
+    if not set(coarse_keys) < set(fine_keys):
+        raise ValueError("coarse_keys must be a strict subset of fine_keys")
+    d0 = df.withColumn("__tb", _time_bucket(df, order_col, coarse_bucket_seconds))
+    wf = Window.partitionBy(*fine_keys, "__tb").orderBy(order_col)
+    wc = Window.partitionBy(*coarse_keys, "__tb").orderBy(order_col)
+
+    totf = d0.groupBy(*fine_keys, "__tb").agg(F.sum(value_col).alias("__totf"))
+    owf = (Window.partitionBy(*fine_keys).orderBy("__tb")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    offf = totf.select(*fine_keys, "__tb",
+                       F.sum("__totf").over(owf).alias("__offf"))
+    totc = (totf.groupBy(*coarse_keys, "__tb")
+            .agg(F.sum("__totf").alias("__totc")))
+    owc = (Window.partitionBy(*coarse_keys).orderBy("__tb")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    offc = totc.select(*coarse_keys, "__tb",
+                       F.sum("__totc").over(owc).alias("__offc"))
+
+    d = d0.withColumn("__inf", F.sum(value_col).over(wf))
+    if nullsafe:
+        d = _nullsafe_equi_join(d, offf, [*fine_keys, "__tb"], how="inner")
+        d = d.withColumn("__inc", F.sum(value_col).over(wc))
+        d = _nullsafe_equi_join(d, offc, [*coarse_keys, "__tb"], how="inner")
+    else:
+        d = d.join(offf.hint("shuffle_hash"), [*fine_keys, "__tb"])
+        d = d.withColumn("__inc", F.sum(value_col).over(wc))
+        d = d.join(offc.hint("shuffle_hash"), [*coarse_keys, "__tb"])
+
+    def _combine(inner, off):
+        return F.when(
+            F.col(inner).isNull() & F.col(off).isNull(), F.lit(None)
+        ).otherwise(F.coalesce(inner, F.lit(0)) + F.coalesce(off, F.lit(0)))
+
+    return (d.withColumn(fine_out, _combine("__inf", "__offf"))
+            .withColumn(coarse_out, _combine("__inc", "__offc"))
+            .drop("__tb", "__inf", "__inc", "__offf", "__offc"))
+
+
 def trailing_rows_window_split(
     df: DataFrame,
     keys: list[str],

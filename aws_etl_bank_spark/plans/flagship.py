@@ -122,10 +122,15 @@ cte_month_avg AS (
     -- combine reduces the scan to 12 rows before the exchange; the
     -- result broadcasts.  (A window partitioned on month(...) would
     -- shuffle every row into <=12 unsplittable tasks at scale.)
+    -- Reads the UN-widened view: widen_if_underscanned's remedy
+    -- repartition helps only the heavy base aggregate — through the
+    -- shared `transactions` view it also landed a full-fact Exchange
+    -- under THIS 12-row aggregate (r17 plan op 51), where map-side
+    -- partial combine pipelined on the scan needs no exchange at all.
     SELECT month(transaction_date) AS month_key,
            SUM(amount)             AS month_sum,
            COUNT(amount)           AS month_cnt
-    FROM transactions
+    FROM transactions_month
     GROUP BY month(transaction_date)
 )"""
 
@@ -194,7 +199,7 @@ cte_acc_accum AS (
 cte_month_avg AS (
     SELECT month(transaction_date) AS month_key,
            AVG(amount)             AS avg_monthly_spending
-    FROM transactions
+    FROM transactions_month
     GROUP BY month(transaction_date)
 )
 SELECT /*+ BROADCAST(d) */
@@ -265,6 +270,9 @@ def build_fact_snapshot(spark: SparkSession, sf_dir: str, fidelity: bool = False
     # sf0.1 (3 row groups, 32 cores); dead branch at scale.  The probe
     # is the bare fact scan: broadcast joins preserve its partitioning
     # and probing the joined frame would materialize the broadcasts.
+    # the month aggregate reads the un-widened fact (see _SHARED_CTES):
+    # its 12-row map-side combine never needs the remedy repartition
+    trans.createOrReplaceTempView("transactions_month")
     trans = widen_if_underscanned(
         trans, "transaction_date", "cust_id", "acc_id", "account_type_name",
         probe=spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
@@ -285,7 +293,7 @@ def _fact_snapshot_split(spark: SparkSession,
     ``running_sum_split`` then appends the (cust, acc) and cust
     accumulations as within-bucket RANGE windows plus a tiny
     earlier-bucket offset join — no per-key serial window anywhere."""
-    from aws_etl_bank_spark.operators.windows import running_sum_split
+    from aws_etl_bank_spark.operators.windows import running_sums_split_nested
 
     pre = spark.sql(f"""
 WITH {_SHARED_CTES},
@@ -311,24 +319,26 @@ JOIN cte_month_avg m
   ON m.month_key = month(a1.transaction_date)
 JOIN date_dim d
   ON d.full_date = a1.transaction_date""")
-    # each running_sum_split references its input twice (per-bucket
-    # totals + the offset join-back), so without a barrier the whole
-    # fact aggregation above would recompute 4x across the two chained
-    # splits; one lazy materialization of the aggregated (daily-grain,
-    # far smaller than the fact) frame caps it at 1x
+    # the nested helper references its input twice (per-bucket totals +
+    # the window/join spine), so one lazy materialization of the
+    # aggregated (daily-grain, far smaller than the fact) frame caps
+    # the fact aggregation above at 1x
     pre = pre.localCheckpoint(eager=False)
-    split = running_sum_split(
-        pre, ["cust_id", "acc_id"], "transaction_date",
-        "account_daily_spending", "account_accum_spending",
-        coarse_bucket_seconds)
-    # NOT barriered between the splits: an A/B measured the second
-    # checkpoint's full-frame disk write costlier than the recompute it
-    # saves (8.8 vs 8.3 s at sf0.1) — the split window machinery is
-    # cheap relative to materializing its output
-    split = running_sum_split(
-        split, ["cust_id"], "transaction_date",
-        "account_daily_spending", "cust_accum_spending",
-        coarse_bucket_seconds)
+    # one fused pass for BOTH running sums (r17, guide §2.4): the two
+    # chained running_sum_split calls cost five data-sized Exchanges +
+    # two sort-merge join-backs, with the second call's offsets branch
+    # re-executing the first call's join; the nested form repartitions
+    # the daily-grain frame ONCE on (cust, time-bucket) — which serves
+    # both inner windows and both aggregate-sized offset join-backs —
+    # and derives the cust-bucket totals from the (cust, acc)-bucket
+    # totals.  nullsafe=False is sound here: cust_id/acc_id are group
+    # keys of an inner-joined fact (never NULL) and transaction_date is
+    # to_date of a non-null ship date, so __tb is non-null too.
+    split = running_sums_split_nested(
+        pre, ["cust_id", "acc_id"], ["cust_id"], "transaction_date",
+        "account_daily_spending",
+        "account_accum_spending", "cust_accum_spending",
+        coarse_bucket_seconds, nullsafe=False)
     return split.select(
         "date_key", "transaction_date", "cust_id", "acc_id",
         "account_type_name", "account_no_transactions_daily",
@@ -399,6 +409,7 @@ def run_banking_etl(spark: SparkSession, raw_dir: str, golden_dir: str,
         )
     )
     trans.createOrReplaceTempView("transactions")
+    trans.createOrReplaceTempView("transactions_month")
     build_date_dim(spark, "2015-01-01", "2024-12-31").createOrReplaceTempView("date_dim")
     fact = spark.sql(fact_snapshot_sql(fidelity))
     if write:

@@ -43,7 +43,10 @@ def main() -> None:
     spark = get_spark("qtime")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    out: dict[str, dict] = {}
+    from bench import calibration_probe
+    probe0 = calibration_probe(spark)
+    print(f"probe_pre: {probe0}", flush=True)
+    out: dict[str, dict] = {"__probes": {"pre": probe0}}
     for name in names:
         fn = qs[name]
         spark.sparkContext.setJobDescription(f"warmup:{name}")
@@ -68,6 +71,8 @@ def main() -> None:
         out[name] = {"median": ts_sorted[len(ts) // 2], "samples": ts}
         print(f"{name}: median {out[name]['median']} samples {ts}",
               flush=True)
+    out["__probes"]["post"] = calibration_probe(spark)
+    print(f"probe_post: {out['__probes']['post']}", flush=True)
     print("QTIME " + json.dumps(out, separators=(",", ":")), flush=True)
 
 
