@@ -77,8 +77,12 @@ def _minhash_pair_invariants(pairs, docs, threshold):
     pairs = pairs.localCheckpoint(eager=False)
     ids = (pairs.select(F.col("id_a").alias("doc_id"))
            .union(pairs.select(F.col("id_b").alias("doc_id"))).distinct())
+    # the per-id shingle relation is consumed by BOTH pair sides; lazy
+    # checkpoint so the docs semi-join + re-shingle runs once, not twice
+    # (the r17 baseline plan duplicated the whole branch per side)
     sh = _shingle_frame(docs.join(ids, "doc_id", "left_semi"),
-                        "text", "doc_id", 3, alias="sh")
+                        "text", "doc_id", 3,
+                        alias="sh").localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
     j = (pairs.join(a, "id_a", "left").join(b, "id_b", "left")
@@ -147,7 +151,10 @@ def _dedup_keep_invariants(kept, docs):
         F.sum("__n").cast("bigint").alias("n_docs"),
         F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
         .cast("bigint").alias("n_class_extras"))
-    k = kept.select("doc_id", "text")
+    # materialize once: base and per_cls both consume the keep set, and
+    # each reference would otherwise re-run the whole greedy LSH DAG
+    # (the same 2x-re-execution class the pairs helper's A/B measured)
+    k = kept.select("doc_id", "text").localCheckpoint(eager=False)
     base = (k.join(docs.select("doc_id", F.col("text").alias("__dt")),
                    "doc_id", "left")
             .agg(F.count(F.lit(1)).alias("__n_kept"),
@@ -289,19 +296,22 @@ def _simhash_pair_invariants(pairs, docs, max_hamming):
            .union(pairs.select(F.col("id_b").alias("doc_id"))).distinct())
     sub = docs.join(ids, "doc_id", "left_semi")
     sigs = simhash_signatures(sub, "text", "doc_id")
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("__ba"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("__bb"))
-    # membership marker, NOT text non-nullness: a genuine corpus doc
-    # with NULL text must still count as in-corpus; texts compare
-    # through the operator's coalesce(text, '') class key
-    ta = docs.select(F.col("doc_id").alias("id_a"),
-                     F.coalesce(F.col("text"), F.lit("")).alias("__ta"),
-                     F.lit(1).alias("__ma"))
-    tb = docs.select(F.col("doc_id").alias("id_b"),
-                     F.coalesce(F.col("text"), F.lit("")).alias("__tb"),
-                     F.lit(1).alias("__mb"))
+    # ONE per-id verify relation, materialized once (r17): signatures
+    # LEFT-joined onto the membership/text rows — a NULL-text corpus doc
+    # has no tokens, so simhash_signatures drops it, but it must still
+    # carry its membership marker (__m) and class text (coalesce'd, the
+    # operator's class key).  The former shape — separate sig and text
+    # relations per pair side — cost four joins and two extra docs
+    # scans per run; this is two joins against one checkpointed branch.
+    vr = (sub.select("doc_id",
+                     F.coalesce(F.col("text"), F.lit("")).alias("__t"),
+                     F.lit(1).alias("__m"))
+          .join(sigs, "doc_id", "left").localCheckpoint(eager=False))
+    a = vr.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("__ba"),
+                  F.col("__t").alias("__ta"), F.col("__m").alias("__ma"))
+    b = vr.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("__bb"),
+                  F.col("__t").alias("__tb"), F.col("__m").alias("__mb"))
     j = (pairs.join(a, "id_a", "left").join(b, "id_b", "left")
-         .join(ta, "id_a", "left").join(tb, "id_b", "left")
          .withColumn("__h", F.aggregate(
              F.zip_with("__ba", "__bb",
                         lambda x, y: (x != y).cast("int")),
