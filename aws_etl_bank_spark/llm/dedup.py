@@ -232,13 +232,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     Min-label propagation: each round every node takes the min label among
     itself and its neighbors — converging in O(graph diameter) rounds.
     Duplicate chains are short in practice, so the loop usually stops after
-    2-4 rounds; ``max_iterations`` bounds pathological graphs.  Each round
-    is one equi-join + min-aggregate (both shuffle on node id and combine
-    map-side), ``localCheckpoint`` truncates the growing lineage, and the
-    convergence probe is a flag counted on the SAME pass (no extra join
-    job).  This is the standard iterative-CC-over-edge-list shape that
+    2-4 rounds; ``max_iterations`` bounds pathological graphs.  Per round
+    (r17, guide §2.4): the "min of self and neighbors" update is ONE
+    equi-join + min-aggregate over the edge list WITH a self-loop at every
+    node — the self-loop folds the node's own label into the same
+    map-side-combined min, so the second per-round join (labels LEFT JOIN
+    neighbor-min) the textbook formulation pays is gone.  The cached edge
+    list is pre-partitioned on the join key once, so each round shuffles
+    only the label table (the edge side joins from its cached layout);
+    convergence is a 2-value (count, Σ xxhash64) label signature computed
+    in the SAME job that materializes the round's ``localCheckpoint``
+    blocks — labels only ever decrease, so a stable signature is a stable
+    labeling.  This is the standard iterative-CC-over-edge-list shape that
     scales to 100 TB pair lists; the driver holds only loop control,
-    never data.  If ``max_iterations`` rounds pass without a zero-change
+    never data.  If ``max_iterations`` rounds pass without a stable
     round a loud warning is emitted: convergence is unverified — labels
     MAY be an under-merged over-approximation (some components appear
     split; they are complete only if the last round happened to apply the
@@ -252,33 +259,49 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             f"on_nonconverged must be 'warn' or 'raise', got "
             f"{on_nonconverged!r}")
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-    edges = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
-    edges = edges.persist()
+    both = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # self-loop at EVERY node: min over Γ(u) ∪ {u} becomes one aggregate
+    loops = both.select(F.col("s").alias("s"), F.col("s").alias("d"))
+    # pre-partitioned AND pre-sorted on the per-round join key: every
+    # round's sort-merge join reads this cached layout as-is — only the
+    # label side is exchanged and sorted per round.  The repartition
+    # comes FIRST so the dedup rides the same exchange (guide §2.4:
+    # clustering on d satisfies the (s, d) dedup's requirement).
+    edges = (both.union(loops)
+             .repartition("d").dropDuplicates(["s", "d"])
+             .sortWithinPartitions("d").persist())
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
-    # lazy: materialized by round 1's convergence count in the same job
-    # (an eager checkpoint would spend a dedicated job per round — r17)
+    # lazy: materialized by round 1's signature job (an eager checkpoint
+    # would spend a dedicated job per round — r17)
     labels = labels.localCheckpoint(eager=False)
+
+    def _sig(lab: DataFrame) -> tuple:
+        row = lab.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.xxhash64("id", "comp")).alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    # None, not _sig(labels): an up-front signature of the identity
+    # labeling would spend one whole extra job on EVERY call to save one
+    # round only on inputs with no merging edge at all (labels can then
+    # stabilize at round 1; with None the stable pair is seen at round 2)
+    prev_sig = None
     converged = False
     for it in range(max_iterations):
-        neighbor_min = (
+        new_labels = (
             edges.join(labels.select(F.col("id").alias("d"), "comp"), "d")
-            .groupBy("s").agg(F.min("comp").alias("ncomp"))
+            .groupBy("s").agg(F.min("comp").alias("comp"))
             .withColumnRenamed("s", "id")
-        )
-        new_labels = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
-            (F.coalesce("ncomp", "comp") < F.col("comp")).alias("_changed"),
         )
         new_labels = new_labels.localCheckpoint(eager=False)
         # the round's ONE job: materializes the lazy checkpoint blocks
-        # and counts the changed flags off them in the same pass
-        changed = new_labels.filter("_changed").count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        # and folds them into the signature in the same pass
+        sig = _sig(new_labels)
+        labels = new_labels
+        if sig == prev_sig:
             log.info("connected_components: converged after %d rounds", it + 1)
             converged = True
             break
+        prev_sig = sig
     edges.unpersist()
     if not converged:
         msg = (
@@ -959,13 +982,20 @@ def fuzzy_pairs_ed1(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     generator.  Candidates sharing a variant at ed 2 (two deletions that
     happen to collide) are removed by the exact ``levenshtein`` verify.
 
-    Scale: shuffle volume is O(rows × avg_len) variant rows keyed by
-    xxhash64(variant) — a banded equi-join like MinHash, never an
-    all-pairs product; the verify runs only on bucket collisions.  For
-    long documents run this on a normalized key field (title, URL,
-    licence string), not the body.
+    Scale (r17, guide §2.3/§8 — shuffle keys, not payloads): the
+    variant rows that cross the wire are (id, xxhash64(variant)) — 16
+    bytes each, O(rows × avg_len) of them — and the texts are joined
+    back BY ID onto the distinct candidate pairs before the verify.
+    Carrying the text through the variant exchange instead (the naive
+    shape) multiplies the payload by the explosion factor: O(rows ×
+    len²) shuffle bytes, quadratic in string length.  The candidate
+    join is banded like MinHash, never an all-pairs product; the
+    exact-levenshtein verify runs only on bucket collisions.  For long
+    documents run this on a normalized key field (title, URL, licence
+    string), not the body.  Ids are assumed unique (a duplicated id
+    joins back every text that shares it).
 
-    Returns (id_a, id_b, text_a, text_b, dist) with id_a < id_b.
+    Returns (id_a, text_a, id_b, text_b, dist) with id_a < id_b.
     """
     s = F.col(text_col)
     # positions 1..len: concat(prefix before i, suffix after i)
@@ -975,18 +1005,20 @@ def fuzzy_pairs_ed1(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.sequence(F.lit(1), F.length(s)),
             lambda i: F.concat(s.substr(F.lit(1), i - F.lit(1)),
                                s.substr(i + F.lit(1), F.length(s)))))
-    sig = (df.select(F.col(id_col).alias("__id"), s.alias("__t"),
+    sig = (df.select(F.col(id_col).alias("__id"),
                      F.explode(variants).alias("__v"))
-           .select("__id", "__t", F.xxhash64("__v").alias("__h"))
+           .select("__id", F.xxhash64("__v").alias("__h"))
            .dropDuplicates(["__id", "__h"]))
-    a = sig.select(F.col("__id").alias("id_a"), F.col("__t").alias("text_a"),
-                   F.col("__h").alias("__h"))
-    b = sig.select(F.col("__id").alias("id_b"), F.col("__t").alias("text_b"),
-                   F.col("__h").alias("__h"))
+    a = sig.select(F.col("__id").alias("id_a"), "__h")
+    b = sig.select(F.col("__id").alias("id_b"), "__h")
+    cand = (a.join(b, "__h")
+            .where(F.col("id_a") < F.col("id_b"))
+            .drop("__h").dropDuplicates(["id_a", "id_b"]))
+    ta = df.select(F.col(id_col).alias("id_a"), s.alias("text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), s.alias("text_b"))
     return (
-        a.join(b, "__h")
-        .where(F.col("id_a") < F.col("id_b"))
-        .drop("__h").dropDuplicates(["id_a", "id_b"])
+        cand.join(ta, "id_a").join(tb, "id_b")
+        .select("id_a", "text_a", "id_b", "text_b")
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .where(F.col("dist") <= 1)
     )
@@ -1345,6 +1377,20 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     - small-star: every node u with smaller neighbors Γ⁻(u) computes
       m = min(Γ⁻(u)) and rewires Γ⁻(u) ∪ {u} to m.
 
+    Each phase repartitions its edge set ONCE on the phase key and
+    that single exchange serves the phase's dedup, min-aggregate and
+    join-back, all of which only need clustering on the phase key
+    (guide §2.4 — operations keyed the same way share one exchange;
+    the naive per-phase groupBy + join costs two full-data exchanges
+    plus a separate aggregate exchange: r17, 4 full + 2 aggregate-
+    sized exchanges per round → 3 full).  Join strategy is left to
+    the planner: the min tables broadcast when small, and at scale —
+    where a node-sized min table cannot broadcast — the join is
+    already co-partitioned with the phase exchange, so no further
+    edge-set shuffle exists either way.  Local timing is parity
+    (same-JVM interleaved A/B, r17); the shape is kept on the
+    exchange-count evidence.
+
     Convergence = the canonical edge multiset is stable round-over-
     round, detected with a (count, Σ xxhash64) signature — one tiny
     aggregate, no edge-set diff join.  At convergence every edge is
@@ -1369,14 +1415,18 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
              .distinct().localCheckpoint(eager=False))
     prev_sig, converged = None, False
     for _ in range(max_rounds):
-        both = edges.union(edges.select(F.col("b").alias("a"),
-                                        F.col("a").alias("b")))
-        mins = both.groupBy("a").agg(F.min("b").alias("mn"))
-        j = both.join(mins, "a").withColumn("m", F.least("mn", F.col("a")))
-        ls = (j.filter(F.col("b") > F.col("a"))
+        # one edge-sized exchange per phase: the explicit repartition on
+        # the phase key is reused by the phase's dedup, min-aggregate and
+        # join-back (all require only clustering on `a`)
+        r1 = edges.union(edges.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b"))).repartition("a")
+        mins = r1.groupBy("a").agg(F.min("b").alias("mn"))
+        j = r1.join(mins, "a").withColumn("m", F.least("mn", F.col("a")))
+        r2 = (j.filter(F.col("b") > F.col("a"))
               .select(F.col("b").alias("a"), F.col("m").alias("b"))
-              .filter(F.col("a") != F.col("b")).distinct())
+              .filter(F.col("a") != F.col("b")).repartition("a"))
         # small-star: ls edges are already (larger, smaller)
+        ls = r2.dropDuplicates(["a", "b"])
         mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
         em1 = (ls.join(mins2, "a")
                .select(F.col("b").alias("a"), F.col("m").alias("b")))
@@ -1384,7 +1434,8 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         edges_new = (em1.union(em2).filter(F.col("a") != F.col("b"))
                      .select(F.least("a", "b").alias("a"),
                              F.greatest("a", "b").alias("b"))
-                     .distinct().localCheckpoint(eager=False))
+                     .repartition("a").dropDuplicates(["a", "b"])
+                     .localCheckpoint(eager=False))
         # this collect is the round's ONE job: it materializes the lazy
         # checkpoint blocks and folds them into the 2-value signature
         s = edges_new.agg(F.count(F.lit(1)).alias("n"),

@@ -970,6 +970,35 @@ def test_fuzzy_pairs_plan_is_banded_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fuzzy_pairs_variant_shuffle_carries_no_text(spark):
+    """r17 optimization pin (guide §2.3/§8 — shuffle keys, not
+    payloads): the deletion-variant dedup exchanges, keyed on
+    (__id, __h), must move only those two fixed-width columns; the
+    text is re-attached by id AFTER candidate generation.  A text
+    column riding the variant exchange multiplies its payload by the
+    explosion factor (O(rows × len²) bytes)."""
+    df = spark.createDataFrame([(i, f"w{i}") for i in range(50)], "id long, t string")
+    plan = dedup.fuzzy_pairs_ed1(df, "t", "id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(__id[^\n]*", plan):
+        line = m.group(0)
+        assert "__t" not in line and "text_" not in line, line
+
+
+def test_connected_components_converges_on_self_pairs_only(spark):
+    """r17 optimization pin: signature-based convergence (prev_sig
+    starts None, so a labeling that is stable from round 1 is detected
+    at round 2) still terminates and returns identity labels on an
+    input with no merging edge at all — every pair a self-loop."""
+    pairs = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {i: i for i in range(1, 6)}
+
+
 def test_pack_sequences_matches_serial_reference(spark):
     df = spark.range(1, 301).select(
         F.col("id").alias("doc_id"), (F.pmod("id", F.lit(11)) + 1).alias("nt"))
