@@ -1324,8 +1324,15 @@ def graph_common_neighbors(spark, sf_dir):
     hub = (ks.filter(F.col("k") % 3 <= 1)
            .select(F.lit(0).cast("long").alias("a"), F.col("k").alias("b")))
     e = b1.unionAll(b2).unionAll(hub)
+    # LAZY checkpoint (r17, the graph_triangle_count treatment): adj
+    # feeds deg, both wedge-join sides and the degree join-backs, and
+    # the un-truncated logical tree re-expands the three-way edge-build
+    # self-joins under every consumer (1,764-line physical plan); with
+    # the checkpoint the consumers read one scan and the plan shrinks
+    # ~6x, at no extra job (the first action materializes the blocks)
     adj = (e.select(F.col("a").alias("c"), F.col("b").alias("n"))
-           .unionAll(e.select(F.col("b").alias("c"), F.col("a").alias("n"))))
+           .unionAll(e.select(F.col("b").alias("c"), F.col("a").alias("n")))
+           .localCheckpoint(eager=False))
     deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     ok = deg.filter(F.col("d") <= 32).select("c")
     aok = adj.join(ok, "c")
