@@ -822,7 +822,8 @@ def assign_cells(df: DataFrame, vec_col: str, id_col: str,
 def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id", n_cells: int = 16,
                          cosine_threshold: float = 0.95,
-                         centroids: DataFrame | None = None) -> DataFrame:
+                         centroids: DataFrame | None = None,
+                         assigned: DataFrame | None = None) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings (k-means cells), compare
     cosine only WITHIN a cell, emit pairs at/above the threshold as
@@ -836,8 +837,16 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
     vectors always land in the same cell (identical similarities, same
     deterministic tie-break), so exact-duplicate recall is 1.0 by
     construction regardless of centroid quality — that is the planted
-    oracle contract (plans/registry_llm.py: dedup_semantic_pairs)."""
-    assigned = assign_cells(df, vec_col, id_col, centroids, n_cells)
+    oracle contract (plans/registry_llm.py: dedup_semantic_pairs).
+
+    ``assigned`` (r17): a precomputed :func:`assign_cells` result
+    (columns id, vec, cell_id) to reuse — for callers that also need
+    the cell assignment itself (e.g. a recall audit), passing one
+    shared (ideally checkpointed) assignment stops the whole
+    scan + score + argmin subtree from being planned and executed
+    once per consumer."""
+    if assigned is None:
+        assigned = assign_cells(df, vec_col, id_col, centroids, n_cells)
     from aws_etl_bank_spark.llm.similarity import _dot, _norm
 
     # compute each row's norm ONCE below the shuffle (the repartition
