@@ -1386,19 +1386,24 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     - small-star: every node u with smaller neighbors Γ⁻(u) computes
       m = min(Γ⁻(u)) and rewires Γ⁻(u) ∪ {u} to m.
 
-    Each phase repartitions its edge set ONCE on the phase key and
-    that single exchange serves the phase's dedup, min-aggregate and
-    join-back, all of which only need clustering on the phase key
-    (guide §2.4 — operations keyed the same way share one exchange;
-    the naive per-phase groupBy + join costs two full-data exchanges
-    plus a separate aggregate exchange: r17, 4 full + 2 aggregate-
-    sized exchanges per round → 3 full).  Join strategy is left to
-    the planner: the min tables broadcast when small, and at scale —
-    where a node-sized min table cannot broadcast — the join is
-    already co-partitioned with the phase exchange, so no further
-    edge-set shuffle exists either way.  Local timing is parity
-    (same-JVM interleaved A/B, r17); the shape is kept on the
-    exchange-count evidence.
+    The large-star output ``ls`` is lazily ``localCheckpoint``-ed
+    every round (r17): it feeds the small-star min-aggregate AND the
+    small-star join-back, and the captured executed round plan
+    (plans/r17/graph_cc_star_round_before.txt) shows filter pushdown
+    specializing each consumer's copy of the subtree — ReuseExchange
+    sees different subplans and the whole large-star join re-executed
+    3-4× per round.  With the checkpoint the join runs once and the
+    consumers read its blocks.  Two shapes A/B'd same-JVM and
+    REJECTED (r17, all four variants local parity at sf0.1 —
+    per-round cost there is stage machinery over tiny frames, so the
+    choice is on scale grounds): an explicit shared ``repartition``
+    per phase (pushdown specializes the copies anyway, and it costs
+    the min-aggregate its map-side partial combine — the exchange
+    carries raw edges instead of per-key mins), and per-round
+    ``persist``/unpersist of the phase frames (measured 35% WORSE
+    locally: cache write + InMemoryRelation machinery exceeds the
+    recompute it saves at this size, and the checkpoint already
+    stops the expensive re-execution).
 
     Convergence = the canonical edge multiset is stable round-over-
     round, detected with a (count, Σ xxhash64) signature — one tiny
@@ -1424,18 +1429,20 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
              .distinct().localCheckpoint(eager=False))
     prev_sig, converged = None, False
     for _ in range(max_rounds):
-        # one edge-sized exchange per phase: the explicit repartition on
-        # the phase key is reused by the phase's dedup, min-aggregate and
-        # join-back (all require only clustering on `a`)
-        r1 = edges.union(edges.select(F.col("b").alias("a"),
-                                      F.col("a").alias("b"))).repartition("a")
-        mins = r1.groupBy("a").agg(F.min("b").alias("mn"))
-        j = r1.join(mins, "a").withColumn("m", F.least("mn", F.col("a")))
-        r2 = (j.filter(F.col("b") > F.col("a"))
+        both = edges.union(edges.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+        mins = both.groupBy("a").agg(F.min("b").alias("mn"))
+        j = both.join(mins, "a").withColumn("m", F.least("mn", F.col("a")))
+        # ls is CHECKPOINTED, not just distinct'd (r17): its two
+        # consumers (small-star min + join-back) otherwise re-execute
+        # the whole large-star join — pushdown specializes each copy of
+        # the subtree, so ReuseExchange cannot dedup them (see the
+        # captured executed round plan under plans/r17/)
+        ls = (j.filter(F.col("b") > F.col("a"))
               .select(F.col("b").alias("a"), F.col("m").alias("b"))
-              .filter(F.col("a") != F.col("b")).repartition("a"))
+              .filter(F.col("a") != F.col("b")).distinct()
+              .localCheckpoint(eager=False))
         # small-star: ls edges are already (larger, smaller)
-        ls = r2.dropDuplicates(["a", "b"])
         mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
         em1 = (ls.join(mins2, "a")
                .select(F.col("b").alias("a"), F.col("m").alias("b")))
@@ -1443,10 +1450,10 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         edges_new = (em1.union(em2).filter(F.col("a") != F.col("b"))
                      .select(F.least("a", "b").alias("a"),
                              F.greatest("a", "b").alias("b"))
-                     .repartition("a").dropDuplicates(["a", "b"])
-                     .localCheckpoint(eager=False))
+                     .distinct().localCheckpoint(eager=False))
         # this collect is the round's ONE job: it materializes the lazy
-        # checkpoint blocks and folds them into the 2-value signature
+        # checkpoint blocks (ls first, then the new edge set off it) and
+        # folds them into the 2-value signature
         s = edges_new.agg(F.count(F.lit(1)).alias("n"),
                           F.sum(F.xxhash64("a", "b")).alias("h")).collect()[0]
         sig = (s["n"], s["h"])
