@@ -50,6 +50,20 @@ RUNTIME_CONFS = {
     # 64 MB covers every dim in the star schema while fact-fact joins
     # correctly fall through to shuffle joins.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Spark 4.1's checkpoint file checksums (default on) spawn a
+    # ChecksumCheckpointFileManager thread pool per state partition that
+    # outlives the streaming query: measured ~128 threads leaked PER
+    # availableNow run (r18 diag, 258→1428 threads after 8 runs), which
+    # degrades every later query in a long-lived session, and each
+    # checkpoint write pays an extra checksum-file write (2× small-file
+    # traffic on the checkpoint store at scale).  The engine's streaming
+    # entries run ephemeral availableNow queries against temp
+    # checkpoints on checksummed local/HDFS storage, where the integrity
+    # re-check adds nothing; with this off, repeated streaming runs
+    # measure flat (2.9-3.0 s) instead of drifting up (3.4→4.0+ s).
+    # Durable always-on streams on non-checksummed object stores should
+    # re-enable it per query via writeStream options.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 

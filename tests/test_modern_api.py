@@ -859,3 +859,15 @@ def test_session_pins_auto_bucketed_scan_off():
 
     assert RUNTIME_CONFS[
         "spark.sql.sources.bucketing.autoBucketedScan.enabled"] == "false"
+
+
+def test_session_pins_checkpoint_file_checksum_off():
+    """r18: Spark 4.1's checkpoint file checksums leak a
+    ChecksumCheckpointFileManager thread pool per state partition per
+    streaming run (~128 threads/availableNow query, measured) — the
+    session pins them off so repeated streaming entries in one JVM
+    stay flat instead of accumulating threads."""
+    from aws_etl_bank_spark.session import RUNTIME_CONFS
+
+    assert RUNTIME_CONFS[
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled"] == "false"
