@@ -42,23 +42,24 @@ def main():
     total = events.count()
     per_batch = max(1, total // n_batches)
 
-    # one parquet file per micro-batch (maxFilesPerTrigger=1), ordered
-    # by ts so the watermark advances monotonically like production
+    # one parquet file per micro-batch (maxFilesPerTrigger=1), range-
+    # partitioned + mtime-stamped by ts so the file source replays in
+    # event-time order and the watermark advances monotonically — an
+    # out-of-order replay makes the watermark drop whole batches
+    from aws_etl_bank_spark.sources.testdata import write_ordered_feed
     scratch = os.path.join(REPO, ".scratch",
                            "wc_tp_" + os.path.basename(sf_dir.rstrip("/")))
     feed = os.path.join(scratch, "feed")
-    if not os.path.isdir(feed) or not [
-            f for f in os.listdir(feed) if not f.startswith((".", "_"))]:
-        (events.withColumn(
-            "__b",
-            ((F.row_number().over(Window.orderBy("ts", "event_id")) - 1)
-             / per_batch).cast("int"))
-         .repartition("__b").write.mode("overwrite")
-         .partitionBy("__b").parquet(feed))
+    write_ordered_feed(events, feed, n_batches, ["ts", "event_id"],
+                       src_path=os.path.join(sf_dir, "events.parquet"))
 
-    stream = (spark.readStream.schema(events.schema.add("__b", "integer"))
-              .option("maxFilesPerTrigger", 1)
-              .parquet(feed).drop("__b"))
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    # watermarks need TimestampType; load_table may surface ts as NTZ
+    # (same dtype guard as sources.testdata.events_stream)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        import pyspark.sql.functions as F2
+        stream = stream.withColumn("ts", F2.col("ts").cast("timestamp"))
     agg = windowed_event_counts(stream, "6 hours", watermark="12 hours")
     ck = os.path.join(scratch, f"ck_{int(time.time())}")
     name = f"wc_tp_{int(time.time()) % 1_000_000}"
