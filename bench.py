@@ -264,6 +264,14 @@ def main():
             s[name] = round(ts[-1] - ts[0], 3)
         return t, s
 
+    # chronological copies BEFORE _medians sorts in place: the sorted
+    # "samples" arrays show spread only; these show run order, so a
+    # reader can tell per-pass accumulation from contention spread
+    # (r18 — the streaming thread-leak diagnosis needed exactly this)
+    samples_chrono = {n: [round(t, 3) for t in ts]
+                      for n, ts in samples.items()}
+    samples2_chrono = {n: [round(t, 3) for t in ts]
+                       for n, ts in samples2.items()}
     timings, spread = _medians(samples)
     timings2, spread2 = _medians(samples2)
     total = round(sum(timings.values()), 3)
@@ -293,6 +301,10 @@ def main():
                      for n, ts in samples2.items()},
         "pass_totals2": pass_totals2,
         "probes2": probes2,
+        # r18 additive keys (file artifact only — the stdout line is
+        # unchanged): per-query samples in RUN ORDER, see above
+        "samples_chrono": samples_chrono,
+        "samples2_chrono": samples2_chrono,
     }
     # Full result (per-query samples + spreads) goes to a repo file: the
     # driver's stdout tail capture is ~2000 chars and r5's line outgrew
